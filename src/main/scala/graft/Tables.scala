@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixture tables (TESTDATA.md /
+  * FIXTURES.md §B). Every query takes the scale-factor directory explicitly
+  * so the same code runs unchanged at any SF; on a real cluster these would
+  * be catalog tables (partitioned / bucketed on their join keys) and the
+  * reads below would become `spark.table(name)` with partition pruning.
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst handles column pruning
+  * and predicate pushdown into the scan — queries must NOT cache or collect
+  * these; keep plans lazy end-to-end.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via the legacy conf
+    * and truncate to microseconds — exactly what DuckDB does when it loads
+    * the same file, so oracle comparisons stay exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register all fixture tables as temp views (for SQL-expressed queries,
+    * e.g. GROUPING SETS which has no DataFrame API). View names match the
+    * oracle's table names. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

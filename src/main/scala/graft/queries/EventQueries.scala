@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's event-store read surface re-expressed as Spark queries
+  * over the fixture `events` table (stream key = user_id, arrival order =
+  * ts, event_id):
+  *
+  *  - q20 revision assignment = the engine-side analogue of hematite's
+  *    dense per-stream rownum (reference src/db.rs:103-113, 233-237;
+  *    openapi.yaml:54-59 "index number ... starting at zero").
+  *  - q21 positional range scan = `Database::query(start, limit)`
+  *    (reference src/db.rs:133-177): the u64 offset-index seek becomes a
+  *    revision-range predicate the optimizer prunes on.
+  *  - q22 stream metadata = `AppState::get_stream` (reference
+  *    src/server.rs:233-248): revision/count (db.rs:103-113), last_modified/
+  *    max (db.rs:78-88), usage-bytes/sum (db.rs:91-100).
+  *  - q23 stream listing + sort = `GET /streams?sort=` (reference
+  *    src/api.rs:320-335).
+  *
+  * Scale: every query here groups or windows on the stream key, so the
+  * single shuffle partitions by stream — exactly how a 1000-executor
+  * cluster would parallelize per-stream work. Window functions over
+  * (user_id) need no global sort, only a per-stream sort within partitions.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Arrival order within a stream: event time, tie-broken by event_id —
+    * deterministic, which `row_number` requires for a stable result. */
+  private val arrival = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  private def withRevision(df: DataFrame): DataFrame =
+    df.withColumn("revision", (row_number().over(arrival) - 1).cast("long"))
+
+  /** q19: JSON extraction from the open `props` payload (hematite stores
+    * arbitrary JSON in `data` — schema-on-read via get_json_object). */
+  val q19_json_extract: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"),
+        count(lit(1)).as("n_events"))
+
+  val q19_oracle: String =
+    """SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       count(*) AS n_events
+       FROM events GROUP BY event_type"""
+
+  /** q20: dense 0-based per-stream revision assignment (the core hematite
+    * invariant). One shuffle on the stream key; sort is per-partition. */
+  val q20_revision_assign: Q = (s, d) =>
+    withRevision(Tables.events(s, d))
+      .select(col("user_id"), col("event_id"), col("revision"))
+
+  val q20_oracle: String =
+    """SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS revision
+       FROM events"""
+
+  /** q21: positional range scan — `query(start=20, limit=30)` on stream 13
+    * (reference db.rs:133-177). The revision predicate plays the role of
+    * the byte-offset index; partition pruning on the stream key plays the
+    * role of the per-stream file. */
+  val q21_positional_scan: Q = (s, d) =>
+    withRevision(Tables.events(s, d).filter(col("user_id") === 13))
+      .filter(col("revision") >= 20 && col("revision") < 50)
+      .select(col("user_id"), col("revision"), col("event_id"),
+        col("ts"), col("event_type"), col("value"))
+
+  val q21_oracle: String =
+    """SELECT user_id, revision, event_id, ts, event_type, value FROM (
+         SELECT user_id, event_id, ts, event_type, value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS revision
+         FROM events WHERE user_id = 13)
+       WHERE revision >= 20 AND revision < 50"""
+
+  /** q22: stream metadata aggregate (reference server.rs:233-248):
+    * revision = count, last_modified = max(ts), usage = serialized bytes
+    * (sum of payload lengths — the NDJSON-bytes analogue). */
+  val q22_stream_metadata: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("revision"),
+        max(col("ts")).as("last_modified"),
+        sum((length(col("props")) + length(col("event_type")) + lit(24))
+          .cast("long")).cast("long").as("usage"))
+
+  val q22_oracle: String =
+    """SELECT user_id, count(*) AS revision, max(ts) AS last_modified,
+       CAST(sum(length(props) + length(event_type) + 24) AS BIGINT) AS usage
+       FROM events GROUP BY user_id"""
+
+  /** q23: stream listing sorted by usage desc then id (reference
+    * api.rs:320-335 `?sort=-usage`) — agg + order, driver-side top page. */
+  val q23_stream_listing: Q = (s, d) =>
+    q22_stream_metadata(s, d)
+      .orderBy(col("usage").desc, col("user_id"))
+      .limit(50)
+
+  val q23_oracle: String =
+    """SELECT user_id, count(*) AS revision, max(ts) AS last_modified,
+       CAST(sum(length(props) + length(event_type) + 24) AS BIGINT) AS usage
+       FROM events GROUP BY user_id
+       ORDER BY usage DESC, user_id LIMIT 50"""
+
+  /** q24: sessionization — gaps-and-islands with a 30-minute inactivity
+    * gap, per stream. The batch analogue of session_window; expressed with
+    * lag + running sum so it is oracle-checkable (the streaming variant
+    * lives in graft.streaming). */
+  val q24_sessionize: Q = (s, d) => {
+    val newSess = when(
+      lag(col("ts"), 1).over(arrival).isNull ||
+        col("ts") > lag(col("ts"), 1).over(arrival) +
+          expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    Tables.events(s, d)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(
+          arrival.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("sess_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q24_oracle: String =
+    """WITH marked AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts, 1) OVER w IS NULL
+                  OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         FROM marked)
+       SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+       FROM sess GROUP BY user_id"""
+
+  /** q25: tumbling-window aggregate over event time (hourly) — the batch
+    * shape of the streaming windowed agg. date_trunc keeps the result
+    * oracle-comparable (window() emits a struct). */
+  val q25_tumbling_hourly: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(14, 2))).cast("double")
+          .as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val q25_oracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2"""
+
+  val all: Map[String, Q] = Map(
+    "q19_json_extract" -> q19_json_extract,
+    "q20_revision_assign" -> q20_revision_assign,
+    "q21_positional_scan" -> q21_positional_scan,
+    "q22_stream_metadata" -> q22_stream_metadata,
+    "q23_stream_listing" -> q23_stream_listing,
+    "q24_sessionize" -> q24_sessionize,
+    "q25_tumbling_hourly" -> q25_tumbling_hourly)
+
+  val oracles: Map[String, String] = Map(
+    "q19_json_extract" -> q19_oracle,
+    "q20_revision_assign" -> q20_oracle,
+    "q21_positional_scan" -> q21_oracle,
+    "q22_stream_metadata" -> q22_oracle,
+    "q23_stream_listing" -> q23_oracle,
+    "q24_sessionize" -> q24_oracle,
+    "q25_tumbling_hourly" -> q25_oracle)
+}

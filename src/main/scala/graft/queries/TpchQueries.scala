@@ -1,0 +1,495 @@
+package graft.queries
+
+import graft.{Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical operator coverage over the TPC-H-ish star schema
+  * (SURVEY.md §2.2): scans w/ pushdown, projections, filters, hash and
+  * broadcast joins, semi/anti joins, hash aggregation, rollup / grouping
+  * sets, window functions, sort / top-k, set ops, scalar functions.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on sf0.1):
+  *  - dimension sides (region, nation, supplier, part, customer at low SF;
+  *    region/nation always) are broadcast — no shuffle of the fact table
+  *    for those joins; lineitem⋈orders shuffles on the join key only.
+  *  - aggregates are partial+final hash aggs (map-side combine) — the
+  *    shuffle carries one row per group per task, not per input row.
+  *  - top-k is orderBy+limit → TakeOrderedAndProject: O(k) memory per
+  *    partition, no global sort.
+  *  - all money arithmetic goes through exact DECIMAL (see Sql) so results
+  *    hash-match the DuckDB oracle bit-for-bit.
+  */
+object TpchQueries {
+  import Sql._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: TPC-H Q1-style pricing summary — filter + hash agg with exact
+    * decimal sums and a bit-stable mean. */
+  val q01_pricing_summary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  val q01_oracle: String = {
+    import duck._
+    s"""SELECT l_returnflag, l_linestatus,
+       ${dsum("l_quantity")} AS sum_qty,
+       ${dsum("l_extendedprice")} AS sum_base_price,
+       CAST(sum(${discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(${charge("l_extendedprice", "l_discount", "l_tax")}) AS DOUBLE) AS sum_charge,
+       ${davg("l_quantity")} AS avg_qty,
+       ${davg("l_extendedprice")} AS avg_price,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+       GROUP BY l_returnflag, l_linestatus"""
+  }
+
+  /** q02: filter + projection — both must reach the parquet scan
+    * (PushedFilters / pruned ReadSchema in .explain). */
+  val q02_filter_project: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_size") >= 30 && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+
+  val q02_oracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+       FROM part WHERE p_size >= 30 AND p_type = 'ECONOMY'"""
+
+  /** q03: TPC-H Q3-style shipping priority — fact⋈fact shuffle join +
+    * broadcast dim, agg, deterministic top-10. */
+  val q03_top_orders: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03_oracle: String = {
+    import duck._
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(${discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+  }
+
+  /** q04: TPC-H Q4-style — left-semi join (EXISTS) with an extra non-equi
+    * conjunct, then count by priority. */
+  val q04_order_priority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q04_oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders WHERE EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority"""
+
+  /** q05: TPC-H Q5-style local-supplier revenue — 6-way join; all dims
+    * broadcast so the only shuffles are lineitem⋈orders and the final agg. */
+  val q05_region_revenue: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q05_oracle: String = {
+    import duck._
+    s"""SELECT n_name,
+       CAST(sum(${discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name"""
+  }
+
+  /** q06: TPC-H Q6-style forecast revenue — pure scan+filter+scalar agg;
+    * the whole query is one WholeStageCodegen span with pushed filters. */
+  val q06_revenue_filter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q06_oracle: String = {
+    import duck._
+    s"""SELECT CAST(sum(${money("l_extendedprice")} * ${rate("l_discount")}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount >= 0.03 AND l_discount <= 0.07
+         AND l_quantity < 25"""
+  }
+
+  /** q07: broadcast join lineitem⋈part + agg by brand with a distinct
+    * count (expands to a two-phase agg; no extra shuffle of the fact). */
+  val q07_brand_volume: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_items"))
+
+  val q07_oracle: String = {
+    import duck._
+    s"""SELECT p_brand,
+       ${dsum("l_quantity")} AS sum_qty,
+       CAST(sum(${discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand"""
+  }
+
+  /** q08: left-anti join (NOT EXISTS) — customers with no pending ('P')
+    * orders, rolled up to nation via a broadcast dim join. (Plain
+    * no-orders-at-all is empty at every SF — all customers order.) */
+  val q08_cust_without_orders: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+
+  val q08_oracle: String = {
+    import duck._
+    s"""SELECT n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+       GROUP BY n_name"""
+  }
+
+  /** q09: window functions — row_number / rank / lag / lead per customer.
+    * One shuffle on the window partition key; all four windows share it. */
+  val q09_window_rank: Q = (s, d) => {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(byDate).cast("long"))
+      .withColumn("price_rank", rank().over(byPrice).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byDate))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(byDate))
+  }
+
+  val q09_oracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_orderkey, 1) OVER w AS next_order
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  /** q10: running total + trailing 3-row window frame per customer, with
+    * exact decimal accumulation for bit-stable doubles. */
+  val q10_running_total: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("run_spend",
+        sum(money(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("spend3",
+        sum(money(col("o_totalprice")))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .withColumn("n3",
+        count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
+  }
+
+  val q10_oracle: String = {
+    import duck._
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(${money("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend,
+       CAST(sum(${money("o_totalprice")}) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend3,
+       count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+  }
+
+  /** q11: ROLLUP — hierarchical subtotals in one pass (Spark expands then
+    * single hash agg; no per-level rescan). */
+  val q11_rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  val q11_oracle: String = {
+    import duck._
+    s"""SELECT l_returnflag, l_linestatus,
+       ${dsum("l_quantity")} AS sum_qty, count(*) AS n_items
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+  }
+
+  /** q12: GROUPING SETS (SQL-only surface in Spark) with grouping()
+    * markers to disambiguate natural NULLs from subtotal NULLs. */
+  val q12_grouping_sets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      count(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  val q12_oracle: String = {
+    import duck._
+    s"""SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       ${dsum("o_totalprice")} AS sum_price,
+       count(*) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+  }
+
+  /** q13: top-k — plans as TakeOrderedAndProject (per-partition heap of k,
+    * then merge on driver), never a global sort. */
+  val q13_topk_orders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val q13_oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  /** q14: distinct aggregates — exact distinct + conditional distinct. */
+  val q14_distinct_agg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey")))
+          .as("n_f_customers"),
+        count(lit(1)).as("n_orders"))
+
+  val q14_oracle: String =
+    """SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_f_customers,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_orderpriority"""
+
+  /** q15: set operations — INTERSECT / EXCEPT / UNION with set (distinct)
+    * semantics; Spark plans these as aggregates + joins. */
+  val q15_setops: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("custkey"))
+    keys("F").intersect(keys("O")).except(keys("P"))
+      .union(keys("P").intersect(keys("O")))
+      .distinct()
+  }
+
+  val q15_oracle: String =
+    """SELECT DISTINCT custkey FROM (
+         (SELECT custkey FROM
+           (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+          EXCEPT
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+         UNION
+         (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'))"""
+
+  /** q16: scalar string functions — upper/substring/length/concat/replace/
+    * regexp_extract, all codegen'd builtins (no UDFs). */
+  val q16_string_funcs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 10, 9).as("name_num"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        lpad(col("c_custkey").cast("string"), 12, "*").as("padded"))
+
+  val q16_oracle: String =
+    """SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 10, 9) AS name_num,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       concat(c_mktsegment, '/', c_name) AS seg_name,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '*') AS padded
+       FROM customer"""
+
+  /** q17: date/time functions — truncation-based monthly agg plus
+    * year/quarter extraction and day arithmetic. */
+  val q17_date_funcs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("month"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  val q17_oracle: String = {
+    import duck._
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       count(*) AS n_orders,
+       ${dsum("o_totalprice")} AS sum_price
+       FROM orders GROUP BY 1, 2, 3"""
+  }
+
+  /** q18: CASE + exact math (floor/ceil/abs/mod — no transcendentals, so
+    * doubles stay bit-identical across engines). */
+  val q18_case_math: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("qty_bucket"),
+        floor(col("l_extendedprice") / 10000).cast("long").as("price_band"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(abs(col("l_extendedprice") * -1)).as("sum_abs_price"),
+        sum((col("l_linenumber") % 2).cast("long")).cast("long").as("n_odd"))
+
+  val q18_oracle: String = {
+    import duck._
+    s"""SELECT
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid'
+            ELSE 'high' END AS qty_bucket,
+       CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+       count(*) AS n_items,
+       ${dsum("abs(l_extendedprice * -1)")} AS sum_abs_price,
+       CAST(sum(CAST(l_linenumber % 2 AS BIGINT)) AS BIGINT) AS n_odd
+       FROM lineitem GROUP BY 1, 2"""
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01_pricing_summary,
+    "q02_filter_project" -> q02_filter_project,
+    "q03_top_orders" -> q03_top_orders,
+    "q04_order_priority" -> q04_order_priority,
+    "q05_region_revenue" -> q05_region_revenue,
+    "q06_revenue_filter" -> q06_revenue_filter,
+    "q07_brand_volume" -> q07_brand_volume,
+    "q08_cust_without_orders" -> q08_cust_without_orders,
+    "q09_window_rank" -> q09_window_rank,
+    "q10_running_total" -> q10_running_total,
+    "q11_rollup" -> q11_rollup,
+    "q12_grouping_sets" -> q12_grouping_sets,
+    "q13_topk_orders" -> q13_topk_orders,
+    "q14_distinct_agg" -> q14_distinct_agg,
+    "q15_setops" -> q15_setops,
+    "q16_string_funcs" -> q16_string_funcs,
+    "q17_date_funcs" -> q17_date_funcs,
+    "q18_case_math" -> q18_case_math)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01_oracle,
+    "q02_filter_project" -> q02_oracle,
+    "q03_top_orders" -> q03_oracle,
+    "q04_order_priority" -> q04_oracle,
+    "q05_region_revenue" -> q05_oracle,
+    "q06_revenue_filter" -> q06_oracle,
+    "q07_brand_volume" -> q07_oracle,
+    "q08_cust_without_orders" -> q08_oracle,
+    "q09_window_rank" -> q09_oracle,
+    "q10_running_total" -> q10_oracle,
+    "q11_rollup" -> q11_oracle,
+    "q12_grouping_sets" -> q12_oracle,
+    "q13_topk_orders" -> q13_oracle,
+    "q14_distinct_agg" -> q14_oracle,
+    "q15_setops" -> q15_oracle,
+    "q16_string_funcs" -> q16_oracle,
+    "q17_date_funcs" -> q17_oracle,
+    "q18_case_math" -> q18_oracle)
+}
