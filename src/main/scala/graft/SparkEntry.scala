@@ -16,11 +16,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TpchQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.VectorQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.TpchQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.VectorQueries.oracles
 }

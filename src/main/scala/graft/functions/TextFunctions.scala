@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data-pipeline operators
+  * (tokenization, n-gram shingles, fingerprints, MinHash, SimHash,
+  * language-ID and quality heuristics). All are per-row codegen-friendly
+  * builtin compositions — no UDFs — so they pipeline inside the scan and
+  * cost nothing extra in shuffles at 100 TB.
+  */
+object TextFunctions {
+  /** Whitespace tokenizer (fixture text is clean single-spaced lowercase;
+    * for messier corpora swap the pattern for "\\s+"). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles (overlapping), e.g. n=3 → "a b c", "b c d", …
+    * Guarded for texts shorter than n tokens (Spark's sequence(1, 0)
+    * would otherwise count DOWN and fabricate bogus shingles). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def distinctShingles(text: Column, n: Int): Column =
+    array_distinct(shingles(text, n))
+
+  /** Content fingerprint for exact / normalized dedup (md5 of lowercased
+    * text — stable across engines, unlike engine-native hash functions). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** MinHash signature: k minimums over seeded xxhash64 of each shingle.
+    * One array expression per row; k * |shingles| hash evaluations.
+    * CAUTION: pass a *materialized* shingle column (bound attribute), not
+    * a nested expression — CollapseProject would inline the shingle
+    * construction into every lambda iteration. For bulk pipelines prefer
+    * the explode+agg formulation in Dedup.minhashLshPairs, which stays in
+    * whole-stage codegen. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+
+  /** LSH band hashes: split the k-long signature into `bands` bands of
+    * k/bands rows each and hash every band — equal band hash ⇒ candidate
+    * pair. Returns an array of `bands` longs. Same materialized-input
+    * caution as minhashSignature. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * r + 1, lit(r)).cast("string")))
+  }
+
+  /** 64-bit SimHash over the token multiset of a named text column: bit i
+    * of the result is the sign of Σ_tokens (bit i of xxhash64(token) ?
+    * +1 : -1). Near-identical texts differ in few bits — compare with
+    * hamming(). (Takes a column NAME because the lambda body is SQL.) */
+  def simhash64On(colName: String): Column = {
+    // hash each token once up front, then fold ±1 per bit over the hashes
+    val hashes = s"transform(split($colName, ' '), t -> xxhash64(t))"
+    val counters =
+      s"""aggregate(
+            $hashes,
+            array_repeat(0L, 64),
+            (acc, h) -> zip_with(acc, sequence(0, 63),
+              (a, i) -> a + CASE
+                WHEN (shiftright(h, CAST(i AS INT)) & 1L) = 1L
+                THEN 1L ELSE -1L END))"""
+    expr(
+      s"""aggregate(
+            zip_with($counters, sequence(0, 63),
+              (v, i) -> CASE WHEN v > 0L THEN shiftleft(1L, CAST(i AS INT))
+                        ELSE 0L END),
+            0L, (a, b) -> a | b)""")
+  }
+
+  /** Hamming distance between two packed 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. */
+  val langLexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai"))
+
+  /** Count of tokens present in a lexicon. */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(lexicon: _*))).cast("long")
+
+  /** Stopword ratio against the English lexicon (quality heuristic). */
+  def stopwordRatio(text: Column): Column =
+    lexiconHits(text, langLexicons("en")).cast("double") / nTokens(text)
+
+  /** Rolling fingerprint of the token sequence (order-sensitive, unlike
+    * md5 of the raw string — detects reorderings): sequential fold of
+    * h = rot5(h) XOR xxhash64(token). Rotate-xor instead of the classic
+    * h*31+x because ANSI mode (Spark 4 default) raises on the
+    * intentional multiply wrap-around. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      call_function("shiftleft", acc, lit(5))
+        .bitwiseOR(call_function("shiftrightunsigned", acc, lit(59)))
+        .bitwiseXOR(xxhash64(t)))
+}

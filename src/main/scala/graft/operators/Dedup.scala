@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. The reference
+  * only *specifies* dedup — its `(source,id)` uniqueness check is declared
+  * but never enforced (reference src/db.rs:15-16, api.rs:524-537); here it
+  * is a first-class operator family.
+  *
+  * Scale design: every op is a sequence of {per-row expression, explode,
+  * equi-join on a small key, hash agg} — the shapes Spark shuffles
+  * efficiently. Nothing ever compares all pairs: candidate generation goes
+  * through an inverted index (shared shingle / band hash / simhash band),
+  * so cost is Σ bucket², not n². For 100 TB add a frequency cap on
+  * pathological buckets (stop-shingle removal) — noted inline.
+  */
+object Dedup {
+
+  /** Exact dedup summary: one row per distinct key with the surviving id
+    * (min) and the duplicate count. Plain hash-groupBy — map-side partial
+    * agg makes the shuffle carry one row per distinct key per task. */
+  def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup survivors: the input rows minus later duplicates (keeps
+    * the min-id row per key). Window row_number per key — one shuffle. */
+  def exactSurvivors(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(id)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** All-pairs n-gram Jaccard ≥ minJaccard via inverted-index join:
+    * explode distinct shingles → self-join on shingle → count common →
+    * jac = common / (na + nb − common). Never materializes non-candidate
+    * pairs. At 100 TB: drop shingles with document frequency above a cap
+    * first (they generate the big buckets and carry no signal). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("shingles"))
+    val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("s"))
+    val a = ex.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
+    val b = ex.select(col("id").as("id_b"), col("nsh").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("common").cast("long").as("common"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("jac"))
+  }
+
+  /** MinHash + LSH near-dup pairs: k-hash signature → `bands` band
+    * hashes → candidates share ≥1 band bucket → exact-Jaccard rerank by
+    * joining shingle sets back by id (so the wide shingle arrays never
+    * ride through the band explode/shuffle — only (id, bandHash) does).
+    *
+    * With k=64, bands=32 (r=2) the candidate probability at jac=0.5 is
+    * 1−(1−0.25)^32 ≈ 0.9999, so for thresholds ≥0.5 the output equals the
+    * exact all-pairs result with near-certainty while scanning only
+    * bucket-mates. */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 32,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("shingles"))
+    // Map-reduce MinHash: explode shingles, then k codegen'd min(hash)
+    // aggregates. (The nested-HOF formulation looks tidy but Catalyst's
+    // CollapseProject inlines the shingle array into every lambda
+    // iteration — O(k·bands) re-evaluations per doc — and HOF lambdas are
+    // interpreted besides. The explode+agg shape is whole-stage codegen
+    // end-to-end and shuffles short (id, shingle) rows only.)
+    val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val minCols = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val rowCols = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: rowCols: _*).as("bhash"))
+    }
+    val buckets = sig.select(col("id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bhash").as("bhash"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "bhash"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    withSets
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "common", "na", "nb", "jac")
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming. Pigeonhole
+    * blocking: split the 64-bit hash into `maxHamming+1` bands — any pair
+    * within the radius must agree on ≥1 whole band, so the join key is
+    * (band index, band bits), never the full hash. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nb = maxHamming + 1
+    val width = 64 / nb
+    // Map-reduce SimHash (same rationale as the minhash explode+agg):
+    // explode tokens, hash each once, 64 conditional-sum aggregates, then
+    // pack the sign bits — identical values to TextFunctions.simhash64On.
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("t"))
+    val th = xxhash64(col("t"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(th, i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val h = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("sim"))
+    val bandArr = transform(
+      sequence(lit(0), lit(nb - 1)),
+      b => call_function("shiftright", col("sim"), b * width)
+        .bitwiseAND(lit((1L << width) - 1)))
+    val banded = h.select(col("id"), col("sim"),
+      posexplode(bandArr).as(Seq("band", "bits")))
+    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        hamming(col("sim_a"), col("sim_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ minCosine. Candidate generation
+    * via random-hyperplane LSH buckets (deterministic planes), exact
+    * rerank inside buckets. probes=0 → single bucket (fastest, may miss
+    * borderline pairs); at 100 TB use multi-probe or repeat with several
+    * plane sets and union. */
+  def embeddingCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val planes = makePlanes(numPlanes, dim)
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    sig.as("x").join(sig.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** Brute-force exact variant of embeddingCosinePairs (for oracle checks
+    * and small sides; O(n²) — never run this at scale). Norms are
+    * computed once per row BEFORE the join (not once per pair), and the
+    * left side is repartitioned so the nested-loop join parallelizes
+    * instead of grinding one partition. cos = dot/(na·nb) keeps the
+    * oracle's exact FP operation order. */
+  def embeddingCosinePairsExact(emb: DataFrame, vecCol: String,
+      idCol: String, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    e.repartition(col("id")).as("x").crossJoin(broadcast(e.as("y")))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

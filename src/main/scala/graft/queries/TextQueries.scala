@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operator surface over the `documents` table
+  * (north-star ops; the reference has no text processing at all —
+  * SURVEY.md §2.2). All scoring arithmetic is written in the exact same
+  * operation order as the oracle SQL so doubles stay bit-identical.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q26: tokenization stats — token count, distinct tokens, stopword
+    * hits, mean token length. Pure per-row expressions over the scan. */
+  val q26_token_stats: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTokens(t).as("n_tokens"),
+      size(array_distinct(tokens(t))).cast("long").as("n_distinct"),
+      lexiconHits(t, langLexicons("en")).as("n_stop"),
+      ((length(t) - nTokens(t) + lit(1)).cast("double") / nTokens(t))
+        .as("avg_token_len"))
+  }
+
+  val q26_oracle: String =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(string_split(text, ' '),
+         w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+       FROM documents"""
+
+  /** q27: corpus profile by language — counts and char stats with exact
+    * integer sums and bit-stable mean. */
+  val q27_lang_profile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+
+  val q27_oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang"""
+
+  /** q28: quality scoring — stopword ratio, length coverage, lexical
+    * diversity combined with fixed weights (identical operation order in
+    * the oracle keeps doubles exact). */
+  val q28_quality_score: Q = (s, d) => {
+    val t = col("text")
+    val nTok = nTokens(t)
+    val stopRatio = lexiconHits(t, langLexicons("en")).cast("double") / nTok
+    val coverage = least(lit(1.0), nTok.cast("double") / 100.0)
+    val diversity =
+      size(array_distinct(tokens(t))).cast("double") / nTok
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      (lit(0.3) * stopRatio + lit(0.4) * coverage + lit(0.3) * diversity)
+        .as("quality"))
+  }
+
+  val q28_oracle: String =
+    """SELECT doc_id, lang,
+       0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+       + 0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')))
+       AS quality
+       FROM documents"""
+
+  /** q29: fingerprint dedup groups — md5 of normalized text, surviving id
+    * + copy count per group (the hash-groupBy exact-dedup operator; also
+    * closes the reference's unimplemented (source,id) uniqueness, O14). */
+  val q29_fingerprint_dedup: Q = (s, d) =>
+    Dedup.exactGroups(
+        Tables.documents(s, d).withColumn("fp", fingerprint(col("text"))),
+        col("fp"), col("doc_id"))
+      .select(col("key").as("fp"), col("keeper"), col("n_copies"))
+
+  val q29_oracle: String =
+    """SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper,
+       count(*) AS n_copies
+       FROM documents GROUP BY md5(lower(text))"""
+
+  /** q30: n-gram Jaccard near-dup pairs (inverted-index join, no all-
+    * pairs comparison) at threshold 0.1. */
+  val q30_jaccard_pairs: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+      n = 3, minJaccard = 0.1)
+
+  val q30_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(a.n) AS BIGINT) AS na,
+         CAST(any_value(b.n) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) AS jac
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING CAST(count(*) AS DOUBLE)
+         / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.1"""
+
+  /** q31: MinHash+LSH near-dup pairs at threshold 0.5, exact-Jaccard
+    * reranked. The oracle is the exact all-pairs computation: with
+    * k=64/bands=32 the LSH candidate set provably (p≈0.9999 per pair)
+    * contains every pair at jac ≥ 0.5, so results match exactly while
+    * the engine only ever compares bucket-mates. */
+  val q31_minhash_lsh_pairs: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+
+  val q31_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(a.n) AS BIGINT) AS na,
+         CAST(any_value(b.n) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) AS jac
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING CAST(count(*) AS DOUBLE)
+         / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5"""
+
+  /** q32: dedup survivors — documents minus near-duplicates (minhash
+    * pairs at 0.5; the higher doc_id of each pair is dropped), the
+    * end-to-end "clean the corpus" operator. */
+  val q32_dedup_survivors: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dupIds = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val q32_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh),
+       dup AS (
+         SELECT DISTINCT b.doc_id AS doc_id
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5)
+       SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM dup)"""
+
+  /** q33: SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures,
+    * pigeonhole-banded join). No cross-engine oracle — xxhash64 is
+    * Spark-native — so the driver records a rows-only check; the
+    * ScalaTest suite asserts consistency with exact Jaccard instead. */
+  val q33_simhash_pairs: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+      maxHamming = 3)
+
+  /** q34: order-sensitive rolling-hash fingerprint per document (detects
+    * token reorderings that md5-of-text misses). Rows-only check, same
+    * xxhash64 reason as q33. */
+  val q34_rolling_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      rollingHash(col("text")).as("rhash"),
+      simhash64On("text").as("simhash"))
+
+  /** q35: language-ID heuristic — score each doc against tiny per-lang
+    * stopword lexicons, predict argmax (ties → lexicon order), compare
+    * with the labeled lang. Deterministic; oracle-checkable via CASE. */
+  val q35_langid: Q = (s, d) => {
+    val t = col("text")
+    val scores = Seq("en", "es", "fr", "de", "zh")
+      .map(l => (l, lexiconHits(t, langLexicons(l))))
+    // argmax with first-wins tie-break, mirrored in the oracle CASE chain
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (l, sc)) =>
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
+    }
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("pred_hits"))
+  }
+
+  val q35_oracle: String = {
+    def hits(lex: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${lex.map("'" + _ + "'").mkString(",")})))"
+    val en = hits(langLexicons("en")); val es = hits(langLexicons("es"))
+    val fr = hits(langLexicons("fr")); val de = hits(langLexicons("de"))
+    val zh = hits(langLexicons("zh"))
+    s"""SELECT doc_id, lang,
+       CASE
+         WHEN $zh > greatest($en, $es, $fr, $de) THEN 'zh'
+         WHEN $de > greatest($en, $es, $fr) THEN 'de'
+         WHEN $fr > greatest($en, $es) THEN 'fr'
+         WHEN $es > $en THEN 'es'
+         ELSE 'en' END AS pred_lang,
+       CAST(greatest($en, $es, $fr, $de, $zh) AS BIGINT) AS pred_hits
+       FROM documents"""
+  }
+
+  val all: Map[String, Q] = Map(
+    "q26_token_stats" -> q26_token_stats,
+    "q27_lang_profile" -> q27_lang_profile,
+    "q28_quality_score" -> q28_quality_score,
+    "q29_fingerprint_dedup" -> q29_fingerprint_dedup,
+    "q30_jaccard_pairs" -> q30_jaccard_pairs,
+    "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
+    "q32_dedup_survivors" -> q32_dedup_survivors,
+    "q33_simhash_pairs" -> q33_simhash_pairs,
+    "q34_rolling_fingerprint" -> q34_rolling_fingerprint,
+    "q35_langid" -> q35_langid)
+
+  val oracles: Map[String, String] = Map(
+    "q26_token_stats" -> q26_oracle,
+    "q27_lang_profile" -> q27_oracle,
+    "q28_quality_score" -> q28_oracle,
+    "q29_fingerprint_dedup" -> q29_oracle,
+    "q30_jaccard_pairs" -> q30_oracle,
+    "q31_minhash_lsh_pairs" -> q31_oracle,
+    "q32_dedup_survivors" -> q32_oracle,
+    "q35_langid" -> q35_oracle)
+}

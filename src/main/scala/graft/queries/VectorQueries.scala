@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity-search operator surface over the `embeddings` table
+  * (ArrayType(FloatType) of dim 64). Dot products fold sequentially in
+  * double precision on both engines, so similarity values are
+  * bit-identical to DuckDB's list_dot_product over DOUBLE[] casts.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q36: brute-force cosine top-k against a stored query vector — the
+    * exact ANN baseline (TakeOrderedAndProject: k-heap per partition). */
+  val q36_cosine_topk: Q = (s, d) =>
+    Similarity.topKForId(Tables.embeddings(s, d), "embedding", "vec_id",
+      queryId = 0, k = 20)
+
+  val q36_oracle: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv
+                  FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS sim
+       FROM embeddings, q WHERE vec_id <> 0
+       ORDER BY sim DESC, vec_id LIMIT 20"""
+
+  /** q37: most-similar pairs corpus-wide (exact, top-15) — the
+    * embedding-cosine near-dup detector in ranking form. */
+  val q37_cosine_pairs: Q = (s, d) =>
+    Dedup.embeddingCosinePairsExact(Tables.embeddings(s, d), "embedding",
+        "vec_id", minCosine = -1.0)
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(15)
+
+  val q37_oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       ORDER BY cos DESC, id_a, id_b LIMIT 15"""
+
+  /** q38: per-label embedding stats — norms through exact DECIMAL so the
+    * cross-row mean is bit-stable. */
+  val q38_embedding_stats: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        norm(col("embedding")).cast(DecimalType(18, 9)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (sum(col("nrm")).cast("double") / count(lit(1))).as("avg_norm"),
+        min(col("nrm")).cast("double").as("min_norm"),
+        max(col("nrm")).cast("double").as("max_norm"))
+
+  val q38_oracle: String =
+    """WITH e AS (SELECT label,
+         CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              AS DECIMAL(18,9)) AS nrm
+       FROM embeddings)
+       SELECT label, count(*) AS n_vectors,
+         CAST(sum(nrm) AS DOUBLE) / count(*) AS avg_norm,
+         CAST(min(nrm) AS DOUBLE) AS min_norm,
+         CAST(max(nrm) AS DOUBLE) AS max_norm
+       FROM e GROUP BY label"""
+
+  /** q39: knn join + majority-label vote — for the first 8 vectors, the
+    * top-5 neighbors' modal label (kNN classification shape: broadcast
+    * probes, rank window, two hash aggs). */
+  val q39_knn_labels: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val knn = Similarity.knnJoin(
+      emb.filter(col("vec_id") < 8), emb,
+      qVec = "embedding", qId = "vec_id",
+      iVec = "embedding", iId = "vec_id", k = 5)
+    val labeled = knn.join(
+      Tables.embeddings(s, d).select(col("vec_id").as("item_id"),
+        col("label")), "item_id")
+    val votes = labeled.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("votes"))
+  }
+
+  val q39_oracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+                  FROM embeddings),
+       sims AS (
+         SELECT q.vec_id AS query_id, i.vec_id AS item_id, i.label,
+           list_dot_product(i.v, q.v)
+             / (sqrt(list_dot_product(i.v, i.v))
+                * sqrt(list_dot_product(q.v, q.v))) AS sim
+         FROM e q JOIN e i ON q.vec_id < 8 AND i.vec_id <> q.vec_id),
+       knn AS (
+         SELECT query_id, item_id, label FROM (
+           SELECT query_id, item_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, item_id) AS rank
+           FROM sims) WHERE rank <= 5),
+       votes AS (
+         SELECT query_id, label, count(*) AS votes
+         FROM knn GROUP BY query_id, label)
+       SELECT query_id, label AS pred_label, votes FROM (
+         SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, label) AS rn
+         FROM votes) WHERE rn = 1"""
+
+  /** q40: LSH-bucketed ANN top-k (approximate scale path; rows-only
+    * check — recall vs the exact baseline is asserted in ScalaTest). */
+  val q40_ann_lsh_topk: Q = (s, d) =>
+    Similarity.lshTopKForId(Tables.embeddings(s, d), "embedding",
+      "vec_id", queryId = 0, k = 20, numPlanes = 8, dim = 64, probes = 8)
+
+  val all: Map[String, Q] = Map(
+    "q36_cosine_topk" -> q36_cosine_topk,
+    "q37_cosine_pairs" -> q37_cosine_pairs,
+    "q38_embedding_stats" -> q38_embedding_stats,
+    "q39_knn_labels" -> q39_knn_labels,
+    "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
+
+  val oracles: Map[String, String] = Map(
+    "q36_cosine_topk" -> q36_oracle,
+    "q37_cosine_pairs" -> q37_oracle,
+    "q38_embedding_stats" -> q38_oracle,
+    "q39_knn_labels" -> q39_oracle)
+}
