@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.eventstore.{CloudEvent, EventStore, ExpectedRevision}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §7 step 4).
+  *
+  * Ingest: `readStream` over a drop directory of CloudEvents NDJSON
+  * (the reference's wire format, one JSON object per line — reference
+  * src/db.rs:205-210) → `foreachBatch` committing through the
+  * EventStore append path, so streaming ingest gets the same CAS /
+  * dedup / atomic-batch guarantees as batch append. Revision density is
+  * preserved because foreachBatch serializes micro-batches and the
+  * store serializes per-stream commits (single-writer rule).
+  *
+  * Analytics: watermarked tumbling/sliding/session windows — the
+  * streaming shape of EventQueries' batch aggregates.
+  */
+object Streams {
+
+  /** CloudEvents NDJSON wire schema + routing columns (user_id /
+    * stream_id may ride as extension attributes or explicit fields). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("specversion", StringType),
+    StructField("id", StringType),
+    StructField("source", StringType),
+    StructField("type", StringType),
+    StructField("subject", StringType),
+    StructField("time", TimestampType),
+    StructField("datacontenttype", StringType),
+    StructField("dataschema", StringType),
+    StructField("data", StringType),
+    StructField("user_id", StringType),
+    StructField("stream_id", StringType)))
+
+  /** Start streaming ingest: NDJSON files appearing under `inputDir` are
+    * appended to their (user_id, stream_id) streams. The driver-side
+    * per-stream collect is bounded by micro-batch size; the store append
+    * itself is the committed path. */
+  def startIngest(spark: SparkSession, store: EventStore, inputDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(wireSchema).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // micro-batch-sized, see scaladoc
+        rows.groupBy(r =>
+          (r.getAs[String]("user_id"), r.getAs[String]("stream_id")))
+          .foreach { case ((u, s), rs) =>
+            val events = rs.toSeq.map { r =>
+              CloudEvent(
+                specversion = Option(r.getAs[String]("specversion"))
+                  .getOrElse("1.0"),
+                id = r.getAs[String]("id"),
+                source = r.getAs[String]("source"),
+                `type` = r.getAs[String]("type"),
+                subject = Option(r.getAs[String]("subject")),
+                time = Option(r.getAs[java.sql.Timestamp]("time")),
+                datacontenttype =
+                  Option(r.getAs[String]("datacontenttype")),
+                dataschema = Option(r.getAs[String]("dataschema")),
+                data = Option(r.getAs[String]("data")))
+            }
+            store.append(u, s, events, ExpectedRevision.Any)
+          }
+      }
+      .start()
+
+  /** Tumbling event-time window aggregate with watermark. */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Sliding window aggregate. */
+  def slidingCounts(events: DataFrame, tsCol: String, width: String,
+      slide: String, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Session window (gap-based) aggregate — the streaming counterpart of
+    * EventQueries.q24_sessionize's batch gaps-and-islands. */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.{Base32, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator properties on synthesized near-duplicates (the fixture
+  * corpus has planted near-dups at jaccard ≈0.98 and none in (0.15,
+  * 0.95), so thresholded results are stable).
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup: groups and survivors agree; survivors idempotent") {
+    val base = docs.select($"doc_id", $"text")
+    // plant exact duplicates with new ids
+    val dups = base.limit(10)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val corpus = base.union(dups)
+    val groups = Dedup.exactGroups(corpus, $"text", $"doc_id")
+    assert(groups.count() == base.count()) // one group per distinct text
+    assert(groups.filter($"n_copies" === 2).count() == 10)
+    val survivors = Dedup.exactSurvivors(corpus, $"text", $"doc_id")
+    assert(survivors.count() == base.count())
+    // keeps the min id — no planted id survives
+    assert(survivors.filter($"doc_id" >= 100000).count() == 0)
+    // idempotent
+    val again = Dedup.exactSurvivors(survivors, $"text", $"doc_id")
+    assert(again.count() == survivors.count())
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty) // fixture has planted near-dups
+    assert(lsh.toSet == exact.toSet)
+  }
+
+  test("simhash: near-dup pairs have small hamming; distance to self 0") {
+    val planted = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.9).select("id_a", "id_b").as[(Long, Long)]
+      .collect()
+    assert(planted.nonEmpty)
+    val sims = docs.select($"doc_id",
+        TextFunctions.simhash64On("text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    planted.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      assert(d <= 16, s"hamming($a,$b)=$d too large for jac>=0.9")
+    }
+    // explode+agg formulation in simhashPairs produces identical hashes
+    val aggSims = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3)
+      .select("id_a", "sim_a").as[(Long, Long)].collect()
+    aggSims.foreach { case (id, sh) => assert(sims(id) == sh) }
+  }
+
+  test("embedding cosine pairs: LSH candidates ⊆ exact; high-sim pair " +
+      "survives bucketing") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairsExact(emb, "embedding", "vec_id",
+        minCosine = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+        minCosine = 0.4, numPlanes = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.nonEmpty) // 4 planes: recall ~ 1/16 min
+  }
+
+  test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
+      "expression and scala sides agree") {
+    val cases = Seq("simple", "user/with/slashes", "säö ünicode",
+      "", "a", "ab", "abc", "abcd", "abcde")
+    cases.foreach { s =>
+      assert(Base32.decodeString(Base32.encodeString(s)) == s)
+    }
+    val viaExpr = spark.createDataset(cases).toDF("s")
+      .select(Base32.unbase32(Base32.base32($"s")).as("rt"))
+      .as[String].collect()
+    assert(viaExpr.toSeq == cases)
+    // filesystem-safe: encoded form is [A-Z2-7] only
+    assert(Base32.encodeString("user/with/slashes")
+      .forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7')))
+  }
+}

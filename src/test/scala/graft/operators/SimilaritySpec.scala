@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("native VecDot matches the HOF formulation bit-for-bit") {
+    val hof = expr(
+      """aggregate(zip_with(embedding, embedding,
+           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val diffs = emb.select(
+        VectorFunctions.dot($"embedding", $"embedding").as("native"),
+        hof.as("hofv"))
+      .filter($"native" =!= $"hofv").count()
+    assert(diffs == 0)
+  }
+
+  test("brute-force top-k: scores descend, self excluded, k respected") {
+    val top = Similarity.topKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = 10).collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!top.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("knn join agrees with per-query brute force") {
+    val knn = Similarity.knnJoin(
+      emb.filter($"vec_id" < 3), emb,
+      "embedding", "vec_id", "embedding", "vec_id", k = 5)
+    val grouped = knn.collect().groupBy(_.getAs[Long]("query_id"))
+    (0L until 3L).foreach { q =>
+      val mine = grouped(q).sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("item_id")).toSeq
+      val brute = Similarity.topKForId(emb, "embedding", "vec_id", q, 5)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(mine == brute, s"query $q: $mine vs $brute")
+    }
+  }
+
+  test("LSH ANN: results ⊆ corpus, no self, recall vs brute force ≥ 0.3") {
+    val k = 20
+    val ann = Similarity.lshTopKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = k, numPlanes = 8, dim = 64, probes = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, k)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!ann.contains(0L))
+    assert(ann.size <= k)
+    val recall = (ann & brute).size.toDouble / k
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+}
