@@ -1,0 +1,143 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text expressions.
+  *
+  * The higher-order-function formulations (transform/slice/concat_ws for
+  * shingles; 64 separate min(hash) aggregates for MinHash) are correct
+  * but interpreted and — worse — subject to CollapseProject inlining the
+  * array-construction into every downstream consumer, multiplying the
+  * work 2-4× per query. These expressions do one pass per row in plain
+  * JVM code. They are CodegenFallback (object-shaped outputs), which
+  * costs a codegen break but beats the interpreted-lambda tax by ~10×.
+  */
+
+/** Distinct word n-gram shingles of a whitespace-tokenized text, order of
+  * first occurrence (same set as array_distinct of the HOF build, and as
+  * DuckDB's list_distinct(list_transform(...)) oracle formulation). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of a whitespace-tokenized text: one xxhash64 (seed 42,
+  * same as Spark's xxhash64 builtin) per token, ±1 per bit position,
+  * sign-packed. Bit-identical to the HOF formulation in
+  * TextFunctions.simhash64On and the explode+agg variant — just one
+  * tight pass per row. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** MinHash-LSH band hashes straight from a shingle array: k min-hashes
+  * via one xxhash64 per shingle + k universal-hash mixes (h_i = a_i·h +
+  * b_i, odd a_i — the standard one-permutation trick), grouped into
+  * `bands` bands of k/bands rows, each band hashed to one long.
+  * Emitting band hashes directly (instead of a signature column that a
+  * band expression would re-reference) sidesteps the CollapseProject
+  * recompute hazard entirely. Deterministic: constants seeded from
+  * `seed`. Empty shingle set → empty array (doc joins no bucket). */
+case class LshBandHashes(child: Expression, k: Int, bands: Int,
+    seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+  require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+  private val r = k / bands
+  // deterministic mixing constants (odd multipliers)
+  @transient private lazy val mix: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L)
+      var j = 0
+      while (j < k) {
+        val hj = mix(j)._1 * h + mix(j)._2
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L // fold the band's rows into one long
+      var j = b * r
+      while (j < (b + 1) * r) { acc = acc * 31L + mins(j); j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -28,8 +28,14 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  def distinctShingles(text: Column, n: Int): Column =
-    array_distinct(shingles(text, n))
+  /** Distinct word n-gram shingles — native single-pass expression (the
+    * HOF composition array_distinct(shingles(...)) computes the same set
+    * but interpreted and vulnerable to CollapseProject re-inlining). */
+  def distinctShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.WordShingles(
+      GraftColumnBridge.expression(text), n))
+  }
 
   /** Content fingerprint for exact / normalized dedup (md5 of lowercased
     * text — stable across engines, unlike engine-native hash functions). */
@@ -59,28 +65,18 @@ object TextFunctions {
       b => xxhash64(b, slice(sig, b * r + 1, lit(r)).cast("string")))
   }
 
-  /** 64-bit SimHash over the token multiset of a named text column: bit i
-    * of the result is the sign of Σ_tokens (bit i of xxhash64(token) ?
+  /** 64-bit SimHash over the token multiset of a text column: bit i of
+    * the result is the sign of Σ_tokens (bit i of xxhash64(token) ?
     * +1 : -1). Near-identical texts differ in few bits — compare with
-    * hamming(). (Takes a column NAME because the lambda body is SQL.) */
-  def simhash64On(colName: String): Column = {
-    // hash each token once up front, then fold ±1 per bit over the hashes
-    val hashes = s"transform(split($colName, ' '), t -> xxhash64(t))"
-    val counters =
-      s"""aggregate(
-            $hashes,
-            array_repeat(0L, 64),
-            (acc, h) -> zip_with(acc, sequence(0, 63),
-              (a, i) -> a + CASE
-                WHEN (shiftright(h, CAST(i AS INT)) & 1L) = 1L
-                THEN 1L ELSE -1L END))"""
-    expr(
-      s"""aggregate(
-            zip_with($counters, sequence(0, 63),
-              (v, i) -> CASE WHEN v > 0L THEN shiftleft(1L, CAST(i AS INT))
-                        ELSE 0L END),
-            0L, (a, b) -> a | b)""")
+    * hamming(). Native single-pass expression. */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.SimHash64(
+      GraftColumnBridge.expression(text)))
   }
+
+  /** simhash64 by column name (compat shim for earlier SQL-based form). */
+  def simhash64On(colName: String): Column = simhash64(col(colName))
 
   /** Hamming distance between two packed 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -41,9 +41,13 @@ object Dedup {
     * first (they generate the big buckets and carry no signal). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    // repartition = materialization barrier: the two join sides below
+    // then share one shuffle (ReusedExchange) and size()/explode() read
+    // the stored array instead of re-running the shingle build.
     val sh = docs.select(
       col(idCol).as("id"),
       distinctShingles(col(textCol), n).as("shingles"))
+      .repartition(col("id"))
     val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
       explode(col("shingles")).as("s"))
     val a = ex.select(col("id").as("id_a"), col("nsh").as("na"), col("s"))
@@ -73,29 +77,19 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 32,
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
+    import org.apache.spark.sql.GraftColumnBridge
     val sh = docs.select(
       col(idCol).as("id"),
       distinctShingles(col(textCol), n).as("shingles"))
-    // Map-reduce MinHash: explode shingles, then k codegen'd min(hash)
-    // aggregates. (The nested-HOF formulation looks tidy but Catalyst's
-    // CollapseProject inlines the shingle array into every lambda
-    // iteration — O(k·bands) re-evaluations per doc — and HOF lambdas are
-    // interpreted besides. The explode+agg shape is whole-stage codegen
-    // end-to-end and shuffles short (id, shingle) rows only.)
-    val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
-    val minCols = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      val rowCols = (b * r until (b + 1) * r).map(i => col(s"h$i"))
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: rowCols: _*).as("bhash"))
-    }
-    val buckets = sig.select(col("id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
-        col("bb.bhash").as("bhash"))
+      .repartition(col("id")) // materialize once; rerank reuses it below
+    // Per-row native MinHash→band hashes (one string hash per shingle +
+    // k universal-hash mixes, bands folded inside the same expression —
+    // see LshBandHashes for why this shape dodges both the interpreted-
+    // lambda tax and CollapseProject recompute).
+    val bandArr = GraftColumnBridge.column(graft.expressions.LshBandHashes(
+      GraftColumnBridge.expression(col("shingles")), k, bands))
+    val buckets = sh.select(col("id"),
+      posexplode(bandArr).as(Seq("band", "bhash")))
     val cand = buckets.as("x")
       .join(buckets.as("y"), Seq("band", "bhash"))
       .filter(col("x.id") < col("y.id"))
@@ -123,20 +117,12 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nb = maxHamming + 1
     val width = 64 / nb
-    // Map-reduce SimHash (same rationale as the minhash explode+agg):
-    // explode tokens, hash each once, 64 conditional-sum aggregates, then
-    // pack the sign bits — identical values to TextFunctions.simhash64On.
-    val tok = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("t"))
-    val th = xxhash64(col("t"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(th, i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$i"))
-    val packed = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    val h = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("sim"))
+    // native per-row simhash; repartition = materialization barrier so
+    // the band explode below reads the stored hash, and the two join
+    // sides share one exchange
+    val h = docs.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sim"))
+      .repartition(col("id"))
     val bandArr = transform(
       sequence(lit(0), lit(nb - 1)),
       b => call_function("shiftright", col("sim"), b * width)
