@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.TpchQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.TextQueries.all ++
-      graft.queries.VectorQueries.all
+      graft.queries.VectorQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.TpchQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

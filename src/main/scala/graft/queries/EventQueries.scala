@@ -172,7 +172,46 @@ object EventQueries {
        count(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1, 2"""
 
+  /** q44: as-of join — every purchase event paired with the user's most
+    * recent strictly-earlier click. Expressed as a running conditional
+    * max over the arrival window instead of a range join: one shuffle on
+    * the stream key, no O(n·m) range-join blowup at scale. */
+  val q44_asof_join: Q = (s, d) => {
+    val w = arrival.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("last_click_ts"))
+  }
+
+  val q44_oracle: String =
+    """SELECT user_id, event_id, ts, last_click_ts FROM (
+         SELECT user_id, event_id, ts, event_type,
+           max(CASE WHEN event_type = 'click' THEN ts END) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_ts
+         FROM events)
+       WHERE event_type = 'purchase'"""
+
+  /** q45: sketch aggregates — HyperLogLog++ approximate distinct counts
+    * next to exact ones. Rows-only check (HLL estimates are
+    * engine-specific); the ScalaTest suite asserts the estimate lands
+    * within 5% of exact. At scale the approx path is the only one that
+    * doesn't shuffle per-distinct-value state. */
+  val q45_approx_distinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   val all: Map[String, Q] = Map(
+    "q44_asof_join" -> q44_asof_join,
+    "q45_approx_distinct" -> q45_approx_distinct,
     "q19_json_extract" -> q19_json_extract,
     "q20_revision_assign" -> q20_revision_assign,
     "q21_positional_scan" -> q21_positional_scan,
@@ -182,6 +221,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q44_asof_join" -> q44_oracle,
     "q19_json_extract" -> q19_oracle,
     "q20_revision_assign" -> q20_oracle,
     "q21_positional_scan" -> q21_oracle,

@@ -127,7 +127,25 @@ object VectorQueries {
     Similarity.lshTopKForId(Tables.embeddings(s, d), "embedding",
       "vec_id", queryId = 0, k = 20, numPlanes = 8, dim = 64, probes = 8)
 
+  /** q46: the same top-k cosine through the SQL surface with graft's
+    * registered native functions (GraftExtensions) — proves the
+    * SparkSessionExtensions/FunctionRegistry path end-to-end and shares
+    * the exact oracle with q36. */
+  val q46_sql_vec_dot: Q = (s, d) => {
+    graft.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           vec_dot(embedding, qv)
+             / (sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(qv, qv)))
+             AS sim
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 20""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q46_sql_vec_dot" -> q46_sql_vec_dot,
     "q36_cosine_topk" -> q36_cosine_topk,
     "q37_cosine_pairs" -> q37_cosine_pairs,
     "q38_embedding_stats" -> q38_embedding_stats,
@@ -135,6 +153,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q46_sql_vec_dot" -> q36_oracle,
     "q36_cosine_topk" -> q36_oracle,
     "q37_cosine_pairs" -> q37_oracle,
     "q38_embedding_stats" -> q38_oracle,

