@@ -453,7 +453,29 @@ object TpchQueries {
        FROM lineitem GROUP BY 1, 2"""
   }
 
+  /** q47: CUBE — all grouping combinations in one pass (completes the
+    * rollup/grouping-sets/cube trio). */
+  val q47_cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+
+  val q47_oracle: String = {
+    import duck._
+    s"""SELECT l_returnflag, l_linestatus,
+       ${dsum("l_extendedprice")} AS sum_price,
+       count(*) AS n_items,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q47_cube" -> q47_cube,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_project" -> q02_filter_project,
     "q03_top_orders" -> q03_top_orders,
@@ -474,6 +496,7 @@ object TpchQueries {
     "q18_case_math" -> q18_case_math)
 
   val oracles: Map[String, String] = Map(
+    "q47_cube" -> q47_oracle,
     "q01_pricing_summary" -> q01_oracle,
     "q02_filter_project" -> q02_oracle,
     "q03_top_orders" -> q03_oracle,

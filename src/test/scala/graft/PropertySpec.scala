@@ -1,0 +1,97 @@
+package graft
+
+import graft.eventstore.{CloudEvent, EventStore}
+import graft.functions.Base32
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): append(n batches) ⇒ dense revisions;
+  * query(s,l) ⇒ exact slice semantics; dedup idempotence; base32
+  * roundtrip over arbitrary strings; minhash-estimate sanity.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Sample a generator `n` times under fixed seeds (scalatestplus is
+    * not in the offline cache, so forAll is hand-rolled). */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("base32 roundtrips arbitrary unicode strings and stays " +
+      "filesystem-safe") {
+    samples(Gen.asciiPrintableStr, 50).foreach { s =>
+      assert(Base32.decodeString(Base32.encodeString(s)) == s)
+    }
+    samples(Gen.stringOf(Gen.choose[Char](0, 0xD7FF)), 50).foreach { s =>
+      assert(Base32.decodeString(Base32.encodeString(s)) == s)
+      assert(Base32.encodeString(s)
+        .forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7')))
+    }
+  }
+
+  test("append batches of arbitrary sizes ⇒ revisions dense 0..n-1 and " +
+      "query(s,l) returns exactly the [s, s+l) slice") {
+    val sizes = Gen.listOfN(4, Gen.choose(1, 5))
+    samples(sizes, 5).foreach { batchSizes =>
+      val es = new EventStore(spark, tempDir("prop-es-"))
+      var next = 0
+      batchSizes.foreach { sz =>
+        val events = (0 until sz).map { _ =>
+          val e = CloudEvent(id = s"e-$next", source = "prop",
+            `type` = "t", data = Some(next.toString))
+          next += 1; e
+        }
+        es.append("u", "s", events)
+      }
+      val n = batchSizes.sum
+      assert(es.revision("u", "s") == n)
+      val all = es.query("u", "s", 0, n + 10)
+      assert(all.map(_.data.get.toInt) == (0 until n))
+      // arbitrary slice
+      val start = n / 3; val limit = math.max(1, n / 2)
+      val slice = es.query("u", "s", start, limit)
+      assert(slice.map(_.data.get.toInt) ==
+        (start until math.min(n, start + limit)))
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per key for any " +
+      "duplication pattern") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOfN(30, Gen.choose(0, 9)) // keys with collisions
+    samples(gen, 10).foreach { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (s"key-$k", i.toLong) }
+        .toDF("key", "id")
+      val surv = operators.Dedup.exactSurvivors(df, col("key"), col("id"))
+      assert(surv.count() == keys.distinct.size)
+      val again = operators.Dedup.exactSurvivors(surv, col("key"), col("id"))
+      assert(again.collect().toSet == surv.collect().toSet)
+      // survivor is the min id per key
+      val expected = keys.zipWithIndex.groupBy(_._1)
+        .map { case (k, xs) => (s"key-$k", xs.map(_._2.toLong).min) }.toSet
+      assert(surv.as[(String, Long)].collect().toSet == expected)
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard within banding " +
+      "tolerance on synthetic near-dups") {
+    // construct doc pairs with controlled overlap
+    val base = (0 until 60).map(i => s"tok$i")
+    val docs = (0 to 10).map { drop =>
+      // doc i shares (60 - 3*drop) tokens with doc 0
+      val toks = base.drop(3 * drop) ++ (0 until 3 * drop).map(j => s"x$drop-$j")
+      (drop.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.4)
+      .filter(org.apache.spark.sql.functions.col("id_a") === 0)
+      .select("id_b").as[Long].collect().toSet
+    val lsh = operators.Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.4)
+      .filter(org.apache.spark.sql.functions.col("id_a") === 0)
+      .select("id_b").as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // rerank is exact; banding recall ~1 at jac≥0.4
+  }
+}
