@@ -69,6 +69,42 @@ object Streams {
       }
       .start()
 
+  /** Streaming per-stream revision assignment with
+    * flatMapGroupsWithState: each (user_id, stream_id) group keeps its
+    * committed count as GroupState[Long], so revisions stay dense across
+    * micro-batches without rescanning the store — the streaming analogue
+    * of the reference's in-memory revision counter (src/db.rs:103-113
+    * read under the stream mutex). State is per-key and partitioned by
+    * the stream key: 1000 executors each own their key range. */
+  def streamingRevisions(events: org.apache.spark.sql.Dataset[WireEvent])
+      : org.apache.spark.sql.Dataset[RevisionedEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(e => (e.user_id, e.stream_id))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: (String, String), batch: Iterator[WireEvent],
+            state: GroupState[Long]) => {
+          val start = state.getOption.getOrElse(0L)
+          // stable intra-batch order: event time then id (arrival order
+          // is per-partition in streaming; pin it like q20 does)
+          val ordered = batch.toSeq.sortBy(e =>
+            (Option(e.time).map(_.getTime).getOrElse(0L), e.id))
+          val out = ordered.zipWithIndex.map { case (e, i) =>
+            RevisionedEvent(key._1, key._2, start + i, e.id, e.source,
+              e.`type`, Option(e.time))
+          }
+          state.update(start + out.size)
+          out.iterator
+        })
+  }
+
+  case class WireEvent(user_id: String, stream_id: String, id: String,
+      source: String, `type`: String, time: java.sql.Timestamp)
+  case class RevisionedEvent(user_id: String, stream_id: String,
+      revision: Long, id: String, source: String, `type`: String,
+      time: Option[java.sql.Timestamp])
+
   /** Tumbling event-time window aggregate with watermark. */
   def tumblingCounts(events: DataFrame, tsCol: String, width: String,
       watermark: String, keys: Seq[String]): DataFrame =

@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState assigns dense revisions across " +
+      "micro-batches per stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.WireEvent]
+    val revisioned = Streams.streamingRevisions(input.toDS())
+    val q = revisioned.writeStream.outputMode("append")
+      .format("memory").queryName("rev_out").start()
+    def ev(u: String, s: String, id: String, minute: Int) =
+      Streams.WireEvent(u, s, id, "mem", "t",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"))
+    try {
+      input.addData(ev("u1", "a", "e0", 0), ev("u1", "a", "e1", 1),
+        ev("u1", "b", "x0", 0))
+      q.processAllAvailable()
+      input.addData(ev("u1", "a", "e2", 2), ev("u1", "b", "x1", 3))
+      q.processAllAvailable()
+      val got = spark.table("rev_out")
+        .select($"stream_id", $"revision", $"id")
+        .as[(String, Long, String)].collect().toSet
+      assert(got == Set(
+        ("a", 0L, "e0"), ("a", 1L, "e1"), ("a", 2L, "e2"),
+        ("b", 0L, "x0"), ("b", 1L, "x1")))
+    } finally q.stop()
+  }
+
   test("session window groups events by inactivity gap") {
     val dir = tempDir("sess-in-")
     // two sessions for one user: 3 events 1 min apart, 40-min gap, 2 more
