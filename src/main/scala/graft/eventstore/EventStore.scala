@@ -202,6 +202,42 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   def getStream(u: String, s: String): Option[StreamMeta] =
     streams(u).find(_.id == s)
 
+  /** Compact a stream's per-batch files into one revision-sorted file —
+    * the answer to append-path small-file pressure (SURVEY.md §7 "hard
+    * parts"). Returns the number of files replaced (0 = nothing to do).
+    * Runs under the stream's writer lock so appends serialize with it;
+    * concurrent READS of this stream planned mid-compaction may observe
+    * deleted part files (a transactional table format's versioned log is
+    * the at-scale fix) — subsequent reads see exactly the same rows,
+    * now with one file and full row-group min/max locality on revision. */
+  def compactStream(u: String, s: String): Int =
+    lockFor(u, s).synchronized {
+      val dir = streamPath(u, s)
+      if (!Files.isDirectory(dir)) return 0
+      val old = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      if (old.size <= 1) return 0
+      val last = revision(u, s) - 1
+      // rewrite via executors (never collect a whole stream to the
+      // driver), sorted by revision for row-group stat locality
+      val tmp = Files.createTempDirectory(root, ".compact-")
+      try {
+        spark.read.parquet(dir.toString).as[StoredEvent]
+          .orderBy($"revision").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
+        val part = Files.list(tmp.resolve("out")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no compacted file"))
+        val target = dir.resolve(
+          s"batch-0-$last-${java.util.UUID.randomUUID()}.parquet")
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        old.foreach(Files.delete(_))
+        old.size
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+
   /** Delete a stream — reference src/server.rs:251-261; returns whether
     * it existed (→ 204 vs 404, src/api.rs:421-423). */
   def deleteStream(u: String, s: String): Boolean =

@@ -36,13 +36,34 @@ object Streams {
     StructField("user_id", StringType),
     StructField("stream_id", StringType)))
 
+  /** Known top-level CloudEvents keys; anything else on the wire is an
+    * open extension attribute (reference openapi.yaml:86 — e.g.
+    * `comexampleextension1`) and must roundtrip. */
+  private val knownKeys: Set[String] = Set("specversion", "id", "source",
+    "type", "subject", "time", "datacontenttype", "dataschema", "data",
+    "data_base64", "user_id", "stream_id")
+
+  /** Parse raw NDJSON lines into typed wire rows + an `extensions` map
+    * of the unknown top-level attributes (schema-on-read twice: once
+    * with the fixed envelope schema, once as map<string,string> to
+    * harvest extras — both stay in the scan stage, no shuffle). */
+  def parseWire(raw: DataFrame, lineCol: String = "value"): DataFrame = {
+    val known = from_json(col(lineCol), wireSchema).as("e")
+    val allKv = from_json(col(lineCol), MapType(StringType, StringType))
+      .as("kv")
+    raw.select(known, allKv)
+      .select(col("e.*"),
+        map_filter(col("kv"), (k, _) => !k.isInCollection(knownKeys))
+          .as("extensions"))
+  }
+
   /** Start streaming ingest: NDJSON files appearing under `inputDir` are
-    * appended to their (user_id, stream_id) streams. The driver-side
-    * per-stream collect is bounded by micro-batch size; the store append
-    * itself is the committed path. */
+    * appended to their (user_id, stream_id) streams, open extension
+    * attributes included. The driver-side per-stream collect is bounded
+    * by micro-batch size; the store append itself is the committed path. */
   def startIngest(spark: SparkSession, store: EventStore, inputDir: String,
       checkpointDir: String): StreamingQuery =
-    spark.readStream.schema(wireSchema).json(inputDir)
+    parseWire(spark.readStream.text(inputDir))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -62,7 +83,9 @@ object Streams {
                 datacontenttype =
                   Option(r.getAs[String]("datacontenttype")),
                 dataschema = Option(r.getAs[String]("dataschema")),
-                data = Option(r.getAs[String]("data")))
+                data = Option(r.getAs[String]("data")),
+                extensions = Option(r.getAs[Map[String, String]](
+                  "extensions")).getOrElse(Map.empty))
             }
             store.append(u, s, events, ExpectedRevision.Any)
           }

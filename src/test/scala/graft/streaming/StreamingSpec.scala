@@ -70,6 +70,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ingest preserves open extension attributes (openapi.yaml:86 " +
+      "shape) and compaction collapses batch files losslessly") {
+    val in = tempDir("ext-in-")
+    val ckpt = tempDir("ext-ckpt-")
+    val storeDir = tempDir("ext-store-")
+    val store = new EventStore(spark, storeDir)
+    // the reference's canonical example event, with extension attrs
+    Files.write(Paths.get(in, "e.ndjson"),
+      ("""{"specversion":"1.0","type":"com.github.pull_request.opened",""" +
+        """"source":"https://github.com/cloudevents/spec/pull",""" +
+        """"subject":"123","id":"A234-1234-1234",""" +
+        """"time":"2018-04-05T17:31:00Z","comexampleextension1":"value",""" +
+        """"comexampleothervalue":"5","datacontenttype":"text/xml",""" +
+        """"data":"<much wow=\"xml\"/>","user_id":"u1","stream_id":"s1"}""")
+        .getBytes)
+    val q = Streams.startIngest(spark, store, in, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = store.get("u1", "s1", 0).get
+    assert(got.extensions == Map("comexampleextension1" -> "value",
+      "comexampleothervalue" -> "5"))
+    assert(got.subject.contains("123"))
+    assert(got.data.contains("<much wow=\"xml\"/>"))
+    // pile up batches, then compact
+    (1 until 6).foreach(i => store.append("u1", "s1",
+      Seq(graft.eventstore.CloudEvent(id = s"c-$i", source = "t",
+        `type` = "t"))))
+    val before = store.query("u1", "s1", 0, 100)
+    assert(store.compactStream("u1", "s1") == 6) // 6 files → 1
+    assert(store.compactStream("u1", "s1") == 0) // idempotent
+    assert(store.query("u1", "s1", 0, 100) == before)
+    assert(store.revision("u1", "s1") == 6)
+    // appends continue after compaction
+    assert(store.append("u1", "s1", Seq(graft.eventstore.CloudEvent(
+      id = "after", source = "t", `type` = "t"))) == 7)
+  }
+
   test("flatMapGroupsWithState assigns dense revisions across " +
       "micro-batches per stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
