@@ -78,6 +78,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to one of `nLists` lists; a query probes only the `nProbes`
+    * lists whose centroids are nearest, then reranks exactly by cosine.
+    * The standard scale path when LSH's data-oblivious buckets are too
+    * coarse: lists follow the data distribution, and at 100 TB each list
+    * becomes a partition-pruned read. Deterministic (seeded KMeans). */
+  def ivfTopKForId(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nLists: Int = 16, nProbes: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = emb.withColumn("__feat",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("__feat").setPredictionCol("__list")
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+    val qRow = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol), col("__feat")).head()
+    val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("__feat")
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)) }
+      .sortBy(_._2).take(nProbes).map(_._1)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    assigned.filter(col("__list").isin(probeLists: _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qv"))
+          / (norm(col(vecCol)) * col("__qn"))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Build a bucketed index DataFrame (id, vec, bucket) — persisted by
     * callers that serve many queries; bucketing by signature makes the
     * per-query scan a partition-pruned read at scale. */

@@ -44,6 +44,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF ANN: probing a quarter of the lists recovers most of the " +
+      "exact top-k; full probe equals brute force") {
+    val k = 10
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, k)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = Similarity.ivfTopKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = k, nLists = 8, nProbes = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (ivf & brute.toSet).size.toDouble / k
+    assert(recall >= 0.3, s"ivf recall $recall")
+    // probing every list = exact brute force (same order, same ids)
+    val full = Similarity.ivfTopKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = k, nLists = 8, nProbes = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute)
+  }
+
   test("LSH ANN: results ⊆ corpus, no self, recall vs brute force ≥ 0.3") {
     val k = 20
     val ann = Similarity.lshTopKForId(emb, "embedding", "vec_id",
