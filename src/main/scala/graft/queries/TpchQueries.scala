@@ -474,7 +474,64 @@ object TpchQueries {
        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
   }
 
+  /** q48: pivot — status columns out of rows (groupBy + pivot with
+    * pinned value list; plans as one hash agg, no per-value rescan). */
+  val q48_pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(money(col("o_totalprice"))))
+      .select(col("o_orderpriority"),
+        col("F").cast("double").as("F"),
+        col("O").cast("double").as("O"),
+        col("P").cast("double").as("P"))
+
+  val q48_oracle: String = {
+    import duck._
+    s"""SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${money("o_totalprice")} END) AS DOUBLE) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${money("o_totalprice")} END) AS DOUBLE) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN ${money("o_totalprice")} END) AS DOUBLE) AS P
+       FROM orders GROUP BY o_orderpriority"""
+  }
+
+  /** q49: exact interpolated percentiles per group (median + p90). */
+  val q49_percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n_items"))
+
+  val q49_oracle: String =
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       count(*) AS n_items
+       FROM lineitem GROUP BY l_returnflag"""
+
+  /** q50: date arithmetic — day diffs, interval shift, month-end. */
+  val q50_date_arith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("age_days"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_ts"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+
+  val q50_oracle: String =
+    """SELECT o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days,
+       o_orderdate + INTERVAL 90 DAY AS due_ts,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+       FROM orders"""
+
   val all: Map[String, Q] = Map(
+    "q48_pivot" -> q48_pivot,
+    "q49_percentiles" -> q49_percentiles,
+    "q50_date_arith" -> q50_date_arith,
     "q47_cube" -> q47_cube,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_project" -> q02_filter_project,
@@ -496,6 +553,9 @@ object TpchQueries {
     "q18_case_math" -> q18_case_math)
 
   val oracles: Map[String, String] = Map(
+    "q48_pivot" -> q48_oracle,
+    "q49_percentiles" -> q49_oracle,
+    "q50_date_arith" -> q50_oracle,
     "q47_cube" -> q47_oracle,
     "q01_pricing_summary" -> q01_oracle,
     "q02_filter_project" -> q02_oracle,
