@@ -176,12 +176,37 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     else spark.read.parquet(streamDirs: _*)
   }
 
-  /** Stream metadata aggregate (reference src/server.rs:233-248):
-    * revision=count, last_modified=max(ingest_ts), usage=serialized
-    * bytes (length of the event as JSON — the NDJSON-bytes analogue,
-    * src/db.rs:91-100). One groupBy — the single genuine shuffle in the
-    * reference surface (SURVEY.md §3.3). */
+  /** Stream metadata listing — metadata-ONLY, exactly like the reference
+    * (src/db.rs:78-113): revision from committed batch ranges (the
+    * index-length analogue), last_modified from file mtime, usage from
+    * on-disk byte size. O(#files) with zero data scanned — the shape
+    * that survives millions of streams. For a scan-derived aggregate
+    * (count/max/sum over rows, SURVEY.md §3.3) see streamsExact. */
   def streams(u: String, sort: StreamSort = StreamSort.IdAsc)
+      : Seq[StreamMeta] = {
+    val uDir = userPath(u)
+    if (!Files.isDirectory(uDir)) return Nil
+    val metas = Files.list(uDir).iterator().asScala
+      .filter(Files.isDirectory(_)).flatMap { sDir =>
+        val files = Files.list(sDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        if (files.isEmpty) None
+        else {
+          val sid = Base32.decodeString(sDir.getFileName.toString)
+          Some(StreamMeta(sid, revision(u, sid),
+            new Timestamp(files.map(Files.getLastModifiedTime(_).toMillis)
+              .max),
+            files.map(Files.size).sum))
+        }
+      }.toSeq
+    StreamSort.applyLocal(sort, metas) // reference src/api.rs:320-335
+  }
+
+  /** Scan-derived stream metadata (count/max/sum groupBy over rows —
+    * the one genuine shuffle in the reference surface, SURVEY.md §3.3).
+    * Same shape as the q22/q23 gate queries; use when row-level truth is
+    * needed rather than storage accounting. */
+  def streamsExact(u: String, sort: StreamSort = StreamSort.IdAsc)
       : Seq[StreamMeta] = {
     val df = userEvents(u)
     if (df.isEmpty) return Nil
@@ -193,7 +218,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
           $"specversion", $"id", $"source", $"type", $"subject", $"time",
           $"datacontenttype", $"dataschema", $"data", $"data_base64",
           $"extensions")))).cast("long").as("usage"))
-    val sorted = sort.apply(agg) // reference src/api.rs:320-335
+    val sorted = sort.apply(agg)
     sorted.collect().toSeq.map(r => StreamMeta(
       r.getAs[String]("stream_id"), r.getAs[Long]("revision"),
       r.getAs[Timestamp]("last_modified"), r.getAs[Long]("usage")))
@@ -285,6 +310,23 @@ object StreamSort {
       extends StreamSort(_.orderBy(col("last_modified").asc))
   case object LastModifiedDesc
       extends StreamSort(_.orderBy(col("last_modified").desc))
+
+  /** Local (already-collected) counterpart of the DataFrame sorts, for
+    * the metadata-only listing. Same six orders, same tie behavior
+    * (stable sort, id ascending as the implicit tiebreak). */
+  def applyLocal(sort: StreamSort, metas: Seq[StreamMeta])
+      : Seq[StreamMeta] = {
+    val byId = metas.sortBy(_.id)
+    sort match {
+      case IdAsc => byId
+      case UsageAsc => byId.sortBy(_.usage)
+      case UsageDesc => byId.sortBy(-_.usage)
+      case RevisionAsc => byId.sortBy(_.revision)
+      case RevisionDesc => byId.sortBy(-_.revision)
+      case LastModifiedAsc => byId.sortBy(_.last_modified.getTime)
+      case LastModifiedDesc => byId.sortBy(-_.last_modified.getTime)
+    }
+  }
 
   /** Parse the reference's `?sort=` parameter (unknown → None → 400). */
   def parse(s: String): Option[StreamSort] = s match {

@@ -128,6 +128,12 @@ class EventStoreSpec extends SparkSuite {
     assert(byUsageDesc.head.usage >= byUsageDesc.last.usage)
     assert(StreamSort.parse("-usage").contains(StreamSort.UsageDesc))
     assert(StreamSort.parse("bogus").isEmpty) // → reference 400
+
+    // scan-derived metadata agrees on ids/revisions (usage differs by
+    // design: storage bytes vs serialized-JSON bytes)
+    val exact = es.streamsExact("u1")
+    assert(exact.map(m => (m.id, m.revision)) ==
+      byId.map(m => (m.id, m.revision)))
   }
 
   test("delete stream removes data and returns existence " +
