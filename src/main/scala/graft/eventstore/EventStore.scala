@@ -114,6 +114,32 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** Idempotent append for at-least-once delivery (streaming retries):
+    * events whose (source,id) are already committed are silently dropped
+    * instead of raising SourceIdConflict, so re-delivering a micro-batch
+    * converges to exactly-once. Returns the stream revision after the
+    * (possibly empty) effective append. Intra-batch duplicates are still
+    * an error — retries re-deliver whole batches, they don't duplicate
+    * within one. */
+  def appendIdempotent(u: String, s: String, events: Seq[CloudEvent])
+      : Long =
+    lockFor(u, s).synchronized {
+      if (events.isEmpty) return revision(u, s)
+      events.groupBy(e => (e.source, e.id)).find(_._2.size > 1)
+        .foreach { case ((src, id), _) => throw SourceIdConflict(src, id) }
+      val fresh =
+        if (revision(u, s) == 0) events
+        else {
+          val committed = readStream(u, s).select($"source", $"id")
+            .join(broadcast(events.map(e => (e.source, e.id))
+              .toDF("source", "id")), Seq("source", "id"), "left_semi")
+            .collect().map(r => (r.getString(0), r.getString(1))).toSet
+          events.filterNot(e => committed.contains((e.source, e.id)))
+        }
+      if (fresh.isEmpty) revision(u, s)
+      else append(u, s, fresh, ExpectedRevision.Any)
+    }
+
   /** Write the batch to a temp dir, then atomically move the single part
     * file into the stream dir (all-or-nothing visibility). */
   private def commitBatch(u: String, s: String, rows: Seq[StoredEvent],

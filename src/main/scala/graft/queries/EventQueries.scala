@@ -209,7 +209,26 @@ object EventQueries {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** q52: sliding-window aggregate in batch form — 2h windows sliding
+    * 1h via Spark's window() (each event lands in exactly two windows);
+    * the oracle replicates the slot assignment with an explicit unnest. */
+  val q52_sliding_2h: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"))
+
+  val q52_oracle: String =
+    """SELECT ws, event_type, count(*) AS n_events FROM (
+         SELECT unnest([date_trunc('hour', ts),
+                        date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+           event_type
+         FROM events)
+       GROUP BY ws, event_type"""
+
   val all: Map[String, Q] = Map(
+    "q52_sliding_2h" -> q52_sliding_2h,
     "q44_asof_join" -> q44_asof_join,
     "q45_approx_distinct" -> q45_approx_distinct,
     "q19_json_extract" -> q19_json_extract,
@@ -221,6 +240,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q52_sliding_2h" -> q52_oracle,
     "q44_asof_join" -> q44_oracle,
     "q19_json_extract" -> q19_oracle,
     "q20_revision_assign" -> q20_oracle,

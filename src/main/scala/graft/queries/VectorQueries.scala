@@ -144,7 +144,16 @@ object VectorQueries {
          ORDER BY sim DESC, vec_id LIMIT 20""")
   }
 
+  /** q51: IVF ANN in exact mode — probing all KMeans lists provably
+    * reproduces brute force, so this runs the whole IVF path (train,
+    * assign, probe, rerank) under q36's oracle. The approximate mode
+    * (nProbes < nLists) is exercised in ScalaTest recall checks. */
+  val q51_ivf_topk: Q = (s, d) =>
+    Similarity.ivfTopKForId(Tables.embeddings(s, d), "embedding",
+      "vec_id", queryId = 0, k = 20, nLists = 8, nProbes = 8)
+
   val all: Map[String, Q] = Map(
+    "q51_ivf_topk" -> q51_ivf_topk,
     "q46_sql_vec_dot" -> q46_sql_vec_dot,
     "q36_cosine_topk" -> q36_cosine_topk,
     "q37_cosine_pairs" -> q37_cosine_pairs,
@@ -153,6 +162,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q51_ivf_topk" -> q36_oracle,
     "q46_sql_vec_dot" -> q36_oracle,
     "q36_cosine_topk" -> q36_oracle,
     "q37_cosine_pairs" -> q37_oracle,

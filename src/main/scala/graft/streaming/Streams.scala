@@ -87,7 +87,9 @@ object Streams {
                 extensions = Option(r.getAs[Map[String, String]](
                   "extensions")).getOrElse(Map.empty))
             }
-            store.append(u, s, events, ExpectedRevision.Any)
+            // idempotent: foreachBatch is at-least-once on retry; the
+            // (source,id)-aware re-append converges to exactly-once
+            store.appendIdempotent(u, s, events)
           }
       }
       .start()

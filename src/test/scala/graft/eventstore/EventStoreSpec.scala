@@ -111,6 +111,21 @@ class EventStoreSpec extends SparkSuite {
     es.append("u1", "s1", Seq(ev("e1", src = "test://other")))
   }
 
+  test("idempotent append: re-delivered batches converge to exactly-once") {
+    val es = freshStore()
+    val batch = (0 until 3).map(i => ev(s"r-$i"))
+    assert(es.appendIdempotent("u1", "s1", batch) == 3)
+    // full re-delivery (streaming retry): no-op, no conflict
+    assert(es.appendIdempotent("u1", "s1", batch) == 3)
+    // partial overlap (retry straddling a new batch): only new ones land
+    assert(es.appendIdempotent("u1", "s1",
+      Seq(ev("r-2"), ev("r-3"), ev("r-4"))) == 5)
+    assert(es.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("r-0", "r-1", "r-2", "r-3", "r-4"))
+    // plain append still rejects the duplicate loudly
+    intercept[SourceIdConflict] { es.append("u1", "s1", Seq(ev("r-0"))) }
+  }
+
   test("streams metadata + the six sort orders (server.rs:233-248, " +
       "api.rs:320-335)") {
     val es = freshStore()
