@@ -93,6 +93,76 @@ object Multimodal {
     acc
   }
 
+  /** Synthetic table of REAL images: deterministic 8×8 PNGs (pixels
+    * derived from media_id) encoded with the JDK's ImageIO — so the
+    * decode stage below exercises an actual codec end-to-end, not a
+    * stand-in. */
+  def syntheticImageTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            // deterministic pixel pattern per id
+            val v = (id * 2654435761L + x * 31 + y * 131) & 0xffffff
+            img.setRGB(x, y, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray,
+          MediaMeta("image", 8, 8, 1, 0, "image/png"))
+      }
+    }
+  }
+
+  /** REAL image decode + feature extraction: ImageIO-decode the PNG and
+    * emit [width, height, mean R, mean G, mean B, 11-bin gray histogram]
+    * (dim 16). Partition-batched like decodeFeatures; this is the
+    * un-stubbed path — audio/video remain behind fakeDecode until their
+    * codecs exist in the environment. */
+  def decodeImageFeatures(media: Dataset[MediaRow])
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for ${r.media_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val feats = new Array[Float](16)
+        feats(0) = w.toFloat; feats(1) = h.toFloat
+        val hist = new Array[Float](11)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff
+            val bb = p & 0xff
+            rs += rr; gs += gg; bs += bb
+            hist(((rr + gg + bb) / 3) * 11 / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        feats(2) = rs / n; feats(3) = gs / n; feats(4) = bs / n
+        var i = 0
+        while (i < 11) { feats(5 + i) = hist(i) / n; i += 1 }
+        MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
+          feats)
+      }
+    }
+  }
+
   /** Resize stage (images/video frames): metadata transform is real;
     * pixel work is the same FAKE-DECODE boundary. At scale this is a
     * pure map — no shuffle, no driver involvement. */

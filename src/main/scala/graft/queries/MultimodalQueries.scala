@@ -71,7 +71,24 @@ object MultimodalQueries {
         sum(col("n_bytes")).as("total_bytes"))
   }
 
+  /** q53: REAL image decode — synthesize deterministic PNGs, decode with
+    * the JDK's ImageIO, aggregate decoded dimensions + channel means.
+    * Rows-only check (binary payloads aren't DuckDB-expressible); the
+    * decoded-width==metadata and determinism properties are asserted in
+    * MultimodalSpec. */
+  val q53_image_decode: Q = (s, d) => {
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.syntheticImageTable(Tables.documents(s, d)))
+    feats.groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        avg(element_at(col("features"), 1)).as("avg_width"),
+        avg(element_at(col("features"), 3)).as("avg_r"),
+        sum(col("n_bytes")).as("png_bytes"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q53_image_decode" -> q53_image_decode,
     "q41_media_meta" -> q41_media_meta,
     "q42_frame_sample" -> q42_frame_sample,
     "q43_media_features" -> q43_media_features)

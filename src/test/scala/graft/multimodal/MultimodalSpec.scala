@@ -39,6 +39,24 @@ class MultimodalSpec extends SparkSuite {
     assert(top.count() == 3)
   }
 
+  test("real PNG roundtrip: ImageIO-decoded dimensions match metadata, " +
+      "features deterministic and histogram-normalized") {
+    val imgs = Multimodal.syntheticImageTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val feats = Multimodal.decodeImageFeatures(imgs)
+      .orderBy("media_id").limit(10).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features(0) == 8f && f.features(1) == 8f) // decoded w/h
+      assert(math.abs(f.features.drop(5).sum - 1.0f) < 1e-3) // histogram
+      assert(f.n_bytes > 50) // real PNG container bytes, not raw pixels
+    }
+    val again = Multimodal.decodeImageFeatures(imgs)
+      .orderBy("media_id").limit(10).collect()
+    assert(feats.zip(again).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+  }
+
   test("resize updates metadata; frame sampling strides video frames") {
     val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 224, 224)
     assert(resized.filter(_.meta.width != 224).count() == 0)
