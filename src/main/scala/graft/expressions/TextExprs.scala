@@ -1,10 +1,31 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen shim shared by the text expressions: emit a call back into
+  * the expression instance (via addReferenceObj) instead of falling back
+  * to CodegenFallback — the surrounding operators stay inside ONE
+  * whole-stage-codegen span, and the expression body runs as plain JVM
+  * code either way. */
+private[expressions] trait SelfCallCodegen { self: UnaryExpression =>
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      val ref = ctx.addReferenceObj("graftExpr", self,
+        self.getClass.getName)
+      val jt = cg.javaType(dataType)
+      if (cg.isPrimitiveType(dataType))
+        s"${ev.value} = ((${cg.boxedType(dataType)}) " +
+          s"$ref.nullSafeEval($c)).${jt}Value();"
+      else
+        s"${ev.value} = ($jt) $ref.nullSafeEval($c);"
+    })
+}
 
 /** Native single-pass text expressions.
   *
@@ -13,15 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * but interpreted and — worse — subject to CollapseProject inlining the
   * array-construction into every downstream consumer, multiplying the
   * work 2-4× per query. These expressions do one pass per row in plain
-  * JVM code. They are CodegenFallback (object-shaped outputs), which
-  * costs a codegen break but beats the interpreted-lambda tax by ~10×.
+  * JVM code and participate in whole-stage codegen via SelfCallCodegen.
   */
 
 /** Distinct word n-gram shingles of a whitespace-tokenized text, order of
   * first occurrence (same set as array_distinct of the HOF build, and as
   * DuckDB's list_distinct(list_transform(...)) oracle formulation). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SelfCallCodegen {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -57,7 +77,7 @@ case class WordShingles(child: Expression, n: Int)
   * TextFunctions.simhash64On and the explode+agg variant — just one
   * tight pass per row. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SelfCallCodegen {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
@@ -97,7 +117,7 @@ case class SimHash64(child: Expression)
   * `seed`. Empty shingle set → empty array (doc joins no bucket). */
 case class LshBandHashes(child: Expression, k: Int, bands: Int,
     seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SelfCallCodegen {
   require(k % bands == 0, s"bands ($bands) must divide k ($k)")
   private val r = k / bands
   // deterministic mixing constants (odd multipliers)
