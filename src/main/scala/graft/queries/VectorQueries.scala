@@ -152,7 +152,37 @@ object VectorQueries {
     Similarity.ivfTopKForId(Tables.embeddings(s, d), "embedding",
       "vec_id", queryId = 0, k = 20, nLists = 8, nProbes = 8)
 
+  /** q54: per-label embedding centroids in long form (label, dim
+    * position, mean) — posexplode + decimal-exact mean, oracle via
+    * generate_subscripts. The array-form typed Aggregator (VecMean)
+    * computes the same centroids and is asserted equal in ScalaTest. */
+  val q54_label_centroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "e")))
+      .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
+      // float → shortest string (unique, ≤9 significant digits) →
+      // wide decimal: no rounding happens, so no cross-engine rounding
+      // ties (double→decimal directly produced 2 tie mismatches /1280).
+      // …and bring the exact sum back to double THROUGH A STRING as
+      // well: decimal→string is exact in both engines and string→double
+      // is correctly rounded in both, whereas DuckDB's direct
+      // decimal→double conversion is off by an ulp once the int128
+      // magnitude passes 2^53.
+      .agg((sum(col("e").cast("string").cast(DecimalType(28, 18)))
+        .cast("string").cast("double") / count(lit(1))).as("avg_val"))
+
+  val q54_oracle: String =
+    """SELECT label, pos,
+       CAST(CAST(sum(CAST(CAST(e AS VARCHAR) AS DECIMAL(28,18)))
+                 AS VARCHAR) AS DOUBLE)
+         / count(*) AS avg_val
+       FROM (SELECT label, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS pos
+             FROM embeddings)
+       GROUP BY label, pos"""
+
   val all: Map[String, Q] = Map(
+    "q54_label_centroids" -> q54_label_centroids,
     "q51_ivf_topk" -> q51_ivf_topk,
     "q46_sql_vec_dot" -> q46_sql_vec_dot,
     "q36_cosine_topk" -> q36_cosine_topk,
@@ -162,6 +192,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q54_label_centroids" -> q54_oracle,
     "q51_ivf_topk" -> q36_oracle,
     "q46_sql_vec_dot" -> q36_oracle,
     "q36_cosine_topk" -> q36_oracle,

@@ -44,6 +44,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("VecMean typed Aggregator equals the long-form centroid query") {
+    import graft.functions.VecMean
+    val byAgg = emb.as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+      .mapValues(_._2)
+      .agg(VecMean.toColumn.name("centroid"))
+      .collect().toMap
+    // compare against plain SQL per-position means (double arithmetic)
+    val longForm = emb.select($"label",
+        posexplode($"embedding").as(Seq("p", "e")))
+      .groupBy($"label", $"p")
+      .agg((sum($"e".cast("double")) / count(lit(1))).as("m"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (l, xs) =>
+        l -> xs.sortBy(_._2).map(_._3).toArray }
+    longForm.foreach { case (l, exp) =>
+      val got = byAgg(l)
+      assert(got.length == exp.length)
+      got.zip(exp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("IVF ANN: probing a quarter of the lists recovers most of the " +
       "exact top-k; full probe equals brute force") {
     val k = 10
