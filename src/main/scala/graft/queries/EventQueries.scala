@@ -227,7 +227,29 @@ object EventQueries {
          FROM events)
        GROUP BY ws, event_type"""
 
+  /** q56: VariantType JSON access (Spark 4) — parse the open `props`
+    * payload once into a variant and extract typed fields, the
+    * schema-on-read upgrade over per-path get_json_object (SURVEY.md
+    * §1.4's `data` treatment). Oracle via DuckDB's JSON functions. */
+  val q56_variant_json: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("variant_get(v, '$.k', 'bigint')")).cast("long")
+          .as("sum_k"),
+        min(expr("variant_get(v, '$.k', 'bigint')")).as("min_k"),
+        count(lit(1)).as("n_events"))
+
+  val q56_oracle: String =
+    """SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       count(*) AS n_events
+       FROM events GROUP BY event_type"""
+
   val all: Map[String, Q] = Map(
+    "q56_variant_json" -> q56_variant_json,
     "q52_sliding_2h" -> q52_sliding_2h,
     "q44_asof_join" -> q44_asof_join,
     "q45_approx_distinct" -> q45_approx_distinct,
@@ -240,6 +262,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q56_variant_json" -> q56_oracle,
     "q52_sliding_2h" -> q52_oracle,
     "q44_asof_join" -> q44_oracle,
     "q19_json_extract" -> q19_oracle,

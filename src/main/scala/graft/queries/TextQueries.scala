@@ -230,7 +230,33 @@ object TextQueries {
        FROM documents"""
   }
 
+  /** q55: BPE-style pre-tokenization — regex token classes (letter runs /
+    * digit runs / punctuation runs) via regexp_extract_all, the counting
+    * shape of an LLM tokenizer's pre-tokenizer. Pattern kept to RE2-safe
+    * constructs so the oracle regex semantics match exactly. */
+  val q55_bpe_tokens: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).cast("long")
+        .as("n_pretokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_alpha_runs"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"))
+
+  val q55_oracle: String =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+            AS BIGINT) AS n_pretokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+         AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+         AS n_digit_runs
+       FROM documents"""
+
   val all: Map[String, Q] = Map(
+    "q55_bpe_tokens" -> q55_bpe_tokens,
     "q26_token_stats" -> q26_token_stats,
     "q27_lang_profile" -> q27_lang_profile,
     "q28_quality_score" -> q28_quality_score,
@@ -243,6 +269,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q55_bpe_tokens" -> q55_oracle,
     "q26_token_stats" -> q26_oracle,
     "q27_lang_profile" -> q27_oracle,
     "q28_quality_score" -> q28_oracle,
