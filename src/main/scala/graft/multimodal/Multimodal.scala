@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads + typed metadata, with decode / feature-extract / resize /
   * frame-sample stages shaped for large-scale pipelines.
   *
-  * The Spark-side plumbing here is REAL — schemas, partition-batched
+  * The Spark-side plumbing is REAL — schemas, partition-batched
   * execution (`mapPartitions` over an iterator, the JVM analogue of
   * arrow-batched mapInPandas), feature schema `array<float>` compatible
-  * with the similarity operators. The codec itself is a STUB: this
-  * container has no image/audio libraries, so `decodeStub` derives a
-  * deterministic fake feature vector from the payload bytes. Swapping in
-  * a real codec changes only the function body marked FAKE-DECODE below;
-  * every schema, boundary, and test stays.
+  * with the similarity operators. Codecs: IMAGE and AUDIO decode are
+  * real (JDK ImageIO / AudioSystem — see decodeImageFeatures /
+  * decodeAudioFeatures); the generic decodeFeatures keeps a
+  * deterministic FAKE-DECODE stand-in for payload kinds with no codec
+  * in this environment (video). Swapping in a real codec changes only
+  * the marked function body; every schema, boundary, and test stays.
   *
   * Scale notes: decode is per-row CPU-bound work with no shuffle — it
   * pipelines inside the scan stage and parallelizes with input splits.
@@ -159,6 +160,75 @@ object Multimodal {
         while (i < 11) { feats(5 + i) = hist(i) / n; i += 1 }
         MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
           feats)
+      }
+    }
+  }
+
+  /** Synthetic table of REAL audio: deterministic 0.1s 16-bit mono PCM
+    * WAV clips (sine waves, frequency derived from media_id) written
+    * with the JDK's javax.sound.sampled — so audio decode below also
+    * exercises an actual codec. */
+  def syntheticAudioTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val rate = 8000
+        val n = rate / 10 // 0.1 s
+        val freq = 200.0 + (id % 40) * 20.0
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray,
+          MediaMeta("audio", 0, 0, n, rate, "audio/wav"))
+      }
+    }
+  }
+
+  /** REAL audio decode + feature extraction: parse the WAV container
+    * with AudioSystem, then emit [n_samples, sample_rate, RMS,
+    * zero-crossing rate, 12-bin amplitude histogram] (dim 16). */
+  def decodeAudioFeatures(media: Dataset[MediaRow])
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val feats = new Array[Float](16)
+        feats(0) = n.toFloat
+        feats(1) = fmt.getSampleRate
+        var sumSq = 0.0; var crossings = 0; var prev = 0
+        val hist = new Array[Float](12)
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i + 1).toInt << 8) |
+            (bytes(2 * i) & 0xff)).toShort.toInt
+          sumSq += v.toDouble * v
+          if (i > 0 && ((v >= 0) != (prev >= 0))) crossings += 1
+          hist(math.min(11, math.abs(v) * 12 / 32768)) += 1f
+          prev = v
+          i += 1
+        }
+        feats(2) = math.sqrt(sumSq / math.max(1, n)).toFloat
+        feats(3) = crossings.toFloat / math.max(1, n)
+        var j = 0
+        while (j < 12) { feats(4 + j) = hist(j) / math.max(1, n); j += 1 }
+        MediaFeatures(r.media_id, "audio", r.payload.length.toLong, feats)
       }
     }
   }

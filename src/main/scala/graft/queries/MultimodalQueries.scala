@@ -87,7 +87,23 @@ object MultimodalQueries {
         sum(col("n_bytes")).as("png_bytes"))
   }
 
+  /** q58: REAL audio decode — deterministic WAV clips decoded with the
+    * JDK's AudioSystem; per-frequency-band aggregates of RMS and
+    * zero-crossing rate. Rows-only (binary payloads aren't
+    * oracle-expressible); decode fidelity asserted in MultimodalSpec. */
+  val q58_audio_decode: Q = (s, d) => {
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.syntheticAudioTable(Tables.documents(s, d)))
+    feats.groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        avg(element_at(col("features"), 3)).as("avg_rms"),
+        avg(element_at(col("features"), 4)).as("avg_zcr"),
+        sum(col("n_bytes")).as("wav_bytes"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q58_audio_decode" -> q58_audio_decode,
     "q53_image_decode" -> q53_image_decode,
     "q41_media_meta" -> q41_media_meta,
     "q42_frame_sample" -> q42_frame_sample,

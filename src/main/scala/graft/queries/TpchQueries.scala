@@ -528,7 +528,34 @@ object TpchQueries {
        last_day(CAST(o_orderdate AS DATE)) AS month_end
        FROM orders"""
 
+  /** q57: correlated scalar subqueries — per-customer max order value and
+    * count above segment average (Catalyst de-correlates both into
+    * aggregates + joins; no per-row re-execution). SQL surface (the
+    * DataFrame API has no scalar-subquery syntax). */
+  val q57_scalar_subquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+         (SELECT max(o_totalprice) FROM orders
+          WHERE o_custkey = c_custkey) AS max_order,
+         (SELECT count(*) FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderpriority = '1-URGENT') AS n_urgent
+         FROM customer""")
+  }
+
+  val q57_oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+       (SELECT max(o_totalprice) FROM orders
+        WHERE o_custkey = c_custkey) AS max_order,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT') AS n_urgent
+       FROM customer"""
+
   val all: Map[String, Q] = Map(
+    "q57_scalar_subquery" -> q57_scalar_subquery,
     "q48_pivot" -> q48_pivot,
     "q49_percentiles" -> q49_percentiles,
     "q50_date_arith" -> q50_date_arith,
@@ -553,6 +580,7 @@ object TpchQueries {
     "q18_case_math" -> q18_case_math)
 
   val oracles: Map[String, String] = Map(
+    "q57_scalar_subquery" -> q57_oracle,
     "q48_pivot" -> q48_oracle,
     "q49_percentiles" -> q49_oracle,
     "q50_date_arith" -> q50_oracle,

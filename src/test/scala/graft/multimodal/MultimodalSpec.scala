@@ -57,6 +57,23 @@ class MultimodalSpec extends SparkSuite {
       a.features.sameElements(b.features) })
   }
 
+  test("real WAV roundtrip: AudioSystem-decoded sample count and rate " +
+      "match metadata; sine RMS and zero-crossing rate are as expected") {
+    val clips = Multimodal.syntheticAudioTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val feats = Multimodal.decodeAudioFeatures(clips)
+      .orderBy("media_id").limit(10).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features(0) == 800f)    // decoded samples = 0.1s @ 8kHz
+      assert(f.features(1) == 8000f)   // decoded sample rate
+      // sine RMS = amplitude/sqrt(2) ≈ 12000/1.414 ≈ 8485 (±2%)
+      assert(math.abs(f.features(2) - 8485f) < 200f, f.features(2))
+      // zero crossings ≈ 2 * freq * duration / n = 2*freq/8000 per sample
+      assert(f.features(3) > 0.04f && f.features(3) < 0.26f)
+    }
+  }
+
   test("resize updates metadata; frame sampling strides video frames") {
     val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 224, 224)
     assert(resized.filter(_.meta.width != 224).count() == 0)
