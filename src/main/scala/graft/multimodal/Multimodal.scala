@@ -125,9 +125,9 @@ object Multimodal {
 
   /** REAL image decode + feature extraction: ImageIO-decode the PNG and
     * emit [width, height, mean R, mean G, mean B, 11-bin gray histogram]
-    * (dim 16). Partition-batched like decodeFeatures; this is the
-    * un-stubbed path — audio/video remain behind fakeDecode until their
-    * codecs exist in the environment. */
+    * (dim 16). Partition-batched like decodeFeatures; real-codec path
+    * (audio has its own in decodeAudioFeatures; video stays behind
+    * fakeDecode until a codec exists in the environment). */
   def decodeImageFeatures(media: Dataset[MediaRow])
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

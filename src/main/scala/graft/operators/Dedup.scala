@@ -64,6 +64,43 @@ object Dedup {
         col("jac"))
   }
 
+  /** Candidate+rerank variant of ngramJaccardPairs for skewed corpora:
+    * shingles with document frequency above `maxDf` are dropped from
+    * CANDIDATE GENERATION only (they generate the Σf² join blowup and
+    * carry no discrimination), then every surviving candidate pair is
+    * reranked with its FULL shingle sets, so jaccard values are exact.
+    * A pair is missed only if every one of its shared shingles is a
+    * stop-shingle — pick maxDf comfortably above the corpus's template
+    * phrases' df and results equal the exact operator (tested). */
+  def ngramJaccardPairsCapped(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minJaccard: Double = 0.1,
+      maxDf: Int = 1000): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("shingles"))
+      .repartition(col("id"))
+    val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val rare = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("s"))
+    val exRare = ex.join(rare, Seq("s"))
+    val cand = exRare.select(col("id").as("id_a"), col("s"))
+      .join(exRare.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "common", "na", "nb", "jac")
+  }
+
   /** MinHash + LSH near-dup pairs: k-hash signature → `bands` band
     * hashes → candidates share ≥1 band bucket → exact-Jaccard rerank by
     * joining shingle sets back by id (so the wide shingle arrays never

@@ -554,7 +554,47 @@ object TpchQueries {
           AND o_orderpriority = '1-URGENT') AS n_urgent
        FROM customer"""
 
+  /** q59: bag-semantic set ops — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicities (counting semantics, unlike q15's DISTINCT
+    * set ops; Spark plans generated-count joins). */
+  val q59_setops_all: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("custkey"))
+    keys("F").intersectAll(keys("O")).exceptAll(keys("P"))
+      .groupBy(col("custkey")).agg(count(lit(1)).as("multiplicity"))
+  }
+
+  val q59_oracle: String =
+    """SELECT custkey, count(*) AS multiplicity FROM (
+         (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT ALL
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+         EXCEPT ALL
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+       GROUP BY custkey"""
+
+  /** q60: unpivot / melt — wide measure columns to long form (Spark's
+    * unpivot API; oracle via UNION ALL, the relational definition). */
+  val q60_unpivot: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "attr", "val")
+
+  val q60_oracle: String =
+    """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+       FROM part
+       UNION ALL
+       SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+       FROM part"""
+
   val all: Map[String, Q] = Map(
+    "q59_setops_all" -> q59_setops_all,
+    "q60_unpivot" -> q60_unpivot,
     "q57_scalar_subquery" -> q57_scalar_subquery,
     "q48_pivot" -> q48_pivot,
     "q49_percentiles" -> q49_percentiles,
@@ -580,6 +620,8 @@ object TpchQueries {
     "q18_case_math" -> q18_case_math)
 
   val oracles: Map[String, String] = Map(
+    "q59_setops_all" -> q59_oracle,
+    "q60_unpivot" -> q60_oracle,
     "q57_scalar_subquery" -> q57_oracle,
     "q48_pivot" -> q48_oracle,
     "q49_percentiles" -> q49_oracle,

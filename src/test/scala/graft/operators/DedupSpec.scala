@@ -42,6 +42,20 @@ class DedupSpec extends SparkSuite {
     assert(lsh.toSet == exact.toSet)
   }
 
+  test("df-capped jaccard equals the exact operator when the cap " +
+      "clears the corpus's stop-shingles") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.1)
+      .select("id_a", "id_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairsCapped(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.1, maxDf = 100)
+      .select("id_a", "id_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(capped == exact)
+  }
+
   test("simhash: near-dup pairs have small hamming; distance to self 0") {
     val planted = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, minJaccard = 0.9).select("id_a", "id_b").as[(Long, Long)]
