@@ -592,7 +592,66 @@ object TpchQueries {
        SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
        FROM part"""
 
+  /** q61: left outer join with null-aware aggregates — every customer
+    * with their pending-order stats, zero-filled via coalesce (the join
+    * side is empty for most customers, exercising null propagation). */
+  val q61_outer_join: Q = (s, d) => {
+    val pending = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+    Tables.customer(s, d)
+      .join(pending, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_pending"),
+        coalesce(sum(money(col("o_totalprice"))), lit(0))
+          .cast("double").as("pending_value"),
+        max(col("o_orderdate")).as("last_pending"))
+  }
+
+  val q61_oracle: String = {
+    import duck._
+    s"""SELECT c_custkey,
+       count(o_orderkey) AS n_pending,
+       CAST(coalesce(sum(${money("o_totalprice")}), 0) AS DOUBLE)
+         AS pending_value,
+       max(o_orderdate) AS last_pending
+       FROM customer LEFT JOIN orders
+         ON c_custkey = o_custkey AND o_orderstatus = 'P'
+       GROUP BY c_custkey"""
+  }
+
+  /** q62: window navigation — first/last/nth value and ntile quartiles
+    * per customer (explicit full frames where the default running frame
+    * would differ). */
+  val q62_window_nav: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  val q62_oracle: String =
+    """SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_order,
+       nth_value(o_orderkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_order,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
   val all: Map[String, Q] = Map(
+    "q61_outer_join" -> q61_outer_join,
+    "q62_window_nav" -> q62_window_nav,
     "q59_setops_all" -> q59_setops_all,
     "q60_unpivot" -> q60_unpivot,
     "q57_scalar_subquery" -> q57_scalar_subquery,
@@ -620,6 +679,8 @@ object TpchQueries {
     "q18_case_math" -> q18_case_math)
 
   val oracles: Map[String, String] = Map(
+    "q61_outer_join" -> q61_oracle,
+    "q62_window_nav" -> q62_oracle,
     "q59_setops_all" -> q59_oracle,
     "q60_unpivot" -> q60_oracle,
     "q57_scalar_subquery" -> q57_oracle,
