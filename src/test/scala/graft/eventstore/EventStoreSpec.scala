@@ -177,6 +177,26 @@ class EventStoreSpec extends SparkSuite {
       Seq(ev("e3"))) == 3)
   }
 
+  test("CAS race: two writers with the same Exact expectation — exactly " +
+      "one commits, the loser sees RevisionMismatch, data stays dense") {
+    val es = freshStore()
+    es.append("u1", "s1", Seq(ev("base")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val attempts = (0 until 4).map { t =>
+      Future {
+        try { es.append("u1", "s1", Seq(ev(s"racer-$t")),
+          ExpectedRevision.Exact(1)); true }
+        catch { case _: RevisionMismatch => false }
+      }
+    }
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    assert(results.count(identity) == 1) // exactly one winner
+    assert(es.revision("u1", "s1") == 2)
+    assert(es.query("u1", "s1", 0, 10).size == 2)
+  }
+
   test("concurrent appends to different streams proceed; same stream " +
       "serializes (server.rs:58 DashMap + per-stream mutex)") {
     val es = freshStore()
