@@ -1,47 +1,72 @@
 package graft.eventstore
 
 import graft.functions.Base32
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** The event-store engine: an append-only, per-stream-ordered table of
   * CloudEvents with optimistic concurrency — the reference's storage
   * engine (src/db.rs) re-expressed on Spark primitives.
   *
-  * Layout: one directory per stream, `root/<user>/<base32(stream)>/`
-  * (mirroring reference src/server.rs:134-144), holding one parquet file
-  * per committed batch named `batch-<firstRev>-<lastRev>-<uuid>.parquet`.
-  * Batch atomicity = single-file atomic rename from a temp dir (the
-  * analogue of the reference's single write+index append under the
-  * stream mutex, src/db.rs:202-237). Readers never see a partial batch.
+  * Layout: one directory per stream, `root/<base32(user)>/<base32(stream)>/`
+  * (mirroring reference src/server.rs:134-144), holding
+  *  - `batch-<firstRev>-<lastRev>-<uuid>.parquet` — one data file per
+  *    committed batch (revision-sorted within the file);
+  *  - `keys-<firstRev>-<lastRev>-<uuid>.keys` — an 8-byte-per-event
+  *    sidecar of (source,id) key hashes, the commit-time key digest;
+  *  - `manifest-<version>.log` — a tiny versioned transaction log entry
+  *    listing the stream's committed revision and its exact data/key
+  *    file sets.
   *
-  * Concurrency: single-writer-per-stream via JVM-local striped locks —
-  * the same rule the reference enforces with `Arc<Mutex<Database>>`
-  * (src/server.rs:58, 184). Different streams append in parallel. On a
-  * multi-writer cluster this lock becomes a coordination service or a
-  * transactional table format's conditional commit; the CAS check and
-  * commit protocol below are unchanged by that swap.
+  * Commit protocol (the genuinely custom part, SURVEY.md §7 step 2):
+  * a writer reads the head manifest, validates CAS + (source,id)
+  * uniqueness, writes its data+keys files (invisible to readers — they
+  * only read files listed in a manifest), then claims
+  * `manifest-<head+1>.log` via an atomic create-if-absent (hard link of
+  * a fully-written temp file). Exactly one writer can create a given
+  * version, so the manifest link is the *arbiter* of every commit:
+  * correctness no longer depends on JVM-local locks, and two EventStore
+  * instances (two processes) over the same root serialize correctly.
+  * The JVM-local per-stream lock remains purely as a fast path to avoid
+  * wasted work between threads of one process — the same role the
+  * reference's `Arc<Mutex<Database>>` plays (src/server.rs:58, 184).
+  * A crashed commit leaves an orphaned, unreferenced data file that no
+  * reader ever sees; it is garbage-collected by a later compaction.
+  * On an object store the hard-link claim swaps for a conditional put
+  * (if-none-match) with the protocol otherwise unchanged.
   *
-  * Scale: reads are DataFrame queries over the parquet layout — partition
-  * pruning on the stream directory replaces the reference's u64 offset
-  * index (src/db.rs:147-161); parquet row-group stats on `revision`
-  * (sorted within every batch file) give the positional seek. The
-  * revision counter is cached per stream and recovered from footer
-  * metadata (file names), not by scanning data.
+  * (source,id) dedup (the reference's specified-but-unimplemented O14,
+  * SURVEY.md §0) costs no Spark job on the hot path: the in-memory
+  * digest (built incrementally from `keys-*.keys` sidecars, cached per
+  * manifest version) answers "definitely fresh" in O(batch); only a
+  * digest *hit* falls back to an exact pruned scan of the committed
+  * files to distinguish a true duplicate from a 64-bit hash collision.
+  *
+  * Scale: reads are DataFrame queries over the manifest's file list —
+  * partition pruning on the stream directory replaces the reference's
+  * u64 offset index (src/db.rs:147-161); parquet row-group stats on
+  * `revision` (sorted within every batch file) give the positional
+  * seek. `streams()` metadata listing touches manifests and file sizes
+  * only — zero parquet footers. The digest is 8 bytes/event in memory
+  * per *hot* stream (cold streams hold nothing); a Bloom filter is the
+  * drop-in swap if per-stream key cardinality ever outgrows that.
   */
 class EventStore(val spark: SparkSession, rootDir: String) {
   import spark.implicits._
+  import EventStore._
 
   private val root = Paths.get(rootDir)
   Files.createDirectories(root)
 
-  /** per-stream revision cache + lock objects (stream key → revision). */
-  private val revisions = new ConcurrentHashMap[String, java.lang.Long]()
+  /** JVM-local per-stream write locks (fast-path only; see scaladoc). */
   private val locks = new ConcurrentHashMap[String, Object]()
+  /** per-stream key digest cache, validated by manifest version. */
+  private val digests = new ConcurrentHashMap[String, DigestCache]()
 
   private def key(u: String, s: String) = s"$u\u0000$s"
   private def lockFor(u: String, s: String): Object =
@@ -51,66 +76,115 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   private def streamPath(u: String, s: String): Path =
     userPath(u).resolve(Base32.encodeString(s))
 
-  /** Recover a stream's current revision from committed batch file names
-    * (`batch-<first>-<last>-…`) — O(#files) metadata-only, the analogue
-    * of revision-from-index-length (reference src/db.rs:103-113). */
-  private def recoverRevision(u: String, s: String): Long = {
-    val dir = streamPath(u, s)
-    if (!Files.isDirectory(dir)) 0L
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case EventStore.BatchFile(_, last) => last.toLong + 1 }
-      .maxOption.getOrElse(0L)
+  /** List a directory's entries with the stream closed eagerly (never
+    * leak the fd — every directory walk in the store goes through here). */
+  private def listDir(dir: Path): List[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else Using.resource(Files.list(dir))(_.iterator().asScala.toList)
+
+  /** Read the head (highest-version) manifest of a stream, or None if
+    * the stream has never committed. O(#files) metadata-only — the
+    * analogue of revision-from-index-length (reference src/db.rs:103-113). */
+  private def readHead(dir: Path): Option[Manifest] = {
+    val head = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case ManifestFile(v) => Some(v.toLong)
+      case _ => None
+    }).maxOption
+    head.map(v => parseManifest(dir.resolve(manifestName(v))))
   }
 
-  /** Current revision = number of committed events (0 = no stream). */
+  /** Current revision = number of committed events (0 = no stream).
+    * Always read from the manifest head so commits by *other processes*
+    * are visible immediately. */
   def revision(u: String, s: String): Long =
-    revisions.computeIfAbsent(key(u, s), _ => recoverRevision(u, s))
+    readHead(streamPath(u, s)).map(_.revision).getOrElse(0L)
 
   def streamExists(u: String, s: String): Boolean =
     revision(u, s) > 0
 
+  /** The key digest for a stream at a given head: a set of 64-bit
+    * (source,id) hashes built from the keys sidecars, loaded
+    * incrementally (only sidecars not already cached are read — one
+    * small sidecar per commit that happened since the last call).
+    * Callers hold the stream's write lock, so in-place catch-up is
+    * safe. */
+  private def digestFor(u: String, s: String, dir: Path,
+      head: Option[Manifest]): java.util.HashSet[java.lang.Long] = {
+    val m = head.getOrElse(return new java.util.HashSet[java.lang.Long]())
+    val cached = digests.get(key(u, s))
+    if (cached != null && cached.version == m.version) return cached.hashes
+    val (base, loaded) = cached match {
+      // incremental: the cached sidecars are a prefix of the head's
+      // (append-only history) — only read what's new
+      case c: DigestCache if c.loadedFiles.forall(m.keyFiles.contains) =>
+        (c.hashes, c.loadedFiles)
+      // compaction / external rewrite replaced the sidecars: rebuild
+      case _ => (new java.util.HashSet[java.lang.Long](), Set.empty[String])
+    }
+    m.keyFiles.filterNot(loaded).foreach { kf =>
+      readKeyFile(dir.resolve(kf)).foreach(h => base.add(h))
+    }
+    digests.put(key(u, s), DigestCache(m.version, m.keyFiles.toSet, base))
+    base
+  }
+
+  /** Exact membership check for the (rare) digest-hit path: scan only
+    * the committed files' (source,id) columns for the suspect keys.
+    * Returns the keys that are genuinely already committed. */
+  private def confirmCommitted(dir: Path, head: Manifest,
+      suspects: Seq[(String, String)]): Set[(String, String)] = {
+    if (suspects.isEmpty || head.files.isEmpty) return Set.empty
+    val files = head.files.map(f => dir.resolve(f).toString)
+    val sdf = suspects.toDF("source", "id")
+    spark.read.parquet(files: _*).select($"source", $"id")
+      .join(broadcast(sdf), Seq("source", "id"), "left_semi")
+      .distinct().as[(String, String)].collect().toSet
+  }
+
   /** Append a batch with CAS + (source,id) dedup; returns the new
-    * revision. Mirrors reference src/db.rs:180-240 step for step. */
+    * revision. Mirrors reference src/db.rs:180-240 step for step, with
+    * the manifest link as the commit arbiter (multi-process safe). */
   def append(u: String, s: String, events: Seq[CloudEvent],
       expected: ExpectedRevision = ExpectedRevision.Any): Long = {
     if (events.isEmpty) throw EmptyAppend // db.rs:185
+    // intra-batch (source,id) uniqueness — O14, closed
+    events.groupBy(e => (e.source, e.id)).find(_._2.size > 1)
+      .foreach { case ((src, id), _) => throw SourceIdConflict(src, id) }
     lockFor(u, s).synchronized {
-      val current = revision(u, s)
-      expected match { // db.rs:189-198
-        case ExpectedRevision.Any =>
-        case ExpectedRevision.NoStream =>
-          if (current != 0) throw RevisionMismatch(expected, current)
-        case ExpectedRevision.StreamExists =>
-          if (current == 0) throw RevisionMismatch(expected, current)
-        case ExpectedRevision.Exact(n) =>
-          if (current != n) throw RevisionMismatch(expected, current)
+      val dir = streamPath(u, s)
+      var attempt = 0
+      while (true) {
+        val head = readHead(dir)
+        val current = head.map(_.revision).getOrElse(0L)
+        expected match { // db.rs:189-198
+          case ExpectedRevision.Any =>
+          case ExpectedRevision.NoStream =>
+            if (current != 0) throw RevisionMismatch(expected, current)
+          case ExpectedRevision.StreamExists =>
+            if (current == 0) throw RevisionMismatch(expected, current)
+          case ExpectedRevision.Exact(n) =>
+            if (current != n) throw RevisionMismatch(expected, current)
+        }
+        // batch-vs-committed dedup: digest first (no Spark job), exact
+        // confirm only on digest hit
+        val digest = digestFor(u, s, dir, head)
+        val hits = events.filter(e => digest.contains(keyHash(e.source, e.id)))
+        if (hits.nonEmpty) {
+          val committed = confirmCommitted(dir, head.get,
+            hits.map(e => (e.source, e.id)))
+          committed.headOption.foreach { case (src, id) =>
+            throw SourceIdConflict(src, id) }
+        }
+        commitAttempt(u, s, dir, head, events) match {
+          case Some(newRev) => return newRev
+          case None => // lost the manifest race to another process
+            attempt += 1
+            if (attempt > 10) throw new IllegalStateException(
+              s"append to $u/$s: lost the commit race $attempt times")
+          // loop: re-read head, re-validate CAS + dedup
+        }
       }
-      // (source,id) uniqueness — the reference's O14 gap, closed:
-      // intra-batch duplicates…
-      events.groupBy(e => (e.source, e.id)).find(_._2.size > 1)
-        .foreach { case ((src, id), _) => throw SourceIdConflict(src, id) }
-      // …and batch-vs-committed via a left-semi join (scales: the batch
-      // side is broadcast, the stream side is a pruned column scan).
-      if (current > 0) {
-        val existing = readStream(u, s).select($"source", $"id")
-        val batchKeys = events.map(e => (e.source, e.id))
-          .toDF("source", "id")
-        val clash = existing.join(broadcast(batchKeys), Seq("source", "id"),
-          "left_semi").limit(1).collect()
-        clash.headOption.foreach(r =>
-          throw SourceIdConflict(r.getString(0), r.getString(1)))
-      }
-      val now = new Timestamp(System.currentTimeMillis())
-      val rows = events.zipWithIndex.map { case (e, i) =>
-        StoredEvent(u, s, current + i, now, e.specversion, e.id, e.source,
-          e.`type`, e.subject, e.time, e.datacontenttype, e.dataschema,
-          e.data, e.data_base64, e.extensions)
-      }
-      commitBatch(u, s, rows, current, current + events.size - 1)
-      val newRev = current + events.size // db.rs:239
-      revisions.put(key(u, s), newRev)
-      newRev
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -127,48 +201,109 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       if (events.isEmpty) return revision(u, s)
       events.groupBy(e => (e.source, e.id)).find(_._2.size > 1)
         .foreach { case ((src, id), _) => throw SourceIdConflict(src, id) }
-      val fresh =
-        if (revision(u, s) == 0) events
-        else {
-          val committed = readStream(u, s).select($"source", $"id")
-            .join(broadcast(events.map(e => (e.source, e.id))
-              .toDF("source", "id")), Seq("source", "id"), "left_semi")
-            .collect().map(r => (r.getString(0), r.getString(1))).toSet
-          events.filterNot(e => committed.contains((e.source, e.id)))
+      val dir = streamPath(u, s)
+      var attempt = 0
+      while (true) {
+        val head = readHead(dir)
+        val digest = digestFor(u, s, dir, head)
+        val hits = events.filter(e => digest.contains(keyHash(e.source, e.id)))
+        val committed =
+          if (hits.isEmpty) Set.empty[(String, String)]
+          else confirmCommitted(dir, head.get, hits.map(e => (e.source, e.id)))
+        val fresh = events.filterNot(e => committed((e.source, e.id)))
+        if (fresh.isEmpty) return head.map(_.revision).getOrElse(0L)
+        commitAttempt(u, s, dir, head, fresh) match {
+          case Some(newRev) => return newRev
+          case None =>
+            attempt += 1
+            if (attempt > 10) throw new IllegalStateException(
+              s"ingest to $u/$s: lost the commit race $attempt times")
         }
-      if (fresh.isEmpty) revision(u, s)
-      else append(u, s, fresh, ExpectedRevision.Any)
+      }
+      throw new IllegalStateException("unreachable")
     }
 
-  /** Write the batch to a temp dir, then atomically move the single part
-    * file into the stream dir (all-or-nothing visibility). */
-  private def commitBatch(u: String, s: String, rows: Seq[StoredEvent],
-      first: Long, last: Long): Unit = {
-    val dir = streamPath(u, s)
+  /** One commit attempt on top of `head`: write data + keys files, then
+    * claim the next manifest version. Returns the new revision, or None
+    * if another writer claimed the version first (files are cleaned up
+    * and the caller re-validates). */
+  private def commitAttempt(u: String, s: String, dir: Path,
+      head: Option[Manifest], events: Seq[CloudEvent]): Option[Long] = {
+    val current = head.map(_.revision).getOrElse(0L)
+    val now = new Timestamp(System.currentTimeMillis())
+    val rows = events.zipWithIndex.map { case (e, i) =>
+      StoredEvent(u, s, current + i, now, e.specversion, e.id, e.source,
+        e.`type`, e.subject, e.time, e.datacontenttype, e.dataschema,
+        e.data, e.data_base64, e.extensions)
+    }
+    val first = current
+    val last = current + events.size - 1
     Files.createDirectories(dir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataName = s"batch-$first-$last-$uuid.parquet"
+    val keysName = s"keys-$first-$last-$uuid.keys"
+    writeBatchFile(dir.resolve(dataName), rows)
+    writeKeyFile(dir.resolve(keysName),
+      events.map(e => keyHash(e.source, e.id)))
+    val m = Manifest(head.map(_.version + 1).getOrElse(1L), last + 1,
+      head.map(_.files).getOrElse(Nil) :+ dataName,
+      head.map(_.keyFiles).getOrElse(Nil) :+ keysName)
+    if (tryCommitManifest(dir, m)) {
+      // the digest cache is now one version behind; digestFor catches up
+      // incrementally by reading just the sidecar this commit wrote
+      Some(last + 1)
+    } else {
+      Files.deleteIfExists(dir.resolve(dataName))
+      Files.deleteIfExists(dir.resolve(keysName))
+      None
+    }
+  }
+
+  /** Write one batch as a single revision-sorted parquet file via an
+    * atomic move (all-or-nothing, and invisible until the manifest
+    * lists it). */
+  private def writeBatchFile(target: Path, rows: Seq[StoredEvent]): Unit = {
     val tmp = Files.createTempDirectory(root, ".commit-")
     try {
       spark.createDataset(rows).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
-      val part = Files.list(tmp.resolve("out")).iterator().asScala
+      val part = listDir(tmp.resolve("out"))
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("no part file written"))
-      val target = dir.resolve(
-        s"batch-$first-$last-${java.util.UUID.randomUUID()}.parquet")
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
 
-  /** One stream as a Dataset (empty if absent). */
+  /** Claim `manifest-<m.version>` atomically: write a temp file, then
+    * hard-link it to the versioned name — link creation fails atomically
+    * if the version already exists (another writer won). POSIX link(2)
+    * is the single-node arbiter; an object store swaps in a conditional
+    * put here. */
+  private def tryCommitManifest(dir: Path, m: Manifest): Boolean = {
+    val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
+    try {
+      Files.write(tmp, serializeManifest(m).getBytes("UTF-8"))
+      try {
+        Files.createLink(dir.resolve(manifestName(m.version)), tmp)
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** One stream as a Dataset (empty if absent). Reads exactly the files
+    * the head manifest lists — never a directory glob, so concurrent
+    * compaction or a crashed commit's orphan file can neither duplicate
+    * nor corrupt a read. */
   def readStream(u: String, s: String): Dataset[StoredEvent] = {
     val dir = streamPath(u, s)
-    if (!Files.isDirectory(dir) ||
-        !Files.list(dir).iterator().asScala.exists(
-          _.getFileName.toString.endsWith(".parquet")))
-      spark.emptyDataset[StoredEvent]
-    else spark.read.parquet(dir.toString).as[StoredEvent]
+    readHead(dir) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.parquet(m.files.map(f => dir.resolve(f).toString): _*)
+          .as[StoredEvent]
+      case _ => spark.emptyDataset[StoredEvent]
+    }
   }
 
   /** Positional range scan `[start, start+limit)` — reference
@@ -191,40 +326,35 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       : Seq[CloudEvent] =
     query(u, s, math.max(0, offset), math.min(math.max(limit, 0), 1000))
 
-  /** All of a user's streams as one DataFrame (catalog scan). */
+  /** All of a user's streams as one DataFrame (catalog scan) —
+    * manifest-listed files only. */
   def userEvents(u: String): DataFrame = {
-    val dir = userPath(u)
-    val streamDirs =
-      if (!Files.isDirectory(dir)) Nil
-      else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.toString).toList
-    if (streamDirs.isEmpty) spark.emptyDataset[StoredEvent].toDF
-    else spark.read.parquet(streamDirs: _*)
+    val files = listDir(userPath(u)).filter(Files.isDirectory(_))
+      .flatMap(sDir => readHead(sDir).toList
+        .flatMap(_.files.map(f => sDir.resolve(f).toString)))
+    if (files.isEmpty) spark.emptyDataset[StoredEvent].toDF
+    else spark.read.parquet(files: _*)
   }
 
   /** Stream metadata listing — metadata-ONLY, exactly like the reference
-    * (src/db.rs:78-113): revision from committed batch ranges (the
-    * index-length analogue), last_modified from file mtime, usage from
-    * on-disk byte size. O(#files) with zero data scanned — the shape
-    * that survives millions of streams. For a scan-derived aggregate
-    * (count/max/sum over rows, SURVEY.md §3.3) see streamsExact. */
+    * (src/db.rs:78-113): revision from the head manifest (the
+    * index-length analogue), last_modified from the manifest commit
+    * mtime, usage from the listed data files' byte sizes. O(#files)
+    * with zero parquet footers touched — the shape that survives
+    * millions of streams. For a scan-derived aggregate (count/max/sum
+    * over rows, SURVEY.md §3.3) see streamsExact. */
   def streams(u: String, sort: StreamSort = StreamSort.IdAsc)
       : Seq[StreamMeta] = {
-    val uDir = userPath(u)
-    if (!Files.isDirectory(uDir)) return Nil
-    val metas = Files.list(uDir).iterator().asScala
-      .filter(Files.isDirectory(_)).flatMap { sDir =>
-        val files = Files.list(sDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toList
-        if (files.isEmpty) None
-        else {
+    val metas = listDir(userPath(u)).filter(Files.isDirectory(_))
+      .flatMap { sDir =>
+        readHead(sDir).map { m =>
           val sid = Base32.decodeString(sDir.getFileName.toString)
-          Some(StreamMeta(sid, revision(u, sid),
-            new Timestamp(files.map(Files.getLastModifiedTime(_).toMillis)
-              .max),
-            files.map(Files.size).sum))
+          val usage = m.files.map(f => Files.size(sDir.resolve(f))).sum
+          val lastModified = Files.getLastModifiedTime(
+            sDir.resolve(manifestName(m.version))).toMillis
+          StreamMeta(sid, m.revision, new Timestamp(lastModified), usage)
         }
-      }.toSeq
+      }
     StreamSort.applyLocal(sort, metas) // reference src/api.rs:320-335
   }
 
@@ -256,38 +386,88 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   /** Compact a stream's per-batch files into one revision-sorted file —
     * the answer to append-path small-file pressure (SURVEY.md §7 "hard
     * parts"). Returns the number of files replaced (0 = nothing to do).
-    * Runs under the stream's writer lock so appends serialize with it;
-    * concurrent READS of this stream planned mid-compaction may observe
-    * deleted part files (a transactional table format's versioned log is
-    * the at-scale fix) — subsequent reads see exactly the same rows,
-    * now with one file and full row-group min/max locality on revision. */
-  def compactStream(u: String, s: String): Int =
+    *
+    * Safe against concurrent readers: the compacted file commits through
+    * a new manifest version, and the superseded files stay on disk until
+    * a LATER compaction garbage-collects them (only files referenced by
+    * neither the new head nor its predecessor, and older than `graceMs`,
+    * are removed) — so a reader planned against the previous manifest
+    * still finds every file it listed. The same GC sweep removes
+    * orphaned files from crashed commits. */
+  def compactStream(u: String, s: String, graceMs: Long = 10 * 60 * 1000L)
+      : Int =
     lockFor(u, s).synchronized {
       val dir = streamPath(u, s)
-      if (!Files.isDirectory(dir)) return 0
-      val old = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toList
-      if (old.size <= 1) return 0
-      val last = revision(u, s) - 1
+      val head = readHead(dir).getOrElse(return 0)
+      if (head.files.size <= 1) { gcStream(dir, graceMs); return 0 }
+      val last = head.revision - 1
+      val uuid = java.util.UUID.randomUUID().toString
+      val dataName = s"batch-0-$last-$uuid.parquet"
+      val keysName = s"keys-0-$last-$uuid.keys"
       // rewrite via executors (never collect a whole stream to the
       // driver), sorted by revision for row-group stat locality
       val tmp = Files.createTempDirectory(root, ".compact-")
       try {
-        spark.read.parquet(dir.toString).as[StoredEvent]
-          .orderBy($"revision").coalesce(1)
+        spark.read.parquet(head.files.map(f => dir.resolve(f).toString): _*)
+          .as[StoredEvent].orderBy($"revision").coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
-        val part = Files.list(tmp.resolve("out")).iterator().asScala
+        val part = listDir(tmp.resolve("out"))
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException("no compacted file"))
-        val target = dir.resolve(
-          s"batch-0-$last-${java.util.UUID.randomUUID()}.parquet")
-        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-        old.foreach(Files.delete(_))
-        old.size
+        Files.move(part, dir.resolve(dataName), StandardCopyOption.ATOMIC_MOVE)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
+      // merge the key sidecars 1:1 (compaction preserves every event)
+      val merged = head.keyFiles.flatMap(kf => readKeyFile(dir.resolve(kf)))
+      writeKeyFile(dir.resolve(keysName), merged)
+      val m = Manifest(head.version + 1, head.revision,
+        List(dataName), List(keysName))
+      if (!tryCommitManifest(dir, m)) {
+        // a concurrent writer committed first — drop our files, report
+        // nothing compacted; the caller can retry
+        Files.deleteIfExists(dir.resolve(dataName))
+        Files.deleteIfExists(dir.resolve(keysName))
+        return 0
+      }
+      digests.remove(key(u, s)) // rebuilt lazily from the merged sidecar
+      gcStream(dir, graceMs)
+      head.files.size
     }
+
+  /** Garbage-collect files referenced by neither the head manifest nor
+    * its predecessor (keeping one generation for in-flight readers) and
+    * older than the grace window (protecting in-flight commits that have
+    * written data but not yet linked their manifest). Old manifests
+    * below head-1 are pruned too. */
+  private def gcStream(dir: Path, graceMs: Long): Unit = {
+    val versions = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case ManifestFile(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+    if (versions.isEmpty) return
+    val keepVersions = versions.takeRight(2).toSet
+    val referenced = keepVersions.flatMap { v =>
+      val m = parseManifest(dir.resolve(manifestName(v)))
+      (m.files ++ m.keyFiles).toSet
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
+    listDir(dir).foreach { p =>
+      val name = p.getFileName.toString
+      val manifestVersion = name match {
+        case ManifestFile(v) => Some(v.toLong)
+        case _ => None
+      }
+      val deletable = manifestVersion match {
+        case Some(v) => !keepVersions(v)
+        case None =>
+          (name.endsWith(".parquet") || name.endsWith(".keys")) &&
+            !referenced(name) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+      if (deletable) Files.deleteIfExists(p)
+    }
+  }
 
   /** Delete a stream — reference src/server.rs:251-261; returns whether
     * it existed (→ 204 vs 404, src/api.rs:421-423). */
@@ -296,26 +476,102 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       val dir = streamPath(u, s)
       val existed = Files.isDirectory(dir)
       if (existed) org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-      revisions.remove(key(u, s))
+      digests.remove(key(u, s))
       existed
     }
 
   /** Startup catalog recovery — reference src/server.rs:72-121: walk the
-    * directory tree, base32-decode names. Returns (user, stream) pairs. */
+    * directory tree, base32-decode names. Returns (user, stream) pairs
+    * for streams with at least one committed manifest. */
   def recoverCatalog(): Seq[(String, String)] = {
-    if (!Files.isDirectory(root)) return Nil
     (for {
-      u <- Files.list(root).iterator().asScala
+      u <- listDir(root)
       if Files.isDirectory(u) && !u.getFileName.toString.startsWith(".") &&
         u.getFileName.toString != "lost+found" // server.rs:91-93
-      s <- Files.list(u).iterator().asScala if Files.isDirectory(s)
+      s <- listDir(u) if Files.isDirectory(s) && readHead(s).nonEmpty
     } yield (Base32.decodeString(u.getFileName.toString),
-      Base32.decodeString(s.getFileName.toString))).toSeq
+      Base32.decodeString(s.getFileName.toString)))
   }
 }
 
 object EventStore {
-  private val BatchFile = """batch-(\d+)-(\d+)-.*\.parquet""".r
+  private[eventstore] val BatchFile = """batch-(\d+)-(\d+)-.*\.parquet""".r
+  private[eventstore] val ManifestFile = """manifest-(\d+)\.log""".r
+
+  private[eventstore] def manifestName(v: Long) = f"manifest-$v%020d.log"
+
+  /** A committed state of one stream: its revision and the exact set of
+    * data/key files that constitute it. Self-contained — reading the
+    * head manifest alone fully describes the stream. */
+  private[eventstore] case class Manifest(version: Long, revision: Long,
+      files: List[String], keyFiles: List[String])
+
+  private[eventstore] case class DigestCache(version: Long,
+      loadedFiles: Set[String], hashes: java.util.HashSet[java.lang.Long])
+
+  /** Line format: `v <version>` / `r <revision>` / `f <dataFile>` /
+    * `k <keyFile>`. File names are uuid-based (no spaces/newlines). */
+  private[eventstore] def serializeManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append("v ").append(m.version).append('\n')
+    sb.append("r ").append(m.revision).append('\n')
+    m.files.foreach(f => sb.append("f ").append(f).append('\n'))
+    m.keyFiles.foreach(f => sb.append("k ").append(f).append('\n'))
+    sb.toString
+  }
+
+  private[eventstore] def parseManifest(p: Path): Manifest = {
+    var v = 0L
+    var r = 0L
+    val fs = List.newBuilder[String]
+    val ks = List.newBuilder[String]
+    Files.readAllLines(p).asScala.foreach { line =>
+      if (line.startsWith("v ")) v = line.drop(2).toLong
+      else if (line.startsWith("r ")) r = line.drop(2).toLong
+      else if (line.startsWith("f ")) fs += line.drop(2)
+      else if (line.startsWith("k ")) ks += line.drop(2)
+    }
+    Manifest(v, r, fs.result(), ks.result())
+  }
+
+  /** 64-bit FNV-1a over `source \u0000 id` (UTF-8) — the stable key
+    * hash stored in `keys-*.keys` sidecars and checked by the digest.
+    * Collisions are resolved by the exact confirm scan, so the hash
+    * only needs to be cheap and well-distributed, not perfect. */
+  def keyHash(source: String, id: String): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(bytes: Array[Byte]): Unit = {
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+    }
+    mix(source.getBytes("UTF-8"))
+    h ^= 0xffL
+    h *= 0x100000001b3L
+    mix(id.getBytes("UTF-8"))
+    h
+  }
+
+  /** Keys sidecar: big-endian 8-byte hashes, one per event. */
+  private[eventstore] def writeKeyFile(target: Path, hashes: Seq[Long])
+      : Unit = {
+    val buf = java.nio.ByteBuffer.allocate(hashes.size * 8)
+    hashes.foreach(buf.putLong)
+    val tmp = Files.createTempFile(target.getParent, ".keys-", ".tmp")
+    try {
+      Files.write(tmp, buf.array())
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private[eventstore] def readKeyFile(p: Path): Seq[Long] = {
+    val bytes = Files.readAllBytes(p)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    (0 until bytes.length / 8).map(_ => buf.getLong)
+  }
 
   def toCloudEvent(r: StoredEvent): CloudEvent =
     CloudEvent(r.specversion, r.id, r.source, r.`type`, r.subject, r.time,

@@ -1,0 +1,190 @@
+package graft.eventstore
+
+import graft.SparkSuite
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import scala.jdk.CollectionConverters._
+
+/** The manifest commit protocol's guarantees, beyond what EventStoreSpec
+  * (the reference's own test matrix) covers: multi-process CAS arbitration
+  * via the atomic manifest link, reader isolation from compaction, crash
+  * orphan invisibility, and the no-Spark-job digest fast path for
+  * (source,id) dedup.
+  */
+class ManifestSpec extends SparkSuite {
+
+  private def ev(id: String, src: String = "test://manifest") =
+    CloudEvent(id = id, source = src, `type` = "dev.graft.test")
+
+  test("two EventStore instances over the same root: CAS race has " +
+      "exactly one winner (manifest link is the arbiter, not JVM locks)") {
+    val dir = tempDir("multi-proc-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeA.append("u1", "s1", Seq(ev("base")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val attempts = (0 until 4).map { t =>
+      val store = if (t % 2 == 0) storeA else storeB
+      Future {
+        try { store.append("u1", "s1", Seq(ev(s"racer-$t")),
+          ExpectedRevision.Exact(1)); true }
+        catch { case _: RevisionMismatch => false }
+      }
+    }
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    assert(results.count(identity) == 1)
+    // both instances observe the same committed state
+    assert(storeA.revision("u1", "s1") == 2)
+    assert(storeB.revision("u1", "s1") == 2)
+    assert(storeB.query("u1", "s1", 0, 10).size == 2)
+  }
+
+  test("two instances appending concurrently with Any interleave " +
+      "without losing events (loser retries on the next version)") {
+    val dir = tempDir("multi-any-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (0 until 2).map { t =>
+      val store = if (t == 0) storeA else storeB
+      Future {
+        (0 until 5).foreach(i =>
+          store.append("u1", "shared", Seq(ev(s"w$t-$i"))))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    assert(storeA.revision("u1", "shared") == 10)
+    val got = storeA.query("u1", "shared", 0, 100)
+    assert(got.size == 10)
+    assert(got.map(_.id).toSet ==
+      (0 until 2).flatMap(t => (0 until 5).map(i => s"w$t-$i")).toSet)
+    // dedup catches cross-instance duplicates too
+    intercept[SourceIdConflict] { storeB.append("u1", "shared",
+      Seq(ev("w0-0"))) }
+  }
+
+  test("a Dataset planned before compaction still reads correctly — " +
+      "no silent duplication, no missing-file failure") {
+    val store = new EventStore(spark, tempDir("compact-read-"))
+    (0 until 5).foreach(i => store.append("u1", "s1", Seq(ev(s"e-$i"))))
+    val planned = store.readStream("u1", "s1") // captures the v5 file list
+    assert(store.compactStream("u1", "s1") == 5)
+    // superseded files survive one generation (grace GC), so the
+    // pre-compaction plan executes against its original files
+    val rows = planned.orderBy("revision").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.id).toSeq == (0 until 5).map(i => s"e-$i"))
+    // a fresh read sees the same events exactly once via the new manifest
+    val fresh = store.query("u1", "s1", 0, 100)
+    assert(fresh.map(_.id) == (0 until 5).map(i => s"e-$i"))
+  }
+
+  test("orphaned files from a crashed commit are invisible and later " +
+      "garbage-collected") {
+    val root = tempDir("orphan-")
+    val store = new EventStore(spark, root)
+    store.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    val streamDir = onlyStreamDir(root)
+    // simulate a crash between data-file write and manifest link: copy
+    // an existing batch file under a fresh uuid name
+    val committed = Files.list(streamDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val orphan = streamDir.resolve(
+      "batch-2-3-00000000-dead-beef-0000-000000000000.parquet")
+    Files.copy(committed, orphan)
+    // invisible to every read path
+    assert(store.revision("u1", "s1") == 2)
+    assert(store.query("u1", "s1", 0, 100).size == 2)
+    assert(store.streams("u1").head.revision == 2)
+    // GC (via compaction housekeeping, zero grace) removes it
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1L))
+    store.append("u1", "s1", Seq(ev("e-2")))
+    store.compactStream("u1", "s1", graceMs = 0L)
+    assert(!Files.exists(orphan))
+    assert(store.query("u1", "s1", 0, 100).size == 3)
+  }
+
+  test("superseded files are garbage-collected after one further " +
+      "generation (deferred deletion for in-flight readers)") {
+    val root = tempDir("gc-")
+    val store = new EventStore(spark, root)
+    (0 until 4).foreach(i => store.append("u1", "s1", Seq(ev(s"e-$i"))))
+    val streamDir = onlyStreamDir(root)
+    def parquetCount = Files.list(streamDir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parquetCount == 4)
+    assert(store.compactStream("u1", "s1", graceMs = 0L) == 4)
+    // originals still on disk: referenced by the previous manifest
+    assert(parquetCount == 5)
+    store.append("u1", "s1", Seq(ev("e-4")))
+    assert(store.compactStream("u1", "s1", graceMs = 0L) == 2)
+    // now the 4 originals are referenced by neither kept manifest → gone;
+    // what remains: compacted-v2 (head) + the previous generation's
+    // compacted-v1 and the e-4 batch file
+    assert(parquetCount == 3)
+    assert(store.query("u1", "s1", 0, 100).map(_.id) ==
+      (0 until 5).map(i => s"e-$i"))
+  }
+
+  test("append to a long stream runs no dedup scan: digest fast path " +
+      "costs exactly the one write job") {
+    val store = new EventStore(spark, tempDir("nojob-"))
+    (0 until 10).foreach(i =>
+      store.append("u1", "hot", Seq(ev(s"seed-$i"))))
+    // warm the digest cache (first call after restart loads sidecars)
+    store.append("u1", "hot", Seq(ev("warm")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.append("u1", "hot", Seq(ev("fresh-a"), ev("fresh-b")))
+      // listener delivery is async: poll until the count stabilizes
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(jobs.get() == 1,
+        s"expected exactly 1 Spark job (the parquet write), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(store.revision("u1", "hot") == 13)
+  }
+
+  test("a second instance detects duplicates committed by the first " +
+      "(digest rebuilt from keys sidecars, not process memory)") {
+    val dir = tempDir("digest-recover-")
+    val storeA = new EventStore(spark, dir)
+    storeA.append("u1", "s1", (0 until 20).map(i => ev(s"e-$i")))
+    val storeB = new EventStore(spark, dir)
+    intercept[SourceIdConflict] {
+      storeB.append("u1", "s1", Seq(ev("e-7")))
+    }
+    // 64-bit digest hit on a *different* key is resolved exactly: a new
+    // id sails through
+    assert(storeB.append("u1", "s1", Seq(ev("e-20"))) == 21)
+  }
+
+  private def onlyStreamDir(root: String): Path = {
+    val user = Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_)).toList match {
+      case one :: Nil => one
+      case other => fail(s"expected one user dir, got $other")
+    }
+    Files.list(user).iterator().asScala.filter(Files.isDirectory(_))
+      .toList match {
+      case one :: Nil => one
+      case other => fail(s"expected one stream dir, got $other")
+    }
+  }
+}
