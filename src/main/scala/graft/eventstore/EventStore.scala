@@ -223,6 +223,183 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       throw new IllegalStateException("unreachable")
     }
 
+  /** Commit a streaming micro-batch (wire-parsed rows, see
+    * Streams.parseWire) without funneling event bytes through the
+    * driver — the scale-safe ingest path:
+    *
+    *  1. rows with no routing identity (null user_id / stream_id / id /
+    *     source — including fully malformed JSON) are appended to the
+    *     dead-letter directory instead of poisoning the query;
+    *  2. a metadata pass ships ONLY per-stream counts and 8-byte key
+    *     hashes to the driver (the digest dedup input — bytes stay out);
+    *  3. executors write one revision-assigned, revision-sorted parquet
+    *     file per stream (repartition by stream key + partitionBy), with
+    *     base revisions and confirmed-duplicate drops broadcast in;
+    *  4. the driver then commits each staged file with a metadata-only
+    *     manifest claim. A concurrent external commit (version moved
+    *     under us) falls back to the per-stream idempotent append for
+    *     just that stream.
+    *
+    * Returns the number of events committed (after dedup). At true
+    * multi-writer scale the per-stream commit loop shards with the
+    * streams themselves — the claim is per stream, nothing global. */
+  def ingestBatch(batch: DataFrame, deadLetterDir: Option[String] = None)
+      : Long = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      val invalid = $"user_id".isNull || $"stream_id".isNull ||
+        $"id".isNull || $"source".isNull
+      deadLetterDir.foreach { d =>
+        val bad = cached.filter(invalid)
+        val asLine = to_json(struct(cached.columns.filter(_ != "_raw")
+          .map(col).toSeq: _*))
+        val line =
+          if (cached.columns.contains("_raw")) coalesce(col("_raw"), asLine)
+          else asLine
+        if (!bad.isEmpty)
+          bad.select(line.as("value")).write.mode(SaveMode.Append).text(d)
+      }
+      // within-batch (source,id) dedup: re-delivered wire events are the
+      // same event by CloudEvents §3 — keep one
+      val good = cached.filter(!invalid)
+        .dropDuplicates("user_id", "stream_id", "source", "id")
+      val khUdf = udf(EventStore.keyHash _)
+      // metadata pass: counts + key hashes only (8 bytes/event)
+      val stats = good.groupBy($"user_id", $"stream_id")
+        .agg(collect_list(khUdf($"source", $"id")).as("hashes"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2)))
+      if (stats.isEmpty) return 0L
+      // per-stream commit prep: CAS base + confirmed-duplicate drops
+      case class Prep(u: String, s: String, baseVersion: Long, base: Long,
+          prevFiles: List[String], prevKeys: List[String],
+          dropPairs: Set[(String, String)], freshHashes: Seq[Long])
+      val preps = stats.map { case (u, s, hashes) =>
+        val dir = streamPath(u, s)
+        val head = readHead(dir)
+        val digest = lockFor(u, s).synchronized(digestFor(u, s, dir, head))
+        val hits = hashes.filter(digest.contains(_))
+        val dropPairs =
+          if (hits.isEmpty) Set.empty[(String, String)]
+          else {
+            // digest hit → exact confirm against committed (source,id)s;
+            // the candidate keys come from a pruned 2-column scan of the
+            // *batch* side (small), never a full driver materialization
+            val suspects = good
+              .filter($"user_id" === u && $"stream_id" === s &&
+                khUdf($"source", $"id").isInCollection(hits))
+              .select($"source", $"id").as[(String, String)].collect().toSeq
+            confirmCommitted(dir, head.get, suspects)
+          }
+        val dropHashes = scala.collection.mutable.Map[Long, Int]()
+        dropPairs.foreach { case (src, id) =>
+          val h = keyHash(src, id)
+          dropHashes(h) = dropHashes.getOrElse(h, 0) + 1
+        }
+        val freshHashes = hashes.filter { h =>
+          val n = dropHashes.getOrElse(h, 0)
+          if (n > 0) { dropHashes(h) = n - 1; false } else true
+        }
+        Prep(u, s, head.map(_.version).getOrElse(0L),
+          head.map(_.revision).getOrElse(0L),
+          head.map(_.files).getOrElse(Nil),
+          head.map(_.keyFiles).getOrElse(Nil), dropPairs, freshHashes)
+      }
+      val now = new Timestamp(System.currentTimeMillis())
+      val staging = Files.createTempDirectory(root, ".ingest-")
+      try {
+        import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
+        val basesDF = preps.toSeq.map(p => (p.u, p.s, p.base))
+          .toDF("user_id", "stream_id", "__base")
+        val drops = preps.toSeq.flatMap(p =>
+          p.dropPairs.toSeq.map { case (src, id) => (p.u, p.s, src, id) })
+        val deduped =
+          if (drops.isEmpty) good
+          else good.join(
+            drops.toDF("user_id", "stream_id", "source", "id"),
+            Seq("user_id", "stream_id", "source", "id"), "left_anti")
+        val b32 = udf(Base32.encodeString _)
+        val w = Window.partitionBy($"user_id", $"stream_id")
+          .orderBy(col("time").asc_nulls_first, col("id").asc,
+            col("source").asc)
+        val staged = deduped
+          .join(broadcast(basesDF), Seq("user_id", "stream_id"))
+          .withColumn("revision",
+            row_number().over(w).cast("long") - 1 + $"__base")
+          .withColumn("ingest_ts", lit(now))
+          .withColumn("__u32", b32($"user_id"))
+          .withColumn("__s32", b32($"stream_id"))
+          .select($"__u32", $"__s32", $"user_id", $"stream_id",
+            $"revision", $"ingest_ts",
+            coalesce($"specversion", lit("1.0")).as("specversion"),
+            $"id", $"source", col("type"), $"subject", $"time",
+            $"datacontenttype", $"dataschema", $"data", $"data_base64",
+            $"extensions")
+        // executors write one revision-sorted file per stream
+        staged.repartition($"__u32", $"__s32")
+          .sortWithinPartitions($"__u32", $"__s32", $"revision")
+          .write.partitionBy("__u32", "__s32")
+          .mode(SaveMode.Overwrite).parquet(staging.toString)
+        // driver: metadata-only manifest commits
+        var committed = 0L
+        preps.foreach { p =>
+          val partDir = staging
+            .resolve(s"__u32=${Base32.encodeString(p.u)}")
+            .resolve(s"__s32=${Base32.encodeString(p.s)}")
+          val parts = listDir(partDir)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+          val n = p.freshHashes.size
+          if (n > 0 && parts.nonEmpty) {
+            committed += commitStaged(p.u, p.s, p.baseVersion, p.base,
+              p.prevFiles, p.prevKeys, p.freshHashes, parts)
+          }
+        }
+        committed
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Move one stream's staged file into place and claim the manifest.
+    * Falls back to the idempotent append if the stream moved under us
+    * (external writer) or the staging produced an unexpected shape. */
+  private def commitStaged(u: String, s: String, baseVersion: Long,
+      base: Long, prevFiles: List[String], prevKeys: List[String],
+      freshHashes: Seq[Long], parts: List[Path]): Long =
+    lockFor(u, s).synchronized {
+      val dir = streamPath(u, s)
+      val headNow = readHead(dir)
+      val fallback = headNow.map(_.version).getOrElse(0L) != baseVersion ||
+        parts.size != 1
+      if (!fallback) {
+        val n = freshHashes.size
+        val first = base
+        val last = base + n - 1
+        Files.createDirectories(dir)
+        val uuid = java.util.UUID.randomUUID().toString
+        val dataName = s"batch-$first-$last-$uuid.parquet"
+        val keysName = s"keys-$first-$last-$uuid.keys"
+        Files.move(parts.head, dir.resolve(dataName),
+          StandardCopyOption.ATOMIC_MOVE)
+        writeKeyFile(dir.resolve(keysName), freshHashes)
+        val m = Manifest(baseVersion + 1, last + 1,
+          prevFiles :+ dataName, prevKeys :+ keysName)
+        if (tryCommitManifest(dir, m)) return n.toLong
+        Files.deleteIfExists(dir.resolve(dataName))
+        Files.deleteIfExists(dir.resolve(keysName))
+      }
+      // rare path: re-append this stream's staged rows idempotently
+      val events = spark.read
+        .parquet(parts.map(_.toString): _*)
+        .orderBy($"revision").as[StoredEvent]
+        .collect().toSeq.map(EventStore.toCloudEvent)
+      val before = revision(u, s)
+      appendIdempotent(u, s, events) - before
+    }
+
   /** One commit attempt on top of `head`: write data + keys files, then
     * claim the next manifest version. Returns the new revision, or None
     * if another writer claimed the version first (files are cleaned up

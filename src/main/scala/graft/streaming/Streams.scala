@@ -33,6 +33,7 @@ object Streams {
     StructField("datacontenttype", StringType),
     StructField("dataschema", StringType),
     StructField("data", StringType),
+    StructField("data_base64", StringType),
     StructField("user_id", StringType),
     StructField("stream_id", StringType)))
 
@@ -46,51 +47,46 @@ object Streams {
   /** Parse raw NDJSON lines into typed wire rows + an `extensions` map
     * of the unknown top-level attributes (schema-on-read twice: once
     * with the fixed envelope schema, once as map<string,string> to
-    * harvest extras — both stay in the scan stage, no shuffle). */
-  def parseWire(raw: DataFrame, lineCol: String = "value"): DataFrame = {
+    * harvest extras — both stay in the scan stage, no shuffle).
+    * `data_base64` arrives base64-encoded per the CloudEvents JSON
+    * format (reference openapi.yaml:81-86) and is decoded to bytes
+    * here. With `keepRaw` the original line rides along as `_raw` (for
+    * dead-letter capture of malformed input). */
+  def parseWire(raw: DataFrame, lineCol: String = "value",
+      keepRaw: Boolean = false): DataFrame = {
     val known = from_json(col(lineCol), wireSchema).as("e")
     val allKv = from_json(col(lineCol), MapType(StringType, StringType))
       .as("kv")
-    raw.select(known, allKv)
-      .select(col("e.*"),
+    val rawCols = if (keepRaw) Seq(col(lineCol).as("_raw")) else Nil
+    raw.select(known +: allKv +: rawCols: _*)
+      .select(col("e.*") +:
         map_filter(col("kv"), (k, _) => !k.isInCollection(knownKeys))
-          .as("extensions"))
+          .as("extensions") +:
+        rawCols.map(_ => col("_raw")): _*)
+      .withColumn("data_base64", unbase64(col("data_base64")))
   }
 
   /** Start streaming ingest: NDJSON files appearing under `inputDir` are
     * appended to their (user_id, stream_id) streams, open extension
-    * attributes included. The driver-side per-stream collect is bounded
-    * by micro-batch size; the store append itself is the committed path. */
+    * attributes included.
+    *
+    * Event bytes never pass through the driver: each micro-batch is
+    * committed by [[EventStore.ingestBatch]] — executors write the
+    * per-stream revision-assigned parquet files, the driver handles
+    * metadata only (per-stream counts, key hashes, manifest commits).
+    * Re-delivered batches (foreachBatch is at-least-once on retry)
+    * converge to exactly-once via the store's (source,id) digest.
+    * Rows with no routing identity (null user_id / stream_id / id /
+    * source, including fully malformed JSON lines) go to the
+    * dead-letter directory instead of failing the query. */
   def startIngest(spark: SparkSession, store: EventStore, inputDir: String,
-      checkpointDir: String): StreamingQuery =
-    parseWire(spark.readStream.text(inputDir))
+      checkpointDir: String, deadLetterDir: Option[String] = None)
+      : StreamingQuery =
+    parseWire(spark.readStream.text(inputDir), keepRaw = true)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect() // micro-batch-sized, see scaladoc
-        rows.groupBy(r =>
-          (r.getAs[String]("user_id"), r.getAs[String]("stream_id")))
-          .foreach { case ((u, s), rs) =>
-            val events = rs.toSeq.map { r =>
-              CloudEvent(
-                specversion = Option(r.getAs[String]("specversion"))
-                  .getOrElse("1.0"),
-                id = r.getAs[String]("id"),
-                source = r.getAs[String]("source"),
-                `type` = r.getAs[String]("type"),
-                subject = Option(r.getAs[String]("subject")),
-                time = Option(r.getAs[java.sql.Timestamp]("time")),
-                datacontenttype =
-                  Option(r.getAs[String]("datacontenttype")),
-                dataschema = Option(r.getAs[String]("dataschema")),
-                data = Option(r.getAs[String]("data")),
-                extensions = Option(r.getAs[Map[String, String]](
-                  "extensions")).getOrElse(Map.empty))
-            }
-            // idempotent: foreachBatch is at-least-once on retry; the
-            // (source,id)-aware re-append converges to exactly-once
-            store.appendIdempotent(u, s, events)
-          }
+        store.ingestBatch(batch, deadLetterDir): Unit
       }
       .start()
 
