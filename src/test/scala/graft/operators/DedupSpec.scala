@@ -75,17 +75,43 @@ class DedupSpec extends SparkSuite {
     aggSims.foreach { case (id, sh) => assert(sims(id) == sh) }
   }
 
-  test("embedding cosine pairs: LSH candidates ⊆ exact; high-sim pair " +
-      "survives bucketing") {
+  test("embedding cosine pairs: LSH candidates ⊆ exact; multi-table " +
+      "OR-construction at q63's parameters EQUALS exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Dedup.embeddingCosinePairsExact(emb, "embedding", "vec_id",
-        minCosine = 0.4)
+        minCosine = 0.42)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
-        minCosine = 0.4, numPlanes = 4, dim = 64)
+    assert(exact.nonEmpty)
+    // single table: a subset (candidates only from one bucketing)
+    val oneTable = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+        minCosine = 0.42, numPlanes = 4, dim = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(exact))
-    if (exact.nonEmpty) assert(lsh.nonEmpty) // 4 planes: recall ~ 1/16 min
+    assert(oneTable.subsetOf(exact))
+    // q63's parameters: miss probability < 1e-6 per pair → identity
+    val multi = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+        minCosine = 0.42, numPlanes = 3, dim = 64, tables = 48)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi == exact)
+  }
+
+  test("minhash LSH band-bucket cap: capped == uncapped == exact when " +
+      "the cap clears the legitimate duplicate-cluster size") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5,
+        maxBucket = Some(50))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(capped == exact)
+    // a cap of 1 kills every bucket with a real duplicate pair in it —
+    // proves the cap actually gates candidate generation
+    val starved = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5,
+        maxBucket = Some(1))
+      .count()
+    assert(starved == 0)
   }
 
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +

@@ -83,16 +83,76 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
-  test("LSH ANN: results ⊆ corpus, no self, recall vs brute force ≥ 0.3") {
+  test("LSH ANN: results ⊆ corpus, no self, recall vs brute force ≥ 0.3; " +
+      "probing every bucket equals brute force exactly") {
     val k = 20
+    // synthetic embeddings are near-isotropic — LSH's hardest case — so
+    // a quarter of the buckets is the honest probe budget for recall
     val ann = Similarity.lshTopKForId(emb, "embedding", "vec_id",
-      queryId = 0, k = k, numPlanes = 8, dim = 64, probes = 8)
+      queryId = 0, k = k, numPlanes = 8, dim = 64, probes = 64)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, k)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(!ann.contains(0L))
     assert(ann.size <= k)
-    val recall = (ann & brute).size.toDouble / k
+    val recall = (ann & brute.toSet).size.toDouble / k
     assert(recall >= 0.3, s"recall $recall too low")
+    // the identity anchor: all 2^planes buckets probed == exact result
+    val full = Similarity.lshTopKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = k, numPlanes = 8, dim = 64, probes = 256)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute)
+  }
+
+  test("persisted IVF index: probe reads only the probed list " +
+      "partitions and full probe equals brute force") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tempDir("ivf-idx-")
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nLists = 8)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val probe = Similarity.ivfProbe(spark, dir, qv, k = 10, nProbes = 2,
+      excludeId = Some(0L))
+    val rows = probe.collect()
+    assert(rows.length == 10)
+    // partition pruning: of the 8 list directories only 2 are read
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("lists")) => f
+    }.head
+    assert(scan.metrics("numFiles").value == 2,
+      s"expected 2 pruned files, read ${scan.metrics("numFiles").value}")
+    val full = Similarity.ivfProbe(spark, dir, qv, k = 10, nProbes = 8,
+      excludeId = Some(0L)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute)
+  }
+
+  test("persisted LSH index: bucket partitions prune on probe; " +
+      "full-bucket probe equals brute force") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tempDir("lsh-idx-")
+    Similarity.buildLshIndex(emb, "embedding", "vec_id", dir,
+      numPlanes = 6, dim = 64)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val probe = Similarity.lshProbe(spark, dir, qv, k = 10, probes = 4,
+      excludeId = Some(0L))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val totalBuckets = spark.read.parquet(s"$dir/buckets")
+      .select("bucket").distinct().count()
+    assert(scan.metrics("numFiles").value <= 4,
+      s"probe read ${scan.metrics("numFiles").value} files " +
+        s"of $totalBuckets buckets")
+    val full = Similarity.lshProbe(spark, dir, qv, k = 10, probes = 64,
+      excludeId = Some(0L)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute)
   }
 }
