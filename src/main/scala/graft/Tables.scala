@@ -30,19 +30,34 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via the legacy conf
     * and truncate to microseconds — exactly what DuckDB does when it loads
-    * the same file, so oracle comparisons stay exact. */
+    * the same file, so oracle comparisons stay exact.
+    *
+    * This loader REQUIRES the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; it sets it (idempotent,
+    * never unset) if missing. That session-level side effect is explicit
+    * here because there is no per-read equivalent — the conf only widens
+    * what parquet types a scan accepts, so it cannot change the result of
+    * any other read. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption(NanosConf).forall(_ != "true"))
+      s.conf.set(NanosConf, "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
   }
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all fixture tables as temp views (for SQL-expressed queries,
     * e.g. GROUPING SETS which has no DataFrame API). View names match the
-    * oracle's table names. */
+    * oracle's table names. `events` routes through [[events]] so the view
+    * carries the same micros-truncated `ts` as every DataFrame query
+    * (registering the raw file would either fail on the nanos type or
+    * expose ts as a bare long). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

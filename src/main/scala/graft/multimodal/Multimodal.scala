@@ -61,9 +61,17 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("content_type"))
         .as("meta"))
 
-  /** Decode + feature-extract, partition-batched. Real pipeline shape;
-    * FAKE-DECODE body. */
-  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16)
+  /** Content-type-agnostic BYTE-LEVEL features, partition-batched: a
+    * normalized byte histogram projected into `dim` floats. This is NOT
+    * a codec and does not pretend to be one — it is the honest
+    * container-level fingerprint (magic-byte distribution, entropy
+    * proxy) a pipeline computes for payloads it cannot decode. Image
+    * and audio have real codecs (decodeImageFeatures /
+    * decodeAudioFeatures); VIDEO has no codec in this environment (no
+    * ffmpeg/javacv on the classpath and no egress to fetch one), so
+    * video payloads get exactly this byte-level treatment — documented
+    * here and in SURVEY.md, not hidden behind a fake decode. */
+  def byteFeatures(media: Dataset[MediaRow], dim: Int = 16)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -71,16 +79,13 @@ object Multimodal {
       // model weights here, once per partition — the batch-shape win).
       rows.map { r =>
         MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
-          fakeDecode(r.payload, dim))
+          byteHistogram(r.payload, dim))
       }
     }
   }
 
-  /** FAKE-DECODE: deterministic stand-in for image/audio decoding — a
-    * byte-histogram-ish projection of the payload into `dim` floats.
-    * Replace with a real codec (e.g. decode → pooled embedding) without
-    * touching any caller. */
-  private[multimodal] def fakeDecode(payload: Array[Byte], dim: Int)
+  /** Normalized byte histogram (see byteFeatures). */
+  private[multimodal] def byteHistogram(payload: Array[Byte], dim: Int)
       : Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
@@ -233,16 +238,37 @@ object Multimodal {
     }
   }
 
-  /** Resize stage (images/video frames): metadata transform is real;
-    * pixel work is the same FAKE-DECODE boundary. At scale this is a
-    * pure map — no shuffle, no driver involvement. */
+  /** REAL resize stage for image payloads: ImageIO-decode, bilinear
+    * Graphics2D rescale to (w, h), PNG re-encode — pixels change, and
+    * the payload's decoded dimensions equal the new metadata (asserted
+    * in MultimodalSpec). Non-image rows pass through UNTOUCHED,
+    * metadata included — resize is an image-stage operator and must not
+    * lie about payloads it cannot transform (video: no codec in this
+    * environment, see byteFeatures). At scale this is a pure map — no
+    * shuffle, no driver involvement. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        // FAKE-DECODE: a real implementation re-encodes pixels; the
-        // deterministic stand-in keeps payload bytes and updates meta.
-        r.copy(meta = r.meta.copy(width = w, height = h))
+        if (r.meta.kind != "image") r
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable image payload ${r.media_id}")
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(r.media_id, bos.toByteArray,
+            r.meta.copy(width = w, height = h))
+        }
       }
     }
   }

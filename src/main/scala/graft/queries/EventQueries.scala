@@ -209,6 +209,21 @@ object EventQueries {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** q64: the exact columns of q45 under a DuckDB oracle — splitting
+    * them out of the rows-only approx query means the distinct-count
+    * path is hash-verified while q45 keeps exercising the HLL sketch. */
+  val q64_exact_distinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+
+  val q64_oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events
+       FROM events GROUP BY event_type"""
+
   /** q52: sliding-window aggregate in batch form — 2h windows sliding
     * 1h via Spark's window() (each event lands in exactly two windows);
     * the oracle replicates the slot assignment with an explicit unnest. */
@@ -253,6 +268,7 @@ object EventQueries {
     "q52_sliding_2h" -> q52_sliding_2h,
     "q44_asof_join" -> q44_asof_join,
     "q45_approx_distinct" -> q45_approx_distinct,
+    "q64_exact_distinct" -> q64_exact_distinct,
     "q19_json_extract" -> q19_json_extract,
     "q20_revision_assign" -> q20_revision_assign,
     "q21_positional_scan" -> q21_positional_scan,
@@ -262,6 +278,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q64_exact_distinct" -> q64_oracle,
     "q56_variant_json" -> q56_oracle,
     "q52_sliding_2h" -> q52_oracle,
     "q44_asof_join" -> q44_oracle,

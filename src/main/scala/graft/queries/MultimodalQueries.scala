@@ -58,12 +58,14 @@ object MultimodalQueries {
          FROM documents)
        WHERE k = 2"""
 
-  /** q43: decode + feature-extract (stubbed codec, real partition-batched
-    * plumbing) feeding a per-kind aggregate. Rows-only check — the fake
-    * decode is JVM-side; determinism + schema are asserted in ScalaTest. */
+  /** q43: byte-level payload features (honest container fingerprint —
+    * NOT a codec; video has no codec in this environment, see
+    * Multimodal.byteFeatures) feeding a per-kind aggregate. Rows-only
+    * check — the feature hash is JVM-side; determinism + schema are
+    * asserted in ScalaTest. */
   val q43_media_features: Q = (s, d) => {
     import s.implicits._
-    Multimodal.decodeFeatures(media(s, d).as[Multimodal.MediaRow], dim = 16)
+    Multimodal.byteFeatures(media(s, d).as[Multimodal.MediaRow], dim = 16)
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),

@@ -19,18 +19,18 @@ class MultimodalSpec extends SparkSuite {
     assert(media.select("meta.kind").distinct().count() == 3)
   }
 
-  test("decodeFeatures: stable schema, deterministic output, features " +
+  test("byteFeatures: stable schema, deterministic output, features " +
       "compose with the vector operators") {
-    val feats = Multimodal.decodeFeatures(
+    val feats = Multimodal.byteFeatures(
       media.as[Multimodal.MediaRow], dim = 16)
     assert(feats.schema("features").dataType ==
       ArrayType(FloatType, containsNull = false))
     val a = feats.orderBy("media_id").limit(5).collect()
-    val b = Multimodal.decodeFeatures(
+    val b = Multimodal.byteFeatures(
       media.as[Multimodal.MediaRow], dim = 16)
       .orderBy("media_id").limit(5).collect()
     assert(a.zip(b).forall { case (x, y) =>
-      x.features.sameElements(y.features) }) // deterministic fake decode
+      x.features.sameElements(y.features) }) // deterministic byte features
     assert(a.forall(_.features.length == 16))
     assert(a.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3)) // normalized
     // features flow into the similarity operator unchanged
@@ -74,9 +74,38 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("resize updates metadata; frame sampling strides video frames") {
-    val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 224, 224)
-    assert(resized.filter(_.meta.width != 224).count() == 0)
+  test("resize transforms pixels for real: the resized payload DECODES " +
+      "to the target dimensions; non-image rows pass through untouched") {
+    val imgs = Multimodal.syntheticImageTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val resized = Multimodal.resize(imgs, 24, 16)
+    val sample = resized.orderBy("media_id").limit(5).collect()
+    sample.foreach { r =>
+      assert(r.meta.width == 24 && r.meta.height == 16)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 24 && img.getHeight == 16,
+        s"payload decodes to ${img.getWidth}x${img.getHeight}")
+    }
+    // decoded content survives: resized image of a non-constant source
+    // is itself non-constant (pixels were actually resampled, not synthesized)
+    val px = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      sample.head.payload))
+    val distinct = (for (x <- 0 until 24; y <- 0 until 16)
+      yield px.getRGB(x, y)).distinct.size
+    assert(distinct > 8)
+    // non-image rows: payload AND metadata untouched (no metadata lies)
+    val audioIn = media.as[Multimodal.MediaRow]
+      .filter(_.meta.kind != "image")
+    val audioOut = Multimodal.resize(audioIn, 224, 224)
+      .orderBy("media_id").limit(5).collect()
+    audioIn.orderBy("media_id").limit(5).collect().zip(audioOut)
+      .foreach { case (i, o) =>
+        assert(i.meta == o.meta && i.payload.sameElements(o.payload))
+      }
+  }
+
+  test("frame sampling strides video frames") {
     val frames = Multimodal.sampleFrames(
       media.as[Multimodal.MediaRow], stride = 4)
     val perMedia = frames.groupBy("media_id")
