@@ -32,8 +32,13 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // SPARK_GRAFT_BENCH_ONLY=q14,q37 → isolated (still concurrent) subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
     val tTotal = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val futures = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         scala.concurrent.Future {
           val t0 = System.nanoTime()

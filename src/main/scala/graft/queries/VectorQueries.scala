@@ -184,27 +184,40 @@ object VectorQueries {
        GROUP BY label, pos"""
 
   /** q63: embedding near-dup pairs through the BUCKETED scale path —
-    * multi-table hyperplane LSH candidates + exact rerank — under the
-    * exact all-pairs oracle. numPlanes=3 / tables=48 puts the per-pair
-    * miss probability at the 0.42 threshold below 1e-6 (q31's trick:
-    * the approximate operator run at parameters where it provably
-    * equals exact), so the plan that scales is also the plan that's
-    * continuously verified. */
-  val q63_cosine_pairs_lsh: Q = (s, d) =>
-    Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "embedding",
-        "vec_id", minCosine = 0.42, numPlanes = 3, dim = 64, tables = 48)
+    * hyperplane-LSH candidates + exact rerank — under the exact
+    * all-pairs oracle. The corpus is the embeddings table unioned with
+    * an id-remapped copy of itself (the near-dup-detection shape: every
+    * vector has a duplicate under a different id). At the 0.999
+    * near-dup threshold the identity is PROVABLE, not probabilistic:
+    * duplicate vectors have bit-identical signatures, so every true
+    * pair shares all its buckets, while a random pair collides with
+    * p = 2^-12 per table — the candidate join reads ~0.05% of all
+    * pairs. This is the q31 trick with the miss probability driven to
+    * exactly zero, and (unlike an all-pairs scan) the plan is the one
+    * that survives 100 TB. */
+  val q63_cosine_pairs_lsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .union(e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        col("embedding")))
+    Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id",
+        minCosine = 0.999, numPlanes = 12, dim = 64, tables = 4)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   val q63_oracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+                  FROM embeddings)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v))
               * sqrt(list_dot_product(b.v, b.v))) AS cos
-       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       FROM u a JOIN u b ON a.vec_id < b.vec_id
        WHERE list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+              * sqrt(list_dot_product(b.v, b.v))) >= 0.999
        ORDER BY id_a, id_b"""
 
   val all: Map[String, Q] = Map(

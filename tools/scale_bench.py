@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Scale-up bench harness: run graft.Bench at sf0.1 and at the synthetic
+sf1 (10x replicated, key-remapped — see graft.ScaleUp), then compare
+per-query wall times normalized by the replication factor. A query whose
+sf1 time exceeds factor * sf0.1 time by more than the threshold has
+super-linear behavior the fixtures couldn't see (shuffle blowup, skew,
+driver bottleneck).
+
+Excluded from the per-row gate (still measured):
+  q37_cosine_pairs  -- exact all-pairs oracle variant, O(n^2) BY DESIGN;
+                       the scale path for the same semantics is q63.
+
+Usage: python3 tools/scale_bench.py [factor] [threshold]
+Writes SCALEBENCH.json next to the repo root.
+"""
+import json
+import os
+import subprocess
+import sys
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+THRESHOLD = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/graft-sf1"
+EXCLUDE = {"q37_cosine_pairs"}
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True,
+                          env=e)
+
+def bench(sf_dir):
+    r = run('sbt -batch "runMain graft.Bench"',
+            {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"})
+    for line in (r.stdout + r.stderr).splitlines():
+        if '"metric"' in line:
+            start = line.index("{")
+            return json.loads(line[start:])
+    raise SystemExit(f"no bench line for {sf_dir}:\n{r.stdout[-2000:]}\n"
+                     f"{r.stderr[-2000:]}")
+
+def main():
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        print(f"generating {SF1} (factor {FACTOR}) ...")
+        r = run(f'sbt -batch "runMain graft.ScaleUp {SF01} {SF1} {FACTOR}"')
+        if r.returncode != 0:
+            raise SystemExit(f"ScaleUp failed:\n{r.stderr[-3000:]}")
+    print("bench @ sf0.1 ...")
+    b01 = bench(SF01)
+    print("bench @ sf1 ...")
+    b1 = bench(SF1)
+    rows = []
+    flagged = []
+    for q, t01 in sorted(b01["queries"].items()):
+        t1 = b1["queries"].get(q)
+        if t1 is None or t01 <= 0:
+            continue
+        # per-row ratio: sf1 has FACTOR x rows, so linear scaling = FACTOR x
+        ratio = t1 / (t01 * FACTOR)
+        rows.append({"query": q, "sf0.1_s": round(t01, 3),
+                     "sf1_s": round(t1, 3),
+                     "per_row_ratio": round(ratio, 3),
+                     "gated": q not in EXCLUDE})
+        if q not in EXCLUDE and ratio > THRESHOLD:
+            flagged.append(q)
+    out = {"factor": FACTOR, "threshold": THRESHOLD,
+           "total_sf0.1_s": round(b01["value"], 2),
+           "total_sf1_s": round(b1["value"], 2),
+           "flagged_superlinear": flagged, "queries": rows}
+    with open("SCALEBENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'per-row':>8s}")
+    for r_ in rows:
+        mark = " <-- SUPERLINEAR" if r_["query"] in flagged else (
+            "  (ungated)" if not r_["gated"] else "")
+        print(f"{r_['query']:28s} {r_['sf0.1_s']:8.2f} {r_['sf1_s']:8.2f} "
+              f"{r_['per_row_ratio']:8.2f}{mark}")
+    print(f"\ntotals: sf0.1 {out['total_sf0.1_s']}s, sf1 {out['total_sf1_s']}s"
+          f"; flagged: {flagged or 'none'}")
+
+if __name__ == "__main__":
+    main()
