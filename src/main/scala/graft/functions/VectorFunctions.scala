@@ -38,14 +38,20 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p), packed
     * into a long. Planes are generated driver-side from a fixed seed so
-    * the signature is deterministic across runs and executors. */
-  def hyperplaneSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
-    require(planes.nonEmpty && planes.size <= 63,
-      "signature must fit in a long")
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = typedlit(p)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * the signature is deterministic across runs and executors. One
+    * native expression (HyperplaneSigs) — the composed per-plane VecDot
+    * form generated kilobytes of code per signature. */
+  def hyperplaneSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    element_at(hyperplaneSignatures(v, Seq(planes)), 1)
+
+  /** All signatures for `tables` independent plane sets as array<long>
+    * (the multi-table LSH OR-construction input) in one native loop. */
+  def hyperplaneSignatures(v: Column, planeTables: Seq[Seq[Seq[Double]]])
+      : Column = {
+    require(planeTables.nonEmpty && planeTables.head.nonEmpty &&
+      planeTables.head.size <= 63, "signature must fit in a long")
+    GraftColumnBridge.column(graft.expressions.HyperplaneSigs(
+      GraftColumnBridge.expression(v), planeTables))
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (seeded). */

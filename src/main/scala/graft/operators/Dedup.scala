@@ -211,10 +211,8 @@ object Dedup {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
       .repartition(col("id")) // one exchange, reused by both rerank joins
-    val sigs = array((0 until tables).map { t =>
-      hyperplaneSignature(col("v"), makePlanes(numPlanes, dim,
-        seed = 42L + t))
-    }: _*)
+    val sigs = hyperplaneSignatures(col("v"),
+      (0 until tables).map(t => makePlanes(numPlanes, dim, seed = 42L + t)))
     val buckets = e.select(col("id"),
       posexplode(sigs).as(Seq("table", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("table", "bucket"))

@@ -147,4 +147,33 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-stream inner join on a key within an event-time interval:
+    * right rows join left rows whose timestamp is within [leftTs,
+    * leftTs + within]. Both sides are watermarked so Spark can bound
+    * the join state and emit/expire buffered rows — the streaming
+    * correlation shape (e.g. click ↔ purchase attribution). State per
+    * key is bounded by watermark + interval; partitioning is by the
+    * join key, so 1000 executors each own their key range. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
+  /** Streaming (source,id)-style dedup with bounded state:
+    * dropDuplicatesWithinWatermark keeps each key only until the
+    * watermark passes it, so state doesn't grow with the stream — the
+    * streaming-analytics counterpart of the store's digest-based ingest
+    * dedup (which is exact over all history because the digest is
+    * persistent, not in-memory state). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -50,4 +50,36 @@ class ExtensionsSpec extends SparkSuite {
       .toMap
     assert(dotSql == dotApi)
   }
+
+  test("event-store table functions: positional_scan and stream_listing " +
+      "work as SQL relations with composable predicates") {
+    import graft.eventstore.{CloudEvent, EventStore}
+    GraftExtensions.register(spark)
+    val root = tempDir("tvf-store-")
+    val store = new EventStore(spark, root)
+    (0 until 20).foreach(i => store.append("u1", "s1",
+      Seq(CloudEvent(id = s"e-$i", source = "tvf", `type` = "t",
+        data = Some(i.toString)))))
+    store.append("u1", "other", Seq(
+      CloudEvent(id = "x", source = "tvf", `type` = "t")))
+    spark.conf.set("spark.graft.store.root", root)
+    // positional range scan as a relation (reference GET events route)
+    val page = spark.sql(
+      "SELECT id, revision FROM positional_scan('u1', 's1', 5, 3)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(page == Seq(("e-5", 5L), ("e-6", 6L), ("e-7", 7L)))
+    // outer predicates compose (pushdown into the store scan)
+    val filtered = spark.sql(
+      """SELECT count(*) AS n FROM positional_scan('u1', 's1', 0, 1000)
+         WHERE data = '13'""").head().getLong(0)
+    assert(filtered == 1)
+    // defaults: start 0, limit 50
+    assert(spark.sql("SELECT * FROM positional_scan('u1', 's1')")
+      .count() == 20)
+    // stream metadata listing (reference GET /streams route)
+    val streams = spark.sql(
+      """SELECT id, revision FROM stream_listing('u1') ORDER BY id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streams == Seq(("other", 1L), ("s1", 20L)))
+  }
 }

@@ -248,6 +248,56 @@ class StreamingSpec extends SparkSuite {
       Seq("a", "b", "c", "d"))
   }
 
+  test("stream-stream interval join correlates events within the window " +
+      "and drops those outside it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDS().toDF("user_id", "click_ts"),
+      buys.toDS().toDF("user_id", "buy_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      within = "10 MINUTES", watermark = "1 minute")
+      .select(col("l.user_id"), col("click_ts"), col("buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(5)))
+      buys.addData((1L, ts(4)), (1L, ts(20)), (2L, ts(6)), (3L, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select($"user_id", $"buy_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      // user 1: buy@4 within 10min of click@0; buy@20 outside. user 2:
+      // buy@6 within of click@5. user 3: no click.
+      assert(got == Set((1L, ts(4)), (2L, ts(6))))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups re-delivered events with " +
+      "bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val deduped = Streams.dedupWithinWatermark(
+      in.toDS().toDF("source", "id", "ts"),
+      tsCol = "ts", watermark = "10 minutes", keys = Seq("source", "id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(("s", "a", ts(0)), ("s", "a", ts(1)), ("s", "b", ts(2)))
+      q.processAllAvailable()
+      in.addData(("s", "a", ts(3))) // still within watermark → dropped
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"id").as[String].collect().toSeq.sorted
+      assert(got == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("session window groups events by inactivity gap") {
     val dir = tempDir("sess-in-")
     // two sessions for one user: 3 events 1 min apart, 40-min gap, 2 more
