@@ -44,7 +44,7 @@ object Jwt {
 
   /** JWS ES384 signatures are raw r||s (2×48 bytes); the JDK verifier
     * wants ASN.1 DER — re-encode. */
-  private[api] def rawToDer(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def rawToDer(raw: Array[Byte]): Array[Byte] = {
     require(raw.length == 96, s"ES384 signature must be 96 bytes")
     def int(bytes: Array[Byte]): Array[Byte] = {
       val stripped = bytes.dropWhile(_ == 0) match {
@@ -124,7 +124,7 @@ object Jwt {
     s"$signingInput.${enc.encodeToString(raw)}"
   }
 
-  private[api] def derToRaw(der: Array[Byte]): Array[Byte] = {
+  private[graft] def derToRaw(der: Array[Byte]): Array[Byte] = {
     // parse SEQUENCE { INTEGER r, INTEGER s } and left-pad to 48 bytes
     var i = 2
     if ((der(1) & 0x80) != 0) i += (der(1) & 0x7f)

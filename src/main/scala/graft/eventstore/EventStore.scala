@@ -243,8 +243,8 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     * Returns the number of events committed (after dedup). At true
     * multi-writer scale the per-stream commit loop shards with the
     * streams themselves — the claim is per stream, nothing global. */
-  def ingestBatch(batch: DataFrame, deadLetterDir: Option[String] = None)
-      : Long = {
+  def ingestBatch(batch: DataFrame, deadLetterDir: Option[String] = None,
+      autoCompactAfter: Int = 0): Long = {
     import org.apache.spark.sql.expressions.Window
     val sess = batch.sparkSession
     val cached = batch.persist()
@@ -354,6 +354,12 @@ class EventStore(val spark: SparkSession, rootDir: String) {
           if (n > 0 && parts.nonEmpty) {
             committed += commitStaged(p.u, p.s, p.baseVersion, p.base,
               p.prevFiles, p.prevKeys, p.freshHashes, parts)
+            // bound small-file pressure from one-file-per-micro-batch:
+            // fold the stream back to one file once it passes the cap
+            // (amortized — each compaction covers many commits)
+            if (autoCompactAfter > 0 &&
+                p.prevFiles.size + 1 >= autoCompactAfter)
+              compactStream(p.u, p.s)
           }
         }
         committed
@@ -680,7 +686,7 @@ object EventStore {
   /** A committed state of one stream: its revision and the exact set of
     * data/key files that constitute it. Self-contained — reading the
     * head manifest alone fully describes the stream. */
-  private[eventstore] case class Manifest(version: Long, revision: Long,
+  private[graft] case class Manifest(version: Long, revision: Long,
       files: List[String], keyFiles: List[String])
 
   private[eventstore] case class DigestCache(version: Long,
@@ -688,7 +694,7 @@ object EventStore {
 
   /** Line format: `v <version>` / `r <revision>` / `f <dataFile>` /
     * `k <keyFile>`. File names are uuid-based (no spaces/newlines). */
-  private[eventstore] def serializeManifest(m: Manifest): String = {
+  private[graft] def serializeManifest(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append("v ").append(m.version).append('\n')
     sb.append("r ").append(m.revision).append('\n')
@@ -697,7 +703,7 @@ object EventStore {
     sb.toString
   }
 
-  private[eventstore] def parseManifest(p: Path): Manifest = {
+  private[graft] def parseManifest(p: Path): Manifest = {
     var v = 0L
     var r = 0L
     val fs = List.newBuilder[String]

@@ -80,13 +80,13 @@ object Streams {
     * source, including fully malformed JSON lines) go to the
     * dead-letter directory instead of failing the query. */
   def startIngest(spark: SparkSession, store: EventStore, inputDir: String,
-      checkpointDir: String, deadLetterDir: Option[String] = None)
-      : StreamingQuery =
+      checkpointDir: String, deadLetterDir: Option[String] = None,
+      autoCompactAfter: Int = 16): StreamingQuery =
     parseWire(spark.readStream.text(inputDir), keepRaw = true)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.ingestBatch(batch, deadLetterDir): Unit
+        store.ingestBatch(batch, deadLetterDir, autoCompactAfter): Unit
       }
       .start()
 

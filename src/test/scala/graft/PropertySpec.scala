@@ -94,4 +94,52 @@ class PropertySpec extends SparkSuite {
     assert(exact.nonEmpty)
     assert(lsh == exact) // rerank is exact; banding recall ~1 at jac≥0.4
   }
+
+  test("manifest serialization roundtrips arbitrary file lists and " +
+      "revisions") {
+    import graft.eventstore.EventStore.{Manifest, parseManifest, serializeManifest}
+    val genName = Gen.uuid.map(u => s"batch-0-9-$u.parquet")
+    val genManifest = for {
+      v <- Gen.choose(1L, Long.MaxValue / 2)
+      r <- Gen.choose(0L, Long.MaxValue / 2)
+      fs <- Gen.listOfN(5, genName)
+      ks <- Gen.listOfN(5, genName)
+    } yield Manifest(v, r, fs, ks)
+    val dir = java.nio.file.Files.createTempDirectory("manifest-prop-")
+    samples(genManifest, 50).foreach { m =>
+      val p = dir.resolve("m.log")
+      java.nio.file.Files.write(p, serializeManifest(m).getBytes("UTF-8"))
+      assert(parseManifest(p) == m)
+    }
+  }
+
+  test("keyHash is deterministic, separator-sensitive, and spreads " +
+      "arbitrary (source,id) pairs") {
+    import graft.eventstore.EventStore.keyHash
+    val pairs = samples(Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr),
+      200).distinct
+    // deterministic
+    pairs.foreach { case (s, i) => assert(keyHash(s, i) == keyHash(s, i)) }
+    // the separator keeps ("ab","c") and ("a","bc") apart
+    assert(keyHash("ab", "c") != keyHash("a", "bc"))
+    // distinct pairs spread (collisions at 200 samples would mean a
+    // catastrophically bad hash, p < 1e-14 for a sound 64-bit one)
+    val hashes = pairs.map { case (s, i) => keyHash(s, i) }
+    assert(hashes.distinct.size == pairs.size)
+  }
+
+  test("JWS ES384 raw<->DER signature conversion roundtrips arbitrary " +
+      "(r, s) values including high-bit and short ones") {
+    import graft.api.Jwt.{derToRaw, rawToDer}
+    val genRaw = Gen.containerOfN[Array, Byte](96, Gen.choose(
+      Byte.MinValue, Byte.MaxValue))
+    samples(genRaw, 100).foreach { raw =>
+      assert(derToRaw(rawToDer(raw)).sameElements(raw))
+    }
+    // leading-zero r/s (short integers) and high-bit values
+    val edge = new Array[Byte](96)
+    edge(47) = 1 // r = 1
+    java.util.Arrays.fill(edge, 48, 96, 0xff.toByte) // s = 2^384-1
+    assert(derToRaw(rawToDer(edge)).sameElements(edge))
+  }
 }

@@ -224,6 +224,32 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("auto-compaction bounds per-stream file count under sustained " +
+      "ingest (small-file pressure)") {
+    val root = tempDir("autocompact-store-")
+    val store = new EventStore(spark, root)
+    def batchDF(id: String) =
+      spark.createDataset(Seq(("u1", "s1", id, "ac", "t")))
+        .toDF("user_id", "stream_id", "id", "source", "type")
+        .withColumn("specversion", lit("1.0"))
+        .withColumn("subject", lit(null: String))
+        .withColumn("time", lit(null).cast("timestamp"))
+        .withColumn("datacontenttype", lit(null: String))
+        .withColumn("dataschema", lit(null: String))
+        .withColumn("data", lit(null: String))
+        .withColumn("data_base64", lit(null).cast("binary"))
+        .withColumn("extensions", map().cast("map<string,string>"))
+    (0 until 12).foreach(i =>
+      store.ingestBatch(batchDF(s"e-$i"), autoCompactAfter = 4))
+    assert(store.revision("u1", "s1") == 12)
+    assert(store.query("u1", "s1", 0, 100).map(_.id) ==
+      (0 until 12).map(i => s"e-$i"))
+    // the stream reads back from a bounded number of live files
+    assert(store.streams("u1").head.revision == 12)
+    val live = store.readStream("u1", "s1").inputFiles.length
+    assert(live <= 4, s"expected <=4 live files, got $live")
+  }
+
   test("re-delivered micro-batches converge to exactly-once through " +
       "ingestBatch (foreachBatch at-least-once retry semantics)") {
     val store = new EventStore(spark, tempDir("redeliver-store-"))
