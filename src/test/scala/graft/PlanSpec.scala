@@ -63,4 +63,43 @@ class PlanSpec extends SparkSuite {
     val s = formatted(queries.EventQueries.q21_positional_scan(spark, sfDir))
     assert(s.contains("PushedFilters:") && s.contains("EqualTo(user_id,13)"), s)
   }
+
+  test("every native expression runs with codegen FORCED (no interpreted " +
+      "fallback): VecDot, HyperplaneSigs, SimHash64, WordShingles, " +
+      "LshBandHashes, Base32") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Base32, TextFunctions, VectorFunctions}
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      val planes = (0 until 3).map(t =>
+        VectorFunctions.makePlanes(4, 64, 42L + t))
+      val vec = emb.select(
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("d"),
+        VectorFunctions.hyperplaneSignatures(col("embedding"), planes)
+          .as("sigs"))
+        .collect()
+      assert(vec.forall(_.getAs[Double]("d") > 0))
+      assert(vec.forall(_.getSeq[Long](1).size == 3))
+      val text = docs.select(
+        TextFunctions.simhash64On("text").as("sh"),
+        Base32.base32(col("source")).as("b32"))
+        .collect()
+      assert(text.nonEmpty)
+      assert(text.forall(_.getAs[String]("b32").nonEmpty))
+      import org.apache.spark.sql.GraftColumnBridge
+      val bands = docs.select(GraftColumnBridge.column(
+        graft.expressions.LshBandHashes(GraftColumnBridge.expression(
+          graft.functions.TextFunctions.distinctShingles(col("text"), 3)),
+          64, 32)).as("b")).collect()
+      assert(bands.forall(_.getSeq[Long](0).size == 32))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
