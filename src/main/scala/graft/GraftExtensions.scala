@@ -96,6 +96,13 @@ object GraftExtensions {
       val metas = storeFor(spark).streams(u)
       import spark.implicits._
       metas.toDF().queryExecution.logical
+    },
+    // every event of a user's streams as one relation (the analytics
+    // entry over the store — manifest-listed files only)
+    "stream_events" -> { es =>
+      val spark = SparkSession.active
+      val u = evalString(es(0), "user")
+      storeFor(spark).userEvents(u).queryExecution.logical
     })
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

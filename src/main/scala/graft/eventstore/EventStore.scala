@@ -331,12 +331,25 @@ class EventStore(val spark: SparkSession, rootDir: String) {
           .withColumn("ingest_ts", lit(now))
           .withColumn("__u32", b32($"user_id"))
           .withColumn("__s32", b32($"stream_id"))
-          .select($"__u32", $"__s32", $"user_id", $"stream_id",
+          // cast every column to the StoredEvent schema explicitly — a
+          // caller-provided batch may carry NullType/narrower columns,
+          // which would otherwise poison the stream's parquet schema
+          .select($"__u32", $"__s32",
+            $"user_id".cast("string").as("user_id"),
+            $"stream_id".cast("string").as("stream_id"),
             $"revision", $"ingest_ts",
-            coalesce($"specversion", lit("1.0")).as("specversion"),
-            $"id", $"source", col("type"), $"subject", $"time",
-            $"datacontenttype", $"dataschema", $"data", $"data_base64",
-            $"extensions")
+            coalesce($"specversion".cast("string"), lit("1.0"))
+              .as("specversion"),
+            $"id".cast("string").as("id"),
+            $"source".cast("string").as("source"),
+            col("type").cast("string").as("type"),
+            $"subject".cast("string").as("subject"),
+            $"time".cast("timestamp").as("time"),
+            $"datacontenttype".cast("string").as("datacontenttype"),
+            $"dataschema".cast("string").as("dataschema"),
+            $"data".cast("string").as("data"),
+            $"data_base64".cast("binary").as("data_base64"),
+            $"extensions".cast("map<string,string>").as("extensions"))
         // executors write one revision-sorted file per stream
         staged.repartition($"__u32", $"__s32")
           .sortWithinPartitions($"__u32", $"__s32", $"revision")
@@ -394,7 +407,10 @@ class EventStore(val spark: SparkSession, rootDir: String) {
         val m = Manifest(baseVersion + 1, last + 1,
           prevFiles :+ dataName, prevKeys :+ keysName)
         if (tryCommitManifest(dir, m)) return n.toLong
-        Files.deleteIfExists(dir.resolve(dataName))
+        // lost the claim: restore the staged file so the fallback below
+        // can re-read it, and drop the never-referenced sidecar
+        Files.move(dir.resolve(dataName), parts.head,
+          StandardCopyOption.ATOMIC_MOVE)
         Files.deleteIfExists(dir.resolve(keysName))
       }
       // rare path: re-append this stream's staged rows idempotently

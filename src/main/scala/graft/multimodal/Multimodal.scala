@@ -203,20 +203,29 @@ object Multimodal {
 
   /** REAL audio decode + feature extraction: parse the WAV container
     * with AudioSystem, then emit [n_samples, sample_rate, RMS,
-    * zero-crossing rate, 12-bin amplitude histogram] (dim 16). */
+    * zero-crossing rate, 12-bin amplitude histogram] (dim 16).
+    * Container-less payloads (no RIFF header — raw PCM dumps are common
+    * in scraped corpora) fall back to interpreting the bytes as 16-bit
+    * little-endian mono PCM at the row's metadata sample rate, so one
+    * headerless clip doesn't fail the whole partition. */
   def decodeAudioFeatures(media: Dataset[MediaRow])
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        val bytes = ais.readAllBytes()
+        val (bytes, rate) =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            (ais.readAllBytes(), ais.getFormat.getSampleRate)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              (r.payload, r.meta.sample_rate.toFloat) // raw PCM fallback
+          }
         val n = bytes.length / 2
         val feats = new Array[Float](16)
         feats(0) = n.toFloat
-        feats(1) = fmt.getSampleRate
+        feats(1) = rate
         var sumSq = 0.0; var crossings = 0; var prev = 0
         val hist = new Array[Float](12)
         var i = 0

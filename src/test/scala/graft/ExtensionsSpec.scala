@@ -81,5 +81,12 @@ class ExtensionsSpec extends SparkSuite {
       """SELECT id, revision FROM stream_listing('u1') ORDER BY id""")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(streams == Seq(("other", 1L), ("s1", 20L)))
+    // all of a user's events as one relation, aggregable in SQL
+    val perStream = spark.sql(
+      """SELECT stream_id, count(*) AS n, max(revision) AS maxrev
+         FROM stream_events('u1') GROUP BY stream_id ORDER BY stream_id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perStream.toSeq ==
+      Seq(("other", 1L, 0L), ("s1", 20L, 19L)))
   }
 }

@@ -175,6 +175,69 @@ class ManifestSpec extends SparkSuite {
     assert(storeB.append("u1", "s1", Seq(ev("e-20"))) == 21)
   }
 
+  test("ingestBatch dedups against commits made by ANOTHER store " +
+      "instance (digest from sidecars, revisions continue densely)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tempDir("xstore-ingest-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeB.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    val batch = spark.createDataset(Seq("e-0", "e-1", "e-2")
+        .map(id => ("u1", "s1", id, "test://manifest", "t")))
+      .toDF("user_id", "stream_id", "id", "source", "type")
+      .withColumn("specversion", lit("1.0"))
+      .withColumn("subject", lit(null: String))
+      .withColumn("time", lit(null).cast("timestamp"))
+      .withColumn("datacontenttype", lit(null: String))
+      .withColumn("dataschema", lit(null: String))
+      .withColumn("data", lit(null: String))
+      .withColumn("data_base64", lit(null).cast("binary"))
+      .withColumn("extensions", map().cast("map<string,string>"))
+    assert(storeA.ingestBatch(batch) == 1) // only e-2 is fresh
+    assert(storeB.revision("u1", "s1") == 3)
+    assert(storeB.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("e-0", "e-1", "e-2"))
+  }
+
+  test("concurrent ingestBatch from two stores into the same stream " +
+      "never loses or duplicates events (fallback re-append on races)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tempDir("race-ingest-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    def batchDF(prefix: String, n: Int) =
+      spark.createDataset((0 until n)
+          .map(i => ("u1", "hot", s"$prefix-$i", "race", "t")))
+        .toDF("user_id", "stream_id", "id", "source", "type")
+        .withColumn("specversion", lit("1.0"))
+        .withColumn("subject", lit(null: String))
+        .withColumn("time", lit(null).cast("timestamp"))
+        .withColumn("datacontenttype", lit(null: String))
+        .withColumn("dataschema", lit(null: String))
+        .withColumn("data", lit(null: String))
+        .withColumn("data_base64", lit(null).cast("binary"))
+        .withColumn("extensions", map().cast("map<string,string>"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    (0 until 3).foreach { round =>
+      val fa = Future(storeA.ingestBatch(batchDF(s"a$round", 4)))
+      val fb = Future(storeB.ingestBatch(batchDF(s"b$round", 4)))
+      assert(Await.result(fa, 120.seconds) == 4)
+      assert(Await.result(fb, 120.seconds) == 4)
+    }
+    assert(storeA.revision("u1", "hot") == 24)
+    val ids = storeA.query("u1", "hot", 0, 100).map(_.id)
+    assert(ids.size == 24)
+    assert(ids.toSet.size == 24) // no duplicates
+    // dense, gap-free revisions
+    val revs = storeA.readStream("u1", "hot")
+      .select("revision").collect().map(_.getLong(0)).sorted
+    assert(revs.toSeq == (0L until 24L))
+  }
+
   private def onlyStreamDir(root: String): Path = {
     val user = Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_)).toList match {

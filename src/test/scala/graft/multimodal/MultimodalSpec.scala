@@ -105,6 +105,39 @@ class MultimodalSpec extends SparkSuite {
       }
   }
 
+  test("headerless raw-PCM audio decodes via the fallback with features " +
+      "matching the WAV-container path") {
+    import spark.implicits._
+    // one WAV clip and the same samples as a raw header-free PCM dump
+    val rate = 8000; val n = 800
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (math.sin(2 * math.Pi * 440.0 * i / rate) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.MediaMeta("audio", 0, 0, n, rate, "audio/wav")
+    val rows = Seq(
+      Multimodal.MediaRow(0L, bos.toByteArray, meta),
+      Multimodal.MediaRow(1L, pcm, meta.copy(content_type = "audio/pcm")))
+    val feats = Multimodal.decodeAudioFeatures(
+      spark.createDataset(rows)).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    val Array(wav, raw) = feats
+    assert(wav.features(0) == 800f && raw.features(0) == 800f)
+    assert(wav.features(1) == 8000f && raw.features(1) == 8000f)
+    // same samples → identical RMS/ZCR through both paths
+    assert(wav.features(2) == raw.features(2))
+    assert(wav.features(3) == raw.features(3))
+  }
+
   test("frame sampling strides video frames") {
     val frames = Multimodal.sampleFrames(
       media.as[Multimodal.MediaRow], stride = 4)
