@@ -460,20 +460,32 @@ class EventStore(val spark: SparkSession, rootDir: String) {
 
   /** Write one batch as a single revision-sorted parquet file via an
     * atomic move (all-or-nothing, and invisible until the manifest
-    * lists it). */
-  private def writeBatchFile(target: Path, rows: Seq[StoredEvent]): Unit = {
-    val tmp = Files.createTempDirectory(root, ".commit-")
-    try {
-      spark.createDataset(rows).coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
-      val part = listDir(tmp.resolve("out"))
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("no part file written"))
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    * lists it). Small batches are written driver-locally with no Spark
+    * job (LocalParquet — the reference's append is a plain file write
+    * with a p95 < 50 ms envelope, load/post-event.js:7-11; a per-append
+    * Spark job would spend 100-300 ms scheduling before the first byte);
+    * large batches go through executors. */
+  private def writeBatchFile(target: Path, rows: Seq[StoredEvent]): Unit =
+    if (rows.size <= EventStore.LocalWriteMax) {
+      val tmp = Files.createTempFile(target.getParent, ".commit-", ".tmp")
+      Files.delete(tmp) // the parquet writer wants to create the file
+      try {
+        LocalParquet.writeBatch(tmp, rows)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      val tmp = Files.createTempDirectory(root, ".commit-")
+      try {
+        spark.createDataset(rows).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
+        val part = listDir(tmp.resolve("out"))
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no part file written"))
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
     }
-  }
 
   /** Claim `manifest-<m.version>` atomically: write a temp file, then
     * hard-link it to the versioned name — link creation fails atomically
@@ -694,6 +706,10 @@ class EventStore(val spark: SparkSession, rootDir: String) {
 }
 
 object EventStore {
+  /** Batches at or under this size are written driver-locally without a
+    * Spark job (see writeBatchFile). */
+  val LocalWriteMax = 256
+
   private[eventstore] val BatchFile = """batch-(\d+)-(\d+)-.*\.parquet""".r
   private[eventstore] val ManifestFile = """manifest-(\d+)\.log""".r
 
