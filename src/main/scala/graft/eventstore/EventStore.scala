@@ -102,30 +102,36 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   def streamExists(u: String, s: String): Boolean =
     revision(u, s) > 0
 
-  /** The key digest for a stream at a given head: a set of 64-bit
-    * (source,id) hashes built from the keys sidecars, loaded
-    * incrementally (only sidecars not already cached are read — one
-    * small sidecar per commit that happened since the last call).
-    * Callers hold the stream's write lock, so in-place catch-up is
-    * safe. */
+  /** The key digest for a stream at a given head, built from the keys
+    * sidecars and loaded incrementally (only sidecars not already
+    * cached are read — one small sidecar per commit since the last
+    * call). Two tiers: an exact 64-bit hash set for ordinary streams,
+    * and a Bloom filter once the key count passes
+    * [[EventStore.BloomTierKeys]] (~48 bytes/key exact vs ~1.2
+    * bytes/key bloom at 1% fpp — the difference between 5 GB and 120 MB
+    * for a 100M-event stream). A bloom false positive only costs an
+    * exact confirm scan, which the digest-hit path runs anyway, so the
+    * dedup result is identical in both tiers. Callers hold the stream's
+    * write lock, so in-place catch-up is safe. */
   private def digestFor(u: String, s: String, dir: Path,
-      head: Option[Manifest]): java.util.HashSet[java.lang.Long] = {
-    val m = head.getOrElse(return new java.util.HashSet[java.lang.Long]())
+      head: Option[Manifest]): KeyDigest = {
+    val m = head.getOrElse(return KeyDigest.empty())
     val cached = digests.get(key(u, s))
-    if (cached != null && cached.version == m.version) return cached.hashes
+    if (cached != null && cached.version == m.version) return cached.digest
     val (base, loaded) = cached match {
       // incremental: the cached sidecars are a prefix of the head's
       // (append-only history) — only read what's new
       case c: DigestCache if c.loadedFiles.forall(m.keyFiles.contains) =>
-        (c.hashes, c.loadedFiles)
+        (c.digest, c.loadedFiles)
       // compaction / external rewrite replaced the sidecars: rebuild
-      case _ => (new java.util.HashSet[java.lang.Long](), Set.empty[String])
+      case _ => (KeyDigest.empty(), Set.empty[String])
     }
+    var digest = base
     m.keyFiles.filterNot(loaded).foreach { kf =>
-      readKeyFile(dir.resolve(kf)).foreach(h => base.add(h))
+      readKeyFile(dir.resolve(kf)).foreach(h => digest = digest.add(h))
     }
-    digests.put(key(u, s), DigestCache(m.version, m.keyFiles.toSet, base))
-    base
+    digests.put(key(u, s), DigestCache(m.version, m.keyFiles.toSet, digest))
+    digest
   }
 
   /** Exact membership check for the (rare) digest-hit path: scan only
@@ -722,7 +728,43 @@ object EventStore {
       files: List[String], keyFiles: List[String])
 
   private[eventstore] case class DigestCache(version: Long,
-      loadedFiles: Set[String], hashes: java.util.HashSet[java.lang.Long])
+      loadedFiles: Set[String], digest: KeyDigest)
+
+  /** Exact tier below BloomTierKeys keys, bloom tier above. */
+  val BloomTierKeys: Int = 1 << 20
+
+  /** Two-tier membership digest over 64-bit key hashes. `contains` may
+    * answer a false positive (bloom tier); never a false negative —
+    * exactness is restored by the confirm scan on every hit. */
+  sealed trait KeyDigest {
+    def contains(h: Long): Boolean
+    def add(h: Long): KeyDigest
+  }
+  object KeyDigest {
+    def empty(): KeyDigest = new ExactDigest(new java.util.HashSet)
+
+    private[eventstore] final class ExactDigest(
+        val hashes: java.util.HashSet[java.lang.Long]) extends KeyDigest {
+      def contains(h: Long): Boolean = hashes.contains(h)
+      def add(h: Long): KeyDigest = {
+        hashes.add(h)
+        if (hashes.size <= BloomTierKeys) this
+        else { // graduate to the bloom tier
+          val bloom = org.apache.spark.util.sketch.BloomFilter
+            .create(BloomTierKeys.toLong * 16, 0.01)
+          hashes.forEach(x => bloom.putLong(x))
+          new BloomDigest(bloom)
+        }
+      }
+    }
+
+    private[eventstore] final class BloomDigest(
+        val bloom: org.apache.spark.util.sketch.BloomFilter)
+        extends KeyDigest {
+      def contains(h: Long): Boolean = bloom.mightContainLong(h)
+      def add(h: Long): KeyDigest = { bloom.putLong(h); this }
+    }
+  }
 
   /** Line format: `v <version>` / `r <revision>` / `f <dataFile>` /
     * `k <keyFile>`. File names are uuid-based (no spaces/newlines). */

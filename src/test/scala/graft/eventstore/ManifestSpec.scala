@@ -281,6 +281,29 @@ class ManifestSpec extends SparkSuite {
     assert(revs.toSeq == (0L until 24L))
   }
 
+  test("key digest graduates from the exact set to the bloom tier with " +
+      "no false negatives across the transition") {
+    import EventStore.KeyDigest
+    var d: KeyDigest = KeyDigest.empty()
+    val n = EventStore.BloomTierKeys + 1000
+    var i = 0
+    while (i < n) {
+      d = d.add(EventStore.keyHash("src", i.toString))
+      i += 1
+    }
+    assert(d.isInstanceOf[KeyDigest.BloomDigest])
+    // no false negatives: every added key still answers true, including
+    // those added before and after the tier switch
+    Seq(0, 1, EventStore.BloomTierKeys - 1, EventStore.BloomTierKeys,
+      n - 1).foreach { k =>
+      assert(d.contains(EventStore.keyHash("src", k.toString)), k)
+    }
+    // false-positive rate stays in the configured ballpark
+    val fp = (0 until 10000).count(k =>
+      d.contains(EventStore.keyHash("other", k.toString)))
+    assert(fp < 300, s"bloom fp rate ${fp / 10000.0} too high")
+  }
+
   private def onlyStreamDir(root: String): Path = {
     val user = Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_)).toList match {
