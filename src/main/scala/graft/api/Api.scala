@@ -144,7 +144,7 @@ object Api {
         case _ => None
       }
       val extensions = {
-        val it = n.fields()
+        val it = n.properties().iterator()
         val b = Map.newBuilder[String, String]
         while (it.hasNext) {
           val e = it.next()

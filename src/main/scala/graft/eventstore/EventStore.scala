@@ -549,7 +549,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     val files = listDir(userPath(u)).filter(Files.isDirectory(_))
       .flatMap(sDir => readHead(sDir).toList
         .flatMap(_.files.map(f => sDir.resolve(f).toString)))
-    if (files.isEmpty) spark.emptyDataset[StoredEvent].toDF
+    if (files.isEmpty) spark.emptyDataset[StoredEvent].toDF()
     else spark.read.parquet(files: _*)
   }
 

@@ -10,12 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is REAL — schemas, partition-batched
   * execution (`mapPartitions` over an iterator, the JVM analogue of
   * arrow-batched mapInPandas), feature schema `array<float>` compatible
-  * with the similarity operators. Codecs: IMAGE and AUDIO decode are
-  * real (JDK ImageIO / AudioSystem — see decodeImageFeatures /
-  * decodeAudioFeatures); the generic decodeFeatures keeps a
-  * deterministic FAKE-DECODE stand-in for payload kinds with no codec
-  * in this environment (video). Swapping in a real codec changes only
-  * the marked function body; every schema, boundary, and test stays.
+  * with the similarity operators. Codecs: IMAGE decode and resize are
+  * real (JDK ImageIO), AUDIO decode is real (javax.sound WAV, with a
+  * raw-PCM fallback); VIDEO has no codec in this environment, so video
+  * payloads get the honest byte-level fingerprint of [[byteFeatures]]
+  * rather than a pretend decode.
   *
   * Scale notes: decode is per-row CPU-bound work with no shuffle — it
   * pipelines inside the scan stage and parallelizes with input splits.
@@ -130,9 +129,8 @@ object Multimodal {
 
   /** REAL image decode + feature extraction: ImageIO-decode the PNG and
     * emit [width, height, mean R, mean G, mean B, 11-bin gray histogram]
-    * (dim 16). Partition-batched like decodeFeatures; real-codec path
-    * (audio has its own in decodeAudioFeatures; video stays behind
-    * fakeDecode until a codec exists in the environment). */
+    * (dim 16). Partition-batched like byteFeatures; real-codec path
+    * (audio has its own in decodeAudioFeatures). */
   def decodeImageFeatures(media: Dataset[MediaRow])
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -288,7 +286,7 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int)
       : DataFrame = {
     import media.sparkSession.implicits._
-    media.toDF.select(col("media_id"), col("meta.kind").as("kind"),
+    media.toDF().select(col("media_id"), col("meta.kind").as("kind"),
         explode(sequence(lit(0),
           greatest(col("meta.n_frames") - 1, lit(0)), lit(stride)))
           .as("frame_idx"))

@@ -22,7 +22,7 @@ object Scale {
     require(salts > 1)
     // deterministic per-row salt: hash of the whole row spreads hot keys
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts))
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts))
         .cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -78,6 +78,9 @@ object Similarity {
   def lshTopKForId(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numPlanes: Int = 8, dim: Int = 64,
       probes: Int = 8): DataFrame = {
+    require(numPlanes <= 20, // driver enumerates 2^numPlanes signatures
+      s"numPlanes=$numPlanes enumerates ${1L << numPlanes} buckets; " +
+        "use <= 20 (probe selection is a driver-side sort)")
     val planes = makePlanes(numPlanes, dim)
     val sig = emb.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
@@ -123,6 +126,8 @@ object Similarity {
     val meta = Files.readAllLines(Paths.get(indexDir, "meta"))
     val numPlanes = meta.get(0).split(' ')(1).toInt
     val dim = meta.get(1).split(' ')(1).toInt
+    require(numPlanes <= 20, // driver enumerates 2^numPlanes signatures
+      s"index has numPlanes=$numPlanes; probe enumeration needs <= 20")
     val planes = makePlanes(numPlanes, dim)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.iterator.zip(queryVec.iterator.map(_.toDouble))
