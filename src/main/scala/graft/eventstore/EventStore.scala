@@ -361,27 +361,40 @@ class EventStore(val spark: SparkSession, rootDir: String) {
           .sortWithinPartitions($"__u32", $"__s32", $"revision")
           .write.partitionBy("__u32", "__s32")
           .mode(SaveMode.Overwrite).parquet(staging.toString)
-        // driver: metadata-only manifest commits
-        var committed = 0L
-        preps.foreach { p =>
-          val partDir = staging
-            .resolve(s"__u32=${Base32.encodeString(p.u)}")
-            .resolve(s"__s32=${Base32.encodeString(p.s)}")
-          val parts = listDir(partDir)
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-          val n = p.freshHashes.size
-          if (n > 0 && parts.nonEmpty) {
-            committed += commitStaged(p.u, p.s, p.baseVersion, p.base,
-              p.prevFiles, p.prevKeys, p.freshHashes, parts)
-            // bound small-file pressure from one-file-per-micro-batch:
-            // fold the stream back to one file once it passes the cap
-            // (amortized — each compaction covers many commits)
-            if (autoCompactAfter > 0 &&
-                p.prevFiles.size + 1 >= autoCompactAfter)
-              compactStream(p.u, p.s)
+        // driver: metadata-only manifest commits — independent per
+        // stream, so a micro-batch touching thousands of streams
+        // commits them in parallel (at true multi-writer scale this
+        // loop shards with the streams themselves)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, preps.length)))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futures = preps.toSeq.map { p =>
+            scala.concurrent.Future {
+              val partDir = staging
+                .resolve(s"__u32=${Base32.encodeString(p.u)}")
+                .resolve(s"__s32=${Base32.encodeString(p.s)}")
+              val parts = listDir(partDir)
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+              val n = p.freshHashes.size
+              if (n > 0 && parts.nonEmpty) {
+                val c = commitStaged(p.u, p.s, p.baseVersion, p.base,
+                  p.prevFiles, p.prevKeys, p.freshHashes, parts)
+                // bound small-file pressure from one-file-per-micro-batch:
+                // fold the stream back to one file once it passes the cap
+                // (amortized — each compaction covers many commits)
+                if (autoCompactAfter > 0 &&
+                    p.prevFiles.size + 1 >= autoCompactAfter)
+                  compactStream(p.u, p.s)
+                c
+              } else 0L
+            }
           }
-        }
-        committed
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration(30, "min")).sum
+        } finally pool.shutdown()
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }

@@ -324,6 +324,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("end-to-end fixture ingest: the whole events table commits " +
+      "through ingestBatch with per-stream dense revisions") {
+    val store = new EventStore(spark, tempDir("fixture-ingest-"))
+    val events = graft.Tables.events(spark, sfDir)
+    val batch = events.select(
+      concat(lit("user-"), $"user_id").as("user_id"),
+      $"event_type".as("stream_id"),
+      concat(lit("evt-"), $"event_id").as("id"),
+      lit("fixture").as("source"),
+      $"event_type".as("type"),
+      lit("1.0").as("specversion"),
+      lit(null).cast("string").as("subject"),
+      $"ts".as("time"),
+      lit(null).cast("string").as("datacontenttype"),
+      lit(null).cast("string").as("dataschema"),
+      $"props".as("data"),
+      lit(null).cast("binary").as("data_base64"),
+      map().cast("map<string,string>").as("extensions"))
+    val n = batch.count()
+    val t0 = System.nanoTime()
+    val committed = store.ingestBatch(batch)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(committed == n)
+    val streams = events
+      .select(concat(lit("user-"), $"user_id").as("u"), $"event_type")
+      .distinct().count()
+    info(f"ingested $n events across $streams streams in $dt%.1fs " +
+      f"(${n / dt}%.0f events/s)")
+    // spot-check one stream: revision == its event count, events ordered
+    val (u0, t0e, c0) = events.groupBy($"user_id", $"event_type")
+      .count().orderBy($"count".desc)
+      .as[(Long, String, Long)].head()
+    assert(store.revision(s"user-$u0", t0e) == c0)
+    val got = store.readStream(s"user-$u0", t0e)
+    assert(got.count() == c0)
+    // revisions dense and time-ordered within the stream
+    import org.apache.spark.sql.expressions.Window
+    val misordered = got.withColumn("prev_time",
+        lag($"time", 1).over(Window.orderBy($"revision")))
+      .filter($"prev_time" > $"time").count()
+    assert(misordered == 0)
+  }
+
   test("session window groups events by inactivity gap") {
     val dir = tempDir("sess-in-")
     // two sessions for one user: 3 events 1 min apart, 40-min gap, 2 more
