@@ -52,9 +52,10 @@ import scala.util.Using
   * u64 offset index (src/db.rs:147-161); parquet row-group stats on
   * `revision` (sorted within every batch file) give the positional
   * seek. `streams()` metadata listing touches manifests and file sizes
-  * only — zero parquet footers. The digest is 8 bytes/event in memory
-  * per *hot* stream (cold streams hold nothing); a Bloom filter is the
-  * drop-in swap if per-stream key cardinality ever outgrows that.
+  * only — zero parquet footers. The digest costs ~48 bytes/key in
+  * memory per *hot* stream (cold streams hold nothing) and graduates to
+  * a Bloom filter past [[EventStore.BloomTierKeys]] keys (~1.2
+  * bytes/key; see digestFor).
   */
 class EventStore(val spark: SparkSession, rootDir: String) {
   import spark.implicits._
