@@ -281,6 +281,34 @@ class ManifestSpec extends SparkSuite {
     assert(revs.toSeq == (0L until 24L))
   }
 
+  test("streams() metadata listing runs zero Spark jobs and touches no " +
+      "parquet footers (manifest + file sizes only)") {
+    val store = new EventStore(spark, tempDir("meta-only-"))
+    (0 until 5).foreach(i =>
+      store.append("u1", s"stream-$i", Seq(ev(s"e-$i"), ev(s"f-$i"))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val metas = store.streams("u1", StreamSort.UsageDesc)
+      assert(metas.size == 5)
+      assert(metas.forall(_.revision == 2))
+      assert(metas.forall(_.usage > 0))
+      var last = -1; var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(jobs.get() == 0,
+        s"streams() should be metadata-only, saw ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("key digest graduates from the exact set to the bloom tier with " +
       "no false negatives across the transition") {
     import EventStore.KeyDigest
