@@ -281,6 +281,23 @@ class ManifestSpec extends SparkSuite {
     assert(revs.toSeq == (0L until 24L))
   }
 
+  test("delete-then-recreate resets a stream cleanly, including a " +
+      "second instance's stale digest cache") {
+    val dir = tempDir("del-recreate-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeA.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    // warm B's digest cache at version 1
+    intercept[SourceIdConflict] { storeB.append("u1", "s1", Seq(ev("e-0"))) }
+    assert(storeA.deleteStream("u1", "s1"))
+    assert(storeB.revision("u1", "s1") == 0)
+    // recreate through the OTHER instance: old (source,id)s are legal
+    // again (the old digest must not leak into the new incarnation)
+    assert(storeB.append("u1", "s1", Seq(ev("e-0"))) == 1)
+    assert(storeA.query("u1", "s1", 0, 10).map(_.id) == Seq("e-0"))
+    assert(storeA.revision("u1", "s1") == 1)
+  }
+
   test("streams() metadata listing runs zero Spark jobs and touches no " +
       "parquet footers (manifest + file sizes only)") {
     val store = new EventStore(spark, tempDir("meta-only-"))
