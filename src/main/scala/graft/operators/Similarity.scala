@@ -188,18 +188,44 @@ object Similarity {
     centroids
   }
 
-  /** Codegen'd list assignment: argmin over the centroid distances,
-    * entirely inside the scan stage (array of l2sq expressions +
-    * array_position(array_min) — no UDF, no MLlib). */
+  /** Codegen'd list assignment: one native argmin expression over the
+    * whole centroid matrix (graft.expressions.NearestCentroid), entirely
+    * inside the scan stage — no UDF, no MLlib. The composed form (array
+    * of nLists l2sq columns) was codegen-bound; see the expression's
+    * scaladoc. */
   private def assignExpr(vecCol: String, centroids: Array[Array[Double]])
       : org.apache.spark.sql.Column = {
-    val dists = array(centroids.toSeq.map(c =>
-      l2sq(col(vecCol), typedlit(c.toSeq))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.NearestCentroid(
+      GraftColumnBridge.expression(col(vecCol)),
+      centroids.toSeq.map(_.toSeq)))
   }
 
+  /** Centroid sidecar: `dim <d>` header then one `list <i> <v,v,...>`
+    * line per centroid. Driver-written metadata next to the lists —
+    * reading the quantizer must not cost a Spark job at probe time. */
+  private def writeCentroidMeta(indexDir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val sb = new StringBuilder
+    sb.append("dim ").append(centroids(0).length).append('\n')
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      sb.append("list ").append(i).append(' ')
+        .append(c.mkString(",")).append('\n')
+    }
+    Files.write(Paths.get(indexDir, "centroids.meta"),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  private def readCentroidMeta(indexDir: String): Array[(Int, Array[Double])] =
+    Files.readAllLines(Paths.get(indexDir, "centroids.meta"))
+      .toArray(Array.empty[String])
+      .collect { case l if l.startsWith("list ") =>
+        val parts = l.split(' ')
+        (parts(1).toInt, parts(2).split(',').map(_.toDouble))
+      }
+
   /** Build a persisted IVF index at `indexDir`: `lists/` is
-    * list-partitioned parquet of (id, vec) and `centroids/` the
+    * list-partitioned parquet of (id, vec) and `centroids.meta` the
     * quantizer. One corpus pass + one partitioned write. */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
       indexDir: String, nLists: Int = 16, sampleSize: Int = 4096,
@@ -214,10 +240,7 @@ object Similarity {
       .repartition(col("__list"))
       .write.partitionBy("__list").mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/lists")
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list", "centroid")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    writeCentroidMeta(indexDir, centroids)
   }
 
   /** Probe a persisted IVF index: pick the `nProbes` lists whose
@@ -227,9 +250,7 @@ object Similarity {
       queryVec: Seq[Float], k: Int, nProbes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeId: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .as[(Int, Seq[Double])].collect()
+    val centroids = readCentroidMeta(indexDir)
     val qd = queryVec.map(_.toDouble)
     val probed = centroids.map { case (i, c) =>
       (i, c.iterator.zip(qd.iterator)

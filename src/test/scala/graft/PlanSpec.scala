@@ -66,7 +66,7 @@ class PlanSpec extends SparkSuite {
 
   test("every native expression runs with codegen FORCED (no interpreted " +
       "fallback): VecDot, HyperplaneSigs, SimHash64, WordShingles, " +
-      "LshBandHashes, Base32") {
+      "LshBandHashes, Base32, NearestCentroid") {
     import org.apache.spark.sql.functions._
     import graft.functions.{Base32, TextFunctions, VectorFunctions}
     val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
@@ -95,6 +95,11 @@ class PlanSpec extends SparkSuite {
           graft.functions.TextFunctions.distinctShingles(col("text"), 3)),
           64, 32)).as("b")).collect()
       assert(bands.forall(_.getSeq[Long](0).size == 32))
+      val cents = Seq(Seq.fill(64)(0.0), Seq.fill(64)(1.0))
+      val assigned = emb.select(GraftColumnBridge.column(
+        graft.expressions.NearestCentroid(GraftColumnBridge.expression(
+          col("embedding")), cents)).as("list")).collect()
+      assert(assigned.forall(r => r.getInt(0) == 0 || r.getInt(0) == 1))
     } finally {
       before match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
