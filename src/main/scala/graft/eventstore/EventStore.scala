@@ -68,6 +68,9 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   private val locks = new ConcurrentHashMap[String, Object]()
   /** per-stream key digest cache, validated by manifest version. */
   private val digests = new ConcurrentHashMap[String, DigestCache]()
+  /** per-stream parsed-head cache, validated by two stat calls (see
+    * readHead). Keyed by the stream directory path. */
+  private val heads = new ConcurrentHashMap[Path, HeadCache]()
 
   private def key(u: String, s: String) = s"$u\u0000$s"
   private def lockFor(u: String, s: String): Object =
@@ -85,14 +88,44 @@ class EventStore(val spark: SparkSession, rootDir: String) {
 
   /** Read the head (highest-version) manifest of a stream, or None if
     * the stream has never committed. O(#files) metadata-only — the
-    * analogue of revision-from-index-length (reference src/db.rs:103-113). */
+    * analogue of revision-from-index-length (reference src/db.rs:103-113).
+    *
+    * Hot-path cache: manifest versions are DENSE (every commit claims
+    * exactly head+1), so a cached head at version v is still the head
+    * iff `manifest-(v+1)` does not exist — one stat call replaces the
+    * directory listing and manifest parse. Delete-then-recreate (the
+    * stream restarting at version 1..v with fresh files) is caught by
+    * comparing the cached manifest file's fileKey (inode): the
+    * hard-link commit gives every manifest file a distinct inode, so a
+    * recreated `manifest-v` never matches the cached one. External
+    * writers stay visible immediately — both probes go to the
+    * filesystem, nothing trusts process memory alone. */
   private def readHead(dir: Path): Option[Manifest] = {
+    val cached = heads.get(dir)
+    if (cached != null && isCurrentHead(dir, cached)) return Some(cached.m)
     val head = listDir(dir).flatMap(p => p.getFileName.toString match {
       case ManifestFile(v) => Some(v.toLong)
       case _ => None
     }).maxOption
-    head.map(v => parseManifest(dir.resolve(manifestName(v))))
+    head.map { v =>
+      val p = dir.resolve(manifestName(v))
+      val m = parseManifest(p)
+      fileKeyOf(p).foreach(k => heads.put(dir, HeadCache(m, k)))
+      m
+    }
   }
+
+  private def isCurrentHead(dir: Path, c: HeadCache): Boolean =
+    !Files.exists(dir.resolve(manifestName(c.m.version + 1))) &&
+      fileKeyOf(dir.resolve(manifestName(c.m.version))).contains(c.fileKey)
+
+  /** The (device, inode) identity of a file, or None if it vanished or
+    * the filesystem exposes no fileKey (then the cache stays cold —
+    * correct, just slower). */
+  private def fileKeyOf(p: Path): Option[AnyRef] =
+    try Option(Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+    catch { case _: java.io.IOException => None }
 
   /** Current revision = number of committed events (0 = no stream).
     * Always read from the manifest head so commits by *other processes*
@@ -402,6 +435,14 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     } finally cached.unpersist()
   }
 
+  /** Test seam: invoked at the top of commitStaged (inside the stream
+    * lock, before the head re-read) so races with an external writer —
+    * a commit landing between ingest prep and the staged commit — can be
+    * triggered deterministically instead of hoping a thread interleaves.
+    * Production value is a no-op. */
+  private[eventstore] var testHookBeforeCommitStaged
+      : (String, String) => Unit = (_, _) => ()
+
   /** Move one stream's staged file into place and claim the manifest.
     * Falls back to the idempotent append if the stream moved under us
     * (external writer) or the staging produced an unexpected shape. */
@@ -409,6 +450,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       base: Long, prevFiles: List[String], prevKeys: List[String],
       freshHashes: Seq[Long], parts: List[Path]): Long =
     lockFor(u, s).synchronized {
+      testHookBeforeCommitStaged(u, s)
       val dir = streamPath(u, s)
       val headNow = readHead(dir)
       val fallback = headNow.map(_.version).getOrElse(0L) != baseVersion ||
@@ -517,7 +559,10 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     try {
       Files.write(tmp, serializeManifest(m).getBytes("UTF-8"))
       try {
-        Files.createLink(dir.resolve(manifestName(m.version)), tmp)
+        val target = dir.resolve(manifestName(m.version))
+        Files.createLink(target, tmp)
+        // keep the head cache warm for our own next read
+        fileKeyOf(target).foreach(k => heads.put(dir, HeadCache(m, k)))
         true
       } catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -683,19 +728,26 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       (m.files ++ m.keyFiles).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMs
-    listDir(dir).foreach { p =>
+    val (manifests, dataFiles) = listDir(dir).partitionMap { p =>
+      p.getFileName.toString match {
+        case ManifestFile(v) => Left((v.toLong, p))
+        case _ => Right(p)
+      }
+    }
+    // Manifests are pruned OLDEST-FIRST so the surviving set is always a
+    // contiguous suffix {w..head}, whatever instant a concurrent reader
+    // (or a crash mid-sweep) observes. readHead's cache validation
+    // ("manifest-v exists and manifest-(v+1) doesn't ⟹ v is head")
+    // depends on exactly this order.
+    manifests.sortBy(_._1).foreach { case (v, p) =>
+      if (!keepVersions(v)) Files.deleteIfExists(p)
+    }
+    dataFiles.foreach { p =>
       val name = p.getFileName.toString
-      val manifestVersion = name match {
-        case ManifestFile(v) => Some(v.toLong)
-        case _ => None
-      }
-      val deletable = manifestVersion match {
-        case Some(v) => !keepVersions(v)
-        case None =>
-          (name.endsWith(".parquet") || name.endsWith(".keys")) &&
-            !referenced(name) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff
-      }
+      val deletable =
+        (name.endsWith(".parquet") || name.endsWith(".keys")) &&
+          !referenced(name) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
       if (deletable) Files.deleteIfExists(p)
     }
   }
@@ -708,6 +760,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       val existed = Files.isDirectory(dir)
       if (existed) org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
       digests.remove(key(u, s))
+      heads.remove(dir)
       existed
     }
 
@@ -743,6 +796,10 @@ object EventStore {
 
   private[eventstore] case class DigestCache(version: Long,
       loadedFiles: Set[String], digest: KeyDigest)
+
+  /** A parsed head manifest plus the identity (fileKey/inode) of the
+    * file it was parsed from — see readHead's cache validation. */
+  private[eventstore] case class HeadCache(m: Manifest, fileKey: AnyRef)
 
   /** Exact tier below BloomTierKeys keys, bloom tier above. */
   val BloomTierKeys: Int = 1 << 20

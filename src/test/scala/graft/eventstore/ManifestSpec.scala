@@ -281,6 +281,46 @@ class ManifestSpec extends SparkSuite {
     assert(revs.toSeq == (0L until 24L))
   }
 
+  test("commitStaged fallback (DETERMINISTIC): an external commit landing " +
+      "between ingest prep and the staged commit forces the idempotent " +
+      "re-append, with no loss, duplication, or revision gap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tempDir("staged-fallback-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeA.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    // the external writer fires exactly once, inside commitStaged's lock
+    // but before its head re-read: it commits one event the batch ALSO
+    // carries (e-3) and one it doesn't (x-0)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    storeA.testHookBeforeCommitStaged = (u, s) =>
+      if (u == "u1" && s == "s1" && fired.getAndIncrement() == 0)
+        storeB.append("u1", "s1", Seq(ev("e-3"), ev("x-0")))
+    try {
+      val batch = spark.createDataset(Seq("e-1", "e-2", "e-3")
+          .map(id => ("u1", "s1", id, "test://manifest", "t")))
+        .toDF("user_id", "stream_id", "id", "source", "type")
+        .withColumn("specversion", lit("1.0"))
+        .withColumn("subject", lit(null: String))
+        .withColumn("time", lit(null).cast("timestamp"))
+        .withColumn("datacontenttype", lit(null: String))
+        .withColumn("dataschema", lit(null: String))
+        .withColumn("data", lit(null: String))
+        .withColumn("data_base64", lit(null).cast("binary"))
+        .withColumn("extensions", map().cast("map<string,string>"))
+      // e-1 dropped at prep (already committed), e-3 dropped by the
+      // fallback's idempotent dedup (external writer won it) → 1 fresh
+      assert(storeA.ingestBatch(batch) == 1)
+    } finally storeA.testHookBeforeCommitStaged = (_, _) => ()
+    assert(fired.get() == 1)
+    val all = storeA.query("u1", "s1", 0, 100)
+    assert(all.map(_.id) == Seq("e-0", "e-1", "e-3", "x-0", "e-2"))
+    val revs = storeA.readStream("u1", "s1")
+      .select("revision").collect().map(_.getLong(0)).sorted
+    assert(revs.toSeq == (0L until 5L))
+  }
+
   test("delete-then-recreate resets a stream cleanly, including a " +
       "second instance's stale digest cache") {
     val dir = tempDir("del-recreate-")
@@ -296,6 +336,33 @@ class ManifestSpec extends SparkSuite {
     assert(storeB.append("u1", "s1", Seq(ev("e-0"))) == 1)
     assert(storeA.query("u1", "s1", 0, 10).map(_.id) == Seq("e-0"))
     assert(storeA.revision("u1", "s1") == 1)
+  }
+
+  test("head cache never hides external writers: commits, compactions, " +
+      "and delete-recreate through ANOTHER instance are visible on the " +
+      "next read (dense-version probe + manifest inode check)") {
+    val dir = tempDir("head-cache-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeA.append("u1", "s1", Seq(ev("e-0")))
+    // warm A's head cache, then hit it again (no commit in between)
+    assert(storeA.revision("u1", "s1") == 1)
+    assert(storeA.revision("u1", "s1") == 1)
+    // external commit → A must see it immediately
+    storeB.append("u1", "s1", Seq(ev("e-1"), ev("e-2")))
+    assert(storeA.revision("u1", "s1") == 3)
+    // external compaction bumps the version without changing revision
+    storeB.append("u1", "s1", Seq(ev("e-3")))
+    assert(storeB.compactStream("u1", "s1") == 3)
+    assert(storeA.revision("u1", "s1") == 4)
+    assert(storeA.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("e-0", "e-1", "e-2", "e-3"))
+    // external delete + recreate lands at version 1 again: the stale
+    // cached manifest (higher version, dead inode) must not resurface
+    assert(storeB.deleteStream("u1", "s1"))
+    storeB.append("u1", "s1", Seq(ev("n-0")))
+    assert(storeA.revision("u1", "s1") == 1)
+    assert(storeA.query("u1", "s1", 0, 10).map(_.id) == Seq("n-0"))
   }
 
   test("streams() metadata listing runs zero Spark jobs and touches no " +
