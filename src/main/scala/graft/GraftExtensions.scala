@@ -103,6 +103,35 @@ object GraftExtensions {
       val spark = SparkSession.active
       val u = evalString(es(0), "user")
       storeFor(spark).userEvents(u).queryExecution.logical
+    },
+    // store-wide stats, one metadata-only row per user (manifests + file
+    // sizes, zero parquet footers) — the admin-overview relation a
+    // multi-tenant store needs; shape mirrors stream_listing aggregated
+    // one level up
+    "store_stats" -> { _ =>
+      val spark = SparkSession.active
+      val store = storeFor(spark)
+      import spark.implicits._
+      val rows = store.recoverCatalog().map(_._1).distinct.sorted
+        .map { u =>
+          val metas = store.streams(u)
+          (u, metas.size.toLong, metas.map(_.revision).sum,
+            metas.map(_.usage).sum)
+        }
+      rows.toDF("user_id", "n_streams", "n_events", "usage_bytes")
+        .queryExecution.logical
+    },
+    // maintenance verb in SQL (Spark has no CALL statement; a
+    // one-row-result table function is the idiomatic stand-in):
+    // SELECT * FROM compact_stream('user', 'stream') folds the stream's
+    // batch files into one and reports how many were replaced
+    "compact_stream" -> { es =>
+      val spark = SparkSession.active
+      val (u, s) = (evalString(es(0), "user"), evalString(es(1), "stream"))
+      val n = storeFor(spark).compactStream(u, s)
+      import spark.implicits._
+      Seq((u, s, n)).toDF("user_id", "stream_id", "files_replaced")
+        .queryExecution.logical
     })
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -89,4 +89,37 @@ class ExtensionsSpec extends SparkSuite {
     assert(perStream.toSeq ==
       Seq(("other", 1L, 0L), ("s1", 20L, 19L)))
   }
+
+  test("store_stats() and compact_stream() SQL surface: metadata-only " +
+      "admin overview plus the maintenance verb as a one-row relation") {
+    import graft.eventstore.{CloudEvent, EventStore}
+    GraftExtensions.register(spark)
+    val root = tempDir("tvf-admin-")
+    val store = new EventStore(spark, root)
+    (0 until 3).foreach(i => store.append("u1", "s1",
+      Seq(CloudEvent(id = s"a-$i", source = "tvf", `type` = "t"))))
+    store.append("u1", "s2", Seq(
+      CloudEvent(id = "b", source = "tvf", `type` = "t")))
+    store.append("u2", "s9", Seq(
+      CloudEvent(id = "c", source = "tvf", `type` = "t")))
+    spark.conf.set("spark.graft.store.root", root)
+    val stats = spark.sql(
+      """SELECT user_id, n_streams, n_events FROM store_stats()
+         ORDER BY user_id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq(("u1", 2L, 4L), ("u2", 1L, 1L)))
+    assert(spark.sql("SELECT usage_bytes FROM store_stats()")
+      .collect().forall(_.getLong(0) > 0))
+    // the verb: three batch files fold into one, re-run is a no-op
+    val compacted = spark.sql(
+      "SELECT files_replaced FROM compact_stream('u1', 's1')")
+      .head().getInt(0)
+    assert(compacted == 3)
+    assert(spark.sql(
+      "SELECT files_replaced FROM compact_stream('u1', 's1')")
+      .head().getInt(0) == 0)
+    // data survives the verb
+    assert(store.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("a-0", "a-1", "a-2"))
+  }
 }
