@@ -263,7 +263,44 @@ object EventQueries {
        count(*) AS n_events
        FROM events GROUP BY event_type"""
 
+  /** q65: range join — high-value purchase windows [ts, ts+2d) counting
+    * the same user's clicks inside each window. Runs through the
+    * bucketed equi-join operator (operators.RangeJoin): a naive
+    * inequality join plans as a nested loop; binning makes it one
+    * ordinary hash join + residual filter, the shape that survives
+    * 100 TB. Empty windows are kept (left join of counts back onto the
+    * window set) so the result is decided by the data, not the match
+    * rate. */
+  val q65_range_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val windows = ev
+      .filter(col("event_type") === "purchase" && col("value") > 200)
+      .select(col("user_id"), col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 2 DAYS")).as("we"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val pairs = graft.operators.RangeJoin.pointInInterval(
+      windows, clicks, "ws", "we", "cts",
+      keys = Seq("user_id"), binWidthSec = 2 * 24 * 3600L)
+    val counts = pairs.groupBy(col("user_id"), col("ws"))
+      .agg(count(lit(1)).as("n_clicks"))
+    windows.join(counts, Seq("user_id", "ws"), "left")
+      .select(col("user_id"), col("ws"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
+  val q65_oracle: String =
+    """WITH w AS (
+         SELECT user_id, ts AS ws, ts + INTERVAL 2 DAY AS we
+         FROM events WHERE event_type = 'purchase' AND value > 200)
+       SELECT w.user_id, w.ws, CAST(count(e.ts) AS BIGINT) AS n_clicks
+       FROM w LEFT JOIN events e
+         ON e.user_id = w.user_id AND e.event_type = 'click'
+        AND e.ts >= w.ws AND e.ts < w.we
+       GROUP BY w.user_id, w.ws"""
+
   val all: Map[String, Q] = Map(
+    "q65_range_join" -> q65_range_join,
     "q56_variant_json" -> q56_variant_json,
     "q52_sliding_2h" -> q52_sliding_2h,
     "q44_asof_join" -> q44_asof_join,
@@ -278,6 +315,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q65_range_join" -> q65_oracle,
     "q64_exact_distinct" -> q64_oracle,
     "q56_variant_json" -> q56_oracle,
     "q52_sliding_2h" -> q52_oracle,
