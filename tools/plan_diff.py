@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Diff two Plans.scala dumps (PLANS_rNN.txt) and flag plan regressions
+that wall-clock noise can hide:
+
+  - exchange count increased (new shuffle / broadcast)
+  - PushedFilters lines decreased (lost pushdown)
+  - WholeStageCodegen span count decreased (codegen break)
+  - a query's plan started failing, or a query disappeared
+
+Usage: tools/plan_diff.py PLANS_r02.txt PLANS_r03.txt
+Exit 1 if any regression is found (new queries are reported, not fatal).
+"""
+import re
+import sys
+
+
+def parse(path):
+    plans = {}
+    name = None
+    buf = []
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"^==== (\S+) ====$", line)
+            if m:
+                if name:
+                    plans[name] = "".join(buf)
+                name, buf = m.group(1), []
+            else:
+                buf.append(line)
+    if name:
+        plans[name] = "".join(buf)
+    return plans
+
+
+def stats(plan):
+    return {
+        # formatted-mode tree nodes: "Exchange (4)" is a shuffle,
+        # "BroadcastExchange (15)" is not
+        "shuffles": len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)),
+        "broadcasts": len(re.findall(r"BroadcastExchange \(\d+\)", plan)),
+        "pushed_filters": len([l for l in plan.splitlines()
+                               if "PushedFilters: [" in l and "PushedFilters: []" not in l]),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "failed": "PLAN FAILED" in plan,
+    }
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old, new = parse(old_path), parse(new_path)
+    regressions, notes = [], []
+    for q in sorted(old):
+        if q not in new:
+            regressions.append(f"{q}: query disappeared")
+            continue
+        so, sn = stats(old[q]), stats(new[q])
+        if sn["failed"] and not so["failed"]:
+            regressions.append(f"{q}: plan now FAILS")
+            continue
+        if sn["shuffles"] > so["shuffles"]:
+            regressions.append(
+                f"{q}: shuffles {so['shuffles']} -> {sn['shuffles']}")
+        if sn["pushed_filters"] < so["pushed_filters"]:
+            regressions.append(
+                f"{q}: PushedFilters scans {so['pushed_filters']} -> {sn['pushed_filters']}")
+        if sn["codegen_spans"] < so["codegen_spans"]:
+            notes.append(
+                f"{q}: codegen spans {so['codegen_spans']} -> {sn['codegen_spans']} (check: fewer can also mean a simpler plan)")
+    for q in sorted(set(new) - set(old)):
+        s = stats(new[q])
+        notes.append(
+            f"{q}: NEW (shuffles={s['shuffles']}, pushed={s['pushed_filters']}, codegen={s['codegen_spans']})")
+
+    for n in notes:
+        print("note:", n)
+    if regressions:
+        for r in regressions:
+            print("REGRESSION:", r)
+        print(f"\n{len(regressions)} regression(s) vs {old_path}")
+        sys.exit(1)
+    print(f"no plan regressions vs {old_path} ({len(old)} queries compared)")
+
+
+if __name__ == "__main__":
+    main()
