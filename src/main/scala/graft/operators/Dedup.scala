@@ -229,6 +229,61 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the minimum id reachable from it, so each duplicate CLUSTER —
+    * not just each pairwise edge — has one canonical representative.
+    * Pairwise survivor-picking (drop the higher id of each edge, q32's
+    * shape) is correct only when clusters are cliques; chains A–B–C
+    * need the transitive closure this computes.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * (symmetrized) edge list against current labels and takes the min
+    * of own + neighbor labels; labels only ever decrease, so the sum
+    * over all labels is a monotone convergence witness (equal sum ⟹
+    * fixpoint — no extra change-count join). Rounds needed = graph
+    * diameter; near-dup graphs are overwhelmingly tiny clusters, so
+    * convergence is fast. Each round is one equi-join + one hash agg
+    * (both shuffle on id) and a localCheckpoint to cut lineage — the
+    * standard scalable CC shape. For adversarial long-chain graphs the
+    * upgrade path is alternating large-star/small-star rounds
+    * (halves the diameter per round); not needed for dedup graphs.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val sym = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint() // edges are reused every round — plan them once
+    var labels = ids
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("comp"))
+      .localCheckpoint()
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp")).cast("decimal(38,0)")).head()
+        .getDecimal(0)
+    var prev = checksum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = checksum(next)
+      converged = s == prev
+      prev = s
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters " +
+      "rounds — graph has a chain longer than maxIters")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   /** Brute-force exact variant of embeddingCosinePairs (for oracle checks
     * and small sides; O(n²) — never run this at scale). Norms are
     * computed once per row BEFORE the join (not once per pair), and the

@@ -255,7 +255,44 @@ object TextQueries {
          AS n_digit_runs
        FROM documents"""
 
+  /** q66: near-dup CLUSTERS — connected components over the
+    * MinHash-LSH pair graph (jac ≥ 0.5), every document labeled with
+    * the min doc_id reachable from it. Pairwise survivor-picking (q32)
+    * is only exact on cliques; chains A–B–C need this transitive
+    * closure. The oracle recomputes the same edges exactly (the q31
+    * identity) and closes them with a recursive CTE. */
+  val q66_neardup_components: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  val q66_oracle: String =
+    """WITH RECURSIVE
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+       e AS (SELECT id_a AS src, id_b AS dst FROM p
+             UNION SELECT id_b, id_a FROM p),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+       FROM reach GROUP BY id"""
+
   val all: Map[String, Q] = Map(
+    "q66_neardup_components" -> q66_neardup_components,
     "q55_bpe_tokens" -> q55_bpe_tokens,
     "q26_token_stats" -> q26_token_stats,
     "q27_lang_profile" -> q27_lang_profile,
@@ -269,6 +306,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q66_neardup_components" -> q66_oracle,
     "q55_bpe_tokens" -> q55_oracle,
     "q26_token_stats" -> q26_oracle,
     "q27_lang_profile" -> q27_oracle,

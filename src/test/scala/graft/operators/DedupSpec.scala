@@ -114,6 +114,32 @@ class DedupSpec extends SparkSuite {
     assert(starved == 0)
   }
 
+  test("connected components label chains transitively (A-B-C one " +
+      "cluster) where pairwise survivor-picking would split them") {
+    val ids = (0L to 9L).toDF("id")
+    // chain 0-1-2-3, pair 5-6, singletons 4,7,8,9; edges deliberately
+    // NOT a clique — 0-3 share no direct edge
+    val pairs = Seq((1L, 0L), (1L, 2L), (3L, 2L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(ids, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+    // on the fixture corpus: components refine survivors — the number
+    // of clusters equals q32's survivor count (every cluster keeps
+    // exactly one canonical doc)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lshPairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+    val comps = Dedup.connectedComponents(
+      docs.select($"doc_id"), "doc_id", lshPairs)
+    val nClusters = comps.select(countDistinct($"component")).head().getLong(0)
+    val dupIds = lshPairs.select($"id_b".as("doc_id")).distinct()
+    val nSurvivors = docs.join(dupIds, Seq("doc_id"), "left_anti").count()
+    assert(comps.count() == docs.count())
+    assert(nClusters == nSurvivors)
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
