@@ -291,7 +291,71 @@ object TextQueries {
        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
        FROM reach GROUP BY id"""
 
+  /** q67: corpus vocabulary — top-20 terms per language by frequency
+    * (the vocab-building / term-stats pass of a tokenizer pipeline).
+    * One explode + one hash agg + a per-lang top-k window; the shuffle
+    * keys are (lang, term) then lang, both low-cardinality-friendly. */
+  val q67_term_freq: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("term"), col("n"), col("rank"))
+  }
+
+  val q67_oracle: String =
+    """WITH tok AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       counts AS (
+         SELECT lang, term, count(*) AS n FROM tok
+         WHERE term <> '' GROUP BY lang, term)
+       SELECT lang, term, n, rank FROM (
+         SELECT lang, term, n,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY n DESC, term) AS BIGINT) AS rank
+         FROM counts)
+       WHERE rank <= 20"""
+
+  /** q68: per-document repetition ratio — the share of the most
+    * frequent term (a standard low-quality/template-text filter in
+    * training-data pipelines). Two hash aggs, both keyed by doc_id, so
+    * the second collapses into the first's partitioning. */
+  val q68_repetition: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        max(col("c")).as("top_term_n"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("repetition"))
+  }
+
+  val q68_oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tc AS (
+         SELECT doc_id, term, count(*) AS c FROM tok
+         WHERE term <> '' GROUP BY doc_id, term)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         max(c) AS top_term_n,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition
+       FROM tc GROUP BY doc_id"""
+
   val all: Map[String, Q] = Map(
+    "q67_term_freq" -> q67_term_freq,
+    "q68_repetition" -> q68_repetition,
     "q66_neardup_components" -> q66_neardup_components,
     "q55_bpe_tokens" -> q55_bpe_tokens,
     "q26_token_stats" -> q26_token_stats,
@@ -306,6 +370,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q67_term_freq" -> q67_oracle,
+    "q68_repetition" -> q68_oracle,
     "q66_neardup_components" -> q66_oracle,
     "q55_bpe_tokens" -> q55_oracle,
     "q26_token_stats" -> q26_oracle,
