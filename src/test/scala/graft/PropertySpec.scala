@@ -128,6 +128,49 @@ class PropertySpec extends SparkSuite {
     assert(hashes.distinct.size == pairs.size)
   }
 
+  test("bucketed range join equals the naive inequality join on random " +
+      "interval/point sets across bin widths (including widths far " +
+      "smaller and larger than the intervals)") {
+    import org.apache.spark.sql.functions.col
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val genIntervals = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 3L)
+      startSec <- Gen.choose(0L, 86400L)
+      lenSec <- Gen.choose(0L, 14400L) // includes empty intervals
+    } yield (k, new java.sql.Timestamp(base + startSec * 1000),
+      new java.sql.Timestamp(base + (startSec + lenSec) * 1000)))
+    val genPoints = Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 3L)
+      sec <- Gen.choose(0L, 100800L)
+    } yield (k, new java.sql.Timestamp(base + sec * 1000)))
+    val ivsSets = samples(genIntervals, 3)
+    val ptsSets = samples(genPoints, 3)
+    ivsSets.zip(ptsSets).zipWithIndex.foreach { case ((ivsL, ptsL), round) =>
+      val ivs = ivsL.toDF("k", "s", "e")
+      val pts = ptsL.toDF("k", "p")
+      val naive = ivs.as("i").join(pts.as("pt"),
+          col("i.k") === col("pt.k") &&
+            col("pt.p") >= col("i.s") && col("pt.p") < col("i.e"))
+        .select(col("i.k"), col("i.s"), col("i.e"), col("pt.p"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSeq.sorted(
+          Ordering.by((t: (Long, java.sql.Timestamp, java.sql.Timestamp,
+            java.sql.Timestamp)) => (t._1, t._2.getTime, t._3.getTime,
+            t._4.getTime)))
+      Seq(60L, 3600L, 86400L).foreach { bin =>
+        val binned = graft.operators.RangeJoin.pointInInterval(
+            ivs, pts, "s", "e", "p", keys = Seq("k"), binWidthSec = bin)
+          .select(col("k"), col("s"), col("e"), col("p"))
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+            r.getTimestamp(2), r.getTimestamp(3))).toSeq.sorted(
+            Ordering.by((t: (Long, java.sql.Timestamp, java.sql.Timestamp,
+              java.sql.Timestamp)) => (t._1, t._2.getTime, t._3.getTime,
+              t._4.getTime)))
+        assert(binned == naive, s"round=$round bin=$bin")
+      }
+    }
+  }
+
   test("JWS ES384 raw<->DER signature conversion roundtrips arbitrary " +
       "(r, s) values including high-bit and short ones") {
     import graft.api.Jwt.{derToRaw, rawToDer}
