@@ -46,6 +46,8 @@ def stats(plan):
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit("usage: plan_diff.py OLD_PLANS.txt NEW_PLANS.txt")
     old_path, new_path = sys.argv[1], sys.argv[2]
     old, new = parse(old_path), parse(new_path)
     regressions, notes = [], []

@@ -31,15 +31,20 @@ def run(cmd, env=None):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           env=e)
 
-def bench(sf_dir):
-    r = run('sbt -batch "runMain graft.Bench"',
-            {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"})
+def bench(sf_dir, only=None):
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"}
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = only
+    r = run('sbt -batch "runMain graft.Bench"', env)
     for line in (r.stdout + r.stderr).splitlines():
         if '"metric"' in line:
             start = line.index("{")
             return json.loads(line[start:])
     raise SystemExit(f"no bench line for {sf_dir}:\n{r.stdout[-2000:]}\n"
                      f"{r.stderr[-2000:]}")
+
+def bench_only(sf_dir, query):
+    return bench(sf_dir, only=query)["queries"][query]
 
 def main():
     if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
@@ -65,6 +70,26 @@ def main():
                      "gated": q not in EXCLUDE})
         if q not in EXCLUDE and ratio > THRESHOLD:
             flagged.append(q)
+    # Concurrent-suite per-query times are noisy for sub-second queries
+    # (driver planning overlap), so re-measure every flagged query
+    # ISOLATED at both SFs and keep the flag only if it reproduces.
+    confirmed = []
+    for q in flagged:
+        print(f"re-measuring {q} isolated ...")
+        t01 = bench_only(SF01, q)
+        t1 = bench_only(SF1, q)
+        ratio = t1 / (t01 * FACTOR) if t01 > 0 else 0.0
+        for r_ in rows:
+            if r_["query"] == q:
+                r_["isolated_sf0.1_s"] = round(t01, 3)
+                r_["isolated_sf1_s"] = round(t1, 3)
+                r_["isolated_per_row_ratio"] = round(ratio, 3)
+        if ratio > THRESHOLD:
+            confirmed.append(q)
+        else:
+            print(f"  {q}: isolated per-row ratio {ratio:.2f} — "
+                  "concurrency noise, flag cleared")
+    flagged = confirmed
     out = {"factor": FACTOR, "threshold": THRESHOLD,
            "total_sf0.1_s": round(b01["value"], 2),
            "total_sf1_s": round(b1["value"], 2),
