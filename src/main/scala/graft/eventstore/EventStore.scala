@@ -711,6 +711,29 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       head.files.size
     }
 
+  /** Compact every stream of a user (store maintenance sweep — the
+    * batch form of the `compact_stream` SQL verb). Streams compact
+    * independently, so the sweep parallelizes over a bounded pool the
+    * same way ingestBatch's manifest commits do. Returns total files
+    * replaced. */
+  def compactAll(u: String, graceMs: Long = 10 * 60 * 1000L,
+      parallelism: Int = 8): Int = {
+    val streamIds = listDir(userPath(u)).filter(Files.isDirectory(_))
+      .map(p => Base32.decodeString(p.getFileName.toString))
+    if (streamIds.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, streamIds.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = streamIds.map(s =>
+        scala.concurrent.Future(compactStream(u, s, graceMs)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(30, "min")).sum
+    } finally pool.shutdown()
+  }
+
   /** Garbage-collect files referenced by neither the head manifest nor
     * its predecessor (keeping one generation for in-flight readers) and
     * older than the grace window (protecting in-flight commits that have

@@ -244,9 +244,10 @@ object Dedup {
     * diameter; near-dup graphs are overwhelmingly tiny clusters, so
     * convergence is fast. Each round is one equi-join + one hash agg
     * (both shuffle on id) and a localCheckpoint to cut lineage — the
-    * standard scalable CC shape. For adversarial long-chain graphs the
-    * upgrade path is alternating large-star/small-star rounds
-    * (halves the diameter per round); not needed for dedup graphs.
+    * standard scalable CC shape. For adversarial long-chain graphs use
+    * [[connectedComponentsStar]] (O(log n) rounds regardless of
+    * diameter); this one stays the default for dedup graphs because a
+    * round is cheaper (one join vs two grouped re-link passes).
     */
   def connectedComponents(ids: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
@@ -282,6 +283,70 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIters " +
       "rounds — graph has a chain longer than maxIters")
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (the MapReduce-CC construction) — converges in O(log n) rounds
+    * regardless of graph shape, where plain label propagation needs
+    * diameter rounds. Use this for graphs that may contain long chains;
+    * [[connectedComponents]] stays the default for near-dup graphs
+    * (tiny clusters, diameter ≈ 2-3, fewer jobs per round).
+    *
+    * Each round: LARGE-STAR links every strictly-larger neighbor of u
+    * to m(u) = min(u ∪ N(u)); SMALL-STAR re-links every
+    * smaller-or-equal neighbor (and u itself) to the minimum of that
+    * down-set. Edges are kept oriented (hi, lo) and both emitted forms
+    * preserve hi > lo, so the edge set is a monotone object whose
+    * 64-bit-hash checksum is the convergence witness. At the fixpoint
+    * the edges form a star forest: every node points at its component's
+    * minimum id. */
+  def connectedComponentsStar(ids: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 32): DataFrame = {
+    var edges = pairs.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo"))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the symmetrized adjacency
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // m <= u < v, so every emitted edge is already oriented (v, m)
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+      // small-star over the oriented down-sets
+      val mins2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val relinked = ls.join(mins2, "hi").filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      edges = relinked
+        .union(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      val s = checksum(edges)
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    require(converged, s"star rounds did not converge in $maxIters " +
+      "iterations")
+    val roots = edges.groupBy(col("hi").as("id"))
+      .agg(min(col("lo")).as("root"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
 
   /** Brute-force exact variant of embeddingCosinePairs (for oracle checks

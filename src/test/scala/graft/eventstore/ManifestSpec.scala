@@ -338,6 +338,25 @@ class ManifestSpec extends SparkSuite {
     assert(storeA.revision("u1", "s1") == 1)
   }
 
+  test("compactAll sweeps every stream of a user in parallel and " +
+      "preserves all data") {
+    val dir = tempDir("compact-all-")
+    val store = new EventStore(spark, dir)
+    (0 until 3).foreach { s =>
+      (0 until 3).foreach { i =>
+        store.append("u1", s"s$s", Seq(ev(s"e-$s-$i")))
+      }
+    }
+    store.append("u2", "other", Seq(ev("x-0"))) // other tenant untouched
+    assert(store.compactAll("u1") == 9) // 3 streams x 3 files
+    assert(store.compactAll("u1") == 0) // idempotent
+    (0 until 3).foreach { s =>
+      assert(store.query("u1", s"s$s", 0, 10).map(_.id) ==
+        (0 until 3).map(i => s"e-$s-$i"))
+    }
+    assert(store.query("u2", "other", 0, 10).map(_.id) == Seq("x-0"))
+  }
+
   test("head cache never hides external writers: commits, compactions, " +
       "and delete-recreate through ANOTHER instance are visible on the " +
       "next read (dense-version probe + manifest inode check)") {

@@ -140,6 +140,37 @@ class DedupSpec extends SparkSuite {
     assert(nClusters == nSurvivors)
   }
 
+  test("large-star/small-star components equal label propagation on " +
+      "random graphs and converge on a 200-node chain where " +
+      "diameter-bounded propagation cannot") {
+    // adversarial chain: diameter 199 — propagation's default 50 rounds
+    // must refuse, star converges in O(log n)
+    val chainIds = (0L until 200L).toDF("id")
+    val chainEdges = (0L until 199L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(chainIds, "id", chainEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == 200 && star.values.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chainIds, "id", chainEdges)
+    }
+    // random graphs (deterministic seeds): star == propagation
+    (0 until 3).foreach { round =>
+      val rnd = new scala.util.Random(42L + round)
+      val n = 60
+      val ids = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(50)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val viaStar = Dedup.connectedComponentsStar(ids, "id", edges)
+        .as[(Long, Long)].collect().toMap
+      val viaProp = Dedup.connectedComponents(ids, "id", edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"round=$round")
+    }
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
