@@ -117,6 +117,24 @@ object Similarity {
       s"planes $numPlanes\ndim $dim\n".getBytes("UTF-8"))
   }
 
+  /** Incrementally add vectors to a persisted LSH index: signatures come
+    * from the same deterministic plane set the index was built with (the
+    * meta records numPlanes/dim; planes derive from the fixed seed), and
+    * the new rows append into their bucket partitions — probes see them
+    * immediately, no rebuild. */
+  def upsertLshIndex(emb: DataFrame, vecCol: String, idCol: String,
+      indexDir: String): Unit = {
+    val meta = Files.readAllLines(Paths.get(indexDir, "meta"))
+    val numPlanes = meta.get(0).split(' ')(1).toInt
+    val dim = meta.get(1).split(' ')(1).toInt
+    val planes = makePlanes(numPlanes, dim)
+    emb.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Append)
+      .parquet(s"$indexDir/buckets")
+  }
+
   /** Probe a persisted LSH index with a literal query vector: reads only
     * the `probes` hamming-nearest bucket partitions, reranks exactly. */
   def lshProbe(spark: SparkSession, indexDir: String,
@@ -241,6 +259,24 @@ object Similarity {
       .write.partitionBy("__list").mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/lists")
     writeCentroidMeta(indexDir, centroids)
+  }
+
+  /** Incrementally add vectors to a persisted IVF index: new rows are
+    * assigned with the EXISTING quantizer (centroids.meta) and appended
+    * into their list partitions. The quantizer does not move — the
+    * standard IVF serve-time contract (assignment consistency is what
+    * probe pruning relies on); re-train by rebuilding when drift
+    * warrants it. Full-probe == brute-force still holds over the grown
+    * corpus since every list is read. */
+  def upsertIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
+      indexDir: String): Unit = {
+    val centroids = readCentroidMeta(indexDir)
+      .sortBy(_._1).map(_._2)
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("__list", assignExpr(vecCol, centroids))
+      .repartition(col("__list"))
+      .write.partitionBy("__list").mode(SaveMode.Append)
+      .parquet(s"$indexDir/lists")
   }
 
   /** Probe a persisted IVF index: pick the `nProbes` lists whose

@@ -155,4 +155,36 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(full == brute)
   }
+
+  test("incremental index upsert: building on half the corpus and " +
+      "upserting the rest equals a full build — full probe still equals " +
+      "brute force for both IVF and LSH") {
+    val half = emb.count() / 2
+    val first = emb.filter($"vec_id" < half)
+    val rest = emb.filter($"vec_id" >= half)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+
+    val ivfDir = tempDir("ivf-upsert-")
+    Similarity.buildIvfIndex(first, "embedding", "vec_id", ivfDir,
+      nLists = 8)
+    Similarity.upsertIvfIndex(rest, "embedding", "vec_id", ivfDir)
+    val ivfFull = Similarity.ivfProbe(spark, ivfDir, qv, k = 10,
+        nProbes = 8, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivfFull == brute)
+    assert(spark.read.parquet(s"$ivfDir/lists").count() == emb.count())
+
+    val lshDir = tempDir("lsh-upsert-")
+    Similarity.buildLshIndex(first, "embedding", "vec_id", lshDir,
+      numPlanes = 6, dim = 64)
+    Similarity.upsertLshIndex(rest, "embedding", "vec_id", lshDir)
+    val lshFull = Similarity.lshProbe(spark, lshDir, qv, k = 10,
+        probes = 64, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(lshFull == brute)
+    assert(spark.read.parquet(s"$lshDir/buckets").count() == emb.count())
+  }
 }
