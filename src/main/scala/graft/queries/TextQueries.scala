@@ -353,7 +353,27 @@ object TextQueries {
          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition
        FROM tc GROUP BY doc_id"""
 
+  /** q69: deterministic stratified sample — up to 20 docs per language
+    * in md5-of-id order (partition-independent, reproducible in ANY
+    * engine, which is exactly why it oracles; Spark's seeded df.sample
+    * is partition-dependent and would not). The balanced-subsample
+    * primitive of a training-data pipeline. */
+  val q69_stratified_sample: Q = (s, d) =>
+    graft.operators.Sample.stratified(
+        Tables.documents(s, d), Seq("lang"), "doc_id", 20)
+      .select(col("lang"), col("doc_id"), col("rank"))
+
+  val q69_oracle: String =
+    """SELECT lang, doc_id, rank FROM (
+         SELECT lang, doc_id,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS rank
+         FROM documents)
+       WHERE rank <= 20"""
+
   val all: Map[String, Q] = Map(
+    "q69_stratified_sample" -> q69_stratified_sample,
     "q67_term_freq" -> q67_term_freq,
     "q68_repetition" -> q68_repetition,
     "q66_neardup_components" -> q66_neardup_components,
@@ -370,6 +390,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q69_stratified_sample" -> q69_oracle,
     "q67_term_freq" -> q67_oracle,
     "q68_repetition" -> q68_oracle,
     "q66_neardup_components" -> q66_oracle,
