@@ -372,7 +372,40 @@ object TextQueries {
          FROM documents)
        WHERE rank <= 20"""
 
+  /** q70: sequence packing — documents packed into ~64 KiB bins by a
+    * running character total in doc_id order (the LM-training
+    * chunk-assembly shape). The running total goes through the
+    * distributed two-pass prefix sum (operators.PrefixSum) — a naive
+    * orderBy window with no partitionBy would funnel the corpus
+    * through one task. Any cum error shifts a bin boundary, so the
+    * per-bin aggregate is a sharp oracle. */
+  val q70_sequence_pack: Q = (s, d) => {
+    val withCum = graft.operators.PrefixSum.withRunningTotal(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      orderCols = Seq("doc_id"), valueCol = "n_chars")
+    withCum
+      .withColumn("bin", floor((col("n_chars_cum") - col("n_chars"))
+        .cast("double") / 65536.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val q70_oracle: String =
+    """WITH c AS (
+         SELECT doc_id, n_chars,
+           sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents)
+       SELECT CAST(floor((cum - n_chars) / 65536.0) AS BIGINT) AS bin,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM c GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q70_sequence_pack" -> q70_sequence_pack,
     "q69_stratified_sample" -> q69_stratified_sample,
     "q67_term_freq" -> q67_term_freq,
     "q68_repetition" -> q68_repetition,
@@ -390,6 +423,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q70_sequence_pack" -> q70_oracle,
     "q69_stratified_sample" -> q69_oracle,
     "q67_term_freq" -> q67_oracle,
     "q68_repetition" -> q68_oracle,
