@@ -54,6 +54,30 @@ object VectorFunctions {
       GraftColumnBridge.expression(v), planeTables))
   }
 
+  /** Max-abs int8 quantization scale: 127 / max|v_i|. Symmetric
+    * per-vector quantization — the standard embedding-storage shrink
+    * (4 bytes/dim → 1) whose ~0.1% reconstruction error is invisible to
+    * cosine ranking. Kept as higher-order functions: quantization is a
+    * storage pass, not a hot scoring loop (the native-Expression upgrade
+    * applies if it ever is). */
+  def int8Scale(v: Column): Column =
+    lit(127.0) / array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** int8 codes under [[int8Scale]]'s scale: floor(x·scale + 0.5) —
+    * explicit half-up rounding, which every engine computes identically
+    * (engine round() builtins disagree on ties: half-up vs half-even).
+    * |x·scale| ≤ 127 by construction, so no clamp is needed. */
+  def int8Codes(v: Column, scale: Column): Column =
+    transform(v, x =>
+      floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+
+  /** Worst-case per-vector reconstruction error of the int8 codes,
+    * in the original embedding units. */
+  def int8MaxError(v: Column, scale: Column): Column =
+    array_max(transform(v, x =>
+      abs(floor(x.cast("double") * scale + lit(0.5)).cast("double")
+        / scale - x.cast("double"))))
+
   /** Deterministic pseudo-random unit-free hyperplanes (seeded). */
   def makePlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -220,7 +220,34 @@ object VectorQueries {
               * sqrt(list_dot_product(b.v, b.v))) >= 0.999
        ORDER BY id_a, id_b"""
 
+  /** q71: int8 embedding quantization quality — per-vector max-abs
+    * scale and worst-case reconstruction error (the 4x storage shrink
+    * every 100 TB embedding corpus wants, with the error budget made
+    * visible). Rounding is explicit floor(x·s + 0.5) so both engines
+    * compute identical codes — round() builtins disagree on ties. */
+  val q71_int8_quantize: Q = (s, d) => {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(s, d)
+    val scale = int8Scale(col("embedding"))
+    e.select(col("vec_id"), scale.as("scale"),
+      int8MaxError(col("embedding"), scale).as("max_err"))
+  }
+
+  val q71_oracle: String =
+    """SELECT vec_id,
+         127.0 / list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(floor(CAST(x AS DOUBLE)
+                  * (127.0 / list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS DOUBLE)
+                / (127.0 / list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))))
+                - CAST(x AS DOUBLE)))) AS max_err
+       FROM embeddings"""
+
   val all: Map[String, Q] = Map(
+    "q71_int8_quantize" -> q71_int8_quantize,
     "q63_cosine_pairs_lsh" -> q63_cosine_pairs_lsh,
     "q54_label_centroids" -> q54_label_centroids,
     "q51_ivf_topk" -> q51_ivf_topk,
@@ -232,6 +259,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q71_int8_quantize" -> q71_oracle,
     "q63_cosine_pairs_lsh" -> q63_oracle,
     "q54_label_centroids" -> q54_oracle,
     "q51_ivf_topk" -> q36_oracle,

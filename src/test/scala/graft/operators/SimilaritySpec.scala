@@ -156,6 +156,33 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
+  test("int8 quantization: codes bounded, error within half a step, " +
+      "and quantized cosine preserves the exact top-k ranking") {
+    import graft.functions.VectorFunctions._
+    val scale = int8Scale($"embedding")
+    val q = emb.select($"vec_id", scale.as("scale"),
+      int8Codes($"embedding", scale).as("codes"),
+      int8MaxError($"embedding", scale).as("max_err"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.map(math.abs).max == 127) // max-abs element hits full range
+      // half-up rounding error bound: |err| <= 0.5/scale
+      assert(r.getDouble(3) <= 0.5 / r.getDouble(1) + 1e-12)
+    }
+    // ranking preservation: top-10 by dequantized cosine vs exact
+    val deq = emb.select($"vec_id",
+      transform(int8Codes($"embedding", scale),
+        c => c.cast("double") / scale).as("dv"))
+    val exact = Similarity.topKForId(emb, "embedding", "vec_id", 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val viaQ = Similarity.topKForId(deq, "dv", "vec_id", 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & viaQ).size >= 8, s"quantized top-10 lost ranking: " +
+      s"overlap ${(exact & viaQ).size}")
+  }
+
   test("incremental index upsert: building on half the corpus and " +
       "upserting the rest equals a full build — full probe still equals " +
       "brute force for both IVF and LSH") {
