@@ -229,6 +229,27 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Decontamination: flag corpus documents sharing at least one
+    * distinct n-gram with an eval/probe set — the contamination check
+    * every training corpus runs against its benchmark suites before
+    * training. Same inverted-index shape as the dedup family: explode
+    * distinct shingles on both sides, semi-join on the shingle, count
+    * distinct matches per document. The probe side (eval sets are
+    * small) broadcasts; only (id, shingle) rides the corpus side, so
+    * the check is one scan of the corpus at any scale. Use n large
+    * enough (≥ 5 tokens) that chance collisions vanish and a match
+    * means real overlap. */
+  def contaminatedDocs(docs: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 5): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"),
+      explode(distinctShingles(col(textCol), n)).as("s"))
+    val probeSh = probes.select(
+      explode(distinctShingles(col(probeTextCol), n)).as("s")).distinct()
+    ex.join(broadcast(probeSh), Seq("s"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_matched"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the minimum id reachable from it, so each duplicate CLUSTER —
     * not just each pairwise edge — has one canonical representative.

@@ -404,7 +404,34 @@ object TextQueries {
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM c GROUP BY 1"""
 
+  /** q72: benchmark decontamination — corpus docs (id ≥ 20) sharing at
+    * least one distinct 5-gram with the "eval set" (docs 0-19), with
+    * the match count. One corpus scan + a broadcast of the small probe
+    * shingle set — the pre-training contamination sweep. */
+  val q72_decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") >= 20), "text", "doc_id",
+        docs.filter(col("doc_id") < 20), "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_matched"))
+  }
+
+  val q72_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                  FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+           i -> array_to_string(toks[i:i+4], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+       probe AS (SELECT DISTINCT s FROM ex WHERE doc_id < 20)
+       SELECT e.doc_id AS doc_id,
+         CAST(count(DISTINCT e.s) AS BIGINT) AS n_matched
+       FROM ex e JOIN probe p ON e.s = p.s
+       WHERE e.doc_id >= 20
+       GROUP BY e.doc_id"""
+
   val all: Map[String, Q] = Map(
+    "q72_decontaminate" -> q72_decontaminate,
     "q70_sequence_pack" -> q70_sequence_pack,
     "q69_stratified_sample" -> q69_stratified_sample,
     "q67_term_freq" -> q67_term_freq,
@@ -423,6 +450,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q72_decontaminate" -> q72_oracle,
     "q70_sequence_pack" -> q70_oracle,
     "q69_stratified_sample" -> q69_oracle,
     "q67_term_freq" -> q67_oracle,

@@ -140,6 +140,27 @@ class DedupSpec extends SparkSuite {
     assert(nClusters == nSurvivors)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with " +
+      "the probe set, with the right distinct-match counts") {
+    val probes = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // one verbatim 5-gram from the probe
+      (10L, "intro words then the quick brown fox jumps and more"),
+      // two distinct probe 5-grams
+      (11L, "quick brown fox jumps over then fox jumps over the lazy"),
+      // 4-token overlap only — below the 5-gram bar
+      (12L, "the quick brown fox sat still"),
+      (13L, "completely unrelated text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedDocs(corpus, "text", "doc_id",
+        probes, "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(10L, 11L))
+    assert(flagged(10L) == 1L)
+    assert(flagged(11L) >= 2L)
+  }
+
   test("large-star/small-star components equal label propagation on " +
       "random graphs and converge on a 200-node chain where " +
       "diameter-bounded propagation cannot") {
