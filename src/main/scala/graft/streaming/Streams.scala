@@ -166,6 +166,25 @@ object Streams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Left-outer stream-stream interval join: like [[intervalJoin]] but
+    * left rows with no right match within the interval are still
+    * emitted (null-padded) once the watermark proves no match can
+    * arrive — the attribution shape that keeps unconverted events.
+    * Both watermarks bound the state exactly as in the inner case; the
+    * outer row is emitted only when the right watermark passes
+    * leftTs + within, so results are final, never retracted. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String, within: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   /** Streaming (source,id)-style dedup with bounded state:
     * dropDuplicatesWithinWatermark keeps each key only until the
     * watermark passes it, so state doesn't grow with the stream — the

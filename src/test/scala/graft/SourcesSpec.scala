@@ -34,6 +34,28 @@ class SourcesSpec extends SparkSuite {
       src.select(sum(length($"props"))).head.getLong(0))
   }
 
+  test("ORC roundtrip preserves values and pushes filters into the scan") {
+    val dir = tempDir("orc-")
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    val a = src.agg(sum($"o_totalprice".cast("decimal(12,2)")))
+      .head.getDecimal(0)
+    val b = back.agg(sum($"o_totalprice".cast("decimal(12,2)")))
+      .head.getDecimal(0)
+    assert(a == b)
+    // predicate pushdown reaches the ORC scan like it does for parquet
+    val q = back.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters:") &&
+      formatted.contains("o_orderpriority"), formatted.take(1500))
+    assert(q.count() ==
+      src.filter($"o_orderpriority" === "1-URGENT").count())
+  }
+
   test("compressed sinks: zstd parquet and gzip csv read back identically") {
     val dir = tempDir("zstd-")
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet")

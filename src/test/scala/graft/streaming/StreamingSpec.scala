@@ -302,6 +302,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched left rows null-padded " +
+      "once the watermark proves no match can arrive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streams.intervalJoinLeftOuter(
+      clicks.toDS().toDF("user_id", "click_ts"),
+      buys.toDS().toDF("user_id", "buy_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      within = "10 MINUTES", watermark = "1 minute")
+      .select(col("l.user_id"), col("click_ts"), col("buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(5)))
+      buys.addData((1L, ts(4)))
+      q.processAllAvailable()
+      // push both watermarks far past click@5 + 10min so user 2's
+      // no-match outcome becomes final and the outer row emits
+      clicks.addData((9L, ts(40)))
+      buys.addData((9L, ts(41)))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(55)))
+      buys.addData((9L, ts(56)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer")
+        .select($"user_id", $"buy_ts")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+        .toSet
+      assert(got.contains((1L, Some(ts(4))))) // matched pair
+      assert(got.contains((2L, None)), // unmatched left, null-padded
+        s"outer row missing: $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-delivered events with " +
       "bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
