@@ -43,4 +43,38 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Interleave the low 32 bits of two non-negative integer columns
+    * into a 64-bit Morton (z-order) value: bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1. Pure builtin bit ops — five
+    * mask-shift spreads per column, all inside whole-stage codegen. */
+  def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column) = {
+      val masks = Seq(
+        (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+        (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+        (1, 0x5555555555555555L))
+      masks.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+        case (x, (s, m)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` z-ordered on two dimensions: range-partition + sort by
+    * the interleaved Morton value, so every output file covers a small
+    * RECTANGLE in (a, b) space instead of a thin stripe in one
+    * dimension. Parquet min/max stats on BOTH columns then prune
+    * row-groups for predicates on either dimension — the multi-column
+    * data-skipping layout a single-column sort cannot give (sorting by
+    * `a` leaves each file spanning the full range of `b`). */
+  def writeZOrdered(df: DataFrame, aCol: String, bCol: String,
+      dir: String, numFiles: Int): Unit = {
+    df.withColumn("__z", zValue(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }
