@@ -430,7 +430,48 @@ object TextQueries {
        WHERE e.doc_id >= 20
        GROUP BY e.doc_id"""
 
+  /** q73: the whole pipeline in one query — exact dedup (keep min id
+    * per fingerprint), length-band quality filter, deterministic
+    * stratified sample (≤10 per language), per-language stats. Every
+    * stage is an operator verified on its own elsewhere; this gate
+    * checks they COMPOSE — the "a user runs their corpus job on this
+    * engine" shape. */
+  val q73_pipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val survivors = Dedup.exactSurvivors(
+      docs.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), col("doc_id"))
+    val quality = survivors
+      .filter(col("n_chars") >= 200 && col("n_chars") <= 4000)
+    val sampled = graft.operators.Sample.stratified(
+      quality, Seq("lang"), "doc_id", 10)
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  val q73_oracle: String =
+    """WITH survivors AS (
+         SELECT * FROM (
+           SELECT d.*, row_number() OVER (PARTITION BY md5(lower(text))
+             ORDER BY doc_id) AS rn
+           FROM documents d) WHERE rn = 1),
+       quality AS (
+         SELECT * FROM survivors
+         WHERE n_chars >= 200 AND n_chars <= 4000),
+       sampled AS (
+         SELECT * FROM (
+           SELECT q.*, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn
+           FROM quality q) WHERE srn <= 10)
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         min(doc_id) AS min_doc
+       FROM sampled GROUP BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q73_pipeline" -> q73_pipeline,
     "q72_decontaminate" -> q72_decontaminate,
     "q70_sequence_pack" -> q70_sequence_pack,
     "q69_stratified_sample" -> q69_stratified_sample,
@@ -450,6 +491,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q73_pipeline" -> q73_oracle,
     "q72_decontaminate" -> q72_oracle,
     "q70_sequence_pack" -> q70_oracle,
     "q69_stratified_sample" -> q69_oracle,
