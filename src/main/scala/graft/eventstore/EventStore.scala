@@ -68,9 +68,9 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   private val locks = new ConcurrentHashMap[String, Object]()
   /** per-stream key digest cache, validated by manifest version. */
   private val digests = new ConcurrentHashMap[String, DigestCache]()
-  /** per-stream parsed-head cache, validated by two stat calls (see
-    * readHead). Keyed by the stream directory path. */
-  private val heads = new ConcurrentHashMap[Path, HeadCache]()
+  /** per-stream last-known head VERSION (see readHead — only the
+    * version number is cached, never parsed content). */
+  private val heads = new ConcurrentHashMap[Path, java.lang.Long]()
 
   private def key(u: String, s: String) = s"$u\u0000$s"
   private def lockFor(u: String, s: String): Object =
@@ -87,45 +87,38 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     else Using.resource(Files.list(dir))(_.iterator().asScala.toList)
 
   /** Read the head (highest-version) manifest of a stream, or None if
-    * the stream has never committed. O(#files) metadata-only — the
-    * analogue of revision-from-index-length (reference src/db.rs:103-113).
+    * the stream has never committed — the analogue of
+    * revision-from-index-length (reference src/db.rs:103-113).
     *
-    * Hot-path cache: manifest versions are DENSE (every commit claims
-    * exactly head+1), so a cached head at version v is still the head
-    * iff `manifest-(v+1)` does not exist — one stat call replaces the
-    * directory listing and manifest parse. Delete-then-recreate (the
-    * stream restarting at version 1..v with fresh files) is caught by
-    * comparing the cached manifest file's fileKey (inode): the
-    * hard-link commit gives every manifest file a distinct inode, so a
-    * recreated `manifest-v` never matches the cached one. External
-    * writers stay visible immediately — both probes go to the
-    * filesystem, nothing trusts process memory alone. */
+    * Hot-path shortcut: manifest versions are DENSE (every commit
+    * claims exactly head+1) and GC prunes manifests oldest-first, so
+    * "manifest-(v+1) absent ∧ manifest-v present" proves v is the
+    * head. The cache therefore remembers ONLY the last-known head
+    * version; content is always re-parsed from the (small, immutable)
+    * manifest file — one stat + one O(100-byte) read instead of the
+    * O(#files) directory listing, and nothing stale can ever be
+    * served. (An earlier design cached parsed content keyed by the
+    * manifest's inode; tmpfs RECYCLES inodes, so a delete-then-
+    * recreate could revive a dead manifest — found by SoakSpec.)
+    * External writers stay visible immediately: every probe goes to
+    * the filesystem. */
   private def readHead(dir: Path): Option[Manifest] = {
-    val cached = heads.get(dir)
-    if (cached != null && isCurrentHead(dir, cached)) return Some(cached.m)
+    val v = heads.get(dir)
+    if (v != null &&
+        !Files.exists(dir.resolve(manifestName(v + 1)))) {
+      try return Some(parseManifest(dir.resolve(manifestName(v))))
+      catch { case _: java.io.IOException => () } // vanished: fall through
+    }
     val head = listDir(dir).flatMap(p => p.getFileName.toString match {
-      case ManifestFile(v) => Some(v.toLong)
+      case ManifestFile(mv) => Some(mv.toLong)
       case _ => None
     }).maxOption
-    head.map { v =>
-      val p = dir.resolve(manifestName(v))
-      val m = parseManifest(p)
-      fileKeyOf(p).foreach(k => heads.put(dir, HeadCache(m, k)))
+    head.map { hv =>
+      val m = parseManifest(dir.resolve(manifestName(hv)))
+      heads.put(dir, hv)
       m
     }
   }
-
-  private def isCurrentHead(dir: Path, c: HeadCache): Boolean =
-    !Files.exists(dir.resolve(manifestName(c.m.version + 1))) &&
-      fileKeyOf(dir.resolve(manifestName(c.m.version))).contains(c.fileKey)
-
-  /** The (device, inode) identity of a file, or None if it vanished or
-    * the filesystem exposes no fileKey (then the cache stays cold —
-    * correct, just slower). */
-  private def fileKeyOf(p: Path): Option[AnyRef] =
-    try Option(Files.readAttributes(p,
-      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
-    catch { case _: java.io.IOException => None }
 
   /** Current revision = number of committed events (0 = no stream).
     * Always read from the manifest head so commits by *other processes*
@@ -151,7 +144,13 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       head: Option[Manifest]): KeyDigest = {
     val m = head.getOrElse(return KeyDigest.empty())
     val cached = digests.get(key(u, s))
-    if (cached != null && cached.version == m.version) return cached.digest
+    // validity needs the version AND the exact sidecar set: a stream
+    // deleted and rebuilt elsewhere can reach the SAME version number
+    // with different contents, and a version-only check would serve the
+    // old incarnation's digest (false negatives → duplicate commits).
+    // The uuid-named keyFiles identify the incarnation exactly.
+    if (cached != null && cached.version == m.version &&
+        cached.loadedFiles == m.keyFiles.toSet) return cached.digest
     val (base, loaded) = cached match {
       // incremental: the cached sidecars are a prefix of the head's
       // (append-only history) — only read what's new
@@ -559,10 +558,9 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     try {
       Files.write(tmp, serializeManifest(m).getBytes("UTF-8"))
       try {
-        val target = dir.resolve(manifestName(m.version))
-        Files.createLink(target, tmp)
-        // keep the head cache warm for our own next read
-        fileKeyOf(target).foreach(k => heads.put(dir, HeadCache(m, k)))
+        Files.createLink(dir.resolve(manifestName(m.version)), tmp)
+        // keep the head-version hint warm for our own next read
+        heads.put(dir, m.version)
         true
       } catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -819,10 +817,6 @@ object EventStore {
 
   private[eventstore] case class DigestCache(version: Long,
       loadedFiles: Set[String], digest: KeyDigest)
-
-  /** A parsed head manifest plus the identity (fileKey/inode) of the
-    * file it was parsed from — see readHead's cache validation. */
-  private[eventstore] case class HeadCache(m: Manifest, fileKey: AnyRef)
 
   /** Exact tier below BloomTierKeys keys, bloom tier above. */
   val BloomTierKeys: Int = 1 << 20

@@ -338,6 +338,30 @@ class ManifestSpec extends SparkSuite {
     assert(storeA.revision("u1", "s1") == 1)
   }
 
+  test("digest cache cannot serve a stale incarnation that reached the " +
+      "SAME manifest version: duplicates of the new incarnation's " +
+      "events are still detected (soak-found regression)") {
+    val dir = tempDir("same-version-")
+    val storeA = new EventStore(spark, dir)
+    val storeB = new EventStore(spark, dir)
+    storeA.append("u1", "s1", Seq(ev("old-0")))
+    // warm A's digest cache at version 1 (digest check runs on append)
+    storeA.append("u1", "s1", Seq(ev("old-1")))
+    // B deletes and rebuilds the stream BACK to version 2 with
+    // different events — same version number, different incarnation
+    storeB.deleteStream("u1", "s1")
+    storeB.append("u1", "s1", Seq(ev("new-0")))
+    storeB.append("u1", "s1", Seq(ev("new-1")))
+    // A must reject a duplicate of the NEW incarnation's event (a
+    // version-only digest cache would miss it) and allow the OLD id
+    intercept[SourceIdConflict] {
+      storeA.append("u1", "s1", Seq(ev("new-1")))
+    }
+    assert(storeA.append("u1", "s1", Seq(ev("old-0"))) == 3)
+    assert(storeA.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("new-0", "new-1", "old-0"))
+  }
+
   test("compactAll sweeps every stream of a user in parallel and " +
       "preserves all data") {
     val dir = tempDir("compact-all-")
@@ -359,7 +383,7 @@ class ManifestSpec extends SparkSuite {
 
   test("head cache never hides external writers: commits, compactions, " +
       "and delete-recreate through ANOTHER instance are visible on the " +
-      "next read (dense-version probe + manifest inode check)") {
+      "next read (dense-version probe, content always re-parsed)") {
     val dir = tempDir("head-cache-")
     val storeA = new EventStore(spark, dir)
     val storeB = new EventStore(spark, dir)
@@ -377,7 +401,7 @@ class ManifestSpec extends SparkSuite {
     assert(storeA.query("u1", "s1", 0, 10).map(_.id) ==
       Seq("e-0", "e-1", "e-2", "e-3"))
     // external delete + recreate lands at version 1 again: the stale
-    // cached manifest (higher version, dead inode) must not resurface
+    // cached head version must not resurface
     assert(storeB.deleteStream("u1", "s1"))
     storeB.append("u1", "s1", Seq(ev("n-0")))
     assert(storeA.revision("u1", "s1") == 1)

@@ -1,0 +1,82 @@
+package graft.eventstore
+
+import graft.SparkSuite
+import scala.util.Random
+
+/** Randomized soak over the manifest event store: two instances over
+  * one root, interleaved appends / idempotent re-appends / compactions
+  * / deletes / reads against an in-memory model. Deterministic seed —
+  * a failure replays. */
+class SoakSpec extends SparkSuite {
+
+  private def ev(id: String) =
+    CloudEvent(id = id, source = "soak", `type` = "t", data = Some(id))
+
+  test("300 randomized operations across two instances keep every " +
+      "stream dense, deduped, and equal to the model") {
+    val root = tempDir("soak-")
+    val stores = Seq(new EventStore(spark, root),
+      new EventStore(spark, root))
+    val rnd = new Random(42)
+    val streams = (0 until 8).map(i => s"s$i")
+    // model: stream -> committed event ids in order
+    val model = scala.collection.mutable.Map[String, Vector[String]]()
+      .withDefaultValue(Vector.empty)
+    var nextId = 0
+    (0 until 300).foreach { step =>
+      val store = stores(rnd.nextInt(2))
+      val s = streams(rnd.nextInt(streams.size))
+      rnd.nextInt(10) match {
+        case 0 => // delete
+          store.deleteStream("u", s)
+          model(s) = Vector.empty
+        case 1 => // compact
+          store.compactStream("u", s, graceMs = 0)
+        case 2 | 3 => // idempotent re-append: half old ids, half new
+          val old = rnd.shuffle(model(s)).take(2)
+          val fresh = (0 until 2).map { _ =>
+            nextId += 1; s"e-$nextId"
+          }
+          store.appendIdempotent("u", s, (old ++ fresh).map(ev))
+          model(s) = model(s) ++ fresh
+        case 4 => // duplicate append must throw and commit nothing
+          if (model(s).nonEmpty) {
+            val dup = model(s)(rnd.nextInt(model(s).size))
+            intercept[SourceIdConflict] {
+              store.append("u", s, Seq(ev(dup)))
+            }
+          }
+        case 5 => // CAS-guarded append
+          val expected = ExpectedRevision.Exact(model(s).size.toLong)
+          nextId += 1
+          val id = s"e-$nextId"
+          store.append("u", s, Seq(ev(id)), expected)
+          model(s) = model(s) :+ id
+        case _ => // plain append, batch of 1-4
+          val fresh = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            nextId += 1; s"e-$nextId"
+          }
+          store.append("u", s, fresh.map(ev))
+          model(s) = model(s) ++ fresh
+      }
+      if (step % 60 == 59) { // periodic full audit mid-soak
+        streams.foreach { st =>
+          assert(stores(0).revision("u", st) == model(st).size.toLong)
+        }
+      }
+    }
+    // final audit from BOTH instances: revision, order, content
+    streams.foreach { s =>
+      stores.foreach { store =>
+        assert(store.revision("u", s) == model(s).size.toLong, s)
+        val got = store.query("u", s, 0, 10000)
+        assert(got.map(_.id) == model(s), s)
+        assert(got.map(_.data.get) == model(s), s)
+      }
+    }
+    // catalog recovery sees exactly the non-empty streams
+    val recovered = new EventStore(spark, root).recoverCatalog()
+      .filter(_._1 == "u").map(_._2).toSet
+    assert(recovered == streams.filter(s => model(s).nonEmpty).toSet)
+  }
+}
