@@ -302,6 +302,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Stats over a persisted index's partitions (IVF lists or LSH
+    * buckets): row count per partition plus the imbalance ratio
+    * (max/mean) — the number that predicts probe-cost variance and
+    * tells you when the quantizer needs retraining. Metadata-friendly:
+    * one count aggregate grouped by the partition column, no vector
+    * columns read. */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val (sub, partCol) =
+      if (Files.isDirectory(Paths.get(indexDir, "lists")))
+        ("lists", "__list")
+      else ("buckets", "bucket")
+    val counts = spark.read.parquet(s"$indexDir/$sub")
+      .groupBy(col(partCol).as("partition"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val stats = counts.agg(
+      avg(col("n_vectors")).as("mean"), max(col("n_vectors")).as("mx"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("imbalance", col("mx") / col("mean"))
+      .select(col("partition"), col("n_vectors"), col("imbalance"))
+  }
+
   /** Per-session registry of already-built IVF indexes so repeated
     * queries against the same corpus reuse the persisted lists (the
     * serve-time shape: build once, probe many). Keyed by the corpus

@@ -183,6 +183,22 @@ class SimilaritySpec extends SparkSuite {
       s"overlap ${(exact & viaQ).size}")
   }
 
+  test("indexStats reports per-partition counts summing to the corpus " +
+      "and a sane imbalance ratio, for both index kinds") {
+    val ivfDir = tempDir("ivf-stats-")
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", ivfDir, nLists = 8)
+    val ivf = Similarity.indexStats(spark, ivfDir).collect()
+    assert(ivf.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(ivf.forall(_.getAs[Double]("imbalance") >= 1.0))
+    val lshDir = tempDir("lsh-stats-")
+    Similarity.buildLshIndex(emb, "embedding", "vec_id", lshDir,
+      numPlanes = 6, dim = 64)
+    val lsh = Similarity.indexStats(spark, lshDir).collect()
+    assert(lsh.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    // one imbalance value repeated on every row (max/mean of the counts)
+    assert(lsh.map(_.getAs[Double]("imbalance")).distinct.length == 1)
+  }
+
   test("incremental index upsert: building on half the corpus and " +
       "upserting the rest equals a full build — full probe still equals " +
       "brute force for both IVF and LSH") {
