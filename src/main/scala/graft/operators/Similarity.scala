@@ -124,6 +124,7 @@ object Similarity {
     * immediately, no rebuild. */
   def upsertLshIndex(emb: DataFrame, vecCol: String, idCol: String,
       indexDir: String): Unit = {
+    requireNotTombstoned(emb, idCol, indexDir)
     val meta = Files.readAllLines(Paths.get(indexDir, "meta"))
     val numPlanes = meta.get(0).split(' ')(1).toInt
     val dim = meta.get(1).split(' ')(1).toInt
@@ -156,8 +157,10 @@ object Similarity {
       .sortBy(b => (java.lang.Long.bitCount(b ^ qBucket), b))
       .take(probes)
     val qv = typedlit(queryVec)
-    val idx = spark.read.parquet(s"$indexDir/buckets")
-      .filter(col("bucket").isInCollection(probed))
+    val idx = withoutTombstones(
+      spark.read.parquet(s"$indexDir/buckets")
+        .filter(col("bucket").isInCollection(probed)),
+      idCol, indexDir)
     excludeId.foldLeft(idx)((d, id) => d.filter(col(idCol) =!= id))
       .select(col(idCol), cosine(col(vecCol), qv).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -270,6 +273,7 @@ object Similarity {
     * corpus since every list is read. */
   def upsertIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
       indexDir: String): Unit = {
+    requireNotTombstoned(emb, idCol, indexDir)
     val centroids = readCentroidMeta(indexDir)
       .sortBy(_._1).map(_._2)
     emb.select(col(idCol), col(vecCol))
@@ -293,13 +297,152 @@ object Similarity {
         .map { case (a, b) => val d = a - b; d * d }.sum)
     }.sortBy { case (i, d) => (d, i) }.take(nProbes).map(_._1).toSeq
     val qv = typedlit(queryVec)
-    val idx = spark.read.parquet(s"$indexDir/lists")
-      .filter(col("__list").isInCollection(probed))
+    val idx = withoutTombstones(
+      spark.read.parquet(s"$indexDir/lists")
+        .filter(col("__list").isInCollection(probed)),
+      idCol, indexDir)
     excludeId.foldLeft(idx)((d, id) => d.filter(col(idCol) =!= id))
       .select(col(idCol),
         (dot(col(vecCol), qv) / (norm(col(vecCol)) * norm(qv))).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  // ------------------------------------------------- delete / compact
+
+  /** Physical layout of a persisted index: IVF keeps `lists/` keyed by
+    * `__list`, LSH keeps `buckets/` keyed by `bucket`. */
+  private def layout(indexDir: String): (String, String) =
+    if (Files.isDirectory(Paths.get(indexDir, "lists"))) ("lists", "__list")
+    else ("buckets", "bucket")
+
+  private def tombstonePath(indexDir: String) = s"$indexDir/tombstones"
+
+  /** Delete vectors from a persisted index (IVF or LSH) by id, as a
+    * tombstone append — the store-side delete analogue (reference
+    * db.rs:242-252) for the index family, which previously only grew
+    * (upsert) and shrank by full rebuild.
+    *
+    * The delete itself is O(|ids|): one small parquet append of the id
+    * set, no index scan, no rewrite. Probes anti-join the (broadcast)
+    * tombstone set after pruning partitions, so results equal a fresh
+    * rebuild without the deleted rows immediately. [[compactIndex]]
+    * folds tombstones into the data partitions and bounds the
+    * anti-join's broadcast size; run it on the same cadence as store
+    * compaction.
+    *
+    * Contract: re-inserting a tombstoned id requires [[compactIndex]]
+    * first — [[upsertIvfIndex]]/[[upsertLshIndex]] refuse ids that are
+    * currently tombstoned (loud error instead of a silently-invisible
+    * row). */
+  def deleteFromIndex(ids: DataFrame, idCol: String,
+      indexDir: String): Unit = {
+    ids.select(col(idCol).cast("long").as("__deleted_id")).distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(tombstonePath(indexDir))
+  }
+
+  /** [[deleteFromIndex]] for an IVF index dir. */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String,
+      indexDir: String): Unit = deleteFromIndex(ids, idCol, indexDir)
+
+  /** [[deleteFromIndex]] for an LSH index dir. */
+  def deleteFromLshIndex(ids: DataFrame, idCol: String,
+      indexDir: String): Unit = deleteFromIndex(ids, idCol, indexDir)
+
+  /** Pending tombstone ids of an index (empty frame if none). */
+  def indexTombstones(spark: SparkSession, indexDir: String): DataFrame = {
+    val td = Paths.get(tombstonePath(indexDir))
+    if (Files.isDirectory(td))
+      spark.read.parquet(td.toString).select(col("__deleted_id")).distinct()
+    else {
+      import spark.implicits._
+      spark.emptyDataset[Long].toDF("__deleted_id")
+    }
+  }
+
+  /** Apply pending tombstones to a probe's pruned scan: broadcast
+    * anti-join on id. Tombstone volume is bounded by compaction
+    * cadence, so the broadcast stays small at any corpus size. */
+  private def withoutTombstones(df: DataFrame, idCol: String,
+      indexDir: String): DataFrame = {
+    if (!Files.isDirectory(Paths.get(tombstonePath(indexDir)))) df
+    else df.join(
+      broadcast(indexTombstones(df.sparkSession, indexDir)
+        .withColumnRenamed("__deleted_id", idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  private def requireNotTombstoned(emb: DataFrame, idCol: String,
+      indexDir: String): Unit = {
+    if (Files.isDirectory(Paths.get(tombstonePath(indexDir)))) {
+      val clash = emb.select(col(idCol))
+        .join(broadcast(indexTombstones(emb.sparkSession, indexDir)
+          .withColumnRenamed("__deleted_id", idCol)),
+          Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"upsert into $indexDir includes currently-tombstoned ids; " +
+          "run Similarity.compactIndex first (re-insert after delete " +
+          "is defined only across a compaction boundary)")
+    }
+  }
+
+  /** Fold pending tombstones into the index's data partitions and clear
+    * them. Rewrites ONLY the partitions that contain a deleted id
+    * (located by a column-pruned (id, partition) scan), via dynamic
+    * partition overwrite; partitions whose every row was deleted are
+    * removed outright. Probe results are identical before and after —
+    * compaction only moves the anti-join's work into the layout.
+    *
+    * Crash-safety ordering: tombstones are cleared LAST, so an
+    * interrupted compaction leaves probes correct (the anti-join of an
+    * already-rewritten partition is a no-op). The index is derived
+    * data — a mid-commit crash is recoverable by rebuild, same as any
+    * index. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      idCol: String = "vec_id"): Unit = {
+    val td = Paths.get(tombstonePath(indexDir))
+    if (!Files.isDirectory(td)) return
+    val (sub, partCol) = layout(indexDir)
+    val dataPath = s"$indexDir/$sub"
+    val ts = broadcast(indexTombstones(spark, indexDir)
+      .withColumnRenamed("__deleted_id", idCol))
+    val data = spark.read.parquet(dataPath)
+    val affected = data.select(col(idCol), col(partCol))
+      .join(ts, Seq(idCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      // survivors of the affected partitions, materialized (checkpoint
+      // cuts the file-source lineage so the self-overwrite is legal)
+      val survivors = data.filter(col(partCol).isInCollection(affected))
+        .join(ts, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      val kept = survivors.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      survivors.repartition(col(partCol))
+        .write.partitionBy(partCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(dataPath)
+      // dynamic overwrite only touches partitions present in the output:
+      // a partition that lost every row must be dropped by hand
+      affected.filterNot(kept).foreach { v =>
+        val dir = Paths.get(dataPath, s"$partCol=$v")
+        if (Files.isDirectory(dir)) {
+          import scala.util.Using
+          Using.resource(Files.walk(dir)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+        }
+      }
+    }
+    import scala.util.Using
+    Using.resource(Files.walk(td)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Stats over a persisted index's partitions (IVF lists or LSH
@@ -309,10 +452,7 @@ object Similarity {
     * one count aggregate grouped by the partition column, no vector
     * columns read. */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
-    val (sub, partCol) =
-      if (Files.isDirectory(Paths.get(indexDir, "lists")))
-        ("lists", "__list")
-      else ("buckets", "bucket")
+    val (sub, partCol) = layout(indexDir)
     val counts = spark.read.parquet(s"$indexDir/$sub")
       .groupBy(col(partCol).as("partition"))
       .agg(count(lit(1)).as("n_vectors"))

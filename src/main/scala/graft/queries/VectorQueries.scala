@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.operators.{Dedup, Similarity}
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -154,6 +155,42 @@ object VectorQueries {
     Similarity.ivfTopKForId(Tables.embeddings(s, d), "embedding",
       "vec_id", queryId = 0, k = 20, nLists = 8, nProbes = 8)
 
+  /** q74: full persisted-index lifecycle under an exact oracle —
+    * build (vec_id < 300) → upsert (the rest) → delete (vec_id % 7 == 0,
+    * tombstones) → full probe. With nProbes == nLists every surviving
+    * list is read, so the probe provably equals brute force over
+    * (corpus ∪ upserts) ∖ deletes — which is exactly what the DuckDB
+    * oracle computes with plain predicates. This is the q51 identity
+    * extended across the index's whole mutation surface. */
+  val q74_index_delete_probe: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val dir = Files.createTempDirectory("graft-ivf-lifecycle-").toString
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+      "embedding", "vec_id", dir, nLists = 8)
+    Similarity.upsertIvfIndex(e.filter(col("vec_id") >= 300),
+      "embedding", "vec_id", dir)
+    Similarity.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+      "vec_id", dir)
+    val qv = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).as[Array[Float]].head().toSeq
+    Similarity.ivfProbe(s, dir, qv, k = 20, nProbes = 8,
+      excludeId = Some(1L))
+  }
+
+  val q74_oracle: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv
+                  FROM embeddings WHERE vec_id = 1)
+       SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS sim
+       FROM embeddings, q
+       WHERE vec_id <> 1 AND vec_id % 7 <> 0
+       ORDER BY sim DESC, vec_id LIMIT 20"""
+
   /** q54: per-label embedding centroids in long form (label, dim
     * position, mean) — posexplode + decimal-exact mean, oracle via
     * generate_subscripts. The array-form typed Aggregator (VecMean)
@@ -247,6 +284,7 @@ object VectorQueries {
        FROM embeddings"""
 
   val all: Map[String, Q] = Map(
+    "q74_index_delete_probe" -> q74_index_delete_probe,
     "q71_int8_quantize" -> q71_int8_quantize,
     "q63_cosine_pairs_lsh" -> q63_cosine_pairs_lsh,
     "q54_label_centroids" -> q54_label_centroids,
@@ -259,6 +297,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q74_index_delete_probe" -> q74_oracle,
     "q71_int8_quantize" -> q71_oracle,
     "q63_cosine_pairs_lsh" -> q63_oracle,
     "q54_label_centroids" -> q54_oracle,

@@ -230,4 +230,67 @@ class SimilaritySpec extends SparkSuite {
     assert(lshFull == brute)
     assert(spark.read.parquet(s"$lshDir/buckets").count() == emb.count())
   }
+
+  test("index delete: tombstoned probe equals a fresh-rebuild result, " +
+      "compaction physically folds tombstones and preserves it, " +
+      "tombstoned re-insert refuses until compaction — IVF and LSH") {
+    import java.nio.file.{Files, Paths}
+    val deleted = emb.filter($"vec_id" % 5 === 0)
+    val survivors = emb.filter($"vec_id" % 5 =!= 0)
+    val qv = emb.filter($"vec_id" === 1).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    // what a fresh index built on the survivors would answer (full probe
+    // == brute force, the proven identity)
+    val want = Similarity.topKForId(survivors, "embedding", "vec_id", 1, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+
+    val ivfDir = tempDir("ivf-del-")
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", ivfDir, nLists = 8)
+    Similarity.deleteFromIvfIndex(deleted.select($"vec_id"), "vec_id",
+      ivfDir)
+    def ivfTop: Seq[Long] =
+      Similarity.ivfProbe(spark, ivfDir, qv, k = 10, nProbes = 8,
+        excludeId = Some(1L)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivfTop == want, "tombstoned probe diverged from fresh rebuild")
+    // re-inserting a tombstoned id is refused until compaction
+    intercept[IllegalArgumentException] {
+      Similarity.upsertIvfIndex(emb.filter($"vec_id" === 0),
+        "embedding", "vec_id", ivfDir)
+    }
+    Similarity.compactIndex(spark, ivfDir)
+    assert(!Files.isDirectory(Paths.get(s"$ivfDir/tombstones")))
+    assert(spark.read.parquet(s"$ivfDir/lists").count() == survivors.count())
+    assert(ivfTop == want, "compaction changed the probe result")
+    // across the compaction boundary the deleted id can come back
+    Similarity.upsertIvfIndex(emb.filter($"vec_id" === 0),
+      "embedding", "vec_id", ivfDir)
+    assert(spark.read.parquet(s"$ivfDir/lists").count()
+      == survivors.count() + 1)
+
+    // a partition whose every row is deleted disappears from the layout
+    val lists = spark.read.parquet(s"$ivfDir/lists")
+    val victim = lists.groupBy($"__list").count()
+      .orderBy($"count", $"__list").head.getInt(0)
+    Similarity.deleteFromIvfIndex(
+      lists.filter($"__list" === victim).select($"vec_id"), "vec_id",
+      ivfDir)
+    Similarity.compactIndex(spark, ivfDir)
+    assert(!Files.isDirectory(Paths.get(s"$ivfDir/lists/__list=$victim")),
+      s"emptied list $victim should have been dropped")
+
+    val lshDir = tempDir("lsh-del-")
+    Similarity.buildLshIndex(emb, "embedding", "vec_id", lshDir,
+      numPlanes = 6, dim = 64)
+    Similarity.deleteFromLshIndex(deleted.select($"vec_id"), "vec_id",
+      lshDir)
+    def lshTop: Seq[Long] =
+      Similarity.lshProbe(spark, lshDir, qv, k = 10, probes = 64,
+        excludeId = Some(1L)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(lshTop == want)
+    Similarity.compactIndex(spark, lshDir)
+    assert(!Files.isDirectory(Paths.get(s"$lshDir/tombstones")))
+    assert(spark.read.parquet(s"$lshDir/buckets").count()
+      == survivors.count())
+    assert(lshTop == want)
+  }
 }
