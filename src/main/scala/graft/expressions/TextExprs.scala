@@ -71,22 +71,35 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** 64-bit SimHash of a whitespace-tokenized text: one xxhash64 (seed 42,
-  * same as Spark's xxhash64 builtin) per token, ±1 per bit position,
-  * sign-packed. Bit-identical to the HOF formulation in
-  * TextFunctions.simhash64On and the explode+agg variant — just one
-  * tight pass per row. */
+/** 64-bit SimHash of a whitespace-tokenized text: one md5-derived
+  * 64-bit hash per token, ±1 per bit position, sign-packed (ties → 0).
+  *
+  * The per-token hash is the little-endian u64 of md5-digest bytes
+  * 8..15 — exactly DuckDB's `md5_number_lower` — so the whole signature
+  * is ENGINE-PORTABLE: the q33 gate runs under a real DuckDB oracle
+  * instead of a rows-only check (the md5 trick that makes q69's
+  * deterministic sampling oracle-checkable, applied to SimHash).
+  * md5 here is a portable mixer, not crypto. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with SelfCallCodegen {
   override def dataType: DataType = LongType
 
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    val md = digests.get()
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      md.reset()
+      val d = md.digest(toks(i).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 15
+      while (k >= 8) { h = (h << 8) | (d(k) & 0xffL); k -= 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

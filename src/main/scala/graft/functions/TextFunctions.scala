@@ -66,9 +66,11 @@ object TextFunctions {
   }
 
   /** 64-bit SimHash over the token multiset of a text column: bit i of
-    * the result is the sign of Σ_tokens (bit i of xxhash64(token) ?
-    * +1 : -1). Near-identical texts differ in few bits — compare with
-    * hamming(). Native single-pass expression. */
+    * the result is the sign of Σ_tokens (bit i of hash(token) ? +1 : -1)
+    * where hash is md5-derived (= DuckDB md5_number_lower — portable
+    * across engines, which is what lets q33 run under a real oracle).
+    * Near-identical texts differ in few bits — compare with hamming().
+    * Native single-pass expression. */
   def simhash64(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.expressions.SimHash64(

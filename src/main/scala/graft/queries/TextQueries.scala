@@ -177,16 +177,43 @@ object TextQueries {
        WHERE doc_id NOT IN (SELECT doc_id FROM dup)"""
 
   /** q33: SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures,
-    * pigeonhole-banded join). No cross-engine oracle — xxhash64 is
-    * Spark-native — so the driver records a rows-only check; the
-    * ScalaTest suite asserts consistency with exact Jaccard instead. */
+    * pigeonhole-banded join). Oracle-exact since round 4: the per-token
+    * hash is md5-derived (= DuckDB's md5_number_lower), so the oracle
+    * recomputes the signatures bit-for-bit and checks every pair by
+    * brute force — the banded join must find exactly the all-pairs
+    * result (the pigeonhole blocking is provably lossless within the
+    * radius). */
   val q33_simhash_pairs: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-      maxHamming = 3)
+        maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  val q33_oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       hashes AS (
+         SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+       bits AS (
+         SELECT doc_id, b,
+           CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+         FROM hashes CROSS JOIN range(64) r(b)
+         GROUP BY doc_id, b)
+       SELECT id_a, id_b, hamming FROM (
+         SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+                CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hamming
+         FROM bits a JOIN bits bb
+           ON a.b = bb.b AND a.doc_id < bb.doc_id
+         GROUP BY 1, 2)
+       WHERE hamming <= 3"""
 
   /** q34: order-sensitive rolling-hash fingerprint per document (detects
-    * token reorderings that md5-of-text misses). Rows-only check, same
-    * xxhash64 reason as q33. */
+    * token reorderings that md5-of-text misses). Rows-only check — the
+    * rolling fold is xxhash64-based (Spark-native), unlike q33's
+    * md5-derived SimHash which oracles. */
   val q34_rolling_fingerprint: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -506,5 +533,6 @@ object TextQueries {
     "q30_jaccard_pairs" -> q30_oracle,
     "q31_minhash_lsh_pairs" -> q31_oracle,
     "q32_dedup_survivors" -> q32_oracle,
+    "q33_simhash_pairs" -> q33_oracle,
     "q35_langid" -> q35_oracle)
 }
