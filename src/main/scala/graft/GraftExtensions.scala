@@ -139,6 +139,7 @@ object GraftExtensions {
     "base32" -> (es => Base32Encode(es.head)),
     "unbase32" -> (es => Base32Decode(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
+    "key_hash" -> (es => graft.expressions.KeyHash64(es(0), es(1))),
     "word_shingles" -> (es =>
       WordShingles(es.head, intLit(es(1), "n"))),
     "lsh_band_hashes" -> (es => LshBandHashes(es.head,

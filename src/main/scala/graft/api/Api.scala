@@ -14,14 +14,19 @@ import java.time.{Instant, ZoneOffset}
   * its reference line; ApiSpec drives the full Bruno-collection
   * equivalents (SURVEY.md §5 level 2) against an EventStore.
   *
-  * Routes (reference src/api.rs:140-148):
+  * Routes (reference src/api.rs:140-148), all eight:
   *   GET    /health
+  *   GET    /openapi.yaml
   *   GET    /streams?sort=
   *   GET    /streams/:stream
   *   DELETE /streams/:stream
   *   POST   /streams/:stream/events?expected_revision=
   *   GET    /streams/:stream/events?page[offset]=&page[limit]=
   *   GET    /streams/:stream/events/:rownum
+  * plus one graft extension:
+  *   GET    /config — retention/compaction options read-back
+  *   ([[graft.eventstore.StoreOptions]]; the reference boots its config
+  *   from env, main.rs:13-34, with no runtime surface)
   *
   * Auth: every route requires a Bearer token validated by [[Jwt]]
   * (api.rs:147 applies the middleware to the whole router, health
@@ -202,6 +207,10 @@ object Api {
     (req.method.toUpperCase, segments) match {
       case ("GET", List("health")) => // api.rs:121-128
         Response(200, Map.empty, Some("""{"status":"Pass"}"""))
+      case ("GET", List("openapi.yaml")) => // api.rs:137,141 ServeFile
+        Response(200, Map("Content-Type" -> "application/yaml"),
+          Some(OpenApiYaml))
+      case ("GET", List("config")) => getConfig(store)
       case ("GET", List("streams")) => getStreams(store, user, req)
       case ("GET", List("streams", s)) => getStream(store, user, s)
       case ("DELETE", List("streams", s)) => // api.rs:418-442
@@ -218,6 +227,118 @@ object Api {
         }
       case _ => Response(404)
     }
+  }
+
+  /** The served API description (reference api.rs:137 serves its
+    * openapi.yaml; the CloudEvents envelope schema is referenced from
+    * the upstream spec exactly as openapi.yaml:81-86 does). Written for
+    * graft's surface — same route table, same status semantics. */
+  private[api] val OpenApiYaml: String =
+    """openapi: 3.1.0
+      |info:
+      |  description: "graft is a CloudEvents-compatible event store with a Spark-native analytical engine"
+      |  version: 0.4.0
+      |  title: graft event store
+      |paths:
+      |  /streams/{streamid}/events:
+      |    post:
+      |      summary: Append one event or a batch to a stream
+      |      parameters:
+      |        - name: streamid
+      |          in: path
+      |          required: true
+      |          schema: {type: string}
+      |        - name: expected_revision
+      |          in: query
+      |          required: false
+      |          schema: {type: string}
+      |          description: any | no-stream | stream-exists | <revision>
+      |      responses:
+      |        "201": {description: appended; Content-Location names the new head event}
+      |        "409": {description: expected revision did not match, or (source,id) already exists in the stream}
+      |        "422": {description: body is not CloudEvents format}
+      |    get:
+      |      summary: Read a page of events
+      |      parameters:
+      |        - name: streamid
+      |          in: path
+      |          required: true
+      |          schema: {type: string}
+      |        - name: page[offset]
+      |          in: query
+      |          schema: {type: integer, minimum: 0, default: 0}
+      |        - name: page[limit]
+      |          in: query
+      |          schema: {type: integer, maximum: 1000, default: 50}
+      |      responses:
+      |        "200": {description: array of events; full pages are served immutable}
+      |        "404": {description: no such stream}
+      |  /streams/{streamid}/events/{revision}:
+      |    get:
+      |      summary: Read one event by position
+      |      parameters:
+      |        - name: streamid
+      |          in: path
+      |          required: true
+      |          schema: {type: string}
+      |        - name: revision
+      |          in: query
+      |          description: index number of the desired event, starting at zero
+      |          required: true
+      |          schema: {type: integer, minimum: 0}
+      |      responses:
+      |        "200": {description: the event (immutable cache semantics)}
+      |        "404": {description: no such stream or position}
+      |  /streams/{streamid}:
+      |    get:
+      |      summary: Stream metadata (revision, last_modified, usage)
+      |      responses:
+      |        "200": {description: stream resource}
+      |        "404": {description: no such stream}
+      |    delete:
+      |      summary: Delete a stream
+      |      responses:
+      |        "204": {description: deleted}
+      |        "404": {description: no such stream}
+      |  /streams:
+      |    get:
+      |      summary: List the caller's streams
+      |      parameters:
+      |        - name: sort
+      |          in: query
+      |          schema: {type: string}
+      |          description: id | usage | -usage | revision | -revision | last_modified | -last_modified
+      |      responses:
+      |        "200": {description: stream resources}
+      |        "400": {description: unknown sort key}
+      |  /config:
+      |    get:
+      |      summary: Store retention/compaction options (graft extension)
+      |      responses:
+      |        "200": {description: gc_grace_ms, kept_generations, auto_compact_after}
+      |  /health:
+      |    get:
+      |      summary: Health check
+      |      responses:
+      |        "200": {description: '{"status":"Pass"}'}
+      |components:
+      |  schemas:
+      |    Event:
+      |      $ref: "https://raw.githubusercontent.com/cloudevents/spec/v1.0.2/cloudevents/formats/cloudevents.json"
+      |""".stripMargin
+
+  /** Config read-back (graft extension): the store's retention and
+    * compaction options as a resource document. */
+  private def getConfig(store: EventStore): Response = {
+    val doc = mapper.createObjectNode()
+    val res = doc.putObject("data")
+    res.put("id", "config")
+    res.put("type", "config")
+    val attrs = res.putObject("attributes")
+    attrs.put("gc_grace_ms", store.options.gcGraceMs)
+    attrs.put("kept_generations", store.options.keptGenerations)
+    attrs.put("auto_compact_after", store.options.autoCompactAfter)
+    Response(200, Map(NoCache), Some(doc.toString))
   }
 
   private def getStreams(store: EventStore, user: String, req: Request)

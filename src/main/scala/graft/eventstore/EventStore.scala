@@ -4,7 +4,7 @@ import graft.functions.Base32
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -57,7 +57,8 @@ import scala.util.Using
   * a Bloom filter past [[EventStore.BloomTierKeys]] keys (~1.2
   * bytes/key; see digestFor).
   */
-class EventStore(val spark: SparkSession, rootDir: String) {
+class EventStore(val spark: SparkSession, rootDir: String,
+    val options: StoreOptions = StoreOptions()) {
   import spark.implicits._
   import EventStore._
 
@@ -80,11 +81,18 @@ class EventStore(val spark: SparkSession, rootDir: String) {
   private def streamPath(u: String, s: String): Path =
     userPath(u).resolve(Base32.encodeString(s))
 
+  /** Test seam: counts directory listings (the O(#entries) filesystem
+    * op) so point-lookup paths can assert they never enumerate. */
+  private[eventstore] val dirListCount =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** List a directory's entries with the stream closed eagerly (never
     * leak the fd — every directory walk in the store goes through here). */
-  private def listDir(dir: Path): List[Path] =
+  private def listDir(dir: Path): List[Path] = {
+    dirListCount.incrementAndGet()
     if (!Files.isDirectory(dir)) Nil
     else Using.resource(Files.list(dir))(_.iterator().asScala.toList)
+  }
 
   /** Read the head (highest-version) manifest of a stream, or None if
     * the stream has never committed — the analogue of
@@ -283,7 +291,11 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     * multi-writer scale the per-stream commit loop shards with the
     * streams themselves — the claim is per stream, nothing global. */
   def ingestBatch(batch: DataFrame, deadLetterDir: Option[String] = None,
-      autoCompactAfter: Int = 0): Long = {
+      autoCompactAfter: Int = -1): Long = {
+    // negative = defer to the store's configured policy
+    val compactCap =
+      if (autoCompactAfter < 0) options.autoCompactAfter
+      else autoCompactAfter
     import org.apache.spark.sql.expressions.Window
     val sess = batch.sparkSession
     val cached = batch.persist()
@@ -304,10 +316,17 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       // same event by CloudEvents §3 — keep one
       val good = cached.filter(!invalid)
         .dropDuplicates("user_id", "stream_id", "source", "id")
-      val khUdf = udf(EventStore.keyHash _)
+      // native codegen'd key hash — the metadata pass runs as one
+      // whole-stage-codegen span, no per-row UDF deopt
+      def kh(src: Column, id: Column): Column = {
+        import org.apache.spark.sql.GraftColumnBridge
+        GraftColumnBridge.column(graft.expressions.KeyHash64(
+          GraftColumnBridge.expression(src),
+          GraftColumnBridge.expression(id)))
+      }
       // metadata pass: counts + key hashes only (8 bytes/event)
       val stats = good.groupBy($"user_id", $"stream_id")
-        .agg(collect_list(khUdf($"source", $"id")).as("hashes"))
+        .agg(collect_list(kh($"source", $"id")).as("hashes"))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2)))
       if (stats.isEmpty) return 0L
@@ -328,7 +347,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
             // *batch* side (small), never a full driver materialization
             val suspects = good
               .filter($"user_id" === u && $"stream_id" === s &&
-                khUdf($"source", $"id").isInCollection(hits))
+                kh($"source", $"id").isInCollection(hits))
               .select($"source", $"id").as[(String, String)].collect().toSeq
             confirmCommitted(dir, head.get, suspects)
           }
@@ -417,8 +436,8 @@ class EventStore(val spark: SparkSession, rootDir: String) {
                 // bound small-file pressure from one-file-per-micro-batch:
                 // fold the stream back to one file once it passes the cap
                 // (amortized — each compaction covers many commits)
-                if (autoCompactAfter > 0 &&
-                    p.prevFiles.size + 1 >= autoCompactAfter)
+                if (compactCap > 0 &&
+                    p.prevFiles.size + 1 >= compactCap)
                   compactStream(p.u, p.s)
                 c
               } else 0L
@@ -654,8 +673,21 @@ class EventStore(val spark: SparkSession, rootDir: String) {
       r.getAs[Timestamp]("last_modified"), r.getAs[Long]("usage")))
   }
 
-  def getStream(u: String, s: String): Option[StreamMeta] =
-    streams(u).find(_.id == s)
+  /** Point metadata lookup — O(1) on the single stream directory
+    * (resolve it, read its head manifest, stat its listed files), like
+    * the reference's one-directory path (src/server.rs:233-248) and
+    * unlike the O(#user-streams) listing `streams(u)` does. After a
+    * warm readHead this is two stats + one small manifest read +
+    * #files stats — independent of how many streams the user has. */
+  def getStream(u: String, s: String): Option[StreamMeta] = {
+    val dir = streamPath(u, s)
+    readHead(dir).map { m =>
+      val usage = m.files.map(f => Files.size(dir.resolve(f))).sum
+      val lastModified = Files.getLastModifiedTime(
+        dir.resolve(manifestName(m.version))).toMillis
+      StreamMeta(s, m.revision, new Timestamp(lastModified), usage)
+    }
+  }
 
   /** Compact a stream's per-batch files into one revision-sorted file —
     * the answer to append-path small-file pressure (SURVEY.md §7 "hard
@@ -668,12 +700,13 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     * are removed) — so a reader planned against the previous manifest
     * still finds every file it listed. The same GC sweep removes
     * orphaned files from crashed commits. */
-  def compactStream(u: String, s: String, graceMs: Long = 10 * 60 * 1000L)
-      : Int =
+  def compactStream(u: String, s: String, graceMs: Long = -1L): Int =
     lockFor(u, s).synchronized {
+      // negative grace = defer to the store's configured policy
+      val grace = if (graceMs < 0) options.gcGraceMs else graceMs
       val dir = streamPath(u, s)
       val head = readHead(dir).getOrElse(return 0)
-      if (head.files.size <= 1) { gcStream(dir, graceMs); return 0 }
+      if (head.files.size <= 1) { gcStream(dir, grace); return 0 }
       val last = head.revision - 1
       val uuid = java.util.UUID.randomUUID().toString
       val dataName = s"batch-0-$last-$uuid.parquet"
@@ -705,7 +738,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
         return 0
       }
       digests.remove(key(u, s)) // rebuilt lazily from the merged sidecar
-      gcStream(dir, graceMs)
+      gcStream(dir, grace)
       head.files.size
     }
 
@@ -714,7 +747,7 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     * independently, so the sweep parallelizes over a bounded pool the
     * same way ingestBatch's manifest commits do. Returns total files
     * replaced. */
-  def compactAll(u: String, graceMs: Long = 10 * 60 * 1000L,
+  def compactAll(u: String, graceMs: Long = -1L,
       parallelism: Int = 8): Int = {
     val streamIds = listDir(userPath(u)).filter(Files.isDirectory(_))
       .map(p => Base32.decodeString(p.getFileName.toString))
@@ -732,18 +765,19 @@ class EventStore(val spark: SparkSession, rootDir: String) {
     } finally pool.shutdown()
   }
 
-  /** Garbage-collect files referenced by neither the head manifest nor
-    * its predecessor (keeping one generation for in-flight readers) and
+  /** Garbage-collect files referenced by none of the kept manifest
+    * generations ([[StoreOptions.keptGenerations]], default head +
+    * predecessor — older generations protect in-flight readers) and
     * older than the grace window (protecting in-flight commits that have
-    * written data but not yet linked their manifest). Old manifests
-    * below head-1 are pruned too. */
+    * written data but not yet linked their manifest). Manifests below
+    * the kept suffix are pruned too. */
   private def gcStream(dir: Path, graceMs: Long): Unit = {
     val versions = listDir(dir).flatMap(p => p.getFileName.toString match {
       case ManifestFile(v) => Some(v.toLong)
       case _ => None
     }).sorted
     if (versions.isEmpty) return
-    val keepVersions = versions.takeRight(2).toSet
+    val keepVersions = versions.takeRight(options.keptGenerations).toSet
     val referenced = keepVersions.flatMap { v =>
       val m = parseManifest(dir.resolve(manifestName(v)))
       (m.files ++ m.keyFiles).toSet
@@ -800,6 +834,16 @@ class EventStore(val spark: SparkSession, rootDir: String) {
 }
 
 object EventStore {
+  /** Boot from environment, reference-style (src/main.rs:13-34 reads
+    * `HEMATITE_STREAMS_DIR`): GRAFT_STREAMS_DIR is the root (required),
+    * retention knobs come from [[StoreOptions.fromEnv]]. */
+  def fromEnv(spark: SparkSession,
+      env: Map[String, String] = sys.env): EventStore =
+    new EventStore(spark,
+      env.getOrElse("GRAFT_STREAMS_DIR", throw new IllegalArgumentException(
+        "GRAFT_STREAMS_DIR is not set")),
+      StoreOptions.fromEnv(env))
+
   /** Batches at or under this size are written driver-locally without a
     * Spark job (see writeBatchFile). */
   val LocalWriteMax = 256
@@ -879,26 +923,14 @@ object EventStore {
     Manifest(v, r, fs.result(), ks.result())
   }
 
-  /** 64-bit FNV-1a over `source \u0000 id` (UTF-8) — the stable key
-    * hash stored in `keys-*.keys` sidecars and checked by the digest.
-    * Collisions are resolved by the exact confirm scan, so the hash
-    * only needs to be cheap and well-distributed, not perfect. */
-  def keyHash(source: String, id: String): Long = {
-    var h = 0xcbf29ce484222325L
-    def mix(bytes: Array[Byte]): Unit = {
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL)
-        h *= 0x100000001b3L
-        i += 1
-      }
-    }
-    mix(source.getBytes("UTF-8"))
-    h ^= 0xffL
-    h *= 0x100000001b3L
-    mix(id.getBytes("UTF-8"))
-    h
-  }
+  /** 64-bit FNV-1a over `source + separator + id` (UTF-8) — the
+    * stable key hash stored in `keys-*.keys` sidecars and checked by
+    * the digest. Delegates to the native expression's companion
+    * ([[graft.expressions.KeyHash64]]) so the driver-side and
+    * codegen'd executor-side hashes are one definition. */
+  def keyHash(source: String, id: String): Long =
+    graft.expressions.KeyHash64.hash(
+      source.getBytes("UTF-8"), id.getBytes("UTF-8"))
 
   /** Keys sidecar: big-endian 8-byte hashes, one per event. */
   private[eventstore] def writeKeyFile(target: Path, hashes: Seq[Long])

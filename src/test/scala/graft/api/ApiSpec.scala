@@ -2,7 +2,7 @@ package graft.api
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.SparkSuite
-import graft.eventstore.EventStore
+import graft.eventstore.{EventStore, StoreOptions}
 import java.security.KeyPairGenerator
 import java.security.interfaces.ECPublicKey
 import java.security.spec.ECGenParameterSpec

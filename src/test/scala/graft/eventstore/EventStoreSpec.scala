@@ -151,6 +151,33 @@ class EventStoreSpec extends SparkSuite {
       byId.map(m => (m.id, m.revision)))
   }
 
+  test("getStream is an O(1) point lookup: no directory enumeration " +
+      "once the head hint is warm, regardless of how many streams the " +
+      "user has (server.rs:233-248)") {
+    val root = tempDir("es-o1-")
+    val es = new EventStore(spark, root)
+    (0 until 20).foreach(i => es.append("u1", s"s-$i", Seq(ev(s"e-$i"))))
+    // warm the head-version hint for the probed stream
+    assert(es.getStream("u1", "s-7").exists(_.revision == 1))
+    val before = es.dirListCount.get()
+    val meta = es.getStream("u1", "s-7")
+    assert(meta.exists(m => m.id == "s-7" && m.revision == 1 &&
+      m.usage > 0))
+    assert(es.dirListCount.get() == before,
+      "warm getStream must not list any directory")
+    // even cold (fresh instance), the lookup lists only the ONE stream
+    // directory — never the user's 20
+    val cold = new EventStore(spark, root)
+    val b2 = cold.dirListCount.get()
+    assert(cold.getStream("u1", "s-7").exists(_.revision == 1))
+    assert(cold.dirListCount.get() - b2 <= 1,
+      "cold getStream may list at most the stream's own directory")
+    // absent stream: cheap miss, not a listing of everything
+    val b3 = cold.dirListCount.get()
+    assert(cold.getStream("u1", "nope").isEmpty)
+    assert(cold.dirListCount.get() - b3 <= 1)
+  }
+
   test("delete stream removes data and returns existence " +
       "(server.rs:251-261)") {
     val es = freshStore()

@@ -459,6 +459,56 @@ class ManifestSpec extends SparkSuite {
     assert(fp < 300, s"bloom fp rate ${fp / 10000.0} too high")
   }
 
+  test("StoreOptions govern retention: keptGenerations widens the kept " +
+      "manifest suffix, gcGraceMs comes from the store config, and " +
+      "ingestBatch auto-compacts at the configured cap by default") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def manifests(d: Path) = Files.list(d).iterator().asScala
+      .count(_.getFileName.toString.startsWith("manifest-"))
+
+    // keptGenerations = 3 (zero grace): three manifest versions survive
+    // a compaction sweep, vs two under the default config
+    val r3 = tempDir("opt-keep3-")
+    val keep3 = new EventStore(spark, r3,
+      StoreOptions(gcGraceMs = 0L, keptGenerations = 3))
+    (0 until 4).foreach(i => keep3.append("u1", "s1", Seq(ev(s"k3-$i"))))
+    assert(keep3.compactStream("u1", "s1") == 4) // grace from options
+    assert(manifests(onlyStreamDir(r3)) == 3)
+    assert(keep3.query("u1", "s1", 0, 10).size == 4)
+
+    val r2 = tempDir("opt-keep2-")
+    val keep2 = new EventStore(spark, r2, StoreOptions(gcGraceMs = 0L))
+    (0 until 4).foreach(i => keep2.append("u1", "s1", Seq(ev(s"k2-$i"))))
+    assert(keep2.compactStream("u1", "s1") == 4)
+    assert(manifests(onlyStreamDir(r2)) == 2)
+
+    // ingestBatch's default auto-compaction honors the store option:
+    // cap 2 folds the stream back to one live file as batches land
+    def batchDF(id: String) =
+      spark.createDataset(Seq(("u1", "hot", id, "opt://auto", "t")))
+        .toDF("user_id", "stream_id", "id", "source", "type")
+        .withColumn("specversion", lit("1.0"))
+        .withColumn("subject", lit(null: String))
+        .withColumn("time", lit(null).cast("timestamp"))
+        .withColumn("datacontenttype", lit(null: String))
+        .withColumn("dataschema", lit(null: String))
+        .withColumn("data", lit(null: String))
+        .withColumn("data_base64", lit(null).cast("binary"))
+        .withColumn("extensions", map().cast("map<string,string>"))
+    val rA = tempDir("opt-auto-")
+    val auto = new EventStore(spark, rA,
+      StoreOptions(gcGraceMs = 0L, autoCompactAfter = 2))
+    (0 until 3).foreach(i => assert(auto.ingestBatch(batchDF(s"a-$i")) == 1))
+    val headA = Files.list(onlyStreamDir(rA)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-"))
+      .maxBy(_.getFileName.toString)
+    assert(EventStore.parseManifest(headA).files.size == 1,
+      "store-configured auto-compaction should fold the stream to one file")
+    assert(auto.query("u1", "hot", 0, 10).map(_.id) ==
+      Seq("a-0", "a-1", "a-2"))
+  }
+
   private def onlyStreamDir(root: String): Path = {
     val user = Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_)).toList match {
