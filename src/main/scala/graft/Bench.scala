@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Each query runs in its own fair-scheduler pool: iterative
+      // multi-job queries (connected components, prefix sum, index
+      // lifecycle) submit many small jobs, and under FIFO each of those
+      // waits behind whole-suite scans — r04 measured q66 at 22.6s
+      // concurrent vs 5.9s isolated from exactly that. Fair pools
+      // round-robin cores across in-flight queries instead.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,24 +44,47 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // Longest-job-first: submit the known-heavy queries before the
+    // sub-second ones so the 8-slot pool isn't draining 50 cheap queries
+    // while a 6s index build starts last and stretches the makespan.
+    val heavy = Seq("q74", "q66", "q53", "q30", "q31", "q70", "q32",
+      "q58", "q72", "q15", "q04", "q05", "q08", "q59", "q33", "q63")
+    def rank(n: String): Int = {
+      val i = heavy.indexWhere(n.startsWith); if (i < 0) heavy.size else i
+    }
     val tTotal = System.nanoTime()
-    val futures = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val futures = selected.toSeq.sortBy { case (n, _) => (rank(n), n) }
+      .map { case (name, fn) =>
         scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }
-    }
+      }
     val results = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(30, "min")).toMap
     val wall = (System.nanoTime() - tTotal) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) wall else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def s3(v: Double): String = "%.3f".format(v)
+    def dict(short: Boolean) = results.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        s"\"" + key + "\":" + s3(v)
+      }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) s3(wall) else "0.0"
+    // The driver captures only the last 2000 bytes of the log: full
+    // query names × 74 queries overflowed that in r04 (parsed:null).
+    // The stdout line therefore uses the contract's short "q1":sec key
+    // form (~1 KB, room to grow); the full-name artifact goes to a file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      dict(short = true)},"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        dict(short = false)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
