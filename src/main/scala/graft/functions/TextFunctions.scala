@@ -100,6 +100,23 @@ object TextFunctions {
   def stopwordRatio(text: Column): Column =
     lexiconHits(text, langLexicons("en")).cast("double") / nTokens(text)
 
+  /** PII scrubbing for training corpora: masks emails, phone-shaped
+    * number groups, then any remaining long digit run, in that fixed
+    * order (emails/phones contain digit runs, so the specific mask must
+    * win over the generic one). Patterns are deliberately restricted to
+    * the regex intersection of Java (Spark codegen) and RE2 (DuckDB,
+    * Go tooling) — character classes, bounded repeats, \b — so the SAME
+    * operator definition runs under any engine a pipeline audits with.
+    * Per-row codegen'd regexp_replace chain: pipelines inside the scan,
+    * nothing rides a shuffle. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val phone = regexp_replace(email,
+      "\\b[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?\\b", "[PHONE]")
+    regexp_replace(phone, "[0-9]{6,}", "[NUM]")
+  }
+
   /** Rolling fingerprint of the token sequence (order-sensitive, unlike
     * md5 of the raw string — detects reorderings): sequential fold of
     * h = rot5(h) XOR xxhash64(token). Rotate-xor instead of the classic

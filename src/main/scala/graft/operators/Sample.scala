@@ -39,6 +39,29 @@ object Sample {
       .filter(col("rank") <= n)
   }
 
+  /** Deterministic train/val/test assignment: buckets a row by the
+    * first 8 md5 hex chars of its id — fixed-width lowercase hex
+    * compares lexicographically as the 32-bit value it encodes, so the
+    * thresholds are plain STRING comparisons, reproducible bit-for-bit
+    * in any engine and under any partitioning (the property ablation
+    * reruns need). `splits` are (name, weight) with weights summing to
+    * ~1; the last split absorbs rounding. Adds a `split` column.
+    * Per-row expression — no shuffle, no state. */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${(c * 4294967296.0).toLong}%08x")
+    val assigned = splits.init.zip(thresholds)
+      .foldRight(lit(splits.last._1)) { case (((name, _), th), other) =>
+        when(h < lit(th), lit(name)).otherwise(other)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic Bernoulli-style sample: keeps a row iff its hash
     * falls below the rate threshold. Uses the first 8 hex chars of the
     * md5 as a uniform 32-bit value — reproducible across engines and

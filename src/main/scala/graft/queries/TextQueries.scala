@@ -497,7 +497,115 @@ object TextQueries {
          min(doc_id) AS min_doc
        FROM sampled GROUP BY lang"""
 
+  /** q75: PII redaction — emails, phone-shaped groups, then residual
+    * long digit runs are masked in one codegen'd regexp chain
+    * (operators restricted to the Java∩RE2 regex subset so the SAME
+    * definition runs under the DuckDB oracle). The corpus tables carry
+    * no PII, so the gate synthesizes a contact line per customer from
+    * stable columns — deterministic, and it exercises every mask plus
+    * the must-NOT-match cases (short digit runs survive). */
+  val q75_redact_pii: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      redactPii(concat(
+        col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com> ext "),
+        (col("c_custkey") % 100).cast("string"),
+        lit(" ref 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .as("redacted"))
+
+  val q75_oracle: String =
+    """WITH raw AS (SELECT c_custkey,
+         c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+         '@example.com> ext ' || CAST(c_custkey % 100 AS VARCHAR) ||
+         ' ref 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           AS txt
+       FROM customer)
+       SELECT c_custkey,
+         regexp_replace(regexp_replace(regexp_replace(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?\b', '[PHONE]', 'g'),
+           '[0-9]{6,}', '[NUM]', 'g') AS redacted
+       FROM raw"""
+
+  /** q77: BM25 keyword relevance (operators.Bm25) — top-100 documents
+    * against a fixed term profile. The emitted surface is the RANK, not
+    * the raw score: both engines compute bit-identical ln() inputs (all
+    * integer-derived doubles, identical operation order) but libm ln
+    * itself may differ in the final ulp; ordering is ulp-robust. */
+  val q77_bm25_topk: Q = (s, d) =>
+    graft.operators.Bm25.topK(Tables.documents(s, d), "text", "doc_id",
+      terms = Seq("spark", "query", "vector", "hash", "window"), k = 100)
+
+  val q77_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       base AS (SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,
+         CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf3,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf4
+       FROM t),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3,
+         sum(CASE WHEN tf4 > 0 THEN 1.0 ELSE 0.0 END) AS df4
+       FROM base),
+       sc AS (SELECT doc_id,
+           ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
+             / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
+             / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
+             / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.2 + 1.0))
+             / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * (tf4 * (1.2 + 1.0))
+             / (tf4 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           AS score
+       FROM base, st)
+       SELECT doc_id, rk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         FROM sc)
+       WHERE rk <= 100"""
+
+  /** q78: deterministic train/val/test assignment (operators.Sample
+    * .splitAssign) — 80/10/10 by md5-hex threshold, a pure STRING
+    * comparison that reproduces bit-for-bit in any engine and under any
+    * partitioning. Gate checks per-split counts plus id/char checksums,
+    * so one row switching splits fails loudly. */
+  val q78_split_assign: Q = (s, d) =>
+    graft.operators.Sample.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
+  val q78_oracle: String =
+    """SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+           THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+           THEN 'val'
+         ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q75_redact_pii" -> q75_redact_pii,
+    "q77_bm25_topk" -> q77_bm25_topk,
+    "q78_split_assign" -> q78_split_assign,
     "q73_pipeline" -> q73_pipeline,
     "q72_decontaminate" -> q72_decontaminate,
     "q70_sequence_pack" -> q70_sequence_pack,
@@ -518,6 +626,9 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q75_redact_pii" -> q75_oracle,
+    "q77_bm25_topk" -> q77_oracle,
+    "q78_split_assign" -> q78_oracle,
     "q73_pipeline" -> q73_oracle,
     "q72_decontaminate" -> q72_oracle,
     "q70_sequence_pack" -> q70_oracle,

@@ -649,6 +649,44 @@ object TpchQueries {
        FROM orders
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 
+  /** q76: MERGE INTO (operators.Merge) — a CDC changeset (every even
+    * order: status→'U', price doubled; '1-URGENT' sources are delete
+    * markers) applied to a target missing every third order. Covers all
+    * four merge outcomes — update, insert, delete, pass-through — in
+    * one oracle-checked result. Price×2 is exact in IEEE doubles, so
+    * the whole row set hash-matches bit-for-bit. */
+  val q76_merge_upsert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+    val source = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.operators.Merge.mergeInto(target, source, Seq("o_orderkey"),
+      deleteWhen = Some(col("o_orderpriority") === "1-URGENT"))
+  }
+
+  val q76_oracle: String =
+    """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+       s AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate,
+               o_orderpriority
+             FROM orders WHERE o_orderkey % 2 = 0)
+       SELECT
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey
+              ELSE t.o_orderkey END AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+              ELSE t.o_custkey END AS o_custkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate
+              ELSE t.o_orderdate END AS o_orderdate,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+              ELSE t.o_orderpriority END AS o_orderpriority
+       FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+       WHERE NOT coalesce(s.o_orderpriority = '1-URGENT', FALSE)"""
+
   val all: Map[String, Q] = Map(
     "q61_outer_join" -> q61_outer_join,
     "q62_window_nav" -> q62_window_nav,
@@ -676,7 +714,8 @@ object TpchQueries {
     "q15_setops" -> q15_setops,
     "q16_string_funcs" -> q16_string_funcs,
     "q17_date_funcs" -> q17_date_funcs,
-    "q18_case_math" -> q18_case_math)
+    "q18_case_math" -> q18_case_math,
+    "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
     "q61_outer_join" -> q61_oracle,
@@ -705,5 +744,7 @@ object TpchQueries {
     "q15_setops" -> q15_oracle,
     "q16_string_funcs" -> q16_oracle,
     "q17_date_funcs" -> q17_oracle,
-    "q18_case_math" -> q18_oracle)
+    "q18_case_math" -> q18_oracle,
+    "q76_merge_upsert" -> q76_oracle)
+
 }

@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextFunctions.redactPii($"t").as("r"))
+      .as[String].head()
+
+  test("redactPii masks emails, phones, and long digit runs") {
+    assert(redact("mail bob.smith+x@corp.example.org now")
+      == "mail [EMAIL] now")
+    assert(redact("call 555-0199 or 023-456-7890 today")
+      == "call [PHONE] or [PHONE] today")
+    assert(redact("ssn-ish 123456789 here") == "ssn-ish [NUM] here")
+    // order: the email mask runs first (it would otherwise lose its
+    // digits to [NUM]); a 6+ digit run after a dash is not phone-shaped
+    // (\b fails mid-run) and falls through to the generic mask
+    assert(redact("a@b.co 555-123456 9999999")
+      == "[EMAIL] 555-[NUM] [NUM]")
+  }
+
+  test("redactPii leaves non-PII digits and words alone") {
+    assert(redact("ext 42 and room 9f") == "ext 42 and room 9f")
+    assert(redact("v1.2.3 build 12345") == "v1.2.3 build 12345")
+    assert(redact("no pii at all") == "no pii at all")
+  }
+}

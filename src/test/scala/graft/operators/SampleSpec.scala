@@ -31,6 +31,31 @@ class SampleSpec extends SparkSuite {
     assert(top5 == top5via20)
   }
 
+  test("splitAssign partitions every row exactly once, deterministically, " +
+      "with ~80/10/10 proportions and engine-portable hex thresholds") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = Sample.splitAssign(docs, "doc_id", splits)
+    val n = docs.count()
+    assert(assigned.count() == n) // total partition, no loss/dup
+    val bydocs = assigned.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bydocs.keySet == Set("train", "val", "test"))
+    assert(math.abs(bydocs("train").toDouble / n - 0.8) < 0.1)
+    // repartitioning must not move any row between splits
+    val a1 = assigned.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    val a2 = Sample.splitAssign(docs.repartition(7), "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a1 == a2)
+    // the q78 oracle hardcodes these threshold strings — pin them
+    val th = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${(c * 4294967296.0).toLong}%08x")
+    assert(th == Seq("cccccccc", "e6666666"))
+    intercept[IllegalArgumentException] {
+      Sample.splitAssign(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("deterministic fraction keeps ~rate of rows, the same rows " +
       "every time, and nests (10% sample is a subset of the 50% one)") {
     val n = docs.count().toDouble
