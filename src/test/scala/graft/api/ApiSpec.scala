@@ -200,4 +200,82 @@ class ApiSpec extends SparkSuite {
     assert(del() == 404)
     assert(get(store, token, "/streams/aaa").status == 404)
   }
+
+  test("OIDC discovery: AuthConfig resolves through the fetcher seam, " +
+      "caches, survives a failed refresh, and retries unknown kids") {
+    val base = "https://idp.example"
+    val jwksUrl = s"$base/keys"
+    def jwkJson(k: Jwt.Jwk) =
+      s"""{"kid":"${k.kid}","x":"${k.x}","y":"${k.y}"}"""
+    val discovery =
+      s"""{"issuer":"$issuer","jwks_uri":"$jwksUrl"}"""
+    var fetches = 0
+    var keysDoc = s"""{"keys":[${jwkJson(jwk)}]}"""
+    val fetcher = new Oidc.Fetcher {
+      def fetch(url: String): String = {
+        fetches += 1
+        url match {
+          case u if u == s"$base/.well-known/openid-configuration" =>
+            discovery
+          case u if u == jwksUrl => keysDoc
+          case other => throw new RuntimeException(s"unexpected $other")
+        }
+      }
+    }
+    val client = new Oidc.OpenIdClient(base, fetcher, audience)
+    // lazy resolve on first use, cache after (2 fetches, then none)
+    assert(client.authorize(mint("u1")).map(_.sub) == Right("u1"))
+    assert(fetches == 2)
+    assert(client.authorize(mint("u2")).map(_.sub) == Right("u2"))
+    assert(fetches == 2)
+    // the discovery-resolved config is Api.handle's AuthConfig shape
+    val cfg = client.authConfig.toOption.get
+    val store = freshStore()
+    val viaApi = Api.handle(store, cfg, Api.Request("GET", "/streams",
+      Map.empty, Map("Authorization" -> s"Bearer ${mint("u3")}")))
+    assert(viaApi.status == 200)
+    // key rotation: a token under an unknown kid triggers ONE refresh
+    val kpg = KeyPairGenerator.getInstance("EC")
+    kpg.initialize(new ECGenParameterSpec("secp384r1"))
+    val kp2 = kpg.generateKeyPair()
+    val pub2 = kp2.getPublic.asInstanceOf[ECPublicKey]
+    def coord(i: java.math.BigInteger) = {
+      val raw = i.toByteArray.dropWhile(_ == 0)
+      val padded = new Array[Byte](48)
+      System.arraycopy(raw, 0, padded, 48 - raw.length, raw.length)
+      Base64.getUrlEncoder.withoutPadding().encodeToString(padded)
+    }
+    val jwk2 = Jwt.Jwk("key-2", coord(pub2.getW.getAffineX),
+      coord(pub2.getW.getAffineY))
+    val rotated = Jwt.sign(kp2.getPrivate, "key-2",
+      Map("sub" -> "u4", "iss" -> issuer, "aud" -> audience,
+        "exp" -> (System.currentTimeMillis() / 1000 + 3600)))
+    assert(client.authorize(rotated).isLeft) // not yet published
+    keysDoc = s"""{"keys":[${jwkJson(jwk)},${jwkJson(jwk2)}]}"""
+    assert(client.authorize(rotated).map(_.sub) == Right("u4"))
+    // a refresh that blows up serves the old cache (two-phase swap)
+    val flaky = new Oidc.OpenIdClient(base, new Oidc.Fetcher {
+      var calls = 0
+      def fetch(url: String): String = {
+        calls += 1
+        if (calls > 2) throw new RuntimeException("idp down")
+        fetcher.fetch(url)
+      }
+    }, audience)
+    assert(flaky.authorize(mint("u5")).map(_.sub) == Right("u5"))
+    assert(flaky.refresh().isLeft)
+    assert(flaky.authorize(mint("u6")).map(_.sub) == Right("u6"))
+  }
+
+  test("OIDC discovery failures are Left reasons, not exceptions") {
+    val boom = new Oidc.OpenIdClient("https://idp.example",
+      new Oidc.MapFetcher(Map.empty), audience)
+    assert(boom.authorize(mint("u")).left.exists(_.contains("discovery")))
+    val noKeys = new Oidc.OpenIdClient("https://idp.example",
+      new Oidc.MapFetcher(Map(
+        "https://idp.example/.well-known/openid-configuration" ->
+          s"""{"issuer":"$issuer","jwks_uri":"https://idp.example/keys"}""",
+        "https://idp.example/keys" -> """{"keys":[]}""")), audience)
+    assert(noKeys.authorize(mint("u")).left.exists(_.contains("empty JWKS")))
+  }
 }
