@@ -100,7 +100,16 @@ class PlanSpec extends SparkSuite {
         graft.expressions.NearestCentroid(GraftColumnBridge.expression(
           col("embedding")), cents)).as("list")).collect()
       assert(assigned.forall(r => r.getInt(0) == 0 || r.getInt(0) == 1))
-    } finally {
+      // the ingest metadata pass's key hash (replaced the one Scala UDF)
+      val kh = docs.select(GraftColumnBridge.column(
+        graft.expressions.KeyHash64(
+          GraftColumnBridge.expression(col("source")),
+          GraftColumnBridge.expression(col("doc_id").cast("string"))))
+        .as("kh")).collect()
+      assert(kh.map(_.getLong(0)).distinct.length > 1)
+      assert(kh.head.getLong(0) == graft.eventstore.EventStore.keyHash(
+        docs.select(col("source")).first().getString(0),
+        docs.select(col("doc_id")).first().getLong(0).toString))
       before match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
         case None => spark.conf.unset("spark.sql.codegen.factoryMode")

@@ -267,6 +267,31 @@ class ApiSpec extends SparkSuite {
     assert(flaky.authorize(mint("u6")).map(_.sub) == Right("u6"))
   }
 
+  test("GET /openapi.yaml serves the spec (api.rs:137,141): 200, yaml " +
+      "content-type, CloudEvents schema ref — and is auth-wrapped") {
+    val store = freshStore()
+    val res = get(store, mint("u"), "/openapi.yaml")
+    assert(res.status == 200)
+    assert(res.headers("Content-Type") == "application/yaml")
+    assert(res.body.get.contains("openapi: 3.1.0"))
+    assert(res.body.get.contains("CloudEvents")) // envelope schema ref
+    assert(Api.handle(store, auth,
+      Api.Request("GET", "/openapi.yaml")).status == 401)
+  }
+
+  test("GET /config reads back the store's retention options") {
+    val store = new EventStore(spark, tempDir("api-cfg-"),
+      StoreOptions(gcGraceMs = 123L, keptGenerations = 5,
+        autoCompactAfter = 7))
+    val res = get(store, mint("u"), "/config")
+    assert(res.status == 200)
+    val attrs = mapper.readTree(res.body.get)
+      .path("data").path("attributes")
+    assert(attrs.path("gc_grace_ms").asLong() == 123L)
+    assert(attrs.path("kept_generations").asInt() == 5)
+    assert(attrs.path("auto_compact_after").asInt() == 7)
+  }
+
   test("OIDC discovery failures are Left reasons, not exceptions") {
     val boom = new Oidc.OpenIdClient("https://idp.example",
       new Oidc.MapFetcher(Map.empty), audience)
