@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed MERGE (upsert) — the Delta/Iceberg `MERGE INTO` shape expressed
@@ -54,5 +55,62 @@ object Merge {
         when(col("__s").isNotNull, col(s"__s_$c")).otherwise(col(c)))
     }
     arbitrated.select(cols.map(col): _*)
+  }
+
+  /** Compact a CDC change log to its current snapshot: last writer wins
+    * per key (total order = `orderCols`, so supply a unique tiebreaker
+    * after the timestamp), rows whose final op is a delete disappear.
+    * The other half of the CDC story next to [[mergeInto]] — mergeInto
+    * applies a changeset to a table, latestSnapshot derives the table
+    * from the log alone.
+    *
+    * Scale shape: one shuffle on the keys, per-partition top-1 heap
+    * inside the window (WindowGroupLimit pushes the rank filter down to
+    * a partial top-1 before the exchange — the log is scanned once and
+    * only each task's per-key champion rides the shuffle). */
+  def latestSnapshot(log: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], deleteWhen: Option[Column] = None)
+      : DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty,
+      "need key and order columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    deleteWhen.fold(latest)(c => latest.filter(!coalesce(c, lit(false))))
+  }
+
+  /** SCD Type-2 history from a change log: per key in `orderCols`
+    * order, drop no-op changes (every tracked column equal to its
+    * predecessor), then close each surviving version with its
+    * successor's start — emits `tracked` plus valid_from (first order
+    * column), valid_to (next valid_from, null while current) and
+    * is_current. The dimension-table historization that pairs with
+    * [[mergeInto]]'s overwrite semantics.
+    *
+    * Scale shape: two window passes over the SAME (key, order)
+    * partitioning — Catalyst plans one exchange and reuses its sort for
+    * both lag() and lead(); no second shuffle, no self-join. */
+  def applyScd2(log: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty && tracked.nonEmpty,
+      "need key, order, and tracked columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    // a row is a real change iff any tracked column differs from its
+    // predecessor (null-safe: the key's first row has no predecessor)
+    val changed = tracked.map(c =>
+        !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    val versions = log
+      .select((keys ++ orderCols ++ tracked).distinct.map(col): _*)
+      .withColumn("__chg", changed)
+      .filter(col("__chg")).drop("__chg")
+    val vf = col(orderCols.head)
+    versions
+      .withColumn("valid_from", vf)
+      .withColumn("valid_to", lead(vf, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ tracked :+ "valid_from" :+ "valid_to"
+        :+ "is_current").distinct.map(col): _*)
   }
 }

@@ -299,7 +299,26 @@ object EventQueries {
         AND e.ts >= w.ws AND e.ts < w.we
        GROUP BY w.user_id, w.ws"""
 
+  /** q79: CDC log compaction (operators.Merge.latestSnapshot) — the
+    * events table read as a change log: last writer per user wins
+    * ((ts, event_id) total order), users whose final event is an
+    * 'error' are treated as tombstoned and vanish from the snapshot.
+    * One shuffle; WindowGroupLimit turns the rank filter into a
+    * per-partition top-1 before the exchange. */
+  val q79_latest_snapshot: Q = (s, d) =>
+    graft.operators.Merge.latestSnapshot(Tables.events(s, d),
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      deleteWhen = Some(col("event_type") === "error"))
+
+  val q79_oracle: String =
+    """SELECT user_id, event_id, ts, event_type, value, props FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 AND NOT coalesce(event_type = 'error', FALSE)"""
+
   val all: Map[String, Q] = Map(
+    "q79_latest_snapshot" -> q79_latest_snapshot,
     "q65_range_join" -> q65_range_join,
     "q56_variant_json" -> q56_variant_json,
     "q52_sliding_2h" -> q52_sliding_2h,
@@ -315,6 +334,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q79_latest_snapshot" -> q79_oracle,
     "q65_range_join" -> q65_oracle,
     "q64_exact_distinct" -> q64_oracle,
     "q56_variant_json" -> q56_oracle,

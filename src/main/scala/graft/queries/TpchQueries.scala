@@ -687,7 +687,33 @@ object TpchQueries {
        FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
        WHERE NOT coalesce(s.o_orderpriority = '1-URGENT', FALSE)"""
 
+  /** q80: SCD Type-2 historization (operators.Merge.applyScd2) — orders
+    * read as a per-customer status change log ((o_orderdate, o_orderkey)
+    * total order): no-op status repeats are dropped, each surviving
+    * version is closed by its successor's start, the open version is
+    * flagged current. Two window passes over ONE (key, order) exchange. */
+  val q80_scd2_history: Q = (s, d) =>
+    graft.operators.Merge.applyScd2(Tables.orders(s, d),
+      keys = Seq("o_custkey"), orderCols = Seq("o_orderdate", "o_orderkey"),
+      tracked = Seq("o_orderstatus"))
+
+  val q80_oracle: String =
+    """WITH chg AS (
+         SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+         FROM orders),
+       v AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+             FROM chg WHERE o_orderstatus IS DISTINCT FROM prev)
+       SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+       FROM v"""
+
   val all: Map[String, Q] = Map(
+    "q80_scd2_history" -> q80_scd2_history,
     "q61_outer_join" -> q61_outer_join,
     "q62_window_nav" -> q62_window_nav,
     "q59_setops_all" -> q59_setops_all,
@@ -718,6 +744,7 @@ object TpchQueries {
     "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
+    "q80_scd2_history" -> q80_oracle,
     "q61_outer_join" -> q61_oracle,
     "q62_window_nav" -> q62_oracle,
     "q59_setops_all" -> q59_oracle,

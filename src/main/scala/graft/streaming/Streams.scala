@@ -148,6 +148,20 @@ object Streams {
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same content
+    * fingerprint, keeping only fingerprints whose event time is inside
+    * the watermark horizon in state — the streaming twin of
+    * Dedup.exactSurvivors for at-least-once upstream feeds (a kafka-ish
+    * source re-delivering a document must not double-count it
+    * downstream). `dropDuplicatesWithinWatermark` bounds state by the
+    * watermark (plain dropDuplicates would grow state forever on an
+    * unbounded corpus); dedup state partitions by fingerprint, so 1000
+    * executors each own a hash range. */
+  def dedupExact(events: DataFrame, tsCol: String, watermark: String,
+      fingerprintCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCols)
+
   /** Stream-stream inner join on a key within an event-time interval:
     * right rows join left rows whose timestamp is within [leftTs,
     * leftTs + within]. Both sides are watermarked so Spark can bound

@@ -47,6 +47,41 @@ class MergeSpec extends SparkSuite {
     }
   }
 
+  test("latestSnapshot keeps exactly the last writer per key and drops " +
+      "tombstoned keys, independent of input partitioning") {
+    val log = Seq(
+      (1L, 1, "v1", "put"), (1L, 3, "v3", "put"), (1L, 2, "v2", "put"),
+      (2L, 1, "w1", "put"), (2L, 2, null: String, "del"),
+      (3L, 5, "x5", "put")).toDF("k", "ts", "v", "op")
+    val snap = Merge.latestSnapshot(log.repartition(5), Seq("k"),
+      Seq("ts"), deleteWhen = Some($"op" === "del"))
+      .select($"k", $"v").as[(Long, String)].collect().sortBy(_._1)
+    assert(snap.toSeq == Seq((1L, "v3"), (3L, "x5")))
+    // without delete semantics the tombstone row itself surfaces
+    val all = Merge.latestSnapshot(log, Seq("k"), Seq("ts"))
+      .select($"k", $"op").as[(Long, String)].collect().toSet
+    assert(all == Set((1L, "put"), (2L, "del"), (3L, "put")))
+  }
+
+  test("applyScd2 drops no-op changes, closes versions with their " +
+      "successor, and flags exactly one current row per key") {
+    val log = Seq(
+      (1L, 1, "A"), (1L, 2, "A"), (1L, 3, "B"), (1L, 4, "B"), (1L, 5, "A"),
+      (2L, 1, "X")).toDF("k", "ts", "status")
+    val hist = Merge.applyScd2(log, Seq("k"), Seq("ts"), Seq("status"))
+      .select($"k", $"status", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Int, Option[Int], Boolean)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(hist == Seq(
+      (1L, "A", 1, Some(3), false),
+      (1L, "B", 3, Some(5), false),
+      (1L, "A", 5, None, true),
+      (2L, "X", 1, None, true)))
+    // exactly one current version per key, valid ranges abut
+    val current = hist.filter(_._5)
+    assert(current.map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("a null deleteWhen evaluation means keep (no silent row loss)") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val s = Seq((2L, null: String), (3L, "c")).toDF("id", "v")

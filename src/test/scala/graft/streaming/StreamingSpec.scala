@@ -132,6 +132,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops re-delivered fingerprints across " +
+      "micro-batches, keeps distinct content, and bounds state by the " +
+      "watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = Streams.dedupExact(
+      input.toDF().toDF("fp", "ts"), "ts", "10 minutes", Seq("fp"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(("doc-a", ts(0)), ("doc-b", ts(1)), ("doc-a", ts(2)))
+      q.processAllAvailable()
+      // re-delivery in a later batch, still within the watermark
+      input.addData(("doc-a", ts(3)), ("doc-c", ts(4)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"fp").as[String]
+        .collect().sorted.toSeq
+      assert(got == Seq("doc-a", "doc-b", "doc-c"))
+      // state is keyed+bounded: the dedup operator reports rows in state
+      val prog = q.lastProgress
+      val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3, s"state must hold only live fingerprints")
+    } finally q.stop()
+  }
+
   test("binary payloads (data_base64) survive the NDJSON wire byte-exact " +
       "(openapi.yaml:81-86 CloudEvents schema)") {
     val in = tempDir("b64-in-")
