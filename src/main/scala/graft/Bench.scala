@@ -60,8 +60,9 @@ object Bench {
     // Longest-job-first: submit the known-heavy queries before the
     // sub-second ones so the 8-slot pool isn't draining 50 cheap queries
     // while a 6s index build starts last and stretches the makespan.
-    val heavy = Seq("q74", "q66", "q53", "q30", "q31", "q70", "q32",
-      "q58", "q72", "q15", "q04", "q05", "q08", "q59", "q33", "q63")
+    val heavy = Seq("q81", "q74", "q66", "q53", "q30", "q31", "q70",
+      "q32", "q58", "q72", "q15", "q04", "q05", "q08", "q59", "q33",
+      "q63")
     def rank(n: String): Int = {
       val i = heavy.indexWhere(n.startsWith); if (i < 0) heavy.size else i
     }

@@ -283,7 +283,48 @@ object VectorQueries {
                 - CAST(x AS DOUBLE)))) AS max_err
        FROM embeddings"""
 
+  /** q81: index COMPACTION identity — q74's lifecycle (build → upsert →
+    * tombstone-delete) followed by [[Similarity.compactIndex]] (fold
+    * tombstones into the affected list partitions, clear them) and a
+    * post-compact delete, then a full probe. The oracle is pure
+    * predicates, so hash_match proves compaction moved the anti-join's
+    * work into the layout without changing a single result row — and
+    * that tombstones laid down AFTER a compaction still apply. */
+  val q81_index_compact_probe: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val dir = Files.createTempDirectory("graft-ivf-compact-").toString
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+      "embedding", "vec_id", dir, nLists = 8)
+    Similarity.upsertIvfIndex(e.filter(col("vec_id") >= 300),
+      "embedding", "vec_id", dir)
+    Similarity.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+      "vec_id", dir)
+    Similarity.compactIndex(s, dir)
+    Similarity.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 11 === 0).select(col("vec_id")),
+      "vec_id", dir)
+    val qv = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).as[Array[Float]].head().toSeq
+    Similarity.ivfProbe(s, dir, qv, k = 20, nProbes = 8,
+      excludeId = Some(1L))
+  }
+
+  val q81_oracle: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv
+                  FROM embeddings WHERE vec_id = 1)
+       SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS sim
+       FROM embeddings, q
+       WHERE vec_id <> 1 AND vec_id % 7 <> 0 AND vec_id % 11 <> 0
+       ORDER BY sim DESC, vec_id LIMIT 20"""
+
   val all: Map[String, Q] = Map(
+    "q81_index_compact_probe" -> q81_index_compact_probe,
     "q74_index_delete_probe" -> q74_index_delete_probe,
     "q71_int8_quantize" -> q71_int8_quantize,
     "q63_cosine_pairs_lsh" -> q63_cosine_pairs_lsh,
@@ -297,6 +338,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q81_index_compact_probe" -> q81_oracle,
     "q74_index_delete_probe" -> q74_oracle,
     "q71_int8_quantize" -> q71_oracle,
     "q63_cosine_pairs_lsh" -> q63_oracle,

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""One per-round artifact folding the bench delta and the plan diff
+(VERDICT r3 item 7): round_report.py <old_plans> <new_plans>
+<old_bench> <new_bench> [out_md].
+
+Bench inputs accept either graft's own BENCH_LOCAL.json (one clean JSON
+line, full query names) or the driver's BENCH_r0N.json wrapper (tail
+capture with escaped quotes, possibly head-truncated) — per-query times
+are regex-scraped so a truncated artifact still contributes its tail.
+"""
+import json
+import re
+import subprocess
+import sys
+
+
+def parse_bench(path):
+    text = open(path).read()
+    # driver wrapper: escaped quotes inside a "tail" string
+    times = {k: float(v) for k, v in
+             re.findall(r'\\"(q\d+[a-z_0-9]*)\\":([0-9.]+)', text)}
+    if not times:  # clean JSON line (BENCH_LOCAL.json)
+        try:
+            times = json.loads(text)["queries"]
+        except (json.JSONDecodeError, KeyError):
+            times = {k: float(v) for k, v in
+                     re.findall(r'"(q\d+[a-z_0-9]*)":([0-9.]+)', text)}
+    # normalize to the short q-number key so rounds with different
+    # name forms still line up
+    return {k.split("_")[0]: (v, k) for k, v in times.items()}
+
+
+def main():
+    old_plans, new_plans, old_bench, new_bench = sys.argv[1:5]
+    out = sys.argv[5] if len(sys.argv) > 5 else "ROUND_REPORT.md"
+    ob, nb = parse_bench(old_bench), parse_bench(new_bench)
+    common = sorted(set(ob) & set(nb))
+    lines = ["# Round report", "",
+             f"Bench: {old_bench} -> {new_bench}", ""]
+    if common:
+        osum = sum(ob[q][0] for q in common)
+        nsum = sum(nb[q][0] for q in common)
+        lines += [f"{len(common)} common queries, summed per-query "
+                  f"{osum:.1f}s -> {nsum:.1f}s "
+                  f"({(nsum - osum) / osum * 100:+.0f}%)", "",
+                  "| query | old s | new s | delta |", "|---|---|---|---|"]
+        moved = sorted(common, key=lambda q: nb[q][0] - ob[q][0])
+        for q in reversed(moved):
+            o, n = ob[q][0], nb[q][0]
+            if abs(n - o) < 0.3:
+                continue  # sub-noise (documented concurrent jitter)
+            lines.append(f"| {nb[q][1]} | {o:.2f} | {n:.2f} | {n - o:+.2f} |")
+    new_only = sorted(set(nb) - set(ob))
+    if new_only:
+        lines += ["", "New queries: " + ", ".join(
+            f"{nb[q][1]} ({nb[q][0]:.2f}s)" for q in new_only)]
+    lines += ["", f"Plan diff: {old_plans} -> {new_plans}", "", "```"]
+    diff = subprocess.run(
+        [sys.executable, "tools/plan_diff.py", old_plans, new_plans],
+        capture_output=True, text=True)
+    lines += [diff.stdout.strip() or diff.stderr.strip(), "```", ""]
+    open(out, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
