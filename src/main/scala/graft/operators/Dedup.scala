@@ -34,6 +34,30 @@ object Dedup {
         row_number().over(Window.partitionBy(key).orderBy(id)))
       .filter(col("__rn") === 1).drop("__rn")
 
+  /** Incremental exact dedup: survivors of a NEW batch against an
+    * already-ingested corpus — the shape every continuously-fed
+    * training pipeline runs per delivery (dedup the delta, never
+    * re-dedup the lake). Keeps one batch row per fingerprint (min id)
+    * and drops fingerprints the corpus already has.
+    *
+    * Scale shape: the batch is small, the corpus is not — so the
+    * BATCH's distinct fingerprints broadcast into a semi-join over one
+    * streaming corpus scan (the corpus is never shuffled, never
+    * collected), and only the matched fingerprints — bounded by the
+    * batch size — come back to anti-join the batch. Corpus fingerprints
+    * computed in the scan, nothing else read. */
+  def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
+      key: DataFrame => Column, id: Column): DataFrame = {
+    val keyed = batch.withColumn("__fp", key(batch))
+    val batchFps = keyed.select(col("__fp")).distinct()
+    val alreadyIn = corpus.select(key(corpus).as("__fp"))
+      .join(broadcast(batchFps), Seq("__fp"), "left_semi")
+      .distinct()
+    exactSurvivors(keyed, col("__fp"), id)
+      .join(broadcast(alreadyIn), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** All-pairs n-gram Jaccard ≥ minJaccard via inverted-index join:
     * explode distinct shingles → self-join on shingle → count common →
     * jac = common / (na + nb − common). Never materializes non-candidate

@@ -602,7 +602,33 @@ object TextQueries {
        CAST(sum(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY 1"""
 
+  /** q82: incremental dedup (operators.Dedup.incrementalSurvivors) —
+    * docs 450+ arrive as the "new delivery" and are deduped within the
+    * batch (min id per fingerprint) AND against the already-ingested
+    * corpus (docs < 450), without shuffling or re-fingerprinting the
+    * corpus beyond one streaming scan. */
+  val q82_incremental_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.incrementalSurvivors(
+        docs.filter(col("doc_id") >= 450),
+        docs.filter(col("doc_id") < 450),
+        df => fingerprint(df("text")), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val q82_oracle: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars, md5(lower(text)) AS fp
+                  FROM documents WHERE doc_id >= 450),
+       c AS (SELECT DISTINCT md5(lower(text)) AS fp
+             FROM documents WHERE doc_id < 450),
+       k AS (SELECT doc_id, lang, n_chars, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM b)
+       SELECT doc_id, lang, n_chars FROM k
+       WHERE rn = 1 AND fp NOT IN (SELECT fp FROM c)"""
+
   val all: Map[String, Q] = Map(
+    "q82_incremental_dedup" -> q82_incremental_dedup,
     "q75_redact_pii" -> q75_redact_pii,
     "q77_bm25_topk" -> q77_bm25_topk,
     "q78_split_assign" -> q78_split_assign,
@@ -626,6 +652,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q82_incremental_dedup" -> q82_oracle,
     "q75_redact_pii" -> q75_oracle,
     "q77_bm25_topk" -> q77_oracle,
     "q78_split_assign" -> q78_oracle,

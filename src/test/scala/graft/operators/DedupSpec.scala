@@ -31,6 +31,44 @@ class DedupSpec extends SparkSuite {
     assert(again.count() == survivors.count())
   }
 
+  test("incremental dedup: batch survivors exclude corpus duplicates " +
+      "and intra-batch repeats; corpus side never shuffles") {
+    import graft.functions.TextFunctions.fingerprint
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // dup of corpus 0 → dropped
+      (11L, "epsilon zeta"), // fresh → kept
+      (12L, "epsilon zeta"), // intra-batch dup of 11 → dropped
+      (13L, "gamma  delta")  // different text (double space) → kept
+    ).toDF("id", "text")
+    val out = Dedup.incrementalSurvivors(batch, corpus,
+      df => fingerprint(df("text")), col("id"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L))
+    // repartitioned inputs give the same survivors
+    val out2 = Dedup.incrementalSurvivors(batch.repartition(5),
+      corpus.repartition(3), df => fingerprint(df("text")), col("id"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out2 == out)
+    // scale shape: exactly three hash exchanges, every one bounded by
+    // the BATCH size — the batch's survivor window, the batch
+    // fingerprint distinct, and the matched-fingerprint distinct (the
+    // corpus scan feeds a partial agg of fps ∩ broadcast batch set, so
+    // only ≤|batch| rows per task reach that exchange); corpus rows
+    // themselves never shuffle and the corpus join is a broadcast
+    val plan = Dedup.incrementalSurvivors(docs.filter($"doc_id" >= 450),
+        docs.filter($"doc_id" < 450),
+        df => fingerprint(df("text")), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles <= 3, s"unexpected exchange:\n$plan")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined
+      && "BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"corpus membership must be broadcast joins:\n$plan")
+  }
+
   test("minhash LSH pairs == exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.5)
