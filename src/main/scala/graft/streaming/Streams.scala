@@ -162,6 +162,72 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
+  /** Streaming NEAR-duplicate detection: MinHash-LSH band flags as a
+    * stateful stream — the streaming twin of Dedup.minhashLshPairs for
+    * continuously-fed corpora. Each document's shingles run through the
+    * SAME native LshBandHashes expression as the batch operator (band
+    * hashes are bit-identical, so stream and batch agree on candidates),
+    * each (band, bhash) bucket keeps the first document id it ever saw
+    * as keyed state, and every arrival is emitted flagged with that
+    * first id — a document is a near-dup candidate iff some band flags
+    * it against an earlier document. Fold flags per micro-batch with
+    * [[nearDupSurvivors]] in foreachBatch.
+    *
+    * Scale shape: state partitions by (band, bhash) — 1000 executors
+    * each own a hash range of buckets; state per bucket is ONE long,
+    * and buckets expire via event-time timeout once the watermark
+    * passes their last activity + `stateTtl` (a template-text bucket
+    * can't pin memory forever). The shingle→signature→band chain is
+    * one native expression evaluation per row — the child is evaluated
+    * once, not once per band (the HOF-composition recompute trap). */
+  def nearDupFlags(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, stateTtlMs: Long = 30 * 60 * 1000L)
+      : Dataset[NearDupFlag] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.GraftColumnBridge
+    val ttlMs = stateTtlMs
+    val bandArr = GraftColumnBridge.column(graft.expressions.LshBandHashes(
+      GraftColumnBridge.expression(
+        graft.functions.TextFunctions.distinctShingles(col(textCol), n)),
+      k, bands))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        posexplode(bandArr).as(Seq("band", "bhash")))
+      .as[BandObs]
+      .groupByKey(o => (o.band, o.bhash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), batch: Iterator[BandObs],
+            state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // stable intra-batch order (arrival order is per-partition)
+            val ordered = batch.toSeq.sortBy(o => (o.id, o.ts.getTime))
+            val first = state.getOption.getOrElse(ordered.head.id)
+            state.update(first)
+            val maxTs = ordered.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            ordered.iterator
+              .map(o => NearDupFlag(o.id, key._1, first)).toSeq.iterator
+          }
+        })
+  }
+
+  /** foreachBatch companion of [[nearDupFlags]]: documents of one
+    * micro-batch's flag set that are NOT near-dup candidates (no band
+    * matched an earlier document). One small per-batch aggregate. */
+  def nearDupSurvivors(flags: DataFrame): DataFrame =
+    flags.groupBy(col("id"))
+      .agg(max(when(col("firstId") =!= col("id"), 1L).otherwise(0L))
+        .as("__dup"))
+      .filter(col("__dup") === 0).select(col("id"))
+
+  case class BandObs(id: Long, ts: java.sql.Timestamp, band: Int,
+      bhash: Long)
+  case class NearDupFlag(id: Long, band: Int, firstId: Long)
+
   /** Stream-stream inner join on a key within an event-time interval:
     * right rows join left rows whose timestamp is within [leftTs,
     * leftTs + within]. Both sides are watermarked so Spark can bound

@@ -159,6 +159,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags match the batch LSH operator across " +
+      "micro-batches: later near-dups flag against the first-seen doc, " +
+      "fresh docs flag clean") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus repeats itself entirely"
+    val nearDup = base.replace("lazy", "sleepy") // high shingle overlap
+    val fresh = "completely different content with no shared shingles " +
+      "anywhere in this sentence of unrelated words altogether"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val flags = Streams.nearDupFlags(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "10 minutes")
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      input.addData((1L, base, ts(0)), (2L, fresh, ts(1)))
+      q.processAllAvailable()
+      input.addData((3L, nearDup, ts(2))) // cross-batch near-dup of 1
+      q.processAllAvailable()
+      val f = spark.table("neardup_out")
+        .as[Streams.NearDupFlag].collect().toSeq
+      def dupOf(id: Long) =
+        f.filter(x => x.id == id && x.firstId != id).map(_.firstId).toSet
+      assert(dupOf(1) == Set())            // first in = clean
+      assert(dupOf(2) == Set())            // fresh content = clean
+      assert(dupOf(3) == Set(1L), s"$f")   // flags against doc 1's state
+      // survivors helper: per-batch fold keeps exactly the non-dups
+      val surv = Streams.nearDupSurvivors(spark.table("neardup_out"))
+        .as[Long].collect().toSet
+      assert(surv == Set(1L, 2L))
+      // agreement with the batch operator at the same parameters: the
+      // (1,3) pair is exactly what minhashLshPairs emits on this corpus
+      val batchPairs = graft.operators.Dedup.minhashLshPairs(
+        Seq((1L, base), (2L, fresh), (3L, nearDup)).toDF("doc_id", "text"),
+        "text", "doc_id", minJaccard = 0.3)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(batchPairs == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("binary payloads (data_base64) survive the NDJSON wire byte-exact " +
       "(openapi.yaml:81-86 CloudEvents schema)") {
     val in = tempDir("b64-in-")
