@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear algebra over an embedding column — the
+  * dimensionality-reduction step a training pipeline runs before ANN
+  * indexing or whitening (PCA-project 768-dim encoder output down to
+  * the 64-128 dims the index actually needs).
+  *
+  * Scale shape: the Gram/covariance accumulation is ONE pass of
+  * per-partition d×d accumulators (mapPartitions — genuine per-partition
+  * imperative state, the documented RDD-justified case) reduced on the
+  * driver: d²·P doubles move, never n·d². The eigen-solve happens on
+  * the driver over the d×d covariance (d ≤ a few thousand — microseconds
+  * at d=128), and the projection back over the corpus is a per-row
+  * expression. Nothing n-sized ever leaves the executors.
+  */
+object Linalg {
+
+  /** Per-partition accumulated (n, Σx, X^T X) reduced on the driver.
+    * Returns (count, sums[d], gram[d][d]) — gram upper triangle filled
+    * symmetric. Accumulation order varies with partitioning, so entries
+    * are double-accurate, not bit-reproducible: the oracle-exact
+    * formulation is [[exactCovarianceEntries]]. */
+  def gram(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val rows = df.select(col(vecCol)).rdd.mapPartitions { it =>
+      var n = 0L
+      var sums: Array[Double] = null
+      var g: Array[Array[Double]] = null
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        val d = v.length
+        if (sums == null) {
+          sums = new Array[Double](d)
+          g = Array.ofDim[Double](d, d)
+        }
+        n += 1
+        var i = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          sums(i) += xi
+          var j = i
+          while (j < d) { g(i)(j) += xi * v(j).toDouble; j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, sums, g))
+    }.collect()
+    require(rows.nonEmpty, "empty input")
+    val d = rows.head._2.length
+    val sums = new Array[Double](d)
+    val g = Array.ofDim[Double](d, d)
+    var n = 0L
+    rows.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < d) {
+        sums(i) += ps(i)
+        var j = i
+        while (j < d) { g(i)(j) += pg(i)(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) { var j = 0; while (j < i) { g(i)(j) = g(j)(i); j += 1 }; i += 1 }
+    (n, sums, g)
+  }
+
+  /** Covariance matrix from [[gram]]: cov(i,j) = g(i,j)/n − mean_i·mean_j. */
+  def covariance(df: DataFrame, vecCol: String): Array[Array[Double]] = {
+    val (n, sums, g) = gram(df, vecCol)
+    val d = sums.length
+    val mean = sums.map(_ / n)
+    Array.tabulate(d, d)((i, j) => g(i)(j) / n - mean(i) * mean(j))
+  }
+
+  /** Top-k principal components by power iteration with deflation over
+    * the driver-side d×d covariance — returns k orthonormal rows.
+    * Deterministic start vectors (e_argmax-diagonal) so reruns agree. */
+  def pcaTopK(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 60): Array[Array[Double]] = {
+    val cov = covariance(df, vecCol)
+    val d = cov.length
+    require(k <= d, s"k=$k > dim=$d")
+    val a = cov.map(_.clone())
+    val comps = new Array[Array[Double]](k)
+    for (c <- 0 until k) {
+      // deterministic start: unit vector at the largest remaining diagonal
+      var v = {
+        val seed = new Array[Double](d)
+        seed((0 until d).maxBy(i => a(i)(i))) = 1.0
+        seed
+      }
+      for (_ <- 0 until iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          w(i) = s; i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm > 0) w.map(_ / nrm) else w
+      }
+      comps(c) = v
+      // deflate: a -= λ v vᵀ
+      val lambda = {
+        var s = 0.0; var i = 0
+        while (i < d) { var j = 0; var r = 0.0
+          while (j < d) { r += a(i)(j) * v(j); j += 1 }
+          s += v(i) * r; i += 1 }
+        s
+      }
+      var i = 0
+      while (i < d) { var j = 0
+        while (j < d) { a(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1 }
+    }
+    comps
+  }
+
+  /** Project the embedding column onto `components` (k orthonormal
+    * vectors): adds `outCol` as array<double> of length k. Per-row
+    * expression — components ride into codegen as literals, nothing
+    * shuffles. */
+  def project(df: DataFrame, vecCol: String, components: Array[Array[Double]],
+      outCol: String = "projected"): DataFrame = {
+    val comps = components.map(c => typedlit(c.toSeq))
+    df.withColumn(outCol, array(comps.map(c =>
+      graft.functions.VectorFunctions.dot(col(vecCol), c)): _*))
+  }
+
+  /** The oracle-exact covariance formulation for a dimension subset:
+    * explode the first `dims` entries into aligned (i, x) rows, self-
+    * join per row id into (i, j≥i) pairs, and run every sum through
+    * exact decimals via the float→shortest-string route (the q54 rule —
+    * the string-decimal value is what BOTH engines sum, so the result
+    * is bit-identical anywhere). decimal(16,15) holds a full float
+    * string for |x| ≥ 1e-6; the (33,30) product and (38,30) sums never
+    * round. O(n·dims²) rows: the GATE path for a handful of dims, never
+    * the scale path ([[gram]] is — asserted equal to 1e-9 in spec). */
+  def exactCovarianceEntries(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = df
+      .select(col(idCol).as("rid"),
+        posexplode(slice(col(vecCol), 1, dims)).as(Seq("i0", "x")))
+      .select(col("rid"), (col("i0") + 1).cast("long").as("i"),
+        col("x").cast("string").cast(DecimalType(16, 15)).as("xdec"))
+    val pairs = x.as("a").join(x.as("b"),
+        col("a.rid") === col("b.rid") && col("b.i") >= col("a.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xdec") * col("b.xdec")).as("p"))
+    val sp = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("spdec"), count(lit(1)).as("n"))
+    val si = x.groupBy(col("i"))
+      .agg(sum(col("xdec")).as("sdec"))
+    val d = (c: Column) => c.cast("string").cast("double")
+    sp.join(broadcast(si.select(col("i").as("li"), col("sdec").as("sl"))),
+        col("i") === col("li"))
+      .join(broadcast(si.select(col("i").as("rj"), col("sdec").as("sr"))),
+        col("j") === col("rj"))
+      .select(col("i"), col("j"),
+        (d(col("spdec")) / col("n").cast("double") -
+          (d(col("sl")) / col("n").cast("double")) *
+          (d(col("sr")) / col("n").cast("double"))).as("cov"))
+  }
+}

@@ -323,7 +323,37 @@ object VectorQueries {
        WHERE vec_id <> 1 AND vec_id % 7 <> 0 AND vec_id % 11 <> 0
        ORDER BY sim DESC, vec_id LIMIT 20"""
 
+  /** q83: exact covariance entries over the first 8 embedding dims
+    * (operators.Linalg.exactCovarianceEntries) — every sum runs through
+    * float→shortest-string decimals, so 36 covariance entries bit-match
+    * DuckDB. Pins the linear-algebra aggregation the PCA/whitening path
+    * builds on (the d×d mapPartitions Gram pass is the scale path and
+    * is asserted equal to this one within 1e-9 in LinalgSpec). */
+  val q83_covariance_entries: Q = (s, d) =>
+    graft.operators.Linalg.exactCovarianceEntries(
+      Tables.embeddings(s, d), "embedding", "vec_id", dims = 8)
+
+  val q83_oracle: String =
+    """WITH x AS (SELECT vec_id AS rid,
+         CAST(generate_subscripts(embedding[1:8], 1) AS BIGINT) AS i,
+         CAST(CAST(unnest(embedding[1:8]) AS VARCHAR)
+              AS DECIMAL(16,15)) AS xdec
+       FROM embeddings),
+       p AS (SELECT a.i AS i, b.i AS j, sum(a.xdec * b.xdec) AS spdec,
+               count(*) AS n
+             FROM x a JOIN x b ON a.rid = b.rid AND b.i >= a.i
+             GROUP BY a.i, b.i),
+       s AS (SELECT i, sum(xdec) AS sdec FROM x GROUP BY i)
+       SELECT p.i AS i, p.j AS j,
+         CAST(CAST(p.spdec AS VARCHAR) AS DOUBLE) / CAST(p.n AS DOUBLE)
+           - (CAST(CAST(sl.sdec AS VARCHAR) AS DOUBLE)
+                / CAST(p.n AS DOUBLE))
+             * (CAST(CAST(sr.sdec AS VARCHAR) AS DOUBLE)
+                / CAST(p.n AS DOUBLE)) AS cov
+       FROM p JOIN s sl ON p.i = sl.i JOIN s sr ON p.j = sr.i"""
+
   val all: Map[String, Q] = Map(
+    "q83_covariance_entries" -> q83_covariance_entries,
     "q81_index_compact_probe" -> q81_index_compact_probe,
     "q74_index_delete_probe" -> q74_index_delete_probe,
     "q71_int8_quantize" -> q71_int8_quantize,
@@ -338,6 +368,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q83_covariance_entries" -> q83_oracle,
     "q81_index_compact_probe" -> q81_oracle,
     "q74_index_delete_probe" -> q74_oracle,
     "q71_int8_quantize" -> q71_oracle,
