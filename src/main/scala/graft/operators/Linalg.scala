@@ -80,8 +80,11 @@ object Linalg {
     * the driver-side d×d covariance — returns k orthonormal rows.
     * Deterministic start vectors (e_argmax-diagonal) so reruns agree. */
   def pcaTopK(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 60): Array[Array[Double]] = {
-    val cov = covariance(df, vecCol)
+      iters: Int = 60): Array[Array[Double]] =
+    pcaFromCov(covariance(df, vecCol), k, iters)
+
+  private def pcaFromCov(cov: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     val d = cov.length
     require(k <= d, s"k=$k > dim=$d")
     val a = cov.map(_.clone())
@@ -130,6 +133,40 @@ object Linalg {
     val comps = components.map(c => typedlit(c.toSeq))
     df.withColumn(outCol, array(comps.map(c =>
       graft.functions.VectorFunctions.dot(col(vecCol), c)): _*))
+  }
+
+  /** [[pcaTopK]] plus the eigenvalue of each component (the Rayleigh
+    * quotient vᵀCv against the undeflated covariance). */
+  def pcaWithValues(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 60): (Array[Array[Double]], Array[Double]) = {
+    val cov = covariance(df, vecCol)
+    val comps = pcaFromCov(cov, k, iters)
+    val values = comps.map { v =>
+      val d = v.length
+      var s = 0.0; var i = 0
+      while (i < d) {
+        var r = 0.0; var j = 0
+        while (j < d) { r += cov(i)(j) * v(j); j += 1 }
+        s += v(i) * r; i += 1
+      }
+      s
+    }
+    (comps, values)
+  }
+
+  /** PCA whitening: project onto the top-k components and scale each
+    * coordinate by 1/√λ so every output dimension has unit variance —
+    * the normalization step before cosine-based ANN when raw dimensions
+    * have wildly different spread. Per-row expression, nothing
+    * shuffles. */
+  def whiten(df: DataFrame, vecCol: String, k: Int,
+      outCol: String = "whitened", epsilon: Double = 1e-12): DataFrame = {
+    val (comps, values) = pcaWithValues(df, vecCol, k)
+    val scaled = comps.zip(values).map { case (c, lambda) =>
+      val s = 1.0 / math.sqrt(math.max(lambda, epsilon))
+      c.map(_ * s)
+    }
+    project(df, vecCol, scaled, outCol)
   }
 
   /** The oracle-exact covariance formulation for a dimension subset:

@@ -45,6 +45,25 @@ class LinalgSpec extends SparkSuite {
       comps(0).toSeq.toString)
   }
 
+  test("whiten scales each projected dimension to unit variance and " +
+      "eigenvalues equal the projected variances") {
+    val (comps, values) = Linalg.pcaWithValues(emb, "embedding", 3)
+    val proj = Linalg.project(emb, "embedding", comps)
+    val vars = (0 until 3).map { c =>
+      proj.select(expr(s"projected[$c]").as("v"))
+        .agg(var_pop(col("v"))).head().getDouble(0)
+    }
+    vars.zip(values).foreach { case (v, lambda) =>
+      assert(math.abs(v - lambda) / lambda < 1e-6, s"$v vs $lambda")
+    }
+    val white = Linalg.whiten(emb, "embedding", 3)
+    (0 until 3).foreach { c =>
+      val v = white.select(expr(s"whitened[$c]").as("v"))
+        .agg(var_pop(col("v"))).head().getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-6, s"dim $c variance $v")
+    }
+  }
+
   test("project adds a k-dim column whose per-component variance is " +
       "non-increasing (components ordered by eigenvalue)") {
     val comps = Linalg.pcaTopK(emb, "embedding", 3)
