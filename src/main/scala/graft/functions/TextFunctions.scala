@@ -119,12 +119,19 @@ object TextFunctions {
 
   /** Rolling fingerprint of the token sequence (order-sensitive, unlike
     * md5 of the raw string — detects reorderings): sequential fold of
-    * h = rot5(h) XOR xxhash64(token). Rotate-xor instead of the classic
-    * h*31+x because ANSI mode (Spark 4 default) raises on the
-    * intentional multiply wrap-around. */
-  def rollingHash(text: Column): Column =
+    * h = rot5_52(h) XOR md5_52(token), all in a 52-bit space.
+    * Engine-portable by construction — the per-token hash is the first
+    * 13 md5 hex chars (md5 is md5 everywhere) and the 5-bit rotate is
+    * expressed as ·32 mod 2^52 plus div 2^47, which never overflows a
+    * signed 64-bit long (ANSI mode raises on wrap-around, and signed vs
+    * unsigned shift semantics diverge across engines; staying in 52
+    * nonnegative bits sidesteps both). This is what lets q34 run under
+    * a real DuckDB oracle (list_reduce with the same fold). */
+  def rollingHash(text: Column): Column = {
+    val mask = 1L << 52
     aggregate(tokens(text), lit(0L), (acc, t) =>
-      call_function("shiftleft", acc, lit(5))
-        .bitwiseOR(call_function("shiftrightunsigned", acc, lit(59)))
-        .bitwiseXOR(xxhash64(t)))
+      ((acc * 32) % mask +
+        call_function("shiftrightunsigned", acc, lit(47))).bitwiseXOR(
+        conv(substring(md5(t), 1, 13), 16, 10).cast("long")))
+  }
 }

@@ -211,14 +211,23 @@ object TextQueries {
        WHERE hamming <= 3"""
 
   /** q34: order-sensitive rolling-hash fingerprint per document (detects
-    * token reorderings that md5-of-text misses). Rows-only check — the
-    * rolling fold is xxhash64-based (Spark-native), unlike q33's
-    * md5-derived SimHash which oracles. */
+    * token reorderings that md5-of-text misses). The fold runs in a
+    * 52-bit md5-derived space (see rollingHash), so — like q33's
+    * SimHash — it now runs under a REAL DuckDB oracle (list_reduce with
+    * the identical rotate-xor fold) instead of a rows-only check. */
   val q34_rolling_fingerprint: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
-      rollingHash(col("text")).as("rhash"),
-      simhash64On("text").as("simhash"))
+      rollingHash(col("text")).as("rhash"))
+
+  val q34_oracle: String =
+    """SELECT doc_id,
+         list_reduce(
+           list_prepend(0, list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT))),
+           (acc, h) -> xor((acc * 32) % 4503599627370496
+                             + acc // 140737488355328, h)) AS rhash
+       FROM documents"""
 
   /** q35: language-ID heuristic — score each doc against tiny per-lang
     * stopword lexicons, predict argmax (ties → lexicon order), compare
@@ -652,6 +661,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q34_rolling_fingerprint" -> q34_oracle,
     "q82_incremental_dedup" -> q82_oracle,
     "q75_redact_pii" -> q75_oracle,
     "q77_bm25_topk" -> q77_oracle,
