@@ -117,6 +117,25 @@ object TextFunctions {
     regexp_replace(phone, "[0-9]{6,}", "[NUM]")
   }
 
+  /** Overlapping token-window chunks — the split-for-embedding /
+    * context-packing shape (window tokens per chunk, stride tokens
+    * between chunk starts; the last chunk may be shorter). Chunk i
+    * covers tokens [i·stride, i·stride+window); chunk count for an
+    * n-token doc is floor((n-1)/stride)+1, so every token is covered
+    * and no chunk starts past the end. Pure per-row expression; slice
+    * clamps at the end identically in Spark and DuckDB, which is what
+    * makes the q84 gate oracle-exact. */
+  def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    require(window >= stride && stride > 0,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0L),
+        floor((size(toks) - 1).cast("double") / stride).cast("long")),
+      i => concat_ws(" ", slice(toks, (i * stride + 1).cast("int"),
+        lit(window))))
+  }
+
   /** Rolling fingerprint of the token sequence (order-sensitive, unlike
     * md5 of the raw string — detects reorderings): sequential fold of
     * h = rot5_52(h) XOR md5_52(token), all in a 52-bit space.

@@ -636,7 +636,37 @@ object TextQueries {
        SELECT doc_id, lang, n_chars FROM k
        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM c)"""
 
+  /** q84: document chunking (TextFunctions.chunkTokens) — 128-token
+    * windows at stride 64, exploded to one row per chunk with its token
+    * count and content fingerprint. The LM-training chunk-assembly
+    * front half (q70's sequence packing is the back half). Slice-clamp
+    * semantics agree between engines, so the gate is oracle-exact down
+    * to the ragged last chunk of every document. */
+  val q84_chunk_tokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(chunkTokens(col("text"), window = 128, stride = 64))
+          .as(Seq("ci", "chunk")))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        nTokens(col("chunk")).as("n_chunk_tokens"),
+        fingerprint(col("chunk")).as("chunk_fp"))
+
+  val q84_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, toks,
+               unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS ci
+             FROM t),
+       ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+               array_to_string(toks[ci*64 + 1 : ci*64 + 128], ' ') AS chunk
+             FROM c)
+       SELECT doc_id, chunk_id,
+         CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+         md5(lower(chunk)) AS chunk_fp
+       FROM ch"""
+
   val all: Map[String, Q] = Map(
+    "q84_chunk_tokens" -> q84_chunk_tokens,
     "q82_incremental_dedup" -> q82_incremental_dedup,
     "q75_redact_pii" -> q75_redact_pii,
     "q77_bm25_topk" -> q77_bm25_topk,
@@ -662,6 +692,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q34_rolling_fingerprint" -> q34_oracle,
+    "q84_chunk_tokens" -> q84_oracle,
     "q82_incremental_dedup" -> q82_oracle,
     "q75_redact_pii" -> q75_oracle,
     "q77_bm25_topk" -> q77_oracle,

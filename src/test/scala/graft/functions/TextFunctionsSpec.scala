@@ -23,6 +23,26 @@ class TextFunctionsSpec extends SparkSuite {
       == "[EMAIL] 555-[NUM] [NUM]")
   }
 
+  test("chunkTokens covers every token with the right overlap and a " +
+      "ragged last chunk; short docs yield one chunk") {
+    def chunks(s: String, w: Int, st: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextFunctions.chunkTokens($"t", w, st).as("c"))
+        .as[Seq[String]].head()
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    // window 4, stride 2 over 10 tokens → starts 0,2,4,6,8
+    val c = chunks(doc, 4, 2)
+    assert(c == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10", "t9 t10"))
+    // every token appears; consecutive chunks overlap by window-stride
+    assert(c.flatMap(_.split(' ')).toSet == doc.split(' ').toSet)
+    assert(chunks("a b", 128, 64) == Seq("a b")) // short doc: one chunk
+    assert(chunks("solo", 4, 4) == Seq("solo"))
+    intercept[IllegalArgumentException] {
+      chunks("a", 2, 4) // stride > window would skip tokens
+    }
+  }
+
   test("redactPii leaves non-PII digits and words alone") {
     assert(redact("ext 42 and room 9f") == "ext 42 and room 9f")
     assert(redact("v1.2.3 build 12345") == "v1.2.3 build 12345")
