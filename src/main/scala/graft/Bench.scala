@@ -94,11 +94,15 @@ object Bench {
     // form (~1 KB, room to grow); the full-name artifact goes to a file.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       dict(short = true)},"sf":"$sfDir"}""")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-        dict(short = false)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // Only the canonical full-suite sf0.1 run owns the artifact —
+    // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
+    // must not clobber it.
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+          dict(short = false)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
