@@ -352,7 +352,20 @@ object VectorQueries {
                 / CAST(p.n AS DOUBLE)) AS cov
        FROM p JOIN s sl ON p.i = sl.i JOIN s sr ON p.j = sr.i"""
 
+  /** q85: LSH ANN in exact mode — probing ALL 2^numPlanes buckets
+    * provably reproduces brute force (every vector lives in exactly one
+    * bucket), so the whole hyperplane-LSH path (signature, bucket
+    * enumeration, probe-order tiebreak, rerank) runs under q36's exact
+    * oracle — the q51 identity trick applied to the LSH family. The
+    * budgeted mode (q40, 64-of-256) stays rows-only by nature; its
+    * recall is asserted in SimilaritySpec. */
+  val q85_lsh_full_probe: Q = (s, d) =>
+    Similarity.lshTopKForId(Tables.embeddings(s, d), "embedding",
+      "vec_id", queryId = 0, k = 20, numPlanes = 8, dim = 64,
+      probes = 256)
+
   val all: Map[String, Q] = Map(
+    "q85_lsh_full_probe" -> q85_lsh_full_probe,
     "q83_covariance_entries" -> q83_covariance_entries,
     "q81_index_compact_probe" -> q81_index_compact_probe,
     "q74_index_delete_probe" -> q74_index_delete_probe,
@@ -368,6 +381,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q85_lsh_full_probe" -> q36_oracle,
     "q83_covariance_entries" -> q83_oracle,
     "q81_index_compact_probe" -> q81_oracle,
     "q74_index_delete_probe" -> q74_oracle,
