@@ -41,8 +41,13 @@ object Bench {
         warmE, "embedding", "vec_id", warmIdx, nLists = 2)
       graft.operators.Similarity.deleteFromIvfIndex(
         warmE.select(col("vec_id")).limit(5), "vec_id", warmIdx)
+      // probe with a real row's vector so dimensions match the fixture
+      // and the similarities are finite — an all-zero or wrong-width
+      // query would only warm the path by accident
+      val warmQ = warmE.select(col("embedding"))
+        .head().getSeq[Float](0).toSeq
       graft.operators.Similarity.ivfProbe(
-        spark, warmIdx, Seq.fill(128)(0.0f), k = 1, nProbes = 2).count()
+        spark, warmIdx, warmQ, k = 1, nProbes = 2).count()
     } catch { case _: Throwable => () }
     // Throughput run (TPC-style): queries are independent, so run them
     // concurrently — driver-side planning overlaps executor work instead
@@ -81,7 +86,10 @@ object Bench {
       scala.concurrent.duration.Duration(30, "min")).toMap
     val wall = (System.nanoTime() - tTotal) / 1e9
     pool.shutdown()
-    def s3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would make the JSON
+    // line unparsable — the exact failure the short line exists to fix.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def dict(short: Boolean) = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
@@ -96,8 +104,9 @@ object Bench {
       dict(short = true)},"sf":"$sfDir"}""")
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
-    // must not clobber it.
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+    // must not clobber it. Match the directory NAME, not a hardcoded
+    // absolute path, so a relocated testdata root still writes it.
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (s"""{"metric":"total","value":$total,"unit":"sec","queries":${

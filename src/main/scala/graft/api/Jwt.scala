@@ -79,7 +79,7 @@ object Jwt {
     val kid = header.path("kid").asText(null)
     if (kid == null) return Left("no kid in header") // openid.rs:86-87
     val jwk = keys.find(_.kid == kid)
-      .getOrElse(return Left(s"kid $kid not in jwks")) // openid.rs:147-151
+      .getOrElse(return Left(unknownKid(kid))) // openid.rs:147-151
     val sigOk =
       try {
         val verifier = Signature.getInstance("SHA384withECDSA")
@@ -101,6 +101,13 @@ object Jwt {
     else if (sub.isEmpty) Left("no sub claim")
     else Right(Claims(sub, iss, aud, exp))
   }
+
+  /** The unknown-kid rejection, exposed as a constructor/predicate pair
+    * so Oidc's rotation-refresh trigger can't drift from the message
+    * wording. */
+  private def unknownKid(kid: String): String = s"kid $kid not in jwks"
+  private[api] def isUnknownKid(reason: String): Boolean =
+    reason.endsWith("not in jwks")
 
   /** Test/tooling helper: mint a signed ES384 token (the analogue of
     * what the IdP does; used by ApiSpec to exercise the full path). */

@@ -34,8 +34,10 @@ object Oidc {
     * first use and serves the cache afterwards, so steady-state
     * authorization does no fetching at all. */
   final class OpenIdClient(baseUrl: String, fetcher: Fetcher,
-      audience: String) {
+      audience: String, minRefreshIntervalMs: Long = 60000L,
+      clock: () => Long = () => System.currentTimeMillis()) {
     @volatile private var cache: Option[AuthConfig] = None
+    @volatile private var lastRefreshMs: Long = Long.MinValue
 
     private def discoveryUrl: String =
       baseUrl.stripSuffix("/") + "/.well-known/openid-configuration"
@@ -43,8 +45,9 @@ object Oidc {
     /** Fetch + parse discovery and JWKS; swap the cache only on full
       * success (a half-failed refresh keeps serving the old keys, as
       * the reference's two-phase swap does). */
-    def refresh(): Either[String, AuthConfig] =
-      try {
+    def refresh(): Either[String, AuthConfig] = {
+      lastRefreshMs = clock() // attempts count: a failing IdP must not
+      try {                   // be hammered once per unknown-kid token
         val cfgDoc = mapper.readTree(fetcher.fetch(discoveryUrl))
         val issuer = cfgDoc.path("issuer").asText("")
         val jwksUri = cfgDoc.path("jwks_uri").asText("")
@@ -66,6 +69,7 @@ object Oidc {
       } catch {
         case e: Exception => Left(s"discovery failed: ${e.getMessage}")
       }
+    }
 
     /** The cached AuthConfig, resolving once if never fetched. */
     def authConfig: Either[String, AuthConfig] =
@@ -73,14 +77,20 @@ object Oidc {
 
     /** End-to-end: discovery-resolved issuer/keys + Jwt.authorize. A
       * kid that is not in the cached key set triggers ONE refresh and
-      * retry — the reference's key-rotation path (openid.rs:130-152). */
+      * retry — the reference's key-rotation path (openid.rs:130-152) —
+      * but at most once per `minRefreshIntervalMs`: without the
+      * throttle, a client spamming random kids would force two IdP
+      * fetches per request (amplification against both sides; real
+      * rotations are rare). The unknown-kid case is detected through
+      * Jwt's own predicate, not a locally duplicated string. */
     def authorize(token: String,
         nowEpochSeconds: Long = System.currentTimeMillis() / 1000)
         : Either[String, Jwt.Claims] =
       authConfig.flatMap { cfg =>
         Jwt.authorize(token, cfg.keys, cfg.issuer, cfg.audience,
           nowEpochSeconds) match {
-          case Left(reason) if reason.endsWith("not in jwks") =>
+          case Left(reason) if Jwt.isUnknownKid(reason) &&
+              clock() - lastRefreshMs >= minRefreshIntervalMs =>
             refresh().flatMap(fresh => Jwt.authorize(token, fresh.keys,
               fresh.issuer, fresh.audience, nowEpochSeconds))
           case other => other

@@ -10,12 +10,14 @@ import graft.functions.TextFunctions
   * (keep documents that score high against a seed-term profile, the
   * "educational value" style filter).
   *
-  * Scale shape: one corpus scan computes per-document term frequencies
-  * (codegen'd array filters — no explode, no per-term shuffle), one
-  * tiny global aggregate derives (N, avgdl, df_t) as a single row that
-  * is broadcast back over the corpus, and the final score is a per-row
-  * expression. Nothing but the one-row stats frame ever leaves the
-  * scan's partitioning; top-k goes through TakeOrderedAndProject.
+  * Scale shape: TWO corpus passes — a stats pass reduces per-document
+  * term frequencies (codegen'd array filters — no explode, no per-term
+  * shuffle) into one (N, avgdl, df_t) row, which broadcasts back over
+  * a second scoring scan whose score is a per-row expression. Nothing
+  * but the one-row stats frame ever leaves the scan's partitioning;
+  * top-k goes through TakeOrderedAndProject. (The two scans are the
+  * standard global-normalization shape; cache the tf projection first
+  * if the corpus scan dominates.)
   */
 object Bm25 {
 

@@ -33,15 +33,15 @@ object Merge {
     require(cols.forall(source.columns.contains),
       "source must carry every target column")
     val nonKeys = cols.filterNot(keys.contains)
-    // Evaluate deleteWhen against source columns BEFORE the join, then
-    // prefix-rename the source's non-key columns: source and target are
-    // routinely derived from the SAME table (CDC against yesterday's
-    // snapshot), and renamed columns sidestep Spark's ambiguous
-    // self-join attribute resolution entirely.
-    val s = deleteWhen.fold(source.select(cols.map(col): _*)
-        .withColumn("__del", lit(false))) { c =>
-        source.select(cols.map(col): _*)
-          .withColumn("__del", coalesce(c, lit(false)))
+    // Evaluate deleteWhen against the FULL source row (it may reference
+    // source-only columns like a CDC `op` marker) BEFORE projecting to
+    // the target's columns, then prefix-rename the source's non-key
+    // columns: source and target are routinely derived from the SAME
+    // table (CDC against yesterday's snapshot), and renamed columns
+    // sidestep Spark's ambiguous self-join attribute resolution.
+    val s = deleteWhen.fold(
+        source.withColumn("__del", lit(false))) { c =>
+        source.withColumn("__del", coalesce(c, lit(false)))
       }
       .select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"__s_$c")) ++
         Seq(col("__del"), lit(true).as("__s")): _*)
@@ -97,10 +97,15 @@ object Merge {
       "need key, order, and tracked columns")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    // a row is a real change iff any tracked column differs from its
-    // predecessor (null-safe: the key's first row has no predecessor)
-    val changed = tracked.map(c =>
-        !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    // a row opens a new version iff it is the key's FIRST row or any
+    // tracked column differs (null-safe) from its predecessor. The
+    // explicit first-row test matters: with null-safe equality alone, a
+    // key whose initial tracked value is null would compare null <=>
+    // null against the missing predecessor and silently lose its first
+    // version.
+    val isFirst = row_number().over(w) === 1
+    val changed = isFirst || tracked.map(c =>
+      !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
     val versions = log
       .select((keys ++ orderCols ++ tracked).distinct.map(col): _*)
       .withColumn("__chg", changed)

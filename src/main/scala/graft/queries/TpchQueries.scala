@@ -701,10 +701,13 @@ object TpchQueries {
     """WITH chg AS (
          SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
            lag(o_orderstatus) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey) AS prev
+             ORDER BY o_orderdate, o_orderkey) AS prev,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rn
          FROM orders),
        v AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
-             FROM chg WHERE o_orderstatus IS DISTINCT FROM prev)
+             FROM chg
+             WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
        SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
          lead(o_orderdate) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS valid_to,

@@ -110,6 +110,9 @@ class PlanSpec extends SparkSuite {
       assert(kh.head.getLong(0) == graft.eventstore.EventStore.keyHash(
         docs.select(col("source")).first().getString(0),
         docs.select(col("doc_id")).first().getLong(0).toString))
+    } finally {
+      // restore even when an assert throws — a leaked CODEGEN_ONLY conf
+      // would cascade into every later test on the shared session
       before match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
         case None => spark.conf.unset("spark.sql.codegen.factoryMode")

@@ -222,7 +222,9 @@ class ApiSpec extends SparkSuite {
         }
       }
     }
-    val client = new Oidc.OpenIdClient(base, fetcher, audience)
+    var nowMs = 0L // manual clock: rotation refreshes are throttled
+    val client = new Oidc.OpenIdClient(base, fetcher, audience,
+      minRefreshIntervalMs = 60000L, clock = () => nowMs)
     // lazy resolve on first use, cache after (2 fetches, then none)
     assert(client.authorize(mint("u1")).map(_.sub) == Right("u1"))
     assert(fetches == 2)
@@ -250,8 +252,16 @@ class ApiSpec extends SparkSuite {
     val rotated = Jwt.sign(kp2.getPrivate, "key-2",
       Map("sub" -> "u4", "iss" -> issuer, "aud" -> audience,
         "exp" -> (System.currentTimeMillis() / 1000 + 3600)))
+    nowMs += 3600000L
     assert(client.authorize(rotated).isLeft) // not yet published
     keysDoc = s"""{"keys":[${jwkJson(jwk)},${jwkJson(jwk2)}]}"""
+    // still inside the refresh throttle window → the unknown kid must
+    // NOT trigger another IdP fetch (amplification guard) ...
+    val fetchesBefore = fetches
+    assert(client.authorize(rotated).isLeft)
+    assert(fetches == fetchesBefore)
+    // ... but once the interval passes, rotation resolves via ONE refresh
+    nowMs += 3600000L
     assert(client.authorize(rotated).map(_.sub) == Right("u4"))
     // a refresh that blows up serves the old cache (two-phase swap)
     val flaky = new Oidc.OpenIdClient(base, new Oidc.Fetcher {

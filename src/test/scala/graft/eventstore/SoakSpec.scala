@@ -6,10 +6,11 @@ import scala.util.Random
 /** Randomized soak over the manifest event store: two instances over
   * one root, interleaved appends / idempotent re-appends / compactions
   * / deletes / reads against an in-memory model. Deterministic seeds —
-  * a failure replays. Three seeds run in CI, ~25s each on the suite's
-  * local[4] session (+~50s suite wall vs one seed — kept because the
-  * randomized soak found the two stale-cache bugs that line-targeted
-  * tests missed; seeds 43-45 first ran as a manual sweep in round 3).
+  * a failure replays. Seeds 42-44 run in CI, ~25s each on the suite's
+  * local[4] session (+~50s suite wall vs the single legacy seed 42 —
+  * kept because the randomized soak found the two stale-cache bugs
+  * that line-targeted tests missed; 43 and 44 were promoted from the
+  * round-3 manual sweep of 43-45, 45 stays manual-only for runtime).
   */
 class SoakSpec extends SparkSuite {
 

@@ -82,6 +82,33 @@ class MergeSpec extends SparkSuite {
     assert(current.map(_._1).toSet == Set(1L, 2L))
   }
 
+  test("applyScd2 keeps a key's first version even when its initial " +
+      "tracked value is null") {
+    val log = Seq(
+      (1L, 1, null: String), (1L, 2, "A"),
+      (2L, 1, null: String), (2L, 2, null: String)).toDF("k", "ts", "v")
+    val hist = Merge.applyScd2(log, Seq("k"), Seq("ts"), Seq("v"))
+      .select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Option[String], Int, Option[Int], Boolean)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(hist == Seq(
+      (1L, None, 1, Some(2), false),       // null period is real history
+      (1L, Some("A"), 2, None, true),
+      (2L, None, 1, None, true)))          // all-null key still exists
+  }
+
+  test("mergeInto's deleteWhen may reference source-only columns (the " +
+      "CDC op marker), which never leak into the output") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val s = Seq((2L, "b2", "U"), (1L, "x", "D"), (3L, "c", "U"))
+      .toDF("id", "v", "op")
+    val merged = Merge.mergeInto(t, s, Seq("id"),
+      deleteWhen = Some($"op" === "D"))
+    assert(merged.columns.toSeq == Seq("id", "v"))
+    assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq
+      == Seq((2L, "b2"), (3L, "c")))
+  }
+
   test("a null deleteWhen evaluation means keep (no silent row loss)") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val s = Seq((2L, null: String), (3L, "c")).toDF("id", "v")

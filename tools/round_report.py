@@ -9,6 +9,7 @@ capture with escaped quotes, possibly head-truncated) — per-query times
 are regex-scraped so a truncated artifact still contributes its tail.
 """
 import json
+import os
 import re
 import subprocess
 import sys
@@ -55,10 +56,14 @@ def main():
         lines += ["", "New queries: " + ", ".join(
             f"{nb[q][1]} ({nb[q][0]:.2f}s)" for q in new_only)]
     lines += ["", f"Plan diff: {old_plans} -> {new_plans}", "", "```"]
+    plan_diff = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "plan_diff.py")
     diff = subprocess.run(
-        [sys.executable, "tools/plan_diff.py", old_plans, new_plans],
+        [sys.executable, plan_diff, old_plans, new_plans],
         capture_output=True, text=True)
-    lines += [diff.stdout.strip() or diff.stderr.strip(), "```", ""]
+    if diff.returncode != 0:
+        sys.exit(f"plan_diff failed ({diff.returncode}): {diff.stderr}")
+    lines += [diff.stdout.strip(), "```", ""]
     open(out, "w").write("\n".join(lines) + "\n")
     print(f"wrote {out}")
 
