@@ -62,6 +62,27 @@ object Sample {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic data mixing: per-stratum keep rates (the training-
+    * mix weights step — "keep 100% of wiki, 10% of crawl"), applied as
+    * stratum-conditional hash thresholds. Same md5 order as
+    * [[deterministicFraction]], so mixes are reproducible anywhere,
+    * nest across rate changes (raising a rate only ADDS rows), and
+    * strata missing from `rates` fall back to `defaultRate`. Per-row
+    * expression over the scan — no shuffle, no state. */
+  def weightedMix(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate $r out of [0,1]"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    def threshold(r: Double) = lit((r * (1L << 32)).toLong)
+    val limit = rates.foldLeft(threshold(defaultRate)) {
+      case (other, (stratum, r)) =>
+        when(col(stratumCol) === stratum, threshold(r)).otherwise(other)
+    }
+    df.filter(bucket < limit)
+  }
+
   /** Deterministic Bernoulli-style sample: keeps a row iff its hash
     * falls below the rate threshold. Uses the first 8 hex chars of the
     * md5 as a uniform 32-bit value — reproducible across engines and

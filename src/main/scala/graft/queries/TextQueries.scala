@@ -665,7 +665,36 @@ object TextQueries {
          md5(lower(chunk)) AS chunk_fp
        FROM ch"""
 
+  /** q86: training-mix weights (operators.Sample.weightedMix) — keep
+    * 100% of en, 50% of es, 25% of fr, 10% of everything else, by
+    * per-language md5 thresholds. Deterministic, nesting, and
+    * engine-portable, so the per-language counts and id checksums are
+    * oracle-exact; one row flipping in or out of the mix fails the
+    * gate. */
+  val q86_weighted_mix: Q = (s, d) =>
+    graft.operators.Sample.weightedMix(Tables.documents(s, d),
+        "lang", "doc_id",
+        Map("en" -> 1.0, "es" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+
+  val q86_oracle: String =
+    """WITH b AS (SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u
+       FROM documents)
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM b
+       WHERE u < CASE lang WHEN 'en' THEN 4294967296
+                           WHEN 'es' THEN 2147483648
+                           WHEN 'fr' THEN 1073741824
+                           ELSE 429496729 END
+       GROUP BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q86_weighted_mix" -> q86_weighted_mix,
     "q84_chunk_tokens" -> q84_chunk_tokens,
     "q82_incremental_dedup" -> q82_incremental_dedup,
     "q75_redact_pii" -> q75_redact_pii,
@@ -692,6 +721,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q34_rolling_fingerprint" -> q34_oracle,
+    "q86_weighted_mix" -> q86_oracle,
     "q84_chunk_tokens" -> q84_oracle,
     "q82_incremental_dedup" -> q82_oracle,
     "q75_redact_pii" -> q75_oracle,

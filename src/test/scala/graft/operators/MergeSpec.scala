@@ -109,6 +109,61 @@ class MergeSpec extends SparkSuite {
       == Seq((2L, "b2"), (3L, "c")))
   }
 
+  test("randomized model check: mergeInto, latestSnapshot, and applyScd2 " +
+      "agree with a brute-force in-memory model across 5 seeded logs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // a change log over 8 keys with ts-unique rows and ~15% deletes
+      val log = (1 to 60).map { ts =>
+        (rnd.nextInt(8).toLong, ts,
+          if (rnd.nextInt(10) < 2) null
+          else ('A' + rnd.nextInt(3)).toChar.toString,
+          rnd.nextInt(100) < 15)
+      }
+      val df = log.toDF("k", "ts", "v", "del")
+
+      // --- latestSnapshot vs model
+      val model = log.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._2)
+      }
+      val snap = Merge.latestSnapshot(df, Seq("k"), Seq("ts"),
+          deleteWhen = Some($"del"))
+        .select($"k", $"ts").as[(Long, Int)].collect().toMap
+      model.foreach { case (k, (_, ts, _, del)) =>
+        if (del) assert(!snap.contains(k), s"seed $seed key $k")
+        else assert(snap(k) == ts, s"seed $seed key $k")
+      }
+
+      // --- applyScd2 vs model (version list per key)
+      val hist = Merge.applyScd2(df, Seq("k"), Seq("ts"), Seq("v"))
+        .select($"k", $"v", $"valid_from", $"valid_to")
+        .as[(Long, Option[String], Int, Option[Int])].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+      log.groupBy(_._1).foreach { case (k, rows) =>
+        val ordered = rows.sortBy(_._2)
+        val versions = ordered.foldLeft(Vector.empty[(Option[String], Int)]) {
+          case (acc, (_, ts, v, _)) =>
+            if (acc.isEmpty || acc.last._1 != Option(v))
+              acc :+ (Option(v), ts)
+            else acc
+        }
+        val expected = versions.zipAll(versions.drop(1).map(_._2), null, -1)
+          .map { case ((v, from), to) =>
+            (k, v, from, if (to == -1) None else Some(to)) }
+        assert(hist(k) == expected, s"seed $seed key $k")
+      }
+
+      // --- mergeInto round-trip: applying the log's final state as a
+      // changeset onto an empty-ish target reproduces the snapshot
+      val target = df.filter($"ts" <= 0).select($"k", $"ts", $"v", $"del")
+      val source = Merge.latestSnapshot(df, Seq("k"), Seq("ts"))
+      val merged = Merge.mergeInto(target, source, Seq("k"),
+        deleteWhen = Some($"del"))
+        .select($"k", $"ts").as[(Long, Int)].collect().toMap
+      assert(merged == snap, s"seed $seed")
+    }
+  }
+
   test("a null deleteWhen evaluation means keep (no silent row loss)") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val s = Seq((2L, null: String), (3L, "c")).toDF("id", "v")

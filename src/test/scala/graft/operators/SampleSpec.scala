@@ -56,6 +56,30 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("weightedMix applies per-stratum rates deterministically, nests " +
+      "when a rate rises, and default-rates unlisted strata") {
+    val mixed = Sample.weightedMix(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "es" -> 0.4), defaultRate = 0.0)
+    val byLang = mixed.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val corpus = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang("en") == corpus("en"))           // rate 1.0 keeps all
+    assert(!byLang.contains("fr"))                 // default 0.0 drops
+    assert(byLang("es") > 0 && byLang("es") < corpus("es"))
+    // raising a rate only ADDS rows (thresholds nest)
+    val es40 = mixed.filter($"lang" === "es")
+      .select($"doc_id").as[Long].collect().toSet
+    val es80 = Sample.weightedMix(docs, "lang", "doc_id",
+        Map("es" -> 0.8), defaultRate = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(es40.subsetOf(es80))
+    assert(Sample.weightedMix(docs.repartition(9), "lang", "doc_id",
+        Map("en" -> 1.0, "es" -> 0.4), defaultRate = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+      == mixed.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("deterministic fraction keeps ~rate of rows, the same rows " +
       "every time, and nests (10% sample is a subset of the 50% one)") {
     val n = docs.count().toDouble
