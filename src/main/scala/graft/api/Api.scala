@@ -338,6 +338,13 @@ object Api {
     attrs.put("gc_grace_ms", store.options.gcGraceMs)
     attrs.put("kept_generations", store.options.keptGenerations)
     attrs.put("auto_compact_after", store.options.autoCompactAfter)
+    // build identification (reference lib.rs:1-9 shadow_rs analogue)
+    val build = attrs.putObject("build")
+    build.put("name", graft.BuildInfo.name)
+    build.put("version", graft.BuildInfo.version)
+    build.put("spark", graft.BuildInfo.sparkVersion)
+    build.put("scala", graft.BuildInfo.scalaVersion)
+    build.put("java", graft.BuildInfo.javaVersion)
     Response(200, Map(NoCache), Some(doc.toString))
   }
 

@@ -300,6 +300,12 @@ class ApiSpec extends SparkSuite {
     assert(attrs.path("gc_grace_ms").asLong() == 123L)
     assert(attrs.path("kept_generations").asInt() == 5)
     assert(attrs.path("auto_compact_after").asInt() == 7)
+    // build identification rides along (lib.rs shadow_rs analogue)
+    val build = attrs.path("build")
+    assert(build.path("name").asText() == "graft")
+    assert(build.path("version").asText().nonEmpty)
+    assert(build.path("spark").asText().startsWith("4."))
+    assert(build.path("scala").asText().startsWith("2.13"))
   }
 
   test("OIDC discovery failures are Left reasons, not exceptions") {
