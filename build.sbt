@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "metric JSON is the last bare line of
+// stdout": sbt's default LoggedOutput strategy prefixes every forked
+// line with [info]/[error], which broke the driver's bench parse for
+// five straight rounds (BENCH_r01-r05 all parsed:null). StdoutOutput
+// passes the child's stdout/stderr through untouched, and
+// showSuccess=false drops the trailing "[success] Total time" line so
+// nothing prints after the metric.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,7 +16,10 @@ object Bench {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every fair-scheduler pool is created on first use
+    // and logs a WARN per query (86 lines in r05) — enough to push the
+    // metric line out of the driver's 2000-byte tail capture.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM once (Hadoop FS init, codegen/janino, parquet reader
     // classloading, the expensive first expression-keyed agg compile) so
     // per-query numbers measure the queries, not cold-start.
@@ -71,13 +74,19 @@ object Bench {
     def rank(n: String): Int = {
       val i = heavy.indexWhere(n.startsWith); if (i < 0) heavy.size else i
     }
+    // A crashing query must fail the bench, not record as a fast query:
+    // collect errors and exit nonzero after emitting the artifact.
+    val errs = scala.collection.concurrent.TrieMap.empty[String, String]
     val tTotal = System.nanoTime()
     val futures = selected.toSeq.sortBy { case (n, _) => (rank(n), n) }
       .map { case (name, fn) =>
         scala.concurrent.Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              errs(name) = e.toString.replaceAll("[\\r\\n\"]", " ").take(160)
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
@@ -96,12 +105,16 @@ object Bench {
         s"\"" + key + "\":" + s3(v)
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) s3(wall) else "0.0"
+    def errDict = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""\"$k\":\"$v\"""" }.mkString("{", ",", "}")
     // The driver captures only the last 2000 bytes of the log: full
     // query names × 74 queries overflowed that in r04 (parsed:null).
     // The stdout line therefore uses the contract's short "q1":sec key
     // form (~1 KB, room to grow); the full-name artifact goes to a file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      dict(short = true)},"sf":"$sfDir"}""")
+    def line(short: Boolean) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        dict(short)}${
+        if (errs.nonEmpty) s""","errors":$errDict""" else ""},"sf":"$sfDir"}"""
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
     // must not clobber it. Match the directory NAME, not a hardcoded
@@ -109,9 +122,15 @@ object Bench {
     if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-          dict(short = false)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+        (line(short = false) + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing the metric: the driver parses the last
+    // bare line of the tail, so nothing (executor shutdown logs, pool
+    // teardown) may print after it. Paired with build.sbt's
+    // StdoutOutput + showSuccess=false, this line ends the output.
     spark.stop()
+    println(line(short = true))
+    System.out.flush()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }
