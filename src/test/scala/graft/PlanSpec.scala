@@ -64,6 +64,19 @@ class PlanSpec extends SparkSuite {
     assert(s.contains("PushedFilters:") && s.contains("EqualTo(user_id,13)"), s)
   }
 
+  test("NO gate query broadcasts an unbounded subtree into a nested-" +
+      "loop join (the r05 q37 shape: quadratic no matter what the " +
+      "factor-10 stopwatch says — a timing gate can't catch it, this " +
+      "plan audit does)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        try PlanShape.unboundedBroadcastNlj(fn(spark, sfDir))
+          .map(issue => s"$name: $issue")
+        catch { case e: Exception => Seq(s"$name: PLANNING FAILED: $e") }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("every native expression runs with codegen FORCED (no interpreted " +
       "fallback): VecDot, HyperplaneSigs, SimHash64, WordShingles, " +
       "LshBandHashes, Base32, NearestCentroid") {

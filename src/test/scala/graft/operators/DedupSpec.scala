@@ -132,6 +132,23 @@ class DedupSpec extends SparkSuite {
     assert(multi == exact)
   }
 
+  test("q37 gate form: top-15 ranked pairs via LSH+rerank over the " +
+      "near-dup corpus EQUALS the exact all-pairs top-15 (values too)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.select(($"vec_id" + lit(10000000L)).as("vec_id"),
+        $"embedding"))
+    def top15(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"cos".desc, $"id_a", $"id_b").limit(15)
+        .as[(Long, Long, Double)].collect().toSeq
+    val viaLsh = top15(Dedup.embeddingCosinePairs(corpus, "embedding",
+      "vec_id", minCosine = 0.999, numPlanes = 12, dim = 64, tables = 4))
+    val viaExact = top15(Dedup.embeddingCosinePairsExact(corpus,
+      "embedding", "vec_id", minCosine = 0.999))
+    assert(viaLsh.size == 15)
+    assert(viaLsh == viaExact) // bit-exact: same dot fold both paths
+  }
+
   test("minhash LSH band-bucket cap: capped == uncapped == exact when " +
       "the cap clears the legitimate duplicate-cluster size") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",

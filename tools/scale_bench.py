@@ -6,10 +6,6 @@ sf1 time exceeds factor * sf0.1 time by more than the threshold has
 super-linear behavior the fixtures couldn't see (shuffle blowup, skew,
 driver bottleneck).
 
-Excluded from the per-row gate (still measured):
-  q37_cosine_pairs  -- exact all-pairs oracle variant, O(n^2) BY DESIGN;
-                       the scale path for the same semantics is q63.
-
 Usage: python3 tools/scale_bench.py [factor] [threshold]
 Writes SCALEBENCH.json next to the repo root.
 """
@@ -22,7 +18,9 @@ FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 THRESHOLD = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
-EXCLUDE = {"q37_cosine_pairs"}
+# r06: empty — q37 (the one O(n^2)-by-design exclusion) now runs the
+# LSH-candidates + rerank plan and is gated like everything else.
+EXCLUDE = set()
 
 def run(cmd, env=None):
     e = dict(os.environ)
@@ -70,6 +68,25 @@ def main():
                      "gated": q not in EXCLUDE})
         if q not in EXCLUDE and ratio > THRESHOLD:
             flagged.append(q)
+    # Factor-100 extrapolation (r05: q37 hid a quadratic under the
+    # factor-10 gate at per-row 1.856 < 2.0). Fit t = a*n + b*n^2 from
+    # the two measured points: b*n^2 = (t10 - FACTOR*t1) / (FACTOR^2 -
+    # FACTOR); a 100x per-row ratio of a*100n + b*(100n)^2 over 100*t1
+    # then exposes any quadratic term long before it wins at factor 10.
+    # Fixed per-query overhead deflates b (conservative), so apply it
+    # only to queries heavy enough (>= 1s at sf1) that overhead noise
+    # doesn't dominate the fit.
+    for r_ in rows:
+        q, t1, t10 = r_["query"], r_["sf0.1_s"], r_["sf1_s"]
+        if t10 < 1.0 or t1 <= 0:
+            continue
+        bn2 = max(0.0, (t10 - FACTOR * t1) / (FACTOR * FACTOR - FACTOR))
+        an = max(0.0, t1 - bn2)
+        t100 = 100 * an + 100 * 100 * bn2
+        ratio100 = t100 / (100 * t1)
+        r_["extrapolated_100x_per_row_ratio"] = round(ratio100, 3)
+        if q not in EXCLUDE and ratio100 > THRESHOLD and q not in flagged:
+            flagged.append(q)
     # Concurrent-suite per-query times are noisy for sub-second queries
     # (driver planning overlap), so re-measure every flagged query
     # ISOLATED at both SFs and keep the flag only if it reproduces.
@@ -79,16 +96,24 @@ def main():
         t01 = bench_only(SF01, q)
         t1 = bench_only(SF1, q)
         ratio = t1 / (t01 * FACTOR) if t01 > 0 else 0.0
+        # recompute the extrapolation from the isolated numbers too, so
+        # a query flagged by the 100x fit isn't auto-cleared by a clean
+        # factor-10 ratio (that's exactly how q37 hid)
+        bn2 = max(0.0, (t1 - FACTOR * t01) / (FACTOR * FACTOR - FACTOR))
+        an = max(0.0, t01 - bn2)
+        ratio100 = ((100 * an + 10000 * bn2) / (100 * t01)
+                    if t01 > 0 else 0.0)
         for r_ in rows:
             if r_["query"] == q:
                 r_["isolated_sf0.1_s"] = round(t01, 3)
                 r_["isolated_sf1_s"] = round(t1, 3)
                 r_["isolated_per_row_ratio"] = round(ratio, 3)
-        if ratio > THRESHOLD:
+                r_["isolated_100x_per_row_ratio"] = round(ratio100, 3)
+        if ratio > THRESHOLD or (t1 >= 1.0 and ratio100 > THRESHOLD):
             confirmed.append(q)
         else:
-            print(f"  {q}: isolated per-row ratio {ratio:.2f} — "
-                  "concurrency noise, flag cleared")
+            print(f"  {q}: isolated per-row ratio {ratio:.2f} "
+                  f"(100x fit {ratio100:.2f}) — noise, flag cleared")
     flagged = confirmed
     out = {"factor": FACTOR, "threshold": THRESHOLD,
            "total_sf0.1_s": round(b01["value"], 2),
