@@ -21,11 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
-  /** The portable per-row sort key: md5 of the id's decimal string.
-    * Uniform enough for sampling, stable everywhere; id itself breaks
+  /** The portable per-row uniform variate: md5 of a per-OPERATOR salt
+    * prepended to the id's decimal string. The salt is what makes the
+    * operators composable: with a shared unsalted hash, mixing a
+    * stratum at rate 0.8 and then split-assigning 80/10/10 leaves that
+    * stratum's val/test splits EMPTY — exactly the rows below the 0.8
+    * threshold survive the mix, and those are precisely the 'train'
+    * rows (r05 ADVICE). Distinct salts give each decision an
+    * independent variate while staying engine-portable (md5 of the
+    * salted string is the same everywhere). */
+  private def saltedMd5(salt: String, id: Column): Column =
+    md5(concat(lit(salt), id.cast("string")))
+
+  /** Portable per-row sort key for stratified ranking; id itself breaks
     * hash ties so the order is total. */
   private def hashOrder(id: Column): Seq[Column] =
-    Seq(md5(id.cast("string")), id)
+    Seq(saltedMd5("strat:", id), id)
 
   /** Up to `n` rows per stratum, chosen by hash order — a deterministic
     * stratified sample with exact per-stratum counts. `rank` (1-based
@@ -52,7 +63,7 @@ object Sample {
     require(splits.size >= 2, "need at least two splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val h = substring(saltedMd5("split:", col(idCol)), 1, 8)
     val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
       .map(c => f"${(c * 4294967296.0).toLong}%08x")
     val assigned = splits.init.zip(thresholds)
@@ -64,16 +75,18 @@ object Sample {
 
   /** Deterministic data mixing: per-stratum keep rates (the training-
     * mix weights step — "keep 100% of wiki, 10% of crawl"), applied as
-    * stratum-conditional hash thresholds. Same md5 order as
-    * [[deterministicFraction]], so mixes are reproducible anywhere,
-    * nest across rate changes (raising a rate only ADDS rows), and
-    * strata missing from `rates` fall back to `defaultRate`. Per-row
-    * expression over the scan — no shuffle, no state. */
+    * stratum-conditional hash thresholds. Mixes are reproducible
+    * anywhere, nest across rate changes (raising a rate only ADDS
+    * rows — the variate is fixed per id, only the threshold moves),
+    * and strata missing from `rates` fall back to `defaultRate`. The
+    * "mix:" salt makes the decision independent of [[splitAssign]] /
+    * [[deterministicFraction]] on the same ids. Per-row expression
+    * over the scan — no shuffle, no state. */
   def weightedMix(df: DataFrame, stratumCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 1, s"rate $r out of [0,1]"))
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+    val bucket = conv(substring(saltedMd5("mix:", col(idCol)), 1, 8),
       16, 10).cast("long")
     def threshold(r: Double) = lit((r * (1L << 32)).toLong)
     val limit = rates.foldLeft(threshold(defaultRate)) {
@@ -90,7 +103,7 @@ object Sample {
   def deterministicFraction(df: DataFrame, idCol: String,
       rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate $rate out of [0,1]")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+    val bucket = conv(substring(saltedMd5("frac:", col(idCol)), 1, 8),
       16, 10).cast("long")
     df.filter(bucket < lit((rate * (1L << 32)).toLong))
   }

@@ -403,8 +403,8 @@ object TextQueries {
     """SELECT lang, doc_id, rank FROM (
          SELECT lang, doc_id,
            CAST(row_number() OVER (PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-             AS rank
+             ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS rank
          FROM documents)
        WHERE rank <= 20"""
 
@@ -499,7 +499,8 @@ object TextQueries {
        sampled AS (
          SELECT * FROM (
            SELECT q.*, row_number() OVER (PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn
+             ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS srn
            FROM quality q) WHERE srn <= 10)
        SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -601,10 +602,10 @@ object TextQueries {
 
   val q78_oracle: String =
     """SELECT CASE
-         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
-           THEN 'train'
-         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
-           THEN 'val'
+         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < 'cccccccc' THEN 'train'
+         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < 'e6666666' THEN 'val'
          ELSE 'test' END AS split,
        count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -681,8 +682,8 @@ object TextQueries {
 
   val q86_oracle: String =
     """WITH b AS (SELECT doc_id, lang,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS u
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS u
        FROM documents)
        SELECT lang, count(*) AS n_docs,
          CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -80,6 +80,28 @@ class SampleSpec extends SparkSuite {
       == mixed.select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("composition: weightedMix then splitAssign yields non-empty " +
+      "val/test inside the mixed stratum (per-decision salts make the " +
+      "variates independent — r05 ADVICE pathology)") {
+    // With a SHARED unsalted variate this is exactly degenerate: the
+    // rows surviving an 0.8 mix are precisely the rows below the 0.8
+    // split threshold, i.e. all 'train' — val and test come out EMPTY.
+    val mixed = Sample.weightedMix(docs, "lang", "doc_id",
+      Map("en" -> 0.8), defaultRate = 1.0)
+    val splits = Sample.splitAssign(mixed, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .filter($"lang" === "en")
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(splits.getOrElse("val", 0L) > 0, s"en val empty: $splits")
+    assert(splits.getOrElse("test", 0L) > 0, s"en test empty: $splits")
+    // and the mix itself is independent of deterministicFraction too
+    val frac = Sample.deterministicFraction(docs, "doc_id", 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    val mixEn = mixed.filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(mixEn != frac) // distinct salts -> distinct row choices
+  }
+
   test("deterministic fraction keeps ~rate of rows, the same rows " +
       "every time, and nests (10% sample is a subset of the 50% one)") {
     val n = docs.count().toDouble
