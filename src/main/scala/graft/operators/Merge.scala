@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * rows are inserted, unmatched target rows pass through. The batch
   * CDC-apply / SCD-refresh primitive a warehouse sync runs every cycle.
   *
-  * Scale shape: exactly one shuffle — a full-outer sort-merge join on
-  * the merge keys (Catalyst broadcasts instead when the source fits,
-  * the usual CDC case of a small changeset against a huge target). The
+  * Scale shape: one full-outer sort-merge join on the merge keys
+  * (Catalyst broadcasts instead when the source fits, the usual CDC
+  * case of a small changeset against a huge target), plus one exchange
+  * on the SOURCE side only for the duplicate-source-key guard. The
   * column arbitration is a per-row `when`, fully codegen'd; no second
   * pass, no driver state.
   */
@@ -39,9 +40,26 @@ object Merge {
     // columns: source and target are routinely derived from the SAME
     // table (CDC against yesterday's snapshot), and renamed columns
     // sidestep Spark's ambiguous self-join attribute resolution.
+    // Delta/Iceberg MERGE raises when several source rows match one
+    // target key — a full-outer join would instead silently MULTIPLY
+    // the target row, the worst CDC failure mode. Enforce the same
+    // contract in-plan: a per-key count window over the source and a
+    // raise_error filter, so a duplicate changeset fails the job the
+    // moment it's scanned. The window adds one exchange on the SOURCE
+    // only — the small changeset side, never the target.
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val unique = source
+      .withColumn("__nk", count(lit(1)).over(wk))
+      .filter(when(col("__nk") > 1,
+          raise_error(concat(lit("mergeInto: multiple source rows for " +
+            s"merge key (${keys.mkString(",")}): "),
+            concat_ws(",", keys.map(c => col(c).cast("string")): _*)))
+            .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__nk")
     val s = deleteWhen.fold(
-        source.withColumn("__del", lit(false))) { c =>
-        source.withColumn("__del", coalesce(c, lit(false)))
+        unique.withColumn("__del", lit(false))) { c =>
+        unique.withColumn("__del", coalesce(c, lit(false)))
       }
       .select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"__s_$c")) ++
         Seq(col("__del"), lit(true).as("__s")): _*)

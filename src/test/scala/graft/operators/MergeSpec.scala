@@ -97,6 +97,24 @@ class MergeSpec extends SparkSuite {
       (2L, None, 1, None, true)))          // all-null key still exists
   }
 
+  test("mergeInto raises on duplicate source keys instead of silently " +
+      "multiplying the target row (Delta/Iceberg MERGE contract)") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dupSource = Seq((1L, "x"), (1L, "y"), (3L, "z")).toDF("id", "v")
+    val e = intercept[Exception] {
+      Merge.mergeInto(target, dupSource, Seq("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple source rows")),
+      s"unexpected failure: $e")
+    // a unique source with the same shape still merges fine
+    val ok = Merge.mergeInto(target,
+      Seq((1L, "x"), (3L, "z")).toDF("id", "v"), Seq("id"))
+    assert(ok.orderBy($"id").as[(Long, String)].collect().toSeq
+      == Seq((1L, "x"), (2L, "b"), (3L, "z")))
+  }
+
   test("mergeInto's deleteWhen may reference source-only columns (the " +
       "CDC op marker), which never leak into the output") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
