@@ -308,6 +308,34 @@ class ApiSpec extends SparkSuite {
     assert(build.path("scala").asText().startsWith("2.13"))
   }
 
+  test("OIDC refresh is single-flight: concurrent unknown-kid storms " +
+      "and empty-cache-while-IdP-down storms cost one attempt per " +
+      "interval, not one per request") {
+    val base = "https://idp.example"
+    val fetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val down = new Oidc.OpenIdClient(base, new Oidc.Fetcher {
+      def fetch(url: String): String = {
+        fetchCount.incrementAndGet()
+        throw new RuntimeException("idp down")
+      }
+    }, audience, minRefreshIntervalMs = 60000L, clock = () => 0L)
+    // empty cache + dead IdP: 16 parallel requests, ONE fetch attempt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence((1 to 16).map(_ =>
+        scala.concurrent.Future(down.authorize(mint("u"))))),
+      scala.concurrent.duration.Duration(30, "seconds"))
+    pool.shutdown()
+    assert(results.forall(_.isLeft))
+    assert(fetchCount.get() == 1,
+      s"expected single-flight, saw ${fetchCount.get()} fetch attempts")
+    // the remembered failure reason is served between attempts
+    assert(down.authorize(mint("u")).left
+      .exists(_.contains("discovery failed")))
+  }
+
   test("OIDC discovery failures are Left reasons, not exceptions") {
     val boom = new Oidc.OpenIdClient("https://idp.example",
       new Oidc.MapFetcher(Map.empty), audience)
