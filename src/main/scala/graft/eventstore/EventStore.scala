@@ -378,7 +378,10 @@ class EventStore(val spark: SparkSession, rootDir: String,
           else good.join(
             drops.toDF("user_id", "stream_id", "source", "id"),
             Seq("user_id", "stream_id", "source", "id"), "left_anti")
-        val b32 = udf(Base32.encodeString _)
+        // native codegen Base32 (not a Scala UDF): keeps the staged-
+        // write projection inside whole-stage codegen end-to-end, the
+        // same reason the key-hash pass uses KeyHash64
+        val b32 = Base32.base32 _
         val w = Window.partitionBy($"user_id", $"stream_id")
           .orderBy(col("time").asc_nulls_first, col("id").asc,
             col("source").asc)
@@ -601,13 +604,42 @@ class EventStore(val spark: SparkSession, rootDir: String,
 
   /** Positional range scan `[start, start+limit)` — reference
     * src/db.rs:133-177. Revision-range predicate + sort + limit; parquet
-    * min/max stats on revision prune non-matching batch files. */
+    * min/max stats on revision prune non-matching batch files.
+    *
+    * API-sized reads (the page clamp is ≤1000, api.rs:271-272) are
+    * served DRIVER-LOCALLY — the reference point-reads its local index
+    * at sub-millisecond (benches/read_benchmark.rs:14-35), and a Spark
+    * job per point read pays 100-600 ms of scheduling first. The same
+    * manifest-listed files are read either way (never a glob), and each
+    * file carries row-group revision stats, so the local filter prunes
+    * exactly like the executor scan. Analytical reads (readStream /
+    * userEvents) keep the Spark path. */
   def query(u: String, s: String, start: Long, limit: Int)
-      : Seq[CloudEvent] =
-    readStream(u, s)
-      .filter($"revision" >= start && $"revision" < start + limit)
-      .orderBy($"revision")
-      .collect().toSeq.map(EventStore.toCloudEvent)
+      : Seq[CloudEvent] = {
+    if (limit <= 0) return Nil
+    if (limit <= EventStore.LocalReadMax) {
+      val dir = streamPath(u, s)
+      readHead(dir) match {
+        case Some(m) if m.files.nonEmpty =>
+          m.files
+            // file names carry their revision range (batch-first-last-
+            // uuid.parquet) — skip non-overlapping files without even
+            // touching their footers; unparsable names are read (safe)
+            .filter(f => EventStore.fileRevRange(f).forall {
+              case (lo, hi) => hi >= start && lo < start + limit
+            })
+            .flatMap(f => LocalParquet.readRange(dir.resolve(f),
+              start, start + limit))
+            .sortBy(_.revision)
+            .map(EventStore.toCloudEvent)
+        case _ => Nil
+      }
+    } else
+      readStream(u, s)
+        .filter($"revision" >= start && $"revision" < start + limit)
+        .orderBy($"revision")
+        .collect().toSeq.map(EventStore.toCloudEvent)
+  }
 
   /** Point lookup by rownum — reference src/server.rs:155-166. */
   def get(u: String, s: String, rownum: Long): Option[CloudEvent] =
@@ -847,6 +879,20 @@ object EventStore {
   /** Batches at or under this size are written driver-locally without a
     * Spark job (see writeBatchFile). */
   val LocalWriteMax = 256
+  /** Positional reads at or under this limit skip Spark and read the
+    * manifest-listed files driver-locally (covers every API read — the
+    * page clamp is 1000). */
+  val LocalReadMax = 1000
+
+  private val BatchName = """batch-(\d+)-(\d+)-.*\.parquet""".r
+
+  /** The [first, last] revision range a data file's NAME declares, if
+    * it follows the store's naming scheme. */
+  private[eventstore] def fileRevRange(name: String)
+      : Option[(Long, Long)] = name match {
+    case BatchName(lo, hi) => Some((lo.toLong, hi.toLong))
+    case _ => None
+  }
 
   private[eventstore] val BatchFile = """batch-(\d+)-(\d+)-.*\.parquet""".r
   private[eventstore] val ManifestFile = """manifest-(\d+)\.log""".r

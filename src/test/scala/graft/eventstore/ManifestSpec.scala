@@ -509,6 +509,81 @@ class ManifestSpec extends SparkSuite {
       Seq("a-0", "a-1", "a-2"))
   }
 
+  test("driver-local positional reads: identical to the Spark scan " +
+      "over BOTH file kinds (local small-batch + Spark compaction), " +
+      "and launch ZERO Spark jobs") {
+    val store = new EventStore(spark, tempDir("local-read-"))
+    // local-written files (≤ LocalWriteMax), incl. optional fields
+    store.append("u1", "mix", (0 until 30).map { i =>
+      CloudEvent(id = s"a-$i", source = "test://local",
+        `type` = "dev.graft.test",
+        subject = if (i % 3 == 0) Some(s"subj-$i") else None,
+        time = if (i % 2 == 0)
+          Some(new java.sql.Timestamp(1700000000000L + i * 1234L))
+        else None,
+        data = if (i % 2 == 1) Some(s"""{"i":$i}""") else None,
+        data_base64 = if (i % 5 == 0) Some(Array[Byte](1, 2, i.toByte))
+        else None,
+        extensions = if (i % 4 == 0) Map("k" -> s"v$i", "n" -> null)
+        else Map.empty)
+    })
+    // a Spark-written file (> LocalWriteMax forces the executor path)
+    store.append("u1", "mix",
+      (30 until 320).map(i => ev(s"b-$i", "test://spark")))
+    // and a Spark-written COMPACTED file replacing both
+    store.compactStream("u1", "mix")
+    import org.apache.spark.sql.functions.col
+    val viaSpark = store.readStream("u1", "mix")
+      .orderBy(col("revision")).collect().toSeq
+      .map(EventStore.toCloudEvent)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val viaLocal = store.query("u1", "mix", 0, 1000)
+      // Array[Byte] compares by reference inside a case class — compare
+      // a normalized projection for FULL value equality, 320 rows
+      def norm(e: CloudEvent) =
+        (e.specversion, e.id, e.source, e.`type`, e.subject, e.time,
+          e.datacontenttype, e.dataschema, e.data,
+          e.data_base64.map(_.toSeq), e.extensions)
+      assert(viaLocal.size == viaSpark.size)
+      assert(viaLocal.map(norm) == viaSpark.map(norm))
+      assert(store.query("u1", "mix", 25, 10).map(_.id)
+        == viaSpark.slice(25, 35).map(_.id)) // straddles old file split
+      assert(store.get("u1", "mix", 319).map(_.id) == Some("b-319"))
+      assert(store.get("u1", "mix", 320).isEmpty)
+      Thread.sleep(200) // let any stray job-start event reach the bus
+      assert(jobs.get() == 0,
+        s"expected zero Spark jobs on API-sized reads, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ingest staged-write plan survives CODEGEN_ONLY end-to-end: " +
+      "no Scala UDF / interpreted fallback anywhere in append") {
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val store = new EventStore(spark, tempDir("codegen-ingest-"))
+      // two batches so both the fresh-stream and existing-head paths
+      // (base join, revision window, Base32 dir derivation, key hash)
+      // run under forced codegen
+      store.append("u#1", "s/1", (0 until 25).map(i => ev(s"e-$i")))
+      store.append("u#1", "s/1", (25 until 40).map(i => ev(s"e-$i")))
+      assert(store.revision("u#1", "s/1") == 40)
+      assert(store.query("u#1", "s/1", 37, 10).map(_.id)
+        == Seq("e-37", "e-38", "e-39"))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   private def onlyStreamDir(root: String): Path = {
     val user = Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_)).toList match {
