@@ -1,0 +1,39 @@
+package graft.eventstore
+
+import graft.SparkSuite
+
+/** Sustained-load SLOs, mirroring the reference's k6 thresholds
+  * (load/post-event.js:7-11: append p95 < 50 ms, error rate < 1%;
+  * load/post-and-read.js:21-44: mixed writers/readers) — run short
+  * enough for the suite budget but long enough (hundreds of appends,
+  * dozens of manifest generations) to surface GC pressure or
+  * small-file decay a one-shot latency probe can't see.
+  */
+class SloSpec extends SparkSuite {
+
+  test("mixed sustained load: append p95 < 50ms, error rate < 1%, " +
+      "every committed offset readable while appends continue") {
+    val store = new EventStore(spark, tempDir("slo-"))
+    // warm: the very first append pays one-time Hadoop/parquet
+    // classloading that a service pays at boot, not per-request
+    StoreLoad.run(store, seconds = 1.0)
+    val r = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
+      seconds = 6.0)
+    info(f"append p50=${r.append.p50Ms}%.1fms p95=${r.append.p95Ms}%.1fms "
+      + f"n=${r.append.n}; read p50=${r.read.p50Ms}%.1fms "
+      + f"p95=${r.read.p95Ms}%.1fms n=${r.read.n}")
+    assert(r.append.n >= 100, s"load too thin to judge: ${r.append.n}")
+    assert(r.append.p95Ms < 50.0,
+      s"append p95 ${r.append.p95Ms}ms breaches the 50ms SLO")
+    assert(r.append.errorRate < 0.01,
+      s"append error rate ${r.append.errorRate} breaches 1%")
+    assert(r.read.errorRate < 0.01,
+      s"read error rate ${r.read.errorRate} breaches 1%")
+    // reads hold the same envelope since the driver-local read path
+    // (r06): a point read opens exactly one name-pruned parquet file,
+    // no Spark job — measured p95 ≈ 11 ms under this mixed load
+    assert(r.read.n >= 100, s"read load too thin: ${r.read.n}")
+    assert(r.read.p95Ms < 50.0,
+      s"read p95 ${r.read.p95Ms}ms breaches the 50ms SLO")
+  }
+}
