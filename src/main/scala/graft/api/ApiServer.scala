@@ -1,0 +1,99 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.eventstore.EventStore
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** The serving loop over the pure [[Api.handle]] request→response
+  * function — the analogue of the reference's socket bind + serve
+  * (main.rs:36-38: TcpListener::bind + axum::serve). The handler
+  * stays a testable pure function; this adapter only does transport:
+  * it binds a LOOPBACK address (a zero-egress deployment never exposes
+  * the store beyond the host — bind 0.0.0.0 like main.rs only behind
+  * a reverse proxy that owns the exposure decision), decodes the
+  * exchange into an [[Api.Request]], and writes the [[Api.Response]]
+  * back. Built on the JDK's jdk.httpserver module, so the service
+  * lifecycle needs no dependency the analytics engine doesn't already
+  * carry.
+  */
+object ApiServer {
+
+  /** A running server: `port` for clients, `stop()` for shutdown. */
+  final class Handle private[ApiServer] (
+      server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
+    def port: Int = server.getAddress.getPort
+    def baseUrl: String =
+      s"http://${server.getAddress.getHostString}:$port"
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
+  }
+
+  /** Bind `host:port` (port 0 = ephemeral) and serve [[Api.handle]]
+    * until `stop()`. Requests are handled on a small fixed pool —
+    * store reads are driver-local parquet scans, so a handful of
+    * concurrent requests saturate the useful parallelism. */
+  def start(store: EventStore, auth: Api.AuthConfig, port: Int = 0,
+      host: String = "127.0.0.1", threads: Int = 8): Handle = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    server.setExecutor(pool)
+    val handle = new Handle(server, pool)
+    server.createContext("/", (exchange: HttpExchange) =>
+      try respond(exchange, route(store, auth, exchange, handle.baseUrl))
+      finally exchange.close())
+    server.start()
+    handle
+  }
+
+  private def route(store: EventStore, auth: Api.AuthConfig,
+      exchange: HttpExchange, baseUrl: String): Api.Response = {
+    try {
+      val uri = exchange.getRequestURI
+      val headers = exchange.getRequestHeaders.asScala.map {
+        case (k, vs) => k -> vs.asScala.headOption.getOrElse("")
+      }.toMap
+      val body = new String(
+        exchange.getRequestBody.readAllBytes(), UTF_8) match {
+        case "" => None
+        case s => Some(s)
+      }
+      val req = Api.Request(exchange.getRequestMethod,
+        uri.getRawPath, parseQuery(uri.getRawQuery), headers, body)
+      Api.handle(store, auth, req, baseUrl)
+    } catch {
+      // a handler bug must produce a 500, not a dropped connection
+      case e: Exception =>
+        Api.Response(500, Map("Content-Type" -> "application/json"),
+          Some(s"""{"errors":[{"status":"500","title":"Internal"}]}"""))
+    }
+  }
+
+  private def respond(exchange: HttpExchange, res: Api.Response): Unit = {
+    res.headers.foreach { case (k, v) =>
+      exchange.getResponseHeaders.set(k, v)
+    }
+    res.body.map(_.getBytes(UTF_8)) match {
+      case Some(bytes) =>
+        exchange.sendResponseHeaders(res.status, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      case None =>
+        exchange.sendResponseHeaders(res.status, -1L)
+    }
+  }
+
+  /** `a=1&b=x%20y` → Map(a -> 1, b -> "x y"); last value wins on a
+    * repeated key, mirroring how Api.Request models query params. */
+  private[api] def parseQuery(raw: String): Map[String, String] =
+    Option(raw).filter(_.nonEmpty).fold(Map.empty[String, String]) { q =>
+      q.split('&').iterator.filter(_.nonEmpty).map { kv =>
+        val (k, v) = kv.indexOf('=') match {
+          case -1 => (kv, "")
+          case i => (kv.take(i), kv.drop(i + 1))
+        }
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+    }
+}
