@@ -168,20 +168,30 @@ object Multimodal {
   }
 
   /** Synthetic table of REAL audio: deterministic 0.1s 16-bit mono PCM
-    * WAV clips (sine waves, frequency derived from media_id) written
-    * with the JDK's javax.sound.sampled — so audio decode below also
-    * exercises an actual codec. */
+    * WAV clips (SQUARE waves — frequency and amplitude derived from
+    * media_id) written with the JDK's javax.sound.sampled, so audio
+    * decode below exercises an actual codec. Square, not sine, on
+    * purpose: every sample is ±amplitude by INTEGER arithmetic (the
+    * sign is the parity of (freq·i) / halfRate), so the decoded RMS is
+    * exactly the amplitude and the zero-crossing count has the closed
+    * form (freq·(n−1)) / halfRate — no libm sin() whose last ulp
+    * differs between engines. That is what lets the q58 gate be
+    * DuckDB-oracle-exact while the decode stays a real JDK codec
+    * (the q33/q34 rebase trick applied to a codec). */
   def syntheticAudioTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val rate = 8000
         val n = rate / 10 // 0.1 s
-        val freq = 200.0 + (id % 40) * 20.0
+        val freq = 200 + (id % 40).toInt * 20 // integer Hz < rate/2
+        val amp = 6000 + (id % 10).toInt * 600
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val v = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+          // halfRate = 4000 sample-halves per second: the square wave
+          // flips sign each time (freq*i)/4000 crosses an integer
+          val v = if (((freq.toLong * i) / 4000) % 2 == 0) amp else -amp
           pcm(2 * i) = (v & 0xff).toByte
           pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
           i += 1

@@ -73,36 +73,100 @@ object MultimodalQueries {
         sum(col("n_bytes")).as("total_bytes"))
   }
 
-  /** q53: REAL image decode — synthesize deterministic PNGs, decode with
-    * the JDK's ImageIO, aggregate decoded dimensions + channel means.
-    * Rows-only check (binary payloads aren't DuckDB-expressible); the
-    * decoded-width==metadata and determinism properties are asserted in
-    * MultimodalSpec. */
+  /** q53: REAL image decode — synthesize deterministic PNGs, decode
+    * with the JDK's ImageIO, aggregate decoded dimensions + channel
+    * SUMS. ORACLE-EXACT since r06: the pixel pattern is pure integer
+    * bit-arithmetic ((id·2654435761 + 31x + 131y) & 0xffffff), the
+    * image is 8×8 so the stored Float channel means are rs/64 —
+    * division by a power of two, exact for any 14-bit sum — and DuckDB
+    * recomputes the sums ANALYTICALLY from doc_id while Spark reads
+    * them back out of the actual PNG through the actual codec. A
+    * channel swap, pixel misread, or PNG roundtrip bug flips an
+    * integer and fails the hash. (PNG byte size stays OUT of the
+    * oracle: it depends on the JDK's deflate, not on the data.) */
   val q53_image_decode: Q = (s, d) => {
     val feats = Multimodal.decodeImageFeatures(
       Multimodal.syntheticImageTable(Tables.documents(s, d)))
-    feats.groupBy(col("kind"))
+    feats.select(
+        (col("media_id") % 4).as("img_group"),
+        element_at(col("features"), 1).cast("long").as("w"),
+        element_at(col("features"), 2).cast("long").as("h"),
+        round(element_at(col("features"), 3) * 64).cast("long").as("rs"),
+        round(element_at(col("features"), 4) * 64).cast("long").as("gs"),
+        round(element_at(col("features"), 5) * 64).cast("long").as("bs"))
+      .groupBy(col("img_group"))
       .agg(
         count(lit(1)).as("n_images"),
-        avg(element_at(col("features"), 1)).as("avg_width"),
-        avg(element_at(col("features"), 3)).as("avg_r"),
-        sum(col("n_bytes")).as("png_bytes"))
+        sum(col("w")).as("sum_width"),
+        sum(col("h")).as("sum_height"),
+        sum(col("rs")).as("sum_r"),
+        sum(col("gs")).as("sum_g"),
+        sum(col("bs")).as("sum_b"))
   }
 
-  /** q58: REAL audio decode — deterministic WAV clips decoded with the
-    * JDK's AudioSystem; per-frequency-band aggregates of RMS and
-    * zero-crossing rate. Rows-only (binary payloads aren't
-    * oracle-expressible); decode fidelity asserted in MultimodalSpec. */
+  val q53_oracle: String =
+    """WITH px AS (
+         SELECT d.doc_id,
+           ((d.doc_id * 2654435761 + x.i * 31 + y.i * 131) & 16777215)
+             AS v
+         FROM documents d, range(0, 8) x(i), range(0, 8) y(i)),
+       per AS (
+         SELECT doc_id,
+           sum((v >> 16) & 255) AS rs,
+           sum((v >> 8) & 255) AS gs,
+           sum(v & 255) AS bs
+         FROM px GROUP BY doc_id)
+       SELECT doc_id % 4 AS img_group,
+         count(*) AS n_images,
+         CAST(count(*) * 8 AS BIGINT) AS sum_width,
+         CAST(count(*) * 8 AS BIGINT) AS sum_height,
+         CAST(sum(rs) AS BIGINT) AS sum_r,
+         CAST(sum(gs) AS BIGINT) AS sum_g,
+         CAST(sum(bs) AS BIGINT) AS sum_b
+       FROM per GROUP BY 1"""
+
+  /** q58: REAL audio decode — deterministic square-wave WAV clips
+    * decoded with the JDK's AudioSystem; per-amplitude aggregates of
+    * decoded RMS and zero-crossing counts. ORACLE-EXACT since r06: the
+    * square wave makes every decoded feature integer arithmetic (RMS =
+    * amplitude; crossings = (freq·799)/4000, see
+    * Multimodal.syntheticAudioTable), so DuckDB computes the expected
+    * values ANALYTICALLY from doc_id while Spark derives them from the
+    * actual WAV bytes through the actual codec — a sharp end-to-end
+    * check of synthesis, container write, decode, and features. The
+    * container size rides along (44-byte canonical WAV header + 1600
+    * PCM bytes), pinning the encoder too. */
   val q58_audio_decode: Q = (s, d) => {
     val feats = Multimodal.decodeAudioFeatures(
       Multimodal.syntheticAudioTable(Tables.documents(s, d)))
-    feats.groupBy(col("kind"))
+    feats.select(
+        // RMS of a ±A square wave is exactly A (sqrt of a perfect
+        // square); stored as Float, recovered integer-exactly
+        element_at(col("features"), 3).cast("long").as("amplitude"),
+        // zcr float = crossings/n with n=800: recover the integer count
+        round(element_at(col("features"), 4) *
+          element_at(col("features"), 1)).cast("long").as("crossings"),
+        element_at(col("features"), 1).cast("long").as("n_samples"),
+        col("n_bytes"))
+      .groupBy(col("amplitude"))
       .agg(
         count(lit(1)).as("n_clips"),
-        avg(element_at(col("features"), 3)).as("avg_rms"),
-        avg(element_at(col("features"), 4)).as("avg_zcr"),
+        sum(col("crossings")).as("total_crossings"),
+        sum(col("n_samples")).as("total_samples"),
         sum(col("n_bytes")).as("wav_bytes"))
   }
+
+  val q58_oracle: String =
+    """WITH a AS (SELECT doc_id,
+         200 + (doc_id % 40) * 20 AS f,
+         6000 + (doc_id % 10) * 600 AS amp
+       FROM documents)
+       SELECT CAST(amp AS BIGINT) AS amplitude,
+         count(*) AS n_clips,
+         CAST(sum((f * 799) // 4000) AS BIGINT) AS total_crossings,
+         CAST(count(*) * 800 AS BIGINT) AS total_samples,
+         CAST(count(*) * 1644 AS BIGINT) AS wav_bytes
+       FROM a GROUP BY 1"""
 
   val all: Map[String, Q] = Map(
     "q58_audio_decode" -> q58_audio_decode,
@@ -113,5 +177,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_media_meta" -> q41_oracle,
-    "q42_frame_sample" -> q42_oracle)
+    "q42_frame_sample" -> q42_oracle,
+    "q53_image_decode" -> q53_oracle,
+    "q58_audio_decode" -> q58_oracle)
 }

@@ -58,19 +58,25 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("real WAV roundtrip: AudioSystem-decoded sample count and rate " +
-      "match metadata; sine RMS and zero-crossing rate are as expected") {
+      "match metadata; square-wave RMS and zero-crossing count are " +
+      "EXACT (the integer arithmetic the q58 oracle recomputes)") {
     val clips = Multimodal.syntheticAudioTable(
       spark.read.parquet(s"$sfDir/documents.parquet"))
     val feats = Multimodal.decodeAudioFeatures(clips)
       .orderBy("media_id").limit(10).collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
+      val id = f.media_id
+      val freq = 200 + (id % 40).toInt * 20
+      val amp = 6000 + (id % 10).toInt * 600
       assert(f.features(0) == 800f)    // decoded samples = 0.1s @ 8kHz
       assert(f.features(1) == 8000f)   // decoded sample rate
-      // sine RMS = amplitude/sqrt(2) ≈ 12000/1.414 ≈ 8485 (±2%)
-      assert(math.abs(f.features(2) - 8485f) < 200f, f.features(2))
-      // zero crossings ≈ 2 * freq * duration / n = 2*freq/8000 per sample
-      assert(f.features(3) > 0.04f && f.features(3) < 0.26f)
+      assert(f.features(2) == amp.toFloat,  // square RMS = amplitude
+        s"id=$id rms=${f.features(2)} amp=$amp")
+      val crossings = (freq.toLong * 799) / 4000 // closed form
+      assert(math.round(f.features(3) * 800f) == crossings,
+        s"id=$id zcr=${f.features(3)} expect $crossings/800")
+      assert(f.n_bytes == 1644L) // 44-byte canonical header + 1600 PCM
     }
   }
 
