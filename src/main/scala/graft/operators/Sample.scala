@@ -93,7 +93,10 @@ object Sample {
       case (other, (stratum, r)) =>
         when(col(stratumCol) === stratum, threshold(r)).otherwise(other)
     }
-    df.filter(bucket < limit)
+    // explicit null guard: a null id already hashes to null and drops,
+    // but Concat is not null-intolerant in Catalyst, so without this
+    // the scan loses its inferred IsNotNull pushdown (r06 plan diff)
+    df.filter(col(idCol).isNotNull && bucket < limit)
   }
 
   /** Deterministic Bernoulli-style sample: keeps a row iff its hash
@@ -105,6 +108,8 @@ object Sample {
     require(rate >= 0 && rate <= 1, s"rate $rate out of [0,1]")
     val bucket = conv(substring(saltedMd5("frac:", col(idCol)), 1, 8),
       16, 10).cast("long")
-    df.filter(bucket < lit((rate * (1L << 32)).toLong))
+    // null guard restores the scan's IsNotNull pushdown (see weightedMix)
+    df.filter(col(idCol).isNotNull &&
+      bucket < lit((rate * (1L << 32)).toLong))
   }
 }
