@@ -61,7 +61,9 @@ def main():
     diff = subprocess.run(
         [sys.executable, plan_diff, old_plans, new_plans],
         capture_output=True, text=True)
-    if diff.returncode != 0:
+    # plan_diff exits 1 when it REPORTS regressions (its stdout is the
+    # report we want in the artifact); only other codes are tool errors
+    if diff.returncode not in (0, 1):
         sys.exit(f"plan_diff failed ({diff.returncode}): {diff.stderr}")
     lines += [diff.stdout.strip(), "```", ""]
     open(out, "w").write("\n".join(lines) + "\n")
