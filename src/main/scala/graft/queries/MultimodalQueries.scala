@@ -60,18 +60,45 @@ object MultimodalQueries {
 
   /** q43: byte-level payload features (honest container fingerprint —
     * NOT a codec; video has no codec in this environment, see
-    * Multimodal.byteFeatures) feeding a per-kind aggregate. Rows-only
-    * check — the feature hash is JVM-side; determinism + schema are
-    * asserted in ScalaTest. */
+    * Multimodal.byteFeatures) as per-kind × per-bucket byte counts.
+    * ORACLE-EXACT since r06: the histogram bucket of a byte is
+    * floorMod(b, 16) = its LOW NIBBLE, the payload is the UTF-8 text,
+    * and the per-doc byte count is small enough that the normalized
+    * Float feature recovers the integer count exactly
+    * (round(f·n_bytes); error ≤ n·2⁻²⁴ ≪ 0.5) — so DuckDB recomputes
+    * the whole histogram from hex(encode(text)) while Spark reads it
+    * back out of the operator's Float features. */
   val q43_media_features: Q = (s, d) => {
     import s.implicits._
     Multimodal.byteFeatures(media(s, d).as[Multimodal.MediaRow], dim = 16)
-      .groupBy(col("kind"))
-      .agg(
-        count(lit(1)).as("n_media"),
-        avg(element_at(col("features"), 1)).as("avg_f0"),
-        sum(col("n_bytes")).as("total_bytes"))
+      .select(col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("nibble", "f")))
+      .select(col("kind"), col("nibble").cast("long").as("nibble"),
+        round(col("f") * col("n_bytes")).cast("long").as("c"))
+      .groupBy(col("kind"), col("nibble"))
+      .agg(sum(col("c")).as("n_bytes_nibble"))
   }
+
+  val q43_oracle: String =
+    """WITH b AS (SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+       FROM documents),
+       d AS (SELECT b.kind,
+           strpos('0123456789ABCDEF', substr(b.h, 2 * t.i, 1)) - 1
+             AS nibble
+         FROM b, unnest(range(1, b.n + 1)) AS t(i)),
+       agg AS (SELECT kind, nibble, count(*) AS c
+               FROM d GROUP BY 1, 2),
+       grid AS (SELECT kind, t.i AS nibble
+                FROM (SELECT DISTINCT kind FROM b),
+                     unnest(range(0, 16)) AS t(i))
+       SELECT g.kind, CAST(g.nibble AS BIGINT) AS nibble,
+         CAST(coalesce(a.c, 0) AS BIGINT) AS n_bytes_nibble
+       FROM grid g LEFT JOIN agg a
+         ON g.kind = a.kind AND g.nibble = a.nibble"""
 
   /** q53: REAL image decode — synthesize deterministic PNGs, decode
     * with the JDK's ImageIO, aggregate decoded dimensions + channel
@@ -178,6 +205,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "q41_media_meta" -> q41_oracle,
     "q42_frame_sample" -> q42_oracle,
+    "q43_media_features" -> q43_oracle,
     "q53_image_decode" -> q53_oracle,
     "q58_audio_decode" -> q58_oracle)
 }
