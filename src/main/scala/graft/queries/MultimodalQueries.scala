@@ -195,7 +195,50 @@ object MultimodalQueries {
          CAST(count(*) * 1644 AS BIGINT) AS wav_bytes
        FROM a GROUP BY 1"""
 
+  /** q87: REAL video frame decode — synthesize deterministic
+    * multi-frame animated GIFs (a genuine video container with a
+    * pure-JVM codec), walk them with ImageIO's multi-frame reader
+    * sampling every 2nd frame, and emit per-frame decoded dimensions +
+    * channel sums. ORACLE-EXACT by construction: frames are 8×8
+    * indexed-color with the closed-form palette R(i)=i, G(i)=255−i,
+    * B(i)=(73·i) mod 256 and pixel index (id·2654435761 + 977f + 31x +
+    * 131y) mod 256 — GIF is lossless at ≤256 colors, so DuckDB
+    * recomputes every channel sum ANALYTICALLY from doc_id while Spark
+    * reads them out of the actual container through the actual codec.
+    * A dropped frame, frame-order bug, palette swap, or LZW roundtrip
+    * bug flips an integer and fails the hash. The sampled frame list
+    * comes from the CONTAINER's frame count, not metadata, so the
+    * row set itself pins `getNumImages`. (Container byte size stays
+    * out: it depends on the encoder's LZW choices, not the data.) */
+  val q87_video_decode: Q = (s, d) => {
+    val frames = Multimodal.decodeVideoFrames(
+      Multimodal.syntheticVideoTable(Tables.documents(s, d)), stride = 2)
+    frames.select(
+      col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("frame_w").cast("long").as("frame_w"),
+      col("frame_h").cast("long").as("frame_h"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  val q87_oracle: String =
+    """WITH f AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS nf
+         FROM documents),
+       fr AS (SELECT doc_id, CAST(t.i AS INT) AS frame_idx
+         FROM f, unnest(range(0, nf, 2)) AS t(i)),
+       px AS (SELECT doc_id, frame_idx,
+           ((doc_id * 2654435761 + frame_idx * 977 + x.i * 31 + y.i * 131)
+             & 255) AS idx
+         FROM fr, range(0, 8) AS x(i), range(0, 8) AS y(i))
+       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(8 AS BIGINT) AS frame_w, CAST(8 AS BIGINT) AS frame_h,
+         CAST(sum(idx) AS BIGINT) AS sum_r,
+         CAST(sum(255 - idx) AS BIGINT) AS sum_g,
+         CAST(sum((idx * 73) & 255) AS BIGINT) AS sum_b
+       FROM px GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q87_video_decode" -> q87_video_decode,
     "q58_audio_decode" -> q58_audio_decode,
     "q53_image_decode" -> q53_image_decode,
     "q41_media_meta" -> q41_media_meta,
@@ -207,5 +250,6 @@ object MultimodalQueries {
     "q42_frame_sample" -> q42_oracle,
     "q43_media_features" -> q43_oracle,
     "q53_image_decode" -> q53_oracle,
-    "q58_audio_decode" -> q58_oracle)
+    "q58_audio_decode" -> q58_oracle,
+    "q87_video_decode" -> q87_oracle)
 }

@@ -157,4 +157,57 @@ class MultimodalSpec extends SparkSuite {
     val kinds = frames.select("kind").distinct().as[String].collect()
     assert(kinds.toSeq == Seq("video"))
   }
+
+  test("real video roundtrip: animated GIF container holds the metadata " +
+      "frame count; every decoded frame's dimensions and channel sums " +
+      "match the closed form the q87 oracle recomputes") {
+    val vids = Multimodal.syntheticVideoTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val sample = vids.orderBy("media_id").limit(5).collect()
+    sample.foreach { v =>
+      // genuine GIF container bytes, not raw pixels
+      assert(new String(v.payload.take(6), "US-ASCII").startsWith("GIF8"),
+        s"media ${v.media_id} payload is not a GIF container")
+      assert(v.meta.n_frames == (v.media_id % 5 + 2).toInt)
+    }
+    // stride=1 decodes EVERY frame; counts come from the container
+    val frames = Multimodal.decodeVideoFrames(vids, stride = 1)
+      .filter(col("media_id") < 20).collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.length == (id % 5 + 2).toInt,
+        s"media $id decoded ${fs.length} frames")
+      assert(fs.map(_.frame_idx).toSeq.sorted == (0 until fs.length))
+    }
+    frames.foreach { f =>
+      assert(f.frame_w == 8 && f.frame_h == 8)
+      var ers = 0L; var egs = 0L; var ebs = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val idx = ((f.media_id * 2654435761L + f.frame_idx * 977 +
+          x * 31 + y * 131) & 0xff).toInt
+        ers += idx; egs += 255 - idx; ebs += (idx * 73) & 0xff
+      }
+      assert(f.sum_r == ers && f.sum_g == egs && f.sum_b == ebs,
+        s"media ${f.media_id} frame ${f.frame_idx}: decoded " +
+          s"(${f.sum_r},${f.sum_g},${f.sum_b}) expected ($ers,$egs,$ebs)")
+    }
+  }
+
+  test("decodeVideoFrames strides through the container and skips " +
+      "non-video rows") {
+    val vids = Multimodal.syntheticVideoTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val strided = Multimodal.decodeVideoFrames(vids, stride = 2)
+      .filter(col("media_id") < 20).collect()
+    strided.groupBy(_.media_id).foreach { case (id, fs) =>
+      val nf = (id % 5 + 2).toInt
+      assert(fs.map(_.frame_idx).toSeq.sorted == (0 until nf by 2),
+        s"media $id sampled wrong frames")
+    }
+    // non-video payloads (kind != video) yield zero rows
+    val nonVideo = media.as[Multimodal.MediaRow]
+      .filter(_.meta.kind != "video")
+    assert(Multimodal.decodeVideoFrames(nonVideo, stride = 1).isEmpty)
+  }
 }
