@@ -1,8 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "hematitespark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// CI (.github/workflows/ci.yml) downloads a Spark dist and points
+// GRAFT_SPARK_JARS at its jars/ directory instead.
+unmanagedBase :=
+  file(sys.env.getOrElse("GRAFT_SPARK_JARS", "/opt/spark/jars"))
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

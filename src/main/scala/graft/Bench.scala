@@ -37,8 +37,7 @@ object Bench {
       // the NearestCentroid codegen, and the broadcast anti-join
       // machinery — measured ~2.3s of one-time classload/compile that
       // otherwise lands on the first index query (q74).
-      val warmIdx = java.nio.file.Files
-        .createTempDirectory("graft-bench-warm-").toString
+      val warmIdx = graft.TempDirs.scratch("graft-bench-warm-")
       val warmE = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
       graft.operators.Similarity.buildIvfIndex(
         warmE, "embedding", "vec_id", warmIdx, nLists = 2)
@@ -68,12 +67,31 @@ object Bench {
     // Longest-job-first: submit the known-heavy queries before the
     // sub-second ones so the 8-slot pool isn't draining 50 cheap queries
     // while a 6s index build starts last and stretches the makespan.
-    val heavy = Seq("q81", "q74", "q66", "q53", "q30", "q31", "q70",
-      "q32", "q58", "q72", "q15", "q04", "q05", "q08", "q59", "q33",
-      "q63")
-    def rank(n: String): Int = {
-      val i = heavy.indexWhere(n.startsWith); if (i < 0) heavy.size else i
-    }
+    // Ranking comes from the PREVIOUS canonical run's per-query times
+    // (BENCH_LOCAL.json) when present — a hardcoded list silently goes
+    // stale as plans change (r06 verdict) — with the last measured
+    // static ranking as the cold-start fallback.
+    val staticHeavy = Seq("q81", "q74", "q66", "q53", "q30", "q31",
+      "q70", "q32", "q58", "q72", "q15", "q04", "q05", "q08", "q59",
+      "q33", "q63", "q87")
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_LOCAL.json"))
+        val entry = """"(q[0-9]+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+        entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    def rank(n: String): Double =
+      if (prevTimes.nonEmpty)
+        // negative time = longest first; a query with no prior
+        // measurement (just added) is unknown — assume heavy-ish (2s)
+        // so a new expensive query doesn't start last
+        -prevTimes.getOrElse(n, 2.0)
+      else {
+        val i = staticHeavy.indexWhere(n.startsWith)
+        (if (i < 0) staticHeavy.size else i).toDouble
+      }
     // A crashing query must fail the bench, not record as a fast query:
     // collect errors and exit nonzero after emitting the artifact.
     val errs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -84,8 +102,7 @@ object Bench {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              errs(name) = e.toString.replaceAll("[\\r\\n\"]", " ").take(160)
+            case e: Throwable => errs(name) = e.toString.take(160)
           }
           name -> (System.nanoTime() - t0) / 1e9
         }
@@ -105,8 +122,19 @@ object Bench {
         s"\"" + key + "\":" + s3(v)
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) s3(wall) else "0.0"
+    // Real JSON string escaping — backslash FIRST, then quotes and
+    // control chars. The old replaceAll("[\r\n\"]") left backslashes
+    // raw, so an exception message containing a regex fragment or
+    // escaped path produced a malformed metric line (ADVICE r06).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def errDict = errs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""\"$k\":\"$v\"""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     // The driver captures only the last 2000 bytes of the log: full
     // query names × 74 queries overflowed that in r04 (parsed:null).
     // The stdout line therefore uses the contract's short "q1":sec key

@@ -30,13 +30,32 @@ object PlanShape {
 
   /** A node that bounds the rows flowing out of its subtree: under one
     * of these, a broadcast side is a deliberate small set (a filtered
-    * probe batch, an aggregated stats row, a top-k), not the table. */
+    * probe batch, an aggregated stats row, a top-k), not the table.
+    *
+    * A FilterExec counts ONLY if it carries a selective predicate —
+    * the optimizer inserts trivial IsNotNull filters on join keys, and
+    * counting those would whitewash a full-table broadcast (ADVICE
+    * r06: the exact r05 q37 shape this audit exists to catch). */
   private def bounds(p: SparkPlan): Boolean = p match {
-    case _: FilterExec | _: GlobalLimitExec | _: LocalLimitExec |
+    case f: FilterExec => selective(f.condition)
+    case _: GlobalLimitExec | _: LocalLimitExec |
         _: TakeOrderedAndProjectExec | _: BaseAggregateExec |
         _: WindowGroupLimitExec => true
     case l: LocalTableScanExec => l.rows.size <= 10000
     case _ => false
+  }
+
+  /** True iff some conjunct is more than a null check — IsNotNull
+    * passes every row of a non-nullable column, so a filter made only
+    * of those bounds nothing. */
+  private def selective(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    e match {
+      case And(l, r) => selective(l) || selective(r)
+      case _: IsNotNull => false
+      case _ => true
+    }
   }
 
   /** Every BroadcastNestedLoopJoin whose build side has NO bounding

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round approximation-quality artifact (QUALITY.json).
+  *
+  * The two rows-only gate queries are approximate by nature — q40's
+  * budgeted LSH probe and q45's HLL sketch — and each has an
+  * oracle-exact twin (q85 full probe, q64 exact counts). Their
+  * QUALITY, though, was only spec-asserted, never recorded, so no
+  * round could see drift (r06 verdict items 5 and 8). This main
+  * measures both against their exact baselines and writes one JSON
+  * artifact to trend round-over-round:
+  *
+  *  - `recall_at_20`: mean recall of the q40 budget (64 of 256
+  *    buckets, near-isotropic embeddings — LSH's hardest case) over
+  *    several query points, per-query values included.
+  *  - `hll_max_rel_err`: worst |approx-exact|/exact of q45's
+  *    approx_count_distinct(rsd=0.02) across event_type groups.
+  */
+object QualityProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --- ANN recall@20 of the q40 budget vs brute force -------------
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 20
+    val queryIds = 0L until 8L
+    val perQuery = queryIds.map { qid =>
+      val ann = operators.Similarity.lshTopKForId(emb, "embedding",
+          "vec_id", queryId = qid, k = k, numPlanes = 8, dim = 64,
+          probes = 64)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val brute = operators.Similarity.topKForId(emb, "embedding",
+          "vec_id", qid, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (ann & brute).size.toDouble / k
+    }
+    val meanRecall = perQuery.map(_._2).sum / perQuery.size
+
+    // --- HLL error band of q45 vs its exact twin --------------------
+    val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
+      .select(col("event_type"), col("exact_users"), col("approx_users"))
+      .collect().map { r =>
+        val exact = r.getAs[Long]("exact_users").toDouble
+        val approx = r.getAs[Long]("approx_users").toDouble
+        r.getAs[String]("event_type") ->
+          math.abs(approx - exact) / math.max(1.0, exact)
+      }
+    val maxErr = if (bands.isEmpty) 0.0 else bands.map(_._2).max
+
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val json =
+      s"""{"sf":"$sfDir","recall_at_20":${s3(meanRecall)},""" +
+        s""""probes":64,"buckets":256,"k":$k,""" +
+        s""""per_query":{${perQuery.map { case (q, r) =>
+          s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
+        s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
+        s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>
+          s"\"$g\":${s3(e)}" }.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("QUALITY.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+    System.out.flush()
+  }
+}

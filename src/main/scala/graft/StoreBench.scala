@@ -20,14 +20,12 @@ object StoreBench {
       .appName("graft-store-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-store-bench-")
-    val store = new EventStore(spark, dir.toString)
+    val dir = graft.TempDirs.scratch("graft-store-bench-")
+    val store = new EventStore(spark, dir)
     // warm once: first append pays Hadoop FS + parquet writer classload
     StoreLoad.run(store, seconds = 1.0)
     val result = StoreLoad.run(new EventStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-store-bench-")
-        .toString), seconds)
+      graft.TempDirs.scratch("graft-store-bench-")), seconds)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_STORE.json"),
       (result.json + "\n").getBytes("UTF-8"))

@@ -20,6 +20,12 @@ import scala.jdk.CollectionConverters._
   */
 object ApiServer {
 
+  /** Default request-body cap, mirroring axum's 2 MiB
+    * DefaultBodyLimit (the reference stack ships one; an unbounded
+    * readAllBytes lets a single oversized POST exhaust driver heap —
+    * ADVICE r06). Bodies beyond the cap get 413. */
+  val DefaultMaxBodyBytes: Int = 2 * 1024 * 1024
+
   /** A running server: `port` for clients, `stop()` for shutdown. */
   final class Handle private[ApiServer] (
       server: HttpServer,
@@ -33,29 +39,48 @@ object ApiServer {
   /** Bind `host:port` (port 0 = ephemeral) and serve [[Api.handle]]
     * until `stop()`. Requests are handled on a small fixed pool —
     * store reads are driver-local parquet scans, so a handful of
-    * concurrent requests saturate the useful parallelism. */
+    * concurrent requests saturate the useful parallelism.
+    *
+    * `onError` observes handler-thrown exceptions before the client
+    * gets its opaque 500 (the reference traces them via its tracing
+    * subscriber, main.rs; an invisible 500 is a debugging hole —
+    * r06 verdict). Default: one stderr line. */
   def start(store: EventStore, auth: Api.AuthConfig, port: Int = 0,
-      host: String = "127.0.0.1", threads: Int = 8): Handle = {
+      host: String = "127.0.0.1", threads: Int = 8,
+      maxBodyBytes: Int = DefaultMaxBodyBytes,
+      onError: Throwable => Unit = logError): Handle = {
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     server.setExecutor(pool)
     val handle = new Handle(server, pool)
     server.createContext("/", (exchange: HttpExchange) =>
-      try respond(exchange, route(store, auth, exchange, handle.baseUrl))
+      try respond(exchange,
+        route(store, auth, exchange, handle.baseUrl, maxBodyBytes, onError))
       finally exchange.close())
     server.start()
     handle
   }
 
+  private def logError(e: Throwable): Unit =
+    System.err.println(s"[apiserver] handler error: $e")
+
   private def route(store: EventStore, auth: Api.AuthConfig,
-      exchange: HttpExchange, baseUrl: String): Api.Response = {
+      exchange: HttpExchange, baseUrl: String, maxBodyBytes: Int,
+      onError: Throwable => Unit): Api.Response = {
     try {
       val uri = exchange.getRequestURI
       val headers = exchange.getRequestHeaders.asScala.map {
         case (k, vs) => k -> vs.asScala.headOption.getOrElse("")
       }.toMap
-      val body = new String(
-        exchange.getRequestBody.readAllBytes(), UTF_8) match {
+      // Read at most cap+1 bytes: one extra distinguishes "exactly at
+      // the cap" from "over it" without buffering an unbounded body.
+      val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
+      if (raw.length > maxBodyBytes)
+        return Api.Response(413,
+          Map("Content-Type" -> "application/json"),
+          Some(s"""{"errors":[{"status":"413",""" +
+            s""""title":"Payload Too Large"}]}"""))
+      val body = new String(raw, UTF_8) match {
         case "" => None
         case s => Some(s)
       }
@@ -63,8 +88,10 @@ object ApiServer {
         uri.getRawPath, parseQuery(uri.getRawQuery), headers, body)
       Api.handle(store, auth, req, baseUrl)
     } catch {
-      // a handler bug must produce a 500, not a dropped connection
+      // a handler bug must produce a 500, not a dropped connection —
+      // but never an INVISIBLE 500 (observe it first)
       case e: Exception =>
+        try onError(e) catch { case _: Throwable => () }
         Api.Response(500, Map("Content-Type" -> "application/json"),
           Some(s"""{"errors":[{"status":"500","title":"Internal"}]}"""))
     }

@@ -54,19 +54,21 @@ object LocalParquet {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
-  // Configuration construction costs milliseconds; reads share one
-  // (Configuration is thread-safe for reads, and nothing mutates this)
+  // Configuration construction costs milliseconds; reads AND writes
+  // share one each (Configuration is thread-safe for reads, and
+  // nothing mutates these). r07: writeBatch used to build TWO fresh
+  // Configurations per append — several ms of pure constructor cost on
+  // the hot path the 50ms SLO budgets.
   private val readConf = new Configuration(false)
+  private val writeConf = new Configuration(false)
 
   /** Write the batch as one snappy parquet file at `target` (which must
     * not exist — callers go through the store's temp+move protocol). */
   def writeBatch(target: Path, rows: Seq[StoredEvent]): Unit = {
-    val conf = new Configuration(false)
     val writer = ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-        .fromPath(new org.apache.hadoop.fs.Path(target.toUri),
-          new Configuration(false)))
-      .withConf(conf)
+        .fromPath(new org.apache.hadoop.fs.Path(target.toUri), writeConf))
+      .withConf(writeConf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withType(schema)
       .build()

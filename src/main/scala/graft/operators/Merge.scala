@@ -47,9 +47,19 @@ object Merge {
     // raise_error filter, so a duplicate changeset fails the job the
     // moment it's scanned. The window adds one exchange on the SOURCE
     // only — the small changeset side, never the target.
+    //
+    // Deliberately STRICTER than Delta on the insert side: duplicate
+    // keys that match no target row also raise (Delta would insert
+    // both — we treat a key-duplicated changeset as malformed either
+    // way). Rows with a NULL in any merge key are EXEMPT: the
+    // equi-join can never match them against a target row, so each is
+    // an independent insert — two null-key insert rows are legal, not
+    // a duplicate (ADVICE r06: the window groups null keys together,
+    // so counting them tripped the guard on a valid changeset).
+    val matchable = keys.map(col(_).isNotNull).reduce(_ && _)
     val wk = Window.partitionBy(keys.map(col): _*)
     val unique = source
-      .withColumn("__nk", count(lit(1)).over(wk))
+      .withColumn("__nk", count(when(matchable, lit(1))).over(wk))
       .filter(when(col("__nk") > 1,
           raise_error(concat(lit("mergeInto: multiple source rows for " +
             s"merge key (${keys.mkString(",")}): "),

@@ -482,10 +482,16 @@ object Similarity {
     val cacheKey =
       s"${emb.queryExecution.logical.canonicalized.hashCode()}|$vecCol|" +
         s"$idCol|$nLists"
-    val indexDir = ivfCache.computeIfAbsent(cacheKey, _ => {
-      val dir = Files.createTempDirectory("graft-ivf-").toString
-      buildIvfIndex(emb, vecCol, idCol, dir, nLists)
-      dir
+    // compute → validate → retry: a cached dir may have been reaped
+    // (TempDirs.deleteAll runs between suites); rebuild on a miss.
+    val indexDir = ivfCache.compute(cacheKey, (_, cached) => {
+      if (cached != null && Files.exists(
+          java.nio.file.Paths.get(cached, "centroids.meta"))) cached
+      else {
+        val dir = graft.TempDirs.scratch("graft-ivf-")
+        buildIvfIndex(emb, vecCol, idCol, dir, nLists)
+        dir
+      }
     })
     val queryVec = emb.filter(col(idCol) === queryId)
       .select(col(vecCol)).as[Array[Float]].head().toSeq

@@ -189,7 +189,7 @@ object VectorQueries {
   val q74_index_delete_probe: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-    val dir = Files.createTempDirectory("graft-ivf-lifecycle-").toString
+    val dir = graft.TempDirs.scratch("graft-ivf-lifecycle-")
     Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
       "embedding", "vec_id", dir, nLists = 8)
     Similarity.upsertIvfIndex(e.filter(col("vec_id") >= 300),
@@ -317,7 +317,7 @@ object VectorQueries {
   val q81_index_compact_probe: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-    val dir = Files.createTempDirectory("graft-ivf-compact-").toString
+    val dir = graft.TempDirs.scratch("graft-ivf-compact-")
     Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
       "embedding", "vec_id", dir, nLists = 8)
     Similarity.upsertIvfIndex(e.filter(col("vec_id") >= 300),

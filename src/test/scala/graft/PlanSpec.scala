@@ -77,6 +77,23 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("a bare IsNotNull filter does NOT whitewash a full-table " +
+      "broadcast (ADVICE r06), while a selective filter still bounds") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probe = spark.range(10).toDF("id")
+    // optimizer-style trivially-true filter: the whole table broadcasts
+    val whitewashed = probe.crossJoin(
+      broadcast(docs.filter(col("doc_id").isNotNull)))
+    assert(PlanShape.unboundedBroadcastNlj(whitewashed).nonEmpty,
+      "IsNotNull-only filter must not count as bounding")
+    // a genuinely selective predicate is a deliberate small broadcast
+    val boundedDf = probe.crossJoin(
+      broadcast(docs.filter(col("doc_id") === 7)))
+    assert(PlanShape.unboundedBroadcastNlj(boundedDf).isEmpty,
+      "selective filter must still bound the broadcast subtree")
+  }
+
   test("every native expression runs with codegen FORCED (no interpreted " +
       "fallback): VecDot, HyperplaneSigs, SimHash64, WordShingles, " +
       "LshBandHashes, Base32, NearestCentroid") {

@@ -23,4 +23,23 @@ class QueriesSmokeSpec extends SparkSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
+
+  test("q45's HLL estimates land within a 5% band of its exact twin's " +
+      "counts — the sketch tolerance as an asserted CONTRACT (q45 is " +
+      "rows-only in the gate; this pins its quality, QualityProbe " +
+      "records it per round)") {
+    import org.apache.spark.sql.functions.col
+    val rows = queries.EventQueries.q45_approx_distinct(spark, sfDir)
+      .select(col("event_type"), col("exact_users"), col("approx_users"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val err = math.abs(approx - exact) / math.max(1.0, exact)
+      assert(err <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact " +
+          s"$exact (rel err ${"%.3f".format(err)} > 0.05)")
+    }
+  }
 }

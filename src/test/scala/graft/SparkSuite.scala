@@ -10,16 +10,14 @@ trait SparkSuite extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh-").toString)
+    .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-wh-"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  def sfDir: String = "/root/testdata/sf0.001"
+  /** Fixture dir: the driver-generated tables locally; CI points this at
+    * graft.FixtureGen output (see .github/workflows/ci.yml). */
+  def sfDir: String =
+    sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-  def tempDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  def tempDir(prefix: String): String = TempDirs.scratch(prefix)
 }

@@ -96,6 +96,63 @@ class ApiServerSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("handler exceptions surface through onError AND return an " +
+      "opaque 500 to the client (no invisible failures)") {
+    // corrupt the stream's head manifest to list a data file that does
+    // not exist: the next read throws — a genuine storage-level
+    // handler exception no route-level 4xx mapping catches
+    // (parseManifest itself is deliberately lenient, so garbage content
+    // would degrade to 404, not an exception)
+    val root = tempDir("api-err-")
+    val store = new EventStore(spark, root)
+    val seen = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val server = ApiServer.start(store, auth, onError = seen.set)
+    try {
+      val token = Some(mint("alice"))
+      val post = send(server.baseUrl, "POST", "/streams/err-stream/events",
+        token, Some("""[{"id":"e","source":"s://x","type":"t",
+          "specversion":"1.0"}]"""))
+      assert(post.statusCode() == 201, post.body())
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val manifests =
+        try walk.filter(p =>
+            p.getFileName.toString.startsWith("manifest-"))
+          .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
+        finally walk.close()
+      assert(!manifests.isEmpty, "no manifest written?")
+      manifests.forEach(p => java.nio.file.Files.writeString(p,
+        "v 1\nr 1\nf ghost.parquet\n"))
+      val res = send(server.baseUrl, "GET", "/streams/err-stream/events",
+        token)
+      // client sees only the opaque envelope...
+      assert(res.statusCode() == 500, s"${res.statusCode()}: ${res.body()}")
+      assert(res.body().contains("\"title\":\"Internal\""))
+      assert(!res.body().contains(root)) // no detail leak
+      // ...but the operator sees the real exception
+      assert(seen.get != null, "onError was never invoked")
+    } finally server.stop()
+  }
+
+  test("request bodies beyond the cap get 413 before buffering; at the " +
+      "cap they pass (axum DefaultBodyLimit analogue)") {
+    val store = new EventStore(spark, tempDir("api-cap-"))
+    val server = ApiServer.start(store, auth, maxBodyBytes = 1024)
+    try {
+      val token = Some(mint("alice"))
+      val big = "x" * 2048
+      val res = send(server.baseUrl, "POST", "/streams/s/events",
+        token, Some(big))
+      assert(res.statusCode() == 413, res.body())
+      // a body exactly at the cap reaches the route (fails as 4xx JSON,
+      // not 413) — the cap is strict-greater-than
+      val atCap = "[" + " " * 1022 + "]"
+      assert(atCap.length == 1024)
+      val ok = send(server.baseUrl, "POST", "/streams/s/events",
+        token, Some(atCap))
+      assert(ok.statusCode() != 413, ok.body())
+    } finally server.stop()
+  }
+
   test("parseQuery decodes keys and values; empty/missing handled") {
     assert(ApiServer.parseQuery(null) == Map.empty)
     assert(ApiServer.parseQuery("") == Map.empty)

@@ -115,6 +115,29 @@ class MergeSpec extends SparkSuite {
       == Seq((1L, "x"), (2L, "b"), (3L, "z")))
   }
 
+  test("mergeInto: null-key source rows are independent inserts, never " +
+      "duplicates — the equi-join can't match them (ADVICE r06: the " +
+      "guard used to raise on a changeset with two null-key inserts)") {
+    val target = Seq((Some(1L), "a")).toDF("id", "v")
+    // two all-null-key rows + one normal update: must NOT raise
+    val s = Seq((None, "n1"), (None, "n2"), (Some(1L), "x"))
+      .toDF("id", "v")
+    val out = Merge.mergeInto(target, s, Seq("id"))
+      .as[(Option[Long], String)].collect().toSeq
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    // both null-key rows inserted; the matched key updated
+    assert(out == Seq((None, "n1"), (None, "n2"), (Some(1L), "x")))
+    // duplicate NON-null keys still raise
+    val e = intercept[Exception] {
+      Merge.mergeInto(target,
+        Seq((Some(2L), "p"), (Some(2L), "q")).toDF("id", "v"),
+        Seq("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple source rows")))
+  }
+
   test("mergeInto's deleteWhen may reference source-only columns (the " +
       "CDC op marker), which never leak into the output") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -66,6 +66,21 @@ def main():
     if diff.returncode not in (0, 1):
         sys.exit(f"plan_diff failed ({diff.returncode}): {diff.stderr}")
     lines += [diff.stdout.strip(), "```", ""]
+    # approximation-quality + store-latency trends, when the per-round
+    # artifacts exist (QualityProbe / StoreBench)
+    try:
+        d = json.load(open("QUALITY.json"))
+        lines += [f"QUALITY.json: recall_at_20={d['recall_at_20']}, "
+                  f"hll_max_rel_err={d['hll_max_rel_err']}", ""]
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+    try:
+        d = json.load(open("BENCH_STORE.json"))
+        lines += [f"BENCH_STORE.json: append_p95_ms="
+                  f"{d['append']['p95_ms']}, "
+                  f"read_p95_ms={d['read']['p95_ms']}", ""]
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
     open(out, "w").write("\n".join(lines) + "\n")
     print(f"wrote {out}")
 

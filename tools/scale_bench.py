@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
 """Scale-up bench harness: run graft.Bench at sf0.1 and at the synthetic
-sf1 (10x replicated, key-remapped — see graft.ScaleUp), then compare
+sf1 (FACTOR x replicated, key-remapped — see graft.ScaleUp), then compare
 per-query wall times normalized by the replication factor. A query whose
 sf1 time exceeds factor * sf0.1 time by more than the threshold has
 super-linear behavior the fixtures couldn't see (shuffle blowup, skew,
 driver bottleneck).
+
+The heaviest queries get a THIRD measured point at a mid scale
+(FMID ~ sqrt(FACTOR)), so the t = a*n + b*n^2 fit is least-squares over
+three points instead of exactly determined from two — noise in either
+endpoint no longer lands entirely in the quadratic term (r06 verdict
+item 4).
 
 Usage: python3 tools/scale_bench.py [factor] [threshold]
 Writes SCALEBENCH.json next to the repo root.
@@ -16,8 +22,18 @@ import sys
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 THRESHOLD = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+if FACTOR < 2:
+    raise SystemExit("factor must be >= 2: the a*n + b*n^2 fit needs two "
+                     "distinct scales (and FACTOR=1 would divide by zero)")
+# Mid-scale third point for the heaviest queries (3 when FACTOR=10).
+FMID = max(2, round(FACTOR ** 0.5)) if FACTOR > 3 else None
+# Extrapolation scale derived from FACTOR, not a literal: one factor
+# beyond the measured range (100x when FACTOR=10).
+EXTRAP = FACTOR * FACTOR
+N_HEAVY = 10
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
+SFMID = "/tmp/graft-sfmid"
 # r06: empty — q37 (the one O(n^2)-by-design exclusion) now runs the
 # LSH-candidates + rerank plan and is gated like everything else.
 EXCLUDE = set()
@@ -44,15 +60,48 @@ def bench(sf_dir, only=None):
 def bench_only(sf_dir, query):
     return bench(sf_dir, only=query)["queries"][query]
 
+def gen_scaled(path, factor):
+    if os.path.exists(os.path.join(path, "lineitem.parquet")):
+        return
+    print(f"generating {path} (factor {factor}) ...")
+    r = run(f'sbt -batch "runMain graft.ScaleUp {SF01} {path} {factor}"')
+    if r.returncode != 0:
+        raise SystemExit(f"ScaleUp failed:\n{r.stderr[-3000:]}")
+
+def quad_fit(pts):
+    """Least-squares fit of t = a*n + b*n^2 (through the origin) over
+    (n, t) points, clamped to a, b >= 0. Exactly determined for two
+    points, overdetermined least-squares for three or more."""
+    s2 = sum(n * n for n, _ in pts)
+    s3 = sum(n ** 3 for n, _ in pts)
+    s4 = sum(n ** 4 for n, _ in pts)
+    st1 = sum(n * t for n, t in pts)
+    st2 = sum(n * n * t for n, t in pts)
+    det = s2 * s4 - s3 * s3
+    if det <= 0:
+        return (st1 / s2 if s2 else 0.0), 0.0
+    a = (st1 * s4 - st2 * s3) / det
+    b = (s2 * st2 - s3 * st1) / det
+    if b < 0:
+        b, a = 0.0, st1 / s2
+    elif a < 0:
+        a, b = 0.0, st2 / s4
+    return a, b
+
+def extrap_ratio(pts):
+    """Per-row ratio of the fitted curve at scale EXTRAP vs linear
+    scaling of the n=1 measurement."""
+    t1 = dict(pts).get(1)
+    if not t1 or t1 <= 0:
+        return 0.0
+    a, b = quad_fit(pts)
+    return (a * EXTRAP + b * EXTRAP * EXTRAP) / (EXTRAP * t1)
+
 def main():
-    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
-        print(f"generating {SF1} (factor {FACTOR}) ...")
-        r = run(f'sbt -batch "runMain graft.ScaleUp {SF01} {SF1} {FACTOR}"')
-        if r.returncode != 0:
-            raise SystemExit(f"ScaleUp failed:\n{r.stderr[-3000:]}")
+    gen_scaled(SF1, FACTOR)
     print("bench @ sf0.1 ...")
     b01 = bench(SF01)
-    print("bench @ sf1 ...")
+    print(f"bench @ sf1 (factor {FACTOR}) ...")
     b1 = bench(SF1)
     rows = []
     flagged = []
@@ -68,28 +117,42 @@ def main():
                      "gated": q not in EXCLUDE})
         if q not in EXCLUDE and ratio > THRESHOLD:
             flagged.append(q)
-    # Factor-100 extrapolation (r05: q37 hid a quadratic under the
-    # factor-10 gate at per-row 1.856 < 2.0). Fit t = a*n + b*n^2 from
-    # the two measured points: b*n^2 = (t10 - FACTOR*t1) / (FACTOR^2 -
-    # FACTOR); a 100x per-row ratio of a*100n + b*(100n)^2 over 100*t1
-    # then exposes any quadratic term long before it wins at factor 10.
-    # Fixed per-query overhead deflates b (conservative), so apply it
-    # only to queries heavy enough (>= 1s at sf1) that overhead noise
-    # doesn't dominate the fit.
+    # Third measured point for the heaviest gated queries: one bench run
+    # at the mid scale, so their a*n + b*n^2 fit is least-squares over
+    # three points (noise in one measurement no longer lands entirely in
+    # the quadratic term).
+    mid_times = {}
+    if FMID:
+        heavy = sorted(
+            (r_ for r_ in rows if r_["gated"] and r_["sf1_s"] >= 1.0),
+            key=lambda r_: -r_["sf1_s"])[:N_HEAVY]
+        if heavy:
+            gen_scaled(SFMID, FMID)
+            names = ",".join(r_["query"] for r_ in heavy)
+            print(f"bench @ sfmid (factor {FMID}) for heaviest "
+                  f"{len(heavy)}: {names} ...")
+            mid_times = bench(SFMID, only=names)["queries"]
+    # Extrapolation one factor beyond the measured range (r05: q37 hid a
+    # quadratic under the factor-10 gate at per-row 1.856 < 2.0). Fixed
+    # per-query overhead deflates b (conservative), so apply it only to
+    # queries heavy enough (>= 1s at sf1) that overhead noise doesn't
+    # dominate the fit.
     for r_ in rows:
-        q, t1, t10 = r_["query"], r_["sf0.1_s"], r_["sf1_s"]
-        if t10 < 1.0 or t1 <= 0:
+        q, t01, t1 = r_["query"], r_["sf0.1_s"], r_["sf1_s"]
+        if t1 < 1.0 or t01 <= 0:
             continue
-        bn2 = max(0.0, (t10 - FACTOR * t1) / (FACTOR * FACTOR - FACTOR))
-        an = max(0.0, t1 - bn2)
-        t100 = 100 * an + 100 * 100 * bn2
-        ratio100 = t100 / (100 * t1)
-        r_["extrapolated_100x_per_row_ratio"] = round(ratio100, 3)
-        if q not in EXCLUDE and ratio100 > THRESHOLD and q not in flagged:
+        pts = [(1, t01), (FACTOR, t1)]
+        if q in mid_times:
+            r_["sfmid_s"] = round(mid_times[q], 3)
+            pts.append((FMID, mid_times[q]))
+        ratio_x = extrap_ratio(pts)
+        r_["extrapolated_100x_per_row_ratio"] = round(ratio_x, 3)
+        r_["fit_points"] = len(pts)
+        if q not in EXCLUDE and ratio_x > THRESHOLD and q not in flagged:
             flagged.append(q)
     # Concurrent-suite per-query times are noisy for sub-second queries
     # (driver planning overlap), so re-measure every flagged query
-    # ISOLATED at both SFs and keep the flag only if it reproduces.
+    # ISOLATED at each SF and keep the flag only if it reproduces.
     confirmed = []
     for q in flagged:
         print(f"re-measuring {q} isolated ...")
@@ -97,25 +160,27 @@ def main():
         t1 = bench_only(SF1, q)
         ratio = t1 / (t01 * FACTOR) if t01 > 0 else 0.0
         # recompute the extrapolation from the isolated numbers too, so
-        # a query flagged by the 100x fit isn't auto-cleared by a clean
-        # factor-10 ratio (that's exactly how q37 hid)
-        bn2 = max(0.0, (t1 - FACTOR * t01) / (FACTOR * FACTOR - FACTOR))
-        an = max(0.0, t01 - bn2)
-        ratio100 = ((100 * an + 10000 * bn2) / (100 * t01)
-                    if t01 > 0 else 0.0)
+        # a query flagged by the fit isn't auto-cleared by a clean
+        # factor-10 ratio (that's exactly how q37 hid); give the
+        # isolated fit the mid point as well when the dir exists
+        pts = [(1, t01), (FACTOR, t1)]
+        if FMID and os.path.exists(os.path.join(SFMID, "lineitem.parquet")):
+            pts.append((FMID, bench_only(SFMID, q)))
+        ratio_x = extrap_ratio(pts)
         for r_ in rows:
             if r_["query"] == q:
                 r_["isolated_sf0.1_s"] = round(t01, 3)
                 r_["isolated_sf1_s"] = round(t1, 3)
                 r_["isolated_per_row_ratio"] = round(ratio, 3)
-                r_["isolated_100x_per_row_ratio"] = round(ratio100, 3)
-        if ratio > THRESHOLD or (t1 >= 1.0 and ratio100 > THRESHOLD):
+                r_["isolated_100x_per_row_ratio"] = round(ratio_x, 3)
+        if ratio > THRESHOLD or (t1 >= 1.0 and ratio_x > THRESHOLD):
             confirmed.append(q)
         else:
             print(f"  {q}: isolated per-row ratio {ratio:.2f} "
-                  f"(100x fit {ratio100:.2f}) — noise, flag cleared")
+                  f"({EXTRAP}x fit {ratio_x:.2f}) — noise, flag cleared")
     flagged = confirmed
-    out = {"factor": FACTOR, "threshold": THRESHOLD,
+    out = {"factor": FACTOR, "mid_factor": FMID, "extrap_factor": EXTRAP,
+           "threshold": THRESHOLD,
            "total_sf0.1_s": round(b01["value"], 2),
            "total_sf1_s": round(b1["value"], 2),
            "flagged_superlinear": flagged, "queries": rows}
