@@ -37,6 +37,19 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
 
+  /** One-time per-executor-JVM ImageIO configuration. The JDK defaults
+    * `ImageIO.setUseCache(true)`, which backs EVERY
+    * read/write/createImage{Input,Output}Stream with a disk temp file —
+    * at one encode plus one decode per row that is two temp-file
+    * create/delete syscall pairs per record, and it dominated q87's
+    * cost (and leaked tmp churn). In-memory payloads never need disk
+    * spill; referencing this object inside a mapPartitions closure runs
+    * the init exactly once per executor classloader. */
+  private object CodecInit {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+  @inline private def ensureCodecInit(): Unit = CodecInit
+
   case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, features: Array[Float])
 
@@ -108,6 +121,7 @@ object Multimodal {
   def syntheticImageTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ensureCodecInit()
       ids.map { id =>
         val img = new java.awt.image.BufferedImage(8, 8,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -138,6 +152,7 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      ensureCodecInit()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
@@ -269,6 +284,7 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      ensureCodecInit()
       rows.map { r =>
         if (r.meta.kind != "image") r
         else {
@@ -340,15 +356,18 @@ object Multimodal {
   def syntheticVideoTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      // Palette + color model built once per partition (codec-handle
-      // reuse — the partition-batch win).
+      ensureCodecInit()
+      // Palette, color model, writer and a reusable frame buffer built
+      // once per partition (codec-handle reuse — the partition-batch
+      // win; the per-row registry lookup alone was measurable at 5k
+      // rows). setOutput resets the writer's sequence state per row.
       val (pr, pg, pb) = gifPalette
       val icm = new java.awt.image.IndexColorModel(8, 256, pr, pg, pb)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       ids.map { id =>
         val nf = (id % 5 + 2).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        val writer =
-          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         try {
           writer.setOutput(ios)
@@ -374,9 +393,8 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-        } finally {
-          ios.close(); writer.dispose()
-        }
+        } finally ios.close() // writer is partition-shared, not disposed
+
         MediaRow(id, bos.toByteArray,
           MediaMeta("video", 8, 8, nf, 0, "image/gif"))
       }
@@ -397,33 +415,36 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(stride >= 1, s"stride must be >= 1, got $stride")
     media.mapPartitions { rows =>
+      ensureCodecInit()
+      // One reader per partition: setInput fully resets its state per
+      // row, and the registry lookup is not free at corpus row counts.
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
         if (r.meta.kind != "video") Iterator.empty
         else {
-          val reader =
-            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-          try {
-            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(r.payload)))
-            val n = reader.getNumImages(true)
-            (0 until n by stride).map { f =>
-              val img = reader.read(f)
-              val w = img.getWidth; val h = img.getHeight
-              var rs = 0L; var gs = 0L; var bs = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff
-                  bs += p & 0xff
-                  x += 1
-                }
-                y += 1
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload)))
+          val n = reader.getNumImages(true)
+          // Materialized eagerly: the rows must be produced while this
+          // row's payload is still the reader's input.
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff
+                bs += p & 0xff
+                x += 1
               }
-              FrameRow(r.media_id, f, w, h, rs, gs, bs)
+              y += 1
             }
-          } finally reader.dispose()
+            FrameRow(r.media_id, f, w, h, rs, gs, bs)
+          }
         }
       }
     }

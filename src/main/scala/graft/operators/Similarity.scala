@@ -70,11 +70,41 @@ object Similarity {
 
   // ----------------------------------------------------------------- LSH
 
+  /** Query-directed multi-probe bucket order (multi-probe LSH, Lv et
+    * al. VLDB'07): rank every candidate bucket by the summed
+    * perpendicular distance of the query to each plane whose bit the
+    * bucket flips. Flipping a bit the query barely cleared is far
+    * likelier to recover a true neighbor than flipping a confident one
+    * — hamming-only ordering treats those the same, and on
+    * near-isotropic embeddings (no cluster structure, LSH's hardest
+    * case) the margin weighting is where the probe budget's recall
+    * comes from. The query's own bucket scores 0, so it is always
+    * probed first; ties break by bucket id for determinism. */
+  private[graft] def probeOrder(qVec: Seq[Double],
+      planes: Seq[Seq[Double]], qBucket: Long, probes: Int): Seq[Long] = {
+    val nb = planes.size
+    val margins = planes.map { p =>
+      val n = math.sqrt(p.iterator.map(x => x * x).sum)
+      math.abs(p.iterator.zip(qVec.iterator)
+        .map { case (a, b) => a * b }.sum) / n
+    }.toArray
+    (0L until (1L << nb)).sortBy { b =>
+      val diff = b ^ qBucket
+      var s = 0.0
+      var i = 0
+      while (i < nb) {
+        if (((diff >> i) & 1L) != 0L) s += margins(i)
+        i += 1
+      }
+      (s, b)
+    }.take(probes)
+  }
+
   /** LSH-bucketed ANN top-k for one stored query vector: probe the
-    * `probes` buckets nearest to the query's signature by hamming
-    * distance (the query's own bucket is at distance 0, so it is always
-    * probed first), rerank exactly within the probed set. Recall rises
-    * with `probes`; cost is the probed buckets' rows instead of n. */
+    * `probes` buckets in query-directed multi-probe order (see
+    * [[probeOrder]]), rerank exactly within the probed set. Recall
+    * rises with `probes`; cost is the probed buckets' rows instead
+    * of n. */
   def lshTopKForId(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numPlanes: Int = 8, dim: Int = 64,
       probes: Int = 8): DataFrame = {
@@ -87,11 +117,8 @@ object Similarity {
     val qRow = sig.filter(col(idCol) === queryId)
       .select(col(vecCol), col("bucket")).head()
     val qBucket = qRow.getLong(1)
-    // the `probes` nearest of the 2^planes signatures by hamming
-    // distance (ties broken by bucket id for determinism)
-    val probed = (0L until (1L << numPlanes))
-      .sortBy(b => (java.lang.Long.bitCount(b ^ qBucket), b))
-      .take(probes)
+    val qVec = qRow.getSeq[Float](0).map(_.toDouble)
+    val probed = probeOrder(qVec, planes, qBucket, probes)
     val q = sig.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"))
     sig.filter(col("bucket").isInCollection(probed))
@@ -136,8 +163,9 @@ object Similarity {
       .parquet(s"$indexDir/buckets")
   }
 
-  /** Probe a persisted LSH index with a literal query vector: reads only
-    * the `probes` hamming-nearest bucket partitions, reranks exactly. */
+  /** Probe a persisted LSH index with a literal query vector: reads
+    * only the `probes` bucket partitions first in query-directed
+    * multi-probe order (see [[probeOrder]]), reranks exactly. */
   def lshProbe(spark: SparkSession, indexDir: String,
       queryVec: Seq[Float], k: Int, probes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -153,9 +181,8 @@ object Similarity {
         .map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
-    val probed = (0L until (1L << numPlanes))
-      .sortBy(b => (java.lang.Long.bitCount(b ^ qBucket), b))
-      .take(probes)
+    val probed =
+      probeOrder(queryVec.map(_.toDouble), planes, qBucket, probes)
     val qv = typedlit(queryVec)
     val idx = withoutTombstones(
       spark.read.parquet(s"$indexDir/buckets")

@@ -104,6 +104,29 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
+  test("multi-probe order: own bucket first, full budget covers every " +
+      "bucket, and low-margin flips probe before high-margin flips") {
+    // plane 0 nearly orthogonal to q (tiny margin), plane 1 aligned
+    // (huge margin): flipping bit 0 must rank before flipping bit 1
+    val planes = Seq(Seq(0.01, 1.0), Seq(1.0, 0.01))
+    val q = Seq(1.0, 0.0)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(q).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+    }.sum
+    val order = Similarity.probeOrder(q, planes, sig, probes = 4)
+    assert(order.head == sig, "own bucket must be probed first")
+    assert(order.toSet == (0L until 4L).toSet,
+      "full budget must enumerate every bucket exactly once")
+    // next after the own bucket: the single-bit flip of the SMALLEST
+    // margin plane (plane 0), then plane 1's flip, then both
+    assert(order(1) == (sig ^ 1L),
+      s"expected low-margin flip ${sig ^ 1L} second, got ${order(1)}")
+    assert(order(2) == (sig ^ 2L))
+    assert(order(3) == (sig ^ 3L))
+    // deterministic across calls
+    assert(order == Similarity.probeOrder(q, planes, sig, probes = 4))
+  }
+
   test("persisted IVF index: probe reads only the probed list " +
       "partitions and full probe equals brute force") {
     import org.apache.spark.sql.execution.FileSourceScanExec
