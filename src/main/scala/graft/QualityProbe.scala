@@ -48,6 +48,21 @@ object QualityProbe {
     }
     val meanRecall = perQuery.map(_._2).sum / perQuery.size
 
+    // --- IVF recall@20 at a 2-of-8-lists budget ---------------------
+    // q51's gate probes every list (provably exact), so the budgeted
+    // behavior — the 100 TB operating point, where a probe reads
+    // nProbes/nLists of the data — is what needs a recorded trend.
+    val ivfPerQuery = queryIds.map { qid =>
+      val ann = operators.Similarity.ivfTopKForId(emb, "embedding",
+          "vec_id", queryId = qid, k = k, nLists = 8, nProbes = 2)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val brute = operators.Similarity.topKForId(emb, "embedding",
+          "vec_id", qid, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (ann & brute).size.toDouble / k
+    }
+    val ivfMeanRecall = ivfPerQuery.map(_._2).sum / ivfPerQuery.size
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -65,6 +80,10 @@ object QualityProbe {
       s"""{"sf":"$sfDir","recall_at_20":${s3(meanRecall)},""" +
         s""""probes":64,"buckets":256,"k":$k,""" +
         s""""per_query":{${perQuery.map { case (q, r) =>
+          s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
+        s""""ivf_recall_at_20":${s3(ivfMeanRecall)},""" +
+        s""""ivf_probes":2,"ivf_lists":8,""" +
+        s""""ivf_per_query":{${ivfPerQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
         s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>
