@@ -185,6 +185,63 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * standard first-pass image near-dup signal in training-data
+    * pipelines: bit i is set iff pixel i's gray value is above the
+    * image mean, so re-encodes, metadata changes and slight noise
+    * produce hashes within small hamming distance while distinct
+    * images are ~random 64-bit values. Emitted as two 32-bit halves
+    * (`ahash_lo` bits 0–31 row-major, `ahash_hi` bits 32–63) — no
+    * 1<<63 sign-bit arithmetic anywhere, which keeps the value
+    * portable across engines — plus `n_bright`, the popcount. All
+    * integer arithmetic: gray = r+g+b (no /3 — monotone-equivalent)
+    * and the bit test is gray·(w·h) > Σgray, exact in 64-bit. Exact
+    * dups group on (ahash_lo, ahash_hi); near-dups compose with the
+    * SimHash pigeonhole band join (Dedup) over the same bits.
+    * Partition-batched decode, no shuffle — at 100 TB this is one
+    * codegen-adjacent scan stage. Full-size images go through the
+    * pixel-real [[resize]] to 8×8 first (the standard aHash pipeline);
+    * pixels beyond the first 64 contribute to the mean and `n_bright`
+    * but not the packed bits. */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      ensureCodecInit()
+      rows.filter(_.meta.kind == "image").map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for ${r.media_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val n = w * h
+        val gray = new Array[Long](n)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            gray(y * w + x) = g.toLong
+            total += g
+            x += 1
+          }
+          y += 1
+        }
+        var lo = 0L; var hi = 0L; var nb = 0L
+        var i = 0
+        while (i < n) {
+          if (gray(i) * n > total) {
+            nb += 1
+            if (i < 32) lo |= 1L << i
+            else if (i < 64) hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (r.media_id, lo, hi, nb)
+      }
+    }.toDF("media_id", "ahash_lo", "ahash_hi", "n_bright")
+  }
+
   /** Synthetic table of REAL audio: deterministic 0.1s 16-bit mono PCM
     * WAV clips (SQUARE waves — frequency and amplitude derived from
     * media_id) written with the JDK's javax.sound.sampled, so audio

@@ -237,7 +237,41 @@ object MultimodalQueries {
          CAST(sum((idx * 73) & 255) AS BIGINT) AS sum_b
        FROM px GROUP BY 1, 2"""
 
+  /** q88: perceptual average-hash over REAL decoded pixels — the
+    * image near-dup fingerprint. ORACLE-EXACT by the q53 trick: the
+    * synthetic pixels are pure integer bit-arithmetic from doc_id, and
+    * aHash itself is all-integer (gray = r+g+b, bit = gray·64 > Σgray,
+    * bits packed as two 32-bit halves so no engine disagrees about the
+    * sign bit), so DuckDB recomputes every hash analytically while
+    * Spark derives it from the actual PNG bytes through the actual
+    * codec. Any pixel misread, channel swap, bit-order or threshold
+    * bug flips a packed bit and fails the hash compare. */
+  val q88_image_ahash: Q = (s, d) =>
+    Multimodal.imageAHash(
+      Multimodal.syntheticImageTable(Tables.documents(s, d)))
+
+  val q88_oracle: String =
+    """WITH px AS (
+         SELECT doc_id, idx,
+           ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+         FROM (SELECT d.doc_id, y.i * 8 + x.i AS idx,
+                 ((d.doc_id * 2654435761 + x.i * 31 + y.i * 131)
+                   & 16777215) AS v
+               FROM documents d, range(0, 8) x(i), range(0, 8) y(i))),
+       tot AS (SELECT doc_id, sum(gray) AS total FROM px GROUP BY 1)
+       SELECT p.doc_id AS media_id,
+         CAST(sum(CASE WHEN p.idx < 32 AND p.gray * 64 > t.total
+           THEN 1::BIGINT << p.idx ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(sum(CASE WHEN p.idx >= 32 AND p.gray * 64 > t.total
+           THEN 1::BIGINT << (p.idx - 32) ELSE 0 END) AS BIGINT)
+           AS ahash_hi,
+         CAST(sum(CASE WHEN p.gray * 64 > t.total THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_bright
+       FROM px p JOIN tot t USING (doc_id)
+       GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q88_image_ahash" -> q88_image_ahash,
     "q87_video_decode" -> q87_video_decode,
     "q58_audio_decode" -> q58_audio_decode,
     "q53_image_decode" -> q53_image_decode,
@@ -246,6 +280,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q88_image_ahash" -> q88_oracle,
     "q41_media_meta" -> q41_oracle,
     "q42_frame_sample" -> q42_oracle,
     "q43_media_features" -> q43_oracle,

@@ -57,6 +57,37 @@ class MultimodalSpec extends SparkSuite {
       a.features.sameElements(b.features) })
   }
 
+  test("imageAHash: bits match an analytic recompute from the pixel " +
+      "formula, popcount consistent, identical payloads hash equal") {
+    val imgs = Multimodal.syntheticImageTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val rows = Multimodal.imageAHash(imgs)
+      .orderBy("media_id").limit(8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      // recompute from the generator's pixel formula, bypassing the
+      // codec entirely — agreement pins the PNG roundtrip bit-exact
+      val gray = (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val v = (id * 2654435761L + x * 31 + y * 131) & 0xffffff
+        ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+      }).toArray
+      val total = gray.map(_.toLong).sum
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 64 if gray(i) * 64L > total)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert(r.getAs[Long]("ahash_lo") == lo, s"lo mismatch for $id")
+      assert(r.getAs[Long]("ahash_hi") == hi, s"hi mismatch for $id")
+      assert(r.getAs[Long]("n_bright") ==
+        java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
+    }
+    // duplicate payloads (the dedup use case) hash identically
+    val dup = imgs.limit(3)
+    val h1 = Multimodal.imageAHash(dup).orderBy("media_id").collect()
+    val h2 = Multimodal.imageAHash(dup).orderBy("media_id").collect()
+    assert(h1.map(_.toSeq).toSeq == h2.map(_.toSeq).toSeq)
+  }
+
   test("real WAV roundtrip: AudioSystem-decoded sample count and rate " +
       "match metadata; square-wave RMS and zero-crossing count are " +
       "EXACT (the integer arithmetic the q58 oracle recomputes)") {
