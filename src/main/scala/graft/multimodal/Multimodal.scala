@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * arrow-batched mapInPandas), feature schema `array<float>` compatible
   * with the similarity operators. Codecs: IMAGE decode and resize are
   * real (JDK ImageIO), AUDIO decode is real (javax.sound WAV, with a
-  * raw-PCM fallback), VIDEO frame decode is real for animated-GIF
-  * containers (ImageIO's multi-frame reader — the one video container
-  * with a pure-JVM codec; see [[decodeVideoFrames]]). Containers with
+  * raw-PCM fallback), VIDEO frame decode is real for two containers:
+  * animated GIF (ImageIO's multi-frame reader; see
+  * [[decodeVideoFrames]]) and AVI/RIFF (hand-walked chunk parser with
+  * uncompressed-DIB and MJPG codecs; see [[Avi]]). Containers with
   * no in-environment codec (MP4/H.264 — no ffmpeg on the classpath and
   * no egress to fetch one) get the honest byte-level fingerprint of
   * [[byteFeatures]] rather than a pretend decode.
@@ -48,7 +49,7 @@ object Multimodal {
   private object CodecInit {
     javax.imageio.ImageIO.setUseCache(false)
   }
-  @inline private def ensureCodecInit(): Unit = CodecInit
+  @inline private[multimodal] def ensureCodecInit(): Unit = CodecInit
 
   case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, features: Array[Float])
@@ -479,30 +480,63 @@ object Multimodal {
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
         if (r.meta.kind != "video") Iterator.empty
-        else {
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload)))
-          val n = reader.getNumImages(true)
-          // Materialized eagerly: the rows must be produced while this
-          // row's payload is still the reader's input.
-          (0 until n by stride).map { f =>
-            val img = reader.read(f)
-            val w = img.getWidth; val h = img.getHeight
-            var rs = 0L; var gs = 0L; var bs = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff
-                bs += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            FrameRow(r.media_id, f, w, h, rs, gs, bs)
-          }
+        else gifFrames(reader, r.media_id, r.payload, stride)
+      }
+    }
+  }
+
+  /** Per-row GIF frame decode against a partition-shared reader. */
+  private def gifFrames(reader: javax.imageio.ImageReader, id: Long,
+      payload: Array[Byte], stride: Int): Seq[FrameRow] = {
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    val n = reader.getNumImages(true)
+    // Materialized eagerly: the rows must be produced while this
+    // row's payload is still the reader's input.
+    (0 until n by stride).map { f =>
+      val img = reader.read(f)
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff
+          bs += p & 0xff
+          x += 1
         }
+        y += 1
+      }
+      FrameRow(id, f, w, h, rs, gs, bs)
+    }
+  }
+
+  /** Container-AGNOSTIC frame decode: sniff each payload's magic bytes
+    * and route to the matching real codec — `GIF8` → the ImageIO
+    * multi-frame reader, `RIFF…AVI ` → the [[Avi]] chunk walker. Real
+    * corpora mix containers within one binary column; this is the
+    * operator a pipeline actually calls, with the per-container decoders
+    * remaining available for homogeneous tables. Unknown containers are
+    * skipped (they belong to [[byteFeatures]]), not faked. One pass,
+    * per-row dispatch, no shuffle. */
+  def decodeFrames(media: Dataset[MediaRow], stride: Int)
+      : Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.mapPartitions { rows =>
+      ensureCodecInit()
+      lazy val gifReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val p = r.payload
+        if (r.meta.kind != "video" || p.length < 12) Iterator.empty
+        else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+          gifFrames(gifReader, r.media_id, p, stride).iterator
+        else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+            p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I')
+          Avi.frames(r.media_id, p, stride)
+        else Iterator.empty
       }
     }
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Avi, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -270,7 +270,45 @@ object MultimodalQueries {
        FROM px p JOIN tot t USING (doc_id)
        GROUP BY 1"""
 
+  /** q89: REAL AVI container decode — the second genuine video path
+    * (RIFF walk: avih/strh/strf headers, movi frame chunks, idx1),
+    * with uncompressed BI_RGB frames so the decode is lossless and the
+    * oracle analytic. Frames are 6×6 (an 18-byte pixel row padded to a
+    * 20-byte DIB stride — the gate exercises row padding), bottom-up
+    * BGR, pixel u = (id·1099087573 + 769f + 37x + 101y) mod 256 with
+    * R=u, G=255−u, B=73u mod 256; stride-2 sampling. A header misparse,
+    * stride bug, BGR/RGB swap, row-order flip, or chunk-walk error
+    * flips an integer and fails the hash. MJPG (lossy) is spec-gated
+    * in AviSpec instead. */
+  val q89_avi_frames: Q = (s, d) => {
+    val frames = Avi.decodeAviFrames(
+      Avi.syntheticAviTable(Tables.documents(s, d)), stride = 2)
+    frames.select(
+      col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("frame_w").cast("long").as("frame_w"),
+      col("frame_h").cast("long").as("frame_h"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  val q89_oracle: String =
+    """WITH f AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nf
+         FROM documents),
+       fr AS (SELECT doc_id, CAST(t.i AS INT) AS frame_idx
+         FROM f, unnest(range(0, nf, 2)) AS t(i)),
+       px AS (SELECT doc_id, frame_idx,
+           ((doc_id * 1099087573 + frame_idx * 769 + x.i * 37 + y.i * 101)
+             & 255) AS u
+         FROM fr, range(0, 6) AS x(i), range(0, 6) AS y(i))
+       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(6 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
+         CAST(sum(u) AS BIGINT) AS sum_r,
+         CAST(sum(255 - u) AS BIGINT) AS sum_g,
+         CAST(sum((u * 73) & 255) AS BIGINT) AS sum_b
+       FROM px GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q89_avi_frames" -> q89_avi_frames,
     "q88_image_ahash" -> q88_image_ahash,
     "q87_video_decode" -> q87_video_decode,
     "q58_audio_decode" -> q58_audio_decode,
@@ -280,6 +318,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q89_avi_frames" -> q89_oracle,
     "q88_image_ahash" -> q88_oracle,
     "q41_media_meta" -> q41_oracle,
     "q42_frame_sample" -> q42_oracle,
