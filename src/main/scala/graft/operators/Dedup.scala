@@ -412,4 +412,78 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Cross-document repeated-substring spans — SUBSTRING-level exact
+    * dedup (the ExactSubstr construction of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * re-expressed Spark-first. A monolithic suffix array does not
+    * distribute; the equivalent inverted-index formulation does: every
+    * overlapping k-token window is a key, windows whose gram occurs in
+    * ≥ minDocs distinct documents are duplicated regions, and
+    * overlapping flagged windows merge into maximal spans with one
+    * gaps-and-islands window pass. Output one row per maximal span:
+    * (doc_id, span_start, span_end, n_windows), token positions
+    * inclusive.
+    *
+    * Scale: one shuffle keyed by gram for the distinct-doc count
+    * (map-side partial agg), a semi join back on the same key, then a
+    * doc_id-partitioned window whose exchange the final aggregate
+    * reuses. At 100 TB, swap the gram join key for md5(gram)
+    * (engine-portable, fixed 16 bytes) to cut shuffle width, and cap
+    * pathological grams (boilerplate that appears in millions of docs)
+    * with the same frequency guard as [[jaccardPairs]]; the string key
+    * here keeps the operator collision-free and oracle-exact. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    require(minDocs >= 2, s"minDocs below 2 flags every window: $minDocs")
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(shingles(col(textCol), k)).as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val flagged = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // a window starts a new island iff it does not overlap the previous
+    // flagged window: pos > prev_pos + k - 1
+    flagged
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + (k - 1)), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
+  /** Scrub the corpus of [[repeatedSpans]] regions: drop every token
+    * inside a repeated span and rejoin the survivors — the remove step
+    * of substring-level dedup. Output (doc_id, clean_text, n_kept);
+    * documents whose every token sat in a repeated span disappear
+    * (nothing left to keep), mirroring the drop-empty behavior of
+    * pipeline scrubbers. Spans are disjoint per document by
+    * construction, so the containment join multiplies nothing. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minDocs)
+      .select(col("doc_id").as("s_doc"), col("span_start"),
+        col("span_end"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks.join(spans,
+        toks("doc_id") === spans("s_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

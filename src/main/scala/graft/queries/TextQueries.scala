@@ -694,7 +694,72 @@ object TextQueries {
                            ELSE 429496729 END
        GROUP BY lang"""
 
+  /** q90: substring-level dedup spans — ExactSubstr (Lee et al.
+    * arXiv:2107.06499) as a distributed inverted-index op: 5-token
+    * windows shared by ≥2 documents, merged into maximal per-doc spans.
+    * Plan: gram-keyed agg + semi join, then one doc_id exchange shared
+    * by the islands window and the span aggregate. */
+  val q90_repeated_spans: Q = (s, d) =>
+    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+      k = 5, minDocs = 2)
+
+  val q90_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+         FROM documents),
+       g AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos,
+           array_to_string(list_slice(a, u.i, u.i + 4), ' ') AS gram
+         FROM t, unnest(range(1, greatest(len(a) - 3, 1))) u(i)),
+       dup AS (SELECT gram FROM g GROUP BY gram
+         HAVING count(DISTINCT doc_id) >= 2),
+       f AS (SELECT doc_id, pos FROM g
+         WHERE gram IN (SELECT gram FROM dup)),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos > lag(pos) OVER w + 4 THEN 1 ELSE 0 END AS brk
+         FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       i AS (SELECT doc_id, pos, sum(brk) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 4 AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+       FROM i GROUP BY doc_id, grp"""
+
+  /** q91: the remove step of substring-level dedup — drop every token
+    * inside a q90 span, rejoin survivors per document. */
+  val q91_span_scrub: Q = (s, d) =>
+    Dedup.scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+      k = 5, minDocs = 2)
+
+  val q91_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+         FROM documents),
+       g AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos,
+           array_to_string(list_slice(a, u.i, u.i + 4), ' ') AS gram
+         FROM t, unnest(range(1, greatest(len(a) - 3, 1))) u(i)),
+       dup AS (SELECT gram FROM g GROUP BY gram
+         HAVING count(DISTINCT doc_id) >= 2),
+       f AS (SELECT doc_id, pos FROM g
+         WHERE gram IN (SELECT gram FROM dup)),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos > lag(pos) OVER w + 4 THEN 1 ELSE 0 END AS brk
+         FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       i AS (SELECT doc_id, pos, sum(brk) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+       spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 4 AS s1
+         FROM i GROUP BY doc_id, grp),
+       tok AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, a[u.i] AS tok
+         FROM t, unnest(range(1, len(a) + 1)) u(i)),
+       kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+           WHERE s.doc_id = tk.doc_id AND tk.pos BETWEEN s.s0 AND s.s1))
+       SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY doc_id"""
+
   val all: Map[String, Q] = Map(
+    "q90_repeated_spans" -> q90_repeated_spans,
+    "q91_span_scrub" -> q91_span_scrub,
     "q86_weighted_mix" -> q86_weighted_mix,
     "q84_chunk_tokens" -> q84_chunk_tokens,
     "q82_incremental_dedup" -> q82_incremental_dedup,
@@ -721,6 +786,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q90_repeated_spans" -> q90_oracle,
+    "q91_span_scrub" -> q91_oracle,
     "q34_rolling_fingerprint" -> q34_oracle,
     "q86_weighted_mix" -> q86_oracle,
     "q84_chunk_tokens" -> q84_oracle,

@@ -247,6 +247,54 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("repeatedSpans finds cross-doc shared windows and merges them " +
+      "into maximal disjoint spans; scrub removes exactly those tokens") {
+    import spark.implicits._
+    // two docs sharing an 8-token run (two overlapping flagged 5-gram
+    // islands merge into ONE span), plus an unrelated doc
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = s"a0 a1 $shared a2 a3"
+    val b = s"b0 $shared b1 b2 b3"
+    val c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    // one maximal span per sharing doc, none for the unrelated doc
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // doc 1: shared run sits at token positions 2..9 (4 windows)
+    assert(spans(0).getLong(1) == 2 && spans(0).getLong(2) == 9 &&
+      spans(0).getLong(3) == 4)
+    // doc 2: positions 1..8
+    assert(spans(1).getLong(1) == 1 && spans(1).getLong(2) == 8 &&
+      spans(1).getLong(3) == 4)
+
+    val clean = Dedup.scrubRepeatedSpans(df, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    assert(clean.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(
+      (1L, "a0 a1 a2 a3"), (2L, "b0 b1 b2 b3"), (3L, c)))
+    assert(clean.map(_.getLong(2)).toSeq == Seq(4L, 4L, 10L))
+  }
+
+  test("repeatedSpans ignores within-doc repetition below minDocs and " +
+      "short texts; a fully-duplicated doc scrubs to nothing") {
+    import spark.implicits._
+    val loop = "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5" // repeats only within doc
+    val tiny = "t1 t2 t3"                       // shorter than the window
+    val dupA = "d1 d2 d3 d4 d5 d6"
+    val df = Seq((1L, loop), (2L, tiny), (3L, dupA), (4L, dupA))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k = 5)
+    assert(spans.filter($"doc_id".isin(1L, 2L)).isEmpty)
+    // docs 3 and 4 are whole-text duplicates: span covers everything...
+    val full = spans.filter($"doc_id".isin(3L, 4L)).collect()
+    assert(full.length == 2 &&
+      full.forall(r => r.getLong(1) == 0 && r.getLong(2) == 5))
+    // ...so the scrubbed corpus drops them entirely
+    val clean = Dedup.scrubRepeatedSpans(df, "doc_id", "text", k = 5)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
