@@ -47,13 +47,19 @@ object PlanShape {
 
   /** True iff some conjunct is more than a null check — IsNotNull
     * passes every row of a non-nullable column, so a filter made only
-    * of those bounds nothing. */
+    * of those bounds nothing. Null checks are recognized in every
+    * spelling (IsNotNull, Not(IsNull)), and an Or is selective only if
+    * BOTH branches are — Or(IsNotNull(a), IsNotNull(b)) passes nearly
+    * everything, so it must not count as bounding (ADVICE r07). Unknown
+    * predicates stay default-true. */
   private def selective(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull, IsNull, Not, Or}
     e match {
       case And(l, r) => selective(l) || selective(r)
+      case Or(l, r) => selective(l) && selective(r)
       case _: IsNotNull => false
+      case Not(_: IsNull) => false
       case _ => true
     }
   }

@@ -46,7 +46,10 @@ object TempDirs {
 
   private def deleteRecursively(p: Path): Unit =
     try {
-      if (Files.isDirectory(p)) {
+      // NOFOLLOW: a symlink to a directory outside the scratch tree must
+      // be deleted as a link, never descended into (walkFileTree's
+      // default no-follow semantics).
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         val children = Files.list(p)
         try children.forEach(deleteRecursively(_))
         finally children.close()

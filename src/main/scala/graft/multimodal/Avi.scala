@@ -255,15 +255,24 @@ object Avi {
   private def decodeDib(id: Long, f: Int, payload: Array[Byte],
       off: Int, len: Int, bih: Bih): FrameRow = {
     val w = bih.width; val h = math.abs(bih.biHeight)
-    val topDown = bih.biHeight < 0
     val rowStride = (w * 3 + 3) & ~3
+    // Clamp both loops to the data actually present in the chunk: a
+    // corrupt header (50000×50000 over a 1 KB chunk) must degrade to
+    // fewer rows like every other parse failure, not spin w·h guarded
+    // iterations per frame. The per-byte guard below stays the exact
+    // arbiter; the clamps only bound iteration counts. The channel
+    // sums are order-independent, so iterating source rows directly
+    // needs no bottom-up/top-down special casing.
+    val hEff = if (rowStride <= 0) 0
+      else math.min(h.toLong, (len.toLong + rowStride - 1) / rowStride)
+        .toInt
+    val wEff = math.min(w.toLong, (len.toLong + 2) / 3).toInt
     var rs = 0L; var gs = 0L; var bs = 0L
-    var y = 0
-    while (y < h) {
-      val srcRow = if (topDown) y else h - 1 - y
+    var srcRow = 0
+    while (srcRow < hEff) {
       val base = off + srcRow * rowStride
       var x = 0
-      while (x < w) {
+      while (x < wEff) {
         val p = base + x * 3
         if (p + 2 < off + len) {
           bs += payload(p) & 0xff
@@ -272,7 +281,7 @@ object Avi {
         }
         x += 1
       }
-      y += 1
+      srcRow += 1
     }
     FrameRow(id, f, w, h, rs, gs, bs)
   }

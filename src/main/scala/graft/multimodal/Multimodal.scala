@@ -200,18 +200,33 @@ object Multimodal {
     * dups group on (ahash_lo, ahash_hi); near-dups compose with the
     * SimHash pigeonhole band join (Dedup) over the same bits.
     * Partition-batched decode, no shuffle — at 100 TB this is one
-    * codegen-adjacent scan stage. Full-size images go through the
-    * pixel-real [[resize]] to 8×8 first (the standard aHash pipeline);
-    * pixels beyond the first 64 contribute to the mean and `n_bright`
-    * but not the packed bits. */
+    * codegen-adjacent scan stage. Full-size images are bilinear-rescaled
+    * to 8×8 IN the hash (the standard aHash pipeline — same kernel as
+    * [[resize]], without the PNG re-encode round trip), so every input
+    * size packs exactly 64 bits; images already 8×8 skip the rescale
+    * and hash their pixels untouched. */
   def imageAHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       ensureCodecInit()
       rows.filter(_.meta.kind == "image").map { r =>
-        val img = javax.imageio.ImageIO.read(
+        val decoded = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
-        require(img != null, s"undecodable payload for ${r.media_id}")
+        require(decoded != null, s"undecodable payload for ${r.media_id}")
+        val img =
+          if (decoded.getWidth == 8 && decoded.getHeight == 8) decoded
+          else {
+            val out = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(decoded, 0, 0, 8, 8, null)
+            } finally g.dispose()
+            out
+          }
         val w = img.getWidth; val h = img.getHeight
         val n = w * h
         val gray = new Array[Long](n)

@@ -429,19 +429,25 @@ object Dedup {
     * (map-side partial agg), a semi join back on the same key, then a
     * doc_id-partitioned window whose exchange the final aggregate
     * reuses. At 100 TB, swap the gram join key for md5(gram)
-    * (engine-portable, fixed 16 bytes) to cut shuffle width, and cap
-    * pathological grams (boilerplate that appears in millions of docs)
-    * with the same frequency guard as [[jaccardPairs]]; the string key
-    * here keeps the operator collision-free and oracle-exact. */
+    * (engine-portable, fixed 16 bytes) to cut shuffle width. `maxDf`
+    * is the frequency guard of [[ngramJaccardPairsCapped]] applied to
+    * grams: a gram present in MORE than `maxDf` distinct documents is
+    * boilerplate (license headers, nav chrome) — it would bloat the
+    * dup-set semi join and funnel every one of its (doc, pos) rows
+    * through one reducer while carrying no dedup signal, so it is
+    * excluded from flagging. Pick it comfortably above the duplication
+    * depth you want to catch; the default never excludes anything. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocs: Int = 2): DataFrame = {
+      k: Int, minDocs: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     require(minDocs >= 2, s"minDocs below 2 flags every window: $minDocs")
+    require(maxDf >= minDocs,
+      s"maxDf $maxDf below minDocs $minDocs excludes every window")
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
       posexplode(shingles(col(textCol), k)).as(Seq("pos", "gram")))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
+      .filter(col("nd") >= minDocs && col("nd") <= maxDf)
       .select(col("gram"))
     val flagged = grams.join(dup, Seq("gram"), "left_semi")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -469,8 +475,8 @@ object Dedup {
     * pipeline scrubbers. Spans are disjoint per document by
     * construction, so the containment join multiplies nothing. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, idCol, textCol, k, minDocs)
+      k: Int, minDocs: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minDocs, maxDf)
       .select(col("doc_id").as("s_doc"), col("span_start"),
         col("span_end"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),

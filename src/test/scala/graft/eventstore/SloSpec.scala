@@ -26,23 +26,35 @@ class SloSpec extends SparkSuite {
     Thread.sleep(500)
     // Shared-tenant host noise swings measured p50 2-3x between
     // IDENTICAL consecutive runs (r07 measured 18ms vs 47ms back to
-    // back) — so take the best of up to 3 attempts: a real code-level
-    // regression breaches every attempt, an I/O noise spike doesn't.
+    // back). A retry is allowed ONLY when an attempt is genuinely
+    // inconclusive — otherwise the gate degrades to best-of-4 and a
+    // steady borderline regression (say 55ms p95 every run) sneaks
+    // through on one lucky window (ADVICE r07). Inconclusive means:
+    //   (a) the generator never achieved load (n < 100 appends in 6s
+    //       — the HOST was saturated, not the store), or
+    //   (b) p95 breached while the host-noise indicator fired: 1-min
+    //       loadavg well above this JVM's own footprint, i.e. a
+    //       co-tenant burst was running during the window.
+    // A breach with healthy throughput on a quiet host fails at once.
+    def loadAvg1(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Exception => 0.0 } // no /proc → never "noisy"
     var r = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
       seconds = 6.0)
+    var noisy = loadAvg1() > 4.0
     var attempt = 1
-    // A breach is only conclusive if the generator actually achieved
-    // load: n < 100 appends in 6s means the HOST was saturated (a
-    // co-tenant burst), not that the store is slow — that attempt is
-    // inconclusive, and a short backoff lets the burst pass.
-    def inconclusive = r.append.p95Ms >= 50.0 || r.append.n < 100
+    def inconclusive =
+      r.append.n < 100 || (r.append.p95Ms >= 50.0 && noisy)
     while (inconclusive && attempt < 4) {
-      info(f"attempt $attempt breached (append p95=${r.append.p95Ms}%.1fms"
-        + f" n=${r.append.n}) — retrying against host noise")
+      info(f"attempt $attempt inconclusive (append p95=${r.append.p95Ms}%.1fms"
+        + f" n=${r.append.n} loadavg-noisy=$noisy) — retrying")
       System.gc()
       Thread.sleep(2000L * attempt)
       r = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
         seconds = 6.0)
+      noisy = loadAvg1() > 4.0
       attempt += 1
     }
     info(f"append p50=${r.append.p50Ms}%.1fms p95=${r.append.p95Ms}%.1fms "

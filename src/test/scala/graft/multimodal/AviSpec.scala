@@ -83,6 +83,37 @@ class AviSpec extends SparkSuite {
     assert(Avi.decodeAviFrames(Seq(junk).toDS(), stride = 1).isEmpty)
   }
 
+  test("corrupt strf header (huge declared dims over a tiny chunk) " +
+      "degrades to the bytes present instead of spinning w*h " +
+      "iterations per frame") {
+    // 200000x200000 declared = 4e10 loop iterations unclamped (minutes
+    // of spin per frame); the clamp must bound work by the 64-byte
+    // chunk and still sum exactly the pixels whose bytes are present
+    val tiny = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
+    val payload = Avi.build(200000, 200000, 0x20424944 /* 'DIB ' */, 0,
+      Seq(tiny))
+    val row = Multimodal.MediaRow(9L, payload,
+      Multimodal.MediaMeta("video", 200000, 200000, 1, 0,
+        "video/x-msvideo"))
+    val t0 = System.nanoTime()
+    val r = Avi.decodeAviFrames(Seq(row).toDS(), stride = 1)
+      .collect().head
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec < 15.0,
+      f"corrupt-header decode took $elapsedSec%.1fs — clamp regressed")
+    // only whole BGR triples with all three bytes inside the chunk
+    // count: x*3+2 < 64 → x <= 20 → bytes 0..62
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    for (x <- 0 to 20) {
+      bs += tiny(x * 3) & 0xff
+      gs += tiny(x * 3 + 1) & 0xff
+      rs += tiny(x * 3 + 2) & 0xff
+    }
+    assert(r.sum_r == rs && r.sum_g == gs && r.sum_b == bs)
+    // declared (lying) dims are still reported — metadata, not work
+    assert(r.frame_w == 200000 && r.frame_h == 200000)
+  }
+
   test("top-down DIB (negative biHeight) decodes to the same sums as " +
       "bottom-up") {
     // same pixels written in natural row order with biHeight = -6

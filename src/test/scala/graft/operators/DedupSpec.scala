@@ -295,6 +295,42 @@ class DedupSpec extends SparkSuite {
       Seq(1L, 2L))
   }
 
+  test("repeatedSpans maxDf excludes corpus-wide boilerplate grams from " +
+      "flagging while true duplicate spans survive") {
+    import spark.implicits._
+    // boilerplate footer present in EVERY doc (df = 42) — at 100 TB
+    // this is the license-header gram that funnels millions of
+    // (doc, pos) rows through one reducer; a true duplicate run shared
+    // by exactly two docs must still be caught
+    // unique separator tokens (p1/q2) keep the dup run and the footer
+    // non-adjacent, so no cross-boundary gram links them
+    val footer = "f1 f2 f3 f4 f5"
+    val dup = "u1 u2 u3 u4 u5 u6"
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e $footer")) ++
+      Seq((41L, s"p0 $dup p1 $footer"), (42L, s"q0 q1 $dup q2 $footer"))
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.repeatedSpans(df, "doc_id", "text", k = 5,
+      minDocs = 2, maxDf = 10).collect()
+    // only the two true-duplicate docs produce spans, covering exactly
+    // the 6-token dup run and NOT the (capped) footer
+    assert(capped.map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+    assert(capped.forall(r => r.getLong(2) - r.getLong(1) == 5))
+    // uncapped, the footer gram is flagged in all 42 docs
+    val uncapped = Dedup.repeatedSpans(df, "doc_id", "text", k = 5)
+    assert(uncapped.select("doc_id").distinct().count() == 42)
+    // scrub under the cap removes the dup run but keeps the footer
+    val clean = Dedup.scrubRepeatedSpans(df, "doc_id", "text", k = 5,
+      minDocs = 2, maxDf = 10)
+      .filter($"doc_id" === 41L).select("clean_text").as[String].head()
+    assert(clean == s"p0 p1 $footer")
+    // a cap below minDocs can never flag anything — rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(df, "doc_id", "text", k = 5, minDocs = 3,
+        maxDf = 2)
+    }
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
