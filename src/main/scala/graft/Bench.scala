@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** True when the recorded suite walls disagree by more than 2x —
+    * the signature of a hypervisor co-tenant burst landing inside one
+    * pass (r07: identical suites measured 47.6s and 5.6s back to
+    * back). A burst artifact must say so, and must not reseed the
+    * longest-job-first ranking. */
+  private[graft] def burstSuspect(walls: Seq[Double]): Boolean =
+    walls.nonEmpty && walls.max > 2.0 * math.max(walls.min, 1e-9)
+
+  /** Representative wall: min of the passes while they agree (two
+    * clean passes), median once a disagreement forced a tie-break
+    * third pass — the median ignores the one burst-inflated outlier
+    * instead of averaging it in. */
+  private[graft] def representativeWall(walls: Seq[Double]): Double =
+    if (walls.isEmpty) 0.0
+    else if (walls.size < 3 || !burstSuspect(walls)) walls.min
+    else walls.sorted.apply(walls.size / 2)
+
+  /** The canonical artifact (BENCH_LOCAL.json) seeds the next run's
+    * scheduling and the round trend — refuse to overwrite it with a
+    * run whose passes disagree >2x (r07: a burst-inflated artifact
+    * published 47.6s for a 5.6s suite); the previous seed stays. */
+  private[graft] def shouldPersist(walls: Seq[Double]): Boolean =
+    !burstSuspect(walls)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,22 +139,26 @@ object Bench {
         scala.concurrent.duration.Duration(30, "min")).toMap
       (rs, (System.nanoTime() - tTotal) / 1e9)
     }
-    // Two passes, best-of kept per query and for the wall: the host's
-    // hypervisor co-tenant bursts inflate a whole pass 2-10x between
-    // IDENTICAL runs (r07 measured walls of 165s and 11s for the same
-    // suite), and one pass can't tell a burst from a regression.
-    // Re-running is safe by construction — lifecycle queries scratch
-    // fresh TempDirs — and the second pass rides warm codegen. Both
-    // walls are recorded in the artifact so the variance is evidence,
-    // not something discarded.
-    val (r1, w1) = runSuite()
-    val (r2, w2) = runSuite()
-    val results = (r1.keySet ++ r2.keySet).map { k =>
-      k -> math.min(r1.getOrElse(k, Double.MaxValue),
-        r2.getOrElse(k, Double.MaxValue))
+    // Two passes, best-of kept per query: the host's hypervisor
+    // co-tenant bursts inflate a whole pass 2-10x between IDENTICAL
+    // runs (r07 measured walls of 165s and 11s for the same suite),
+    // and one pass can't tell a burst from a regression. Best-of-2
+    // was defeated in r07 when BOTH driver passes landed inside one
+    // burst window (102s/47.6s for a 5.6s suite) — so when the two
+    // walls disagree >2x, run a tie-break third pass and report the
+    // median wall. Re-running is safe by construction — lifecycle
+    // queries scratch fresh TempDirs — and later passes ride warm
+    // codegen. Every wall is recorded in the artifact so the variance
+    // is evidence, not something discarded.
+    var passes = Seq(runSuite(), runSuite())
+    if (burstSuspect(passes.map(_._2))) passes :+= runSuite()
+    val allR = passes.map(_._1)
+    val results = allR.flatMap(_.keySet).distinct.map { k =>
+      k -> allR.flatMap(_.get(k)).min
     }.toMap
-    val wall = math.min(w1, w2)
-    val wallRuns = Seq(w1, w2)
+    val wallRuns = passes.map(_._2)
+    val wall = representativeWall(wallRuns)
+    val burst = burstSuspect(wallRuns)
     pool.shutdown()
     // Locale.ROOT: a comma-decimal default locale would make the JSON
     // line unparsable — the exact failure the short line exists to fix.
@@ -162,12 +191,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         dict(short)}${
         if (errs.nonEmpty) s""","errors":$errDict""" else ""},"wall_runs":[${
-        wallRuns.map(s3).mkString(",")}],"sf":"$sfDir"}"""
+        wallRuns.map(s3).mkString(",")}]${
+        if (burst) ""","burst":true""" else ""},"sf":"$sfDir"}"""
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
     // must not clobber it. Match the directory NAME, not a hardcoded
     // absolute path, so a relocated testdata root still writes it.
-    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+    // A burst-suspect run (walls still >2x apart after the tie-break
+    // pass) keeps the previous seed instead of overwriting it.
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1" &&
+        shouldPersist(wallRuns))
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line(short = false) + "\n").getBytes("UTF-8"))
