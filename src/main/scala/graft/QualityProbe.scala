@@ -93,5 +93,15 @@ object QualityProbe {
     spark.stop()
     println(json)
     System.out.flush()
+    // The 5% band is a GATE, not just a recording (r07 verdict item
+    // 6): rsd=0.02 puts 2.5 sigma inside 0.05, so a breach means the
+    // sketch configuration or the twin query drifted, and the round
+    // pipeline must fail loudly rather than trend it quietly.
+    if (maxErr > 0.05) {
+      System.err.println(
+        f"[quality] FAIL: hll_max_rel_err $maxErr%.4f breaches the 5%% "
+          + "band vs the exact twin")
+      sys.exit(1)
+    }
   }
 }

@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
   *    change the join shape, not the data volume);
   *  - `documents.text` gets a per-replica suffix on every token, so
   *    cross-replica near-dup similarity is 0 and dedup candidate
-  *    buckets grow linearly (×factor), not quadratically;
+  *    buckets grow linearly (×factor), not quadratically. With
+  *    `dupEvery` = N > 0, every Nth doc instead keeps its text
+  *    VERBATIM in all replicas — a duplicate-heavy corpus whose
+  *    repeated-gram document frequency grows ×factor, the skewed
+  *    gram-key regime substring dedup meets at 100 TB (boilerplate
+  *    present in millions of documents) that the uniform fixtures
+  *    cannot exercise;
   *  - `embeddings.embedding` flips alternating dimensions by ±10% per
   *    odd replica (cosine vs the original ≈ 0.995), so near-dup pairs
   *    don't multiply across replicas;
   *  - `events.ts` passes through as the raw nanos long.
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> [factor]
+  *          [dupEvery] [onlyTablesCsv]
+  * `onlyTablesCsv` restricts which tables are written (e.g.
+  * "documents" for a skew corpus that only substring dedup reads) —
+  * generating 10× of every table just to bench two queries is waste.
   */
 object ScaleUp {
   val Step = 10000000L
@@ -31,6 +41,10 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val dupEvery = if (args.length > 3) args(3).toInt else 0
+    val only = if (args.length > 4)
+      Some(args(4).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,18 +53,20 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleUp(spark, src, out, factor)
+    scaleUp(spark, src, out, factor, dupEvery, only)
     spark.stop()
   }
 
-  def scaleUp(spark: SparkSession, src: String, out: String, factor: Int)
-      : Unit = {
+  def scaleUp(spark: SparkSession, src: String, out: String, factor: Int,
+      dupEvery: Int = 0, only: Option[Set[String]] = None): Unit = {
+    def want(t: String) = only.forall(_.contains(t))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      if (want(t))
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
 
     def replicate(t: String)(remap: (DataFrame, Int) => DataFrame)
-        : Unit = {
+        : Unit = if (want(t)) {
       val base = read(t)
       write((0 until factor).map(r => remap(base, r)).reduce(_ union _), t)
     }
@@ -84,11 +100,20 @@ object ScaleUp {
       shift("event_id", r).as("event_id"), col("ts"),
       shift("user_id", r).as("user_id"), col("event_type"), col("value"),
       col("props")))
-    replicate("documents")((df, r) => df.select(
-      shift("doc_id", r).as("doc_id"),
-      (if (r == 0) col("text")
-       else regexp_replace(col("text"), "(\\S+)", s"$$1r$r")).as("text"),
-      col("lang"), col("source"), col("n_chars")))
+    replicate("documents") { (df, r) =>
+      val suffixed = regexp_replace(col("text"), "(\\S+)", s"$$1r$r")
+      val text =
+        if (r == 0) col("text")
+        else if (dupEvery > 0)
+          // duplicate-heavy skew corpus: every Nth doc repeats
+          // VERBATIM across replicas, so its grams' distinct-doc
+          // frequency grows ×factor (the boilerplate regime)
+          when(pmod(col("doc_id"), lit(dupEvery)) === 0, col("text"))
+            .otherwise(suffixed)
+        else suffixed
+      df.select(shift("doc_id", r).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
     replicate("embeddings")((df, r) => df.select(
       shift("vec_id", r).as("vec_id"),
       (if (r % 2 == 0) col("embedding")

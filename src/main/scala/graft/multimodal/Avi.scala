@@ -169,6 +169,30 @@ object Avi {
     }
   }
 
+  /** Synthetic table of REAL MJPG AVI videos: (id mod 3)+2 frames of
+    * 16×16 pixels, each frame a genuine baseline JPEG from
+    * [[Jpeg.encodeConstantBlocks]] — constant 8×8 blocks, flat quant
+    * table, so the lossy-in-general codec is EXACT here and the
+    * decode is analytically recomputable: block (bx,by) of frame f
+    * decodes to 64 gray pixels of exactly
+    * u = [[pixel]](id, f, bx, by), R=G=B=u. The container walk, the
+    * '00dc' chunk suffix, and ImageIO's real JPEG entropy/IDCT path
+    * all sit on the gate. */
+  def syntheticMjpegTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nf = (id % 3 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          Jpeg.encodeConstantBlocks(
+            Array.tabulate(2, 2)((by, bx) => pixel(id, f, bx, by)))
+        }
+        MediaRow(id, build(16, 16, MJPG, MJPG, frames, chunkId = "00dc"),
+          MediaMeta("video", 16, 16, nf, 0, "video/x-msvideo"))
+      }
+    }
+  }
+
   private final class Bih(val width: Int, val biHeight: Int,
       val bitCount: Int, val compression: Int)
 

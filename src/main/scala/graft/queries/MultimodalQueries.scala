@@ -278,8 +278,8 @@ object MultimodalQueries {
     * BGR, pixel u = (id·1099087573 + 769f + 37x + 101y) mod 256 with
     * R=u, G=255−u, B=73u mod 256; stride-2 sampling. A header misparse,
     * stride bug, BGR/RGB swap, row-order flip, or chunk-walk error
-    * flips an integer and fails the hash. MJPG (lossy) is spec-gated
-    * in AviSpec instead. */
+    * flips an integer and fails the hash. MJPG is oracle-gated by q92
+    * (exact-by-construction JPEG) and spec-gated in AviSpec. */
   val q89_avi_frames: Q = (s, d) => {
     val frames = Avi.decodeAviFrames(
       Avi.syntheticAviTable(Tables.documents(s, d)), stride = 2)
@@ -307,7 +307,45 @@ object MultimodalQueries {
          CAST(sum((u * 73) & 255) AS BIGINT) AS sum_b
        FROM px GROUP BY 1, 2"""
 
+  /** q92: MJPG AVI decode, ORACLE-EXACT — the upgrade from q89's
+    * spec-gated MJPG: frames are genuine baseline JPEGs built by
+    * [[graft.multimodal.Jpeg.encodeConstantBlocks]] (constant 8×8
+    * blocks + flat quant table + constant-128 chroma), the one corner
+    * of JPEG where the codec is lossless, so ImageIO's real Huffman/
+    * dequant/IDCT/color-convert path lands on closed-form integers:
+    * block (bx,by) of frame f decodes to 64 pixels of exactly
+    * u(id,f,bx,by), R=G=B=u. A Huffman table bug, DC predictor slip,
+    * IDCT rounding change, or chroma leak shifts a sum and fails the
+    * hash. */
+  val q92_mjpg_frames: Q = (s, d) => {
+    val frames = Avi.decodeAviFrames(
+      Avi.syntheticMjpegTable(Tables.documents(s, d)), stride = 1)
+    frames.select(
+      col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("frame_w").cast("long").as("frame_w"),
+      col("frame_h").cast("long").as("frame_h"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  val q92_oracle: String =
+    """WITH f AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS nf
+         FROM documents),
+       fr AS (SELECT doc_id, CAST(t.i AS INT) AS frame_idx
+         FROM f, unnest(range(0, nf)) AS t(i)),
+       blk AS (SELECT doc_id, frame_idx,
+           ((doc_id * 1099087573 + frame_idx * 769 + x.i * 37 + y.i * 101)
+             & 255) AS u
+         FROM fr, range(0, 2) AS x(i), range(0, 2) AS y(i))
+       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(16 AS BIGINT) AS frame_w, CAST(16 AS BIGINT) AS frame_h,
+         CAST(sum(u) * 64 AS BIGINT) AS sum_r,
+         CAST(sum(u) * 64 AS BIGINT) AS sum_g,
+         CAST(sum(u) * 64 AS BIGINT) AS sum_b
+       FROM blk GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q92_mjpg_frames" -> q92_mjpg_frames,
     "q89_avi_frames" -> q89_avi_frames,
     "q88_image_ahash" -> q88_image_ahash,
     "q87_video_decode" -> q87_video_decode,
@@ -318,6 +356,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q92_mjpg_frames" -> q92_oracle,
     "q89_avi_frames" -> q89_oracle,
     "q88_image_ahash" -> q88_oracle,
     "q41_media_meta" -> q41_oracle,

@@ -148,6 +148,37 @@ class AviSpec extends SparkSuite {
     assert(out.map(_.frame_w).distinct.sorted.toSeq == Seq(6, 8))
   }
 
+  test("exact-JPEG MJPG: hand-rolled flat-quant DC-only baseline " +
+      "JPEGs round-trip bit-exact through ImageIO and the container") {
+    // direct codec check, extreme DC swings included (0 and 255 hit
+    // difference category 11 in both directions): every pixel must
+    // decode to exactly its block's constant
+    val blocks = Array(Array(0, 37), Array(255, 128))
+    val bytes = Jpeg.encodeConstantBlocks(blocks)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = blocks(y / 8)(x / 8)
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == v && ((p >> 8) & 0xff) == v &&
+        (p & 0xff) == v,
+        s"pixel ($x,$y): got ${(p & 0xffffff).toHexString}, want $v")
+    }
+    // container path: every decoded frame's sums equal the closed form
+    val vids = Avi.syntheticMjpegTable(docs.limit(12))
+    val out = Avi.decodeAviFrames(vids, stride = 1).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      var s = 0L
+      for (by <- 0 until 2; bx <- 0 until 2)
+        s += Avi.pixel(r.media_id, r.frame_idx, bx, by)
+      assert(r.frame_w == 16 && r.frame_h == 16)
+      assert(r.sum_r == 64 * s && r.sum_g == 64 * s && r.sum_b == 64 * s,
+        s"media ${r.media_id} frame ${r.frame_idx}")
+    }
+  }
+
   test("MJPG path: the container walk hands each chunk to the JPEG " +
       "codec — frame sums match decoding the same chunk directly") {
     val imgs = (0 until 3).map { f =>
