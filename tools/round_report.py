@@ -31,13 +31,54 @@ def parse_bench(path):
     return {k.split("_")[0]: (v, k) for k, v in times.items()}
 
 
+def parse_plan_names(path):
+    return {m.split("_")[0] for m in
+            re.findall(r"^==== (\S+) ====$", open(path).read(), re.M)}
+
+
+def check_coverage(new_plans, nb):
+    """Fail loudly when a gate artifact covers fewer queries than the
+    live registry (r07: q90/q91 landed after the artifact refresh, so
+    the two heaviest queries in the suite went ungated for plan shape
+    and scaling). The fresh bench artifact is a live iteration of
+    SparkEntry.queries, so it is the registry ground truth here; the
+    plan dump and SCALEBENCH must match it exactly."""
+    bench_qs = set(nb)
+    plan_qs = parse_plan_names(new_plans)
+    errs = []
+    if plan_qs != bench_qs:
+        errs.append(f"plan artifact {new_plans} covers {len(plan_qs)} "
+                    f"queries but the bench registry has {len(bench_qs)} "
+                    f"(missing: {sorted(bench_qs - plan_qs) or '-'}, "
+                    f"extra: {sorted(plan_qs - bench_qs) or '-'})")
+    try:
+        sb = json.load(open("SCALEBENCH.json"))
+        sb_qs = {r["query"].split("_")[0] for r in sb["queries"]}
+        if sb_qs != bench_qs:
+            errs.append(f"SCALEBENCH.json covers {len(sb_qs)} queries but "
+                        f"the bench registry has {len(bench_qs)} "
+                        f"(missing: {sorted(bench_qs - sb_qs) or '-'}, "
+                        f"extra: {sorted(sb_qs - bench_qs) or '-'})")
+    except (OSError, json.JSONDecodeError, KeyError):
+        errs.append("SCALEBENCH.json missing or unparsable — the scale "
+                    "gate never ran for this round")
+    if errs:
+        for e in errs:
+            print("COVERAGE FAILURE:", e, file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
     old_plans, new_plans, old_bench, new_bench = sys.argv[1:5]
     out = sys.argv[5] if len(sys.argv) > 5 else "ROUND_REPORT.md"
     ob, nb = parse_bench(old_bench), parse_bench(new_bench)
+    check_coverage(new_plans, nb)
     common = sorted(set(ob) & set(nb))
     lines = ["# Round report", "",
              f"Bench: {old_bench} -> {new_bench}", ""]
+    if re.search(r'\\?"burst\\?":\s*true', open(new_bench).read()):
+        lines += ["**WARNING: bench artifact is burst-suspect (pass "
+                  "walls disagree >2x) — timings unreliable**", ""]
     if common:
         osum = sum(ob[q][0] for q in common)
         nsum = sum(nb[q][0] for q in common)

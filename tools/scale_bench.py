@@ -34,6 +34,17 @@ N_HEAVY = 10
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
 SFMID = "/tmp/graft-sfmid"
+# Duplicate-heavy skew corpora for substring dedup (r07 verdict item 5):
+# the uniform replicas suffix every token per replica, so repeated-gram
+# document frequency stays FLAT as data grows — the opposite of the
+# 100 TB regime where boilerplate grams appear in millions of docs.
+# These dirs repeat every SKEW_DUP_EVERY-th doc verbatim per replica,
+# so hot-gram df grows xfactor; only the documents table is generated
+# (substring dedup reads nothing else).
+SF1_SKEW = "/tmp/graft-sf1-skew"
+SFMID_SKEW = "/tmp/graft-sfmid-skew"
+SKEW_DUP_EVERY = 10
+SKEW_QUERIES = ["q90", "q91"]
 # r06: empty — q37 (the one O(n^2)-by-design exclusion) now runs the
 # LSH-candidates + rerank plan and is gated like everything else.
 EXCLUDE = set()
@@ -67,6 +78,16 @@ def gen_scaled(path, factor):
     r = run(f'sbt -batch "runMain graft.ScaleUp {SF01} {path} {factor}"')
     if r.returncode != 0:
         raise SystemExit(f"ScaleUp failed:\n{r.stderr[-3000:]}")
+
+def gen_skewed(path, factor):
+    if os.path.exists(os.path.join(path, "documents.parquet")):
+        return
+    print(f"generating {path} (factor {factor}, "
+          f"dup_every {SKEW_DUP_EVERY}, documents only) ...")
+    r = run(f'sbt -batch "runMain graft.ScaleUp {SF01} {path} {factor} '
+            f'{SKEW_DUP_EVERY} documents"')
+    if r.returncode != 0:
+        raise SystemExit(f"ScaleUp (skew) failed:\n{r.stderr[-3000:]}")
 
 def quad_fit(pts):
     """Least-squares fit of t = a*n + b*n^2 (through the origin) over
@@ -179,11 +200,42 @@ def main():
             print(f"  {q}: isolated per-row ratio {ratio:.2f} "
                   f"({EXTRAP}x fit {ratio_x:.2f}) — noise, flag cleared")
     flagged = confirmed
+    # Skewed duplicate-heavy fit for substring dedup: 3 points
+    # (sf0.1 = skew factor 1 exactly, since replica 0 is verbatim;
+    # skew-mid; skew-sf1), isolated runs so concurrency noise from the
+    # full suite doesn't land in the fit.
+    skew_rows = []
+    names = ",".join(SKEW_QUERIES)
+    gen_skewed(SFMID_SKEW, FMID or 3)
+    gen_skewed(SF1_SKEW, FACTOR)
+    print(f"bench @ skew-mid + skew-sf1 for {names} ...")
+    t_mid = bench(SFMID_SKEW, only=names)["queries"]
+    t_one = bench(SF1_SKEW, only=names)["queries"]
+    for q in SKEW_QUERIES:
+        t01 = bench_only(SF01, q)
+        if q not in t_one or t01 <= 0:
+            continue
+        ratio = t_one[q] / (t01 * FACTOR)
+        pts = [(1, t01), (FMID or 3, t_mid[q]), (FACTOR, t_one[q])]
+        ratio_x = extrap_ratio(pts)
+        skew_rows.append({
+            "query": q, "sf0.1_s": round(t01, 3),
+            "skew_mid_s": round(t_mid[q], 3),
+            "skew_sf1_s": round(t_one[q], 3),
+            "per_row_ratio": round(ratio, 3),
+            "extrapolated_100x_per_row_ratio": round(ratio_x, 3),
+            "fit_points": len(pts)})
+        if ratio > THRESHOLD or ratio_x > THRESHOLD:
+            flagged.append(f"{q}[skew]")
     out = {"factor": FACTOR, "mid_factor": FMID, "extrap_factor": EXTRAP,
            "threshold": THRESHOLD,
            "total_sf0.1_s": round(b01["value"], 2),
            "total_sf1_s": round(b1["value"], 2),
-           "flagged_superlinear": flagged, "queries": rows}
+           "flagged_superlinear": flagged, "queries": rows,
+           "skew": {"dup_every": SKEW_DUP_EVERY,
+                    "note": "duplicate-heavy corpus: every Nth doc "
+                            "verbatim per replica, hot-gram df grows "
+                            "x factor", "queries": skew_rows}}
     with open("SCALEBENCH.json", "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'per-row':>8s}")
