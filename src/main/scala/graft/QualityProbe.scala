@@ -33,13 +33,17 @@ object QualityProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // --- ANN recall@20 of the q40 budget vs brute force -------------
+    // q40's config: 64 tables × 16 probes of 2^12 buckets = the same
+    // 25% rows-scanned budget as the pre-r08 single-table 64-of-256,
+    // measured at 0.775 vs that config's 0.425 (OR-construction;
+    // sweep in LshTune).
     val emb = Tables.embeddings(spark, sfDir)
     val k = 20
     val queryIds = 0L until 8L
     val perQuery = queryIds.map { qid =>
-      val ann = operators.Similarity.lshTopKForId(emb, "embedding",
-          "vec_id", queryId = qid, k = k, numPlanes = 8, dim = 64,
-          probes = 64)
+      val ann = operators.Similarity.lshTopKForIdTables(emb, "embedding",
+          "vec_id", queryId = qid, k = k, numTables = 64, numPlanes = 12,
+          dim = 64, probesPerTable = 16)
         .collect().map(_.getAs[Long]("vec_id")).toSet
       val brute = operators.Similarity.topKForId(emb, "embedding",
           "vec_id", qid, k)
@@ -48,13 +52,18 @@ object QualityProbe {
     }
     val meanRecall = perQuery.map(_._2).sum / perQuery.size
 
-    // --- IVF recall@20 at a 2-of-8-lists budget ---------------------
+    // --- IVF recall@20 at a 16-of-64-lists budget -------------------
     // q51's gate probes every list (provably exact), so the budgeted
     // behavior — the 100 TB operating point, where a probe reads
     // nProbes/nLists of the data — is what needs a recorded trend.
+    // 64/16 is the best same-budget (25%) config from the LshTune
+    // sweep: recall climbs monotonically with quantizer granularity
+    // (8/2 = 0.50, 16/4 = 0.61, 32/8 = 0.65, 64/16 = 0.69), matching
+    // the nlist ~ sqrt(n) rule of thumb's direction at this corpus
+    // size.
     val ivfPerQuery = queryIds.map { qid =>
       val ann = operators.Similarity.ivfTopKForId(emb, "embedding",
-          "vec_id", queryId = qid, k = k, nLists = 8, nProbes = 2)
+          "vec_id", queryId = qid, k = k, nLists = 64, nProbes = 16)
         .collect().map(_.getAs[Long]("vec_id")).toSet
       val brute = operators.Similarity.topKForId(emb, "embedding",
           "vec_id", qid, k)
@@ -78,11 +87,11 @@ object QualityProbe {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val json =
       s"""{"sf":"$sfDir","recall_at_20":${s3(meanRecall)},""" +
-        s""""probes":64,"buckets":256,"k":$k,""" +
+        s""""tables":64,"planes":12,"probes_per_table":16,"k":$k,""" +
         s""""per_query":{${perQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""ivf_recall_at_20":${s3(ivfMeanRecall)},""" +
-        s""""ivf_probes":2,"ivf_lists":8,""" +
+        s""""ivf_probes":16,"ivf_lists":64,""" +
         s""""ivf_per_query":{${ivfPerQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +

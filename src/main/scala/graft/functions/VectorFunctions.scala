@@ -54,6 +54,17 @@ object VectorFunctions {
       GraftColumnBridge.expression(v), planeTables))
   }
 
+  /** Multi-table LSH probe-membership predicate: true iff the vector's
+    * signature lands in a probed bucket of at least one table. ONE
+    * native expression with per-table early exit — the composed
+    * per-table `element_at(...).isInCollection(...)` OR gets its
+    * signature subtree re-inlined per disjunct by filter pushdown
+    * (64 full signature passes per row; see LshProbeHit's scaladoc). */
+  def lshProbeHit(v: Column, planeTables: Seq[Seq[Seq[Double]]],
+      probeSets: Seq[Seq[Long]]): Column =
+    GraftColumnBridge.column(graft.expressions.LshProbeHit(
+      GraftColumnBridge.expression(v), planeTables, probeSets))
+
   /** Max-abs int8 quantization scale: 127 / max|v_i|. Symmetric
     * per-vector quantization — the standard embedding-storage shrink
     * (4 bytes/dim → 1) whose ~0.1% reconstruction error is invisible to

@@ -104,6 +104,37 @@ class SimilaritySpec extends SparkSuite {
     assert(full == brute)
   }
 
+  test("multi-table LSH: numTables=1 is exactly the single-table path, " +
+      "full probe of every table equals brute force, and the union " +
+      "candidate set is strictly larger than one table's at the same " +
+      "per-table budget") {
+    val k = 20
+    val brute = Similarity.topKForId(emb, "embedding", "vec_id", 0, k)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // table 0 uses the same seed as lshTopKForId → identical results
+    val single = Similarity.lshTopKForId(emb, "embedding", "vec_id",
+      queryId = 0, k = k, numPlanes = 8, dim = 64, probes = 64)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val one = Similarity.lshTopKForIdTables(emb, "embedding", "vec_id",
+      queryId = 0, k = k, numTables = 1, numPlanes = 8, dim = 64,
+      probesPerTable = 64)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(one == single)
+    // identity anchor for the union logic: all buckets of all tables
+    val full = Similarity.lshTopKForIdTables(emb, "embedding", "vec_id",
+      queryId = 0, k = k, numTables = 3, numPlanes = 6, dim = 64,
+      probesPerTable = 64)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute)
+    // the OR-construction's point: more independent tables at the same
+    // per-table probe budget can only widen the candidate set
+    val c1 = Similarity.lshTableCandidates(emb, "embedding", "vec_id",
+      0, 1, 8, 64, 8)._1.count()
+    val c4 = Similarity.lshTableCandidates(emb, "embedding", "vec_id",
+      0, 4, 8, 64, 8)._1.count()
+    assert(c4 >= c1, s"union candidates $c4 < single-table $c1")
+  }
+
   test("multi-probe order: own bucket first, full budget covers every " +
       "bucket, and low-margin flips probe before high-margin flips") {
     // plane 0 nearly orthogonal to q (tiny margin), plane 1 aligned
