@@ -71,6 +71,43 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** ALL word n-gram shingles in token order (positional, duplicates
+  * kept) — the inverted-index key stream of substring-level dedup,
+  * where posexplode positions must be true token offsets. Same single
+  * tokenize pass as [[WordShingles]]; the higher-order-function
+  * formulation (`transform(sequence(...), i => concat_ws(slice(split(
+  * text)...)))`) re-evaluates `split(text)` inside the lambda for
+  * EVERY gram — O(tokens²) characters scanned per document, which a
+  * 100 k-token document turns into gigabytes of rescanning. This is
+  * one O(tokens) pass. */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression with SelfCallCodegen {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a whitespace-tokenized text: one md5-derived
   * 64-bit hash per token, ±1 per bit position, sign-packed (ties → 0).
   *

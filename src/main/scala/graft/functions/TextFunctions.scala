@@ -18,7 +18,10 @@ object TextFunctions {
 
   /** Word n-gram shingles (overlapping), e.g. n=3 → "a b c", "b c d", …
     * Guarded for texts shorter than n tokens (Spark's sequence(1, 0)
-    * would otherwise count DOWN and fabricate bogus shingles). */
+    * would otherwise count DOWN and fabricate bogus shingles).
+    * CAUTION: the lambda re-splits the text per gram — O(tokens²) per
+    * document. Fine for short fixture rows and oracle SQL parity; any
+    * bulk path should use [[positionalShingles]] instead. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
@@ -26,6 +29,17 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** ALL word n-gram shingles in token order (duplicates kept, positions
+    * = token offsets under posexplode) — native single-pass expression.
+    * Use this, not [[shingles]], whenever the array is consumed inside a
+    * Generate/lambda: the HOF build re-splits the text per gram
+    * (O(tokens²) per document — see WordShinglesAll's scaladoc). */
+  def positionalShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.WordShinglesAll(
+      GraftColumnBridge.expression(text), n))
   }
 
   /** Distinct word n-gram shingles — native single-pass expression (the

@@ -444,7 +444,7 @@ object Dedup {
     require(maxDf >= minDocs,
       s"maxDf $maxDf below minDocs $minDocs excludes every window")
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(shingles(col(textCol), k)).as(Seq("pos", "gram")))
+      posexplode(positionalShingles(col(textCol), k)).as(Seq("pos", "gram")))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs && col("nd") <= maxDf)
