@@ -39,12 +39,16 @@ object LshTune {
     for ((l, b, p) <- configs if sweep != "ivf") {
       var scanned = 0L
       val recalls = queryIds.map { qid =>
-        val df = operators.Similarity.lshTopKForIdTables(emb, "embedding",
-          "vec_id", qid, k, numTables = l, numPlanes = b, dim = 64,
-          probesPerTable = p)
-        scanned += operators.Similarity.lshTableCandidates(emb,
-          "embedding", "vec_id", qid, l, b, 64, p)._1.count()
-        val ids = df.collect().map(_.getAs[Long]("vec_id")).toSet
+        // one candidate build per (config, query): count it for the
+        // scanned-fraction budget, then rerank the SAME frame
+        val (cands, qv) = operators.Similarity.lshTableCandidates(emb,
+          "embedding", "vec_id", qid, l, b, 64, p)
+        val c = cands.cache()
+        scanned += c.count()
+        val ids = operators.Similarity
+          .lshRerank(c, qv, "embedding", "vec_id", k)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        c.unpersist()
         (ids & brute(qid)).size.toDouble / k
       }
       val mean = recalls.sum / recalls.size

@@ -5,6 +5,38 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** THE hyperplane-signature kernel: bit p of table t's signature =
+  * sign(v · planes(t)(p)), planes flat-packed as
+  * t·(numPlanes·dim) + p·dim + d. [[HyperplaneSigs]] (the signature
+  * projection) and [[LshProbeHit]] (the probe-membership filter) both
+  * call this — interpreted AND generated code (top-level objects get
+  * static forwarders, so janino calls it directly) — so the
+  * filter-by-predicate == filter-by-signature-in-probe-set invariant
+  * that multi-table LSH correctness rests on lives in exactly one
+  * place. Numerics: sequential left-to-right double accumulation,
+  * ties (acc == 0) set the bit. */
+object LshSig {
+  def tableSig(v: ArrayData, isFloat: Boolean, flat: Array[Double],
+      t: Int, numPlanes: Int, dim: Int): Long = {
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val off = (t * numPlanes + p) * dim
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * flat(off + d)
+        d += 1
+      }
+      if (acc >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+}
+
 /** All random-hyperplane LSH signatures for a vector in ONE native
   * expression: output[t] packs bit p = sign(v · planes(t)(p)) for table
   * t. The Column-API formulation (numPlanes × tables separate VecDot
@@ -47,26 +79,11 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Seq[Seq[Double]]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
     val isF = elemIsFloat
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
-      var sig = 0L
-      var p = 0
-      while (p < numPlanes) {
-        val off = (t * numPlanes + p) * dim
-        var acc = 0.0
-        var d = 0
-        while (d < n) {
-          val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
-          acc += x * flat(off + d)
-          d += 1
-        }
-        if (acc >= 0) sig |= 1L << p
-        p += 1
-      }
-      out(t) = sig
+      out(t) = LshSig.tableSig(v, isF, flat, t, numPlanes, dim)
       t += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -77,31 +94,13 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Seq[Seq[Double]]])
       ev: ExprCode): ExprCode = {
     val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val t = ctx.freshName("t")
-      val p = ctx.freshName("p")
-      val d = ctx.freshName("d")
-      val acc = ctx.freshName("acc")
-      val sig = ctx.freshName("sig")
-      val off = ctx.freshName("off")
-      val get =
-        if (elemIsFloat) s"(double) $v.getFloat($d)"
-        else s"$v.getDouble($d)"
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
          |long[] $out = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
-         |  long $sig = 0L;
-         |  for (int $p = 0; $p < $numPlanes; $p++) {
-         |    int $off = ($t * $numPlanes + $p) * $dim;
-         |    double $acc = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      $acc += $get * $flatRef[$off + $d];
-         |    }
-         |    if ($acc >= 0) $sig |= 1L << $p;
-         |  }
-         |  $out[$t] = $sig;
+         |  $out[$t] = graft.expressions.LshSig.tableSig(
+         |    $v, $elemIsFloat, $flatRef, $t, $numPlanes, $dim);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions
          |  .UnsafeArrayData.fromPrimitiveArray($out);

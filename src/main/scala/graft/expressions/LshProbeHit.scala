@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * matching table, and even a miss costs exactly one signature pass
   * (the same work the signature projection itself costs).
   *
-  * Numerics match [[HyperplaneSigs]] exactly: sequential
-  * left-to-right double accumulation per plane, so
-  * filter-by-this == filter-by-signatures-in-probe-sets, bit for bit.
+  * Numerics are [[LshSig.tableSig]] — the same kernel
+  * [[HyperplaneSigs]] evaluates, interpreted and generated alike — so
+  * filter-by-this == filter-by-signatures-in-probe-sets bit for bit,
+  * by construction rather than by hand-synced copies.
   */
 case class LshProbeHit(child: Expression, planes: Seq[Seq[Seq[Double]]],
     probes: Seq[Seq[Long]]) extends UnaryExpression with Predicate {
@@ -59,24 +60,10 @@ case class LshProbeHit(child: Expression, planes: Seq[Seq[Seq[Double]]],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
     val isF = elemIsFloat
     var t = 0
     while (t < tables) {
-      var sig = 0L
-      var p = 0
-      while (p < numPlanes) {
-        val off = (t * numPlanes + p) * dim
-        var acc = 0.0
-        var d = 0
-        while (d < n) {
-          val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
-          acc += x * flat(off + d)
-          d += 1
-        }
-        if (acc >= 0) sig |= 1L << p
-        p += 1
-      }
+      val sig = LshSig.tableSig(v, isF, flat, t, numPlanes, dim)
       if (java.util.Arrays.binarySearch(sortedProbes(t), sig) >= 0)
         return true
       t += 1
@@ -90,28 +77,12 @@ case class LshProbeHit(child: Expression, planes: Seq[Seq[Seq[Double]]],
     val probesRef = ctx.addReferenceObj("probesSorted", sortedProbes,
       "long[][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val t = ctx.freshName("t")
-      val p = ctx.freshName("p")
-      val d = ctx.freshName("d")
-      val acc = ctx.freshName("acc")
       val sig = ctx.freshName("sig")
-      val off = ctx.freshName("off")
-      val get =
-        if (elemIsFloat) s"(double) $v.getFloat($d)"
-        else s"$v.getDouble($d)"
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
          |for (int $t = 0; $t < $tables && !${ev.value}; $t++) {
-         |  long $sig = 0L;
-         |  for (int $p = 0; $p < $numPlanes; $p++) {
-         |    int $off = ($t * $numPlanes + $p) * $dim;
-         |    double $acc = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      $acc += $get * $flatRef[$off + $d];
-         |    }
-         |    if ($acc >= 0) $sig |= 1L << $p;
-         |  }
+         |  long $sig = graft.expressions.LshSig.tableSig(
+         |    $v, $elemIsFloat, $flatRef, $t, $numPlanes, $dim);
          |  if (java.util.Arrays.binarySearch($probesRef[$t], $sig) >= 0)
          |    ${ev.value} = true;
          |}

@@ -46,7 +46,7 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -86,7 +86,7 @@ case class WordShinglesAll(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - n + 1)
     val sb = new java.lang.StringBuilder(64)
@@ -100,6 +100,43 @@ case class WordShinglesAll(child: Expression, n: Int)
       }
       out(i) = UTF8String.fromString(sb.toString)
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Overlapping token-window chunks (window tokens long, every stride
+  * tokens) — the chunking step of an embedding/training pipeline, one
+  * chunk per stride offset with the last chunks clamped at the text's
+  * end. Native for the same reason as [[WordShinglesAll]]: the HOF
+  * formulation re-splits the text for every chunk (O(tokens²/stride)
+  * characters per document). */
+case class ChunkTokens(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression with SelfCallCodegen {
+  require(window >= stride && stride > 0,
+    s"need window >= stride > 0, got window=$window stride=$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val chunks = (toks.length - 1) / stride + 1
+    val out = new Array[Any](chunks)
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < chunks) {
+      sb.setLength(0)
+      val start = c * stride
+      val end = math.min(start + window, toks.length)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
     }
     new GenericArrayData(out)
   }
@@ -126,7 +163,7 @@ case class SimHash64(child: Expression)
       java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     val md = digests.get()
     val counts = new Array[Int](64)
     var i = 0

@@ -136,18 +136,14 @@ object TextFunctions {
     * between chunk starts; the last chunk may be shorter). Chunk i
     * covers tokens [i·stride, i·stride+window); chunk count for an
     * n-token doc is floor((n-1)/stride)+1, so every token is covered
-    * and no chunk starts past the end. Pure per-row expression; slice
-    * clamps at the end identically in Spark and DuckDB, which is what
-    * makes the q84 gate oracle-exact. */
+    * and no chunk starts past the end. Native single-pass per-row
+    * expression (the HOF build re-split the text per chunk); the
+    * end-clamp matches DuckDB's list slicing, which is what makes the
+    * q84 gate oracle-exact. */
   def chunkTokens(text: Column, window: Int, stride: Int): Column = {
-    require(window >= stride && stride > 0,
-      s"need window >= stride > 0, got window=$window stride=$stride")
-    val toks = tokens(text)
-    transform(
-      sequence(lit(0L),
-        floor((size(toks) - 1).cast("double") / stride).cast("long")),
-      i => concat_ws(" ", slice(toks, (i * stride + 1).cast("int"),
-        lit(window))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ChunkTokens(
+      GraftColumnBridge.expression(text), window, stride))
   }
 
   /** Rolling fingerprint of the token sequence (order-sensitive, unlike

@@ -156,12 +156,20 @@ object Similarity {
       dim: Int = 64, probesPerTable: Int = 4): DataFrame = {
     val (cands, qVecCol) = lshTableCandidates(emb, vecCol, idCol,
       queryId, numTables, numPlanes, dim, probesPerTable)
+    lshRerank(cands, qVecCol, vecCol, idCol, k)
+  }
+
+  /** Exact cosine rerank of an LSH candidate set against the 1-row
+    * query-vector frame — the top-k tail of [[lshTopKForIdTables]],
+    * exposed so harnesses that already built (and counted) the
+    * candidates don't rebuild them to rank. */
+  private[graft] def lshRerank(cands: DataFrame, qVecCol: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame =
     cands
       .crossJoin(broadcast(qVecCol))
       .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-  }
 
   /** The candidate set behind [[lshTopKForIdTables]] (rows whose bucket
     * is probed in at least one table, query row excluded) plus the

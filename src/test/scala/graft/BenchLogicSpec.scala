@@ -32,11 +32,20 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.representativeWall(Nil) == 0.0)
   }
 
-  test("shouldPersist refuses to reseed BENCH_LOCAL from a run whose " +
-      "walls still disagree >2x") {
+  test("shouldPersist refuses to reseed BENCH_LOCAL only when NO two " +
+      "walls corroborate each other (within 2x)") {
     assert(Bench.shouldPersist(Seq(5.6, 7.5)))
+    // two clean passes that disagree: can't tell which is real
     assert(!Bench.shouldPersist(Seq(5.6, 47.6)))
-    assert(!Bench.shouldPersist(Seq(5.6, 5.9, 47.6)))
+    // 2-of-3 agree: the median is trustworthy — persist (with the
+    // burst flag set), else the artifact goes stale against the
+    // registry and round_report's burst warning can never fire
+    assert(Bench.shouldPersist(Seq(5.6, 5.9, 47.6)))
+    assert(Bench.burstSuspect(Seq(5.6, 5.9, 47.6))) // …and flags it
+    // three mutually incompatible walls: genuinely unusable
+    assert(!Bench.shouldPersist(Seq(5.6, 13.0, 47.6)))
     assert(Bench.shouldPersist(Seq(5.6, 6.1, 5.8)))
+    assert(!Bench.shouldPersist(Seq(5.6)))
+    assert(!Bench.shouldPersist(Nil))
   }
 }

@@ -32,29 +32,42 @@ class SloSpec extends SparkSuite {
     // through on one lucky window (ADVICE r07). Inconclusive means:
     //   (a) the generator never achieved load (n < 100 appends in 6s
     //       — the HOST was saturated, not the store), or
-    //   (b) p95 breached while the host-noise indicator fired: 1-min
-    //       loadavg well above this JVM's own footprint, i.e. a
-    //       co-tenant burst was running during the window.
-    // A breach with healthy throughput on a quiet host fails at once.
-    def loadAvg1(): Double =
+    //   (b) p95 breached while the host-noise indicator fired: CPU
+    //       STEAL time during the measured window. Steal is time the
+    //       hypervisor ran the co-tenant instead of this guest — it
+    //       is exactly the burst being excused, and unlike 1-min
+    //       loadavg it can NOT be raised by this JVM's own 6 load
+    //       threads or by the Spark suites that ran in the preceding
+    //       minute (ADVICE r08: loadavg > 4 was routinely true from
+    //       self-load alone, quietly reinstating best-of-4).
+    // A breach with healthy throughput on an unstolen host fails at
+    // once.
+    def cpuStealTotal(): (Long, Long) =
       try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split("\\s+")(0).toDouble finally src.close()
-      } catch { case _: Exception => 0.0 } // no /proc → never "noisy"
-    var r = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
-      seconds = 6.0)
-    var noisy = loadAvg1() > 4.0
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val f = try src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong) finally src.close()
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Exception => (0L, 0L) } // no /proc → never noisy
+    def measured(): (StoreLoad.Result, Boolean) = {
+      val (s0, t0) = cpuStealTotal()
+      val res = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
+        seconds = 6.0)
+      val (s1, t1) = cpuStealTotal()
+      // >5% of all cycles stolen during the window = co-tenant burst
+      (res, (s1 - s0).toDouble / math.max(1L, t1 - t0) > 0.05)
+    }
+    var (r, noisy) = measured()
     var attempt = 1
     def inconclusive =
       r.append.n < 100 || (r.append.p95Ms >= 50.0 && noisy)
     while (inconclusive && attempt < 4) {
       info(f"attempt $attempt inconclusive (append p95=${r.append.p95Ms}%.1fms"
-        + f" n=${r.append.n} loadavg-noisy=$noisy) — retrying")
+        + f" n=${r.append.n} steal-noisy=$noisy) — retrying")
       System.gc()
       Thread.sleep(2000L * attempt)
-      r = StoreLoad.run(new EventStore(spark, tempDir("slo-")),
-        seconds = 6.0)
-      noisy = loadAvg1() > 4.0
+      val (r2, n2) = measured()
+      r = r2; noisy = n2
       attempt += 1
     }
     info(f"append p50=${r.append.p50Ms}%.1fms p95=${r.append.p95Ms}%.1fms "
