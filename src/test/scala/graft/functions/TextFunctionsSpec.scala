@@ -43,6 +43,47 @@ class TextFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("native positionalShingles/chunkTokens match the HOF builds on " +
+      "messy whitespace (the tokenizer-parity hazard class)") {
+    // the HOF references (what the DuckDB oracles also express): split
+    // is Spark's regex split with limit -1 — trailing empties KEPT
+    def hofShingles(n: Int) = {
+      val toks = split($"t", " ", -1)
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def hofChunks(w: Int, st: Int) = {
+      val toks = split($"t", " ", -1)
+      transform(
+        sequence(lit(0L),
+          floor((size(toks) - 1).cast("double") / st).cast("long")),
+        i => concat_ws(" ", slice(toks, (i * st + 1).cast("int"), lit(w))))
+    }
+    val texts = Seq(
+      "a b c d e f g", "a b", "", "solo",
+      "trailing space ends here ",       // trailing empty token
+      " leading", "double  space  gap",  // interior empty tokens
+      "x " * 40 + "y")                   // long + trailing
+    val df = texts.toDF("t").cache()
+    for (n <- Seq(2, 3, 5)) {
+      val got = df.select(
+        TextFunctions.positionalShingles($"t", n).as("a"),
+        hofShingles(n).as("b")).as[(Seq[String], Seq[String])].collect()
+      got.zip(texts).foreach { case ((a, b), t) =>
+        assert(a == b, s"n=$n text='$t'") }
+    }
+    for ((w, st) <- Seq((4, 2), (128, 64), (3, 3))) {
+      val got = df.select(
+        TextFunctions.chunkTokens($"t", w, st).as("a"),
+        hofChunks(w, st).as("b")).as[(Seq[String], Seq[String])].collect()
+      got.zip(texts).foreach { case ((a, b), t) =>
+        assert(a == b, s"w=$w st=$st text='$t'") }
+    }
+    df.unpersist()
+  }
+
   test("redactPii leaves non-PII digits and words alone") {
     assert(redact("ext 42 and room 9f") == "ext 42 and room 9f")
     assert(redact("v1.2.3 build 12345") == "v1.2.3 build 12345")
