@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Bigram language-model perplexity scoring — the CCNet/KenLM-style
+  * fluency signal of training-data curation: documents whose token
+  * transitions are unlikely under a reference corpus (boilerplate,
+  * shuffled text, lorem-ipsum junk, wrong-language leakage) score low
+  * and get filtered or down-weighted. Here the reference corpus is the
+  * scored corpus itself (self-perplexity, the usual bootstrap before a
+  * curated LM exists), but `bigramLm` accepts any training frame.
+  *
+  * Model: add-one (Laplace) smoothed bigram LM over whitespace tokens,
+  *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V),
+  * scored as the mean log-probability over a document's bigrams.
+  *
+  * Scale shape (100 TB): training is two partial+final count
+  * aggregations shuffled on the gram/token key (associative counts —
+  * hot boilerplate grams combine map-side, no single-reducer funnel).
+  * c(w1) is denormalized INTO the LM at train time — one equi-join on
+  * the first token over the DISTINCT-gram table (far smaller than the
+  * bigram instance stream), so scoring needs exactly ONE join: doc
+  * bigram instances ⋈ LM on the gram key, AQE free to broadcast a
+  * small LM or skew-split a hot gram. The vocabulary size rides as a
+  * broadcast 1-row frame, the per-doc reduce is a partial+final mean,
+  * and top-k ranking is a TakeOrderedAndProject. Tokenization is the
+  * native single-pass [[graft.expressions.WordShinglesAll]] (n=2), so
+  * per-row cost is O(tokens), not O(tokens²).
+  *
+  * Cross-engine numerics: the log INPUT (c12+1)/(c1+V) is a correctly
+  * rounded double of exact integers in any engine; ln() itself differs
+  * in the last ulp between libm implementations, so the gate surface
+  * is the id-tiebroken RANK of the mean log-prob, never the raw double
+  * (the q77 BM25 rule).
+  */
+object NgramLm {
+
+  /** (gram, c12, c1) for every distinct bigram of `train`, with the
+    * first-token unigram count denormalized in. */
+  def bigramLm(train: DataFrame, textCol: String): DataFrame = {
+    val toks = train.select(
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = train.select(explode(
+        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    bi.join(uni, substring_index(col("gram"), " ", 1) === col("tok"))
+      .select(col("gram"), col("c12"), col("c1"))
+  }
+
+  /** Vocabulary size of `train` as a broadcastable 1-row frame. */
+  def vocabSize(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("__v"))
+
+  /** Mean bigram log-probability per document under `lm`/`vocab`
+    * (typically [[bigramLm]]/[[vocabSize]] of a reference corpus).
+    * Output (idCol, n_bigrams, logprob); documents with fewer than two
+    * tokens have no bigrams and are dropped (no transitions to judge).
+    * Out-of-vocabulary bigrams back off to c12=0, and an unseen first
+    * token to c1=0 — the Laplace floor 1/V. */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, vocab: DataFrame): DataFrame = {
+    val grams = docs.select(col(idCol), explode(
+      TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+    grams
+      .join(lm, Seq("gram"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            col("__v").cast("double"))).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__lp")) / count(lit(1))).as("logprob"))
+  }
+
+  /** The `k` least fluent documents under the corpus's own bigram LM —
+    * the junk-candidate list, ranked worst (lowest mean log-prob)
+    * first with the id breaking ties. Returns (idCol, rk). */
+  def worstK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    scoreDocs(docs, idCol, textCol,
+        bigramLm(docs, textCol), vocabSize(docs, textCol))
+      .orderBy(col("logprob").asc, col(idCol)).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("logprob").asc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rk"))
+}

@@ -757,7 +757,45 @@ object TextQueries {
          CAST(count(*) AS BIGINT) AS n_kept
        FROM kept GROUP BY doc_id"""
 
+  /** q94: bigram-LM perplexity ranking (operators.NgramLm) — the 25
+    * least fluent documents under the corpus's own add-one-smoothed
+    * bigram model, the CCNet-style junk filter. The gate surface is
+    * the id-tiebroken RANK of the mean log-prob (ln differs in the
+    * last ulp between libm implementations; rank order does not — the
+    * q77 rule). Scale: two count aggs + ONE scoring join on the gram
+    * key; c(w1) is denormalized into the LM at train time. */
+  val q94_lm_perplexity: Q = (s, d) =>
+    graft.operators.NgramLm.worstK(
+      Tables.documents(s, d), "doc_id", "text", 25)
+
+  val q94_oracle: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       uni AS (
+         SELECT u.tok, count(*) AS c1 FROM (
+           SELECT unnest(a) AS tok FROM t) u GROUP BY u.tok),
+       v AS (SELECT count(*) AS vs FROM uni),
+       big AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(a)),
+           i -> a[i] || ' ' || a[i + 1])) AS gram
+         FROM t),
+       bc AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+       sc AS (
+         SELECT b.doc_id,
+           sum(ln((bc.c12 + 1.0) / (u.c1 + v.vs + 0.0))) / count(*)
+             AS lp
+         FROM big b
+         JOIN bc USING (gram)
+         JOIN uni u ON u.tok = split_part(b.gram, ' ', 1)
+         CROSS JOIN v
+         GROUP BY b.doc_id)
+       SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lp ASC, doc_id) AS BIGINT)
+           AS rk
+       FROM sc ORDER BY lp ASC, doc_id LIMIT 25"""
+
   val all: Map[String, Q] = Map(
+    "q94_lm_perplexity" -> q94_lm_perplexity,
     "q90_repeated_spans" -> q90_repeated_spans,
     "q91_span_scrub" -> q91_span_scrub,
     "q86_weighted_mix" -> q86_weighted_mix,
@@ -786,6 +824,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q94_lm_perplexity" -> q94_oracle,
     "q90_repeated_spans" -> q90_oracle,
     "q91_span_scrub" -> q91_oracle,
     "q34_rolling_fingerprint" -> q34_oracle,
