@@ -27,23 +27,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via the legacy conf
-    * and truncate to microseconds — exactly what DuckDB does when it loads
-    * the same file, so oracle comparisons stay exact.
+  /** `events.ts` has shipped in three parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS) (driver rounds ≤7 — Spark rejects it
+    * as [PARQUET_TYPE_ILLEGAL] unless the legacy nanosAsLong conf reads
+    * it back as a raw long), plain INT64 nanos (graft.FixtureGen), and
+    * TIMESTAMP(MICROS) with no UTC flag (driver round 8+ — Spark reads
+    * it as TIMESTAMP_NTZ). Normalize all three to the same
+    * micros-precision `TimestampType` column, which is exactly the value
+    * DuckDB sees when it loads the same file, so oracle comparisons stay
+    * exact across generations.
     *
-    * This loader REQUIRES the session conf
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; it sets it (idempotent,
-    * never unset) if missing. That session-level side effect is explicit
-    * here because there is no per-read equivalent — the conf only widens
-    * what parquet types a scan accepts, so it cannot change the result of
-    * any other read. */
+    * The nanos encodings REQUIRE the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; it is set here
+    * (idempotent, never unset) if missing. That session-level side effect
+    * is explicit because there is no per-read equivalent — the conf only
+    * widens what parquet types a scan accepts, so it cannot change the
+    * result of any other read. The NTZ→timestamp cast is wall-clock
+    * preserving because every runtime here (tests, bench, driver) runs
+    * with a UTC session timezone. */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.getOption(NanosConf).forall(_ != "true"))
       s.conf.set(NanosConf, "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to micros
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

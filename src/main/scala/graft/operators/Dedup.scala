@@ -125,6 +125,78 @@ object Dedup {
       .select("id_a", "id_b", "common", "na", "nb", "jac")
   }
 
+  /** Directed shingle-containment pairs: C(a→b) = |A∩B| / |A| ≥
+    * `minContainment`, where A is doc a's distinct n-gram shingle set.
+    * The asymmetric companion to [[ngramJaccardPairs]]: a short document
+    * quoted whole inside a much longer one has containment ≈ 1 while its
+    * symmetric Jaccard is only ≈ |A|/|B| — the pair every
+    * quote/excerpt/boilerplate dedup pass needs and Jaccard misses.
+    * Emits ordered pairs (id_a is the contained side), both directions
+    * when both clear the threshold.
+    *
+    * Same inverted-index shape as Jaccard (explode distinct shingles →
+    * equi self-join on the shingle → count common): cost is Σ df² over
+    * shingle document frequencies, never n². Shingles with df above
+    * `maxDf` are dropped from the index AND from both the numerator and
+    * the denominator — at 100 TB boilerplate shingles otherwise blow up
+    * the join and saturate every short template doc's containment, so
+    * the capped score is containment over the informative shingles
+    * (identical to the uncapped score when maxDf exceeds every df). */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minContainment: Double = 0.6,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("shingles"))
+      .repartition(col("id"))
+    val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val exR =
+      if (maxDf == Int.MaxValue) ex
+      else ex.join(
+        ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("s")),
+        Seq("s"))
+    // per-doc informative-shingle count: one row per doc, broadcast back
+    val na = exR.groupBy(col("id")).agg(count(lit(1)).as("na"))
+    val a = exR.join(na, Seq("id"))
+      .select(col("id").as("id_a"), col("na"), col("s"))
+    val b = exR.select(col("id").as("id_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"))
+      .withColumn("containment",
+        col("common").cast("double") / col("na"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        col("na").cast("long").as("na"), col("containment"))
+  }
+
+  /** Survivor selection over near-dup clusters with a source-priority
+    * policy: within each connected component of the near-dup graph keep
+    * exactly one row — the one whose `priority` expression is SMALLEST
+    * (ties broken by min id). "Prefer curated over web over crawl" is
+    * the survivor rule real corpus builds use; min-id (what
+    * [[exactSurvivors]] does per fingerprint) is only right when all
+    * copies are equally trustworthy.
+    *
+    * Scale shape: the cluster labels come from [[connectedComponents]]
+    * over an LSH candidate graph (edges, not all pairs), the join back
+    * to `docs` is id-equi, and the per-component pick is one
+    * row_number window — partitioned by component, so skew is bounded
+    * by the largest near-dup cluster, which the LSH bucket cap already
+    * bounds upstream. */
+  def prioritySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
+      .select(col("id").as("__cc_id"), col("component").as("__cc"))
+    docs.join(comp, docs(idCol) === comp("__cc_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__cc")).orderBy(priority, col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cc_id", "__cc")
+  }
+
   /** MinHash + LSH near-dup pairs: k-hash signature → `bands` band
     * hashes → candidates share ≥1 band bucket → exact-Jaccard rerank by
     * joining shingle sets back by id (so the wide shingle arrays never

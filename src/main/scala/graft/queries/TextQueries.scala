@@ -794,7 +794,77 @@ object TextQueries {
            AS rk
        FROM sc ORDER BY lp ASC, doc_id LIMIT 25"""
 
+  /** q95: directed shingle-containment pairs
+    * (operators.Dedup.containmentPairs) — |A∩B|/|A| ≥ 0.8 over distinct
+    * 3-gram shingles, the asymmetric near-dup measure that catches a
+    * short document quoted whole inside a longer one (containment ≈ 1
+    * where symmetric Jaccard ≈ |A|/|B| stays tiny). Inverted-index
+    * self-join — cost Σ df², never n². */
+  val q95_containment_pairs: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+      n = 3, minContainment = 0.8)
+
+  val q95_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+         FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS common, any_value(a.n) AS na,
+         CAST(count(*) AS DOUBLE) / any_value(a.n) AS containment
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING CAST(count(*) AS DOUBLE) / any_value(a.n) >= 0.8"""
+
+  /** q96: source-priority survivor selection
+    * (operators.Dedup.prioritySurvivors) — one document per near-dup
+    * cluster, keeping the copy from the most-trusted source (min
+    * numeric source suffix, doc_id tiebreak) instead of blindly the
+    * min id. Clusters are q66's connected components over the
+    * MinHash-LSH graph at parameters where LSH == exact Jaccard is
+    * provable, so the whole policy runs under a DuckDB oracle. */
+  val q96_priority_survivors: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+    Dedup.prioritySurvivors(docs, "doc_id", pairs,
+        substring(col("source"), 4, 16).cast("int"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val q96_oracle: String =
+    """WITH RECURSIVE
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+       e AS (SELECT id_a AS src, id_b AS dst FROM p
+             UNION SELECT id_b, id_a FROM p),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       comp AS (SELECT id AS doc_id, min(r) AS component
+         FROM reach GROUP BY id),
+       ranked AS (
+         SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           row_number() OVER (PARTITION BY c.component
+             ORDER BY CAST(substr(d.source, 4) AS INT), d.doc_id) AS rn
+         FROM documents d JOIN comp c USING (doc_id))
+       SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1"""
+
   val all: Map[String, Q] = Map(
+    "q96_priority_survivors" -> q96_priority_survivors,
+    "q95_containment_pairs" -> q95_containment_pairs,
     "q94_lm_perplexity" -> q94_lm_perplexity,
     "q90_repeated_spans" -> q90_repeated_spans,
     "q91_span_scrub" -> q91_span_scrub,
@@ -824,6 +894,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q96_priority_survivors" -> q96_oracle,
+    "q95_containment_pairs" -> q95_oracle,
     "q94_lm_perplexity" -> q94_oracle,
     "q90_repeated_spans" -> q90_oracle,
     "q91_span_scrub" -> q91_oracle,

@@ -331,6 +331,77 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containment pairs: an excerpt contained in a longer doc scores " +
+      "1.0 where symmetric jaccard misses it; direction is contained→" +
+      "container; df-cap drops boilerplate-only pairs, keeps real ones") {
+    val long = (1 to 10).map(i => s"a$i").mkString(" ") + " " +
+      (1 to 10).map(i => s"x$i").mkString(" ")
+    val short = (1 to 6).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, "z1 z2 z3 z4 z5"))
+      .toDF("id", "text")
+    val pairs = Dedup.containmentPairs(df, "text", "id",
+      n = 3, minContainment = 0.9)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // short (4 shingles, all in long) → containment exactly 1.0; the
+    // reverse direction is 4/18 and must be absent
+    assert(pairs == Seq((2L, 1L, 1.0)))
+    // symmetric jaccard on the same pair: 4/(18+4-4) ≈ 0.22 — invisible
+    // at any near-dup threshold
+    assert(Dedup.ngramJaccardPairs(df, "text", "id",
+      n = 3, minJaccard = 0.5).count() == 0)
+    // df-cap: a boilerplate tail shared by ALL docs must not create
+    // pairs on its own once capped, and the true excerpt pair survives
+    // (its containment over informative shingles is 4/6 — the two
+    // text↔boilerplate boundary shingles are df=1, so they stay in
+    // the denominator)
+    val bp = " b1 b2 b3 b4 b5"
+    val bdf = Seq((1L, long + bp), (2L, short + bp),
+      (3L, "z1 z2 z3 z4 z5" + bp), (4L, "w1 w2 w3 w4 w5" + bp))
+      .toDF("id", "text")
+    // uncapped at 0.3 the boilerplate alone pairs docs 3 and 4
+    val loose = Dedup.containmentPairs(bdf, "text", "id",
+      n = 3, minContainment = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(loose.contains((3L, 4L)))
+    val capped = Dedup.containmentPairs(bdf, "text", "id",
+      n = 3, minContainment = 0.3, maxDf = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(capped.contains((2L, 1L)))
+    // docs 3/4 share ONLY the capped boilerplate shingles with others
+    assert(!capped.exists(p => p._1 == 3L || p._1 == 4L))
+    // cap above every df ≡ uncapped (identical rows incl. scores)
+    val un = Dedup.containmentPairs(df, "text", "id", 3, 0.9)
+    val hi = Dedup.containmentPairs(df, "text", "id", 3, 0.9,
+      maxDf = 1000000)
+    assert(un.except(hi).count() == 0 && hi.except(un).count() == 0)
+  }
+
+  test("priority survivors: each cluster keeps its highest-priority " +
+      "member (doc_id tiebreak), not the min id; singletons survive") {
+    val docs = Seq(
+      (0L, 5), (1L, 1), (2L, 9), // chain cluster 0-1-2 → keeper 1
+      (5L, 7), (6L, 7),          // pair, tied priority → keeper 5
+      (7L, 3)                    // singleton
+    ).toDF("id", "prio")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.prioritySurvivors(docs, "id", pairs, $"prio")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 5L, 7L))
+    // min-id survivor policy would have kept 0 — priority changed it
+    // on the fixture corpus: survivor COUNT equals the min-id policy's
+    // (one per cluster, only the representative differs)
+    val fixture = graft.Tables.documents(spark, sfDir)
+    val lshPairs = Dedup.minhashLshPairs(fixture, "text", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+    val surv = Dedup.prioritySurvivors(fixture, "doc_id", lshPairs,
+      substring($"source", 4, 16).cast("int"))
+    val comps = Dedup.connectedComponents(
+      fixture.select($"doc_id"), "doc_id", lshPairs)
+    assert(surv.count() ==
+      comps.select(countDistinct($"component")).head().getLong(0))
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
