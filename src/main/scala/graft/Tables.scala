@@ -43,11 +43,15 @@ object Tables {
     * is explicit because there is no per-read equivalent — the conf only
     * widens what parquet types a scan accepts, so it cannot change the
     * result of any other read. The NTZ→timestamp cast is wall-clock
-    * preserving because every runtime here (tests, bench, driver) runs
-    * with a UTC session timezone. */
+    * preserving only under a UTC session timezone, so that invariant is
+    * ENFORCED here (idempotent, same pattern as the nanos conf) rather
+    * than assumed from the host JVM's default — a non-UTC host would
+    * otherwise silently shift every ts value (ADVICE r08). */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.getOption(NanosConf).forall(_ != "true"))
       s.conf.set(NanosConf, "true")
+    if (s.conf.get("spark.sql.session.timeZone", "") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     import org.apache.spark.sql.functions.{col, expr}

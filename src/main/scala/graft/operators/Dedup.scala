@@ -185,14 +185,22 @@ object Dedup {
     * to `docs` is id-equi, and the per-component pick is one
     * row_number window — partitioned by component, so skew is bounded
     * by the largest near-dup cluster, which the LSH bucket cap already
-    * bounds upstream. */
+    * bounds upstream.
+    *
+    * Null contract: a NULL `priority` sorts LAST (least trusted), not
+    * first — a priority expression that fails to parse a source id
+    * (e.g. `cast` returning null on a non-conforming id) must never
+    * silently WIN the survivor pick over rows whose priority is known
+    * (ADVICE r08). Callers wanting a different rank for unparseable
+    * sources should coalesce to an explicit sentinel. */
   def prioritySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
       priority: Column): DataFrame = {
     val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
       .select(col("id").as("__cc_id"), col("component").as("__cc"))
     docs.join(comp, docs(idCol) === comp("__cc_id"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__cc")).orderBy(priority, col(idCol))))
+        Window.partitionBy(col("__cc"))
+          .orderBy(priority.asc_nulls_last, col(idCol))))
       .filter(col("__rn") === 1)
       .drop("__rn", "__cc_id", "__cc")
   }

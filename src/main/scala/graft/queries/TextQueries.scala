@@ -799,10 +799,17 @@ object TextQueries {
     * 3-gram shingles, the asymmetric near-dup measure that catches a
     * short document quoted whole inside a longer one (containment ≈ 1
     * where symmetric Jaccard ≈ |A|/|B| stays tiny). Inverted-index
-    * self-join — cost Σ df², never n². */
+    * self-join — cost Σ df², never n².
+    *
+    * The gate runs the CAPPED form — `maxDf = 5` is BINDING on this
+    * corpus (shingle df reaches 7 at sf0.01), so the df-cap path — the
+    * 100 TB plan, where boilerplate shingles would otherwise blow up
+    * the index join — is what the oracle hash-matches: the DuckDB SQL
+    * recomputes the identical capped semantics (df filter applied to
+    * the index AND to the `na` denominator). Verdict r08 item 3. */
   val q95_containment_pairs: Q = (s, d) =>
     Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
-      n = 3, minContainment = 0.8)
+      n = 3, minContainment = 0.8, maxDf = 5)
 
   val q95_oracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
@@ -810,27 +817,44 @@ object TextQueries {
        sh AS (SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
            i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
-       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+       rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+       exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       na AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         count(*) AS common, any_value(a.n) AS na,
-         CAST(count(*) AS DOUBLE) / any_value(a.n) AS containment
-       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+         count(*) AS common, any_value(na.n) AS na,
+         CAST(count(*) AS DOUBLE) / any_value(na.n) AS containment
+       FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id <> b.doc_id
+       JOIN na ON na.doc_id = a.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING CAST(count(*) AS DOUBLE) / any_value(a.n) >= 0.8"""
+       HAVING CAST(count(*) AS DOUBLE) / any_value(na.n) >= 0.8"""
 
   /** q96: source-priority survivor selection
     * (operators.Dedup.prioritySurvivors) — one document per near-dup
     * cluster, keeping the copy from the most-trusted source (min
     * numeric source suffix, doc_id tiebreak) instead of blindly the
     * min id. Clusters are q66's connected components over the
-    * MinHash-LSH graph at parameters where LSH == exact Jaccard is
-    * provable, so the whole policy runs under a DuckDB oracle. */
+    * MinHash-LSH graph. At k=64/bands=32 candidate recall at j=0.5 is
+    * near-certain (~0.9999) and exact on this fixture's planted
+    * duplicates (jaccard ≈ 0.98 — every true pair agrees on ~31 of 32
+    * bands), which is why the whole policy runs under an exact-Jaccard
+    * DuckDB oracle (ADVICE r08: near-certain in general, exact on this
+    * band of the fixture, not provable at arbitrary jaccard).
+    *
+    * The gate runs WITH the LSH bucket cap (`maxBucket = 50`) — the
+    * 100 TB path `prioritySurvivors` assumes upstream (its window skew
+    * bound is the bucket cap). The cap is identity-safe here: a true
+    * pair is lost only if EVERY band it agrees on holds a bucket of
+    * >50 docs, and planted clusters are ≤3 docs with ~31 agreeing
+    * bands. The priority is `try_cast` (plain ANSI cast would CRASH on
+    * a non-conforming source id) and a null priority sorts LAST — see
+    * the prioritySurvivors null contract. Verdict r08 items 3+5. */
   val q96_priority_survivors: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
-      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      n = 3, k = 64, bands = 32, minJaccard = 0.5, maxBucket = Some(50))
     Dedup.prioritySurvivors(docs, "doc_id", pairs,
-        substring(col("source"), 4, 16).cast("int"))
+        substring(col("source"), 4, 16).try_cast("int"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 

@@ -402,6 +402,33 @@ class DedupSpec extends SparkSuite {
       comps.select(countDistinct($"component")).head().getLong(0))
   }
 
+  test("priority survivors null contract: an unparseable source id " +
+      "(null priority) sorts LAST, never silently wins the pick") {
+    // the q96 priority shape — substring+cast — yields null for any
+    // source not matching the srcN form; default ASC null ordering
+    // would put nulls FIRST and crown the junk row (ADVICE/verdict r08)
+    // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+    // does not even yield null — it CRASHES the query on 'rd'
+    val docs = Seq(
+      (0L, "mirror-of-src9"), // try_cast → null: must NOT survive
+      (1L, "src7"),           // parsed 7 → the survivor
+      (2L, "src9"),
+      (5L, "weird"), (6L, "src3") // pair: null vs 3 → keeper 6
+    ).toDF("id", "source")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.prioritySurvivors(docs, "id", pairs,
+        substring($"source", 4, 16).try_cast("int"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 6L))
+    // all-null cluster still keeps exactly one row (id tiebreak)
+    val allNull = Seq((3L, "a"), (4L, "b")).toDF("id", "source")
+    val out2 = Dedup.prioritySurvivors(allNull, "id",
+        Seq((3L, 4L)).toDF("id_a", "id_b"),
+        substring($"source", 4, 16).try_cast("int"))
+      .select($"id").as[Long].collect().toSeq
+    assert(out2 == Seq(3L))
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
