@@ -168,13 +168,40 @@ object Bench {
     var passes = Seq(runSuite(), runSuite())
     if (burstSuspect(passes.map(_._2))) passes :+= runSuite()
     val allR = passes.map(_._1)
-    val results = allR.flatMap(_.keySet).distinct.map { k =>
+    val concurrent = allR.flatMap(_.keySet).distinct.map { k =>
       k -> allR.flatMap(_.get(k)).min
     }.toMap
     val wallRuns = passes.map(_._2)
     val wall = representativeWall(wallRuns)
     val burst = burstSuspect(wallRuns)
     pool.shutdown()
+    // Isolated re-measure of the heavy tail (r08 verdict item 4): a
+    // per-query wall under 8-way concurrency attributes QUEUE time to
+    // the query — r08's artifact said q81 18.9s where the isolated cost
+    // was 3-7s, and every round-over-round "regression" read on the
+    // tail was scheduling noise. The suite wall ("value") stays the
+    // honest concurrent number; the slowest per-query entries are
+    // re-measured one-at-a-time on the warm JVM and the artifact keeps
+    // min(concurrent, isolated) — with the re-measured names recorded
+    // under "isolated" so trend readers know which numbers changed
+    // basis. Skipped for subset runs (those are near-isolated already).
+    val isolateTail =
+      only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TAIL", "1") != "0"
+    val tail: Seq[String] =
+      if (!isolateTail) Seq.empty
+      else concurrent.toSeq.filter(_._2 >= 1.0).sortBy(-_._2)
+        .take(10).map(_._1)
+    val isolated = tail.map { name =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+      val t0 = System.nanoTime()
+      try selected(name)(spark, sfDir).count() catch {
+        case e: Throwable => errs(name) = e.toString.take(160)
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val results = concurrent ++ isolated.map { case (k, v) =>
+      k -> math.min(v, concurrent(k))
+    }
     // Locale.ROOT: a comma-decimal default locale would make the JSON
     // line unparsable — the exact failure the short line exists to fix.
     def s3(v: Double): String =
@@ -202,11 +229,15 @@ object Bench {
     // query names × 74 queries overflowed that in r04 (parsed:null).
     // The stdout line therefore uses the contract's short "q1":sec key
     // form (~1 KB, room to grow); the full-name artifact goes to a file.
+    def isoList(short: Boolean) = tail.sorted
+      .map(k => "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\"")
+      .mkString("[", ",", "]")
     def line(short: Boolean) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         dict(short)}${
         if (errs.nonEmpty) s""","errors":$errDict""" else ""},"wall_runs":[${
         wallRuns.map(s3).mkString(",")}]${
+        if (tail.nonEmpty) s""","isolated":${isoList(short)}""" else ""}${
         if (burst) ""","burst":true""" else ""},"sf":"$sfDir"}"""
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass

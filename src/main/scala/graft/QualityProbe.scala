@@ -40,17 +40,37 @@ object QualityProbe {
     val emb = Tables.embeddings(spark, sfDir)
     val k = 20
     val queryIds = 0L until 8L
+    val brute = queryIds.map { qid =>
+      qid -> operators.Similarity.topKForId(emb, "embedding",
+        "vec_id", qid, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }.toMap
     val perQuery = queryIds.map { qid =>
       val ann = operators.Similarity.lshTopKForIdTables(emb, "embedding",
           "vec_id", queryId = qid, k = k, numTables = 64, numPlanes = 12,
           dim = 64, probesPerTable = 16)
         .collect().map(_.getAs[Long]("vec_id")).toSet
-      val brute = operators.Similarity.topKForId(emb, "embedding",
-          "vec_id", qid, k)
-        .collect().map(_.getAs[Long]("vec_id")).toSet
-      qid -> (ann & brute).size.toDouble / k
+      qid -> (ann & brute(qid)).size.toDouble / k
     }
     val meanRecall = perQuery.map(_._2).sum / perQuery.size
+
+    // --- recall curve across probe budgets (r08 verdict item 6) -----
+    // Same table/plane family as q40 (64 x 12-bit), probesPerTable
+    // swept so the probe-ORDERING quality is a recorded curve, not one
+    // operating point: a multi-probe ranking regression bends the low-
+    // budget end of the curve long before it moves recall at p=16.
+    // Keys are probesPerTable; budget (fraction of corpus scanned)
+    // = 64*p/2^12 = p/64.
+    val curve = Seq(4, 8, 16, 32).map { p =>
+      val recalls = queryIds.map { qid =>
+        val ann = operators.Similarity.lshTopKForIdTables(emb, "embedding",
+            "vec_id", queryId = qid, k = k, numTables = 64, numPlanes = 12,
+            dim = 64, probesPerTable = p)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (ann & brute(qid)).size.toDouble / k
+      }
+      p -> recalls.sum / recalls.size
+    }
 
     // --- IVF recall@20 at a 16-of-64-lists budget -------------------
     // q51's gate probes every list (provably exact), so the budgeted
@@ -65,10 +85,7 @@ object QualityProbe {
       val ann = operators.Similarity.ivfTopKForId(emb, "embedding",
           "vec_id", queryId = qid, k = k, nLists = 64, nProbes = 16)
         .collect().map(_.getAs[Long]("vec_id")).toSet
-      val brute = operators.Similarity.topKForId(emb, "embedding",
-          "vec_id", qid, k)
-        .collect().map(_.getAs[Long]("vec_id")).toSet
-      qid -> (ann & brute).size.toDouble / k
+      qid -> (ann & brute(qid)).size.toDouble / k
     }
     val ivfMeanRecall = ivfPerQuery.map(_._2).sum / ivfPerQuery.size
 
@@ -88,6 +105,8 @@ object QualityProbe {
     val json =
       s"""{"sf":"$sfDir","recall_at_20":${s3(meanRecall)},""" +
         s""""tables":64,"planes":12,"probes_per_table":16,"k":$k,""" +
+        s""""recall_curve":{${curve.map { case (p, r) =>
+          s"\"$p\":${s3(r)}" }.mkString(",")}},""" +
         s""""per_query":{${perQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""ivf_recall_at_20":${s3(ivfMeanRecall)},""" +

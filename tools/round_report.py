@@ -113,6 +113,27 @@ def main():
         d = json.load(open("QUALITY.json"))
         lines += [f"QUALITY.json: recall_at_20={d['recall_at_20']}, "
                   f"hll_max_rel_err={d['hll_max_rel_err']}", ""]
+        # recall-vs-budget curve, diffed against the last committed
+        # QUALITY.json (r08 verdict item 6: a probe-ordering regression
+        # must show up as a number, and the low-budget end of the curve
+        # bends first)
+        curve = d.get("recall_curve")
+        if curve:
+            try:
+                old = json.loads(subprocess.run(
+                    ["git", "show", "HEAD:QUALITY.json"],
+                    capture_output=True, text=True).stdout
+                ).get("recall_curve", {})
+            except (json.JSONDecodeError, OSError):
+                old = {}
+            pts = []
+            for p in sorted(curve, key=int):
+                delta = (f" ({curve[p] - old[p]:+.3f})"
+                         if p in old and abs(curve[p] - old[p]) >= 0.005
+                         else "")
+                pts.append(f"p={p}: {curve[p]}{delta}")
+            lines += ["recall_curve (64 tables x 12 planes, recall@20 "
+                      "by probes/table): " + ", ".join(pts), ""]
     except (OSError, json.JSONDecodeError, KeyError):
         pass
     try:
