@@ -333,6 +333,32 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Semantic (embedding-level) dedup survivors, the SemDeDup shape
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus by
+    * embedding near-duplicate edges (cosine ≥ minCosine) and keep ONE
+    * representative per connected cluster — the min id — reporting the
+    * cluster size so the curation pass can audit what it dropped.
+    * Output (idCol, cluster_size); singletons survive with size 1.
+    *
+    * Where SemDeDup prunes within k-means cells, the candidate
+    * structure here is [[embeddingCosinePairs]]'s multi-table
+    * hyperplane LSH — same Σ bucket² (never n²) cost shape, but with a
+    * recorded per-pair miss probability instead of a quantization
+    * boundary blind spot, and every candidate reranked with the exact
+    * cosine before an edge exists. Clustering is
+    * [[connectedComponents]] over those edges; the survivor pick is
+    * one hash agg keyed by component. */
+  def semanticSurvivors(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double, numPlanes: Int = 8, dim: Int = 64,
+      tables: Int = 1): DataFrame = {
+    val pairs = embeddingCosinePairs(emb, vecCol, idCol, minCosine,
+      numPlanes, dim, tables)
+    connectedComponents(emb.select(col(idCol)), idCol, pairs)
+      .groupBy(col("component"))
+      .agg(min(col("id")).as(idCol), count(lit(1)).as("cluster_size"))
+      .select(col(idCol), col("cluster_size"))
+  }
+
   /** Decontamination: flag corpus documents sharing at least one
     * distinct n-gram with an eval/probe set — the contamination check
     * every training corpus runs against its benchmark suites before

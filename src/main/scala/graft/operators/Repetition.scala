@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gopher/MassiveText-style WITHIN-document repetition signals (Rae et
+  * al. 2021, "Scaling Language Models", table A1), the standard
+  * template-junk filters of a training-data curation pass — documents
+  * dominated by one repeated phrase or by internally duplicated windows
+  * get dropped before any cross-document dedup even runs. Token-level
+  * re-expression of the paper's character fractions (the fixture corpus
+  * is whitespace-tokenized):
+  *
+  *  - `topN_frac`: (occurrences of the doc's most frequent n-gram) × n
+  *    / n_tokens — the "fraction of tokens in the most common n-gram".
+  *    Overlapping occurrences are counted as the paper (and the public
+  *    implementations) do, so a degenerate "a a a …" doc can exceed
+  *    1.0; the signal is a filter threshold, not a probability.
+  *  - `dupN_cov`: fraction of tokens covered by the UNION of all
+  *    n-gram windows occurring ≥2 times within the document —
+  *    overlap-correct via the same gaps-and-islands pass as
+  *    [[Dedup.repeatedSpans]], only partitioned per document with no
+  *    cross-document join at all.
+  *
+  * Scale shape (100 TB): every signal is explode → hash-aggregate keyed
+  * by (doc_id, gram) then doc_id — partial aggregation combines
+  * map-side, nothing shuffles wider than one row per distinct in-doc
+  * gram, and there is no join between documents anywhere. The three
+  * signals share the doc_id partitioning, so the final assembly joins
+  * collapse into one exchange.
+  */
+object Repetition {
+
+  /** Most-frequent-n-gram token fraction per document:
+    * (doc_id, topN_count, topN_frac). */
+  private def topNgram(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("__nt"),
+      explode(positionalShingles(col(textCol), n)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("__c"), first(col("__nt")).as("__nt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__c")).as(s"top${n}_count"),
+        ((max(col("__c")) * n).cast("double") /
+          first(col("__nt")).cast("double")).as(s"top${n}_frac"))
+  }
+
+  /** Union-coverage fraction of duplicated n-gram windows per document:
+    * (doc_id, dupN_cov). Documents with no within-doc duplicate n-gram
+    * are absent (coverage 0 — the caller coalesces). */
+  private def dupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("__nt"),
+      posexplode(positionalShingles(col(textCol), n)).as(Seq("pos", "gram")))
+    // within-doc duplicate windows: count over (doc, gram) — a window,
+    // not a self-join; the corpus never meets itself
+    val flagged = grams.withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gram"))))
+      .filter(col("__c") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + (n - 1)), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg((max(col("pos")) + (n - 1) - min(col("pos")) + 1).as("__cov"),
+        first(col("__nt")).as("__nt"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__cov")).cast("double") /
+        first(col("__nt")).cast("double")).as(s"dup${n}_cov"))
+  }
+
+  /** The per-document repetition profile the Gopher filters threshold:
+    * (doc_id, n_tokens, top2_count, top2_frac, top3_count, top3_frac,
+    * dup5_cov). One row per input document. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    base
+      .join(topNgram(docs, idCol, textCol, 2), Seq("doc_id"), "left")
+      .join(topNgram(docs, idCol, textCol, 3), Seq("doc_id"), "left")
+      .join(dupCoverage(docs, idCol, textCol, 5), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("top2_count").cast("long").as("top2_count"), col("top2_frac"),
+        col("top3_count").cast("long").as("top3_count"), col("top3_frac"),
+        coalesce(col("dup5_cov"), lit(0.0)).as("dup5_cov"))
+  }
+}

@@ -886,7 +886,97 @@ object TextQueries {
          FROM documents d JOIN comp c USING (doc_id))
        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1"""
 
+  /** q97: Gopher/MassiveText within-document repetition profile
+    * (operators.Repetition.profile) — most-frequent 2-/3-gram token
+    * fractions plus union coverage of duplicated 5-gram windows, the
+    * template-junk thresholds every curation pass applies BEFORE any
+    * cross-document dedup. No doc ever meets another doc: every signal
+    * is explode + (doc,gram)-keyed hash aggs + one per-doc islands
+    * window, all exact integer ratios, so the whole profile
+    * hash-matches the SQL oracle. */
+  val q97_gopher_repetition: Q = (s, d) =>
+    graft.operators.Repetition.profile(
+      Tables.documents(s, d), "doc_id", "text")
+
+  val q97_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') a FROM documents),
+       g2 AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') gram
+         FROM t, unnest(range(1, len(a))) u(i)),
+       m2 AS (SELECT doc_id, max(c) AS top2 FROM (
+           SELECT doc_id, gram, count(*) c FROM g2 GROUP BY doc_id, gram)
+         GROUP BY doc_id),
+       g3 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') gram
+         FROM t, unnest(range(1, len(a) - 1)) u(i)),
+       m3 AS (SELECT doc_id, max(c) AS top3 FROM (
+           SELECT doc_id, gram, count(*) c FROM g3 GROUP BY doc_id, gram)
+         GROUP BY doc_id),
+       g5 AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+           array_to_string(a[i:i+4], ' ') gram
+         FROM t, unnest(range(1, greatest(len(a) - 3, 1))) u(i)),
+       f AS (SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id, gram) c FROM g5)
+         WHERE c >= 2),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos > lag(pos) OVER w + 4 THEN 1 ELSE 0 END AS brk
+         FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       i AS (SELECT doc_id, pos, sum(brk) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+       cov AS (SELECT doc_id, sum(mx - mn + 5) AS covered FROM (
+           SELECT doc_id, grp, min(pos) mn, max(pos) mx FROM i
+           GROUP BY doc_id, grp) GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.a) AS BIGINT) AS n_tokens,
+         CAST(m2.top2 AS BIGINT) AS top2_count,
+         CAST(m2.top2 * 2 AS DOUBLE) / len(t.a) AS top2_frac,
+         CAST(m3.top3 AS BIGINT) AS top3_count,
+         CAST(m3.top3 * 3 AS DOUBLE) / len(t.a) AS top3_frac,
+         COALESCE(CAST(cov.covered AS DOUBLE) / len(t.a), 0.0)
+           AS dup5_cov
+       FROM t JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+       LEFT JOIN cov USING (doc_id)"""
+
+  /** q98: DSIR importance-resampling selection (operators.Dsir) — the
+    * 25 documents whose hashed-bigram features look most like the
+    * TARGET slice (here lang='en') relative to the raw corpus,
+    * ln-ratio-weighted with add-one smoothing over 256 md5-hashed
+    * buckets. The feature hash is engine-portable (conv(md5) in Spark
+    * == CAST('0x…') in DuckDB), the log inputs are exact integer
+    * ratios, and the gate surface is the id-tiebroken rank (q77/q94
+    * ulp rule). */
+  val q98_dsir_rank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.topK(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), buckets = 256, k = 25)
+  }
+
+  val q98_oracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') a
+         FROM documents),
+       g AS (SELECT doc_id, lang, array_to_string(a[i:i+1], ' ') gram
+         FROM t, unnest(range(1, len(a))) u(i)),
+       bk AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(gram), 1, 4)) AS INT) % 256 AS bucket
+         FROM g),
+       tc AS (SELECT bucket, count(*) ct FROM bk WHERE lang = 'en'
+         GROUP BY bucket),
+       rc AS (SELECT bucket, count(*) cr FROM bk GROUP BY bucket),
+       tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt,
+                      (SELECT sum(cr) FROM rc) AS nr),
+       w AS (SELECT rc.bucket,
+           ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 256.0))
+             - ln((rc.cr + 1.0) / (tot.nr + 256.0)) AS wt
+         FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+       sc AS (SELECT bk.doc_id, sum(w.wt) / count(*) AS weight
+         FROM bk JOIN w USING (bucket) GROUP BY bk.doc_id)
+       SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)
+           AS rk
+       FROM sc ORDER BY weight DESC, doc_id LIMIT 25"""
+
   val all: Map[String, Q] = Map(
+    "q98_dsir_rank" -> q98_dsir_rank,
+    "q97_gopher_repetition" -> q97_gopher_repetition,
     "q96_priority_survivors" -> q96_priority_survivors,
     "q95_containment_pairs" -> q95_containment_pairs,
     "q94_lm_perplexity" -> q94_lm_perplexity,
@@ -918,6 +1008,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q98_dsir_rank" -> q98_oracle,
+    "q97_gopher_repetition" -> q97_oracle,
     "q96_priority_survivors" -> q96_oracle,
     "q95_containment_pairs" -> q95_oracle,
     "q94_lm_perplexity" -> q94_oracle,

@@ -405,7 +405,49 @@ object VectorQueries {
       "vec_id", queryId = 0, k = 20, numTables = 3, numPlanes = 6,
       dim = 64, probesPerTable = 64)
 
+  /** q99: semantic dedup survivors (SemDeDup shape —
+    * operators.Dedup.semanticSurvivors) over the q63 doubled corpus:
+    * every vector has a planted duplicate under a shifted id, so every
+    * cluster is a provable near-dup group and the survivor set is its
+    * min-id representative with the audited cluster size. The whole
+    * pipeline — hyperplane-LSH candidates, exact-cosine rerank,
+    * connected components, one component-keyed survivor agg — runs
+    * under the exact all-pairs + recursive-CC DuckDB oracle, at the
+    * 0.999 threshold where LSH == exact is provable (bit-identical
+    * signatures share every bucket; the q63 argument). */
+  val q99_semantic_survivors: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .union(e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        col("embedding")))
+    Dedup.semanticSurvivors(corpus, "embedding", "vec_id",
+      minCosine = 0.999, numPlanes = 12, dim = 64, tables = 4)
+  }
+
+  val q99_oracle: String =
+    """WITH RECURSIVE
+       u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+             UNION ALL
+             SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+             FROM embeddings),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.999),
+       e AS (SELECT id_a AS src, id_b AS dst FROM p
+             UNION SELECT id_b, id_a FROM p),
+       reach(id, r) AS (
+         SELECT vec_id, vec_id FROM u
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       SELECT CAST(min(id) AS BIGINT) AS vec_id,
+         CAST(count(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY component"""
+
   val all: Map[String, Q] = Map(
+    "q99_semantic_survivors" -> q99_semantic_survivors,
     "q93_lsh_tables_full" -> q93_lsh_tables_full,
     "q85_lsh_full_probe" -> q85_lsh_full_probe,
     "q83_covariance_entries" -> q83_covariance_entries,
@@ -423,6 +465,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q99_semantic_survivors" -> q99_oracle,
     "q93_lsh_tables_full" -> q36_oracle,
     "q85_lsh_full_probe" -> q36_oracle,
     "q83_covariance_entries" -> q83_oracle,

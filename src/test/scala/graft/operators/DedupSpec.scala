@@ -429,6 +429,31 @@ class DedupSpec extends SparkSuite {
     assert(out2 == Seq(3L))
   }
 
+  test("semantic survivors: planted duplicate embeddings collapse to " +
+      "min-id representatives with audited cluster sizes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.select(($"vec_id" + 10000000L).as("vec_id"),
+        $"embedding"))
+    val surv = Dedup.semanticSurvivors(corpus, "embedding", "vec_id",
+      minCosine = 0.999, numPlanes = 12, dim = 64, tables = 4)
+    // every original id survives its planted twin; cluster sizes are
+    // exactly the CC sizes of the exact-cosine graph (>= 2 everywhere
+    // because of the planted copy; survivors never the shifted id)
+    assert(surv.count() == surv.filter($"vec_id" < 10000000L).count())
+    assert(surv.filter($"cluster_size" < 2).count() == 0)
+    assert(surv.agg(sum($"cluster_size")).head().getLong(0) ==
+      corpus.count())
+    // idempotence on the deduped side: rerunning over the survivors'
+    // vectors (one per cluster) yields all-singleton clusters unless
+    // two distinct originals are true near-dups — allow those, but the
+    // planted twins must be gone
+    val kept = corpus.join(surv.select($"vec_id"), Seq("vec_id"))
+    val again = Dedup.semanticSurvivors(kept, "embedding", "vec_id",
+      minCosine = 0.9999, numPlanes = 12, dim = 64, tables = 4)
+    assert(again.count() == kept.count())
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
