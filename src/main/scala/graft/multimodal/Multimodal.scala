@@ -145,6 +145,46 @@ object Multimodal {
     }
   }
 
+  /** Scrambled variant of [[syntheticImageTable]] for the image
+    * near-dup gate (q100): per-pixel values go through a second
+    * multiply-and-mask mix keyed by the pixel index, so two DIFFERENT
+    * doc ids share no pixel structure (the plain table's shared
+    * x·31+y·131 gradient makes aHashes collide corpus-wide — fine for
+    * decode gates, degenerate for a near-dup join). Every intermediate
+    * is masked to 24 bits BEFORE the next multiply, keeping the whole
+    * formula inside exact int64 in Spark and DuckDB alike.
+    * `pixel0Delta` perturbs pixel (0,0) AFTER the mix — a small
+    * edit whose decoded near-dup distance stays small. */
+  def scrambledImageTable(docs: DataFrame, idShift: Long = 0L,
+      pixel0Delta: Long = 0L): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ensureCodecInit()
+      ids.map { id0 =>
+        val h1 = (id0 * 2654435761L) & 0xffffff
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val idx = y * 8 + x
+            val mixed = ((h1 + idx) * 2654435761L) & 0xffffff
+            val d = if (idx == 0) pixel0Delta else 0L
+            val v = (mixed + d) & 0xffffff
+            img.setRGB(x, y, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id0 + idShift, bos.toByteArray,
+          MediaMeta("image", 8, 8, 1, 0, "image/png"))
+      }
+    }
+  }
+
   /** REAL image decode + feature extraction: ImageIO-decode the PNG and
     * emit [width, height, mean R, mean G, mean B, 11-bin gray histogram]
     * (dim 16). Partition-batched like byteFeatures; real-codec path

@@ -295,6 +295,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs over a PRECOMPUTED 64-bit fingerprint stored as two
+    * 32-bit halves (the engine-portable packing of
+    * [[graft.multimodal.Multimodal.imageAHash]] — no sign-bit
+    * arithmetic anywhere): hamming(fp_a, fp_b) ≤ maxHamming via the
+    * same pigeonhole banding as [[simhashPairs]], but consuming any
+    * fingerprint column pair instead of re-hashing text. This is the
+    * image/audio near-dup join: perceptual hashes come out of the
+    * codec scan, THIS pairs them.
+    *
+    * Candidate generation is EXACT, not probabilistic: the 64 bits are
+    * split into maxHamming+1 disjoint bands, so a pair within the
+    * radius must agree on ≥1 whole band (pigeonhole) — the band join
+    * can only over-generate, and the hamming rerank trims it. Cost is
+    * Σ band-bucket², never n²; only (id, band, bits, halves) rides the
+    * shuffle. */
+  def hammingHalvesPairs(hashes: DataFrame, idCol: String,
+      loCol: String, hiCol: String, maxHamming: Int = 3): DataFrame = {
+    val nb = maxHamming + 1
+    val width = 64 / nb
+    require(64 % nb == 0 && width <= 32 && 32 % width == 0,
+      s"maxHamming+1 ($nb) must split two 32-bit halves into whole " +
+        "bands: use maxHamming in {1,3,7,15,31}")
+    val perHalf = 32 / width
+    val h = hashes.select(col(idCol).as("id"),
+      col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+      .repartition(col("id"))
+    val bandArr = array((0 until nb).map { j =>
+      val src = if (j < perHalf) col("lo") else col("hi")
+      shiftright(src, (j % perHalf) * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = h.select(col("id"), col("lo"), col("hi"),
+      posexplode(bandArr).as(Seq("band", "bits")))
+    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.lo").as("lo_a"), col("x.hi").as("hi_a"),
+        col("y.lo").as("lo_b"), col("y.hi").as("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ minCosine. Candidate generation
     * via random-hyperplane LSH with an OR-construction over `tables`
     * independent plane sets: a pair is a candidate if it shares a bucket

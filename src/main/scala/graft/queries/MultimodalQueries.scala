@@ -344,7 +344,60 @@ object MultimodalQueries {
          CAST(sum(u) * 64 AS BIGINT) AS sum_b
        FROM blk GROUP BY 1, 2"""
 
+  /** q100: IMAGE near-dup pairs — the multimodal counterpart of the
+    * MinHash text dedup family. The corpus is every fixture image plus
+    * a one-pixel-perturbed twin under a shifted id (the SCRAMBLED
+    * generator: distinct doc ids share no pixel structure, so aHashes
+    * only collide for true near-dups — the plain gradient table's
+    * hashes collide corpus-wide and would make the output quadratic).
+    * Spark decodes the real PNG bytes through the real codec, aHashes
+    * them (q88's path), and pairs fingerprints within hamming ≤ 3 via
+    * Dedup.hammingHalvesPairs. Candidate generation is EXACT by
+    * pigeonhole (4 disjoint 16-bit bands, ≤3 differing bits ⟹ ≥1 band
+    * agrees), so the oracle is the analytic all-pairs hamming join
+    * over hashes DuckDB recomputes from doc_id — including however
+    * many bits the perturbation's threshold shift actually flips
+    * (twins past the radius drop out in BOTH engines). */
+  val q100_image_neardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val imgs = Multimodal.scrambledImageTable(docs)
+      .unionByName(Multimodal.scrambledImageTable(docs,
+        idShift = 10000000L, pixel0Delta = 40L))
+    graft.operators.Dedup.hammingHalvesPairs(
+      Multimodal.imageAHash(imgs),
+      "media_id", "ahash_lo", "ahash_hi", maxHamming = 3)
+  }
+
+  val q100_oracle: String =
+    """WITH m AS (SELECT doc_id, doc_id AS mid, 0 AS delta
+           FROM documents
+         UNION ALL
+         SELECT doc_id, doc_id + 10000000, 40 FROM documents),
+       px AS (
+         SELECT mid, idx,
+           ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+         FROM (SELECT m.mid, u.i AS idx,
+                 ((((((m.doc_id * 2654435761) & 16777215) + u.i)
+                     * 2654435761) & 16777215)
+                  + (CASE WHEN u.i = 0 THEN m.delta ELSE 0 END))
+                   & 16777215 AS v
+               FROM m, range(0, 64) u(i))),
+       tot AS (SELECT mid, sum(gray) AS total FROM px GROUP BY 1),
+       h AS (SELECT p.mid,
+           CAST(sum(CASE WHEN p.idx < 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << p.idx ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN p.idx >= 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << (p.idx - 32) ELSE 0 END) AS BIGINT) AS hi
+         FROM px p JOIN tot t USING (mid)
+         GROUP BY 1)
+       SELECT a.mid AS id_a, b.mid AS id_b,
+         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+           AS BIGINT) AS hamming
+       FROM h a JOIN h b ON a.mid < b.mid
+       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+
   val all: Map[String, Q] = Map(
+    "q100_image_neardup" -> q100_image_neardup,
     "q92_mjpg_frames" -> q92_mjpg_frames,
     "q89_avi_frames" -> q89_avi_frames,
     "q88_image_ahash" -> q88_image_ahash,
@@ -356,6 +409,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q100_image_neardup" -> q100_oracle,
     "q92_mjpg_frames" -> q92_oracle,
     "q89_avi_frames" -> q89_oracle,
     "q88_image_ahash" -> q88_oracle,

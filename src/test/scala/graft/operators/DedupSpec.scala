@@ -429,6 +429,36 @@ class DedupSpec extends SparkSuite {
     assert(out2 == Seq(3L))
   }
 
+  test("hamming halves pairs: pigeonhole banding equals brute force " +
+      "at radius 3 and 1; out-of-radius twins excluded") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      (i, rnd.nextInt().toLong & 0xffffffffL,
+        rnd.nextInt().toLong & 0xffffffffL)
+    }
+    // twins at hamming exactly 3 (2 bits in lo, 1 in hi) and exactly 4
+    val in = base.take(10).map { case (i, lo, hi) =>
+      (i + 1000L, lo ^ 5L, hi ^ (1L << 20)) }
+    val out = base.slice(10, 20).map { case (i, lo, hi) =>
+      (i + 2000L, lo ^ 0xfL, hi) }
+    val all = base ++ in ++ out
+    val df = all.toDF("id", "lo", "hi")
+    def brute(maxH: Int) = (for {
+      a <- all; b <- all if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= maxH
+    } yield (a._1, b._1, h.toLong)).toSet
+    val got3 = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 == brute(3))
+    assert(base.take(10).forall(r => got3.exists(_._2 == r._1 + 1000L)))
+    assert(!got3.exists(_._2 >= 2000L)) // hamming-4 twins excluded
+    val got1 = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got1 == brute(1))
+  }
+
   test("semantic survivors: planted duplicate embeddings collapse to " +
       "min-id representatives with audited cluster sizes") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
