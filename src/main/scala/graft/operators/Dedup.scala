@@ -309,7 +309,17 @@ object Dedup {
     * radius must agree on ≥1 whole band (pigeonhole) — the band join
     * can only over-generate, and the hamming rerank trims it. Cost is
     * Σ band-bucket², never n²; only (id, band, bits, halves) rides the
-    * shuffle. */
+    * shuffle.
+    *
+    * The fingerprint frame is MATERIALIZED (localCheckpoint) before the
+    * self-join: fingerprints are typically the output of a codec scan
+    * (decode + hash of every image), and the typed mapPartitions nodes
+    * in such a pipeline defeat exchange-reuse canonicalization — a
+    * plain repartition barrier left the whole decode pipeline running
+    * ONCE PER JOIN SIDE (measured in the q100 plan). Three longs per
+    * row is the cheapest frame in the query; decoding the corpus twice
+    * is not. On a real cluster the analogous move is persisting the
+    * fingerprint table before the join. */
   def hammingHalvesPairs(hashes: DataFrame, idCol: String,
       loCol: String, hiCol: String, maxHamming: Int = 3): DataFrame = {
     val nb = maxHamming + 1
@@ -320,7 +330,7 @@ object Dedup {
     val perHalf = 32 / width
     val h = hashes.select(col(idCol).as("id"),
       col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
-      .repartition(col("id"))
+      .localCheckpoint()
     val bandArr = array((0 until nb).map { j =>
       val src = if (j < perHalf) col("lo") else col("hi")
       shiftright(src, (j % perHalf) * width)

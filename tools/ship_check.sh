@@ -90,8 +90,11 @@ fi
 last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/.*_r0*//; s/\.json//' |
        sort -n | tail -1)
 cur=$((last + 1))
-prev_plans=$(ls PLANS_r*.txt | sort | tail -1)
 new_plans=$(printf 'PLANS_r%02d.txt' "$cur")
+# previous round's dump for the diff — NOT this round's, which exists
+# already when ship_check is re-run after a late fix
+prev_plans=$(ls PLANS_r*.txt | grep -v "^$new_plans$" | sort | tail -1)
+[ -z "$prev_plans" ] && prev_plans=$new_plans
 prev_bench=$(printf 'BENCH_r%02d.json' "$last")
 round_md=$(printf 'ROUND_r%02d.md' "$cur")
 
