@@ -309,14 +309,19 @@ object Multimodal {
     * differs between engines. That is what lets the q58 gate be
     * DuckDB-oracle-exact while the decode stays a real JDK codec
     * (the q33/q34 rebase trick applied to a codec). */
-  def syntheticAudioTable(docs: DataFrame): Dataset[MediaRow] = {
+  def syntheticAudioTable(docs: DataFrame, idShift: Long = 0L,
+      ampShift: Int = 0): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
+      ids.map { id0 =>
+        val id = id0 + idShift
         val rate = 8000
         val n = rate / 10 // 0.1 s
-        val freq = 200 + (id % 40).toInt * 20 // integer Hz < rate/2
-        val amp = 6000 + (id % 10).toInt * 600
+        // tone parameters key off the UNSHIFTED doc id, so an
+        // idShift/ampShift twin is the same tone at a different volume
+        // — the pair an amplitude-invariant fingerprint must merge
+        val freq = 200 + (id0 % 40).toInt * 20 // integer Hz < rate/2
+        val amp = 6000 + (id0 % 10).toInt * 600 + ampShift
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
@@ -338,6 +343,47 @@ object Multimodal {
           MediaMeta("audio", 0, 0, n, rate, "audio/wav"))
       }
     }
+  }
+
+  /** Perceptual AUDIO fingerprint: decode the WAV (same container +
+    * raw-PCM fallback as [[decodeAudioFeatures]]) and pack the SIGNS of
+    * 64 evenly strided samples into two 32-bit halves (the engine-
+    * portable packing of [[imageAHash]]). Sign patterns capture the
+    * tone/periodicity and are invariant to volume — the same clip at a
+    * different amplitude fingerprints identically, which is what makes
+    * this a dedup key rather than a byte hash. Compose downstream with
+    * [[graft.operators.Dedup.exactGroups]] (identical tones) or
+    * [[graft.operators.Dedup.hammingHalvesPairs]] (near-matches).
+    * Partition-batched scan, no shuffle. */
+  def audioSignHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.meta.kind == "audio").map { r =>
+        val bytes =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload)).readAllBytes()
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              r.payload // raw PCM fallback
+          }
+        val n = bytes.length / 2
+        val stride = math.max(1, n / 64)
+        var lo = 0L; var hi = 0L
+        var j = 0
+        while (j < 64) {
+          val i = j * stride
+          if (i < n) {
+            val v = ((bytes(2 * i + 1).toInt << 8) |
+              (bytes(2 * i) & 0xff)).toShort.toInt
+            if (v >= 0) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+          }
+          j += 1
+        }
+        (r.media_id, lo, hi)
+      }
+    }.toDF("media_id", "sig_lo", "sig_hi")
   }
 
   /** REAL audio decode + feature extraction: parse the WAV container

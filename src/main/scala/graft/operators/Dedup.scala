@@ -295,6 +295,72 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental NEAR-dup detection: MinHash-LSH pairs between a NEW
+    * batch and an already-ingested corpus — [[incrementalSurvivors]]'
+    * delta-dedup shape extended from exact fingerprints to jaccard
+    * near-duplicates. Output (batch_id, corpus_id, common, na, nb,
+    * jac) for every cross pair with exact jaccard ≥ `minJaccard`;
+    * within-batch pairs are [[minhashLshPairs]]' job, within-corpus
+    * pairs were dealt with at their own ingest time.
+    *
+    * Scale shape (the whole point): the CORPUS IS NEVER SHUFFLED. Its
+    * single scan computes shingles + band hashes per row, a broadcast
+    * semi-ish join against the batch's distinct (band, bhash) buckets
+    * filters it to candidate rows (bounded by batch size × bucket
+    * collisions), and the exact rerank joins the BATCH's shingle sets
+    * in by broadcast. Only the candidate pair set — not the corpus —
+    * rides any exchange. The identity argument of q31 applies
+    * unchanged: at k=64/bands=32 a true pair at jac ≥ 0.5 shares a
+    * band bucket with near-certainty (and provably at the planted
+    * near-dup band), so the output equals the exact cross-slice
+    * all-pairs result on such corpora. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    import org.apache.spark.sql.GraftColumnBridge
+    def bandArr(c: Column) = GraftColumnBridge.column(
+      graft.expressions.LshBandHashes(
+        GraftColumnBridge.expression(c), k, bands))
+    val bsh = batch.select(col(idCol).as("id_b"),
+        distinctShingles(col(textCol), n).as("sh_b"))
+      .withColumn("bands", bandArr(col("sh_b")))
+      .localCheckpoint() // small by contract; planned once, broadcast twice
+    val bBuckets = bsh.select(col("id_b"),
+      posexplode(col("bands")).as(Seq("band", "bhash")))
+    // one corpus scan: band hashes computed in the scan projection,
+    // broadcast hash join against the batch buckets (no corpus
+    // exchange); candidates reduce to an ids-only pair set BEFORE any
+    // shuffle, so nothing wide rides an exchange with band-count
+    // amplification
+    val cand = corpus.select(col(idCol).as("id_c"),
+        posexplode(bandArr(distinctShingles(col(textCol), n)))
+          .as(Seq("band", "bhash")))
+      .join(broadcast(bBuckets), Seq("band", "bhash"))
+      .filter(col("id_b") =!= col("id_c"))
+      .select(col("id_b"), col("id_c")).distinct()
+      .localCheckpoint() // batch-bounded; reused for the pruned rescan
+    // second corpus pass, broadcast-pruned to candidate ids only, joins
+    // the shingle sets back for the exact rerank — scans are cheap and
+    // column-pruned, shuffles are what the corpus must never pay
+    val candIds = cand.select(col("id_c")).distinct()
+    val csh = corpus.select(col(idCol).as("id_c"),
+        distinctShingles(col(textCol), n).as("sh_c"))
+      .join(broadcast(candIds), Seq("id_c"))
+    cand
+      .join(broadcast(bsh.select(col("id_b"), col("sh_b"))), Seq("id_b"))
+      .join(csh, Seq("id_c"))
+      .withColumn("common",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+      .withColumn("na", size(col("sh_b")).cast("long"))
+      .withColumn("nb", size(col("sh_c")).cast("long"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_b"), col("id_c"), col("common"), col("na"),
+        col("nb"), col("jac"))
+  }
+
   /** Near-dup pairs over a PRECOMPUTED 64-bit fingerprint stored as two
     * 32-bit halves (the engine-portable packing of
     * [[graft.multimodal.Multimodal.imageAHash]] — no sign-bit

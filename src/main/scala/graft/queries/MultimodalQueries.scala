@@ -396,7 +396,49 @@ object MultimodalQueries {
        FROM h a JOIN h b ON a.mid < b.mid
        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
 
+  /** q102: AUDIO fingerprint dedup — the audio counterpart of q100's
+    * image near-dup. Corpus = every fixture clip plus an
+    * amplitude-shifted twin under a new id; Spark decodes the real WAV
+    * bytes through the real javax.sound codec, packs the signs of 64
+    * strided samples (Multimodal.audioSignHash — volume-invariant by
+    * construction), and groups identical fingerprints (keeper = min
+    * id, duplicate count). The twins' WAV BYTES differ from their
+    * originals (different amplitude), so a byte hash would split every
+    * group — the sign fingerprint merging them is exactly the
+    * perceptual-dedup claim, and DuckDB recomputes every fingerprint
+    * from the square wave's closed form (the q58 trick). */
+  val q102_audio_fingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clips = Multimodal.syntheticAudioTable(docs)
+      .unionByName(Multimodal.syntheticAudioTable(docs,
+        idShift = 10000000L, ampShift = 900))
+    Multimodal.audioSignHash(clips)
+      .groupBy(col("sig_lo"), col("sig_hi"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+  }
+
+  val q102_oracle: String =
+    """WITH m AS (SELECT doc_id, doc_id AS mid FROM documents
+         UNION ALL
+         SELECT doc_id, doc_id + 10000000 FROM documents),
+       b AS (SELECT mid, j.i AS j,
+           CASE WHEN ((((200 + (doc_id % 40) * 20) * (j.i * 12))
+                       // 4000) % 2) = 0
+             THEN 1 ELSE 0 END AS bit
+         FROM m, range(0, 64) j(i)),
+       h AS (SELECT mid,
+           CAST(sum(CASE WHEN j < 32 AND bit = 1
+             THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sig_lo,
+           CAST(sum(CASE WHEN j >= 32 AND bit = 1
+             THEN 1::BIGINT << (j - 32) ELSE 0 END) AS BIGINT) AS sig_hi
+         FROM b GROUP BY 1)
+       SELECT sig_lo, sig_hi, CAST(min(mid) AS BIGINT) AS keeper,
+         CAST(count(*) AS BIGINT) AS n_copies
+       FROM h GROUP BY sig_lo, sig_hi"""
+
   val all: Map[String, Q] = Map(
+    "q102_audio_fingerprint" -> q102_audio_fingerprint,
     "q100_image_neardup" -> q100_image_neardup,
     "q92_mjpg_frames" -> q92_mjpg_frames,
     "q89_avi_frames" -> q89_avi_frames,
@@ -409,6 +451,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q102_audio_fingerprint" -> q102_oracle,
     "q100_image_neardup" -> q100_oracle,
     "q92_mjpg_frames" -> q92_oracle,
     "q89_avi_frames" -> q89_oracle,

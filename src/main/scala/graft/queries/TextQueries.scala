@@ -974,7 +974,45 @@ object TextQueries {
            AS rk
        FROM sc ORDER BY weight DESC, doc_id LIMIT 25"""
 
+  /** q101: incremental NEAR-dup detection
+    * (operators.Dedup.incrementalNearDups) — MinHash-LSH pairs between
+    * a new delivery (doc_id ≡ 0 mod 5) and the already-ingested corpus
+    * (the rest), exact-jaccard reranked. The per-delivery dedup shape
+    * of a continuously-fed lake: the corpus computes band hashes in
+    * its scan and is NEVER shuffled — batch buckets broadcast in,
+    * candidates reduce to an ids-only pair set, and a broadcast-pruned
+    * rescan joins candidate shingle sets back. Same k=64/bands=32
+    * LSH==exact identity band as q31/q96, so the gate oracles against
+    * the exact cross-slice all-pairs jaccard. */
+  val q101_incremental_neardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", n = 3, k = 64, bands = 32, minJaccard = 0.5)
+  }
+
+  val q101_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+         FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) nn, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_b, b.doc_id AS id_c,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(a.nn) AS BIGINT) AS na,
+         CAST(any_value(b.nn) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(a.nn) + any_value(b.nn) - count(*)) AS jac
+       FROM ex a JOIN ex b ON a.s = b.s
+         AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       GROUP BY a.doc_id, b.doc_id
+       HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.nn) + any_value(b.nn) - count(*)) >= 0.5"""
+
   val all: Map[String, Q] = Map(
+    "q101_incremental_neardup" -> q101_incremental_neardup,
     "q98_dsir_rank" -> q98_dsir_rank,
     "q97_gopher_repetition" -> q97_gopher_repetition,
     "q96_priority_survivors" -> q96_priority_survivors,
@@ -1008,6 +1046,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q101_incremental_neardup" -> q101_oracle,
     "q98_dsir_rank" -> q98_oracle,
     "q97_gopher_repetition" -> q97_oracle,
     "q96_priority_survivors" -> q96_oracle,

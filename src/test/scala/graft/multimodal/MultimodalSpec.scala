@@ -111,6 +111,39 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audioSignHash: volume-invariant (amp-shifted twin fingerprints " +
+      "identical through REAL codec bytes that differ), tone-sensitive " +
+      "(different freq differs), and matches the analytic sign bits") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val orig = Multimodal.syntheticAudioTable(docs)
+    val loud = Multimodal.syntheticAudioTable(docs,
+      idShift = 10000000L, ampShift = 900)
+    // payload bytes genuinely differ (different amplitude)...
+    val ob = orig.orderBy("media_id").head().payload
+    val lb = loud.orderBy("media_id").head().payload
+    assert(!java.util.Arrays.equals(ob, lb))
+    // ...but sign fingerprints are identical per underlying doc
+    val h = Multimodal.audioSignHash(orig.unionByName(loud))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("sig_lo"), r.getAs[Long]("sig_hi"))).toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(h(id) == h(id + 10000000L), s"twin of $id split")
+      // analytic recompute: bit j = ((freq * 12j) / 4000) % 2 == 0
+      val freq = 200 + (id % 40) * 20
+      var lo = 0L; var hi = 0L
+      (0 until 64).foreach { j =>
+        if ((freq * (j * 12L) / 4000) % 2 == 0) {
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+      }
+      assert(h(id) == (lo, hi), s"id=$id codec sign bits != formula")
+    }
+    // different tones (id%40 differs) fingerprint differently
+    val f0 = h(0L); val f1 = h(1L)
+    assert(f0 != f1)
+  }
+
   test("resize transforms pixels for real: the resized payload DECODES " +
       "to the target dimensions; non-image rows pass through untouched") {
     val imgs = Multimodal.syntheticImageTable(

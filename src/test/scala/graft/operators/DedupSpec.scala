@@ -429,6 +429,38 @@ class DedupSpec extends SparkSuite {
     assert(out2 == Seq(3L))
   }
 
+  test("incremental near-dups == exact cross-slice jaccard; corpus " +
+      "rows never shuffle (candidates + broadcasts only)") {
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val got = Dedup.incrementalNearDups(batch, corpus, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .select($"id_b", $"id_c").as[(Long, Long)].collect().toSet
+    // exact cross-slice reference via the all-pairs operator
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val exact = all.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.filter { case (x, y) =>
+      x % 5 == 0 && y % 5 != 0 }.toSet
+    assert(exact.nonEmpty && got == exact)
+    // scale contract: every hash exchange is candidate/batch-bounded —
+    // the corpus reaches its joins by scan + BroadcastHashJoin, never
+    // by an exchange of corpus rows. The only allowed exchanges are
+    // the candidate-pair distinct (2 plan instances: cand + candIds
+    // derive from the same checkpoint) and AQE artifacts of the small
+    // pair-side joins.
+    val plan = Dedup.incrementalNearDups(batch, corpus, "text",
+        "doc_id").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"batch buckets and shingles must broadcast:\n$plan")
+    // the corpus-side scans feed broadcast joins directly: no exchange
+    // may sit between a parquet scan and its join
+    val badShape = "Exchange hashpartitioning[^\\n]*\\n[^\\n]*Scan parquet".r
+    assert(badShape.findFirstIn(plan).isEmpty,
+      s"corpus scan must not feed an exchange:\n$plan")
+  }
+
   test("hamming halves pairs: pigeonhole banding equals brute force " +
       "at radius 3 and 1; out-of-radius twins excluded") {
     val rnd = new scala.util.Random(7)
@@ -457,6 +489,18 @@ class DedupSpec extends SparkSuite {
     val got1 = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 1)
       .as[(Long, Long, Long)].collect().toSet
     assert(got1 == brute(1))
+  }
+
+  test("hamming halves pairs scan ONE materialized fingerprint RDD — " +
+      "the self-join must not recompute the (codec) input per side") {
+    val df = (0L until 50L).map(i => (i, i % 7L, i % 11L))
+      .toDF("id", "lo", "hi")
+    val pairs = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 3)
+    val rdds = pairs.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rdds.size == 2 && rdds.distinct.size == 1,
+      s"expected two scans of one checkpointed RDD, got $rdds")
   }
 
   test("semantic survivors: planted duplicate embeddings collapse to " +
