@@ -131,8 +131,12 @@ object Avi {
     ((id * 1099087573L + f * 769 + x * 37 + y * 101) & 0xff).toInt
 
   /** Raw bottom-up BI_RGB frame data (BGR byte order, rows padded to a
-    * 4-byte boundary — the classic DIB stride). */
-  private def dibFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    * 4-byte boundary — the classic DIB stride). Channel mapping is the
+    * shared (u, 255−u, 73u mod 256) of [[pixel]] — the same mapping as
+    * the GIF palette, which is what makes cross-container twins
+    * possible ([[syntheticGifTwinAviTable]]). */
+  private def dibFrameWith(w: Int, h: Int)(px: (Int, Int) => Int)
+      : Array[Byte] = {
     val stride = (w * 3 + 3) & ~3
     val out = new Array[Byte](stride * h)
     var y = 0
@@ -140,7 +144,7 @@ object Avi {
       val row = (h - 1 - y) * stride // bottom-up: last row first
       var x = 0
       while (x < w) {
-        val u = pixel(id, f, x, y)
+        val u = px(x, y)
         out(row + x * 3) = ((u * 73) & 0xff).toByte     // B
         out(row + x * 3 + 1) = (255 - u).toByte         // G
         out(row + x * 3 + 2) = u.toByte                 // R
@@ -149,6 +153,34 @@ object Avi {
       y += 1
     }
     out
+  }
+
+  private def dibFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] =
+    dibFrameWith(w, h)((x, y) => pixel(id, f, x, y))
+
+  /** AVI/DIB twins of [[Multimodal.syntheticVideoTable]]'s GIFs: the
+    * SAME frame count and the SAME decoded pixels — frame f pixel
+    * (x,y) carries the GIF's palette index formula
+    * k = (id·2654435761 + 977f + 31x + 131y) mod 256 through the
+    * shared (k, 255−k, 73k) channel mapping — inside a genuine
+    * RIFF/AVI container. A content fingerprint over DECODED frames
+    * must merge each twin with its GIF; any byte/container-level
+    * fingerprint can not. */
+  def syntheticGifTwinAviTable(docs: DataFrame, idShift: Long = 0L)
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id0 =>
+        val nf = (id0 % 5 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          dibFrameWith(8, 8) { (x, y) =>
+            ((id0 * 2654435761L + f * 977 + x * 31 + y * 131) & 0xff).toInt
+          }
+        }
+        MediaRow(id0 + idShift, build(8, 8, DIB, 0, frames),
+          MediaMeta("video", 8, 8, nf, 0, "video/x-msvideo"))
+      }
+    }
   }
 
   /** Synthetic table of REAL AVI videos: (id mod 4)+2 uncompressed

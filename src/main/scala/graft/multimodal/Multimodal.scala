@@ -586,6 +586,25 @@ object Multimodal {
     }
   }
 
+  /** Per-video CONTENT fingerprint over decoded frames: md5 of the
+    * ordered "w:h:sum_r:sum_g:sum_b" frame summaries. Keyed on what the
+    * codec DECODED, not on payload bytes — so the same footage stored
+    * in different containers (GIF vs AVI), or re-encoded losslessly,
+    * fingerprints identically, while any container-level hash splits
+    * them. md5-of-strings is engine-portable (the q78 rule), so the
+    * whole dedup runs under a SQL oracle. One hash agg keyed by
+    * media_id; compose with [[graft.operators.Dedup.exactGroups]]. */
+  def videoContentFingerprint(frames: Dataset[FrameRow]): DataFrame =
+    frames.toDF().groupBy(col("media_id"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(
+            col("frame_idx").as("i"),
+            concat_ws(":", col("frame_w"), col("frame_h"),
+              col("sum_r"), col("sum_g"), col("sum_b")).as("s")))),
+          x => x.getField("s")), ";")).as("fingerprint"),
+        count(lit(1)).as("n_frames"))
+
   /** Per-row GIF frame decode against a partition-shared reader. */
   private def gifFrames(reader: javax.imageio.ImageReader, id: Long,
       payload: Array[Byte], stride: Int): Seq[FrameRow] = {

@@ -437,7 +437,62 @@ object MultimodalQueries {
          CAST(count(*) AS BIGINT) AS n_copies
        FROM h GROUP BY sig_lo, sig_hi"""
 
+  /** q103: CROSS-CONTAINER video dedup — the capstone of the
+    * perceptual-fingerprint family. The corpus holds every fixture
+    * video twice: as an animated GIF (LZW, palette) and as an AVI/DIB
+    * twin (uncompressed BGR, bottom-up rows, RIFF framing) carrying
+    * the SAME decoded pixels under a shifted id. Spark walks BOTH real
+    * containers through the container-agnostic decodeFrames dispatch,
+    * fingerprints the DECODED content (videoContentFingerprint), and
+    * groups — every group must merge one GIF with its AVI twin
+    * (n_copies = 2), which no byte/container-level hash can do. DuckDB
+    * recomputes every fingerprint from the closed-form pixels, so a
+    * palette mixup, row-order flip, stride bug, or frame-order
+    * divergence in EITHER codec path splits a group and fails the
+    * hash compare. */
+  val q103_video_crossdedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = Multimodal.syntheticVideoTable(docs)
+      .unionByName(Avi.syntheticGifTwinAviTable(docs,
+        idShift = 20000000L))
+    Multimodal.videoContentFingerprint(
+        Multimodal.decodeFrames(corpus, stride = 1))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_frames")).as("n_frames"))
+  }
+
+  val q103_oracle: String =
+    """WITH m AS (SELECT doc_id, doc_id AS mid FROM documents
+         UNION ALL
+         SELECT doc_id, doc_id + 20000000 FROM documents),
+       f AS (SELECT mid, doc_id, CAST(doc_id % 5 + 2 AS INT) AS nf
+         FROM m),
+       fr AS (SELECT mid, doc_id, CAST(t.i AS INT) AS fi
+         FROM f, unnest(range(0, nf)) t(i)),
+       px AS (SELECT mid, fi,
+           ((doc_id * 2654435761 + fi * 977 + x.i * 31 + y.i * 131)
+             & 255) AS k
+         FROM fr, range(0, 8) x(i), range(0, 8) y(i)),
+       s AS (SELECT mid, fi,
+           CAST(sum(k) AS BIGINT) sr,
+           CAST(sum(255 - k) AS BIGINT) sg,
+           CAST(sum((k * 73) & 255) AS BIGINT) sb
+         FROM px GROUP BY 1, 2),
+       fp AS (SELECT mid,
+           md5(string_agg('8:8:' || CAST(sr AS VARCHAR) || ':'
+             || CAST(sg AS VARCHAR) || ':' || CAST(sb AS VARCHAR),
+             ';' ORDER BY fi)) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_frames
+         FROM s GROUP BY 1)
+       SELECT fingerprint, CAST(min(mid) AS BIGINT) AS keeper,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         min(n_frames) AS n_frames
+       FROM fp GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q103_video_crossdedup" -> q103_video_crossdedup,
     "q102_audio_fingerprint" -> q102_audio_fingerprint,
     "q100_image_neardup" -> q100_image_neardup,
     "q92_mjpg_frames" -> q92_mjpg_frames,
@@ -451,6 +506,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q103_video_crossdedup" -> q103_oracle,
     "q102_audio_fingerprint" -> q102_oracle,
     "q100_image_neardup" -> q100_oracle,
     "q92_mjpg_frames" -> q92_oracle,

@@ -144,6 +144,37 @@ class MultimodalSpec extends SparkSuite {
     assert(f0 != f1)
   }
 
+  test("cross-container video twins: the AVI/DIB twin decodes to the " +
+      "GIF's exact frames through two different real codec paths, and " +
+      "the content fingerprint merges them while the bytes differ") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val gif = Multimodal.syntheticVideoTable(docs)
+    val avi = Avi.syntheticGifTwinAviTable(docs, idShift = 20000000L)
+    // different containers entirely
+    val gp = gif.orderBy("media_id").head().payload
+    val ap = avi.orderBy("media_id").head().payload
+    assert(new String(gp.take(4), "ascii").startsWith("GIF8"))
+    assert(new String(ap.take(4), "ascii") == "RIFF")
+    // frame-for-frame identical decoded content
+    def rows(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+        shift: Long) =
+      Multimodal.decodeFrames(ds, stride = 1).collect()
+        .map(f => (f.media_id - shift, f.frame_idx) ->
+          (f.frame_w, f.frame_h, f.sum_r, f.sum_g, f.sum_b)).toMap
+    val g = rows(gif, 0L)
+    val a = rows(avi, 20000000L)
+    assert(g.nonEmpty && g == a)
+    // fingerprints merge each twin pair
+    val fp = Multimodal.videoContentFingerprint(
+        Multimodal.decodeFrames(gif.unionByName(avi), stride = 1))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("fingerprint")).toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(fp(id) == fp(id + 20000000L), s"twin of $id split")
+    }
+  }
+
   test("resize transforms pixels for real: the resized payload DECODES " +
       "to the target dimensions; non-image rows pass through untouched") {
     val imgs = Multimodal.syntheticImageTable(
