@@ -171,6 +171,67 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("repetition profile matches a brute-force recompute on random " +
+      "token documents (top-gram fractions + dup-5-gram union coverage)") {
+    import org.apache.spark.sql.functions.col
+    val genDoc = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    val texts = samples(genDoc, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.Repetition
+      .profile(texts.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top2_count"), r.getAs[Double]("top2_frac"),
+          r.getAs[Long]("top3_count"), r.getAs[Double]("dup5_cov")))
+      .toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      // mkString the grams: sliding on an Array yields Arrays, which
+      // groupBy(identity) compares by REFERENCE
+      def topN(n: Int): Long = toks.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+      // union coverage of within-doc duplicated 5-gram windows
+      val grams5 = toks.sliding(5).map(_.mkString(" ")).toSeq.zipWithIndex
+      val dupPos = grams5.groupBy(_._1).values.filter(_.size >= 2)
+        .flatten.map(_._2).toSeq
+      val covered = dupPos.flatMap(p => p until p + 5).distinct.size
+      val (t2c, t2f, t3c, cov) = got(id)
+      assert(t2c == topN(2) && t3c == topN(3))
+      assert(t2f == topN(2) * 2.0 / toks.length)
+      assert(cov == covered.toDouble / toks.length,
+        s"id=$id cov=$cov expect ${covered.toDouble / toks.length}")
+    }
+  }
+
+  test("incremental near-dups equal the cross-slice filter of all-pairs " +
+      "jaccard on random corpora with planted near-duplicates") {
+    val genBase = Gen.listOfN(30,
+      Gen.oneOf("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8"))
+    samples(Gen.listOfN(12, genBase), 3).foreach { base =>
+      // plant a near-dup of each even doc: same tokens, one appended
+      val docs = base.zipWithIndex.flatMap { case (toks, i) =>
+        val orig = (i.toLong, toks.mkString(" "))
+        if (i % 2 == 0)
+          Seq(orig, (i + 100L, (toks :+ "zz").mkString(" ")))
+        else Seq(orig)
+      }
+      val df = docs.toDF("id", "text")
+      val batch = df.filter($"id" < 100)
+      val corpus = df.filter($"id" >= 100)
+      val got = graft.operators.Dedup.incrementalNearDups(
+          batch, corpus, "text", "id", n = 3, k = 64, bands = 32,
+          minJaccard = 0.5)
+        .select($"id_b", $"id_c").as[(Long, Long)].collect().toSet
+      val exact = graft.operators.Dedup.ngramJaccardPairs(
+          df, "text", "id", n = 3, minJaccard = 0.5)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect()
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (x, y) => x < 100 && y >= 100 }.toSet
+      assert(got == exact)
+      assert(exact.nonEmpty) // the planted twins must register
+    }
+  }
+
   test("JWS ES384 raw<->DER signature conversion roundtrips arbitrary " +
       "(r, s) values including high-bit and short ones") {
     import graft.api.Jwt.{derToRaw, rawToDer}
