@@ -79,7 +79,10 @@ object Repetition {
 
   /** The per-document repetition profile the Gopher filters threshold:
     * (doc_id, n_tokens, top2_count, top2_frac, top3_count, top3_frac,
-    * dup5_cov). One row per input document. */
+    * dup5_cov). One row per input document — a document too short to
+    * have an n-gram at all scores 0 for that signal (nothing repeats),
+    * it is never dropped and never null: a curation filter must see
+    * every document exactly once. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -88,8 +91,12 @@ object Repetition {
       .join(topNgram(docs, idCol, textCol, 3), Seq("doc_id"), "left")
       .join(dupCoverage(docs, idCol, textCol, 5), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        col("top2_count").cast("long").as("top2_count"), col("top2_frac"),
-        col("top3_count").cast("long").as("top3_count"), col("top3_frac"),
+        coalesce(col("top2_count"), lit(0L)).cast("long")
+          .as("top2_count"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_count"), lit(0L)).cast("long")
+          .as("top3_count"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
         coalesce(col("dup5_cov"), lit(0.0)).as("dup5_cov"))
   }
 }

@@ -927,13 +927,15 @@ object TextQueries {
            SELECT doc_id, grp, min(pos) mn, max(pos) mx FROM i
            GROUP BY doc_id, grp) GROUP BY doc_id)
        SELECT t.doc_id, CAST(len(t.a) AS BIGINT) AS n_tokens,
-         CAST(m2.top2 AS BIGINT) AS top2_count,
-         CAST(m2.top2 * 2 AS DOUBLE) / len(t.a) AS top2_frac,
-         CAST(m3.top3 AS BIGINT) AS top3_count,
-         CAST(m3.top3 * 3 AS DOUBLE) / len(t.a) AS top3_frac,
+         CAST(COALESCE(m2.top2, 0) AS BIGINT) AS top2_count,
+         COALESCE(CAST(m2.top2 * 2 AS DOUBLE) / len(t.a), 0.0)
+           AS top2_frac,
+         CAST(COALESCE(m3.top3, 0) AS BIGINT) AS top3_count,
+         COALESCE(CAST(m3.top3 * 3 AS DOUBLE) / len(t.a), 0.0)
+           AS top3_frac,
          COALESCE(CAST(cov.covered AS DOUBLE) / len(t.a), 0.0)
            AS dup5_cov
-       FROM t JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+       FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
        LEFT JOIN cov USING (doc_id)"""
 
   /** q98: DSIR importance-resampling selection (operators.Dsir) — the

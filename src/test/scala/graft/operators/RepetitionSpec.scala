@@ -30,6 +30,16 @@ class RepetitionSpec extends SparkSuite {
     val d2 = p(2L)
     assert(d2.getAs[Long]("top2_count") == 1)
     assert(d2.getAs[Double]("dup5_cov") == 0.0)
+    // a document too short for any n-gram scores 0 everywhere — one
+    // row per input doc, never dropped, never null (filter totality)
+    val short = profileOf(9L -> "solo")
+    val d9 = short(9L)
+    assert(d9.getAs[Long]("n_tokens") == 1)
+    assert(d9.getAs[Long]("top2_count") == 0
+      && d9.getAs[Double]("top2_frac") == 0.0
+      && d9.getAs[Long]("top3_count") == 0
+      && d9.getAs[Double]("top3_frac") == 0.0
+      && d9.getAs[Double]("dup5_cov") == 0.0)
   }
 
   test("dup-5-gram coverage merges overlapping windows (union, not sum)") {
