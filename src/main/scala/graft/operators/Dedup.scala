@@ -268,31 +268,74 @@ object Dedup {
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Pigeonhole
     * blocking: split the 64-bit hash into `maxHamming+1` bands — any pair
     * within the radius must agree on ≥1 whole band, so the join key is
-    * (band index, band bits), never the full hash. */
+    * (band index, band bits), never the full hash.
+    *
+    * Degenerate-fingerprint safety (the 100 TB posture, same two-part
+    * contract as [[hammingHalvesPairs]] — see that doc for the full
+    * argument):
+    *   1. identical signatures NEVER enter the banded join — they
+    *      pre-collapse to one distinct-fingerprint row, and their
+    *      member pairs (hamming 0, e.g. boilerplate template docs) are
+    *      emitted by an output-bounded equi-join on the full hash;
+    *   2. `maxBucket` caps a band bucket by its DISTINCT-signature
+    *      population; over-cap buckets are dropped from candidate
+    *      generation only. Capped semantics are deterministic and
+    *      oracle-checkable (gate q104 recomputes them in SQL). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     val nb = maxHamming + 1
     val width = 64 / nb
     // native per-row simhash; repartition = materialization barrier so
-    // the band explode below reads the stored hash, and the two join
-    // sides share one exchange
+    // every downstream scan (identical-pair join, distinct collapse,
+    // member expansion) reuses one computed-signature exchange instead
+    // of re-running the signature expression per scan
     val h = docs.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("sim"))
       .repartition(col("id"))
+    // (1) identical-signature pairs: full-hash equi-join — cost and
+    // output are both the true pair count, never a banding blowup
+    val eq = h.as("x").join(h.as("y"), Seq("sim"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("sim").as("sim_a"), col("sim").as("sim_b"),
+        lit(0L).as("hamming"))
+    // (2) only DISTINCT signatures are banded
+    val fps = h.select(col("sim")).distinct()
     val bandArr = transform(
       sequence(lit(0), lit(nb - 1)),
       b => call_function("shiftright", col("sim"), b * width)
         .bitwiseAND(lit((1L << width) - 1)))
-    val banded = h.select(col("id"), col("sim"),
+    val banded = fps.select(col("sim"),
       posexplode(bandArr).as(Seq("band", "bits")))
-    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val ok = banded.groupBy(col("band"), col("bits"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select(col("band"), col("bits"))
+        banded.join(ok, Seq("band", "bits"))
+      case None => banded
+    }
+    // candidate DISTINCT-signature pairs, canonically ordered by value
+    val cand = capped.as("x").join(capped.as("y"), Seq("band", "bits"))
+      .filter(col("x.sim") < col("y.sim"))
+      .select(col("x.sim").as("__sa"), col("y.sim").as("__sb"))
       .distinct()
       .withColumn("hamming",
-        hamming(col("sim_a"), col("sim_b")).cast("long"))
+        hamming(col("__sa"), col("__sb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
+    // expand signature pairs to member pairs, re-orienting to id_a<id_b
+    val cross = cand
+      .join(h.select(col("id").as("__ia"), col("sim").as("__sa")), "__sa")
+      .join(h.select(col("id").as("__ib"), col("sim").as("__sb")), "__sb")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("__sa")).otherwise(col("__sb"))
+          .as("sim_a"),
+        when(col("__ia") < col("__ib"), col("__sb")).otherwise(col("__sa"))
+          .as("sim_b"),
+        col("hamming"))
+    eq.unionByName(cross)
   }
 
   /** Incremental NEAR-dup detection: MinHash-LSH pairs between a NEW
@@ -374,8 +417,33 @@ object Dedup {
     * split into maxHamming+1 disjoint bands, so a pair within the
     * radius must agree on ≥1 whole band (pigeonhole) — the band join
     * can only over-generate, and the hamming rerank trims it. Cost is
-    * Σ band-bucket², never n²; only (id, band, bits, halves) rides the
+    * Σ band-bucket², never n²; only (band, bits, halves) rides the
     * shuffle.
+    *
+    * Degenerate-fingerprint safety — the case that is COMMON on real
+    * media corpora (blank/solid frames all hash to 0; a plain gradient
+    * corpus measured 9,448 hamming-0 collisions):
+    *   1. identical fingerprints NEVER enter the banded join. They
+    *      pre-collapse to one distinct-fingerprint row, and their
+    *      member pairs are emitted (hamming 0) by an equi-join on the
+    *      FULL fingerprint — a hash join whose cost equals its output,
+    *      the true duplicate pair count. A mega-group of f identical
+    *      hashes costs one distinct row in banding instead of f banded
+    *      rows and f² candidates needing rerank.
+    *   2. `maxBucket` caps a band bucket by its DISTINCT-fingerprint
+    *      population (identical hashes count once, so a true duplicate
+    *      group can never trip the cap). Over-cap buckets are dropped
+    *      from CANDIDATE GENERATION only; a true near-pair is lost only
+    *      if every band it agrees on is degenerate across >cap OTHER
+    *      distinct fingerprints. Capped semantics are deterministic and
+    *      oracle-checkable (gate q105 recomputes them in SQL).
+    *
+    * Halves are masked to unsigned 32-bit after the long cast: a signed
+    * INT half with bit 31 set would otherwise sign-extend, and the XOR
+    * of sign-extended longs adds 32 phantom bits to the rerank distance
+    * whenever the sign bits differ — silently dropping true pairs that
+    * banding still finds. In-repo producers emit non-negative halves;
+    * the mask makes the contract hold for any 32-bit column.
     *
     * The fingerprint frame is MATERIALIZED (localCheckpoint) before the
     * self-join: fingerprints are typically the output of a codec scan
@@ -387,34 +455,62 @@ object Dedup {
     * is not. On a real cluster the analogous move is persisting the
     * fingerprint table before the join. */
   def hammingHalvesPairs(hashes: DataFrame, idCol: String,
-      loCol: String, hiCol: String, maxHamming: Int = 3): DataFrame = {
+      loCol: String, hiCol: String, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     val nb = maxHamming + 1
     val width = 64 / nb
     require(64 % nb == 0 && width <= 32 && 32 % width == 0,
       s"maxHamming+1 ($nb) must split two 32-bit halves into whole " +
         "bands: use maxHamming in {1,3,7,15,31}")
     val perHalf = 32 / width
+    val mask32 = lit(0xffffffffL)
     val h = hashes.select(col(idCol).as("id"),
-      col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+      col(loCol).cast("long").bitwiseAND(mask32).as("lo"),
+      col(hiCol).cast("long").bitwiseAND(mask32).as("hi"))
       .localCheckpoint()
+    // (1) identical-fingerprint pairs: full-hash equi-join, output-bounded
+    val eq = h.as("x").join(h.as("y"), Seq("lo", "hi"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0L).as("hamming"))
+    // (2) only DISTINCT fingerprints are banded
+    val fps = h.select(col("lo"), col("hi")).distinct()
     val bandArr = array((0 until nb).map { j =>
       val src = if (j < perHalf) col("lo") else col("hi")
       shiftright(src, (j % perHalf) * width)
         .bitwiseAND(lit((1L << width) - 1))
     }: _*)
-    val banded = h.select(col("id"), col("lo"), col("hi"),
+    val banded = fps.select(col("lo"), col("hi"),
       posexplode(bandArr).as(Seq("band", "bits")))
-    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.lo").as("lo_a"), col("x.hi").as("hi_a"),
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val ok = banded.groupBy(col("band"), col("bits"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select(col("band"), col("bits"))
+        banded.join(ok, Seq("band", "bits"))
+      case None => banded
+    }
+    // candidate DISTINCT-fingerprint pairs, canonically (lo,hi)-ordered
+    val cand = capped.as("x").join(capped.as("y"), Seq("band", "bits"))
+      .filter(struct(col("x.lo"), col("x.hi")) <
+        struct(col("y.lo"), col("y.hi")))
+      .select(col("x.lo").as("lo_a"), col("x.hi").as("hi_a"),
         col("y.lo").as("lo_b"), col("y.hi").as("hi_b"))
       .distinct()
       .withColumn("hamming",
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    // expand fingerprint pairs to member pairs (id_a < id_b)
+    val cross = cand
+      .join(h.select(col("id").as("__ia"),
+        col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("lo_a", "hi_a"))
+      .join(h.select(col("id").as("__ib"),
+        col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("lo_b", "hi_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("hamming"))
+    eq.unionByName(cross)
   }
 
   /** Embedding near-dup pairs: cosine ≥ minCosine. Candidate generation

@@ -396,6 +396,81 @@ object MultimodalQueries {
        FROM h a JOIN h b ON a.mid < b.mid
        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
 
+  /** q105: IMAGE near-dup pairs with the degenerate-bucket cap
+    * BINDING — q100's corpus has 679 distinct aHashes over 1000 images
+    * (so the identical-fingerprint collapse is live on this very
+    * fixture: 321 images ride the full-hash equi-join, immune to the
+    * cap) and distinct-fp band buckets up to 5; maxBucket=3 genuinely
+    * drops the 4s and 5s from candidate generation. The oracle
+    * recomputes the CAPPED semantics — distinct-fp banding, bucket
+    * census, cap filter, hamming rerank, member expansion — in SQL
+    * (the q95/q104 pattern), so the gate is exact no matter which true
+    * pairs the cap prices out. This is the 100 TB posture for media
+    * corpora, where blank/solid frames make one aHash bucket hold
+    * millions of rows: those rows pair through the output-bounded
+    * equi-join, never through banding. */
+  val q105_image_neardup_capped: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val imgs = Multimodal.scrambledImageTable(docs)
+      .unionByName(Multimodal.scrambledImageTable(docs,
+        idShift = 10000000L, pixel0Delta = 40L))
+    graft.operators.Dedup.hammingHalvesPairs(
+      Multimodal.imageAHash(imgs),
+      "media_id", "ahash_lo", "ahash_hi", maxHamming = 3,
+      maxBucket = Some(3))
+  }
+
+  val q105_oracle: String =
+    """WITH m AS (SELECT doc_id, doc_id AS mid, 0 AS delta
+           FROM documents
+         UNION ALL
+         SELECT doc_id, doc_id + 10000000, 40 FROM documents),
+       px AS (
+         SELECT mid, idx,
+           ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+         FROM (SELECT m.mid, u.i AS idx,
+                 ((((((m.doc_id * 2654435761) & 16777215) + u.i)
+                     * 2654435761) & 16777215)
+                  + (CASE WHEN u.i = 0 THEN m.delta ELSE 0 END))
+                   & 16777215 AS v
+               FROM m, range(0, 64) u(i))),
+       tot AS (SELECT mid, sum(gray) AS total FROM px GROUP BY 1),
+       h AS (SELECT p.mid,
+           CAST(sum(CASE WHEN p.idx < 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << p.idx ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN p.idx >= 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << (p.idx - 32) ELSE 0 END) AS BIGINT) AS hi
+         FROM px p JOIN tot t USING (mid)
+         GROUP BY 1),
+       dfp AS (SELECT DISTINCT lo, hi FROM h),
+       banded AS (
+         SELECT 0 AS band, lo & 65535 AS bits, lo, hi FROM dfp
+         UNION ALL SELECT 1, (lo >> 16) & 65535, lo, hi FROM dfp
+         UNION ALL SELECT 2, hi & 65535, lo, hi FROM dfp
+         UNION ALL SELECT 3, (hi >> 16) & 65535, lo, hi FROM dfp),
+       ok AS (SELECT band, bits FROM banded
+              GROUP BY 1, 2 HAVING count(*) <= 3),
+       capb AS (SELECT bn.* FROM banded bn JOIN ok USING (band, bits)),
+       cand AS (
+         SELECT DISTINCT x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb,
+           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+             AS BIGINT) AS hamming
+         FROM capb x JOIN capb y ON x.band = y.band AND x.bits = y.bits
+         WHERE (x.lo, x.hi) < (y.lo, y.hi)),
+       eqp AS (
+         SELECT a.mid AS id_a, b.mid AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM h a JOIN h b
+           ON a.lo = b.lo AND a.hi = b.hi AND a.mid < b.mid),
+       crossp AS (
+         SELECT least(a.mid, b.mid) AS id_a,
+           greatest(a.mid, b.mid) AS id_b, c.hamming
+         FROM cand c
+         JOIN h a ON a.lo = c.la AND a.hi = c.ha
+         JOIN h b ON b.lo = c.lb AND b.hi = c.hb
+         WHERE c.hamming <= 3)
+       SELECT id_a, id_b, hamming FROM eqp
+       UNION ALL SELECT id_a, id_b, hamming FROM crossp"""
+
   /** q102: AUDIO fingerprint dedup — the audio counterpart of q100's
     * image near-dup. Corpus = every fixture clip plus an
     * amplitude-shifted twin under a new id; Spark decodes the real WAV
@@ -495,6 +570,7 @@ object MultimodalQueries {
     "q103_video_crossdedup" -> q103_video_crossdedup,
     "q102_audio_fingerprint" -> q102_audio_fingerprint,
     "q100_image_neardup" -> q100_image_neardup,
+    "q105_image_neardup_capped" -> q105_image_neardup_capped,
     "q92_mjpg_frames" -> q92_mjpg_frames,
     "q89_avi_frames" -> q89_avi_frames,
     "q88_image_ahash" -> q88_image_ahash,
@@ -509,6 +585,7 @@ object MultimodalQueries {
     "q103_video_crossdedup" -> q103_oracle,
     "q102_audio_fingerprint" -> q102_oracle,
     "q100_image_neardup" -> q100_oracle,
+    "q105_image_neardup_capped" -> q105_oracle,
     "q92_mjpg_frames" -> q92_oracle,
     "q89_avi_frames" -> q89_oracle,
     "q88_image_ahash" -> q88_oracle,

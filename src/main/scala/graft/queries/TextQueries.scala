@@ -210,6 +210,84 @@ object TextQueries {
          GROUP BY 1, 2)
        WHERE hamming <= 3"""
 
+  /** q104: SimHash near-dup pairs with the degenerate-bucket cap
+    * BINDING — maxBucket=8 vs measured distinct-signature band buckets
+    * up to 41 on this corpus, so the cap genuinely drops buckets (the
+    * q95 pattern: the oracle recomputes the CAPPED semantics in SQL
+    * rather than assuming identity with the uncapped result). Checks
+    * both halves of the degenerate-fingerprint contract at once:
+    * identical signatures pre-collapse (their pairs ride the
+    * full-hash equi-join, immune to the cap) and only distinct
+    * signatures are banded, bucket-counted, and capped. */
+  val q104_simhash_capped: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3, maxBucket = Some(8))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  val q104_oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       hashes AS (
+         SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+       bits AS (
+         SELECT doc_id, b,
+           CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+         FROM hashes CROSS JOIN range(64) r(b)
+         GROUP BY doc_id, b),
+       fp AS (
+         SELECT doc_id,
+           sum(CASE WHEN b // 16 = 0
+             THEN CAST(bit AS BIGINT) << CAST(b % 16 AS INTEGER)
+             ELSE 0 END) AS b0,
+           sum(CASE WHEN b // 16 = 1
+             THEN CAST(bit AS BIGINT) << CAST(b % 16 AS INTEGER)
+             ELSE 0 END) AS b1,
+           sum(CASE WHEN b // 16 = 2
+             THEN CAST(bit AS BIGINT) << CAST(b % 16 AS INTEGER)
+             ELSE 0 END) AS b2,
+           sum(CASE WHEN b // 16 = 3
+             THEN CAST(bit AS BIGINT) << CAST(b % 16 AS INTEGER)
+             ELSE 0 END) AS b3
+         FROM bits GROUP BY 1),
+       dfp AS (SELECT DISTINCT b0, b1, b2, b3 FROM fp),
+       banded AS (
+         SELECT 0 AS band, b0 AS bits, b0, b1, b2, b3 FROM dfp
+         UNION ALL SELECT 1, b1, b0, b1, b2, b3 FROM dfp
+         UNION ALL SELECT 2, b2, b0, b1, b2, b3 FROM dfp
+         UNION ALL SELECT 3, b3, b0, b1, b2, b3 FROM dfp),
+       ok AS (SELECT band, bits FROM banded
+              GROUP BY 1, 2 HAVING count(*) <= 8),
+       capb AS (SELECT bn.* FROM banded bn JOIN ok USING (band, bits)),
+       cand AS (
+         SELECT DISTINCT
+           x.b0 AS xa0, x.b1 AS xa1, x.b2 AS xa2, x.b3 AS xa3,
+           y.b0 AS yb0, y.b1 AS yb1, y.b2 AS yb2, y.b3 AS yb3,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+             AS BIGINT) AS hamming
+         FROM capb x JOIN capb y ON x.band = y.band AND x.bits = y.bits
+         WHERE (x.b0, x.b1, x.b2, x.b3) < (y.b0, y.b1, y.b2, y.b3)),
+       eqp AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+         FROM fp a JOIN fp b
+           ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+          AND a.doc_id < b.doc_id),
+       crossp AS (
+         SELECT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b, c.hamming
+         FROM cand c
+         JOIN fp a ON a.b0 = c.xa0 AND a.b1 = c.xa1
+                  AND a.b2 = c.xa2 AND a.b3 = c.xa3
+         JOIN fp b ON b.b0 = c.yb0 AND b.b1 = c.yb1
+                  AND b.b2 = c.yb2 AND b.b3 = c.yb3
+         WHERE c.hamming <= 3)
+       SELECT id_a, id_b, hamming FROM eqp
+       UNION ALL SELECT id_a, id_b, hamming FROM crossp"""
+
   /** q34: order-sensitive rolling-hash fingerprint per document (detects
     * token reorderings that md5-of-text misses). The fold runs in a
     * 52-bit md5-derived space (see rollingHash), so — like q33's
@@ -1044,6 +1122,7 @@ object TextQueries {
     "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
+    "q104_simhash_capped" -> q104_simhash_capped,
     "q34_rolling_fingerprint" -> q34_rolling_fingerprint,
     "q35_langid" -> q35_langid)
 
@@ -1079,5 +1158,6 @@ object TextQueries {
     "q31_minhash_lsh_pairs" -> q31_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
+    "q104_simhash_capped" -> q104_oracle,
     "q35_langid" -> q35_oracle)
 }

@@ -492,15 +492,99 @@ class DedupSpec extends SparkSuite {
   }
 
   test("hamming halves pairs scan ONE materialized fingerprint RDD — " +
-      "the self-join must not recompute the (codec) input per side") {
+      "the joins must not recompute the (codec) input per side") {
     val df = (0L until 50L).map(i => (i, i % 7L, i % 11L))
       .toDF("id", "lo", "hi")
     val pairs = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 3)
     val rdds = pairs.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }
-    assert(rdds.size == 2 && rdds.distinct.size == 1,
-      s"expected two scans of one checkpointed RDD, got $rdds")
+    // identical-pair join (2 scans), banded distinct-fp self-join (2),
+    // member expansion (2) — all must read the ONE checkpointed
+    // fingerprint RDD, never a recomputed copy of the upstream (codec)
+    // pipeline; physical exchange reuse collapses the duplicate
+    // distinct computations
+    assert(rdds.size == 6 && rdds.distinct.size == 1,
+      s"expected six scans of one checkpointed RDD, got $rdds")
+  }
+
+  test("hamming halves pairs: identical-fingerprint mega-group never " +
+      "enters the banded join; output still has every true pair") {
+    // 300 rows share ONE fingerprint (the blank-image case) + a planted
+    // near-pair at hamming 2 + unrelated rows. A row-level banded join
+    // would put 300 rows in every band bucket; the distinct-fp collapse
+    // puts ONE.
+    val mega = (0L until 300L).map(i => (i, 0xabcdL, 0x1234L))
+    val near = Seq((1000L, 0x0f0fL, 0x9999L), (1001L, 0x0f0dL, 0x9998L))
+    val other = (2000L until 2020L).map(i =>
+      (i, i * 2654435761L & 0xffffffffL, i * 40503L & 0xffffffffL))
+    val df = (mega ++ near ++ other).toDF("id", "lo", "hi")
+    // a cap of 1 would drop ANY shared band bucket between distinct
+    // fps; the mega-group must be immune (it is one distinct fp, so its
+    // pairs flow through the identical-pair path, not banding)
+    val got = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 3,
+      maxBucket = Some(1)).as[(Long, Long, Long)].collect().toSet
+    val megaPairs = (for {
+      a <- 0L until 300L; b <- (a + 1) until 300L
+    } yield (a, b, 0L)).toSet
+    assert(megaPairs.subsetOf(got),
+      "identical-fp pairs must survive any cap")
+    // with a cap that clears the near-pair's bucket population, the
+    // output equals brute force
+    val all = mega ++ near ++ other
+    val brute = (for {
+      a <- all; b <- all if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    val capped = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 3,
+      maxBucket = Some(5)).as[(Long, Long, Long)].collect().toSet
+    assert(capped == brute)
+  }
+
+  test("hamming halves pairs mask signed 32-bit halves: INT columns " +
+      "with bit 31 set must not sign-extend into phantom rerank bits") {
+    // two fingerprints at true hamming 1 whose hi halves have bit 31
+    // set on one side only — sign extension would add 32 phantom bits
+    val df = Seq(
+      (1L, 0x00000001, 0x80000001.toInt), // hi = bit 31 set (negative INT)
+      (2L, 0x00000001, 0x00000001),       // differs from id 1 in hi bit 31
+      (3L, 0x00000003, 0x80000001.toInt)  // hamming 1 from id 1 via lo
+    ).toDF("id", "lo", "hi")
+      .select($"id", $"lo".cast("int").as("lo"), $"hi".cast("int").as("hi"))
+    val got = Dedup.hammingHalvesPairs(df, "id", "lo", "hi", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L)),
+      s"unsigned-mask contract broken: $got")
+  }
+
+  test("simhash pairs: identical-signature docs collapse before " +
+      "banding; capped == uncapped when the cap clears real buckets") {
+    val uncapped = Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // a generous cap changes nothing on the fixture corpus
+    val capped = Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucket = Some(1000))
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(capped == uncapped)
+    // exact-duplicate texts (identical signatures) survive maxBucket=1:
+    // they pre-collapse, so the cap cannot touch them
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.limit(5).select(($"doc_id" + 1000000L).as("doc_id"),
+        $"text"))
+    val tiny = Dedup.simhashPairs(withDups, "text", "doc_id",
+      maxHamming = 3, maxBucket = Some(1))
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val dupIds = docs.limit(5).select($"doc_id").as[Long].collect()
+    dupIds.foreach { id =>
+      assert(tiny.contains((id, id + 1000000L, 0L)),
+        s"identical-signature pair for $id lost under maxBucket=1")
+    }
   }
 
   test("semantic survivors: planted duplicate embeddings collapse to " +
