@@ -86,13 +86,22 @@ object Dsir {
   }
 
   /** The `k` raw documents DSIR would keep first — highest importance
-    * weight, id tiebreak; returns (doc_id, rk). */
+    * weight, id tiebreak; returns (doc_id, rk).
+    *
+    * Ranks on the weight ROUNDED to 1e-9, not the raw double: the
+    * weight is sum(__w)/count over a shuffle, so its last few ulps
+    * depend on float accumulation order — two docs within accumulated
+    * rounding error of each other could swap rank between runs (the
+    * doc_id tiebreak only fires on exact equality). Rounding collapses
+    * sub-1e-9 gaps into the deterministic id tiebreak in every engine;
+    * real fixture gaps are ≥1e-5 (the q77/q94 rank-surface rule). */
   def topK(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, buckets: Int, k: Int): DataFrame =
     importanceWeights(raw, idCol, textCol, target, buckets)
-      .orderBy(col("weight").desc, col("doc_id")).limit(k)
+      .withColumn("__rw", round(col("weight"), 9))
+      .orderBy(col("__rw").desc, col("doc_id")).limit(k)
       .withColumn("rk", row_number()
-        .over(Window.orderBy(col("weight").desc, col("doc_id")))
+        .over(Window.orderBy(col("__rw").desc, col("doc_id")))
         .cast("long"))
       .select(col("doc_id"), col("rk"))
 }

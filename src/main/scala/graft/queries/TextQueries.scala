@@ -1047,7 +1047,8 @@ object TextQueries {
            ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 256.0))
              - ln((rc.cr + 1.0) / (tot.nr + 256.0)) AS wt
          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
-       sc AS (SELECT bk.doc_id, sum(w.wt) / count(*) AS weight
+       sc AS (SELECT bk.doc_id,
+           round(sum(w.wt) / count(*), 9) AS weight
          FROM bk JOIN w USING (bucket) GROUP BY bk.doc_id)
        SELECT doc_id,
          CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)

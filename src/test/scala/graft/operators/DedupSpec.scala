@@ -13,6 +13,55 @@ class DedupSpec extends SparkSuite {
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("FIXTURE GUARD: no pair sits in the LSH marginal band — the " +
+      "q31/q96/q99/q101 LSH==exact-oracle identities depend on it") {
+    // The probabilistic pipelines gate against EXACT all-pairs oracles;
+    // that identity is only safe because every true pair clears the
+    // threshold with miss probability ≈0. A fixture change that plants
+    // a pair at jac just above 0.5 (k=64/bands=32 miss ≈1e-4) or at
+    // cosine in [0.999, 1) on distinct vectors (12-plane/4-table miss
+    // ≈6e-4) would make those gates flake NONDETERMINISTICALLY. This
+    // test makes such a change fail loudly instead.
+    val gateDirs = (Seq(sfDir) ++ Seq("/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)).distinct
+    gateDirs.foreach { dir =>
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val jacs = Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+          n = 3, minJaccard = 0.5)
+        .select($"id_a", $"id_b", $"jac").as[(Long, Long, Double)]
+        .collect()
+      assert(jacs.nonEmpty, s"$dir lost its planted near-dups")
+      // band-match miss probability (1−j²)^32: 1.3e-4 at j=0.5 (the
+      // hazard), 4.4e-10 at j=0.7 (safe), 1.5e-22 at the fixture's 0.889
+      val marginal = jacs.filter(_._3 < 0.7)
+      assert(marginal.isEmpty,
+        s"$dir pairs in the jaccard marginal band [0.5,0.7): " +
+          marginal.take(5).mkString(", "))
+    }
+    // q99's corpus doubles the embeddings table; any pair at cosine
+    // ≥ 0.999 must be BIT-IDENTICAL vectors (miss probability exactly
+    // 0 — identical vectors share every LSH bucket), never merely close
+    gateDirs.foreach { dir =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = emb.select($"vec_id", $"embedding")
+        .union(emb.select(($"vec_id" + 10000000L).as("vec_id"),
+          $"embedding"))
+      val close = Dedup.embeddingCosinePairsExact(corpus, "embedding",
+          "vec_id", minCosine = 0.999)
+        .join(corpus.select($"vec_id".as("id_a"), $"embedding".as("va")),
+          "id_a")
+        .join(corpus.select($"vec_id".as("id_b"), $"embedding".as("vb")),
+          "id_b")
+        .select($"id_a", $"id_b", $"va" === $"vb")
+        .as[(Long, Long, Boolean)].collect()
+      assert(close.nonEmpty, s"$dir lost its planted duplicate vectors")
+      val nearNotIdentical = close.filter(!_._3)
+      assert(nearNotIdentical.isEmpty,
+        s"$dir distinct vectors at cosine ≥ 0.999 (q99 flake hazard): " +
+          nearNotIdentical.take(5).mkString(", "))
+    }
+  }
+
   test("exact dedup: groups and survivors agree; survivors idempotent") {
     val base = docs.select($"doc_id", $"text")
     // plant exact duplicates with new ids
