@@ -299,6 +299,9 @@ class EventStore(val spark: SparkSession, rootDir: String,
     import org.apache.spark.sql.expressions.Window
     val sess = batch.sparkSession
     val cached = batch.persist()
+    // frames persisted mid-ingest (distributed-dedup suspects) —
+    // released with the batch cache
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val invalid = $"user_id".isNull || $"stream_id".isNull ||
         $"id".isNull || $"source".isNull
@@ -324,60 +327,145 @@ class EventStore(val spark: SparkSession, rootDir: String,
           GraftColumnBridge.expression(src),
           GraftColumnBridge.expression(id)))
       }
-      // metadata pass: counts + key hashes only (8 bytes/event)
-      val stats = good.groupBy($"user_id", $"stream_id")
-        .agg(collect_list(kh($"source", $"id")).as("hashes"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2)))
-      if (stats.isEmpty) return 0L
-      // per-stream commit prep: CAS base + confirmed-duplicate drops
+      // Per-stream counts first — bounded by #streams, never by events.
+      // The batch total picks the metadata path: API-sized batches (the
+      // design point — HTTP appends, micro-batches) collect one 8-byte
+      // key hash per event to the driver; a bulk backfill above
+      // options.ingestDriverMaxKeys would put GBs on the driver, so it
+      // takes the distributed path below — committed-key sidecars are
+      // read on executors and joined against the batch, and the fresh
+      // sidecars are staged by executors too, keeping driver memory
+      // O(#streams) regardless of batch size.
+      import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val counts = good.groupBy($"user_id", $"stream_id").count()
+        .as[(String, String, Long)].collect()
+      if (counts.isEmpty) return 0L
+      val driverKeyPath =
+        counts.map(_._3).sum <= options.ingestDriverMaxKeys
+      // per-stream commit prep: CAS base + confirmed-duplicate drops;
+      // freshKeys = None ⇒ the hashes were never driver-materialized
+      // and the commit moves the executor-staged sidecar instead
       case class Prep(u: String, s: String, baseVersion: Long, base: Long,
           prevFiles: List[String], prevKeys: List[String],
-          dropPairs: Set[(String, String)], freshHashes: Seq[Long])
-      val preps = stats.map { case (u, s, hashes) =>
-        val dir = streamPath(u, s)
-        val head = readHead(dir)
-        val digest = lockFor(u, s).synchronized(digestFor(u, s, dir, head))
-        val hits = hashes.filter(digest.contains(_))
-        val dropPairs =
-          if (hits.isEmpty) Set.empty[(String, String)]
-          else {
-            // digest hit → exact confirm against committed (source,id)s;
-            // the candidate keys come from a pruned 2-column scan of the
-            // *batch* side (small), never a full driver materialization
-            val suspects = good
-              .filter($"user_id" === u && $"stream_id" === s &&
-                kh($"source", $"id").isInCollection(hits))
-              .select($"source", $"id").as[(String, String)].collect().toSeq
-            confirmCommitted(dir, head.get, suspects)
-          }
-        val dropHashes = scala.collection.mutable.Map[Long, Int]()
-        dropPairs.foreach { case (src, id) =>
-          val h = keyHash(src, id)
-          dropHashes(h) = dropHashes.getOrElse(h, 0) + 1
-        }
-        val freshHashes = hashes.filter { h =>
-          val n = dropHashes.getOrElse(h, 0)
-          if (n > 0) { dropHashes(h) = n - 1; false } else true
-        }
+          dropPairs: Set[(String, String)], freshKeys: Option[Seq[Long]],
+          freshCount: Long)
+      def prepOf(u: String, s: String, dropPairs: Set[(String, String)],
+          freshKeys: Option[Seq[Long]], freshCount: Long): Prep = {
+        val head = readHead(streamPath(u, s))
         Prep(u, s, head.map(_.version).getOrElse(0L),
           head.map(_.revision).getOrElse(0L),
           head.map(_.files).getOrElse(Nil),
-          head.map(_.keyFiles).getOrElse(Nil), dropPairs, freshHashes)
+          head.map(_.keyFiles).getOrElse(Nil), dropPairs, freshKeys,
+          freshCount)
       }
+      val (preps: Seq[Prep], deduped: DataFrame) =
+        if (driverKeyPath) {
+          // metadata pass: counts + key hashes only (8 bytes/event)
+          val stats = good.groupBy($"user_id", $"stream_id")
+            .agg(collect_list(kh($"source", $"id")).as("hashes"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2)))
+          val ps = stats.toSeq.map { case (u, s, hashes) =>
+            val dir = streamPath(u, s)
+            val head = readHead(dir)
+            val digest =
+              lockFor(u, s).synchronized(digestFor(u, s, dir, head))
+            val hits = hashes.filter(digest.contains(_))
+            val dropPairs =
+              if (hits.isEmpty) Set.empty[(String, String)]
+              else {
+                // digest hit → exact confirm against committed
+                // (source,id)s; the candidate keys come from a pruned
+                // 2-column scan of the *batch* side (small), never a
+                // full driver materialization
+                val suspects = good
+                  .filter($"user_id" === u && $"stream_id" === s &&
+                    kh($"source", $"id").isInCollection(hits))
+                  .select($"source", $"id").as[(String, String)]
+                  .collect().toSeq
+                confirmCommitted(dir, head.get, suspects)
+              }
+            val dropHashes = scala.collection.mutable.Map[Long, Int]()
+            dropPairs.foreach { case (src, id) =>
+              val h = keyHash(src, id)
+              dropHashes(h) = dropHashes.getOrElse(h, 0) + 1
+            }
+            val freshHashes = hashes.filter { h =>
+              val n = dropHashes.getOrElse(h, 0)
+              if (n > 0) { dropHashes(h) = n - 1; false } else true
+            }
+            prepOf(u, s, dropPairs, Some(freshHashes),
+              freshHashes.size.toLong)
+          }
+          val drops = ps.flatMap(p =>
+            p.dropPairs.toSeq.map { case (src, id) => (p.u, p.s, src, id) })
+          val dd =
+            if (drops.isEmpty) good
+            else good.join(
+              drops.toDF("user_id", "stream_id", "source", "id"),
+              Seq("user_id", "stream_id", "source", "id"), "left_anti")
+          (ps, dd)
+        } else {
+          // Distributed dedup for oversized batches: the committed key
+          // sidecars (8 bytes/event, exactly what digestFor reads
+          // driver-side) become an executor-read frame joined against
+          // the batch. A digest hit is a CANDIDATE, not proof — 64-bit
+          // hashes can collide — so suspects are exact-confirmed
+          // against the committed (source,id) columns (pruned scan of
+          // only the suspect streams' data files). O14 dedup stays
+          // exact on both paths.
+          val streams = counts.map(c => (c._1, c._2)).toSeq
+          val keyFiles = streams.flatMap { case (u, s) =>
+            readHead(streamPath(u, s)).toSeq.flatMap(m =>
+              m.keyFiles.map(kf =>
+                (u, s, streamPath(u, s).resolve(kf).toString)))
+          }
+          val confirmed: Option[DataFrame] =
+            if (keyFiles.isEmpty) None
+            else {
+              val committedKh = keyFiles.toDS()
+                .flatMap { case (u, s, p) =>
+                  EventStore.readKeyFile(Paths.get(p)).map(h => (u, s, h))
+                }
+                .toDF("user_id", "stream_id", "__kh")
+              val suspects = good
+                .withColumn("__kh", kh($"source", $"id"))
+                .join(committedKh, Seq("user_id", "stream_id", "__kh"),
+                  "left_semi")
+                .select($"user_id", $"stream_id", $"source", $"id")
+                .persist()
+              persisted += suspects
+              val suspectStreams = suspects
+                .select($"user_id", $"stream_id").distinct()
+                .as[(String, String)].collect()
+              val dataFiles = suspectStreams.toSeq.flatMap { case (u, s) =>
+                readHead(streamPath(u, s)).toSeq.flatMap(m =>
+                  m.files.map(f => streamPath(u, s).resolve(f).toString))
+              }
+              if (dataFiles.isEmpty) None
+              else Some(suspects.join(
+                sess.read.parquet(dataFiles: _*)
+                  .select($"user_id", $"stream_id", $"source", $"id"),
+                Seq("user_id", "stream_id", "source", "id"), "left_semi"))
+            }
+          val dd = confirmed match {
+            case None => good
+            case Some(c) => good.join(c,
+              Seq("user_id", "stream_id", "source", "id"), "left_anti")
+          }
+          val freshCounts = dd.groupBy($"user_id", $"stream_id").count()
+            .as[(String, String, Long)].collect()
+            .map { case (u, s, n) => (u, s) -> n }.toMap
+          val ps = streams.map { case (u, s) =>
+            prepOf(u, s, Set.empty, None, freshCounts.getOrElse((u, s), 0L))
+          }
+          (ps, dd)
+        }
       val now = new Timestamp(System.currentTimeMillis())
       val staging = Files.createTempDirectory(root, ".ingest-")
       try {
-        import sess.implicits.{localSeqToDatasetHolder, newProductEncoder}
-        val basesDF = preps.toSeq.map(p => (p.u, p.s, p.base))
+        val basesDF = preps.map(p => (p.u, p.s, p.base))
           .toDF("user_id", "stream_id", "__base")
-        val drops = preps.toSeq.flatMap(p =>
-          p.dropPairs.toSeq.map { case (src, id) => (p.u, p.s, src, id) })
-        val deduped =
-          if (drops.isEmpty) good
-          else good.join(
-            drops.toDF("user_id", "stream_id", "source", "id"),
-            Seq("user_id", "stream_id", "source", "id"), "left_anti")
         // native codegen Base32 (not a Scala UDF): keeps the staged-
         // write projection inside whole-stage codegen end-to-end, the
         // same reason the key-hash pass uses KeyHash64
@@ -416,6 +504,20 @@ class EventStore(val spark: SparkSession, rootDir: String,
           .sortWithinPartitions($"__u32", $"__s32", $"revision")
           .write.partitionBy("__u32", "__s32")
           .mode(SaveMode.Overwrite).parquet(staging.toString)
+        if (!driverKeyPath) {
+          // oversized batch: the fresh keys sidecars are staged BY
+          // EXECUTORS (revision order, same big-endian layout as
+          // writeKeyFile) — the driver never materializes a hash per
+          // event; commitStaged moves the staged file into place
+          val keysRoot = staging.resolve("__keys")
+          Files.createDirectories(keysRoot)
+          staged.select($"__u32", $"__s32",
+              kh($"source", $"id").as("__kh"), $"revision")
+            .repartition($"__u32", $"__s32")
+            .sortWithinPartitions($"__u32", $"__s32", $"revision")
+            .foreachPartition(
+              EventStore.stagedKeysWriter(keysRoot.toString))
+        }
         // driver: metadata-only manifest commits — independent per
         // stream, so a micro-batch touching thousands of streams
         // commits them in parallel (at true multi-writer scale this
@@ -425,17 +527,22 @@ class EventStore(val spark: SparkSession, rootDir: String,
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val futures = preps.toSeq.map { p =>
+          val futures = preps.map { p =>
             scala.concurrent.Future {
               val partDir = staging
                 .resolve(s"__u32=${Base32.encodeString(p.u)}")
                 .resolve(s"__s32=${Base32.encodeString(p.s)}")
               val parts = listDir(partDir)
                 .filter(_.getFileName.toString.endsWith(".parquet"))
-              val n = p.freshHashes.size
+              val n = p.freshCount
               if (n > 0 && parts.nonEmpty) {
+                val freshKeys = p.freshKeys.toRight(staging
+                  .resolve("__keys")
+                  .resolve(s"__u32=${Base32.encodeString(p.u)}")
+                  .resolve(s"__s32=${Base32.encodeString(p.s)}")
+                  .resolve("keys.bin"))
                 val c = commitStaged(p.u, p.s, p.baseVersion, p.base,
-                  p.prevFiles, p.prevKeys, p.freshHashes, parts)
+                  p.prevFiles, p.prevKeys, freshKeys, n, parts)
                 // bound small-file pressure from one-file-per-micro-batch:
                 // fold the stream back to one file once it passes the cap
                 // (amortized — each compaction covers many commits)
@@ -453,7 +560,12 @@ class EventStore(val spark: SparkSession, rootDir: String,
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }
-    } finally cached.unpersist()
+    } finally {
+      persisted.foreach(df => try df.unpersist() catch {
+        case _: Throwable => ()
+      })
+      cached.unpersist()
+    }
   }
 
   /** Test seam: invoked at the top of commitStaged (inside the stream
@@ -469,7 +581,8 @@ class EventStore(val spark: SparkSession, rootDir: String,
     * (external writer) or the staging produced an unexpected shape. */
   private def commitStaged(u: String, s: String, baseVersion: Long,
       base: Long, prevFiles: List[String], prevKeys: List[String],
-      freshHashes: Seq[Long], parts: List[Path]): Long =
+      freshKeys: Either[Path, Seq[Long]], freshCount: Long,
+      parts: List[Path]): Long =
     lockFor(u, s).synchronized {
       testHookBeforeCommitStaged(u, s)
       val dir = streamPath(u, s)
@@ -477,7 +590,7 @@ class EventStore(val spark: SparkSession, rootDir: String,
       val fallback = headNow.map(_.version).getOrElse(0L) != baseVersion ||
         parts.size != 1
       if (!fallback) {
-        val n = freshHashes.size
+        val n = freshCount
         val first = base
         val last = base + n - 1
         Files.createDirectories(dir)
@@ -486,12 +599,20 @@ class EventStore(val spark: SparkSession, rootDir: String,
         val keysName = s"keys-$first-$last-$uuid.keys"
         Files.move(parts.head, dir.resolve(dataName),
           StandardCopyOption.ATOMIC_MOVE)
-        writeKeyFile(dir.resolve(keysName), freshHashes)
+        freshKeys match {
+          case Right(hashes) => writeKeyFile(dir.resolve(keysName), hashes)
+          case Left(stagedKeys) =>
+            // oversized-batch path: the sidecar was staged by
+            // executors; claim it with the same atomic move as the data
+            Files.move(stagedKeys, dir.resolve(keysName),
+              StandardCopyOption.ATOMIC_MOVE)
+        }
         val m = Manifest(baseVersion + 1, last + 1,
           prevFiles :+ dataName, prevKeys :+ keysName)
-        if (tryCommitManifest(dir, m)) return n.toLong
+        if (tryCommitManifest(dir, m)) return n
         // lost the claim: restore the staged file so the fallback below
-        // can re-read it, and drop the never-referenced sidecar
+        // can re-read it, and drop the never-referenced sidecar (the
+        // fallback derives its own keys from the re-read events)
         Files.move(dir.resolve(dataName), parts.head,
           StandardCopyOption.ATOMIC_MOVE)
         Files.deleteIfExists(dir.resolve(keysName))
@@ -994,6 +1115,37 @@ object EventStore {
     val bytes = Files.readAllBytes(p)
     val buf = java.nio.ByteBuffer.wrap(bytes)
     (0 until bytes.length / 8).map(_ => buf.getLong)
+  }
+
+  /** Executor-side keys-sidecar staging for oversized ingests: rows
+    * arrive partitioned by stream and sorted (__u32, __s32, revision),
+    * so one streaming pass writes each stream's `keys.bin` in revision
+    * order with O(1) memory — DataOutputStream.writeLong is big-endian,
+    * byte-identical to [[writeKeyFile]]. A task retry truncates and
+    * rewrites (CREATE+TRUNCATE), so reruns are idempotent. Defined on
+    * the companion so the closure never captures the store (and its
+    * SparkSession). */
+  private[eventstore] def stagedKeysWriter(rootStr: String)
+      : Iterator[org.apache.spark.sql.Row] => Unit = { it =>
+    var curU: String = null
+    var curS: String = null
+    var out: java.io.DataOutputStream = null
+    def close(): Unit = if (out != null) { out.close(); out = null }
+    try {
+      it.foreach { r =>
+        val u32 = r.getString(0)
+        val s32 = r.getString(1)
+        if (u32 != curU || s32 != curS) {
+          close(); curU = u32; curS = s32
+          val d = Paths.get(rootStr, s"__u32=$u32", s"__s32=$s32")
+          Files.createDirectories(d)
+          out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(
+              Files.newOutputStream(d.resolve("keys.bin"))))
+        }
+        out.writeLong(r.getLong(2))
+      }
+    } finally close()
   }
 
   def toCloudEvent(r: StoredEvent): CloudEvent =

@@ -20,16 +20,29 @@ package graft.eventstore
   *                         folds a stream back to one file (0 = off;
   *                         default 16 — each compaction amortizes over
   *                         that many commits)
+  * @param ingestDriverMaxKeys largest batch (events) whose ingest
+  *                         metadata pass may collect key hashes to the
+  *                         driver (8 bytes/event — the API-sized fast
+  *                         path). Bigger batches (bulk backfills) take
+  *                         the distributed dedup path: committed-key
+  *                         sidecars are read on executors and joined
+  *                         against the batch, and the new sidecars are
+  *                         written by executors too, so driver memory
+  *                         stays O(#streams) regardless of batch size
+  *                         (default 4M ≈ 32 MB driver ceiling)
   */
 case class StoreOptions(
     gcGraceMs: Long = 10 * 60 * 1000L,
     keptGenerations: Int = 2,
-    autoCompactAfter: Int = 16) {
+    autoCompactAfter: Int = 16,
+    ingestDriverMaxKeys: Long = 4_000_000L) {
   require(gcGraceMs >= 0, s"gcGraceMs must be >= 0, got $gcGraceMs")
   require(keptGenerations >= 1,
     s"keptGenerations must be >= 1, got $keptGenerations")
   require(autoCompactAfter >= 0,
     s"autoCompactAfter must be >= 0 (0 = off), got $autoCompactAfter")
+  require(ingestDriverMaxKeys >= 0,
+    s"ingestDriverMaxKeys must be >= 0, got $ingestDriverMaxKeys")
 }
 
 object StoreOptions {
@@ -44,5 +57,8 @@ object StoreOptions {
       keptGenerations = env.get("GRAFT_KEPT_GENERATIONS")
         .flatMap(_.toIntOption).getOrElse(StoreOptions().keptGenerations),
       autoCompactAfter = env.get("GRAFT_AUTO_COMPACT_AFTER")
-        .flatMap(_.toIntOption).getOrElse(StoreOptions().autoCompactAfter))
+        .flatMap(_.toIntOption).getOrElse(StoreOptions().autoCompactAfter),
+      ingestDriverMaxKeys = env.get("GRAFT_INGEST_DRIVER_MAX_KEYS")
+        .flatMap(_.toLongOption)
+        .getOrElse(StoreOptions().ingestDriverMaxKeys))
 }

@@ -243,6 +243,65 @@ class ManifestSpec extends SparkSuite {
       Seq("e-0", "e-1", "e-2"))
   }
 
+  test("oversized ingest takes the distributed dedup path: executor-" +
+      "staged key sidecars, exact dedup, end-state identical to the " +
+      "driver path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mkBatch(ids: Seq[(String, String)]) =
+      spark.createDataset(ids.map { case (s, id) =>
+          ("u1", s, id, "test://manifest", "t") })
+        .toDF("user_id", "stream_id", "id", "source", "type")
+        .withColumn("specversion", lit("1.0"))
+        .withColumn("subject", lit(null: String))
+        .withColumn("time", lit(null).cast("timestamp"))
+        .withColumn("datacontenttype", lit(null: String))
+        .withColumn("dataschema", lit(null: String))
+        .withColumn("data", lit(null: String))
+        .withColumn("data_base64", lit(null).cast("binary"))
+        .withColumn("extensions", map().cast("map<string,string>"))
+    // within-batch re-delivery (e-2 twice) + committed dups (e-0, e-1)
+    // + fresh events across TWO streams
+    val b = mkBatch(Seq("s1" -> "e-0", "s1" -> "e-1", "s1" -> "e-2",
+      "s1" -> "e-3", "s2" -> "x-0", "s2" -> "x-1", "s2" -> "x-2",
+      "s1" -> "e-2"))
+    val dir = tempDir("bulk-ingest-")
+    // cap 2 → this batch is 'oversized': committed sidecars are joined
+    // on executors, fresh sidecars staged by executors, and the driver
+    // never holds a hash per event
+    val store = new EventStore(spark, dir,
+      StoreOptions(ingestDriverMaxKeys = 2))
+    store.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    assert(store.ingestBatch(b) == 5) // e-2 e-3 x-0 x-1 x-2
+    assert(store.revision("u1", "s1") == 4)
+    assert(store.revision("u1", "s2") == 3)
+    assert(store.query("u1", "s1", 0, 10).map(_.id) ==
+      Seq("e-0", "e-1", "e-2", "e-3"))
+    assert(store.query("u1", "s2", 0, 10).map(_.id) ==
+      Seq("x-0", "x-1", "x-2"))
+    // idempotent re-ingest through the distributed path (a second
+    // instance, so the dedup evidence is the executor-written sidecars
+    // + data files on disk, not in-memory state)
+    val store2 = new EventStore(spark, dir,
+      StoreOptions(ingestDriverMaxKeys = 2))
+    assert(store2.ingestBatch(b) == 0)
+    // the executor-staged sidecars must be byte-compatible digest
+    // sources for the DRIVER path too: a default-options instance
+    // dedups the same batch through digestFor/readKeyFile
+    val store3 = new EventStore(spark, dir)
+    assert(store3.ingestBatch(b) == 0)
+    // and the driver path produces the identical end state on the
+    // same input from scratch
+    val dir2 = tempDir("bulk-ingest-driver-")
+    val sd = new EventStore(spark, dir2)
+    sd.append("u1", "s1", Seq(ev("e-0"), ev("e-1")))
+    assert(sd.ingestBatch(b) == 5)
+    assert(sd.query("u1", "s1", 0, 10).map(_.id) ==
+      store.query("u1", "s1", 0, 10).map(_.id))
+    assert(sd.query("u1", "s2", 0, 10).map(_.id) ==
+      store.query("u1", "s2", 0, 10).map(_.id))
+  }
+
   test("concurrent ingestBatch from two stores into the same stream " +
       "never loses or duplicates events (fallback re-append on races)") {
     import org.apache.spark.sql.functions._
