@@ -248,3 +248,42 @@ case class LshBandHashes(child: Expression, k: Int, bands: Int,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Unicode fold for cross-lingual dedup keys: NFD-decompose, strip
+  * combining marks (categories Mn/Mc/Me), lowercase (root locale) — so
+  * "Électricité", "électricité" and "electricite" share one key. One
+  * pass per row, whole-stage-codegen via SelfCallCodegen.
+  *
+  * ENGINE-PORTABLE by construction with DuckDB's
+  * `lower(strip_accents(x))` for precomposed Latin text (the gate
+  * corpus): NFD splits a precomposed letter into base + combining
+  * mark, dropping the mark leaves the base letter strip_accents
+  * produces, and both engines lowercase ASCII identically. (Full
+  * NFKC compatibility folding — width, ligatures — is deliberately
+  * out: DuckDB has no NFKC surface to oracle it against.) */
+case class FoldText(child: Expression)
+    extends UnaryExpression with SelfCallCodegen {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
+        sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(
+      sb.toString.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -163,4 +163,16 @@ object TextFunctions {
         call_function("shiftrightunsigned", acc, lit(47))).bitwiseXOR(
         conv(substring(md5(t), 1, 13), 16, 10).cast("long")))
   }
+
+  /** Unicode fold for cross-lingual dedup keys: NFD + strip combining
+    * marks + root-locale lowercase (native [[graft.expressions.FoldText]];
+    * DuckDB analogue `lower(strip_accents(x))`). Feed the result to any
+    * text dedup operator — e.g. minhashLshPairs over foldText(text)
+    * merges case/diacritic variants the raw-token operators treat as
+    * distinct documents. */
+  def foldText(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.FoldText(
+      GraftColumnBridge.expression(text)))
+  }
 }

@@ -149,6 +149,59 @@ object TextQueries {
        HAVING CAST(count(*) AS DOUBLE)
          / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5"""
 
+  /** q106: CROSS-LINGUAL / normalized near-dup pairs — the
+    * multilingual-corpus operator NEXT.md queued: minhashLshPairs over
+    * a Unicode-folded text key (native FoldText: NFD, strip combining
+    * marks, lowercase — DuckDB `lower(strip_accents(x))`). The corpus
+    * plants the failure mode: every document gains a twin under
+    * id+10M whose text is upper-cased with accented vowels
+    * (Á É Í Ó Ú), byte-disjoint from the original at every shingle —
+    * RAW minhash scores each twin pair jaccard 0 and finds nothing,
+    * the folded key scores them 1.0. Both engines mangle AND fold
+    * with their own unicode machinery (Spark translate/upper +
+    * FoldText vs DuckDB translate/upper + strip_accents/lower), so
+    * the gate also pins that the two fold paths agree byte-for-byte
+    * on the whole corpus. Same k=64/bands=32 LSH==exact identity band
+    * as q31, so the oracle is the exact all-pairs jaccard over folded
+    * shingles. */
+  val q106_normalized_neardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+      upper(translate(col("text"), "aeiou",
+        "áéíóú")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(twins)
+      .withColumn("__folded", foldText(col("text")))
+    Dedup.minhashLshPairs(corpus, "__folded", "doc_id",
+      n = 3, k = 64, bands = 32, minJaccard = 0.5)
+  }
+
+  val q106_oracle: String =
+    """WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000,
+           upper(translate(text, 'aeiou',
+             'áéíóú'))
+         FROM documents),
+       folded AS (
+         SELECT doc_id, lower(strip_accents(text)) AS text FROM base),
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM folded),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(a.n) AS BIGINT) AS na,
+         CAST(any_value(b.n) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) AS jac
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING CAST(count(*) AS DOUBLE)
+         / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -1121,6 +1174,7 @@ object TextQueries {
     "q29_fingerprint_dedup" -> q29_fingerprint_dedup,
     "q30_jaccard_pairs" -> q30_jaccard_pairs,
     "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
+    "q106_normalized_neardup" -> q106_normalized_neardup,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1157,6 +1211,7 @@ object TextQueries {
     "q29_fingerprint_dedup" -> q29_oracle,
     "q30_jaccard_pairs" -> q30_oracle,
     "q31_minhash_lsh_pairs" -> q31_oracle,
+    "q106_normalized_neardup" -> q106_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

@@ -89,4 +89,39 @@ class TextFunctionsSpec extends SparkSuite {
     assert(redact("v1.2.3 build 12345") == "v1.2.3 build 12345")
     assert(redact("no pii at all") == "no pii at all")
   }
+
+  test("foldText merges case/diacritic variants to one key; raw minhash " +
+      "misses what folded minhash finds (the q106 contrast)") {
+    import graft.operators.Dedup
+    val folded = Seq("Électricité", "électricité", "ELECTRICITÉ",
+        "electricite", "naïve NAÏVE Naïve", "ｎｏｔ－ｎｆｋｃ")
+      .toDF("t").select(TextFunctions.foldText($"t").as("f"))
+      .as[String].collect()
+    assert(folded.take(4).toSet == Set("electricite"))
+    assert(folded(4) == "naive naive naive")
+    // NFKC compatibility folding (full-width forms) is deliberately
+    // out of scope — no DuckDB surface to oracle it against
+    assert(folded(5) == "ｎｏｔ－ｎｆｋｃ")
+    // contrast on a twin corpus: accented/upper twins are byte-disjoint
+    // at every shingle, so RAW minhash finds zero cross pairs while the
+    // folded key scores each twin pair jaccard 1.0
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val twins = base.select(($"doc_id" + 10000000L).as("doc_id"),
+      upper(translate($"text", "aeiou", "áéíóú"))
+        .as("text"))
+    val corpus = base.unionByName(twins)
+    val raw = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .filter($"id_b" >= 10000000L && $"id_a" === $"id_b" - 10000000L)
+    assert(raw.count() == 0)
+    val fold = Dedup.minhashLshPairs(
+        corpus.withColumn("__f", TextFunctions.foldText($"text")),
+        "__f", "doc_id", n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .filter($"id_b" >= 10000000L && $"id_a" === $"id_b" - 10000000L)
+    val foldPairs = fold.select($"id_a", $"jac")
+      .as[(Long, Double)].collect()
+    assert(foldPairs.length == 50)
+    assert(foldPairs.forall(_._2 == 1.0))
+  }
 }
