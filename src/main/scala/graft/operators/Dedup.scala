@@ -513,6 +513,62 @@ object Dedup {
     eq.unionByName(cross)
   }
 
+  /** Incremental perceptual-hash near-dup: fingerprint pairs between a
+    * NEW batch and an already-ingested corpus within `maxHamming` —
+    * [[incrementalNearDups]]' delta-vs-lake shape for the
+    * image/audio/video fingerprint family ([[hammingHalvesPairs]]'
+    * within-corpus job is NOT re-run per delivery). Output
+    * (id_b = batch id, id_c = corpus id, hamming).
+    *
+    * Scale shape: the CORPUS IS NEVER SHUFFLED — one scan computes its
+    * pigeonhole band values in the projection and broadcast-joins
+    * against the batch's banded fingerprints; because the fingerprint
+    * IS the rerank input, the exact hamming filter runs inline in the
+    * same stage (no second corpus pass, unlike the jaccard variant
+    * whose shingle sets must join back). Only surviving pairs — batch
+    * × radius bounded — ride the one exchange (the distinct). A
+    * degenerate corpus fingerprint group contributes |group| candidate
+    * rows per matching batch fingerprint (output-bounded), never the
+    * f² a self-join bucket would. Candidate generation is EXACT by
+    * pigeonhole, same argument as [[hammingHalvesPairs]]; halves are
+    * masked unsigned-32 under the same contract. */
+  def incrementalHammingPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, loCol: String, hiCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nb = maxHamming + 1
+    val width = 64 / nb
+    require(64 % nb == 0 && width <= 32 && 32 % width == 0,
+      s"maxHamming+1 ($nb) must split two 32-bit halves into whole " +
+        "bands: use maxHamming in {1,3,7,15,31}")
+    val perHalf = 32 / width
+    val mask32 = lit(0xffffffffL)
+    def bandArr(lo: Column, hi: Column) = array((0 until nb).map { j =>
+      val src = if (j < perHalf) lo else hi
+      shiftright(src, (j % perHalf) * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val b = batch.select(col(idCol).as("id_b"),
+        col(loCol).cast("long").bitwiseAND(mask32).as("lo_b"),
+        col(hiCol).cast("long").bitwiseAND(mask32).as("hi_b"))
+      .localCheckpoint() // small by contract (one delivery)
+    val bBuckets = b.select(col("id_b"), col("lo_b"), col("hi_b"),
+      posexplode(bandArr(col("lo_b"), col("hi_b")))
+        .as(Seq("band", "bits")))
+    corpus.select(col(idCol).as("id_c"),
+        col(loCol).cast("long").bitwiseAND(mask32).as("lo_c"),
+        col(hiCol).cast("long").bitwiseAND(mask32).as("hi_c"))
+      .select(col("id_c"), col("lo_c"), col("hi_c"),
+        posexplode(bandArr(col("lo_c"), col("hi_c")))
+          .as(Seq("band", "bits")))
+      .join(broadcast(bBuckets), Seq("band", "bits"))
+      .filter(col("id_b") =!= col("id_c"))
+      .withColumn("hamming",
+        (bit_count(col("lo_b").bitwiseXOR(col("lo_c"))) +
+          bit_count(col("hi_b").bitwiseXOR(col("hi_c")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b"), col("id_c"), col("hamming")).distinct()
+  }
+
   /** Embedding near-dup pairs: cosine ≥ minCosine. Candidate generation
     * via random-hyperplane LSH with an OR-construction over `tables`
     * independent plane sets: a pair is a candidate if it shares a bucket

@@ -471,6 +471,57 @@ object MultimodalQueries {
        SELECT id_a, id_b, hamming FROM eqp
        UNION ALL SELECT id_a, id_b, hamming FROM crossp"""
 
+  /** q107: INCREMENTAL image near-dup — q101's delta-vs-lake shape for
+    * the perceptual-hash family. The corpus is the base scrambled
+    * image table (already ingested); the batch is the one-pixel-
+    * perturbed twin delivery under shifted ids. Both sides decode
+    * through the real PNG codec to aHashes; incrementalHammingPairs
+    * broadcast-joins the batch's pigeonhole bands against ONE corpus
+    * scan (the corpus never shuffles — the fingerprint is the rerank
+    * input, so even the exact hamming filter runs inline in the scan
+    * stage). Candidates are EXACT by pigeonhole, so the oracle is the
+    * analytic cross-slice all-pairs hamming join over hashes DuckDB
+    * recomputes from doc_id. */
+  val q107_incremental_image_neardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = Multimodal.imageAHash(
+      Multimodal.scrambledImageTable(docs))
+    val batch = Multimodal.imageAHash(
+      Multimodal.scrambledImageTable(docs,
+        idShift = 10000000L, pixel0Delta = 40L))
+    graft.operators.Dedup.incrementalHammingPairs(batch, corpus,
+      "media_id", "ahash_lo", "ahash_hi", maxHamming = 3)
+  }
+
+  val q107_oracle: String =
+    """WITH m AS (SELECT doc_id, doc_id AS mid, 0 AS delta
+           FROM documents
+         UNION ALL
+         SELECT doc_id, doc_id + 10000000, 40 FROM documents),
+       px AS (
+         SELECT mid, idx,
+           ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+         FROM (SELECT m.mid, u.i AS idx,
+                 ((((((m.doc_id * 2654435761) & 16777215) + u.i)
+                     * 2654435761) & 16777215)
+                  + (CASE WHEN u.i = 0 THEN m.delta ELSE 0 END))
+                   & 16777215 AS v
+               FROM m, range(0, 64) u(i))),
+       tot AS (SELECT mid, sum(gray) AS total FROM px GROUP BY 1),
+       h AS (SELECT p.mid,
+           CAST(sum(CASE WHEN p.idx < 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << p.idx ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN p.idx >= 32 AND p.gray * 64 > t.total
+             THEN 1::BIGINT << (p.idx - 32) ELSE 0 END) AS BIGINT) AS hi
+         FROM px p JOIN tot t USING (mid)
+         GROUP BY 1)
+       SELECT b.mid AS id_b, c.mid AS id_c,
+         CAST(bit_count(xor(b.lo, c.lo)) + bit_count(xor(b.hi, c.hi))
+           AS BIGINT) AS hamming
+       FROM h b JOIN h c
+         ON b.mid >= 10000000 AND c.mid < 10000000
+       WHERE bit_count(xor(b.lo, c.lo)) + bit_count(xor(b.hi, c.hi)) <= 3"""
+
   /** q102: AUDIO fingerprint dedup — the audio counterpart of q100's
     * image near-dup. Corpus = every fixture clip plus an
     * amplitude-shifted twin under a new id; Spark decodes the real WAV
@@ -571,6 +622,7 @@ object MultimodalQueries {
     "q102_audio_fingerprint" -> q102_audio_fingerprint,
     "q100_image_neardup" -> q100_image_neardup,
     "q105_image_neardup_capped" -> q105_image_neardup_capped,
+    "q107_incremental_image_neardup" -> q107_incremental_image_neardup,
     "q92_mjpg_frames" -> q92_mjpg_frames,
     "q89_avi_frames" -> q89_avi_frames,
     "q88_image_ahash" -> q88_image_ahash,
@@ -586,6 +638,7 @@ object MultimodalQueries {
     "q102_audio_fingerprint" -> q102_oracle,
     "q100_image_neardup" -> q100_oracle,
     "q105_image_neardup_capped" -> q105_oracle,
+    "q107_incremental_image_neardup" -> q107_oracle,
     "q92_mjpg_frames" -> q92_oracle,
     "q89_avi_frames" -> q89_oracle,
     "q88_image_ahash" -> q88_oracle,

@@ -510,6 +510,45 @@ class DedupSpec extends SparkSuite {
       s"corpus scan must not feed an exchange:\n$plan")
   }
 
+  test("incremental hamming pairs == brute-force cross-slice; corpus " +
+      "never shuffles (scan → broadcast join, pairs-only exchange)") {
+    val fps = docs.select($"doc_id".as("id"),
+      xxhash64($"text").bitwiseAND(lit(0xffffffffL)).as("lo"),
+      call_function("shiftrightunsigned", xxhash64($"text"), lit(32))
+        .bitwiseAND(lit(0xffffffffL)).as("hi"))
+    val corpus = fps.filter($"id" % 7 =!= 0)
+    // batch = one slice + planted twins of corpus rows at hamming
+    // exactly 3 (2 bits in lo, 1 in hi) under new ids
+    val twins = corpus.filter($"id" % 7 === 1)
+      .select(($"id" + 500000L).as("id"),
+        $"lo".bitwiseXOR(lit(3L)).as("lo"),
+        $"hi".bitwiseXOR(lit(1L << 7)).as("hi"))
+    val batch = fps.filter($"id" % 7 === 0).unionByName(twins)
+    val got = Dedup.incrementalHammingPairs(batch, corpus,
+        "id", "lo", "hi", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val bArr = batch.as[(Long, Long, Long)].collect()
+    val cArr = corpus.as[(Long, Long, Long)].collect()
+    val brute = (for {
+      a <- bArr; c <- cArr if a._1 != c._1
+      h = java.lang.Long.bitCount(a._2 ^ c._2) +
+        java.lang.Long.bitCount(a._3 ^ c._3)
+      if h <= 3
+    } yield (a._1, c._1, h.toLong)).toSet
+    assert(brute.nonEmpty && got == brute)
+    assert(got.exists(_._3 == 3L)) // the planted twins are found
+    // scale contract (the q101 rule for the fingerprint family): the
+    // corpus reaches its join by scan + BroadcastHashJoin; the only
+    // exchange carries surviving pairs (the distinct)
+    val plan = Dedup.incrementalHammingPairs(batch, corpus,
+      "id", "lo", "hi").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"batch buckets must broadcast:\n$plan")
+    val badShape = "Exchange hashpartitioning[^\\n]*\\n[^\\n]*Scan parquet".r
+    assert(badShape.findFirstIn(plan).isEmpty,
+      s"corpus scan must not feed an exchange:\n$plan")
+  }
+
   test("hamming halves pairs: pigeonhole banding equals brute force " +
       "at radius 3 and 1; out-of-radius twins excluded") {
     val rnd = new scala.util.Random(7)
