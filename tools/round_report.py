@@ -14,6 +14,12 @@ import re
 import subprocess
 import sys
 
+# Pinned ANN quality floor: recall@20 of the budgeted multi-probe LSH at
+# the standard 64-tables x 12-planes, 16-probes budget (QualityProbe).
+# r09 measured 0.775; the floor leaves headroom for fixture noise but
+# fails the report (exit 3) on a real probe-ordering regression.
+RECALL_FLOOR = 0.75
+
 
 def parse_bench(path):
     text = open(path).read()
@@ -113,6 +119,15 @@ def main():
         d = json.load(open("QUALITY.json"))
         lines += [f"QUALITY.json: recall_at_20={d['recall_at_20']}, "
                   f"hll_max_rel_err={d['hll_max_rel_err']}", ""]
+        # Hard floor (r09 verdict item 5): the recall curve used to be
+        # diff-only — a probe-ordering regression would print a delta
+        # and still ship. recall@20 at the standard 64x12 budget must
+        # stay >= RECALL_FLOOR or the round report itself fails.
+        if float(d["recall_at_20"]) < RECALL_FLOOR:
+            print(f"QUALITY FAILURE: recall_at_20={d['recall_at_20']} "
+                  f"below pinned floor {RECALL_FLOOR} — ANN probe "
+                  f"ordering or budget regressed", file=sys.stderr)
+            sys.exit(3)
         # recall-vs-budget curve, diffed against the last committed
         # QUALITY.json (r08 verdict item 6: a probe-ordering regression
         # must show up as a number, and the low-budget end of the curve
