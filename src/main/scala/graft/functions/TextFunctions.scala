@@ -175,4 +175,17 @@ object TextFunctions {
     GraftColumnBridge.column(graft.expressions.FoldText(
       GraftColumnBridge.expression(text)))
   }
+
+  /** URL canonicalization for web-corpus dedup keys: scheme/host
+    * lowercase, default-port and fragment drop, unreserved
+    * percent-decode with uppercase residual hex, dot-segment and
+    * duplicate-slash path cleanup, tracking-param strip + byte-wise
+    * param re-sort (full rules: [[graft.expressions.UrlCanonicalize]]).
+    * Feed the result to exactGroups / exactSurvivors — byte-distinct
+    * aliases of the same page share one canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.CanonicalizeUrl(
+      GraftColumnBridge.expression(url)))
+  }
 }

@@ -202,6 +202,55 @@ object TextQueries {
        HAVING CAST(count(*) AS DOUBLE)
          / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5"""
 
+  /** q108: URL-canonicalization dedup — the crawled-web dedup key the
+    * r09 verdict queued (fixtures have no url column, so the corpus is
+    * synthesized from doc_id the way every multimodal gate builds its
+    * payloads). Each document contributes THREE byte-distinct aliases
+    * of one logical URL: the canonical form itself, a mangled twin
+    * (upper-case scheme+host, explicit :443, a "." path segment,
+    * re-ordered params, an utm_ tracking param, a fragment), and a
+    * second twin (trailing host dot, duplicate slash + ".." segment,
+    * %61-encoded path letter, lowercase %2f hex in a param value, a
+    * gclid param). canonicalizeUrl must undo every mangle — host case,
+    * default port, dot segments, percent-encoding, param order,
+    * tracking params, fragment — for the three aliases to share one
+    * exactGroups key; the DuckDB oracle recomputes the canonical
+    * string and the 3-member group in closed form from doc_id, so any
+    * canonicalizer defect splits a group and hash-fails the gate.
+    * Scale shape: per-row expression + one count/min hash-agg — the
+    * exact-dedup plan, nothing new rides the shuffle. */
+  val q108_url_canon_dedup: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (col("doc_id") % 37).as("k"),
+      (col("doc_id") % 7).as("a"),
+      (col("doc_id") % 3).as("b"))
+    val v0 = base.select(col("doc_id"), concat(
+      lit("https://site"), col("k"), lit(".example.org/docs/page"),
+      col("doc_id"), lit("?a="), col("a"), lit("&b="), col("b"),
+      lit("&c=x%2Fy")).as("url"))
+    val v1 = base.select((col("doc_id") + 20000000L).as("doc_id"), concat(
+      lit("HTTPS://SITE"), col("k"), lit(".EXAMPLE.ORG:443/docs/./page"),
+      col("doc_id"), lit("?b="), col("b"),
+      lit("&utm_source=feed&c=x%2Fy&a="), col("a"),
+      lit("#sec"), col("doc_id")).as("url"))
+    val v2 = base.select((col("doc_id") + 30000000L).as("doc_id"), concat(
+      lit("https://site"), col("k"),
+      lit(".example.org./docs//extra/../p%61ge"), col("doc_id"),
+      lit("?a="), col("a"), lit("&c=x%2fy&b="), col("b"),
+      lit("&gclid=g"), col("doc_id")).as("url"))
+    val urls = v0.unionByName(v1).unionByName(v2)
+    Dedup.exactGroups(urls, canonicalizeUrl(col("url")), col("doc_id"))
+      .select(col("key").as("url"), col("keeper").as("min_id"),
+        col("n_copies").as("n_members"))
+  }
+
+  val q108_oracle: String =
+    """SELECT 'https://site' || (doc_id % 37) || '.example.org/docs/page'
+         || doc_id || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 3)
+         || '&c=x%2Fy' AS url,
+       doc_id AS min_id, CAST(3 AS BIGINT) AS n_members
+       FROM documents"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -1175,6 +1224,7 @@ object TextQueries {
     "q30_jaccard_pairs" -> q30_jaccard_pairs,
     "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
     "q106_normalized_neardup" -> q106_normalized_neardup,
+    "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1212,6 +1262,7 @@ object TextQueries {
     "q30_jaccard_pairs" -> q30_oracle,
     "q31_minhash_lsh_pairs" -> q31_oracle,
     "q106_normalized_neardup" -> q106_oracle,
+    "q108_url_canon_dedup" -> q108_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,
