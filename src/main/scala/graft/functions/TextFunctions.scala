@@ -188,4 +188,16 @@ object TextFunctions {
     GraftColumnBridge.column(graft.expressions.CanonicalizeUrl(
       GraftColumnBridge.expression(url)))
   }
+
+  /** HTML → text extraction (crawl ingestion step 0): drops comments
+    * and script/style elements with their content, strips remaining
+    * tags, decodes core + numeric character entities, collapses
+    * whitespace (full spec: [[graft.expressions.HtmlToText]]). Feed
+    * the result to the tokenizer/quality/dedup operators — they all
+    * assume markup-free text. */
+  def stripHtml(html: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.StripHtml(
+      GraftColumnBridge.expression(html)))
+  }
 }

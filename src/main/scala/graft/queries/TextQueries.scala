@@ -251,6 +251,43 @@ object TextQueries {
        doc_id AS min_id, CAST(3 AS BIGINT) AS n_members
        FROM documents"""
 
+  /** q109: HTML → text extraction — crawl-ingestion step 0, gated the
+    * multimodal way: the corpus synthesizes a full page around each
+    * fixture text in closed form (doctype, comment carrying the id,
+    * title, a style block with a `>` in its selector, a script block
+    * with a bare `<` in its code, one `<p>` per token, and a div of
+    * entity-encoded text covering named/decimal/hex forms), and
+    * stripHtml must recover the expected text BYTE-EXACTLY: title and
+    * heading content stays, script/style content and every tag
+    * disappears, `&lt;raw&gt;` comes back as literal `<raw>` (decode
+    * runs after tag-strip), `&#65;&#x42;` decodes to `AB`, and the
+    * injected `</p>\n<p>` per-token markup collapses back to the
+    * original single spacing. The DuckDB oracle writes the expected
+    * extraction as pure string concatenation from doc_id + text.
+    * Scale shape: one per-row expression inside the scan — no
+    * shuffle, no join; the 100 TB cost is the regex passes, linear in
+    * page bytes. */
+  val q109_html_extract: Q = (s, d) => {
+    val page = concat(
+      lit("<!DOCTYPE html><html><!-- id "), col("doc_id"),
+      lit(" --><head><title>Doc "), col("doc_id"),
+      lit("</title><STYLE media=\"all\">p > span { color: #aaa; }"
+        + "</STYLE><script type=\"text/javascript\">if (1 < 2) "
+        + "alert(\"x\");</script></head><body>\n  <h1 class=\"t\">Doc "),
+      col("doc_id"), lit("</h1>\n  <p>"),
+      regexp_replace(col("text"), " ", "</p>\n<p>"),
+      lit("</p>\n  <div>&amp;&nbsp;&lt;raw&gt;&#65;&#x42;</div>"
+        + "</body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), stripHtml(page).as("extracted"))
+  }
+
+  val q109_oracle: String =
+    """SELECT doc_id,
+       'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text
+         || ' & <raw>AB' AS extracted
+       FROM documents"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -1225,6 +1262,7 @@ object TextQueries {
     "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
     "q106_normalized_neardup" -> q106_normalized_neardup,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
+    "q109_html_extract" -> q109_html_extract,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1263,6 +1301,7 @@ object TextQueries {
     "q31_minhash_lsh_pairs" -> q31_oracle,
     "q106_normalized_neardup" -> q106_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
+    "q109_html_extract" -> q109_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

@@ -1,0 +1,55 @@
+package graft.expressions
+
+import graft.SparkSuite
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class HtmlExprsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def x(s: String): String = HtmlToText.extract(s)
+
+  test("tags strip to spaces, content stays, whitespace collapses") {
+    assert(x("<html><body><h1>A</h1>\n  <p>b c</p></body></html>")
+      == "A b c")
+    assert(x("a<br/>b") == "a b")
+    assert(x("  plain   text  ") == "plain text")
+  }
+
+  test("script/style vanish WITH content (case/attr tolerant, " +
+      "unterminated runs to EOF); comments vanish") {
+    assert(x("a<script>if (1 < 2) alert('x');</script>b") == "a b")
+    assert(x("a<STYLE media=\"x\">p > span { }</STYLE>b") == "a b")
+    assert(x("a<ScRiPt src=\"u\">var x;</sCrIpT >b") == "a b")
+    assert(x("a<script>never closed") == "a")
+    assert(x("a<!-- <p>not text</p> -->b") == "a b")
+    assert(x("a<!-- unterminated") == "a")
+  }
+
+  test("entities: named + decimal + hex decode AFTER tag strip; " +
+      "unknown/malformed pass through; nbsp collapses") {
+    assert(x("&amp;&lt;b&gt;&quot;&apos;") == "&<b>\"'")
+    assert(x("&#65;&#x42;&#x1F600;") == "AB😀")
+    assert(x("x&nbsp;&nbsp;y") == "x y")
+    assert(x("&bogus; &amp &#xZZ; 100&#37") == "&bogus; &amp &#xZZ; 100&#37")
+    // &lt;script&gt; is TEXT, not a strippable tag
+    assert(x("&lt;script&gt;alert&lt;/script&gt;") == "<script>alert</script>")
+    assert(x("tab&#9;sep") == "tab sep") // decoded whitespace collapses
+  }
+
+  test("column path recovers the q109 synthetic page byte-exactly " +
+      "(codegen)") {
+    val text = "alpha beta gamma"
+    val page = "<!DOCTYPE html><html><!-- id 7 --><head><title>Doc 7" +
+      "</title><STYLE media=\"all\">p > span { color: #aaa; }</STYLE>" +
+      "<script type=\"text/javascript\">if (1 < 2) alert(\"x\");" +
+      "</script></head><body>\n  <h1 class=\"t\">Doc 7</h1>\n  <p>" +
+      text.replace(" ", "</p>\n<p>") +
+      "</p>\n  <div>&amp;&nbsp;&lt;raw&gt;&#65;&#x42;</div></body></html>"
+    val got = Seq(page).toDF("h")
+      .select(TextFunctions.stripHtml($"h").as("t")).as[String].head()
+    assert(got == s"Doc 7 Doc 7 $text & <raw>AB")
+    assert(Seq(page).toDF("h").select(TextFunctions.stripHtml(lit(null)
+      .cast("string")).as("t")).as[Option[String]].head().isEmpty)
+  }
+}
