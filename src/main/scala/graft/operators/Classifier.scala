@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style hashed linear text classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification",
+  * arXiv:1607.01759) — the model-based quality/topic/toxicity filter
+  * every public curation pipeline runs after the heuristic filters
+  * (LLaMA's and FineWeb-Edu's quality classifiers are exactly this
+  * shape): hash each unigram and bigram INSTANCE into B buckets, sum a
+  * per-bucket weight vector over the document's bag, argmax the class.
+  * Training happens offline; this operator is the corpus-scale SCORING
+  * pass, which is where the 100 TB cost lives.
+  *
+  * Engineering choices:
+  *  - feature hashing is the md5-based engine-portable bucket
+  *    ([[Dsir.bucketOf]] — int of the first 4 md5 hex chars mod B), so
+  *    a DuckDB oracle reproduces every bucket exactly;
+  *  - weights are INTEGER (fixed-point, caller-scaled): scores are
+  *    exact long sums — no float accumulation order, no rank surface
+  *    needed, ties broken by lowest class id deterministically;
+  *  - scale shape: one explode of feature instances (~2× token count),
+  *    one broadcast join against the B-row wide weight table (one
+  *    array row per bucket — NOT (bucket, class) rows, which would
+  *    multiply the exploded stream by C), one groupBy(doc_id) whose
+  *    map-side partial agg collapses to a single C-long row per doc
+  *    per task before the only shuffle.
+  */
+object Classifier {
+
+  /** (doc_id, bucket) for every unigram + bigram instance. */
+  private def docFeatureBuckets(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(concat(
+        TextFunctions.positionalShingles(col(textCol), 1),
+        TextFunctions.positionalShingles(col(textCol), 2))).as("gram"))
+      .select(col("doc_id"), Dsir.bucketOf(col("gram"), buckets).as("bucket"))
+
+  /** Score + label a corpus against a hashed-linear model.
+    *
+    * `weights` must be (bucket: int, w: array<long> of length
+    * `numClasses`) with every bucket in [0, buckets) present — the
+    * trained model, B-bounded, always broadcastable. Returns one row
+    * per doc: (doc_id, n_feats, s0..s{C-1}, label) where s_c is the
+    * exact integer score and label the argmax class (lowest id wins
+    * ties). Docs with no features (empty text) score 0 everywhere and
+    * label 0 — total, like the other curation signals. */
+  def scoreHashedLinear(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, numClasses: Int, buckets: Int): DataFrame = {
+    require(numClasses >= 2, s"need >= 2 classes, got $numClasses")
+    val scoreCols = (0 until numClasses).map(c =>
+      coalesce(sum(col("w").getItem(c)), lit(0L)).as(s"s$c"))
+    val scored = docFeatureBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), scoreCols: _*)
+    // left join keeps featureless docs (empty text) with zero scores
+    val zeroed = docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        coalesce(col("n_feats"), lit(0L)).as("n_feats") +:
+        (0 until numClasses).map(c =>
+          coalesce(col(s"s$c"), lit(0L)).as(s"s$c")): _*)
+    val best = (0 until numClasses).map(c => col(s"s$c"))
+      .reduce((a, b) => greatest(a, b))
+    val label = (0 until numClasses).foldLeft(when(lit(false), lit(0L))) {
+      (acc, c) => acc.when(col(s"s$c") === best, lit(c.toLong))
+    } // first matching class wins → lowest id on ties
+    zeroed.withColumn("label", label)
+  }
+}

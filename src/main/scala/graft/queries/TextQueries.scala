@@ -288,6 +288,49 @@ object TextQueries {
          || ' & <raw>AB' AS extracted
        FROM documents"""
 
+  /** q110: hashed linear classifier scoring (fastText-style,
+    * arXiv:1607.01759) — the model-based quality-filter pass
+    * (Classifier.scoreHashedLinear). The gate's "trained model" is a
+    * 256-bucket × 4-class INTEGER weight table synthesized in closed
+    * form from the bucket id (w_c(b) = (b·2654435761 + c·40503) mod
+    * 1997 − 998), so the DuckDB oracle recomputes the entire scoring
+    * pass — md5 feature buckets, exact long score sums, greatest-based
+    * argmax with lowest-class tie-break — from first principles. Any
+    * defect in hashing, the bag semantics (instances, not distinct),
+    * the broadcast join, or the tie policy shifts a score or label and
+    * hash-fails. Scale shape: explode ≈2×tokens instances → broadcast
+    * B-row join → one doc_id groupBy with map-side partial agg. */
+  val q110_classifier_label: Q = (s, d) => {
+    val B = 256; val C = 4
+    val weights = s.range(0, B).select(col("id").cast("int").as("bucket"),
+      array((0 until C).map(c =>
+        (col("id") * 2654435761L + lit(c.toLong * 40503L)) % 1997L
+          - 998L): _*).as("w"))
+    graft.operators.Classifier.scoreHashedLinear(
+      Tables.documents(s, d), "doc_id", "text", weights, C, B)
+  }
+
+  val q110_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') a FROM documents),
+       uni AS (SELECT doc_id, unnest(a) gram FROM t),
+       bi AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') gram
+         FROM t, unnest(range(1, len(a))) u(i)),
+       f AS (SELECT doc_id, gram FROM uni
+             UNION ALL SELECT doc_id, gram FROM bi),
+       bk AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 4)) AS INT) % 256 AS bucket
+         FROM f),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_feats,
+           CAST(sum((bucket*2654435761 + 0) % 1997 - 998) AS BIGINT) s0,
+           CAST(sum((bucket*2654435761 + 40503) % 1997 - 998) AS BIGINT) s1,
+           CAST(sum((bucket*2654435761 + 81006) % 1997 - 998) AS BIGINT) s2,
+           CAST(sum((bucket*2654435761 + 121509) % 1997 - 998) AS BIGINT) s3
+         FROM bk GROUP BY doc_id)
+       SELECT doc_id, n_feats, s0, s1, s2, s3,
+         CAST(CASE WHEN s0 = g THEN 0 WHEN s1 = g THEN 1
+              WHEN s2 = g THEN 2 ELSE 3 END AS BIGINT) AS label
+       FROM (SELECT *, greatest(s0, s1, s2, s3) g FROM sc)"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -1263,6 +1306,7 @@ object TextQueries {
     "q106_normalized_neardup" -> q106_normalized_neardup,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
+    "q110_classifier_label" -> q110_classifier_label,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1302,6 +1346,7 @@ object TextQueries {
     "q106_normalized_neardup" -> q106_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
+    "q110_classifier_label" -> q110_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,
