@@ -200,4 +200,29 @@ object TextFunctions {
     GraftColumnBridge.column(graft.expressions.StripHtml(
       GraftColumnBridge.expression(html)))
   }
+
+  /** Line-level boilerplate filtering — the C4 cleaning rule family
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2): pages keep their
+    * prose but shed navigation/consent/"enable javascript" lines. A
+    * line survives when it has at least `minWords` whitespace words
+    * AND contains no blocklist phrase (case-insensitive substring);
+    * survivors re-join with the original newline. Pure builtin
+    * composition (split/filter/array_join) — per-row, codegen'd,
+    * nothing rides a shuffle; every rule is deterministic so an
+    * oracle recomputes it with list_filter. */
+  def cleanLines(text: Column, minWords: Int,
+      blocklist: Seq[String]): Column = {
+    require(blocklist.forall(b => b == b.toLowerCase(java.util.Locale.ROOT)),
+      "blocklist phrases must be lowercase (lines are lowercased before " +
+        "the substring test)")
+    array_join(
+      filter(split(text, "\n"), line => {
+        val enough = size(split(line, " ")) >= lit(minWords)
+        val blocked = blocklist
+          .map(b => lower(line).contains(lit(b)))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        enough && !blocked
+      }),
+      "\n")
+  }
 }

@@ -288,6 +288,36 @@ object TextQueries {
          || ' & <raw>AB' AS extracted
        FROM documents"""
 
+  /** q111: C4-style line-level boilerplate filtering (arXiv:1910.10683
+    * §2.2) — each doc becomes a five-line "page": its real text, an
+    * enable-javascript line, a cookie-consent line (both blocklisted,
+    * one only via case-fold), a 2-word stub (under the 4-word floor),
+    * and a closing prose line carrying the doc id. cleanLines must
+    * keep exactly the prose: the original text (unless the doc itself
+    * has < 4 words — the rule is applied honestly, and the oracle's
+    * CASE mirrors it) and the closing line, re-joined with the
+    * original newline. Per-row builtin composition — no shuffle. */
+  val q111_clean_lines: Q = (s, d) => {
+    val closing = concat(lit("doc "), col("doc_id"),
+      lit(" closing remarks with plenty of words here"))
+    val page = concat_ws("\n", col("text"),
+      lit("please enable JavaScript to continue viewing"),
+      lit("We use Cookies accept our policy"),
+      lit("read more"), closing)
+    Tables.documents(s, d).select(col("doc_id"),
+      cleanLines(page, minWords = 4,
+        blocklist = Seq("javascript", "cookie")).as("cleaned"))
+  }
+
+  val q111_oracle: String =
+    """SELECT doc_id,
+       CASE WHEN len(string_split(text, ' ')) >= 4
+         THEN text || chr(10) || 'doc ' || doc_id
+           || ' closing remarks with plenty of words here'
+         ELSE 'doc ' || doc_id
+           || ' closing remarks with plenty of words here' END AS cleaned
+       FROM documents"""
+
   /** q110: hashed linear classifier scoring (fastText-style,
     * arXiv:1607.01759) — the model-based quality-filter pass
     * (Classifier.scoreHashedLinear). The gate's "trained model" is a
@@ -1307,6 +1337,7 @@ object TextQueries {
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
+    "q111_clean_lines" -> q111_clean_lines,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1347,6 +1378,7 @@ object TextQueries {
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
+    "q111_clean_lines" -> q111_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

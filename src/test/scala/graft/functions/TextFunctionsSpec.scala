@@ -124,4 +124,24 @@ class TextFunctionsSpec extends SparkSuite {
     assert(foldPairs.length == 50)
     assert(foldPairs.forall(_._2 == 1.0))
   }
+
+  test("cleanLines keeps prose, drops blocklisted and short lines " +
+      "(case-insensitive substring), and rejects non-lowercase " +
+      "blocklists") {
+    def clean(text: String): String =
+      Seq(text).toDF("t").select(TextFunctions.cleanLines($"t", 4,
+        Seq("javascript", "cookie")).as("c")).as[String].head()
+    assert(clean("real prose with enough words\n" +
+      "please enable JavaScript now\n" +
+      "We use Cookies accept our policy\n" +
+      "read more\n" +
+      "another honest closing sentence here")
+      == "real prose with enough words\nanother honest closing sentence here")
+    assert(clean("all lines are boilerplate here about javascript") == "")
+    assert(clean("one two three") == "") // under the word floor
+    intercept[IllegalArgumentException] {
+      clean("x"); Seq("x").toDF("t")
+        .select(TextFunctions.cleanLines($"t", 4, Seq("JavaScript")))
+    }
+  }
 }
