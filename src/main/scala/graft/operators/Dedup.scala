@@ -58,6 +58,49 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Incremental exact dedup for LARGE deltas — same semantics as
+    * [[incrementalSurvivors]] when the batch is too big to broadcast
+    * its exact fingerprint set (a 1B-key backfill is tens of GB of
+    * strings; no executor broadcasts that). Replace the exact
+    * broadcast with a BLOOM broadcast:
+    *
+    *  1. distributed bloom build over the batch's fingerprints
+    *     (`stat.bloomFilter` merges per-partition filters; the driver
+    *     holds only the fixed `expectedKeys`/`fpp`-sized bitmap —
+    *     ~1.2 GB at 1B keys / 1% fpp vs tens of GB exact);
+    *  2. the corpus scan probes the bloom per row inside codegen
+    *     ([[graft.expressions.BloomMightContain]]) — ~(1−fpp) of the
+    *     non-duplicate corpus never leaves its scan stage;
+    *  3. the surviving sliver (true dups + fpp of the corpus) is
+    *     confirmed EXACTLY with a shuffled semi-join against the
+    *     batch's distinct fingerprints — false positives die here, so
+    *     the operator's output is bit-identical to the exact path at
+    *     any fpp (the q112 gate pins this with q82's own oracle);
+    *  4. batch survivors anti-join the confirmed set — shuffled, not
+    *     broadcast: the confirmed set is bounded by the batch's
+    *     distinct keys, which in this regime is large by assumption.
+    *
+    * The bloom build reads the batch once eagerly (a stat job), the
+    * corpus streams exactly once, and nothing driver-side scales with
+    * the CORPUS — only with the chosen filter size. */
+  def incrementalSurvivorsLarge(batch: DataFrame, corpus: DataFrame,
+      key: DataFrame => Column, id: Column,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val keyed = batch.withColumn("__fp", key(batch))
+    val bf = keyed.stat.bloomFilter("__fp", expectedKeys, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val batchFps = keyed.select(col("__fp")).distinct()
+    val alreadyIn = corpus.select(key(corpus).as("__fp"))
+      .filter(graft.functions.SketchFunctions.bloomMightContain(
+        col("__fp"), baos.toByteArray))
+      .join(batchFps, Seq("__fp"), "left_semi")
+      .distinct()
+    exactSurvivors(keyed, col("__fp"), id)
+      .join(alreadyIn, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** All-pairs n-gram Jaccard ≥ minJaccard via inverted-index join:
     * explode distinct shingles → self-join on shingle → count common →
     * jac = common / (na + nb − common). Never materializes non-candidate

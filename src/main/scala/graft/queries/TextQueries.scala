@@ -927,6 +927,27 @@ object TextQueries {
        SELECT doc_id, lang, n_chars FROM k
        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM c)"""
 
+  /** q112: LARGE-delta incremental dedup — q82's semantics through the
+    * bloom-broadcast path (Dedup.incrementalSurvivorsLarge): when the
+    * delta is too big to broadcast its exact fingerprint set, a fixed-
+    * size bloom rides to the corpus scan instead and an exact shuffled
+    * semi-join kills the false positives. Same fixture split and the
+    * SAME oracle SQL as q82 — the gate pins that the sketch path is
+    * bit-identical to exact dedup at any fpp (here 3%, small enough
+    * corpus that real false positives are exercised by DedupSpec's
+    * fpp=0.5 torture test instead). */
+  val q112_incremental_dedup_large: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.incrementalSurvivorsLarge(
+        docs.filter(col("doc_id") >= 450),
+        docs.filter(col("doc_id") < 450),
+        df => fingerprint(df("text")), col("doc_id"),
+        expectedKeys = 1000L, fpp = 0.03)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val q112_oracle: String = q82_oracle
+
   /** q84: document chunking (TextFunctions.chunkTokens) — 128-token
     * windows at stride 64, exploded to one row per chunk with its token
     * count and content fingerprint. The LM-training chunk-assembly
@@ -1316,6 +1337,7 @@ object TextQueries {
     "q86_weighted_mix" -> q86_weighted_mix,
     "q84_chunk_tokens" -> q84_chunk_tokens,
     "q82_incremental_dedup" -> q82_incremental_dedup,
+    "q112_incremental_dedup_large" -> q112_incremental_dedup_large,
     "q75_redact_pii" -> q75_redact_pii,
     "q77_bm25_topk" -> q77_bm25_topk,
     "q78_split_assign" -> q78_split_assign,
@@ -1357,6 +1379,7 @@ object TextQueries {
     "q86_weighted_mix" -> q86_oracle,
     "q84_chunk_tokens" -> q84_oracle,
     "q82_incremental_dedup" -> q82_oracle,
+    "q112_incremental_dedup_large" -> q112_oracle,
     "q75_redact_pii" -> q75_oracle,
     "q77_bm25_topk" -> q77_oracle,
     "q78_split_assign" -> q78_oracle,

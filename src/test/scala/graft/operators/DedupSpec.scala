@@ -118,6 +118,34 @@ class DedupSpec extends SparkSuite {
       s"corpus membership must be broadcast joins:\n$plan")
   }
 
+  test("large-delta incremental dedup: bloom path is bit-identical to " +
+      "the exact path even at fpp=0.5 (false positives WILL fire and " +
+      "must die in the exact confirm); bloom probe sits in the corpus " +
+      "scan") {
+    import graft.functions.TextFunctions.fingerprint
+    val corpus = docs.filter($"doc_id" < 450)
+    val batch = docs.filter($"doc_id" >= 450)
+    val exact = Dedup.incrementalSurvivors(batch, corpus,
+      df => fingerprint(df("text")), col("doc_id"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // fpp=0.5: ~half the non-duplicate corpus passes the bloom — the
+    // shuffled exact semi-join must kill every false positive
+    for (fpp <- Seq(0.5, 0.03)) {
+      val loose = Dedup.incrementalSurvivorsLarge(batch, corpus,
+        df => fingerprint(df("text")), col("doc_id"),
+        expectedKeys = 100L, fpp = fpp)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(loose == exact, s"fpp=$fpp diverged from exact path")
+    }
+    val planned = Dedup.incrementalSurvivorsLarge(batch, corpus,
+      df => fingerprint(df("text")), col("doc_id"),
+      expectedKeys = 100L, fpp = 0.03)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("BloomMightContain") ||
+      plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe missing from the plan:\n${plan.take(1200)}")
+  }
+
   test("minhash LSH pairs == exact jaccard pairs at threshold 0.5") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.5)
