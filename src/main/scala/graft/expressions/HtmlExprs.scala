@@ -96,6 +96,49 @@ object HtmlToText {
   }
 }
 
+/** Outlink extraction — the link-graph construction step of a crawl
+  * pipeline (in/out-degree, link-spam signals, seed discovery). Returns
+  * every `<a … href=…>` target in document order: double-quoted,
+  * single-quoted, or unquoted attribute forms, tag and attribute names
+  * case-insensitive, whitespace around `=` tolerated. The raw
+  * attribute value is returned verbatim (no entity decode, no
+  * resolution) — feed [[UrlCanonicalize]] downstream for dedup-grade
+  * keys. One precompiled-regex pass per row inside whole-stage
+  * codegen. */
+object ExtractLinksImpl {
+  private[expressions] val href = java.util.regex.Pattern.compile(
+    "<a\\b[^>]*?\\bhref\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+  def extract(html: String): Array[String] = {
+    val m = href.matcher(html)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) {
+      val v =
+        if (m.group(2) != null) m.group(2)
+        else if (m.group(3) != null) m.group(3)
+        else m.group(4)
+      out += v
+    }
+    out.toArray
+  }
+}
+
+/** Column form of [[ExtractLinksImpl.extract]]. */
+case class ExtractLinks(child: Expression)
+    extends UnaryExpression with SelfCallCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val links = ExtractLinksImpl.extract(v.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      links.map(UTF8String.fromString(_): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column form of [[HtmlToText.extract]]. */
 case class StripHtml(child: Expression)
     extends UnaryExpression with SelfCallCodegen {

@@ -201,6 +201,18 @@ object TextFunctions {
       GraftColumnBridge.expression(html)))
   }
 
+  /** Outlink extraction: every `<a href=…>` target in document order
+    * (double/single/unquoted forms; raw attribute values — compose
+    * with [[canonicalizeUrl]] for dedup-grade keys; see
+    * [[graft.expressions.ExtractLinksImpl]]). The link-graph
+    * construction step: posexplode + canonicalize + host aggregation
+    * gives in/out-degree and link-spam signals. */
+  def extractLinks(html: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ExtractLinks(
+      GraftColumnBridge.expression(html)))
+  }
+
   /** Line-level boilerplate filtering — the C4 cleaning rule family
     * (Raffel et al. 2020, arXiv:1910.10683 §2.2): pages keep their
     * prose but shed navigation/consent/"enable javascript" lines. A

@@ -318,6 +318,44 @@ object TextQueries {
            || ' closing remarks with plenty of words here' END AS cleaned
        FROM documents"""
 
+  /** q113: outlink extraction + canonicalization — the link-graph
+    * construction step. Each synthesized page carries three `<a>`
+    * links exercising the attribute grammar (uppercase tag with a
+    * double-quoted absolute URL, single-quoted mangled URL that only
+    * canonicalization collapses, unquoted relative href terminated by
+    * a following attribute) plus an `<area href>` decoy the `<a\b>`
+    * word boundary must reject. Emits (doc_id, pos, link) with
+    * document-order positions pinned; the oracle writes all three
+    * expected canonical links per doc in closed form. Scale shape:
+    * per-row extract + posexplode + per-row canonicalize — ~3×
+    * row-count stream, no shuffle at all. */
+  val q113_extract_links: Q = (s, d) => {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<html><body><p>intro text</p><A HREF=\"https://hub"),
+      (id + 1) % 37, lit(".example.org/a"), id,
+      lit("\">one</A><a class=\"x\" href='HTTPS://HUB"), (id + 2) % 37,
+      lit(".EXAMPLE.ORG:443/b"), id, lit("?utm_source=z&m="), id % 5,
+      lit("'>two</a><area href=\"decoy\"><a href=/rel/c"), id,
+      lit(" rel=nofollow>three</a></body></html>"))
+    Tables.documents(s, d)
+      .select(id, posexplode(extractLinks(page)).as(Seq("pos", "raw")))
+      .select(id, col("pos").cast("long").as("pos"),
+        canonicalizeUrl(col("raw")).as("link"))
+  }
+
+  val q113_oracle: String =
+    """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+         'https://hub' || ((doc_id + 1) % 37) || '.example.org/a'
+           || doc_id AS link FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(1 AS BIGINT),
+         'https://hub' || ((doc_id + 2) % 37) || '.example.org/b'
+           || doc_id || '?m=' || (doc_id % 5) FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(2 AS BIGINT), '/rel/c' || doc_id
+       FROM documents"""
+
   /** q110: hashed linear classifier scoring (fastText-style,
     * arXiv:1607.01759) — the model-based quality-filter pass
     * (Classifier.scoreHashedLinear). The gate's "trained model" is a
@@ -1360,6 +1398,7 @@ object TextQueries {
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
     "q111_clean_lines" -> q111_clean_lines,
+    "q113_extract_links" -> q113_extract_links,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1402,6 +1441,7 @@ object TextQueries {
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
     "q111_clean_lines" -> q111_oracle,
+    "q113_extract_links" -> q113_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

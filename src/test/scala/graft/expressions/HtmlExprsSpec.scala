@@ -52,4 +52,20 @@ class HtmlExprsSpec extends SparkSuite {
     assert(Seq(page).toDF("h").select(TextFunctions.stripHtml(lit(null)
       .cast("string")).as("t")).as[Option[String]].head().isEmpty)
   }
+
+  test("extractLinks: quoting forms, case-insensitive tag/attr, " +
+      "document order, area decoy rejected, linkless page empty") {
+    import graft.expressions.ExtractLinksImpl.{extract => links}
+    assert(links("""<A HREF="https://a/x">t</A>""").toSeq
+      == Seq("https://a/x"))
+    assert(links("""<a class="k" Href='u2'>t</a>""").toSeq == Seq("u2"))
+    assert(links("""<a href=/rel/p rel=nofollow>t</a>""").toSeq
+      == Seq("/rel/p"))
+    assert(links("""<a href = "spaced">t</a>""").toSeq == Seq("spaced"))
+    assert(links("""<area href="map"><base href="b"><link href="c">""")
+      .toSeq == Seq.empty) // only <a> anchors are outlinks
+    assert(links("""<a href="1st"><p><a href='2nd'><a href=3rd>""").toSeq
+      == Seq("1st", "2nd", "3rd"))
+    assert(links("no anchors here").toSeq == Seq.empty)
+  }
 }
