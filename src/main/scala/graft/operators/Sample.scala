@@ -112,4 +112,20 @@ object Sample {
     df.filter(col(idCol).isNotNull &&
       bucket < lit((rate * (1L << 32)).toLong))
   }
+
+  /** Per-key diversity cap — the Gopher-style "at most N documents per
+    * domain" rule (any over-represented host/source/license key):
+    * keeps the first `cap` rows of each key under the caller's order
+    * columns (make them a total order — append the id — or ties are
+    * engine-dependent). One row_number window, one shuffle keyed by
+    * `key`; per-key skew is bounded because the window emits at most
+    * `cap` survivors per key and WindowGroupLimit prunes rank > cap
+    * before the sort spills. */
+  def capPerKey(df: DataFrame, key: Column, order: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
 }

@@ -318,6 +318,30 @@ object TextQueries {
            || ' closing remarks with plenty of words here' END AS cleaned
        FROM documents"""
 
+  /** q114: per-domain diversity cap (Gopher's "at most N per domain"
+    * corpus rule) — hosts come from the builtin parse_url over the
+    * q108-style synthetic URL column, the cap keeps the 3 lowest
+    * doc_ids per host (id appended to the order → total order, engine
+    * portable). One row_number window; WindowGroupLimit prunes rank >
+    * cap before the per-key sort, so a mega-domain costs its scan, not
+    * a full sort. The oracle recomputes host and rank closed-form. */
+  val q114_domain_cap: Q = (s, d) => {
+    val urls = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://site"), col("doc_id") % 37,
+        lit(".example.org/docs/page"), col("doc_id")).as("url"))
+    val hosted = urls.withColumn("host", parse_url(col("url"), lit("HOST")))
+    graft.operators.Sample.capPerKey(hosted, col("host"),
+        Seq(col("doc_id")), cap = 3)
+      .select(col("doc_id"), col("host"))
+  }
+
+  val q114_oracle: String =
+    """SELECT doc_id, 'site' || (doc_id % 37) || '.example.org' AS host
+       FROM (SELECT doc_id, row_number() OVER
+               (PARTITION BY doc_id % 37 ORDER BY doc_id) AS rn
+             FROM documents)
+       WHERE rn <= 3"""
+
   /** q113: outlink extraction + canonicalization — the link-graph
     * construction step. Each synthesized page carries three `<a>`
     * links exercising the attribute grammar (uppercase tag with a
@@ -1399,6 +1423,7 @@ object TextQueries {
     "q110_classifier_label" -> q110_classifier_label,
     "q111_clean_lines" -> q111_clean_lines,
     "q113_extract_links" -> q113_extract_links,
+    "q114_domain_cap" -> q114_domain_cap,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1442,6 +1467,7 @@ object TextQueries {
     "q110_classifier_label" -> q110_oracle,
     "q111_clean_lines" -> q111_oracle,
     "q113_extract_links" -> q113_oracle,
+    "q114_domain_cap" -> q114_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

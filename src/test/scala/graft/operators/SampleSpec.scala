@@ -119,4 +119,23 @@ class SampleSpec extends SparkSuite {
     assert(Sample.deterministicFraction(docs, "doc_id", 1.0).count()
       == n.toLong)
   }
+
+  test("capPerKey keeps the first cap rows per key under a total " +
+      "order, independent of partitioning; WindowGroupLimit in plan") {
+    val rows = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("a", 4L),
+      ("b", 10L), ("c", 7L), ("c", 5L)).toDF("k", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sample.capPerKey(df, $"k", Seq($"id"), 2)
+        .select($"k", $"id").as[(String, Long)].collect().toSet
+    val expect = Set(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L), ("c", 7L))
+    assert(run(rows) == expect)
+    assert(run(rows.repartition(5)) == expect)
+    intercept[IllegalArgumentException] {
+      Sample.capPerKey(rows, $"k", Seq($"id"), 0)
+    }
+    // rank > cap rows must be pruned BEFORE the per-key sort spills
+    val plan = Sample.capPerKey(rows, $"k", Seq($"id"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
 }
