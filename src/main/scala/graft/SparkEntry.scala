@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.TpchQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.TextQueries.all ++
+      graft.queries.GraphQueries.all ++
       graft.queries.VectorQueries.all ++
       graft.queries.MultimodalQueries.all
 
@@ -27,6 +28,7 @@ object SparkEntry {
     graft.queries.TpchQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.TextQueries.oracles ++
+      graft.queries.GraphQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over edge lists — the web-curation graph family
+  * that sits downstream of outlink extraction
+  * ([[graft.functions.TextFunctions.extractLinks]] → canonicalizeUrl →
+  * host parse). Curation pipelines use these as document-level quality
+  * signals: host PageRank is a classic crawl-frontier / quality prior
+  * (Page et al. 1999, the original PageRank report), and degree
+  * profiles (in/out-degree, reciprocity) feed link-spam heuristics.
+  *
+  * Everything here is DETERMINISTIC and engine-portable by
+  * construction: PageRank runs in scaled-LONG integer arithmetic
+  * (exact commutative sums — no float accumulation-order wobble), so a
+  * SQL oracle can recompute the fixpoint bit-exactly with unrolled
+  * iterations. No reference analogue (hematite has no graph surface).
+  */
+object Graph {
+
+  /** PageRank with a FIXED iteration count in scaled integer
+    * arithmetic. Ranks are longs in units of `scale⁻¹`: the classic
+    * update r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u) becomes
+    *
+    *   b0 = scale div N                      (initial rank, all nodes)
+    *   t  = (b0 · (dampDen − dampNum)) div dampDen      (teleport term)
+    *   r' = t + (dampNum · Σ_{u→v} (r(u) div outdeg(u))) div dampDen
+    *
+    * with `div` = floor division on non-negative longs — identical in
+    * Spark (`div`) and DuckDB (`//`), and Σ is a sum of longs (exact,
+    * order-independent). Total mass stays ≤ scale by induction, so
+    * dampNum·Σ ≤ dampNum·scale never overflows for the default
+    * parameters (85·10¹² ≪ 2⁶³). Dangling nodes simply leak their mass
+    * (the common "no redistribution" variant); self-loops are kept;
+    * edges are deduplicated. A fixed `iters` (not convergence-tested)
+    * keeps the operator a pure function of its input — the gate oracle
+    * unrolls the same iterations in SQL.
+    *
+    * Scale shape: `iters` rounds of (edges ⋈ ranks on src) → hash-agg
+    * on dst — every round is one shuffle keyed by node id with
+    * map-side partial sums, exactly a Pregel superstep. The edge list
+    * is planned once (localCheckpoint) with its out-degrees attached,
+    * so the per-round work is one join + one aggregate over |E| rows;
+    * lineage is cut every round. A mega-in-degree host (every page
+    * links to site0) is a single hot reduce key whose partials
+    * combine map-side — skew-safe, unlike a collect-and-loop driver
+    * walk. Output is one row per node: (node, pr).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen not in [0,1]")
+    require(scale > 0 && dampNum <= Long.MaxValue / scale,
+      "dampNum * scale must not overflow a long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // reused every round + for the final left join
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val b0 = scale / n
+    val t = b0 * (dampDen - dampNum) / dampDen
+    // out-degrees ride WITH the edges: one join per round, not two
+    val eo = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
+      .localCheckpoint()
+    var r = nodes.select(col("node"), lit(b0).as("pr"))
+    var i = 0
+    while (i < iters) {
+      val inflow = eo.join(r, eo("src") === r("node"))
+        .select(eo("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("infl"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(t) + expr(s"($dampNum * coalesce(infl, 0L)) div $dampDen"))
+            .as("pr"))
+      // intermediate rounds cut lineage eagerly; the LAST stays lazy so
+      // the caller sees (and the plan gate audits) a real superstep plan
+      r = if (i == iters - 1) next else next.localCheckpoint()
+      i += 1
+    }
+    r
+  }
+
+  /** Per-node degree profile over an edge-INSTANCE list (multiplicity
+    * preserved): out_deg / in_deg count link instances, out_nbrs /
+    * in_nbrs count distinct neighbours, recip_edges counts distinct
+    * out-edges whose reverse edge also exists (self-loops are their
+    * own reverse). Nodes appearing only as a source (or only as a
+    * target) still get a row, zero-filled on the missing side.
+    *
+    * Scale shape: two hash aggregates over the instance list (partial
+    * map-side combine; the distinct-neighbour count shuffles (node,
+    * nbr) pairs), one self-join of the DISTINCT edge set for
+    * reciprocity, and an outer join on node to stitch the profile —
+    * all key-partitioned, all linear in |E|. Nothing touches the
+    * driver. */
+  def degreeProfile(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = e.groupBy(col("src").as("node")).agg(
+      count(lit(1)).as("out_deg"),
+      countDistinct(col("dst")).as("out_nbrs"))
+    val in = e.groupBy(col("dst").as("node")).agg(
+      count(lit(1)).as("in_deg"),
+      countDistinct(col("src")).as("in_nbrs"))
+    val de = e.distinct()
+    val recip = de.as("f").join(de.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .groupBy(col("f.src").as("node"))
+      .agg(count(lit(1)).as("recip_edges"))
+    out.join(in, Seq("node"), "full_outer")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"),
+        coalesce(col("recip_edges"), lit(0L)).as("recip_edges"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide paragraph-level exact dedup — the C4 cleaning family's
+  * span rule (Raffel et al. 2020, arXiv:1910.10683 §2.2 removes
+  * repeated three-sentence spans corpus-wide; the unit here is a
+  * separator-delimited paragraph). Every occurrence of a paragraph
+  * except the FIRST — ordered by (id, position) — is removed, and the
+  * survivors re-join in original order, so boilerplate that q111's
+  * line-level blocklist can't know about (site footers, consent
+  * banners, syndicated intros) is kept exactly once in the whole
+  * corpus instead of once per page. Complements the substring-level
+  * ExactSubstr operators (Dedup.repeatedSpans): this one is
+  * paragraph-aligned, reconstructive, and keeps one canonical copy.
+  */
+object ParagraphDedup {
+
+  /** Remove all but the first occurrence (ordered by (`idCol`, pos))
+    * of every distinct paragraph of `textCol` split on `sep`, and
+    * reassemble each document from its surviving paragraphs. Output:
+    * (idCol, cleaned, n_dropped).
+    *
+    * Keeper selection is min(struct(id, pos)) per paragraph — a hash
+    * aggregate with MAP-SIDE partial combine, then an equi-join of the
+    * instances back to their winner. At 100 TB the popular-footer key
+    * is the COMMON case (one paragraph, 10⁹ instances): the aggregate
+    * moves only per-partition minima across the wire, and the join is
+    * a standard AQE-splittable skew join (big probe side × 1-row build
+    * per key). The tempting one-pass alternative — row_number() over
+    * Window.partitionBy(paragraph) — ships every instance of the
+    * mega-key into a single task's sort; that straggler is why this
+    * operator deliberately pays the extra join instead. Reassembly is
+    * one id-keyed aggregate (sort_array over collected (pos, para)
+    * structs — per-doc arrays, bounded by doc length). Determinism:
+    * (id, pos) is unique, struct comparison is lexicographic, so the
+    * winner is total-order-defined; no hashing is involved at all
+    * (paragraph CONTENT is the shuffle key), so results are
+    * engine-portable and collision-free by construction. */
+  def dedupeParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).cast("long").as("__id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
+    val winners = paras.groupBy(col("__para"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val marked = paras.join(winners, Seq("__para"))
+      .withColumn("__keep",
+        struct(col("__id"), col("__pos")) === col("__w"))
+    marked.groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__para"))))),
+            x => x.getField("__para")),
+          sep).as("cleaned"),
+        count(when(!col("__keep"), lit(1))).as("n_dropped"))
+      .select(col("__id").as(idCol), col("cleaned"), col("n_dropped"))
+  }
+}

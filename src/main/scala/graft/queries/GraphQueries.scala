@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Graph
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph operator surface (SURVEY.md §2.2 north-star, web-curation
+  * family): host-level PageRank and degree profiles over edges built by
+  * the REAL extraction chain — extractLinks → canonicalizeUrl →
+  * parse_url(HOST) — exactly as a crawl-curation pipeline would build
+  * them from raw pages. The gates synthesize pages whose link targets
+  * are closed-form in doc_id, so the DuckDB oracles recompute the whole
+  * graph (and, for PageRank, the whole fixpoint) from first principles.
+  *
+  * Page grammar per doc (residue s = doc_id % 101 over a single shared
+  * host namespace, so the graph has real cycles, confluences, one
+  * self-loop at s=50 and one collapsed double-edge at s=100):
+  *   link 1: HTTPS://SITE{(3s+1)%101}.EXAMPLE.ORG:443/p{id}?utm_source=x
+  *           (mangled — only canonicalization yields the true host)
+  *   link 2: https://site{(7s+5)%101}.example.org/q{id}
+  *   link 3: https://site0.example.org/h{id}  — only when s % 5 == 0,
+  *           making site0 a mega-hub (~21 in-neighbours) so the
+  *           PageRank surface has real spread (93 distinct values,
+  *           site0 ≈ 10× the median) instead of a flat permutation.
+  * Source host: site{s}.example.org (the doc's own q114-style host).
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Host-level edge INSTANCES via the real extraction chain — one row
+    * per (doc, link); multiplicity preserved (q116 counts it, q115's
+    * PageRank dedupes internally). Per-row extract + explode +
+    * canonicalize: no shuffle at all in this stage. */
+  private def hostEdges(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % 101,
+      lit(".EXAMPLE.ORG:443/p"), id, lit("?utm_source=x\">a</A>"),
+      lit("<a href='https://site"), (id * 7 + 5) % 101,
+      lit(".example.org/q"), id, lit("'>b</a>"),
+      when((id % 101) % 5 === 0,
+        concat(lit("<a href=\"https://site0.example.org/h"), id,
+          lit("\">c</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    Tables.documents(s, d)
+      .select(id, explode(extractLinks(page)).as("raw"))
+      .select(
+        concat(lit("site"), id % 101, lit(".example.org")).as("src"),
+        parse_url(canonicalizeUrl(col("raw")), lit("HOST")).as("dst"))
+  }
+
+  /** Closed-form SQL for the same edge instances. */
+  private val edgeSql: String =
+    """SELECT 'site' || (doc_id % 101) || '.example.org' AS src,
+         'site' || ((3 * (doc_id % 101) + 1) % 101) || '.example.org' AS dst
+       FROM documents
+       UNION ALL
+       SELECT 'site' || (doc_id % 101) || '.example.org',
+         'site' || ((7 * (doc_id % 101) + 5) % 101) || '.example.org'
+       FROM documents
+       UNION ALL
+       SELECT 'site' || (doc_id % 101) || '.example.org',
+         'site0.example.org'
+       FROM documents WHERE (doc_id % 101) % 5 = 0"""
+
+  /** q115: host PageRank — 4 fixed power-iteration rounds in scaled
+    * integer arithmetic (Graph.pageRank scaladoc has the exact update
+    * rule). The oracle unrolls the identical four rounds in SQL over
+    * the closed-form edge set: residue arithmetic gives it DISTINCT
+    * edges directly, `//` is the same floor division, and the inflow
+    * sums are exact BIGINT sums — any deviation in dedup, out-degree,
+    * dangling handling, the teleport term, or iteration count breaks
+    * the hash. Scale shape: 4 Pregel supersteps, each one node-keyed
+    * shuffle with map-side partial sums over |E| rows. */
+  val q115_host_pagerank: Q = (s, d) =>
+    Graph.pageRank(hostEdges(s, d), "src", "dst", iters = 4)
+
+  private def prIterSql(k: Int): String =
+    s"""r$k AS (SELECT nodes.v AS v,
+         (((1000000000000 // (SELECT count(*) FROM nodes)) * 15) // 100)
+           + ((85 * COALESCE(t.infl, 0)) // 100) AS r
+       FROM nodes LEFT JOIN (
+         SELECT e.dst AS v, CAST(SUM(r${k - 1}.r // od.od) AS BIGINT) AS infl
+         FROM e JOIN od ON od.src = e.src
+           JOIN r${k - 1} ON r${k - 1}.v = e.src
+         GROUP BY e.dst) t ON nodes.v = t.v)"""
+
+  val q115_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       e AS (SELECT DISTINCT src, dst FROM inst),
+       nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       r0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS r
+              FROM nodes),
+       ${prIterSql(1)},
+       ${prIterSql(2)},
+       ${prIterSql(3)},
+       ${prIterSql(4)}
+       SELECT v AS node, CAST(r AS BIGINT) AS pr FROM r4"""
+
+  /** q116: per-host degree profile over the edge instances —
+    * out/in-degree (instances), distinct neighbour counts, reciprocal
+    * distinct edges (the link-spam signals). s=100's two links collapse
+    * to one distinct neighbour and s=50's self-loop is its own
+    * reciprocal, so the instance-vs-distinct and reciprocity semantics
+    * are all load-bearing in the fixture. */
+  val q116_degree_profile: Q = (s, d) =>
+    Graph.degreeProfile(hostEdges(s, d), "src", "dst")
+
+  val q116_oracle: String =
+    s"""WITH e AS ($edgeSql),
+       out_ AS (SELECT src AS node, count(*) AS out_deg,
+                  count(DISTINCT dst) AS out_nbrs FROM e GROUP BY src),
+       in_ AS (SELECT dst AS node, count(*) AS in_deg,
+                 count(DISTINCT src) AS in_nbrs FROM e GROUP BY dst),
+       de AS (SELECT DISTINCT src, dst FROM e),
+       rc AS (SELECT f.src AS node, count(*) AS recip_edges
+              FROM de f JOIN de r ON f.src = r.dst AND f.dst = r.src
+              GROUP BY f.src)
+       SELECT node,
+         CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+         CAST(COALESCE(out_nbrs, 0) AS BIGINT) AS out_nbrs,
+         CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+         CAST(COALESCE(in_nbrs, 0) AS BIGINT) AS in_nbrs,
+         CAST(COALESCE(recip_edges, 0) AS BIGINT) AS recip_edges
+       FROM out_ FULL OUTER JOIN in_ USING (node) LEFT JOIN rc USING (node)"""
+
+  val all: Map[String, Q] = Map(
+    "q115_host_pagerank" -> q115_host_pagerank,
+    "q116_degree_profile" -> q116_degree_profile)
+
+  val oracles: Map[String, String] = Map(
+    "q115_host_pagerank" -> q115_oracle,
+    "q116_degree_profile" -> q116_oracle)
+}

@@ -342,6 +342,44 @@ object TextQueries {
              FROM documents)
        WHERE rn <= 3"""
 
+  /** q117: corpus-wide paragraph-level exact dedup (C4's span rule,
+    * paragraph-aligned — ParagraphDedup.dedupeParagraphs scaladoc has
+    * the scale argument for why keeper selection is an agg-min + skew
+    * join, not a window). Pages carry a per-residue banner (dup across
+    * ~71 docs each), the doc's own text, a corpus-wide footer (dup
+    * across all docs), and a unique closing line; only the globally
+    * FIRST (doc_id, pos) occurrence of each paragraph survives and
+    * docs reassemble in original order. The oracle recomputes keeper
+    * selection with a window over the same synthesized split —
+    * 992 paragraphs drop at sf0.001 (493 banners + 499 footers). */
+  val q117_paragraph_dedup: Q = (s, d) => {
+    val page = concat_ws("\n",
+      concat(lit("banner "), col("doc_id") % 7),
+      col("text"),
+      lit("footer navigation links contact"),
+      concat(lit("doc "), col("doc_id"), lit(" closing")))
+    graft.operators.ParagraphDedup.dedupeParagraphs(
+      Tables.documents(s, d).select(col("doc_id"), page.as("page")),
+      "doc_id", "page")
+  }
+
+  val q117_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         string_split('banner ' || (doc_id % 7) || chr(10) || text
+           || chr(10) || 'footer navigation links contact' || chr(10)
+           || 'doc ' || doc_id || ' closing', chr(10)) AS a
+       FROM documents),
+       paras AS (SELECT doc_id, i - 1 AS pos, a[CAST(i AS INT)] AS para
+         FROM t, unnest(range(1, len(a) + 1)) u(i)),
+       k AS (SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         FROM paras)
+       SELECT doc_id,
+         string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos)
+           AS cleaned,
+         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+       FROM k GROUP BY doc_id"""
+
   /** q113: outlink extraction + canonicalization — the link-graph
     * construction step. Each synthesized page carries three `<a>`
     * links exercising the attribute grammar (uppercase tag with a
@@ -1424,6 +1462,7 @@ object TextQueries {
     "q111_clean_lines" -> q111_clean_lines,
     "q113_extract_links" -> q113_extract_links,
     "q114_domain_cap" -> q114_domain_cap,
+    "q117_paragraph_dedup" -> q117_paragraph_dedup,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1468,6 +1507,7 @@ object TextQueries {
     "q111_clean_lines" -> q111_oracle,
     "q113_extract_links" -> q113_oracle,
     "q114_domain_cap" -> q114_oracle,
+    "q117_paragraph_dedup" -> q117_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

@@ -275,4 +275,35 @@ object Streams {
       watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming web-ingest cleanup: the r10 crawl operators composed as
+    * ONE stateless projection — block-aware HTML→text (StripHtml per
+    * block, since StripHtml alone collapses a page to a single line),
+    * C4 line filter (cleanLines), outlink extraction +
+    * canonicalization. Block-level closers (</p>, </div>, </li>, …)
+    * and <br> become line boundaries BEFORE the per-block strip, so
+    * the line filter sees the page's block structure. (Caveat: a
+    * block closer inside a <script> string splits that script across
+    * blocks; the blocklist words catch the common leak.) Every kernel
+    * is per-row, so the same plan runs identically under batch and
+    * readStream with no watermark, no state store, and append-mode
+    * output (micro-batch cost is exactly the per-row codegen'd work —
+    * this is the "clean as you crawl" deployment of the q109/q111/q113
+    * batch gates). Emits (idCol passthrough, text, outlinks). */
+  def webClean(pages: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 2,
+      blocklist: Seq[String] = Seq("javascript", "cookie")): DataFrame = {
+    import graft.functions.TextFunctions._
+    val blocks = split(
+      regexp_replace(col(htmlCol),
+        "(?i)</(?:p|div|li|h[1-6]|tr|blockquote)>|<br\\s*/?>", "\u0000"),
+      "\u0000")
+    val text = array_join(
+      filter(transform(blocks, b => stripHtml(b)), t => t =!= ""), "\n")
+    pages.select(col(idCol),
+      cleanLines(text, minWords, blocklist).as("text"),
+      transform(extractLinks(col(htmlCol)),
+        u => graft.functions.TextFunctions.canonicalizeUrl(u))
+        .as("outlinks"))
+  }
 }

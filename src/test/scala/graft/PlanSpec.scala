@@ -59,6 +59,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q117 paragraph dedup selects keepers with an aggregate + join, " +
+      "never a Window over paragraph content (the mega-footer key would " +
+      "serialize into one task's sort at corpus scale)") {
+    val p = planOf(queries.TextQueries.q117_paragraph_dedup(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q115 pageRank rounds are node-keyed exchanges with map-side " +
+      "partial sums — no nested-loop joins, no cartesian products") {
+    val p = planOf(queries.GraphQueries.q115_host_pagerank(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
   test("q21 positional scan pushes the stream-key predicate into the scan") {
     val s = formatted(queries.EventQueries.q21_positional_scan(spark, sfDir))
     assert(s.contains("PushedFilters:") && s.contains("EqualTo(user_id,13)"), s)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Scala reference of the exact integer-PageRank contract
+    * (Graph.pageRank scaladoc) — same floor divisions, same long sums. */
+  private def refPageRank(edges: Set[(Long, Long)], iters: Int,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val n = nodes.size
+    val b0 = scale / n
+    val t = b0 * (dampDen - dampNum) / dampDen
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> b0).toMap
+    for (_ <- 0 until iters) {
+      val infl = edges.toSeq
+        .map { case (u, v) => v -> r(u) / od(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v =>
+        v -> (t + dampNum * infl.getOrElse(v, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  // deterministic pseudo-random multigraph: cycles, confluences,
+  // self-loops, dangling targets, duplicate instances
+  private def mkEdges(n: Int, m: Int): Seq[(Long, Long)] =
+    (0 until m).map { i =>
+      val a = (i * 7919 + 13) % n
+      val b = (a * a + i * 31 + 7) % (n + 5) // some targets never sources
+      (a.toLong, b.toLong)
+    }
+
+  test("pageRank matches the scala reference bit-exactly on a messy " +
+      "multigraph (self-loops, dangling nodes, duplicate edges)") {
+    val inst = mkEdges(23, 200)
+    val got = Graph.pageRank(inst.toDF("src", "dst"), "src", "dst",
+        iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(inst.toSet, iters = 5))
+  }
+
+  test("pageRank is independent of input partitioning and edge " +
+      "multiplicity, and mass stays bounded by scale") {
+    val inst = mkEdges(17, 120)
+    val base = Graph.pageRank(inst.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val rep = Graph.pageRank(
+        (inst ++ inst).toDF("src", "dst").repartition(7), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(base == rep)
+    assert(base.values.sum <= 1000000000000L)
+    assert(base.values.forall(_ > 0))
+  }
+
+  test("pageRank concentrates rank on a hub every node links to") {
+    val spokes = (1L to 10L).flatMap(i =>
+      Seq((i, 0L), (i, i % 10 + 1))) // hub + ring
+    val pr = Graph.pageRank(spokes.toDF("src", "dst"), "src", "dst", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(0L) > 3 * (1L to 10L).map(pr).max)
+  }
+
+  test("degreeProfile counts instances vs distinct neighbours and " +
+      "reciprocal edges, zero-filling one-sided nodes") {
+    // 1->2 twice, 2->1 (reciprocal), 3->3 (self-loop = own reverse),
+    // 1->4 (4 is sink), 5 absent entirely
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L), (1L, 4L))
+    val p = Graph.degreeProfile(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(p(1L) == ((3L, 2L, 1L, 1L, 1L))) // out 3 inst/2 nbrs; recip 1->2
+    assert(p(2L) == ((1L, 1L, 2L, 1L, 1L)))
+    assert(p(3L) == ((1L, 1L, 1L, 1L, 1L))) // self-loop everywhere
+    assert(p(4L) == ((0L, 0L, 1L, 1L, 0L))) // pure sink, zero-filled out
+    assert(p.size == 4)
+  }
+}

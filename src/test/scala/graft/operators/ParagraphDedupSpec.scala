@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Scala reference: keep the globally first (id, pos) occurrence of
+    * each paragraph, reassemble per doc in original order. */
+  private def ref(docs: Seq[(Long, String)], sep: String = "\n")
+      : Map[Long, (String, Long)] = {
+    val inst = docs.flatMap { case (id, text) =>
+      text.split(java.util.regex.Pattern.quote(sep), -1).zipWithIndex
+        .map { case (p, pos) => (id, pos, p) }
+    }
+    val first = inst.groupBy(_._3).view
+      .mapValues(_.map(r => (r._1, r._2)).min).toMap
+    docs.map { case (id, text) =>
+      val ps = text.split(java.util.regex.Pattern.quote(sep), -1).zipWithIndex
+      val kept = ps.collect {
+        case (p, pos) if first(p) == ((id, pos)) => p
+      }
+      id -> ((kept.mkString(sep), (ps.length - kept.length).toLong))
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (10L, "shared footer\nunique ten\nbanner A"),
+    (11L, "banner A\nunique eleven\nshared footer"),
+    (12L, "shared footer\nshared footer\nunique twelve"), // intra-doc dup
+    (13L, "banner A"), // loses its only paragraph -> empty doc survives
+    (14L, "unique fourteen\n\ntail")) // empty paragraph is a paragraph
+
+  test("corpus-wide keep-first paragraph dedup matches the reference, " +
+      "including intra-doc dups, all-dropped docs and empty paragraphs") {
+    val got = ParagraphDedup
+      .dedupeParagraphs(corpus.toDF("doc_id", "page"), "doc_id", "page")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == ref(corpus))
+    assert(got(10L) == (("shared footer\nunique ten\nbanner A", 0L)))
+    assert(got(11L) == (("unique eleven", 2L)))
+    assert(got(13L) == (("", 1L))) // doc row survives with empty text
+  }
+
+  test("result is independent of input partitioning and row order") {
+    val base = ParagraphDedup
+      .dedupeParagraphs(corpus.toDF("doc_id", "page"), "doc_id", "page")
+      .as[(Long, String, Long)].collect().toSet
+    val shuffled = ParagraphDedup.dedupeParagraphs(
+        corpus.reverse.toDF("doc_id", "page").repartition(7),
+        "doc_id", "page")
+      .as[(Long, String, Long)].collect().toSet
+    assert(base == shuffled)
+  }
+
+  test("custom separator with regex metacharacters is taken literally") {
+    val docs = Seq((1L, "a||b||a"), (2L, "b||c"))
+    val got = ParagraphDedup
+      .dedupeParagraphs(docs.toDF("doc_id", "page"), "doc_id", "page", "||")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("a||b", 1L)), 2L -> (("c", 1L))))
+  }
+}

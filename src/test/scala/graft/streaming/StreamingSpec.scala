@@ -496,4 +496,46 @@ class StreamingSpec extends SparkSuite {
       assert(counts == Seq(2L, 3L))
     } finally q.stop()
   }
+
+  test("streaming webClean (stripHtml + cleanLines + outlink canon) " +
+      "matches the batch plan row-for-row across micro-batches — " +
+      "stateless append mode, no watermark needed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pages = Seq(
+      (1L, "<html><body><p>real prose with many words here</p>" +
+        "<p>short</p><div>please enable JavaScript to view</div>" +
+        "<a href=\"HTTPS://EX.ORG:443/a?utm_source=x\">l</a></body></html>"),
+      (2L, "<p>We use cookies on this site okay</p><p>actual content " +
+        "paragraph long enough to survive</p>" +
+        "<a href='https://ex.org/b#frag'>m</a>"),
+      (3L, "<script>var x = 1;</script><p>&amp; escaped entity text " +
+        "kept here</p>"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.webClean(input.toDF().toDF("doc_id", "html"),
+        "doc_id", "html")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("webclean_out").start()
+    try {
+      input.addData(pages.take(1): _*)
+      q.processAllAvailable()
+      input.addData(pages.drop(1): _*) // later micro-batch, same plan
+      q.processAllAvailable()
+      val got = spark.table("webclean_out")
+        .as[(Long, String, Seq[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = Streams.webClean(pages.toDF("doc_id", "html"),
+          "doc_id", "html")
+        .as[(Long, String, Seq[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch) // stream == batch, bit-for-bit
+      // the cleaning semantics themselves
+      assert(got(1L) == (("real prose with many words here",
+        Seq("https://ex.org/a"))))
+      assert(got(2L) ==
+        (("actual content paragraph long enough to survive",
+          Seq("https://ex.org/b"))))
+      assert(got(3L) == (("& escaped entity text kept here", Seq())))
+    } finally q.stop()
+  }
 }
