@@ -446,7 +446,75 @@ object VectorQueries {
          CAST(count(*) AS BIGINT) AS cluster_size
        FROM comp GROUP BY component"""
 
+  /** q118: deterministic integer k-means assignment (Cluster.kmeansAssign
+    * scaladoc has the exact contract) — k=8, one Lloyd update from the
+    * lowest-id seeds, scale 10⁴. The oracle replays the whole algorithm
+    * in SQL: quantize, argmin vs seed centroids with (d2, cid)
+    * tiebreak, per-dim truncating-division centroid update, final
+    * argmin. 75 of 500 vectors change cluster between the two
+    * assignment passes at sf0.001, so the update step is load-bearing —
+    * any drift in quantization, distance, tiebreak, or the division
+    * convention moves an assignment and breaks the hash. */
+  val q118_kmeans_assign: Q = (s, d) =>
+    graft.operators.Cluster.kmeansAssign(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, updates = 1)
+
+  private val kmeansAssignSql: String = {
+    val D = 64
+    def assign(src: String, cent: String) =
+      s"""SELECT vec_id, v, cid, d2 FROM (
+         SELECT q.vec_id, q.v, $cent.cid,
+           list_sum(list_transform(range(1, ${D + 1}),
+             i -> (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)])
+                * (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)]))) AS d2,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, ${D + 1}),
+               i -> (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)])
+                  * (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)]))),
+             $cent.cid) AS rn
+         FROM $src CROSS JOIN $cent) WHERE rn = 1"""
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+         FROM embeddings),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cid, v
+              FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+       a1 AS (${assign("q", "c0")}),
+       s1 AS (SELECT cid, CAST(i AS INT) AS i, SUM(v[CAST(i AS INT)]) AS s,
+                count(*) AS n
+              FROM a1, unnest(range(1, ${D + 1})) u(i) GROUP BY cid, i),
+       c1 AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS v
+              FROM s1 GROUP BY cid),
+       a2 AS (${assign("q", "c1")})"""
+  }
+
+  val q118_oracle: String =
+    s"""$kmeansAssignSql
+       SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM a2"""
+
+  /** q119: cluster-balanced subsample — the diversity-sampling
+    * composition (cluster the corpus, then draw a fixed per-cluster
+    * quota): q118's assignment feeding Sample.capPerKey, 30 lowest
+    * vec_ids per cluster. One extra WindowGroupLimit-pruned window on
+    * top of the assignment — the corpus never re-shuffles. */
+  val q119_cluster_sample: Q = (s, d) => {
+    val assigned = graft.operators.Cluster.kmeansAssign(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, updates = 1)
+    graft.operators.Sample.capPerKey(assigned, col("cluster"),
+        Seq(col("vec_id")), cap = 30)
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  val q119_oracle: String =
+    s"""$kmeansAssignSql
+       SELECT vec_id, cluster FROM (
+         SELECT vec_id, cid AS cluster,
+           row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         FROM a2) WHERE rn <= 30"""
+
   val all: Map[String, Q] = Map(
+    "q118_kmeans_assign" -> q118_kmeans_assign,
+    "q119_cluster_sample" -> q119_cluster_sample,
     "q99_semantic_survivors" -> q99_semantic_survivors,
     "q93_lsh_tables_full" -> q93_lsh_tables_full,
     "q85_lsh_full_probe" -> q85_lsh_full_probe,
@@ -465,6 +533,8 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q118_kmeans_assign" -> q118_oracle,
+    "q119_cluster_sample" -> q119_oracle,
     "q99_semantic_survivors" -> q99_oracle,
     "q93_lsh_tables_full" -> q36_oracle,
     "q85_lsh_full_probe" -> q36_oracle,
