@@ -151,3 +151,65 @@ case class StripHtml(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Anchor extraction: every `<a … href=…>…</a>` as (href, text) in
+  * document order — href exactly as [[ExtractLinksImpl]] captures it
+  * (raw attribute value; canonicalize downstream), text as the
+  * [[HtmlToText]] extraction of the element's inner HTML (nested markup
+  * stripped, entities decoded, whitespace collapsed). Anchor text is
+  * the classic off-page relevance/quality signal (it describes the
+  * TARGET, written by the linking author), so link-graph pipelines
+  * aggregate it per target alongside q113-style degree signals.
+  *
+  * Grammar limits mirror [[ExtractLinksImpl]] (regex-grade HTML): an
+  * unclosed `<a>` yields empty text, and a literal `>` inside a later
+  * attribute's quoted value ends the opening tag early. One
+  * precompiled-regex pass + bounded forward scans per row. */
+object ExtractAnchorsImpl {
+  private val aClose = java.util.regex.Pattern.compile("</a\\s*>",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def extract(html: String): Array[(String, String)] = {
+    val m = ExtractLinksImpl.href.matcher(html)
+    val cm = aClose.matcher(html)
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (m.find()) {
+      val hrefVal =
+        if (m.group(2) != null) m.group(2)
+        else if (m.group(3) != null) m.group(3)
+        else m.group(4)
+      val tagEnd = html.indexOf('>', m.end)
+      val text =
+        if (tagEnd < 0) ""
+        else if (cm.find(tagEnd + 1))
+          HtmlToText.extract(html.substring(tagEnd + 1, cm.start))
+        else ""
+      out += ((hrefVal, text))
+    }
+    out.toArray
+  }
+}
+
+/** Column form of [[ExtractAnchorsImpl.extract]]:
+  * array<struct<href: string, text: string>>. */
+case class ExtractAnchors(child: Expression)
+    extends UnaryExpression with SelfCallCodegen {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("text", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val anchors =
+      ExtractAnchorsImpl.extract(v.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      anchors.map { case (h, t) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(h), UTF8String.fromString(t)): Any
+      })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

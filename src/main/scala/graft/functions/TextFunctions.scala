@@ -213,6 +213,18 @@ object TextFunctions {
       GraftColumnBridge.expression(html)))
   }
 
+  /** Anchor extraction: every `<a href=…>…</a>` as struct(href, text)
+    * in document order — href raw (canonicalize downstream), text the
+    * [[stripHtml]]-grade extraction of the inner HTML. Anchor text is
+    * the off-page signal link-graph pipelines aggregate per TARGET
+    * (it describes the page being linked, written by the linker); see
+    * [[graft.expressions.ExtractAnchorsImpl]] for grammar limits. */
+  def extractAnchors(html: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ExtractAnchors(
+      GraftColumnBridge.expression(html)))
+  }
+
   /** Line-level boilerplate filtering — the C4 cleaning rule family
     * (Raffel et al. 2020, arXiv:1910.10683 §2.2): pages keep their
     * prose but shed navigation/consent/"enable javascript" lines. A

@@ -127,11 +127,102 @@ object GraphQueries {
          CAST(COALESCE(recip_edges, 0) AS BIGINT) AS recip_edges
        FROM out_ FULL OUTER JOIN in_ USING (node) LEFT JOIN rc USING (node)"""
 
+  /** Anchor page grammar (q120/q121): five anchors per doc covering the
+    * extraction grammar — a MANGLED absolute target with nested markup
+    * in the text, a relative target with an entity, two anchors to the
+    * SAME x-target (different texts — splits n_refs from n_docs in the
+    * aggregate), and an unclosed anchor (empty text) — plus an `<area>`
+    * decoy. */
+  private def anchorPages(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<html><body><A HREF=\"HTTPS://HUB"), (id + 1) % 37,
+      lit(".EXAMPLE.ORG:443/a"), id % 5, lit("\"><b>Bold</b> Anchor "), id,
+      lit("</A><a href='/rel/p"), id, lit("'>plain &amp; text "), id % 5,
+      lit("</a><area href=\"decoy\"><a href=\"https://x.example.org/u"),
+      id % 3, lit("\">  spaced   words "), id,
+      lit(" </a><a href='https://x.example.org/u"), id % 3,
+      lit("'>again "), id % 7,
+      lit("</a><a href=\"https://dangling.example.org/d"), id,
+      lit("\">no close</body></html>"))
+    Tables.documents(s, d)
+      .select(id, posexplode(extractAnchors(page)).as(Seq("pos", "a")))
+      .select(id, col("pos").cast("long").as("pos"),
+        col("a.href").as("link"), col("a.text").as("anchor"))
+  }
+
+  /** q120: anchor extraction — (doc_id, pos, raw href, stripped anchor
+    * text) in document order; the oracle writes all five expected rows
+    * per doc in closed form (nested-markup strip, entity decode,
+    * whitespace collapse, unclosed-anchor empty text, decoy rejection
+    * all load-bearing). Per-row extract + posexplode: no shuffle. */
+  val q120_extract_anchors: Q = (s, d) => anchorPages(s, d)
+
+  val q120_oracle: String =
+    """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+         'HTTPS://HUB' || ((doc_id + 1) % 37) || '.EXAMPLE.ORG:443/a'
+           || (doc_id % 5) AS link,
+         'Bold Anchor ' || doc_id AS anchor FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(1 AS BIGINT), '/rel/p' || doc_id,
+         'plain & text ' || (doc_id % 5) FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(2 AS BIGINT),
+         'https://x.example.org/u' || (doc_id % 3),
+         'spaced words ' || doc_id FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(3 AS BIGINT),
+         'https://x.example.org/u' || (doc_id % 3),
+         'again ' || (doc_id % 7) FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(4 AS BIGINT),
+         'https://dangling.example.org/d' || doc_id, '' FROM documents"""
+
+  /** q121: per-target anchor-text aggregate — the anchor-text index a
+    * link-graph pipeline builds (anchor text describes the TARGET):
+    * canonicalize each href, keep absolute https targets, and per
+    * target count references, distinct referring docs, and the
+    * lexicographically first anchor text. The duplicated x-target
+    * splits n_refs (2·docs) from n_docs; the mangled hub href only
+    * aggregates correctly through canonicalization. One partial-agg
+    * shuffle keyed by target. */
+  val q121_anchor_text_agg: Q = (s, d) =>
+    anchorPages(s, d)
+      .withColumn("link", canonicalizeUrl(col("link")))
+      .filter(col("link").startsWith("https://"))
+      .groupBy(col("link"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("anchor")).as("first_anchor"))
+
+  val q121_oracle: String =
+    """WITH a AS (
+         SELECT doc_id, 'https://hub' || ((doc_id + 1) % 37)
+             || '.example.org/a' || (doc_id % 5) AS link,
+           'Bold Anchor ' || doc_id AS anchor FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://x.example.org/u' || (doc_id % 3),
+           'spaced words ' || doc_id FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://x.example.org/u' || (doc_id % 3),
+           'again ' || (doc_id % 7) FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://dangling.example.org/d' || doc_id, ''
+         FROM documents)
+       SELECT link, CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         min(anchor) AS first_anchor
+       FROM a GROUP BY link"""
+
   val all: Map[String, Q] = Map(
     "q115_host_pagerank" -> q115_host_pagerank,
-    "q116_degree_profile" -> q116_degree_profile)
+    "q116_degree_profile" -> q116_degree_profile,
+    "q120_extract_anchors" -> q120_extract_anchors,
+    "q121_anchor_text_agg" -> q121_anchor_text_agg)
 
   val oracles: Map[String, String] = Map(
     "q115_host_pagerank" -> q115_oracle,
-    "q116_degree_profile" -> q116_oracle)
+    "q116_degree_profile" -> q116_oracle,
+    "q120_extract_anchors" -> q120_oracle,
+    "q121_anchor_text_agg" -> q121_oracle)
 }

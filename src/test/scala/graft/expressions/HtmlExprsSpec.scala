@@ -68,4 +68,30 @@ class HtmlExprsSpec extends SparkSuite {
       == Seq("1st", "2nd", "3rd"))
     assert(links("no anchors here").toSeq == Seq.empty)
   }
+
+  test("extractAnchors pairs each href with the stripped inner text: " +
+      "nested markup, entities, unclosed anchors, column path") {
+    def anchors(h: String): Seq[(String, String)] =
+      ExtractAnchorsImpl.extract(h).toSeq
+    assert(anchors("""<a href="u"><b>Bold</b> link &amp; more</a>""")
+      == Seq(("u", "Bold link & more")))
+    assert(anchors("""<A HREF='x'>  spaced   words  </A>tail""")
+      == Seq(("x", "spaced words")))
+    // unclosed anchor -> empty text; following anchors unaffected
+    assert(anchors("""<a href="open">never closed""")
+      == Seq(("open", "")))
+    assert(anchors("""<a href=a1>first</a><p><a href="a2">second</A>""")
+      == Seq(("a1", "first"), ("a2", "second")))
+    // decoys rejected exactly like ExtractLinks
+    assert(anchors("""<area href="m"><a href="real">t</a>""")
+      == Seq(("real", "t")))
+    // the Column form round-trips the struct array
+    val got = Seq(Tuple1("""<a href="u">t1</a><a href='v'>t2</a>"""))
+      .toDF("html")
+      .select(posexplode(TextFunctions.extractAnchors($"html"))
+        .as(Seq("pos", "a")))
+      .select($"pos", $"a.href", $"a.text")
+      .as[(Int, String, String)].collect().toSeq
+    assert(got == Seq((0, "u", "t1"), (1, "v", "t2")))
+  }
 }
