@@ -287,3 +287,89 @@ case class FoldText(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+  * 2003 — the MOSS algorithm): hash every k-token gram, slide a window
+  * of `w` consecutive gram hashes, and keep the RIGHTMOST minimum of
+  * each window. The guarantee (§3 of the paper): any shared run of
+  * w + k − 1 tokens between two documents yields at least one shared
+  * fingerprint, while only ~2/(w+1) of grams are kept — the
+  * sub-sampling that makes fingerprint joins tractable where the full
+  * q34 rolling-hash sequence or q90's every-gram inverted index would
+  * be w× larger. Degenerate inputs stay total: fewer than w grams →
+  * one window over all of them; fewer than k tokens → no fingerprints.
+  *
+  * Engine-portable: tokens split on single spaces (the q26/q34
+  * convention), gram hash = first 13 md5 hex chars as a 52-bit long
+  * (q34's convention — DuckDB `CAST(('0x' || substr(md5(g),1,13)) AS
+  * BIGINT)`), so a SQL oracle replays the whole selection. Output:
+  * array<struct<pos: int — 0-based gram index, fp: long>> of the
+  * DISTINCT selections in position order. One pass per row. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with SelfCallCodegen {
+  require(k >= 1, s"gram size k must be >= 1, got $k")
+  require(w >= 1, s"window w must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def hash52(s: String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 13 hex chars = bytes 0..5 and the high nibble of byte 6
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(6) & 0xf0L) >>> 4)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val g = toks.length - k + 1
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    if (g > 0) {
+      val hs = new Array[Long](g)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < g) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        hs(i) = hash52(sb.toString)
+        i += 1
+      }
+      val nWin = math.max(g - w + 1, 1)
+      var s = 0
+      while (s < nWin) {
+        val end = math.min(s + w, g)
+        var mi = s
+        var p = s + 1
+        while (p < end) { // rightmost min: ties move the index forward
+          if (hs(p) <= hs(mi)) mi = p
+          p += 1
+        }
+        if (out.isEmpty || out.last._1 != mi) out += ((mi, hs(mi)))
+        s += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map { case (p, fp) =>
+        org.apache.spark.sql.catalyst.InternalRow(p, fp): Any
+      }.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

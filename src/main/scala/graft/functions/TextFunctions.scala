@@ -156,6 +156,19 @@ object TextFunctions {
     * unsigned shift semantics diverge across engines; staying in 52
     * nonnegative bits sidesteps both). This is what lets q34 run under
     * a real DuckDB oracle (list_reduce with the same fold). */
+  /** Winnowing fingerprints (MOSS — Schleimer et al., SIGMOD 2003):
+    * the rightmost-minimum gram hash of every w-window, guaranteeing a
+    * shared fingerprint for any shared run of w+k−1 tokens while
+    * keeping only ~2/(w+1) of grams — the sub-sampled alternative to
+    * the full [[rollingHash]] sequence for fingerprint joins. Returns
+    * array<struct<pos, fp>>; see
+    * [[graft.expressions.WinnowFingerprints]] for the exact contract. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.WinnowFingerprints(
+      GraftColumnBridge.expression(text), k, w))
+  }
+
   def rollingHash(text: Column): Column = {
     val mask = 1L << 52
     aggregate(tokens(text), lit(0L), (acc, t) =>

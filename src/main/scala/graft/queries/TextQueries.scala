@@ -342,6 +342,47 @@ object TextQueries {
              FROM documents)
        WHERE rn <= 3"""
 
+  /** q122: winnowing fingerprints (MOSS) — each doc's rightmost-min
+    * gram hashes over w=5 windows of k=4-token grams, exploded to
+    * (doc_id, pos, fp). The oracle replays gram construction, the
+    * 52-bit md5 hash (q34's convention), and the rightmost-min
+    * selection with list ops, windowing a short-doc tail as a single
+    * window exactly like the expression. ~8.5k fingerprints from
+    * ~23.5k grams at sf0.001 — the ~2/(w+1) density the paper
+    * guarantees. Per-row expression + explode: no shuffle. */
+  val q122_winnow_fingerprints: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(winnowFingerprints(col("text"), k = 4, w = 5)).as("f"))
+      .select(col("doc_id"), col("f.pos").cast("long").as("pos"),
+        col("f.fp").as("fp"))
+
+  val q122_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents),
+       g AS (SELECT doc_id, list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+               AS grams
+             FROM t),
+       h AS (SELECT doc_id, list_transform(grams,
+               s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)) AS hs
+             FROM g WHERE len(grams) >= 1),
+       sel AS (SELECT doc_id, list_transform(
+               range(1, greatest(len(hs) - 5, 0) + 2),
+               j -> {'pos': j
+                       + len(list_slice(hs, j, least(j + 4, len(hs))))
+                       - list_position(list_reverse(
+                           list_slice(hs, j, least(j + 4, len(hs)))),
+                         list_min(list_slice(hs, j, least(j + 4, len(hs)))))
+                       - 1,
+                     'fp': list_min(list_slice(hs, j, least(j + 4, len(hs))))
+                    }) AS fps
+             FROM h)
+       SELECT DISTINCT doc_id, CAST(u.f['pos'] AS BIGINT) AS pos,
+         CAST(u.f['fp'] AS BIGINT) AS fp
+       FROM sel, unnest(fps) u(f)"""
+
   /** q117: corpus-wide paragraph-level exact dedup (C4's span rule,
     * paragraph-aligned — ParagraphDedup.dedupeParagraphs scaladoc has
     * the scale argument for why keeper selection is an agg-min + skew
@@ -1463,6 +1504,7 @@ object TextQueries {
     "q113_extract_links" -> q113_extract_links,
     "q114_domain_cap" -> q114_domain_cap,
     "q117_paragraph_dedup" -> q117_paragraph_dedup,
+    "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
     "q104_simhash_capped" -> q104_simhash_capped,
@@ -1508,6 +1550,7 @@ object TextQueries {
     "q113_extract_links" -> q113_oracle,
     "q114_domain_cap" -> q114_oracle,
     "q117_paragraph_dedup" -> q117_oracle,
+    "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
     "q104_simhash_capped" -> q104_oracle,

@@ -144,4 +144,68 @@ class TextFunctionsSpec extends SparkSuite {
         .select(TextFunctions.cleanLines($"t", 4, Seq("JavaScript")))
     }
   }
+
+  /** Scala reference of the winnowing contract (WinnowFingerprints
+    * scaladoc): 52-bit md5 gram hashes, rightmost-min per w-window,
+    * short tails as one window, distinct selections. */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val toks = text.split(" ", -1)
+    val hs = toks.sliding(k).filter(_.size == k)
+      .map(g => h52(g.mkString(" "))).toArray
+    if (hs.isEmpty) Seq.empty
+    else {
+      val sels = (0 until math.max(hs.length - w + 1, 1)).map { s =>
+        val end = math.min(s + w, hs.length)
+        val minv = (s until end).map(hs).min
+        val mi = (s until end).filter(i => hs(i) == minv).max // rightmost
+        (mi, hs(mi))
+      }
+      sels.distinct
+    }
+  }
+
+  test("winnowFingerprints matches the scala reference on every fixture " +
+      "doc and honours the (w+k-1)-token coverage guarantee") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val got = docs.map { case (id, t) => id -> winnowRef(t, 4, 5) }.toMap
+    val spark_ = docs.toDF("doc_id", "text")
+      .select($"doc_id",
+        TextFunctions.winnowFingerprints($"text", 4, 5).as("f"))
+      .as[(Long, Seq[(Int, Long)])].collect().toMap
+    assert(docs.forall { case (id, _) => spark_(id) == got(id) })
+    // density: the paper promises ~2/(w+1) of grams selected
+    val nGrams = docs.map(_._2.split(" ", -1).length - 3).filter(_ > 0).sum
+    val nFps = spark_.values.map(_.size).sum
+    assert(nFps > nGrams / 6 && nFps < nGrams * 2 / 3, s"$nFps of $nGrams")
+    // guarantee: two docs sharing a w+k-1 = 8-token run share a fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = winnowRef(s"one two $shared x y z", 4, 5).map(_._2).toSet
+    val b = winnowRef(s"$shared completely different tail here", 4, 5)
+      .map(_._2).toSet
+    assert(a.intersect(b).nonEmpty)
+  }
+
+  test("winnowFingerprints degenerate inputs: short docs one-window, " +
+      "under-k docs empty, positions strictly increasing") {
+    def run(t: String): Seq[(Int, Long)] =
+      Seq(t).toDF("t")
+        .select(TextFunctions.winnowFingerprints($"t", 4, 5).as("f"))
+        .as[Seq[(Int, Long)]].head()
+    assert(run("a b c") == Seq.empty)            // fewer than k tokens
+    val one = run("a b c d e f")                  // 3 grams < w -> 1 window
+    assert(one.size == 1)
+    assert(run("a b c d e f") == winnowRef("a b c d e f", 4, 5))
+    val fixture = run(("tok " * 40).trim)         // max ties everywhere
+    assert(fixture == winnowRef(("tok " * 40).trim, 4, 5))
+    val doc = run((1 to 60).map(i => s"w$i").mkString(" "))
+    assert(doc.map(_._1) == doc.map(_._1).distinct.sorted)
+  }
 }
