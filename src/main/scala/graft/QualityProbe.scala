@@ -89,6 +89,31 @@ object QualityProbe {
     }
     val ivfMeanRecall = ivfPerQuery.map(_._2).sum / ivfPerQuery.size
 
+    // --- PQ/ADC recall@20 vs exact L2 (q123/q124's operating point) --
+    // The q124 gate is oracle-EXACT (ADC arithmetic is deterministic),
+    // so what needs trending is the APPROXIMATION quality: how much of
+    // the true L2 top-20 the 8-byte codes retain. Exact baseline is
+    // driver-side over the collected corpus (probe-scale only — the
+    // operator itself never collects vectors).
+    val allVecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray).toMap
+    val (encPq, pqBooks) = operators.Pq.encode(emb, "vec_id",
+      "embedding", m = 8, k = 16, updates = 1)
+    val encCached = encPq.localCheckpoint()
+    val pqPerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val exact = allVecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      val adc = operators.Pq.adcTopN(encCached, "vec_id", pqBooks, qv, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (adc & exact).size.toDouble / k
+    }
+    val pqMeanRecall = pqPerQuery.map(_._2).sum / pqPerQuery.size
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -112,6 +137,10 @@ object QualityProbe {
         s""""ivf_recall_at_20":${s3(ivfMeanRecall)},""" +
         s""""ivf_probes":16,"ivf_lists":64,""" +
         s""""ivf_per_query":{${ivfPerQuery.map { case (q, r) =>
+          s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
+        s""""pq_recall_at_20":${s3(pqMeanRecall)},""" +
+        s""""pq_m":8,"pq_k":16,""" +
+        s""""pq_per_query":{${pqPerQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
         s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>

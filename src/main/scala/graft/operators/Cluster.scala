@@ -43,34 +43,40 @@ object Cluster {
     * use the IVF trainer's NearestCentroid path instead. Caller must
     * keep scale · max|x| under ~2²⁵ so k·d squared diffs stay clear of
     * long overflow (defaults give 6×10⁹ for unit-norm 64-d vectors). */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, updates: Int = 1, scale: Long = 10000L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(updates >= 0, s"updates must be >= 0, got $updates")
-    val q = df.select(col(idCol).as("__id"),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * scale).cast("long")).as("__v"))
-      .localCheckpoint() // quantized once; reused every round + final
+  /** Quantize a float-array column to long components (the exact
+    * representation every operator here computes in). */
+  def quantize(vec: Column, scale: Long): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Argmin struct (d2, cluster) of a quantized long-array column
+    * against inlined centroid literals — the exact (distance,
+    * lowest-id) tiebreak via lexicographic least(). Pure projection:
+    * no join, no shuffle, codegen'd. */
+  def nearestExpr(qvec: Column, cents: Array[Array[Long]]): Column =
+    least(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(
+          zip_with(qvec, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(j).as("cluster"))
+    }.toIndexedSeq: _*)
+
+  /** Train centroids only (`updates` Lloyd rounds from the
+    * deterministic lowest-id seeds) over an ALREADY-QUANTIZED frame
+    * (__id, __v). Returns the final k×d codebook. */
+  private[operators] def fitCentroids(q: DataFrame, k: Int,
+      updates: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = q.orderBy(col("__id")).limit(k)
       .select(col("__v")).collect()
       .map(_.getSeq[Long](0).toArray)
     require(cents.length == k,
       s"need at least $k vectors to seed, got ${cents.length}")
-    // argmin over the CURRENT centroids, inlined as literals: struct
-    // (d2, cid) least() is the exact (distance, lowest-id) tiebreak
-    def best: Column = least((0 until k).map { j =>
-      struct(
-        aggregate(
-          zip_with(col("__v"), typedLit(cents(j).toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
-        lit(j).as("cluster"))
-    }: _*)
     var t = 0
     while (t < updates) {
       // two selects: a generator in the same projection as the struct
       // argmin degrades the struct's field names during resolution
-      val sums = q.select(col("__v"), best.getField("cluster").as("__c"))
+      val sums = q.select(col("__v"),
+          nearestExpr(col("__v"), cents).getField("cluster").as("__c"))
         .select(col("__c"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy(col("__c"), col("__p"))
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
@@ -82,6 +88,18 @@ object Cluster {
       cents = upd
       t += 1
     }
+    cents
+  }
+
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int = 1, scale: Long = 10000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(updates >= 0, s"updates must be >= 0, got $updates")
+    val q = df.select(col(idCol).as("__id"),
+        quantize(col(vecCol), scale).as("__v"))
+      .localCheckpoint() // quantized once; reused every round + final
+    val cents = fitCentroids(q, k, updates)
+    val best = nearestExpr(col("__v"), cents)
     q.select(col("__id").as(idCol),
       best.getField("cluster").as("cluster"),
       best.getField("d2").as("d2"))

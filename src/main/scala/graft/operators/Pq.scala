@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding compression + ADC search (Jégou
+  * et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011): split each d-dim vector into m subspaces, k-means each
+  * subspace independently, store only the m sub-codebook ids — d floats
+  * become m small ints (64-dim float32 → 8 bytes at m=8, k≤256, a 32×
+  * compression), and approximate distances to a query need only m
+  * table lookups per candidate (asymmetric distance computation).
+  *
+  * Built on [[Cluster]]'s DETERMINISTIC integer k-means, which is what
+  * makes this gate-able at all: quantized-long arithmetic, lowest-id
+  * seeds, truncating-division updates, (d2, cid) tiebreaks — codes,
+  * reconstruction errors, and ADC distances are pure functions of the
+  * input, so a SQL oracle replays the entire train→encode→search
+  * pipeline (the "deterministic seed + exact gate" shape NEXT.md asked
+  * for; centroid QUALITY tuning — k-means++, OPQ rotations — belongs
+  * offline, exactly like the classifier's weights).
+  */
+object Pq {
+
+  /** Train per-subspace codebooks and encode every vector.
+    *
+    * Returns (encoded frame, codebooks[m][k][d/m]). Frame: (idCol,
+    * codes: array<int> of length m, recon_d2: long — the exact squared
+    * quantized reconstruction error Σ_s ‖v_s − c_codes[s]‖², the
+    * per-vector compression-quality signal for free).
+    *
+    * Scale shape: training runs m independent [[Cluster.fitCentroids]]
+    * loops over SLICES of one shared quantized localCheckpoint (each
+    * round: a no-join codegen argmin pass + one (cluster, dim)
+    * partial-agg shuffle collapsing to the k×(d/m) model); the ENCODE
+    * is one single projection computing all m argmins over inlined
+    * codebook literals — no join, no shuffle, nothing driver-side but
+    * the m·k·(d/m) = k·d-long codebooks. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, updates: Int = 1, scale: Long = 10000L)
+      : (DataFrame, Array[Array[Array[Long]]]) = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val q = df.select(col(idCol).as("__id"),
+        Cluster.quantize(col(vecCol), scale).as("__v"))
+      .localCheckpoint() // shared by all m training loops + the encode
+    val books = (0 until m).map { s =>
+      Cluster.fitCentroids(
+        q.select(col("__id"), slice(col("__v"), s * dsub + 1, dsub)
+          .as("__v")), k, updates)
+    }.toArray
+    val nearest = (0 until m).map { s =>
+      Cluster.nearestExpr(slice(col("__v"), s * dsub + 1, dsub), books(s))
+        .as(s"__b$s")
+    }
+    val enc = q.select(col("__id") +: nearest: _*)
+      .select(col("__id").as(idCol),
+        array((0 until m).map(s =>
+          col(s"__b$s").getField("cluster")): _*).as("codes"),
+        (0 until m).map(s => col(s"__b$s").getField("d2"))
+          .reduce(_ + _).as("recon_d2"))
+    (enc, books)
+  }
+
+  /** ADC top-n: approximate nearest neighbours of one query vector
+    * over a PQ-encoded frame. dist(q, x) ≈ Σ_s ‖q_s − c_codes[s](x)‖²
+    * in exact quantized-long arithmetic: the per-subspace lookup
+    * tables (k distances each) are computed driver-side from the
+    * codebooks and inlined, so scoring a candidate is m array lookups
+    * + m−1 adds inside codegen, and the top-n is a
+    * TakeOrderedAndProject heap — the whole search touches only the
+    * m-int codes column, never the original vectors. Ties break to the
+    * lowest id. */
+  def adcTopN(encoded: DataFrame, idCol: String,
+      books: Array[Array[Array[Long]]], queryVec: Array[Float], n: Int,
+      scale: Long = 10000L): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    require(queryVec.length == m * dsub,
+      s"query dim ${queryVec.length} != ${m * dsub}")
+    val qq = queryVec.map(x => math.floor(x.toDouble * scale).toLong)
+    val tables: Array[Array[Long]] = books.zipWithIndex.map {
+      case (book, s) =>
+        book.map { c =>
+          var d2 = 0L
+          var i = 0
+          while (i < dsub) {
+            val diff = qq(s * dsub + i) - c(i)
+            d2 += diff * diff
+            i += 1
+          }
+          d2
+        }
+    }
+    val adc = (0 until m).map(s =>
+        element_at(typedLit(tables(s).toSeq),
+          col("codes").getItem(s) + 1))
+      .reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol)).limit(n)
+  }
+}

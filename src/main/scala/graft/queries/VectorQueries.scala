@@ -512,9 +512,116 @@ object VectorQueries {
            row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
          FROM a2) WHERE rn <= 30"""
 
+  /** q123/q124: product quantization (Pq scaladoc) — m=8 subspaces,
+    * k=16 codes, one Lloyd update, scale 10⁴. q123 gates the full
+    * train→encode pipeline (codes as 8 int columns + the exact
+    * quantized reconstruction error); q124 gates ADC search: top-20
+    * by Σ_s table_s[code_s] against vec 0's query vector, (adc_d2,
+    * vec_id) total order. The oracles replay ALL EIGHT subspace
+    * k-means runs plus lookup-table construction in generated SQL —
+    * kept total under empty clusters via COALESCE to the seed
+    * centroid, mirroring the operator. */
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqK = 16
+
+  val q123_pq_encode: Q = (s, d) => {
+    val (enc, _) = graft.operators.Pq.encode(Tables.embeddings(s, d),
+      "vec_id", "embedding", m = pqM, k = pqK, updates = 1)
+    enc.select(col("vec_id") +:
+      (0 until pqM).map(i =>
+        element_at(col("codes"), i + 1).as(s"c$i")) :+
+      col("recon_d2"): _*)
+  }
+
+  val q124_pq_adc_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (enc, books) = graft.operators.Pq.encode(emb,
+      "vec_id", "embedding", m = pqM, k = pqK, updates = 1)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Pq.adcTopN(enc, "vec_id", books, qvec, n = 20)
+  }
+
+  private def pqAssignSql(src: String, cent: String, dd: Int): String =
+    s"""SELECT vec_id, v, cid, d2 FROM (
+      SELECT q.vec_id, q.v, $cent.cid,
+        list_sum(list_transform(range(1, ${dd + 1}),
+          i -> (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)])
+             * (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)]))) AS d2,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          list_sum(list_transform(range(1, ${dd + 1}),
+            i -> (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)])
+               * (q.v[CAST(i AS INT)] - $cent.v[CAST(i AS INT)]))),
+          $cent.cid) AS rn
+      FROM $src AS q CROSS JOIN $cent) WHERE rn = 1"""
+
+  /** Shared WITH-prefix: quantize + all m subspace k-means runs. */
+  private val pqBaseSql: String = {
+    val subs = (0 until pqM).map { s =>
+      val off = s * pqDsub
+      s"""qs$s AS (SELECT vec_id, list_slice(v, ${off + 1},
+             ${off + pqDsub}) AS v FROM qv),
+       c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS INT) AS cid, v
+                 FROM (SELECT vec_id, v FROM qs$s ORDER BY vec_id
+                       LIMIT $pqK)),
+       a1_$s AS (${pqAssignSql(s"qs$s", s"c0_$s", pqDsub)}),
+       s1_$s AS (SELECT cid, CAST(i AS INT) AS i,
+                   SUM(v[CAST(i AS INT)]) AS s, count(*) AS n
+                 FROM a1_$s, unnest(range(1, ${pqDsub + 1})) u(i)
+                 GROUP BY cid, i),
+       c1_$s AS (SELECT c0.cid, COALESCE(u.v, c0.v) AS v
+                 FROM c0_$s c0 LEFT JOIN (
+                   SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS v
+                   FROM s1_$s GROUP BY cid) u ON u.cid = c0.cid),
+       a2_$s AS (${pqAssignSql(s"qs$s", s"c1_$s", pqDsub)})"""
+    }
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       FROM embeddings),
+       ${subs.mkString(",\n       ")}"""
+  }
+
+  val q123_oracle: String = {
+    val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
+    val joins = (1 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = a2_0.vec_id").mkString(" ")
+    val recon = (0 until pqM).map(s => s"a2_$s.d2").mkString(" + ")
+    s"""$pqBaseSql
+       SELECT a2_0.vec_id, $encCols, CAST($recon AS BIGINT) AS recon_d2
+       FROM a2_0 $joins"""
+  }
+
+  val q124_oracle: String = {
+    val tsubs = (0 until pqM).map { s =>
+      val off = s * pqDsub
+      s"""t$s AS (SELECT c.cid,
+         CAST(list_sum(list_transform(range(1, ${pqDsub + 1}),
+           i -> (qs.v[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+              * (qs.v[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS BIGINT)
+           AS d2
+         FROM c1_$s c CROSS JOIN
+           (SELECT list_slice(v, ${off + 1}, ${off + pqDsub}) AS v
+            FROM qv WHERE vec_id = 0) qs)"""
+    }
+    val aJoins = (1 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = a2_0.vec_id").mkString(" ")
+    val tJoins = (0 until pqM)
+      .map(s => s"JOIN t$s ON t$s.cid = a2_$s.cid").mkString(" ")
+    val adcSum = (0 until pqM).map(s => s"t$s.d2").mkString(" + ")
+    s"""$pqBaseSql,
+       ${tsubs.mkString(",\n       ")}
+       SELECT a2_0.vec_id, CAST($adcSum AS BIGINT) AS adc_d2
+       FROM a2_0 $aJoins $tJoins
+       ORDER BY adc_d2, a2_0.vec_id LIMIT 20"""
+  }
+
   val all: Map[String, Q] = Map(
     "q118_kmeans_assign" -> q118_kmeans_assign,
     "q119_cluster_sample" -> q119_cluster_sample,
+    "q123_pq_encode" -> q123_pq_encode,
+    "q124_pq_adc_topk" -> q124_pq_adc_topk,
     "q99_semantic_survivors" -> q99_semantic_survivors,
     "q93_lsh_tables_full" -> q93_lsh_tables_full,
     "q85_lsh_full_probe" -> q85_lsh_full_probe,
@@ -535,6 +642,8 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "q118_kmeans_assign" -> q118_oracle,
     "q119_cluster_sample" -> q119_oracle,
+    "q123_pq_encode" -> q123_oracle,
+    "q124_pq_adc_topk" -> q124_oracle,
     "q99_semantic_survivors" -> q99_oracle,
     "q93_lsh_tables_full" -> q36_oracle,
     "q85_lsh_full_probe" -> q36_oracle,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    .collect().toSeq.sortBy(_._1).take(150)
+
+  test("encode: each subspace code equals the standalone kmeansAssign " +
+      "of that slice, and recon_d2 is the exact sum of subspace errors") {
+    val df = emb.toDF("vec_id", "embedding")
+    val (enc, books) = Pq.encode(df, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1)
+    val got = enc.as[(Long, Seq[Int], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(books.length == 4 && books.forall(_.length == 8))
+    var reconSum = Map.empty[Long, Long].withDefaultValue(0L)
+    (0 until 4).foreach { s =>
+      val sliceDf = df.select($"vec_id",
+        slice($"embedding", s * 16 + 1, 16).as("embedding"))
+      val solo = Cluster.kmeansAssign(sliceDf, "vec_id", "embedding",
+          k = 8, updates = 1)
+        .as[(Long, Int, Long)].collect()
+      solo.foreach { case (id, cl, d2) =>
+        assert(got(id)._1(s) == cl, s"sub $s id $id")
+        reconSum = reconSum.updated(id, reconSum(id) + d2)
+      }
+    }
+    assert(got.forall { case (id, (_, rec)) => rec == reconSum(id) })
+  }
+
+  test("adcTopN scores match a driver-side replay of the lookup " +
+      "tables over the emitted codes, ordered (adc_d2, id)") {
+    val df = emb.toDF("vec_id", "embedding")
+    val (enc, books) = Pq.encode(df, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1)
+    val qvec = emb.head._2.toArray
+    val topk = Pq.adcTopN(enc, "vec_id", books, qvec, n = 15)
+      .as[(Long, Long)].collect().toSeq
+    // replay: quantize query, build tables, score every code row
+    val qq = qvec.map(x => math.floor(x.toDouble * 10000L).toLong)
+    val dsub = 16
+    val tables = books.zipWithIndex.map { case (book, s) =>
+      book.map(c => (0 until dsub).map { i =>
+        val d = qq(s * dsub + i) - c(i); d * d
+      }.sum)
+    }
+    val codes = enc.as[(Long, Seq[Int], Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val expected = codes.map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, s) => tables(s)(c) }.sum
+    }.toSeq.sortBy { case (id, d2) => (d2, id) }.take(15)
+    assert(topk == expected)
+    // the query vector itself (vec 0) must rank first: its own cells
+    assert(topk.head._1 == emb.head._1)
+  }
+
+  test("codes are partitioning-independent and in [0, k)") {
+    val df = emb.toDF("vec_id", "embedding")
+    val (e1, _) = Pq.encode(df, "vec_id", "embedding", 4, 8)
+    val (e2, _) = Pq.encode(df.repartition(7).sortWithinPartitions(
+      $"vec_id".desc), "vec_id", "embedding", 4, 8)
+    val a = e1.as[(Long, Seq[Int], Long)].collect().toSet
+    assert(a == e2.as[(Long, Seq[Int], Long)].collect().toSet)
+    assert(a.forall(_._2.forall(c => c >= 0 && c < 8)))
+  }
+}
