@@ -45,12 +45,47 @@ object Pq {
     val dsub = dim / m
     val q = df.select(col(idCol).as("__id"),
         Cluster.quantize(col(vecCol), scale).as("__v"))
-      .localCheckpoint() // shared by all m training loops + the encode
-    val books = (0 until m).map { s =>
-      Cluster.fitCentroids(
-        q.select(col("__id"), slice(col("__v"), s * dsub + 1, dsub)
-          .as("__v")), k, updates)
-    }.toArray
+      .localCheckpoint() // shared by the training rounds + the encode
+    // ALL m subspaces train together: one seed collect (slice the k
+    // lowest-id full vectors driver-side) and ONE job per Lloyd round
+    // — explode (subspace, code, subvector), aggregate (s, c, dim)
+    // partial sums, collect the combined k·d-long model. m separate
+    // fitCentroids loops would schedule 3m mini-jobs per round; at
+    // bench scale the scheduling overhead dominates the math.
+    val seeds = q.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k,
+      s"need at least $k vectors to seed, got ${seeds.length}")
+    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    var t = 0
+    while (t < updates) {
+      // staged selects: argmin structs and generators must not share a
+      // projection (field names degrade during resolution — the
+      // Cluster.fitCentroids lesson)
+      val subCols = (0 until m).map { s =>
+        val sv = slice(col("__v"), s * dsub + 1, dsub)
+        struct(lit(s).as("s"),
+          Cluster.nearestExpr(sv, books(s)).getField("cluster").as("c"),
+          sv.as("sv"))
+      }
+      val sums = q.select(array(subCols: _*).as("__subs"))
+        .select(explode(col("__subs")).as("e"))
+        .select(col("e.s").as("__s"), col("e.c").as("__c"),
+          col("e.sv").as("__sv"))
+        .select(col("__s"), col("__c"),
+          posexplode(col("__sv")).as(Seq("__p", "__x")))
+        .groupBy(col("__s"), col("__c"), col("__p"))
+        .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__n"))
+        .collect() // m·k·(d/m) = k·d rows — the model, not the corpus
+      val upd = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        upd(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3) / r.getLong(4)
+      }
+      books = upd
+      t += 1
+    }
     val nearest = (0 until m).map { s =>
       Cluster.nearestExpr(slice(col("__v"), s * dsub + 1, dsub), books(s))
         .as(s"__b$s")

@@ -483,8 +483,10 @@ object VectorQueries {
        s1 AS (SELECT cid, CAST(i AS INT) AS i, SUM(v[CAST(i AS INT)]) AS s,
                 count(*) AS n
               FROM a1, unnest(range(1, ${D + 1})) u(i) GROUP BY cid, i),
-       c1 AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS v
-              FROM s1 GROUP BY cid),
+       c1 AS (SELECT c0.cid, COALESCE(u.v, c0.v) AS v
+              FROM c0 LEFT JOIN (
+                SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS v
+                FROM s1 GROUP BY cid) u ON u.cid = c0.cid),
        a2 AS (${assign("q", "c1")})"""
   }
 
