@@ -86,6 +86,77 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank with a seed-restricted teleport — TrustRank
+    * (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web Spam with
+    * TrustRank", VLDB 2004): rank mass enters ONLY at a curated seed
+    * set of trusted nodes and propagates along links, so spam hosts
+    * far from any seed score ~0 even with huge in-degree. Same exact
+    * scaled-LONG arithmetic as [[pageRank]] (floor division, order-
+    * independent long sums, fixed iteration count), with the teleport
+    * term conditional on seed membership:
+    *
+    *   bs = scale div |S∩V|                (initial rank, seeds only)
+    *   tS = (bs · (dampDen − dampNum)) div dampDen   (seed teleport)
+    *   r'(v) = [v∈S] · tS
+    *         + (dampNum · Σ_{u→v} (r(u) div outdeg(u))) div dampDen
+    *
+    * Non-seed nodes start at 0 and earn rank only through inflow.
+    * Total mass stays ≤ scale by the same induction, so the overflow
+    * bound is unchanged. Seeds not present in the graph are ignored;
+    * at least one seed must be a graph node.
+    *
+    * Scale shape: identical to [[pageRank]] — `iters` supersteps of
+    * (edges ⋈ ranks on src) → dst-keyed hash-agg with map-side partial
+    * sums — plus ONE broadcast join of the (small, curated) seed list
+    * onto the node frame before the loop; the seed flag then rides the
+    * checkpointed node frame, so the per-round plan is byte-identical
+    * to unpersonalized PageRank's. Output: (node, pr), one row per
+    * graph node (non-seed nodes far from any seed report pr = 0, which
+    * IS the spam signal). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int = 4,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen not in [0,1]")
+    require(scale > 0 && dampNum <= Long.MaxValue / scale,
+      "dampNum * scale must not overflow a long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("__s", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint() // reused every round: node set + seed flag
+    val ns = nodes.filter(col("is_seed")).count()
+    require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
+    val bs = scale / ns
+    val tS = bs * (dampDen - dampNum) / dampDen
+    val eo = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
+      .localCheckpoint()
+    var r = nodes.select(col("node"),
+      when(col("is_seed"), lit(bs)).otherwise(lit(0L)).as("pr"))
+    var i = 0
+    while (i < iters) {
+      val inflow = eo.join(r, eo("src") === r("node"))
+        .select(eo("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("infl"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(tS)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(infl, 0L)) div $dampDen"))
+            .as("pr"))
+      r = if (i == iters - 1) next else next.localCheckpoint()
+      i += 1
+    }
+    r
+  }
+
   /** Per-node degree profile over an edge-INSTANCE list (multiplicity
     * preserved): out_deg / in_deg count link instances, out_nbrs /
     * in_nbrs count distinct neighbours, recip_edges counts distinct

@@ -127,6 +127,60 @@ object GraphQueries {
          CAST(COALESCE(recip_edges, 0) AS BIGINT) AS recip_edges
        FROM out_ FULL OUTER JOIN in_ USING (node) LEFT JOIN rc USING (node)"""
 
+  /** q125: TrustRank — personalized PageRank whose teleport is
+    * restricted to a curated seed set (hosts with residue % 10 == 0,
+    * 11 of the 101 hosts), the link-spam counterpart of q115: rank
+    * mass enters ONLY at trusted seeds and decays along links, so a
+    * host's score measures link-distance from trust, not raw
+    * popularity. Non-seed hosts start at 0 (many stay there — that IS
+    * the signal), and site0's mega-in-degree only pays off because
+    * seeds link into its neighbourhood. The oracle unrolls the same
+    * 4 seed-conditional rounds in SQL — seed-set intersection, the
+    * conditional teleport, zero init for non-seeds, and floor division
+    * are all load-bearing. Scale shape: pageRank's 4 node-keyed
+    * supersteps plus one broadcast of the seed list. */
+  val q125_trustrank: Q = (s, d) => {
+    val seeds = Tables.documents(s, d)
+      .filter((col("doc_id") % 101) % 10 === 0)
+      .select(concat(lit("site"), col("doc_id") % 101,
+        lit(".example.org")).as("node"))
+      .distinct()
+    Graph.personalizedPageRank(hostEdges(s, d), "src", "dst",
+      seeds, "node", iters = 4)
+  }
+
+  private def trIterSql(k: Int): String =
+    s"""r$k AS (SELECT sn.v AS v,
+         CASE WHEN sn.s THEN
+           (((1000000000000 // (SELECT c FROM ns)) * 15) // 100)
+         ELSE 0 END
+           + ((85 * COALESCE(t.infl, 0)) // 100) AS r
+       FROM sn LEFT JOIN (
+         SELECT e.dst AS v, CAST(SUM(r${k - 1}.r // od.od) AS BIGINT) AS infl
+         FROM e JOIN od ON od.src = e.src
+           JOIN r${k - 1} ON r${k - 1}.v = e.src
+         GROUP BY e.dst) t ON sn.v = t.v)"""
+
+  val q125_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       e AS (SELECT DISTINCT src, dst FROM inst),
+       nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       seeds AS (SELECT DISTINCT
+           'site' || (doc_id % 101) || '.example.org' AS v
+         FROM documents WHERE (doc_id % 101) % 10 = 0),
+       sn AS (SELECT nodes.v AS v, (seeds.v IS NOT NULL) AS s
+              FROM nodes LEFT JOIN seeds ON nodes.v = seeds.v),
+       ns AS (SELECT count(*) AS c FROM sn WHERE s),
+       od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       r0 AS (SELECT v, CASE WHEN s THEN
+                1000000000000 // (SELECT c FROM ns) ELSE 0 END AS r
+              FROM sn),
+       ${trIterSql(1)},
+       ${trIterSql(2)},
+       ${trIterSql(3)},
+       ${trIterSql(4)}
+       SELECT v AS node, CAST(r AS BIGINT) AS pr FROM r4"""
+
   /** Anchor page grammar (q120/q121): five anchors per doc covering the
     * extraction grammar — a MANGLED absolute target with nested markup
     * in the text, a relative target with an entity, two anchors to the
@@ -218,11 +272,13 @@ object GraphQueries {
     "q115_host_pagerank" -> q115_host_pagerank,
     "q116_degree_profile" -> q116_degree_profile,
     "q120_extract_anchors" -> q120_extract_anchors,
-    "q121_anchor_text_agg" -> q121_anchor_text_agg)
+    "q121_anchor_text_agg" -> q121_anchor_text_agg,
+    "q125_trustrank" -> q125_trustrank)
 
   val oracles: Map[String, String] = Map(
     "q115_host_pagerank" -> q115_oracle,
     "q116_degree_profile" -> q116_oracle,
     "q120_extract_anchors" -> q120_oracle,
-    "q121_anchor_text_agg" -> q121_oracle)
+    "q121_anchor_text_agg" -> q121_oracle,
+    "q125_trustrank" -> q125_oracle)
 }

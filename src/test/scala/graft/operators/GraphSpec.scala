@@ -66,6 +66,56 @@ class GraphSpec extends SparkSuite {
     assert(pr(0L) > 3 * (1L to 10L).map(pr).max)
   }
 
+  /** Scala reference of the seed-teleport contract
+    * (Graph.personalizedPageRank scaladoc). */
+  private def refTrustRank(edges: Set[(Long, Long)], seeds: Set[Long],
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val s = seeds.intersect(nodes.toSet)
+    val bs = scale / s.size
+    val tS = bs * (dampDen - dampNum) / dampDen
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (s(v)) bs else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val infl = edges.toSeq
+        .map { case (u, v) => v -> r(u) / od(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v => v ->
+        ((if (s(v)) tS else 0L) +
+          dampNum * infl.getOrElse(v, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the scala reference bit-exactly, " +
+      "ignoring seeds absent from the graph") {
+    val inst = mkEdges(23, 200)
+    val seeds = Set(0L, 5L, 11L, 999L) // 999 not a graph node
+    val got = Graph.personalizedPageRank(inst.toDF("src", "dst"),
+        "src", "dst", Seq(0L, 5L, 11L, 999L).toDF("node"), "node",
+        iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refTrustRank(inst.toSet, seeds, iters = 5))
+    assert(got.values.sum <= 1000000000000L)
+  }
+
+  test("personalizedPageRank gives zero to nodes unreachable from any " +
+      "seed and is partitioning/multiplicity independent") {
+    // two components: seed-side chain 0->1->2, spam clique 10<->11
+    val e = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 10L))
+    val base = Graph.personalizedPageRank(e.toDF("src", "dst"),
+        "src", "dst", Seq(0L).toDF("node"), "node", iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(base(0L) > 0 && base(1L) > 0 && base(2L) > 0)
+    assert(base(10L) == 0 && base(11L) == 0) // no trust path -> 0
+    val rep = Graph.personalizedPageRank(
+        (e ++ e).toDF("src", "dst").repartition(5),
+        "src", "dst", Seq(0L, 0L).toDF("node"), "node", iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(base == rep)
+  }
+
   test("degreeProfile counts instances vs distinct neighbours and " +
       "reciprocal edges, zero-filling one-sided nodes") {
     // 1->2 twice, 2->1 (reciprocal), 3->3 (self-loop = own reverse),
