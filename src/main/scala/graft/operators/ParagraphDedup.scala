@@ -59,4 +59,60 @@ object ParagraphDedup {
         count(when(!col("__keep"), lit(1))).as("n_dropped"))
       .select(col("__id").as(idCol), col("cleaned"), col("n_dropped"))
   }
+
+  /** Incremental (delta-vs-lake) paragraph dedup: clean a small BATCH
+    * of new documents against an already-ingested corpus — every batch
+    * paragraph that exists ANYWHERE in the corpus is dropped (all its
+    * batch copies; the lake's copy is the keeper and is not rewritten),
+    * and paragraphs new to the corpus keep only their first batch
+    * occurrence by (id, pos), exactly [[dedupeParagraphs]]' keeper
+    * rule restricted to the delta. Output: (idCol, cleaned, n_dropped)
+    * for the BATCH docs only.
+    *
+    * Scale shape ([[graft.operators.Dedup.incrementalSurvivors]]' lake
+    * contract at paragraph grain): the batch's distinct paragraphs
+    * BROADCAST into a semi-join probed inside the corpus's scan stage
+    * — corpus rows explode to paragraphs and die in their own stage;
+    * the corpus is never shuffled, never collected — and only the
+    * matched paragraphs (bounded by the batch's distinct-paragraph
+    * count) come back, again via broadcast, to anti-mark the batch.
+    * Intra-batch keeper selection and reassembly then run entirely at
+    * batch scale with the same agg-min + join shape (no window over
+    * paragraph content) as the corpus-wide operator. For deltas too
+    * big to broadcast their paragraph set, compose with the
+    * [[graft.operators.Dedup.incrementalSurvivorsLarge]] bloom pattern
+    * instead. */
+  def incrementalDedupeParagraphs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    def explodeParas(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
+    val bParas = explodeParas(batch)
+    val bKeys = bParas.select(col("__para")).distinct()
+      .localCheckpoint() // bounded by the batch; reused for both probes
+    val inCorpus = corpus
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("__para"))
+      .join(broadcast(bKeys), Seq("__para"), "left_semi")
+      .distinct() // ≤ |batch paragraphs| rows ever leave the scan
+    val winners = bParas.groupBy(col("__para"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val marked = bParas.join(winners, Seq("__para"))
+      .join(broadcast(inCorpus.withColumn("__dup", lit(true))),
+        Seq("__para"), "left")
+      .withColumn("__keep",
+        struct(col("__id"), col("__pos")) === col("__w") &&
+          col("__dup").isNull)
+    marked.groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__para"))))),
+            x => x.getField("__para")),
+          sep).as("cleaned"),
+        count(when(!col("__keep"), lit(1))).as("n_dropped"))
+      .select(col("__id").as(idCol), col("cleaned"), col("n_dropped"))
+  }
 }

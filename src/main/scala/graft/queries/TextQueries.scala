@@ -421,6 +421,53 @@ object TextQueries {
          CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
        FROM k GROUP BY doc_id"""
 
+  /** q126: INCREMENTAL paragraph dedup — q117's C4 span rule at the
+    * delta-vs-lake boundary (ParagraphDedup.incrementalDedupeParagraphs
+    * scaladoc has the lake contract): batch = docs with doc_id % 10
+    * == 0, corpus = the other 90%. Batch banners and footers all die
+    * (the corpus owns every banner residue and the shared footer);
+    * each batch doc's unique closing line survives; intra-batch
+    * keep-first applies only to paragraphs the corpus does NOT have.
+    * The oracle recomputes both membership and the batch-local keeper
+    * window from the same synthesized split. Scale shape: the corpus
+    * side is scan → broadcast-semi-join → partial-distinct, never a
+    * corpus-wide shuffle (PlanSpec pins it). */
+  val q126_incr_paragraph_dedup: Q = (s, d) => {
+    val page = concat_ws("\n",
+      concat(lit("banner "), col("doc_id") % 7),
+      col("text"),
+      lit("footer navigation links contact"),
+      concat(lit("doc "), col("doc_id"), lit(" closing")))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), page.as("page"))
+    graft.operators.ParagraphDedup.incrementalDedupeParagraphs(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "page")
+  }
+
+  val q126_incr_paragraph_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         string_split('banner ' || (doc_id % 7) || chr(10) || text
+           || chr(10) || 'footer navigation links contact' || chr(10)
+           || 'doc ' || doc_id || ' closing', chr(10)) AS a
+       FROM documents),
+       paras AS (SELECT doc_id, i - 1 AS pos, a[CAST(i AS INT)] AS para
+         FROM t, unnest(range(1, len(a) + 1)) u(i)),
+       corpus AS (SELECT DISTINCT para FROM paras WHERE doc_id % 10 <> 0),
+       bp AS (SELECT * FROM paras WHERE doc_id % 10 = 0),
+       k AS (SELECT bp.doc_id, bp.pos, bp.para,
+         (corpus.para IS NOT NULL) AS in_corpus,
+         row_number() OVER (PARTITION BY bp.para
+           ORDER BY bp.doc_id, bp.pos) AS rn
+         FROM bp LEFT JOIN corpus ON bp.para = corpus.para)
+       SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN NOT in_corpus AND rn = 1
+             THEN para END, chr(10) ORDER BY pos), '') AS cleaned,
+         CAST(count(*) FILTER (WHERE in_corpus OR rn > 1) AS BIGINT)
+           AS n_dropped
+       FROM k GROUP BY doc_id"""
+
   /** q113: outlink extraction + canonicalization — the link-graph
     * construction step. Each synthesized page carries three `<a>`
     * links exercising the attribute grammar (uppercase tag with a
@@ -1504,6 +1551,7 @@ object TextQueries {
     "q113_extract_links" -> q113_extract_links,
     "q114_domain_cap" -> q114_domain_cap,
     "q117_paragraph_dedup" -> q117_paragraph_dedup,
+    "q126_incr_paragraph_dedup" -> q126_incr_paragraph_dedup,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1550,6 +1598,7 @@ object TextQueries {
     "q113_extract_links" -> q113_oracle,
     "q114_domain_cap" -> q114_oracle,
     "q117_paragraph_dedup" -> q117_oracle,
+    "q126_incr_paragraph_dedup" -> q126_incr_paragraph_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

@@ -55,6 +55,46 @@ class ParagraphDedupSpec extends SparkSuite {
     assert(base == shuffled)
   }
 
+  test("incremental paragraph dedup: corpus copies kill ALL batch " +
+      "copies, fresh paragraphs keep-first within the batch, and the " +
+      "corpus side never shuffles") {
+    val lake = Seq(
+      (0L, "shared footer\nlake only"),
+      (1L, "banner A\nanother lake line"))
+    val batch = Seq(
+      (20L, "banner A\nfresh twenty\nshared footer"), // 2 corpus dups
+      (21L, "fresh twenty\nfresh both"),   // intra-batch dup of 20's
+      (22L, "fresh both\nunique tail"))    // intra-batch dup of 21's
+    val got = ParagraphDedup.incrementalDedupeParagraphs(
+        batch.toDF("doc_id", "page"), lake.toDF("doc_id", "page"),
+        "doc_id", "page")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      20L -> (("fresh twenty", 2L)),       // both corpus dups dropped
+      21L -> (("fresh both", 1L)),         // lost "fresh twenty" to 20
+      22L -> (("unique tail", 1L))))       // lost "fresh both" to 21
+    // partitioning independence
+    val rep = ParagraphDedup.incrementalDedupeParagraphs(
+        batch.reverse.toDF("doc_id", "page").repartition(5),
+        lake.toDF("doc_id", "page").repartition(3),
+        "doc_id", "page")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep == got)
+    // plan contract: corpus paragraphs meet the batch via BROADCAST
+    // joins only; hash exchanges are batch-sized (batch-key distinct,
+    // corpus-hit partial distinct, winner agg, reassembly agg)
+    val plan = ParagraphDedup.incrementalDedupeParagraphs(
+        batch.toDF("doc_id", "page"), lake.toDF("doc_id", "page"),
+        "doc_id", "page")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"corpus membership probe must be a broadcast semi join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 4, s"$shuffles exchanges — corpus shuffled?\n$plan")
+  }
+
   test("custom separator with regex metacharacters is taken literally") {
     val docs = Seq((1L, "a||b||a"), (2L, "b||c"))
     val got = ParagraphDedup
