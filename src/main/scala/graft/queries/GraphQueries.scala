@@ -268,17 +268,90 @@ object GraphQueries {
          min(anchor) AS first_anchor
        FROM a GROUP BY link"""
 
+  /** q127: anchor-text relevance join — the anchor INDEX (q121's
+    * per-target aggregate) joined back to the documents as a per-doc
+    * quality feature, the way link-graph curation attaches "how is
+    * this page described by others" signals (incoming refs, referring-
+    * doc breadth, a canonical anchor text) before filtering. Each doc
+    * owns the URL hub{doc_id%37}.example.org/a{doc_id%5}; referrers
+    * are the docs with id ≡ doc_id−1 (mod 37) and id ≡ doc_id (mod 5),
+    * so CRT gives every doc a non-trivial, varying in-ref count and
+    * the left join's zero-fill is still exercised structurally. On top:
+    * host_rank, the doc's row_number within its host by (in_refs DESC,
+    * doc_id) — the "best-described page per site" cut a diversity-
+    * aware sampler takes. Scale shape: one partial-agg shuffle builds
+    * the index, one url-keyed equi-join (both sides corpus-scale, AQE
+    * handles skew), one host-partitioned window — no driver-side
+    * anything. */
+  val q127_anchor_relevance: Q = (s, d) => {
+    val idx = anchorPages(s, d)
+      .withColumn("link", canonicalizeUrl(col("link")))
+      .filter(col("link").startsWith("https://"))
+      .groupBy(col("link"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("anchor")).as("first_anchor"))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://hub"), col("doc_id") % 37,
+        lit(".example.org/a"), col("doc_id") % 5).as("url"),
+      concat(lit("hub"), col("doc_id") % 37,
+        lit(".example.org")).as("host"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("in_refs").desc, col("doc_id"))
+    docs.join(idx, docs("url") === idx("link"), "left")
+      .select(col("doc_id"), col("url"), col("host"),
+        coalesce(col("n_refs"), lit(0L)).as("in_refs"),
+        coalesce(col("n_docs"), lit(0L)).as("in_docs"),
+        coalesce(col("first_anchor"), lit("")).as("top_anchor"))
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .drop("host")
+  }
+
+  val q127_oracle: String =
+    """WITH a AS (
+         SELECT doc_id, 'https://hub' || ((doc_id + 1) % 37)
+             || '.example.org/a' || (doc_id % 5) AS link,
+           'Bold Anchor ' || doc_id AS anchor FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://x.example.org/u' || (doc_id % 3),
+           'spaced words ' || doc_id FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://x.example.org/u' || (doc_id % 3),
+           'again ' || (doc_id % 7) FROM documents
+         UNION ALL
+         SELECT doc_id, 'https://dangling.example.org/d' || doc_id, ''
+         FROM documents),
+       idx AS (SELECT link, count(*) AS n_refs,
+           count(DISTINCT doc_id) AS n_docs, min(anchor) AS top
+         FROM a GROUP BY link),
+       d AS (SELECT doc_id,
+           'https://hub' || (doc_id % 37) || '.example.org/a'
+             || (doc_id % 5) AS url,
+           'hub' || (doc_id % 37) || '.example.org' AS host
+         FROM documents)
+       SELECT d.doc_id, d.url,
+         CAST(COALESCE(idx.n_refs, 0) AS BIGINT) AS in_refs,
+         CAST(COALESCE(idx.n_docs, 0) AS BIGINT) AS in_docs,
+         COALESCE(idx.top, '') AS top_anchor,
+         CAST(row_number() OVER (PARTITION BY d.host
+           ORDER BY COALESCE(idx.n_refs, 0) DESC, d.doc_id)
+           AS BIGINT) AS host_rank
+       FROM d LEFT JOIN idx ON d.url = idx.link"""
+
   val all: Map[String, Q] = Map(
     "q115_host_pagerank" -> q115_host_pagerank,
     "q116_degree_profile" -> q116_degree_profile,
     "q120_extract_anchors" -> q120_extract_anchors,
     "q121_anchor_text_agg" -> q121_anchor_text_agg,
-    "q125_trustrank" -> q125_trustrank)
+    "q125_trustrank" -> q125_trustrank,
+    "q127_anchor_relevance" -> q127_anchor_relevance)
 
   val oracles: Map[String, String] = Map(
     "q115_host_pagerank" -> q115_oracle,
     "q116_degree_profile" -> q116_oracle,
     "q120_extract_anchors" -> q120_oracle,
     "q121_anchor_text_agg" -> q121_oracle,
-    "q125_trustrank" -> q125_oracle)
+    "q125_trustrank" -> q125_oracle,
+    "q127_anchor_relevance" -> q127_oracle)
 }
