@@ -39,13 +39,84 @@ object Pq {
   def encode(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int, updates: Int = 1, scale: Long = 10000L)
       : (DataFrame, Array[Array[Array[Long]]]) = {
-    require(m >= 1, s"m must be >= 1, got $m")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     val q = df.select(col(idCol).as("__id"),
         Cluster.quantize(col(vecCol), scale).as("__v"))
       .localCheckpoint() // shared by the training rounds + the encode
+    encodeQuantized(q, idCol, dim, m, k, updates)
+  }
+
+  /** Fast Walsh–Hadamard transform of a quantized long-vector column,
+    * in place: y = H·x for the Sylvester matrix H[i][j] =
+    * (−1)^popcount(i AND j) — the EXACT stand-in for OPQ's learned
+    * rotation (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013): a float rotation can't gate bit-exactly, but H has ±1
+    * entries, so in integer arithmetic the rotation is exact, and
+    * H·Hᵀ = d·I means every pairwise squared distance scales by the
+    * same factor d — nearest-neighbour order, k-means assignments, and
+    * ADC ranking are all preserved while the energy of each vector
+    * spreads across ALL subspaces (the structured-PQ failure mode —
+    * one high-variance coordinate block dominating its subspace — is
+    * exactly what a pre-rotation fixes; SRP/Fastfood use the same
+    * Hadamard trick, arXiv:1408.3060).
+    *
+    * Plan shape: ONE per-row projection, no shuffle, no join, nothing
+    * driver-side. The butterfly runs over d SCALAR expressions, not
+    * chained array-transform stages: a chained-stage formulation dies
+    * at plan time — Catalyst inlines each stage's array into the
+    * element_at calls of the next, so evaluating one element re-walks
+    * the whole previous transform and the cost explodes as (2d)^log d
+    * (observed: minutes of spin at d=64). With scalars, even fully
+    * inlined, each output element is a ±-tree over at most d input
+    * elements — d² simple codegen-able ops per row, and codegen's
+    * common-subexpression elimination recovers most of the butterfly
+    * sharing. Component growth is ≤ d·max|x|: for unit-norm vectors
+    * at scale 10⁴ that is 6.4×10⁵ at d=64, leaving squared distances
+    * ~10¹³ — far inside long range. */
+  def hadamardRotate(q: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    var cols: Array[Column] =
+      Array.tabulate(dim)(j => element_at(col(vecCol), j + 1))
+    var h = 1
+    while (h < dim) {
+      val prev = cols
+      cols = Array.tabulate(dim) { i =>
+        if ((i & h) == 0) prev(i) + prev(i + h)
+        else prev(i - h) - prev(i)
+      }
+      h <<= 1
+    }
+    q.withColumn(vecCol, array(cols.toIndexedSeq: _*))
+  }
+
+  /** [[encode]] with the [[hadamardRotate]] pre-rotation: quantize →
+    * rotate → train/encode. Same deterministic contract (the rotation
+    * is exact integer arithmetic), same outputs; codes and recon_d2
+    * live in the rotated space (recon_d2 is d× the unrotated-space
+    * error, uniformly — comparable across vectors as a quality signal
+    * exactly like unrotated recon_d2). Searches against it must rotate
+    * the query vector the same way before [[adcTopN]]. */
+  def encodeRotated(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, updates: Int = 1, scale: Long = 10000L)
+      : (DataFrame, Array[Array[Array[Long]]]) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val q = hadamardRotate(
+        df.select(col(idCol).as("__id"),
+          Cluster.quantize(col(vecCol), scale).as("__v")),
+        "__v", dim)
+      .localCheckpoint()
+    encodeQuantized(q, idCol, dim, m, k, updates)
+  }
+
+  /** Train + encode over an already-quantized (__id, __v) frame —
+    * the shared back half of [[encode]] / [[encodeRotated]]. */
+  private def encodeQuantized(q: DataFrame, idCol: String, dim: Int,
+      m: Int, k: Int, updates: Int)
+      : (DataFrame, Array[Array[Array[Long]]]) = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
     // ALL m subspaces train together: one seed collect (slice the k
     // lowest-id full vectors driver-side) and ONE job per Lloyd round
     // — explode (subspace, code, subvector), aggregate (s, c, dim)

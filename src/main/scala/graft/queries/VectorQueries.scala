@@ -558,8 +558,9 @@ object VectorQueries {
           $cent.cid) AS rn
       FROM $src AS q CROSS JOIN $cent) WHERE rn = 1"""
 
-  /** Shared WITH-prefix: quantize + all m subspace k-means runs. */
-  private val pqBaseSql: String = {
+  /** Shared WITH-prefix: `qvDef` (one or more CTEs ending in qv =
+    * (vec_id, v: quantized long list)) + all m subspace k-means runs. */
+  private def pqBaseSqlFrom(qvDef: String): String = {
     val subs = (0 until pqM).map { s =>
       val off = s * pqDsub
       s"""qs$s AS (SELECT vec_id, list_slice(v, ${off + 1},
@@ -579,11 +580,29 @@ object VectorQueries {
                    FROM s1_$s GROUP BY cid) u ON u.cid = c0.cid),
        a2_$s AS (${pqAssignSql(s"qs$s", s"c1_$s", pqDsub)})"""
     }
-    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
-       FROM embeddings),
+    s"""WITH $qvDef,
        ${subs.mkString(",\n       ")}"""
   }
+
+  private val pqQuantizeQv: String =
+    """qv AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       FROM embeddings)"""
+
+  private val pqBaseSql: String = pqBaseSqlFrom(pqQuantizeQv)
+
+  /** Quantize + closed-form Sylvester Hadamard rotation (y_i = Σ_j
+    * (−1)^popcount(i&j) · x_j — what Pq.hadamardRotate's butterfly
+    * computes in log₂(d) stages). */
+  private val pqRotatedQv: String =
+    """qv0 AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       FROM embeddings),
+       qv AS (SELECT vec_id, list_transform(range(0, 64),
+           i -> CAST(list_sum(list_transform(range(0, 64),
+             j -> (1 - 2 * (bit_count(i & j) % 2))
+               * v[CAST(j + 1 AS INT)])) AS BIGINT)) AS v
+         FROM qv0)"""
 
   val q123_oracle: String = {
     val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
@@ -619,8 +638,63 @@ object VectorQueries {
        ORDER BY adc_d2, a2_0.vec_id LIMIT 20"""
   }
 
+  /** q128: the exact Hadamard pre-rotation itself (Pq.hadamardRotate
+    * scaladoc: the ±1 Sylvester matrix is the bit-exact stand-in for
+    * OPQ's learned rotation), emitted relationally as (vec_id, pos, y)
+    * so the gate pins every rotated component. The oracle computes
+    * y_i = Σ_j (−1)^popcount(i&j)·x_j closed-form; the operator runs
+    * the log₂(64) = 6-stage butterfly — any error in stage wiring,
+    * sign placement, or index arithmetic breaks the hash. Plan shape:
+    * 6 chained per-row projections + posexplode, zero shuffles. */
+  val q128_hadamard_rotate: Q = (s, d) => {
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+      graft.operators.Cluster.quantize(col("embedding"), 10000L).as("v"))
+    graft.operators.Pq.hadamardRotate(q, "v", 64)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "y")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
+  }
+
+  val q128_oracle: String =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       FROM embeddings)
+       SELECT vec_id, CAST(i AS BIGINT) AS pos,
+         CAST(list_sum(list_transform(range(0, 64),
+           j -> (1 - 2 * (bit_count(i & j) % 2))
+             * v[CAST(j + 1 AS INT)])) AS BIGINT) AS y
+       FROM qv, unnest(range(0, 64)) u(i)"""
+
+  /** q129: PQ train→encode in the ROTATED space (Pq.encodeRotated) —
+    * OPQ's "rotate, then product-quantize" pipeline with the exact ±1
+    * rotation, gated end-to-end: the oracle replays rotation AND all
+    * eight subspace Lloyd runs in SQL (pqBaseSqlFrom over the rotated
+    * qv). Distances scale uniformly by d=64 under H so assignments are
+    * the rotated-space truth, and recon_d2 stays an exact per-vector
+    * compression-quality signal. */
+  val q129_pq_rotated_encode: Q = (s, d) => {
+    val (enc, _) = graft.operators.Pq.encodeRotated(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      m = pqM, k = pqK, updates = 1)
+    enc.select(col("vec_id") +:
+      (0 until pqM).map(i =>
+        element_at(col("codes"), i + 1).as(s"c$i")) :+
+      col("recon_d2"): _*)
+  }
+
+  val q129_oracle: String = {
+    val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
+    val joins = (1 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = a2_0.vec_id").mkString(" ")
+    val recon = (0 until pqM).map(s => s"a2_$s.d2").mkString(" + ")
+    s"""${pqBaseSqlFrom(pqRotatedQv)}
+       SELECT a2_0.vec_id, $encCols, CAST($recon AS BIGINT) AS recon_d2
+       FROM a2_0 $joins"""
+  }
+
   val all: Map[String, Q] = Map(
     "q118_kmeans_assign" -> q118_kmeans_assign,
+    "q128_hadamard_rotate" -> q128_hadamard_rotate,
+    "q129_pq_rotated_encode" -> q129_pq_rotated_encode,
     "q119_cluster_sample" -> q119_cluster_sample,
     "q123_pq_encode" -> q123_pq_encode,
     "q124_pq_adc_topk" -> q124_pq_adc_topk,
@@ -643,6 +717,8 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q118_kmeans_assign" -> q118_oracle,
+    "q128_hadamard_rotate" -> q128_oracle,
+    "q129_pq_rotated_encode" -> q129_oracle,
     "q119_cluster_sample" -> q119_oracle,
     "q123_pq_encode" -> q123_oracle,
     "q124_pq_adc_topk" -> q124_oracle,

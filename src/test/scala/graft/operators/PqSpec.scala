@@ -68,4 +68,50 @@ class PqSpec extends SparkSuite {
     assert(a == e2.as[(Long, Seq[Int], Long)].collect().toSet)
     assert(a.forall(_._2.forall(c => c >= 0 && c < 8)))
   }
+
+  test("hadamardRotate equals the closed-form Sylvester matrix " +
+      "H[i][j] = (-1)^popcount(i&j) and scales every pairwise " +
+      "squared distance by exactly d") {
+    val d = 16
+    val vecs = (0L until 20L).map(id =>
+      id -> (0 until d).map(j => ((id * 31 + j * 7) % 13 - 6)).map(_.toLong))
+    val got = Pq.hadamardRotate(
+        vecs.toDF("id", "v"), "v", d)
+      .as[(Long, Seq[Long])].collect().toMap
+    def hRow(i: Int, x: Seq[Long]): Long =
+      (0 until d).map(j =>
+        (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1L else -1L)
+          * x(j)).sum
+    vecs.foreach { case (id, x) =>
+      val expect = (0 until d).map(hRow(_, x))
+      assert(got(id) == expect, s"id $id")
+    }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0 until 5; j <- (i + 1) until 5) {
+      val (xa, xb) = (vecs(i)._2, vecs(j)._2)
+      assert(d2(got(i.toLong), got(j.toLong)) == d * d2(xa, xb))
+    }
+  }
+
+  test("encodeRotated: codes equal encode() run on pre-rotated " +
+      "input, and ADC top-k order is preserved under rotation for " +
+      "a full-probe (m=1, k=n would be exact) sanity point") {
+    val df = emb.take(60).toDF("vec_id", "embedding")
+    val (encR, booksR) = Pq.encodeRotated(df, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1)
+    // reference: quantize+rotate driver-side, feed through a float
+    // frame at scale 1 (values already integers)
+    val rotated = Pq.hadamardRotate(
+        df.select($"vec_id",
+          Cluster.quantize($"embedding", 10000L).as("v")),
+        "v", 64)
+      .select($"vec_id", transform($"v", _.cast("float")).as("embedding"))
+    val (encP, booksP) = Pq.encode(rotated, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1, scale = 1L)
+    assert(encR.as[(Long, Seq[Int], Long)].collect().toSet ==
+      encP.as[(Long, Seq[Int], Long)].collect().toSet)
+    assert(booksR.map(_.map(_.toSeq).toSeq).toSeq ==
+      booksP.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
