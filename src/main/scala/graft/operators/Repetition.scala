@@ -77,6 +77,44 @@ object Repetition {
         first(col("__nt")).cast("double")).as(s"dup${n}_cov"))
   }
 
+  /** Gopher table A1's duplicate-LINE signals at a caller-chosen
+    * grain (lines for sep="\n", paragraphs for a paragraph separator):
+    * per document, the fraction of lines that belong to a within-doc
+    * duplicate group ("duplicate line fraction" — every member of a
+    * group counts, matching the published filters) and the fraction
+    * of characters those lines carry ("duplicate line character
+    * fraction"; denominators count line content only, separators
+    * excluded). Output: (doc_id, n_lines, dup_frac, dup_char_frac),
+    * one row per input document — a doc with no duplicate line scores
+    * 0, and an all-empty doc scores 0 char-fraction rather than NaN
+    * (total semantics, like [[profile]]).
+    *
+    * Scale shape: explode → (doc, line)-keyed hash-agg → doc-keyed
+    * hash-agg, both with map-side partial combine; no window, no join,
+    * no cross-document anything — the boilerplate mega-line ("footer"
+    * in 10⁹ docs) is NOT a hot key because the first aggregate is
+    * keyed by (doc, line), not line. */
+  def dupLineProfile(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("__line"))
+      .groupBy(col("doc_id"), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__chars", col("__c") * length(col("__line")))
+      .withColumn("__dup", col("__c") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_lines"),
+        (sum(when(col("__dup"), col("__c")).otherwise(0L))
+            .cast("double") /
+          sum(col("__c")).cast("double")).as("dup_frac"),
+        when(sum(col("__chars")) === 0, lit(0.0))
+          .otherwise(
+            sum(when(col("__dup"), col("__chars")).otherwise(0L))
+              .cast("double") /
+            sum(col("__chars")).cast("double")).as("dup_char_frac"))
+
   /** The per-document repetition profile the Gopher filters threshold:
     * (doc_id, n_tokens, top2_count, top2_frac, top3_count, top3_frac,
     * dup5_cov). One row per input document — a document too short to

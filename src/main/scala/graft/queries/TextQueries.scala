@@ -1385,6 +1385,56 @@ object TextQueries {
          FROM documents d JOIN comp c USING (doc_id))
        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1"""
 
+  /** q130: Gopher table A1's duplicate-line signals
+    * (Repetition.dupLineProfile) — fraction of lines in a within-doc
+    * duplicate group and fraction of characters they carry, the
+    * line-grain complement of q97's n-gram profile. Pages synthesize
+    * six lines per doc: an "item" pair (always duplicated), the doc's
+    * text, a "sep" line duplicated only when doc_id % 4 == 0 (vs a
+    * unique "only" line), and a unique "end" line — so dup_frac takes
+    * two distinct values corpus-wide and the char fraction varies
+    * continuously with text length. All-integer counts + one double
+    * division per row, recomputed identically by the oracle. Scale
+    * shape: explode → (doc,line) hash-agg → doc hash-agg, no window,
+    * no cross-doc key. */
+  val q130_dup_line_profile: Q = (s, d) => {
+    val page = concat_ws("\n",
+      concat(lit("item "), col("doc_id") % 5),
+      col("text"),
+      concat(lit("item "), col("doc_id") % 5),
+      concat(lit("sep "), col("doc_id") % 3),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("sep "), col("doc_id") % 3))
+        .otherwise(concat(lit("only "), col("doc_id"))),
+      concat(lit("end "), col("doc_id")))
+    graft.operators.Repetition.dupLineProfile(
+      Tables.documents(s, d).select(col("doc_id"), page.as("page")),
+      "doc_id", "page")
+  }
+
+  val q130_dup_line_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         string_split('item ' || (doc_id % 5) || chr(10) || text
+           || chr(10) || 'item ' || (doc_id % 5) || chr(10)
+           || 'sep ' || (doc_id % 3) || chr(10)
+           || CASE WHEN doc_id % 4 = 0 THEN 'sep ' || (doc_id % 3)
+                   ELSE 'only ' || doc_id END
+           || chr(10) || 'end ' || doc_id, chr(10)) AS a
+       FROM documents),
+       l AS (SELECT doc_id, a[CAST(i AS INT)] AS line
+         FROM t, unnest(range(1, len(a) + 1)) u(i)),
+       g AS (SELECT doc_id, line, count(*) AS c
+         FROM l GROUP BY doc_id, line),
+       p AS (SELECT doc_id, c, c * length(line) AS chars,
+           (c >= 2) AS dup FROM g)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN dup THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(sum(c) AS DOUBLE) AS dup_frac,
+         CASE WHEN sum(chars) = 0 THEN 0.0
+           ELSE CAST(sum(CASE WHEN dup THEN chars ELSE 0 END) AS DOUBLE)
+             / CAST(sum(chars) AS DOUBLE) END AS dup_char_frac
+       FROM p GROUP BY doc_id"""
+
   /** q97: Gopher/MassiveText within-document repetition profile
     * (operators.Repetition.profile) — most-frequent 2-/3-gram token
     * fractions plus union coverage of duplicated 5-gram windows, the
@@ -1552,6 +1602,7 @@ object TextQueries {
     "q114_domain_cap" -> q114_domain_cap,
     "q117_paragraph_dedup" -> q117_paragraph_dedup,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_dedup,
+    "q130_dup_line_profile" -> q130_dup_line_profile,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1599,6 +1650,7 @@ object TextQueries {
     "q114_domain_cap" -> q114_oracle,
     "q117_paragraph_dedup" -> q117_oracle,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_oracle,
+    "q130_dup_line_profile" -> q130_dup_line_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

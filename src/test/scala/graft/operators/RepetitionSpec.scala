@@ -56,6 +56,42 @@ class RepetitionSpec extends SparkSuite {
     assert(q(4L).getAs[Double]("top2_frac") > 1.0)
   }
 
+  test("dupLineProfile matches a brute-force reference on planted " +
+      "line duplicates and stays total on degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nbb\na\nccc"),      // 'a' dup: 2/4 lines, 2/7 chars
+      (2L, "x\ny\nz"),            // no dups
+      (3L, "w\nw\nw"),            // all dup
+      (4L, ""),                   // one empty line: 0-char denominator
+      (5L, "\n\nq"))              // empty line duplicated
+    val got = Repetition.dupLineProfile(
+        docs.toDF("doc_id", "page"), "doc_id", "page")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def ref(text: String): (Long, Double, Double) = {
+      val ls = text.split("\n", -1)
+      val byLine = ls.groupBy(identity)
+      val dupLines = byLine.values.filter(_.length >= 2).map(_.length).sum
+      val chars = ls.map(_.length).sum
+      val dupChars = byLine.values.filter(_.length >= 2)
+        .map(g => g.length * g.head.length).sum
+      (ls.length.toLong, dupLines.toDouble / ls.length,
+        if (chars == 0) 0.0 else dupChars.toDouble / chars)
+    }
+    docs.foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"doc $id") }
+    assert(got(1L) == ((4L, 0.5, 2.0 / 7)))
+    assert(got(4L) == ((1L, 0.0, 0.0))) // NaN-free on the empty doc
+    // partitioning independence
+    val rep = Repetition.dupLineProfile(
+        docs.reverse.toDF("doc_id", "page").repartition(7),
+        "doc_id", "page")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep == got)
+  }
+
   test("fixture corpus: profile is total (one row per doc) and the " +
       "repetition family agrees with q68's top-term signal direction") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
