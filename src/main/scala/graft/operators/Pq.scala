@@ -181,12 +181,52 @@ object Pq {
     * lowest id. */
   def adcTopN(encoded: DataFrame, idCol: String,
       books: Array[Array[Array[Long]]], queryVec: Array[Float], n: Int,
-      scale: Long = 10000L): DataFrame = {
+      scale: Long = 10000L): DataFrame =
+    adcTopNQuantized(encoded, idCol, books,
+      queryVec.map(x => math.floor(x.toDouble * scale).toLong), n)
+
+  /** [[adcTopN]] against a [[encodeRotated]] index: the query vector
+    * takes the SAME quantize→Hadamard path as the corpus did (driver-
+    * side — it is one d-long butterfly), then searches the rotated-
+    * space codes. Because H scales all squared distances uniformly,
+    * the result ranks candidates exactly as an unrotated ADC would
+    * rank them under an unrotated codebook of the same quality. */
+  def adcTopNRotated(encoded: DataFrame, idCol: String,
+      books: Array[Array[Array[Long]]], queryVec: Array[Float], n: Int,
+      scale: Long = 10000L): DataFrame =
+    adcTopNQuantized(encoded, idCol, books,
+      fwhtLocal(queryVec.map(x => math.floor(x.toDouble * scale).toLong)),
+      n)
+
+  /** Driver-side in-place FWHT — the same Sylvester transform
+    * [[hadamardRotate]] applies to the corpus, for query vectors. */
+  def fwhtLocal(x: Array[Long]): Array[Long] = {
+    val d = x.length
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"dim must be a power of two, got $d")
+    val y = x.clone()
+    var h = 1
+    while (h < d) {
+      var i = 0
+      while (i < d) {
+        if ((i & h) == 0) {
+          val a = y(i); val b = y(i + h)
+          y(i) = a + b; y(i + h) = a - b
+        }
+        i += 1
+      }
+      h <<= 1
+    }
+    y
+  }
+
+  private def adcTopNQuantized(encoded: DataFrame, idCol: String,
+      books: Array[Array[Array[Long]]], qq: Array[Long],
+      n: Int): DataFrame = {
     val m = books.length
     val dsub = books(0)(0).length
-    require(queryVec.length == m * dsub,
-      s"query dim ${queryVec.length} != ${m * dsub}")
-    val qq = queryVec.map(x => math.floor(x.toDouble * scale).toLong)
+    require(qq.length == m * dsub,
+      s"query dim ${qq.length} != ${m * dsub}")
     val tables: Array[Array[Long]] = books.zipWithIndex.map {
       case (book, s) =>
         book.map { c =>

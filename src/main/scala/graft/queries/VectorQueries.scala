@@ -614,7 +614,10 @@ object VectorQueries {
        FROM a2_0 $joins"""
   }
 
-  val q124_oracle: String = {
+  /** ADC-search oracle tail over any pq base prefix (the lookup-table
+    * CTEs slice the QV of vec 0 — already rotated when the base is the
+    * rotated one, mirroring adcTopNRotated's query-side rotation). */
+  private def pqAdcSql(base: String): String = {
     val tsubs = (0 until pqM).map { s =>
       val off = s * pqDsub
       s"""t$s AS (SELECT c.cid,
@@ -631,12 +634,14 @@ object VectorQueries {
     val tJoins = (0 until pqM)
       .map(s => s"JOIN t$s ON t$s.cid = a2_$s.cid").mkString(" ")
     val adcSum = (0 until pqM).map(s => s"t$s.d2").mkString(" + ")
-    s"""$pqBaseSql,
+    s"""$base,
        ${tsubs.mkString(",\n       ")}
        SELECT a2_0.vec_id, CAST($adcSum AS BIGINT) AS adc_d2
        FROM a2_0 $aJoins $tJoins
        ORDER BY adc_d2, a2_0.vec_id LIMIT 20"""
   }
+
+  val q124_oracle: String = pqAdcSql(pqBaseSql)
 
   /** q128: the exact Hadamard pre-rotation itself (Pq.hadamardRotate
     * scaladoc: the ±1 Sylvester matrix is the bit-exact stand-in for
@@ -691,10 +696,29 @@ object VectorQueries {
        FROM a2_0 $joins"""
   }
 
+  /** q131: ADC top-k in the ROTATED space — the OPQ pipeline closed
+    * end-to-end (rotate corpus → train/encode → rotate QUERY → ADC).
+    * The oracle is q124's ADC tail over the rotated base: its lookup
+    * tables slice the rotated qv of vec 0, exactly the driver-side
+    * FWHT the operator applies to the query vector. (adc_d2, vec_id)
+    * total order; same TakeOrderedAndProject shape as q124 — the
+    * search touches only the 8-int codes column. */
+  val q131_pq_rotated_adc: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (enc, books) = graft.operators.Pq.encodeRotated(emb,
+      "vec_id", "embedding", m = pqM, k = pqK, updates = 1)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Pq.adcTopNRotated(enc, "vec_id", books, qvec, n = 20)
+  }
+
+  val q131_oracle: String = pqAdcSql(pqBaseSqlFrom(pqRotatedQv))
+
   val all: Map[String, Q] = Map(
     "q118_kmeans_assign" -> q118_kmeans_assign,
     "q128_hadamard_rotate" -> q128_hadamard_rotate,
     "q129_pq_rotated_encode" -> q129_pq_rotated_encode,
+    "q131_pq_rotated_adc" -> q131_pq_rotated_adc,
     "q119_cluster_sample" -> q119_cluster_sample,
     "q123_pq_encode" -> q123_pq_encode,
     "q124_pq_adc_topk" -> q124_pq_adc_topk,
@@ -719,6 +743,7 @@ object VectorQueries {
     "q118_kmeans_assign" -> q118_oracle,
     "q128_hadamard_rotate" -> q128_oracle,
     "q129_pq_rotated_encode" -> q129_oracle,
+    "q131_pq_rotated_adc" -> q131_oracle,
     "q119_cluster_sample" -> q119_oracle,
     "q123_pq_encode" -> q123_oracle,
     "q124_pq_adc_topk" -> q124_oracle,

@@ -69,6 +69,39 @@ class PqSpec extends SparkSuite {
     assert(a.forall(_._2.forall(c => c >= 0 && c < 8)))
   }
 
+  test("adcTopNRotated replays exactly: fwhtLocal on the query equals " +
+      "the corpus-side rotation, and scores match a driver-side table " +
+      "walk over the rotated codes") {
+    val df = emb.take(80).toDF("vec_id", "embedding")
+    val (enc, books) = Pq.encodeRotated(df, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1)
+    val qvec = emb.head._2.toArray
+    val got = Pq.adcTopNRotated(enc, "vec_id", books, qvec, n = 10)
+      .as[(Long, Long)].collect().toSeq
+    // driver-side replay
+    val qr = Pq.fwhtLocal(
+      qvec.map(x => math.floor(x.toDouble * 10000L).toLong))
+    val codes = enc.as[(Long, Seq[Int], Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val expect = codes.toSeq.map { case (id, cs) =>
+      val d2 = (0 until 4).map { s =>
+        val c = books(s)(cs(s))
+        (0 until 16).map { i =>
+          val diff = qr(s * 16 + i) - c(i); diff * diff
+        }.sum
+      }.sum
+      (id, d2)
+    }.sortBy(r => (r._2, r._1)).take(10)
+    assert(got == expect)
+    // fwhtLocal agrees with the column-expression butterfly
+    val viaCol = Pq.hadamardRotate(
+        Seq((0L, qvec.map(x =>
+          math.floor(x.toDouble * 10000L).toLong).toSeq)).toDF("id", "v"),
+        "v", 64)
+      .as[(Long, Seq[Long])].head()._2
+    assert(viaCol == qr.toSeq)
+  }
+
   test("hadamardRotate equals the closed-form Sylvester matrix " +
       "H[i][j] = (-1)^popcount(i&j) and scales every pairwise " +
       "squared distance by exactly d") {
