@@ -68,6 +68,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR
+    * recipe, Karpukhin et al. arXiv:2004.04906 §3.2: the negatives
+    * that move the loss are the most-similar items that are NOT
+    * positives): for every query row, the k most cosine-similar items
+    * whose label differs from the query's. Self-pairs are excluded as
+    * in [[knnJoin]]; ties break (sim DESC, item_id) so the mined set
+    * is deterministic. Output: (query_id, item_id, sim, rank ≤ k).
+    *
+    * Scale shape: identical to [[knnJoin]] — the query batch (the
+    * usual case: one training shard's anchors) broadcasts into the
+    * item scan, the label-mismatch filter runs inside that stage
+    * before anything shuffles, and the per-query top-k is one rank
+    * window over (query, sim). For corpus-as-queries mining, feed LSH
+    * candidates ([[lshTableCandidates]]) through the same
+    * label-mismatch + rank tail instead of the cross join. */
+  def hardNegatives(queries: DataFrame, items: DataFrame, qVec: String,
+      qId: String, qLabel: String, iVec: String, iId: String,
+      iLabel: String, k: Int): DataFrame = {
+    val joined = items
+      .select(col(iId), col(iVec), col(iLabel).as("__il"),
+        norm(col(iVec)).as("__in"))
+      .crossJoin(
+        broadcast(queries.select(col(qId).as("query_id"),
+          col(qVec).as("__qv"), col(qLabel).as("__ql"),
+          norm(col(qVec)).as("__qn"))))
+      .filter(col(iId) =!= col("query_id") &&
+        col("__il") =!= col("__ql"))
+      .select(col("query_id"), col(iId).as("item_id"),
+        (dot(col(iVec), col("__qv")) / (col("__in") * col("__qn")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("item_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ----------------------------------------------------------------- LSH
 
   /** Query-directed multi-probe bucket order (multi-probe LSH, Lv et

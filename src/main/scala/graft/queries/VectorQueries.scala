@@ -696,6 +696,38 @@ object VectorQueries {
        FROM a2_0 $joins"""
   }
 
+  /** q132: hard-negative mining (Similarity.hardNegatives scaladoc —
+    * the DPR contrastive-training recipe): for each of the first 8
+    * anchor vectors, the 5 most cosine-similar vectors with a
+    * DIFFERENT label, as a (query_id, item_id, rank) rank surface
+    * (raw cosine doubles never cross the gate; the oracle recomputes
+    * sims on CAST DOUBLE[] and ranks identically — q39's proven
+    * pattern plus the label-mismatch condition, which is what turns
+    * a kNN join into negative mining). */
+  val q132_hard_negatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb,
+        qVec = "embedding", qId = "vec_id", qLabel = "label",
+        iVec = "embedding", iId = "vec_id", iLabel = "label", k = 5)
+      .select(col("query_id"), col("item_id"), col("rank"))
+  }
+
+  val q132_oracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+                  FROM embeddings),
+       sims AS (
+         SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+           list_dot_product(i.v, q.v)
+             / (sqrt(list_dot_product(i.v, i.v))
+                * sqrt(list_dot_product(q.v, q.v))) AS sim
+         FROM e q JOIN e i ON q.vec_id < 8 AND i.vec_id <> q.vec_id
+           AND i.label <> q.label)
+       SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, item_id) AS rank
+         FROM sims) WHERE rank <= 5"""
+
   /** q131: ADC top-k in the ROTATED space — the OPQ pipeline closed
     * end-to-end (rotate corpus → train/encode → rotate QUERY → ADC).
     * The oracle is q124's ADC tail over the rotated base: its lookup
@@ -719,6 +751,7 @@ object VectorQueries {
     "q128_hadamard_rotate" -> q128_hadamard_rotate,
     "q129_pq_rotated_encode" -> q129_pq_rotated_encode,
     "q131_pq_rotated_adc" -> q131_pq_rotated_adc,
+    "q132_hard_negatives" -> q132_hard_negatives,
     "q119_cluster_sample" -> q119_cluster_sample,
     "q123_pq_encode" -> q123_pq_encode,
     "q124_pq_adc_topk" -> q124_pq_adc_topk,
@@ -744,6 +777,7 @@ object VectorQueries {
     "q128_hadamard_rotate" -> q128_oracle,
     "q129_pq_rotated_encode" -> q129_oracle,
     "q131_pq_rotated_adc" -> q131_oracle,
+    "q132_hard_negatives" -> q132_oracle,
     "q119_cluster_sample" -> q119_oracle,
     "q123_pq_encode" -> q123_oracle,
     "q124_pq_adc_topk" -> q124_oracle,
