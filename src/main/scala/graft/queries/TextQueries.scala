@@ -1385,6 +1385,51 @@ object TextQueries {
          FROM documents d JOIN comp c USING (doc_id))
        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1"""
 
+  /** q133: the Gopher curation FUNNEL end-to-end (Curation.gopherFunnel
+    * scaladoc) — every document gets a keep/drop verdict plus the fired
+    * rules in fixed order, all integer-exact comparisons
+    * (cross-multiplied thresholds, no floats). Thresholds are tuned to
+    * the fixture's real distributions (tokens 10–99, avg word length
+    * 3.7–5.3, top-2-gram fraction up to 0.31) so EVERY rule fires on
+    * some slice of the corpus and the kept set is a non-trivial
+    * subset: too_short < 30 tokens, too_long > 90, word_len outside
+    * [4.0, 10.0] chars/token, < 2 stopword hits, top-2-gram ≥ 20% of
+    * tokens. The oracle replays the entire funnel. */
+  val q133_curation_funnel: Q = (s, d) =>
+    graft.operators.Curation.gopherFunnel(
+      Tables.documents(s, d), "doc_id", "text",
+      minTokens = 30, maxTokens = 90,
+      minAvgWordLenX10 = 40, maxAvgWordLenX10 = 100,
+      minStopwords = 2, maxTop2Pct = 20)
+
+  val q133_curation_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+         FROM documents),
+       s AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n,
+           CAST(list_sum(list_transform(a, w -> length(w))) AS BIGINT)
+             AS chars,
+           CAST(len(list_filter(a, w -> w IN
+             ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop
+         FROM t),
+       g2 AS (SELECT doc_id,
+           a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)] AS gram
+         FROM t, unnest(range(1, len(a))) u(i)),
+       m2 AS (SELECT doc_id, max(c) AS top2 FROM (
+           SELECT doc_id, gram, count(*) c FROM g2
+           GROUP BY doc_id, gram) GROUP BY doc_id),
+       r AS (SELECT s.doc_id, s.n,
+           concat_ws(',',
+             CASE WHEN s.n < 30 THEN 'too_short' END,
+             CASE WHEN s.n > 90 THEN 'too_long' END,
+             CASE WHEN s.chars * 10 < 40 * s.n
+                    OR s.chars * 10 > 100 * s.n THEN 'word_len' END,
+             CASE WHEN s.stop < 2 THEN 'stopwords' END,
+             CASE WHEN COALESCE(m2.top2, 0) * 2 * 100 >= 20 * s.n
+                  THEN 'repetition' END) AS reasons
+         FROM s LEFT JOIN m2 ON s.doc_id = m2.doc_id)
+       SELECT doc_id, n AS n_tokens, reasons, (reasons = '') AS kept
+       FROM r"""
+
   /** q130: Gopher table A1's duplicate-line signals
     * (Repetition.dupLineProfile) — fraction of lines in a within-doc
     * duplicate group and fraction of characters they carry, the
@@ -1603,6 +1648,7 @@ object TextQueries {
     "q117_paragraph_dedup" -> q117_paragraph_dedup,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_dedup,
     "q130_dup_line_profile" -> q130_dup_line_profile,
+    "q133_curation_funnel" -> q133_curation_funnel,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1651,6 +1697,7 @@ object TextQueries {
     "q117_paragraph_dedup" -> q117_oracle,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_oracle,
     "q130_dup_line_profile" -> q130_dup_line_oracle,
+    "q133_curation_funnel" -> q133_curation_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

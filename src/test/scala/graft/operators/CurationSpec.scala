@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gopherFunnel fires each rule on a targeted doc, reasons keep " +
+      "their fixed order, and the funnel is total on degenerate docs") {
+    val docs = Seq(
+      // clean: 6 tokens ≥ minTokens(5), avg len in [3,10]·, 2 stopwords
+      (1L, "the cat sat upon the mat"),
+      // too_short (< 5 tokens): 2 stopwords and avg word length 3.25
+      // keep the other rules quiet — except repetition, which ANY
+      // ≤4-token doc trips at a 50% cap (top2 ≥ 1 → 200 ≥ n·50)
+      (2L, "the of cats dogs"),
+      // too_long (> 12 tokens), all 2-grams distinct, 2 stopwords
+      (3L, "the of " + (1 to 11).map(i => s"tok$i").mkString(" ")),
+      (4L, "the of aa bb cc dd"),         // word_len: avg 2.0 < 3.0
+      (5L, "alpha bravo charlie delta echo"), // stopwords: 0 hits
+      (6L, "the end the end the end"),    // repetition: 'the end' 3×2/6 = 100%
+      (7L, ""))                           // 1 empty token: several rules
+    val got = Curation.gopherFunnel(docs.toDF("doc_id", "text"),
+        "doc_id", "text",
+        minTokens = 5, maxTokens = 12, minAvgWordLenX10 = 30,
+        maxAvgWordLenX10 = 100, minStopwords = 2, maxTop2Pct = 50)
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 7) // total: every doc verdicted exactly once
+    assert(got(1L)._2 == "" && got(1L)._3)
+    assert(got(2L)._2 == "too_short,repetition" && !got(2L)._3)
+    assert(got(3L)._2 == "too_long")
+    assert(got(4L)._2.contains("word_len"))
+    assert(got(5L)._2 == "stopwords")
+    assert(got(6L)._2.contains("repetition"))
+    // fixed emission order regardless of which rules fire; the empty
+    // doc has NO 2-gram → top2 coalesces to 0 → repetition stays quiet
+    assert(got(7L)._2 == "too_short,word_len,stopwords")
+    // brute-force cross-check of the word_len rule on doc 4:
+    // chars=12, n=6 → 12·10 < 6·30
+    assert(12 * 10 < 6 * 30)
+  }
+
+  test("verdicts are partitioning-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = Curation.gopherFunnel(docs, "doc_id", "text",
+        minTokens = 30, maxTokens = 90)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    val b = Curation.gopherFunnel(docs.repartition(7), "doc_id", "text",
+        minTokens = 30, maxTokens = 90)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(a == b)
+    assert(a.exists(!_._4) && a.exists(_._4)) // non-trivial split
+  }
+}
