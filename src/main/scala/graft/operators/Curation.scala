@@ -35,31 +35,44 @@ object Curation {
     * (Gopher drops at 20%; occurrences count overlapping windows ×2
     * tokens each, like [[Repetition.profile]]).
     *
-    * Scale shape: one projection computes tokens/chars/stopwords in
-    * the scan stage; the top-2-gram signal is the only shuffle —
-    * (doc, gram)-keyed then doc-keyed hash aggs with map-side combine,
-    * joined back doc-keyed. No cross-document key anywhere: the
-    * boilerplate 2-gram repeated in 10⁹ docs partitions by (doc,
-    * gram), never by gram alone. Short docs (< 2 tokens) have no
-    * 2-gram and coalesce to a zero count — the funnel is total. */
+    * Scale shape: ONE stateless projection — ZERO shuffles, zero
+    * joins, nothing driver-side. Even the top-2-gram count stays
+    * per-row: sort the doc's 2-gram array, fold it for the longest
+    * run of equal neighbours (occurrences of the modal 2-gram) — an
+    * explode + (doc, gram) aggregate would be correct too, but it
+    * ships every gram of every document through an exchange to
+    * compute a per-document number; per-row sort+fold costs
+    * O(g log g) inside the scan and makes the funnel directly usable
+    * on a STREAMING frame (verdict-on-ingest; StreamingSpec pins
+    * stream == batch). Short docs (< 2 tokens) have no 2-gram and
+    * fold to a zero count — the funnel is total. */
   def gopherFunnel(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 50, maxTokens: Long = 100000,
       minAvgWordLenX10: Long = 30, maxAvgWordLenX10: Long = 100,
       minStopwords: Long = 2, maxTop2Pct: Long = 20,
       stopwords: Seq[String] = langLexicons("en")): DataFrame = {
     val t = col(textCol)
+    // modal-2-gram occurrence count per row: sort the gram array and
+    // fold for the longest run of equal neighbours. The initial
+    // prev = "" cannot be a gram (grams of two empty tokens join to
+    // " "), and even a collision would start the run at 0+1 = 1 —
+    // the same value a fresh run gets.
+    val top2 = aggregate(
+      array_sort(positionalShingles(t, 2)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (a, g) => {
+        val run = when(g === a.getField("prev"),
+          a.getField("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
     val base = docs.select(col(idCol).as("doc_id"),
       nTokens(t).as("__n"),
       aggregate(transform(tokens(t), w => length(w).cast("long")),
         lit(0L), (a, x) => a + x).as("__chars"),
-      lexiconHits(t, stopwords).as("__stop"))
-    val top2 = docs
-      .select(col(idCol).as("doc_id"),
-        explode(positionalShingles(t, 2)).as("__g"))
-      .groupBy(col("doc_id"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("__c")).as("__top2"))
+      lexiconHits(t, stopwords).as("__stop"),
+      top2.as("__top2"))
     val n = col("__n")
     val reasons = concat_ws(",",
       when(n < minTokens, lit("too_short")),
@@ -67,10 +80,9 @@ object Curation {
       when(col("__chars") * 10 < n * minAvgWordLenX10 ||
         col("__chars") * 10 > n * maxAvgWordLenX10, lit("word_len")),
       when(col("__stop") < minStopwords, lit("stopwords")),
-      when(coalesce(col("__top2"), lit(0L)) * 2 * 100 >=
-        n * maxTop2Pct, lit("repetition")))
-    base.join(top2, Seq("doc_id"), "left")
-      .select(col("doc_id"), n.as("n_tokens"), reasons.as("reasons"))
+      when(col("__top2") * 2 * 100 >= n * maxTop2Pct,
+        lit("repetition")))
+    base.select(col("doc_id"), n.as("n_tokens"), reasons.as("reasons"))
       .withColumn("kept", col("reasons") === "")
   }
 }

@@ -42,6 +42,38 @@ class CurationSpec extends SparkSuite {
     assert(12 * 10 < 6 * 30)
   }
 
+  test("the funnel is one stateless projection: zero exchanges in the " +
+      "plan, and it runs unchanged on a stream (stream == batch)") {
+    val docs = Seq(
+      (1L, "the cat sat upon the mat today fine"),
+      (2L, "spam spam spam spam"),
+      (3L, "alpha beta"))
+    val plan = Curation.gopherFunnel(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc verdicts must not shuffle:\n$plan")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.gopherFunnel(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[(Long, Long, String, Boolean)].collect().toSet
+      val batch = Curation.gopherFunnel(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minTokens = 3)
+        .as[(Long, Long, String, Boolean)].collect().toSet
+      assert(got == batch) // verdict-on-ingest == batch, bit-for-bit
+    } finally q.stop()
+  }
+
   test("verdicts are partitioning-independent") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text")
