@@ -1385,6 +1385,35 @@ object TextQueries {
          FROM documents d JOIN comp c USING (doc_id))
        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1"""
 
+  /** q134: sequence packing (Packing.concatChunk scaladoc — GPT-style
+    * concat-and-chunk onto 256-token training sequences). The exact
+    * global token offset comes from the DISTRIBUTED two-pass prefix
+    * scan (PrefixSum), not a single-task window; the oracle computes
+    * the same running total with a plain window (fine at oracle scale)
+    * and the same floor divisions. Docs span 10–99 tokens, so straddle
+    * placements (first_seq < last_seq) occur corpus-wide and the
+    * boundary arithmetic is load-bearing. */
+  val q134_sequence_packing: Q = (s, d) =>
+    graft.operators.Packing.concatChunk(
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTokens(col("text")).as("n_tok")),
+      "doc_id", "n_tok", seqLen = 256)
+
+  val q134_packing_oracle: String =
+    """WITH s AS (SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       FROM documents),
+       c AS (SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       FROM s)
+       SELECT doc_id, n AS n_tokens,
+         CAST(cum - n AS BIGINT) AS tok_start,
+         CAST((cum - n) // 256 AS BIGINT) AS first_seq,
+         CAST(CASE WHEN n > 0 THEN (cum - 1) // 256
+              ELSE (cum - n) // 256 END AS BIGINT) AS last_seq,
+         CAST((cum - n) % 256 AS BIGINT) AS seq_offset
+       FROM c"""
+
   /** q133: the Gopher curation FUNNEL end-to-end (Curation.gopherFunnel
     * scaladoc) — every document gets a keep/drop verdict plus the fired
     * rules in fixed order, all integer-exact comparisons
@@ -1649,6 +1678,7 @@ object TextQueries {
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_dedup,
     "q130_dup_line_profile" -> q130_dup_line_profile,
     "q133_curation_funnel" -> q133_curation_funnel,
+    "q134_sequence_packing" -> q134_sequence_packing,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1698,6 +1728,7 @@ object TextQueries {
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_oracle,
     "q130_dup_line_profile" -> q130_dup_line_oracle,
     "q133_curation_funnel" -> q133_curation_oracle,
+    "q134_sequence_packing" -> q134_packing_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
