@@ -22,19 +22,25 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Pack by concat-and-chunk. Input needs a unique numeric/orderable
-    * `idCol` (the deterministic corpus order) and a precomputed token
-    * count column `nTokensCol`. Output per document: n_tokens,
+    * `idCol` and a precomputed token count column `nTokensCol`; the
+    * corpus order is `orderCols` when given (must be total — end with
+    * the id; e.g. a deterministic md5 shuffle key first, the standard
+    * "shuffle then chunk" training order), else the id order. Output
+    * per document: n_tokens,
     * tok_start (global exclusive offset), first_seq / last_seq (the
     * `seqLen`-token sequences the document touches; a zero-token doc
     * reports first_seq == last_seq), and seq_offset (position inside
     * first_seq). */
   def concatChunk(docs: DataFrame, idCol: String, nTokensCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long, orderCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val ord = if (orderCols.isEmpty) Seq("doc_id")
+              else orderCols.map { c => if (c == idCol) "doc_id" else c }
     val withCum = PrefixSum.withRunningTotal(
-      docs.select(col(idCol).as("doc_id"),
-        col(nTokensCol).cast("long").as("__n")),
-      Seq("doc_id"), "__n")
+      docs.select((col(idCol).as("doc_id") +:
+        col(nTokensCol).cast("long").as("__n") +:
+        orderCols.filter(_ != idCol).map(col)): _*),
+      ord, "__n")
     val start = col("__n_cum") - col("__n")
     withCum.select(col("doc_id"), col("__n").as("n_tokens"),
       start.as("tok_start"),
@@ -42,5 +48,35 @@ object Packing {
       when(col("__n") > 0, expr(s"(__n_cum - 1) div $seqLen"))
         .otherwise(expr(s"(__n_cum - __n) div $seqLen")).as("last_seq"),
       (start % seqLen).as("seq_offset"))
+  }
+
+  /** Token-budget selection — the "take the best N tokens" cut that
+    * ends every data-selection pass (DSIR/classifier ranks in, a token
+    * budget out): walk documents in the caller's PRIORITY order
+    * (`orderCols`, which must be total — end with the unique id; put a
+    * negated score column first for descending priority) and keep
+    * every document whose span STARTS inside the budget — the
+    * straddling document is kept whole, the standard inclusive cut, so
+    * the selection is never empty when the budget is positive and
+    * total selected tokens < budget + max doc length. Output: the
+    * selected docs as (doc_id, n_tokens, tok_start — tokens consumed
+    * by higher-priority docs).
+    *
+    * Scale shape: [[PrefixSum.withRunningTotal]]'s two-pass scan plus
+    * one pushed filter — no single-task window, no collect beyond the
+    * P-element offset scan. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String,
+      nTokensCol: String, orderCols: Seq[String],
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val ord = orderCols.map { c => if (c == idCol) "doc_id" else c }
+    val withCum = PrefixSum.withRunningTotal(
+      docs.select((col(idCol).as("doc_id") +:
+        col(nTokensCol).cast("long").as("__n") +:
+        orderCols.filter(_ != idCol).map(col)): _*),
+      ord, "__n")
+    withCum.select(col("doc_id"), col("__n").as("n_tokens"),
+      (col("__n_cum") - col("__n")).as("tok_start"))
+      .filter(col("tok_start") < budget)
   }
 }

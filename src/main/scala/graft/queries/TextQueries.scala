@@ -1414,6 +1414,65 @@ object TextQueries {
          CAST((cum - n) % 256 AS BIGINT) AS seq_offset
        FROM c"""
 
+  /** q135: token-budget selection (Packing.tokenBudgetSelect) — the
+    * cut that ends a data-selection pass: docs walk in priority order
+    * (longest first: −n_chars, then doc_id) and survive while their
+    * span STARTS inside an 8000-token budget; the straddler stays
+    * whole. The oracle replays the same running total with a window
+    * and the same inclusive rule. Distributed two-pass scan + filter,
+    * never a single-task window. */
+  val q135_token_budget: Q = (s, d) =>
+    graft.operators.Packing.tokenBudgetSelect(
+      Tables.documents(s, d).select(col("doc_id"),
+        nTokens(col("text")).as("n_tok"),
+        (-col("n_chars")).as("pri")),
+      "doc_id", "n_tok", Seq("pri", "doc_id"), budget = 8000L)
+
+  val q135_budget_oracle: String =
+    """WITH s AS (SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         -n_chars AS pri
+       FROM documents),
+       c AS (SELECT doc_id, n,
+         sum(n) OVER (ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+       FROM s)
+       SELECT doc_id, n AS n_tokens, CAST(cum - n AS BIGINT) AS tok_start
+       FROM c WHERE cum - n < 8000"""
+
+  /** q136: SHUFFLED sequence packing — q134's concat-and-chunk in the
+    * standard deterministic training order (md5 of a seed + doc_id,
+    * id tiebreak) instead of id order: the "global shuffle, then
+    * chunk" step every pretraining loader performs, engine-portable
+    * because the order key is a hex md5 both engines compute
+    * identically. Same distributed scan; the oracle windows over the
+    * same md5 order. */
+  val q136_shuffled_packing: Q = (s, d) =>
+    graft.operators.Packing.concatChunk(
+      Tables.documents(s, d).select(col("doc_id"),
+        nTokens(col("text")).as("n_tok"),
+        md5(concat(lit("s42:"), col("doc_id").cast("string")))
+          .as("shuf")),
+      "doc_id", "n_tok", seqLen = 256,
+      orderCols = Seq("shuf", "doc_id"))
+
+  val q136_shuffled_oracle: String =
+    """WITH s AS (SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         md5('s42:' || doc_id) AS shuf
+       FROM documents),
+       c AS (SELECT doc_id, n,
+         sum(n) OVER (ORDER BY shuf, doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+       FROM s)
+       SELECT doc_id, n AS n_tokens,
+         CAST(cum - n AS BIGINT) AS tok_start,
+         CAST((cum - n) // 256 AS BIGINT) AS first_seq,
+         CAST(CASE WHEN n > 0 THEN (cum - 1) // 256
+              ELSE (cum - n) // 256 END AS BIGINT) AS last_seq,
+         CAST((cum - n) % 256 AS BIGINT) AS seq_offset
+       FROM c"""
+
   /** q133: the Gopher curation FUNNEL end-to-end (Curation.gopherFunnel
     * scaladoc) — every document gets a keep/drop verdict plus the fired
     * rules in fixed order, all integer-exact comparisons
@@ -1679,6 +1738,8 @@ object TextQueries {
     "q130_dup_line_profile" -> q130_dup_line_profile,
     "q133_curation_funnel" -> q133_curation_funnel,
     "q134_sequence_packing" -> q134_sequence_packing,
+    "q135_token_budget" -> q135_token_budget,
+    "q136_shuffled_packing" -> q136_shuffled_packing,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1729,6 +1790,8 @@ object TextQueries {
     "q130_dup_line_profile" -> q130_dup_line_oracle,
     "q133_curation_funnel" -> q133_curation_oracle,
     "q134_sequence_packing" -> q134_packing_oracle,
+    "q135_token_budget" -> q135_budget_oracle,
+    "q136_shuffled_packing" -> q136_shuffled_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

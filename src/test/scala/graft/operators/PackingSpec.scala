@@ -34,6 +34,28 @@ class PackingSpec extends SparkSuite {
     assert(got(4L)._3 == got(4L)._4)       // zero-token doc: one seq
   }
 
+  test("tokenBudgetSelect keeps docs starting inside the budget in " +
+      "priority order, straddler whole, and respects the caller's " +
+      "order columns") {
+    val docs = Seq( // (id, n_tok, priority asc = selected first)
+      (1L, 10L, 2L), (2L, 10L, 0L), (3L, 10L, 1L), (4L, 10L, 3L))
+    val got = Packing.tokenBudgetSelect(
+        docs.toDF("doc_id", "n_tok", "pri"),
+        "doc_id", "n_tok", Seq("pri", "doc_id"), budget = 25L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // order: 2 (start 0), 3 (10), 1 (20: straddles 25, kept), 4 (30: out)
+    assert(got == Map(2L -> 0L, 3L -> 10L, 1L -> 20L))
+    // shuffled concatChunk follows the order columns, not the id order
+    val packed = Packing.concatChunk(
+        docs.toDF("doc_id", "n_tok", "pri"),
+        "doc_id", "n_tok", seqLen = 16,
+        orderCols = Seq("pri", "doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(packed == Map(2L -> 0L, 3L -> 10L, 1L -> 20L, 4L -> 30L))
+  }
+
   test("packing is partitioning-independent (the prefix scan's range " +
       "partitioner, not input layout, defines the order)") {
     val docs = (0L until 500L).map(i => (i, (i * 37 % 90) + 10))
