@@ -84,11 +84,7 @@ object ParagraphDedup {
     * instead. */
   def incrementalDedupeParagraphs(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
-    def explodeParas(df: DataFrame) =
-      df.select(col(idCol).cast("long").as("__id"),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
-    val bParas = explodeParas(batch)
+    val bParas = explodeParas(batch, idCol, textCol, sep)
     val bKeys = bParas.select(col("__para")).distinct()
       .localCheckpoint() // bounded by the batch; reused for both probes
     val inCorpus = corpus
@@ -96,11 +92,60 @@ object ParagraphDedup {
         java.util.regex.Pattern.quote(sep))).as("__para"))
       .join(broadcast(bKeys), Seq("__para"), "left_semi")
       .distinct() // ≤ |batch paragraphs| rows ever leave the scan
+    assemble(bParas, broadcast(inCorpus.withColumn("__dup", lit(true))),
+      idCol, sep)
+  }
+
+  /** [[incrementalDedupeParagraphs]] for LARGE deltas — when the
+    * batch's paragraph set is itself too big to broadcast (a backfill,
+    * not an API batch), the membership probe follows
+    * [[graft.operators.Dedup.incrementalSurvivorsLarge]]'s bloom
+    * recipe: a distributed bloom build over the batch paragraphs, a
+    * codegen bloom probe inside the corpus scan (≈(1−fpp) of the
+    * corpus dies in its own stage), then an exact shuffled semi-join
+    * confirm against the batch's distinct paragraphs — false
+    * positives die there, so the output is BIT-IDENTICAL to the exact
+    * path at any fpp (ParagraphDedupSpec tortures fpp=0.5; the q137
+    * gate runs fpp=0.3 under q126's own oracle). Both the confirm and
+    * the anti-mark join shuffle rather than broadcast: in this regime
+    * the batch is large by assumption. */
+  def incrementalDedupeParagraphsLarge(batch: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", expectedKeys: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bParas = explodeParas(batch, idCol, textCol, sep)
+    val bf = bParas.stat.bloomFilter("__para", expectedKeys, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val bKeys = bParas.select(col("__para")).distinct()
+    val inCorpus = corpus
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("__para"))
+      .filter(graft.functions.SketchFunctions.bloomMightContain(
+        col("__para"), baos.toByteArray))
+      .join(bKeys, Seq("__para"), "left_semi")
+      .distinct()
+    assemble(bParas, inCorpus.withColumn("__dup", lit(true)),
+      idCol, sep)
+  }
+
+  private def explodeParas(df: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
+
+  /** Shared tail of the incremental variants: batch-local keeper
+    * selection (agg-min + join, never a content window), corpus-dup
+    * anti-mark, reassembly. `dupFrame` carries (__para, __dup=true)
+    * for paragraphs the corpus already owns — pre-broadcast by the
+    * caller when batch-bounded. */
+  private def assemble(bParas: DataFrame, dupFrame: DataFrame,
+      idCol: String, sep: String): DataFrame = {
     val winners = bParas.groupBy(col("__para"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
     val marked = bParas.join(winners, Seq("__para"))
-      .join(broadcast(inCorpus.withColumn("__dup", lit(true))),
-        Seq("__para"), "left")
+      .join(dupFrame, Seq("__para"), "left")
       .withColumn("__keep",
         struct(col("__id"), col("__pos")) === col("__w") &&
           col("__dup").isNull)

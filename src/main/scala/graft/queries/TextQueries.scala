@@ -468,6 +468,27 @@ object TextQueries {
            AS n_dropped
        FROM k GROUP BY doc_id"""
 
+  /** q137: LARGE-delta incremental paragraph dedup — q126's semantics
+    * through the bloom path (incrementalDedupeParagraphsLarge
+    * scaladoc): distributed bloom build, codegen probe in the corpus
+    * scan, exact shuffled confirm. fpp = 0.3 guarantees false
+    * positives fire corpus-wide and must die in the confirm — the
+    * gate runs under q126's OWN oracle, so any survivor of a false
+    * positive (or loss to one) breaks the hash. */
+  val q137_incr_paragraph_large: Q = (s, d) => {
+    val page = concat_ws("\n",
+      concat(lit("banner "), col("doc_id") % 7),
+      col("text"),
+      lit("footer navigation links contact"),
+      concat(lit("doc "), col("doc_id"), lit(" closing")))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), page.as("page"))
+    graft.operators.ParagraphDedup.incrementalDedupeParagraphsLarge(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "page", expectedKeys = 300L, fpp = 0.3)
+  }
+
   /** q113: outlink extraction + canonicalization — the link-graph
     * construction step. Each synthesized page carries three `<a>`
     * links exercising the attribute grammar (uppercase tag with a
@@ -1735,6 +1756,7 @@ object TextQueries {
     "q114_domain_cap" -> q114_domain_cap,
     "q117_paragraph_dedup" -> q117_paragraph_dedup,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_dedup,
+    "q137_incr_paragraph_large" -> q137_incr_paragraph_large,
     "q130_dup_line_profile" -> q130_dup_line_profile,
     "q133_curation_funnel" -> q133_curation_funnel,
     "q134_sequence_packing" -> q134_sequence_packing,
@@ -1787,6 +1809,7 @@ object TextQueries {
     "q114_domain_cap" -> q114_oracle,
     "q117_paragraph_dedup" -> q117_oracle,
     "q126_incr_paragraph_dedup" -> q126_incr_paragraph_oracle,
+    "q137_incr_paragraph_large" -> q126_incr_paragraph_oracle,
     "q130_dup_line_profile" -> q130_dup_line_oracle,
     "q133_curation_funnel" -> q133_curation_oracle,
     "q134_sequence_packing" -> q134_packing_oracle,

@@ -95,6 +95,33 @@ class ParagraphDedupSpec extends SparkSuite {
     assert(shuffles <= 4, s"$shuffles exchanges — corpus shuffled?\n$plan")
   }
 
+  test("large-delta (bloom) incremental paragraph dedup is " +
+      "bit-identical to the exact path even at fpp=0.5, and the bloom " +
+      "probe sits in the corpus scan") {
+    val lake = Seq(
+      (0L, "shared footer\nlake only"),
+      (1L, "banner A\nanother lake line"))
+    val batch = Seq(
+      (20L, "banner A\nfresh twenty\nshared footer"),
+      (21L, "fresh twenty\nfresh both"),
+      (22L, "fresh both\nunique tail"))
+    val exact = ParagraphDedup.incrementalDedupeParagraphs(
+        batch.toDF("doc_id", "page"), lake.toDF("doc_id", "page"),
+        "doc_id", "page")
+      .as[(Long, String, Long)].collect().toSet
+    val bloom = ParagraphDedup.incrementalDedupeParagraphsLarge(
+        batch.toDF("doc_id", "page"), lake.toDF("doc_id", "page"),
+        "doc_id", "page", expectedKeys = 8L, fpp = 0.5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(bloom == exact) // false positives MUST die in the confirm
+    val plan = ParagraphDedup.incrementalDedupeParagraphsLarge(
+        batch.toDF("doc_id", "page"), lake.toDF("doc_id", "page"),
+        "doc_id", "page", expectedKeys = 8L, fpp = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe must appear in the corpus side:\n$plan")
+  }
+
   test("custom separator with regex metacharacters is taken literally") {
     val docs = Seq((1L, "a||b||a"), (2L, "b||c"))
     val got = ParagraphDedup
