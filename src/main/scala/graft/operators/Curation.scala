@@ -85,4 +85,30 @@ object Curation {
     base.select(col("doc_id"), n.as("n_tokens"), reasons.as("reasons"))
       .withColumn("kept", col("reasons") === "")
   }
+
+  /** Corpus-level boilerplate mining — the top-k n-grams by DOCUMENT
+    * frequency above a floor: the list a curation pass reviews and
+    * turns into its line/span blocklists (the C4-style filters consume
+    * exactly such lists; this op is where they come from). Document
+    * frequency, not term frequency: a gram repeated 100× in one spammy
+    * doc is that doc's problem (q97/q130's within-doc signals), while
+    * a gram in 10⁶ DIFFERENT docs is template boilerplate.
+    *
+    * Scale shape: per-doc DISTINCT shingles in the scan stage (so the
+    * aggregate's input is at most one row per (doc, gram) — no
+    * countDistinct shuffle of raw instances), ONE gram-keyed hash-agg
+    * with map-side partial combine, the df floor applied before the
+    * top-k, and the top-k itself a TakeOrderedAndProject heap —
+    * (df DESC, gram) total order, no global sort. The boilerplate
+    * mega-gram is a single hot reduce key whose partials combine
+    * map-side. */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, minDf: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(distinctShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram"))
+      .limit(k)
 }

@@ -1435,6 +1435,28 @@ object TextQueries {
          CAST((cum - n) % 256 AS BIGINT) AS seq_offset
        FROM c"""
 
+  /** q138: boilerplate n-gram mining (Curation.boilerplateNgrams) —
+    * top-30 2-grams by DOCUMENT frequency with a df ≥ 2 floor, the
+    * blocklist-builder that feeds q111-style filters. Per-doc distinct
+    * shingles in the scan, one gram-keyed partial agg, TakeOrdered
+    * heap; (df DESC, gram) total order makes the cut deterministic
+    * through the fixture's many df ties. */
+  val q138_boilerplate_ngrams: Q = (s, d) =>
+    graft.operators.Curation.boilerplateNgrams(
+      Tables.documents(s, d), "doc_id", "text", n = 2, k = 30,
+      minDf = 2)
+
+  val q138_boilerplate_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+         FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)),
+           i -> array_to_string(toks[i:i+1], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, unnest(shingles) gram FROM sh),
+       d2 AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram)
+       SELECT gram, CAST(df AS BIGINT) AS df FROM d2
+       WHERE df >= 2 ORDER BY df DESC, gram LIMIT 30"""
+
   /** q135: token-budget selection (Packing.tokenBudgetSelect) — the
     * cut that ends a data-selection pass: docs walk in priority order
     * (longest first: −n_chars, then doc_id) and survive while their
@@ -1762,6 +1784,7 @@ object TextQueries {
     "q134_sequence_packing" -> q134_sequence_packing,
     "q135_token_budget" -> q135_token_budget,
     "q136_shuffled_packing" -> q136_shuffled_packing,
+    "q138_boilerplate_ngrams" -> q138_boilerplate_ngrams,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1815,6 +1838,7 @@ object TextQueries {
     "q134_sequence_packing" -> q134_packing_oracle,
     "q135_token_budget" -> q135_budget_oracle,
     "q136_shuffled_packing" -> q136_shuffled_oracle,
+    "q138_boilerplate_ngrams" -> q138_boilerplate_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

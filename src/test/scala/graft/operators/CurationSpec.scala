@@ -74,6 +74,27 @@ class CurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("boilerplateNgrams counts DOCUMENT frequency (within-doc " +
+      "repeats count once), applies the df floor, and plans the top-k " +
+      "as a TakeOrdered heap") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now"), // 'buy now' 3x within ONE doc
+      (2L, "buy now and more stuff"),
+      (3L, "and more is here"),
+      (4L, "all unique words four"))
+    val got = Curation.boilerplateNgrams(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, k = 10, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    // df('buy now') = 2 DOCS (not 4 instances); 'and more' = 2;
+    // everything else df 1 → floored out
+    assert(got == Map("buy now" -> 2L, "and more" -> 2L,
+      "now buy" -> 1L).filter(_._2 >= 2))
+    val plan = Curation.boilerplateNgrams(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, k = 10, minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("verdicts are partitioning-independent") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text")
