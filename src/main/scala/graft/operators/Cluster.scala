@@ -52,7 +52,15 @@ object Cluster {
     * against inlined centroid literals — the exact (distance,
     * lowest-id) tiebreak via lexicographic least(). Pure projection:
     * no join, no shuffle, codegen'd. */
-  def nearestExpr(qvec: Column, cents: Array[Array[Long]]): Column =
+  def nearestExpr(qvec: Column, cents: Array[Array[Long]]): Column = {
+    // expression size grows with k·d; the coarse regime (k ≤ a few
+    // hundred) is the design point — beyond it, plan/codegen cost
+    // dominates and the IVF trainer's NearestCentroid matrix path
+    // (Similarity.scala) is the right tool. Guard loudly rather than
+    // degrade silently.
+    require(cents.length <= 1024,
+      s"nearestExpr inlines ${cents.length} centroid literals; beyond " +
+        "1024 use the IVF NearestCentroid matrix path instead")
     least(cents.zipWithIndex.map { case (c, j) =>
       struct(
         aggregate(
@@ -60,6 +68,7 @@ object Cluster {
           lit(0L), (acc, x) => acc + x).as("d2"),
         lit(j).as("cluster"))
     }.toIndexedSeq: _*)
+  }
 
   /** Train centroids only (`updates` Lloyd rounds from the
     * deterministic lowest-id seeds) over an ALREADY-QUANTIZED frame

@@ -1435,6 +1435,73 @@ object TextQueries {
          CAST((cum - n) % 256 AS BIGINT) AS seq_offset
        FROM c"""
 
+  /** q139: curation telemetry — the per-source funnel report a
+    * pipeline owner actually reads: docs/kept counts plus PER-RULE
+    * fire counts (reasons string exploded back to rules), one row per
+    * (source, rule) with an '_all' rollup row per source. Composes
+    * q133's funnel (zero-shuffle projection) with one source-keyed
+    * partial agg + one explode-agg; integer counts only. */
+  val q139_funnel_by_source: Q = (s, d) => {
+    val v = graft.operators.Curation.gopherFunnel(
+        Tables.documents(s, d), "doc_id", "text",
+        minTokens = 30, maxTokens = 90,
+        minAvgWordLenX10 = 40, maxAvgWordLenX10 = 100,
+        minStopwords = 2, maxTop2Pct = 20)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val totals = v.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("kept"), lit(1))).as("n_kept"))
+      .select(col("source"), lit("_all").as("rule"), col("n"),
+        col("n_kept"))
+    val byRule = v.filter(col("reasons") =!= "")
+      .select(col("source"),
+        explode(split(col("reasons"), ",")).as("rule"))
+      .groupBy(col("source"), col("rule"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_kept", lit(0L))
+    totals.unionByName(byRule)
+  }
+
+  val q139_funnel_src_oracle: String = {
+    val funnel = """SELECT s.doc_id, d.source, reasons,
+           (reasons = '') AS kept
+         FROM (SELECT doc_id,
+             concat_ws(',',
+               CASE WHEN n < 30 THEN 'too_short' END,
+               CASE WHEN n > 90 THEN 'too_long' END,
+               CASE WHEN chars * 10 < 40 * n
+                      OR chars * 10 > 100 * n THEN 'word_len' END,
+               CASE WHEN stop < 2 THEN 'stopwords' END,
+               CASE WHEN top2 * 2 * 100 >= 20 * n
+                    THEN 'repetition' END) AS reasons
+           FROM (SELECT doc_id, n, chars, stop,
+               COALESCE((SELECT max(c) FROM (
+                 SELECT count(*) c FROM (
+                   SELECT a[CAST(i AS INT)] || ' '
+                     || a[CAST(i + 1 AS INT)] AS gram
+                   FROM unnest(range(1, len(a))) u(i))
+                 GROUP BY gram)), 0) AS top2
+             FROM (SELECT doc_id, string_split(text, ' ') AS a,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                   w -> length(w))) AS BIGINT) AS chars,
+                 CAST(len(list_filter(string_split(text, ' '), w -> w IN
+                   ('the','a','of','and','to','in','is'))) AS BIGINT)
+                   AS stop
+               FROM documents))) s
+         JOIN documents d ON d.doc_id = s.doc_id"""
+    s"""WITH v AS ($funnel)
+       SELECT source, '_all' AS rule, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+       FROM v GROUP BY source
+       UNION ALL
+       SELECT source, u.rule, CAST(count(*) AS BIGINT),
+         CAST(0 AS BIGINT)
+       FROM v, unnest(string_split(reasons, ',')) u(rule)
+       WHERE reasons <> '' GROUP BY source, u.rule"""
+  }
+
   /** q138: boilerplate n-gram mining (Curation.boilerplateNgrams) —
     * top-30 2-grams by DOCUMENT frequency with a df ≥ 2 floor, the
     * blocklist-builder that feeds q111-style filters. Per-doc distinct
@@ -1785,6 +1852,7 @@ object TextQueries {
     "q135_token_budget" -> q135_token_budget,
     "q136_shuffled_packing" -> q136_shuffled_packing,
     "q138_boilerplate_ngrams" -> q138_boilerplate_ngrams,
+    "q139_funnel_by_source" -> q139_funnel_by_source,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1839,6 +1907,7 @@ object TextQueries {
     "q135_token_budget" -> q135_budget_oracle,
     "q136_shuffled_packing" -> q136_shuffled_oracle,
     "q138_boilerplate_ngrams" -> q138_boilerplate_oracle,
+    "q139_funnel_by_source" -> q139_funnel_src_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,
