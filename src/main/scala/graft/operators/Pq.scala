@@ -112,7 +112,7 @@ object Pq {
   /** Train + encode over an already-quantized (__id, __v) frame —
     * the shared back half of [[encode]] / [[encodeRotated]]. */
   private def encodeQuantized(q: DataFrame, idCol: String, dim: Int,
-      m: Int, k: Int, updates: Int)
+      m: Int, k: Int, updates: Int, passthrough: Seq[String] = Nil)
       : (DataFrame, Array[Array[Array[Long]]]) = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -161,13 +161,111 @@ object Pq {
       Cluster.nearestExpr(slice(col("__v"), s * dsub + 1, dsub), books(s))
         .as(s"__b$s")
     }
-    val enc = q.select(col("__id") +: nearest: _*)
-      .select(col("__id").as(idCol),
+    val enc = q.select(col("__id") +: nearest ++: passthrough.map(col): _*)
+      .select(col("__id").as(idCol) +:
         array((0 until m).map(s =>
-          col(s"__b$s").getField("cluster")): _*).as("codes"),
+          col(s"__b$s").getField("cluster")): _*).as("codes") +:
         (0 until m).map(s => col(s"__b$s").getField("d2"))
-          .reduce(_ + _).as("recon_d2"))
+          .reduce(_ + _).as("recon_d2") +:
+        passthrough.map(col): _*)
     (enc, books)
+  }
+
+  /** IVF-PQ — the FAISS-style composition that IS the billion-scale
+    * ANN shape: coarse-quantize with [[Cluster]]'s deterministic
+    * integer k-means, PQ-encode each vector's RESIDUAL against its
+    * coarse centroid (residuals are exact long subtractions, so the
+    * whole pipeline stays a pure function and gates bit-exactly), and
+    * search by probing only the nprobe coarse lists nearest the query
+    * — the candidate set shrinks by ~kCoarse/nprobe BEFORE any ADC
+    * work, which is what makes PQ search sublinear at corpus scale.
+    * Residual encoding is why IVF-PQ beats flat PQ at equal bits:
+    * within a list the residual energy is much smaller than raw
+    * vector energy, so the same k codes quantize it finer.
+    *
+    * Returns (encoded — (idCol, codes, recon_d2, list), coarse
+    * centroids, per-subspace codebooks). Scale shape: one coarse
+    * train (model-sized driver data), one residual projection off the
+    * shared quantized checkpoint, then [[encode]]'s per-subspace
+    * training; persist the encoded frame partitioned by `list` (the
+    * [[graft.operators.Similarity]] IVF index layout) and the probe
+    * becomes partition-pruned I/O. */
+  def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int, m: Int, k: Int, updates: Int = 1,
+      scale: Long = 10000L)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val q = df.select(col(idCol).as("__id"),
+        Cluster.quantize(col(vecCol), scale).as("__v"))
+      .localCheckpoint()
+    val coarse = Cluster.fitCentroids(q, kCoarse, updates)
+    val cents2d = typedLit(coarse.map(_.toSeq).toSeq)
+    // residuals in a SEPARATE projection from the argmin struct (the
+    // fitCentroids staged-select lesson), then checkpointed: shared by
+    // the m training loops and the final encode
+    val resid = q
+      .select(col("__id"), col("__v"),
+        Cluster.nearestExpr(col("__v"), coarse)
+          .getField("cluster").as("list"))
+      .select(col("__id"),
+        zip_with(col("__v"), element_at(cents2d, col("list") + 1),
+          (a, b) => a - b).as("__v"),
+        col("list"))
+      .localCheckpoint()
+    val (enc, books) =
+      encodeQuantized(resid, idCol, dim, m, k, updates, Seq("list"))
+    (enc, coarse, books)
+  }
+
+  /** ADC search over an [[encodeIvfPq]] index: rank the coarse lists
+    * by exact integer distance to the query, probe the nearest
+    * `nprobe`, and ADC each candidate against the QUERY RESIDUAL of
+    * its own list (per-(list, subspace) lookup tables computed
+    * driver-side — nprobe·m·k longs — and selected per row by a
+    * when-chain on the list column). Only rows of probed lists are
+    * read (partition-pruned when the frame is persisted by list);
+    * (adc_d2, id) total order. Output: (idCol, list, adc_d2). */
+  def ivfPqTopN(encoded: DataFrame, idCol: String,
+      coarse: Array[Array[Long]], books: Array[Array[Array[Long]]],
+      queryVec: Array[Float], nprobe: Int, n: Int,
+      scale: Long = 10000L): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val qq = queryVec.map(x => math.floor(x.toDouble * scale).toLong)
+    require(qq.length == m * dsub,
+      s"query dim ${qq.length} != ${m * dsub}")
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probed = coarse.zipWithIndex
+      .map { case (c, j) => (d2(qq, c), j) }.sorted.take(nprobe)
+      .map(_._2)
+    // per-list ADC tables over the query's residual for THAT list
+    val tables: Map[Int, Array[Array[Long]]] = probed.map { l =>
+      val qr = qq.zip(coarse(l)).map { case (a, b) => a - b }
+      l -> books.zipWithIndex.map { case (book, s) =>
+        book.map { c =>
+          var acc = 0L; var i = 0
+          while (i < dsub) {
+            val diff = qr(s * dsub + i) - c(i); acc += diff * diff
+            i += 1
+          }
+          acc
+        }
+      }
+    }.toMap
+    val adc = probed.map { l =>
+      when(col("list") === l,
+        (0 until m).map(s =>
+            element_at(typedLit(tables(l)(s).toSeq),
+              col("codes").getItem(s) + 1))
+          .reduce(_ + _))
+    }.reduceRight(_ otherwise _) // right fold: one otherwise per when
+    encoded.filter(col("list").isin(probed.map(Int.box): _*))
+      .select(col(idCol), col("list"), adc.as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol)).limit(n)
   }
 
   /** ADC top-n: approximate nearest neighbours of one query vector

@@ -696,6 +696,102 @@ object VectorQueries {
        FROM a2_0 $joins"""
   }
 
+  /** Coarse(k=8) assignment + residual qv for the IVF-PQ oracles:
+    * kmeansAssignSql's CTE chain (q/c0/a1/s1/c1/a2 — no collision
+    * with the subspace CTEs), residuals against the FINAL centroids,
+    * renamed into the qv contract pqBaseSqlFrom expects. */
+  private val ivfPqQv: String =
+    kmeansAssignSql.stripPrefix("WITH ") + """,
+       rqv AS (SELECT a2.vec_id, a2.cid AS list,
+           list_transform(range(1, 65),
+             i -> a2.v[CAST(i AS INT)] - c1.v[CAST(i AS INT)]) AS v
+         FROM a2 JOIN c1 ON c1.cid = a2.cid),
+       qv AS (SELECT vec_id, v FROM rqv)"""
+
+  /** q140: IVF-PQ encode (Pq.encodeIvfPq scaladoc — the FAISS-style
+    * coarse+residual composition): deterministic coarse k-means, PQ
+    * codes of exact long RESIDUALS, coarse list carried per row. The
+    * oracle replays coarse train→assign, residual computation, and
+    * all eight subspace Lloyd runs over the residuals — any defect in
+    * the residual arithmetic or list routing breaks the hash. */
+  val q140_ivfpq_encode: Q = (s, d) => {
+    val (enc, _, _) = graft.operators.Pq.encodeIvfPq(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      kCoarse = 8, m = pqM, k = pqK, updates = 1)
+    enc.select(col("vec_id") +: col("list") +:
+      (0 until pqM).map(i =>
+        element_at(col("codes"), i + 1).as(s"c$i")) :+
+      col("recon_d2"): _*)
+  }
+
+  val q140_oracle: String = {
+    val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
+    val joins = (0 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = r.vec_id").mkString(" ")
+    val recon = (0 until pqM).map(s => s"a2_$s.d2").mkString(" + ")
+    s"""${pqBaseSqlFrom(ivfPqQv)}
+       SELECT r.vec_id, CAST(r.list AS INT) AS list, $encCols,
+         CAST($recon AS BIGINT) AS recon_d2
+       FROM rqv r $joins"""
+  }
+
+  /** q141: IVF-PQ probed ADC search — rank coarse lists by exact
+    * integer distance to the query, probe the nearest 3 of 8, ADC
+    * each candidate against the query's residual FOR ITS OWN LIST
+    * (per-list lookup tables; the when-chain on the list column is
+    * the in-plan analogue of the per-partition table an executor
+    * would hold). Only probed-list rows are scanned; (adc_d2, vec_id)
+    * total order. The oracle rebuilds probe selection, per-list query
+    * residuals, and all nprobe·m lookup tables in SQL. */
+  val q141_ivfpq_search: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (enc, coarse, books) = graft.operators.Pq.encodeIvfPq(emb,
+      "vec_id", "embedding", kCoarse = 8, m = pqM, k = pqK, updates = 1)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Pq.ivfPqTopN(enc, "vec_id", coarse, books, qvec,
+      nprobe = 3, n = 20)
+  }
+
+  val q141_oracle: String = {
+    val tsubs = (0 until pqM).map { s =>
+      val off = s * pqDsub
+      s"""t$s AS (SELECT qres.cid AS pcid, c.cid AS code,
+         CAST(list_sum(list_transform(range(1, ${pqDsub + 1}),
+           i -> (list_slice(qres.v, ${off + 1}, ${off + pqDsub})[CAST(i AS INT)]
+                  - c.v[CAST(i AS INT)])
+              * (list_slice(qres.v, ${off + 1}, ${off + pqDsub})[CAST(i AS INT)]
+                  - c.v[CAST(i AS INT)]))) AS BIGINT) AS d2
+         FROM qres CROSS JOIN c1_$s c)"""
+    }
+    val aJoins = (0 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = r.vec_id").mkString(" ")
+    val tJoins = (0 until pqM)
+      .map(s => s"JOIN t$s ON t$s.pcid = r.list AND t$s.code = a2_$s.cid")
+      .mkString(" ")
+    val adcSum = (0 until pqM).map(s => s"t$s.d2").mkString(" + ")
+    s"""${pqBaseSqlFrom(ivfPqQv)},
+       qz AS (SELECT v FROM q WHERE vec_id = 0),
+       cd AS (SELECT c1.cid, CAST(list_sum(list_transform(range(1, 65),
+           i -> (qz.v[CAST(i AS INT)] - c1.v[CAST(i AS INT)])
+              * (qz.v[CAST(i AS INT)] - c1.v[CAST(i AS INT)])))
+           AS BIGINT) AS d2
+         FROM c1 CROSS JOIN qz),
+       probe AS (SELECT cid FROM (SELECT cid,
+           row_number() OVER (ORDER BY d2, cid) AS rn FROM cd)
+         WHERE rn <= 3),
+       qres AS (SELECT c1.cid, list_transform(range(1, 65),
+           i -> qz.v[CAST(i AS INT)] - c1.v[CAST(i AS INT)]) AS v
+         FROM c1 CROSS JOIN qz
+         WHERE c1.cid IN (SELECT cid FROM probe)),
+       ${tsubs.mkString(",\n       ")}
+       SELECT r.vec_id, CAST(r.list AS INT) AS list,
+         CAST($adcSum AS BIGINT) AS adc_d2
+       FROM rqv r $aJoins $tJoins
+       WHERE r.list IN (SELECT cid FROM probe)
+       ORDER BY adc_d2, r.vec_id LIMIT 20"""
+  }
+
   /** q132: hard-negative mining (Similarity.hardNegatives scaladoc —
     * the DPR contrastive-training recipe): for each of the first 8
     * anchor vectors, the 5 most cosine-similar vectors with a
@@ -752,6 +848,8 @@ object VectorQueries {
     "q129_pq_rotated_encode" -> q129_pq_rotated_encode,
     "q131_pq_rotated_adc" -> q131_pq_rotated_adc,
     "q132_hard_negatives" -> q132_hard_negatives,
+    "q140_ivfpq_encode" -> q140_ivfpq_encode,
+    "q141_ivfpq_search" -> q141_ivfpq_search,
     "q119_cluster_sample" -> q119_cluster_sample,
     "q123_pq_encode" -> q123_pq_encode,
     "q124_pq_adc_topk" -> q124_pq_adc_topk,
@@ -778,6 +876,8 @@ object VectorQueries {
     "q129_pq_rotated_encode" -> q129_oracle,
     "q131_pq_rotated_adc" -> q131_oracle,
     "q132_hard_negatives" -> q132_oracle,
+    "q140_ivfpq_encode" -> q140_oracle,
+    "q141_ivfpq_search" -> q141_oracle,
     "q119_cluster_sample" -> q119_oracle,
     "q123_pq_encode" -> q123_oracle,
     "q124_pq_adc_topk" -> q124_oracle,

@@ -69,6 +69,51 @@ class PqSpec extends SparkSuite {
     assert(a.forall(_._2.forall(c => c >= 0 && c < 8)))
   }
 
+  test("IVF-PQ: residuals equal v minus the assigned coarse centroid, " +
+      "codes equal flat PQ over those residuals, and probed ADC " +
+      "matches a driver-side replay restricted to the probed lists") {
+    val df = emb.take(100).toDF("vec_id", "embedding")
+    val (enc, coarse, books) = Pq.encodeIvfPq(df, "vec_id", "embedding",
+      kCoarse = 4, m = 4, k = 8, updates = 1)
+    val rows = enc.as[(Long, Seq[Int], Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // replay: quantize + coarse-assign driver-side
+    val qv = emb.take(100).map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000L).toLong).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    qv.foreach { case (id, v) =>
+      val list = coarse.zipWithIndex
+        .map { case (c, j) => (d2(v, c), j) }.min._2
+      assert(rows(id)._3 == list, s"coarse list for $id")
+      // recon_d2 equals the codes' reconstruction of the RESIDUAL
+      val resid = v.zip(coarse(list)).map { case (a, b) => a - b }
+      val rec = (0 until 4).map { s =>
+        d2(resid.slice(s * 16, s * 16 + 16), books(s)(rows(id)._1(s)))
+      }.sum
+      assert(rows(id)._2 == rec, s"recon for $id")
+    }
+    // probed search replay
+    val qvec = emb.head._2.toArray
+    val qq = qvec.map(x => math.floor(x.toDouble * 10000L).toLong)
+    val got = Pq.ivfPqTopN(enc, "vec_id", coarse, books, qvec,
+        nprobe = 2, n = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    val probed = coarse.zipWithIndex.map { case (c, j) => (d2(qq, c), j) }
+      .sorted.take(2).map(_._2).toSet
+    val expect = rows.toSeq.collect {
+      case (id, (codes, _, list)) if probed(list) =>
+        val qr = qq.zip(coarse(list)).map { case (a, b) => a - b }
+        val adc = (0 until 4).map { s =>
+          d2(qr.slice(s * 16, s * 16 + 16), books(s)(codes(s)))
+        }.sum
+        (id, list, adc)
+    }.sortBy(r => (r._3, r._1)).take(10)
+    assert(got == expect)
+    assert(got.forall(r => probed(r._2))) // never reads unprobed lists
+  }
+
   test("adcTopNRotated replays exactly: fwhtLocal on the query equals " +
       "the corpus-side rotation, and scores match a driver-side table " +
       "walk over the rotated codes") {
