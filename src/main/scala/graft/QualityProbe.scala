@@ -114,6 +114,51 @@ object QualityProbe {
     }
     val pqMeanRecall = pqPerQuery.map(_._2).sum / pqPerQuery.size
 
+    // --- rotated-PQ recall at the same operating point ---------------
+    // The Hadamard pre-rotation (q129/q131) spreads per-coordinate
+    // energy across subspaces; whether that helps at THIS m/k point on
+    // near-isotropic embeddings is an empirical number worth trending
+    // next to pq_recall_at_20 (isotropic inputs are the null case —
+    // OPQ's wins come from anisotropy, so parity here is expected and
+    // a DROP would flag a rotation bug).
+    val (encRot, rotBooks) = operators.Pq.encodeRotated(emb, "vec_id",
+      "embedding", m = 8, k = 16, updates = 1)
+    val encRotCached = encRot.localCheckpoint()
+    val rotPerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val exact = allVecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      val adc = operators.Pq.adcTopNRotated(encRotCached, "vec_id",
+          rotBooks, qv, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (adc & exact).size.toDouble / k
+    }
+    val rotMeanRecall = rotPerQuery.map(_._2).sum / rotPerQuery.size
+
+    // --- IVF-PQ recall at probe-16-of-64 (the q140/q141 family at a
+    // budgeted operating point; the gate itself probes 3-of-8 and is
+    // oracle-exact, so only the approximation quality needs a trend).
+    // Residual coding should beat flat PQ at equal code budget.
+    val (encIvf, ivfCoarse, ivfBooks) = operators.Pq.encodeIvfPq(emb,
+      "vec_id", "embedding", kCoarse = 64, m = 8, k = 16, updates = 1)
+    val encIvfCached = encIvf.localCheckpoint()
+    val ivfPqPerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val exact = allVecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      val adc = operators.Pq.ivfPqTopN(encIvfCached, "vec_id",
+          ivfCoarse, ivfBooks, qv, nprobe = 16, n = k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (adc & exact).size.toDouble / k
+    }
+    val ivfPqMeanRecall = ivfPqPerQuery.map(_._2).sum / ivfPqPerQuery.size
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -142,6 +187,9 @@ object QualityProbe {
         s""""pq_m":8,"pq_k":16,""" +
         s""""pq_per_query":{${pqPerQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
+        s""""pq_rotated_recall_at_20":${s3(rotMeanRecall)},""" +
+        s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
+        s""""ivfpq_lists":64,"ivfpq_probes":16,""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
         s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>
           s"\"$g\":${s3(e)}" }.mkString(",")}}}"""
