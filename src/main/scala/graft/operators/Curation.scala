@@ -86,6 +86,63 @@ object Curation {
       .withColumn("kept", col("reasons") === "")
   }
 
+  /** Per-document CHARACTER-level junk signals, all exact integers —
+    * the cheap filters that catch what token-level rules can't see
+    * (key-mash, "aaaa…", "!!!!" padding, binary-ish spillover):
+    *
+    *  - `simpson_num` = Σ_c n_c·(n_c−1) over character frequencies —
+    *    the Simpson concentration numerator (probability ×N(N−1) that
+    *    two random character draws match). EXACT integer, unlike the
+    *    Shannon-entropy formulation whose ln() would force a rank
+    *    surface; `concentration` divides by N(N−1) once, for
+    *    thresholding (0 = all distinct, 1 = one repeated char).
+    *  - `max_char_run` — longest run of one repeated character, the
+    *    direct "!!!!!!" detector.
+    *
+    * Scale shape: ONE stateless projection, zero shuffles — frequency
+    * counts come from a sort+fold over the char array (the
+    * [[gopherFunnel]] modal-2-gram trick) and the run length from the
+    * same fold over the UNSORTED array; streaming-safe like the
+    * funnel. */
+  def charStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    // fold(chars) → struct(prev, run, acc) where acc accumulates
+    // f(run) at each run boundary; finish adds the last run's f.
+    def runFold(arr: Column, f: Column => Column): Column =
+      aggregate(arr,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (a, ch) => {
+          val same = ch === a.getField("prev")
+          struct(ch.as("prev"),
+            when(same, a.getField("run") + 1).otherwise(lit(1L))
+              .as("run"),
+            when(same, a.getField("acc"))
+              .otherwise(a.getField("acc") + f(a.getField("run")))
+              .as("acc"))
+        },
+        a => a.getField("acc") + f(a.getField("run")))
+    def maxRunFold(arr: Column): Column =
+      aggregate(arr,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (a, ch) => {
+          val run = when(ch === a.getField("prev"),
+            a.getField("run") + 1).otherwise(lit(1L))
+          struct(ch.as("prev"), run.as("run"),
+            greatest(a.getField("best"), run).as("best"))
+        },
+        a => a.getField("best"))
+    val n = length(col(textCol)).cast("long")
+    docs.select(col(idCol).as("doc_id"), n.as("n_chars"),
+      runFold(array_sort(chars), r => r * (r - 1)).as("simpson_num"),
+      maxRunFold(chars).as("max_char_run"))
+      .withColumn("concentration",
+        when(col("n_chars") >= 2,
+          col("simpson_num").cast("double") /
+            (col("n_chars") * (col("n_chars") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Corpus-level boilerplate mining — the top-k n-grams by DOCUMENT
     * frequency above a floor: the list a curation pass reviews and
     * turns into its line/span blocklists (the C4-style filters consume

@@ -1,3 +1,4 @@
+// (leakage-safe split lives at the bottom of this file)
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -71,6 +72,30 @@ object Sample {
         when(h < lit(th), lit(name)).otherwise(other)
       }
     df.withColumn("split", assigned)
+  }
+
+  /** LEAKAGE-SAFE split: [[splitAssign]] at the duplicate-GROUP grain.
+    * A per-document split leaks whenever near-identical documents land
+    * on both sides (the classic eval-contamination bug a later
+    * decontamination pass then has to mop up); here every member of a
+    * duplicate group inherits the split of the group's KEEPER (min id
+    * per `key` — a fingerprint, a fold key, or a connected-component
+    * id from the near-dup family), so a group is atomically train OR
+    * val OR test. Same md5 "split:" salt as [[splitAssign]]: splitting
+    * an already-deduplicated corpus by keeper id gives bit-identical
+    * assignments.
+    *
+    * Scale shape: one key-grouped partial agg for the keepers (group
+    * count rows, not corpus rows, ride the exchange), the per-row hash
+    * assignment on that group frame, and one key-keyed equi-join back
+    * — AQE-splittable under group skew, no window over key content. */
+  def groupedSplitAssign(df: DataFrame, idCol: String, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val keepers = df.groupBy(key.as("__k"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val assigned = splitAssign(keepers, "__keeper", splits)
+      .select(col("__k"), col("split"))
+    df.withColumn("__k", key).join(assigned, Seq("__k")).drop("__k")
   }
 
   /** Deterministic data mixing: per-stratum keep rates (the training-

@@ -1502,6 +1502,88 @@ object TextQueries {
        WHERE reasons <> '' GROUP BY source, u.rule"""
   }
 
+  /** q143: leakage-safe train/val/test split
+    * (Sample.groupedSplitAssign) — split assignment at the
+    * duplicate-GROUP grain so exact copies can never straddle a
+    * split boundary: the corpus doubles every document under a
+    * remapped id (the q37/q63 near-dup shape), the group key is the
+    * md5 text fingerprint, and each copy inherits the KEEPER's
+    * 80/10/10 assignment. The oracle recomputes keeper selection and
+    * the salted-hash thresholds closed-form — a per-doc (leaky)
+    * assignment differs for every remapped twin whose own hash
+    * crosses a boundary, so leakage-safety is what the hash gate
+    * checks. */
+  val q143_grouped_split: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    graft.operators.Sample.groupedSplitAssign(corpus, "doc_id",
+        fingerprint(col("text")),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+  }
+
+  val q143_grouped_split_oracle: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents),
+       k AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper
+         FROM u GROUP BY md5(lower(text))),
+       a AS (SELECT fp,
+           CASE WHEN substr(md5('split:' || keeper), 1, 8) < 'cccccccc'
+                THEN 'train'
+                WHEN substr(md5('split:' || keeper), 1, 8) < 'e6666666'
+                THEN 'val'
+                ELSE 'test' END AS split
+         FROM k)
+       SELECT u.doc_id, a.split
+       FROM u JOIN a ON a.fp = md5(lower(u.text))"""
+
+  /** q142: character-level junk signals (Curation.charStats) — exact
+    * Simpson concentration Σ n_c(n_c−1) and longest char run per doc,
+    * computed as per-row folds (zero shuffles; the entropy-style
+    * filter WITHOUT the ln() that would force a rank surface). The
+    * fixture appends a doc_id-length '!' run to each text so
+    * max_char_run varies corpus-wide and the run logic is
+    * load-bearing; the oracle recomputes frequencies by char and runs
+    * by gaps-and-islands. */
+  val q142_char_stats: Q = (s, d) =>
+    graft.operators.Curation.charStats(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          repeat(lit("!"), (col("doc_id") % 7 + 2).cast("int")))
+          .as("page")),
+      "doc_id", "page")
+
+  val q142_char_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         text || ' ' || repeat('!', CAST(doc_id % 7 + 2 AS INT)) AS p
+       FROM documents),
+       ch AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           substr(p, CAST(i AS INT), 1) AS c
+         FROM t, unnest(range(1, length(p) + 1)) u(i)),
+       g AS (SELECT doc_id, c, count(*) AS cnt FROM ch
+         GROUP BY doc_id, c),
+       simp AS (SELECT doc_id,
+           CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS simpson_num
+         FROM g GROUP BY doc_id),
+       r AS (SELECT doc_id, c,
+           i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i)
+             AS grp
+         FROM ch),
+       runs AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_char_run
+         FROM (SELECT doc_id, c, grp, count(*) AS cnt FROM r
+               GROUP BY doc_id, c, grp) GROUP BY doc_id)
+       SELECT t.doc_id, CAST(length(t.p) AS BIGINT) AS n_chars,
+         simp.simpson_num, runs.max_char_run,
+         CASE WHEN length(t.p) >= 2 THEN
+           CAST(simp.simpson_num AS DOUBLE)
+             / CAST(length(t.p) * (CAST(length(t.p) AS BIGINT) - 1)
+                    AS DOUBLE)
+         ELSE 0.0 END AS concentration
+       FROM t JOIN simp ON simp.doc_id = t.doc_id
+       JOIN runs ON runs.doc_id = t.doc_id"""
+
   /** q138: boilerplate n-gram mining (Curation.boilerplateNgrams) —
     * top-30 2-grams by DOCUMENT frequency with a df ≥ 2 floor, the
     * blocklist-builder that feeds q111-style filters. Per-doc distinct
@@ -1853,6 +1935,8 @@ object TextQueries {
     "q136_shuffled_packing" -> q136_shuffled_packing,
     "q138_boilerplate_ngrams" -> q138_boilerplate_ngrams,
     "q139_funnel_by_source" -> q139_funnel_by_source,
+    "q142_char_stats" -> q142_char_stats,
+    "q143_grouped_split" -> q143_grouped_split,
     "q122_winnow_fingerprints" -> q122_winnow_fingerprints,
     "q32_dedup_survivors" -> q32_dedup_survivors,
     "q33_simhash_pairs" -> q33_simhash_pairs,
@@ -1908,6 +1992,8 @@ object TextQueries {
     "q136_shuffled_packing" -> q136_shuffled_oracle,
     "q138_boilerplate_ngrams" -> q138_boilerplate_oracle,
     "q139_funnel_by_source" -> q139_funnel_src_oracle,
+    "q142_char_stats" -> q142_char_oracle,
+    "q143_grouped_split" -> q143_grouped_split_oracle,
     "q122_winnow_fingerprints" -> q122_oracle,
     "q32_dedup_survivors" -> q32_oracle,
     "q33_simhash_pairs" -> q33_oracle,

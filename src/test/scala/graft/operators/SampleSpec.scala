@@ -120,6 +120,39 @@ class SampleSpec extends SparkSuite {
       == n.toLong)
   }
 
+  test("groupedSplitAssign never splits a duplicate group, agrees " +
+      "with splitAssign on keeper ids, and is partitioning-" +
+      "independent") {
+    import graft.functions.TextFunctions.fingerprint
+    val base = (0L until 200L).map(i => (i, s"text number ${i % 50}"))
+    // 4 copies of each of 50 texts, ids interleaved
+    val df = base.toDF("id", "text")
+    val got = Sample.groupedSplitAssign(df, "id", fingerprint($"text"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select($"id", $"text", $"split")
+      .as[(Long, String, String)].collect()
+    assert(got.length == 200)
+    // leakage-safety: one split per text group
+    val perGroup = got.groupBy(_._2).values
+    assert(perGroup.forall(_.map(_._3).toSet.size == 1))
+    // keeper semantics: group split == splitAssign of the min id
+    val keeperSplit = Sample.splitAssign(
+        base.groupBy(_._2).values.map(_.map(_._1).min).toSeq
+          .toDF("id"), "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (_, text, split) =>
+      val keeper = base.filter(_._2 == text).map(_._1).min
+      assert(split == keeperSplit(keeper))
+    }
+    // partitioning independence
+    val rep = Sample.groupedSplitAssign(df.repartition(7), "id",
+        fingerprint($"text"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(rep == got.map(r => r._1 -> r._3).toMap)
+  }
+
   test("capPerKey keeps the first cap rows per key under a total " +
       "order, independent of partitioning; WindowGroupLimit in plan") {
     val rows = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("a", 4L),
