@@ -86,6 +86,62 @@ object Graph {
     r
   }
 
+  /** Resume power iteration from a FROZEN rank snapshot — the
+    * incremental-refresh pattern: a pipeline that recomputes host
+    * ranks nightly does not restart from uniform; it loads yesterday's
+    * vector and runs one or two supersteps over the (possibly updated)
+    * edge set. Same exact integer arithmetic and update rule as
+    * [[pageRank]]; the initial vector comes from `init` (nodeCol,
+    * prCol) instead of scale/N, nodes absent from the snapshot (new
+    * hosts) start at 0 and earn rank through inflow plus their
+    * teleport term from the CURRENT node count. Resuming k extra
+    * rounds from a k₀-round snapshot over the SAME edges equals
+    * running k₀+k rounds from scratch, bit-for-bit — the q144 gate
+    * pins exactly that identity against an unrolled oracle.
+    *
+    * Scale shape: [[pageRank]]'s per-round superstep (edges ⋈ ranks →
+    * dst-keyed partial-sum agg) plus one node-keyed join to seed the
+    * loop from the snapshot. */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      init: DataFrame, nodeCol: String, prCol: String, iters: Int = 1,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen not in [0,1]")
+    require(scale > 0 && dampNum <= Long.MaxValue / scale,
+      "dampNum * scale must not overflow a long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankFrom on an empty graph")
+    val t = (scale / n) * (dampDen - dampNum) / dampDen
+    val eo = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
+      .localCheckpoint()
+    var r = nodes
+      .join(init.select(col(nodeCol).as("node"),
+        col(prCol).cast("long").as("__pr0")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__pr0"), lit(0L)).as("pr"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = eo.join(r, eo("src") === r("node"))
+        .select(eo("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("infl"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(t) + expr(s"($dampNum * coalesce(infl, 0L)) div $dampDen"))
+            .as("pr"))
+      r = if (i == iters - 1) next else next.localCheckpoint()
+      i += 1
+    }
+    r
+  }
+
   /** Personalized PageRank with a seed-restricted teleport — TrustRank
     * (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web Spam with
     * TrustRank", VLDB 2004): rank mass enters ONLY at a curated seed

@@ -268,6 +268,34 @@ object GraphQueries {
          min(anchor) AS first_anchor
        FROM a GROUP BY link"""
 
+  /** q144: incremental rank refresh (Graph.pageRankFrom) — resume
+    * power iteration from a frozen snapshot: q115's 4-round vector
+    * feeds ONE more superstep, and the result must equal 5 rounds
+    * from scratch bit-for-bit (the oracle unrolls all five). This is
+    * the nightly-refresh contract: snapshot + k supersteps ==
+    * continuous k₀+k, so a pipeline can refresh ranks without a full
+    * recompute and trust the numbers to be identical. */
+  val q144_rank_refresh: Q = (s, d) => {
+    val snapshot = Graph.pageRank(hostEdges(s, d), "src", "dst",
+      iters = 4)
+    Graph.pageRankFrom(hostEdges(s, d), "src", "dst",
+      snapshot, "node", "pr", iters = 1)
+  }
+
+  val q144_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       e AS (SELECT DISTINCT src, dst FROM inst),
+       nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       r0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS r
+              FROM nodes),
+       ${prIterSql(1)},
+       ${prIterSql(2)},
+       ${prIterSql(3)},
+       ${prIterSql(4)},
+       ${prIterSql(5)}
+       SELECT v AS node, CAST(r AS BIGINT) AS pr FROM r5"""
+
   /** q127: anchor-text relevance join — the anchor INDEX (q121's
     * per-target aggregate) joined back to the documents as a per-doc
     * quality feature, the way link-graph curation attaches "how is
@@ -345,7 +373,8 @@ object GraphQueries {
     "q120_extract_anchors" -> q120_extract_anchors,
     "q121_anchor_text_agg" -> q121_anchor_text_agg,
     "q125_trustrank" -> q125_trustrank,
-    "q127_anchor_relevance" -> q127_anchor_relevance)
+    "q127_anchor_relevance" -> q127_anchor_relevance,
+    "q144_rank_refresh" -> q144_rank_refresh)
 
   val oracles: Map[String, String] = Map(
     "q115_host_pagerank" -> q115_oracle,
@@ -353,5 +382,6 @@ object GraphQueries {
     "q120_extract_anchors" -> q120_oracle,
     "q121_anchor_text_agg" -> q121_oracle,
     "q125_trustrank" -> q125_oracle,
-    "q127_anchor_relevance" -> q127_oracle)
+    "q127_anchor_relevance" -> q127_oracle,
+    "q144_rank_refresh" -> q144_oracle)
 }

@@ -66,6 +66,27 @@ class GraphSpec extends SparkSuite {
     assert(pr(0L) > 3 * (1L to 10L).map(pr).max)
   }
 
+  test("pageRankFrom: resuming k rounds from a k0-round snapshot " +
+      "equals k0+k rounds from scratch, and unknown nodes start at 0") {
+    val inst = mkEdges(19, 150)
+    val full = Graph.pageRank(inst.toDF("src", "dst"), "src", "dst",
+        iters = 6)
+      .as[(Long, Long)].collect().toMap
+    val snap = Graph.pageRank(inst.toDF("src", "dst"), "src", "dst",
+      iters = 4)
+    val resumed = Graph.pageRankFrom(inst.toDF("src", "dst"),
+        "src", "dst", snap, "node", "pr", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == full) // bit-for-bit resume identity
+    // a snapshot missing some nodes: they restart from 0 + teleport
+    val partial = snap.filter($"node" < 5)
+    val got = Graph.pageRankFrom(inst.toDF("src", "dst"),
+        "src", "dst", partial, "node", "pr", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == full.keySet) // every node still ranked
+    assert(got.values.forall(_ >= 0))
+  }
+
   /** Scala reference of the seed-teleport contract
     * (Graph.personalizedPageRank scaladoc). */
   private def refTrustRank(edges: Set[(Long, Long)], seeds: Set[Long],
