@@ -232,6 +232,73 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Hadamard rotation is a scaled involution (H(Hx) = d·x) and " +
+      "preserves exact distance ratios on arbitrary integer vectors") {
+    import graft.operators.Pq
+    val d = 16
+    val genVec = Gen.listOfN(d, Gen.choose(-1000L, 1000L))
+    samples(Gen.listOfN(3, genVec), 20).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val once = Pq.hadamardRotate(df, "v", d)
+        .as[(Long, Seq[Long])].collect().toMap
+      val twice = Pq.hadamardRotate(
+          Pq.hadamardRotate(df, "v", d), "v", d)
+        .as[(Long, Seq[Long])].collect().toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(twice(i.toLong) == v.map(_ * d), s"involution at $i")
+        // driver-side FWHT agrees with the column path
+        assert(Pq.fwhtLocal(v.toArray).toSeq == once(i.toLong))
+      }
+      // exact uniform distance scaling between the three vectors
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      for (i <- 0 until 3; j <- (i + 1) until 3) {
+        assert(d2(once(i.toLong), once(j.toLong)) ==
+          d * d2(vecs(i), vecs(j)))
+      }
+    }
+  }
+
+  test("sequence packing conserves tokens exactly and tiles sequences " +
+      "with no gaps for arbitrary length lists") {
+    import graft.operators.Packing
+    val genLens = Gen.listOfN(40, Gen.choose(0L, 50L))
+    samples(genLens, 10).foreach { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val got = Packing.concatChunk(docs.toDF("id", "n"), "id", "n",
+          seqLen = 32)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1)
+      // offsets tile exactly: tok_start(i+1) = tok_start(i) + n(i)
+      got.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._2)
+        case _ =>
+      }
+      assert(got.head._3 == 0)
+      // total conservation + consistent first/last/offset arithmetic
+      assert(got.map(_._2).sum == lens.sum)
+      got.foreach { case (_, n, start, first, last, off) =>
+        assert(first == start / 32 && off == start % 32)
+        assert(last == (if (n > 0) (start + n - 1) / 32 else first))
+      }
+    }
+  }
+
+  test("leakage-safe splits assign every row, never split a group, " +
+      "and roughly respect the requested fractions") {
+    import graft.operators.Sample
+    val docs = (0L until 600L).map(i => (i, s"g${i % 150}"))
+    val got = Sample.groupedSplitAssign(docs.toDF("id", "text"), "id",
+        org.apache.spark.sql.functions.md5($"text"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .as[(Long, String, String)].collect()
+    assert(got.length == 600)
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).toSet.size == 1))
+    val trainFrac = got.count(_._3 == "train").toDouble / got.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
+  }
+
   test("JWS ES384 raw<->DER signature conversion roundtrips arbitrary " +
       "(r, s) values including high-bit and short ones") {
     import graft.api.Jwt.{derToRaw, rawToDer}
