@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via PREFIX FILTERING — the deterministic
+  * counterpart to the MinHash/SimHash family in [[Dedup]]: identical
+  * output to the exact all-pairs Jaccard join, but candidate generation
+  * reads only each set's df-rarest prefix (AllPairs, Bayardo et al.
+  * WWW'07; PPJoin, Xiao et al. WWW'08 Lemma 1).
+  *
+  * Why a second candidate generator when LSH already exists: LSH is
+  * probabilistic — its gates hold because the band parameters make the
+  * miss probability negligible AT the threshold, and every new
+  * (threshold, corpus) pairing needs that argument re-made. Prefix
+  * filtering is an inequality, not a coin flip: for a global token
+  * order and overlap bound alpha, any pair with |A∩B| >= alpha shares a
+  * token inside the (|A|-alpha+1)-prefixes of BOTH sets, so the
+  * candidate set provably contains every qualifying pair at every
+  * threshold. jac(A,B) >= t implies |A∩B| >= ceil(t·max(|A|,|B|)) >=
+  * ceil(t·|A|), so the per-set prefix |A| - ceil(t·|A|) + 1 is always
+  * long enough.
+  *
+  * Scale design: the global order is ASCENDING document frequency, so
+  * prefixes hold each set's RAREST shingles — the inverted index that
+  * candidates join through is built over exactly the tokens with the
+  * smallest postings lists. That is the skew story: bucket cost is
+  * Σ df² over PREFIX tokens only, and a token's presence in prefixes
+  * shrinks as its df grows (a boilerplate shingle shared by a million
+  * docs sits at the very END of the df order and never enters a prefix
+  * unless a set is nearly all boilerplate). No probabilistic cap, no
+  * dropped pairs. Threshold is a rational tNum/tDen so the filter is
+  * exact integer arithmetic in both engines (the house double rule).
+  */
+object PrefixJoin {
+
+  /** All pairs with n-gram-shingle Jaccard >= tNum/tDen, exactly.
+    * Output: (id_a, id_b, common, na, nb, jac) — the [[
+    * Dedup.ngramJaccardPairs]] surface, so oracles and survivors
+    * compose unchanged.
+    *
+    * Plan: shingle scan (repartition barrier shared by rerank) →
+    * explode → df agg (one shuffle on shingle) → per-doc rank window
+    * (df ASC, shingle ASC — a TOTAL order, so prefixes are
+    * deterministic) → prefix-only self-join on shingle → ids-distinct
+    * candidates → exact rerank from the full shingle arrays. */
+  def ppjoinPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    // localCheckpoint, not a repartition barrier: the shingle frame is
+    // read FOUR times (df agg, both candidate sides, both rerank
+    // sides) and self-join aliasing defeats ReusedExchange
+    // canonicalization — without it the whole subtree re-executes per
+    // consumer (the r09 hammingHalvesPairs lesson).
+    val sh = docs.select(
+      col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
+    val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length p = nsh - ceil(t*nsh) + 1, ceil via integer div
+    val ranked = ex.join(dfreq, Seq("s"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .withColumn("__plen",
+        col("nsh") - floor((lit(tNum) * col("nsh") + lit(tDen - 1))
+          / lit(tDen)).cast("long") + lit(1))
+    // checkpointed for the same reason: both sides of the candidate
+    // self-join read it, and the window+join above it is the plan's
+    // most expensive stage — run it once.
+    val pre = ranked.filter(col("__rn") <= col("__plen"))
+      .select(col("id"), col("s"))
+      .localCheckpoint()
+    val cand = pre.select(col("id").as("id_a"), col("s"))
+      .join(pre.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      // jac >= tNum/tDen as exact integers: tDen*common >= tNum*union
+      .filter(lit(tDen) * col("common") >=
+        lit(tNum) * (col("na") + col("nb") - col("common")))
+      .withColumn("jac", col("common").cast("double")
+        / (col("na") + col("nb") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"), col("na"),
+        col("nb"), col("jac"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WEIGHTED sparse-vector similarity join over n-gram COUNT vectors —
+  * the frequency-aware sibling of the set-overlap family in [[Dedup]]
+  * and [[PrefixJoin]]: two documents that share the same shingle SET
+  * but repeat different parts score identically under Jaccard and
+  * differently here, which is what separates "same template, different
+  * emphasis" near-dups from true copies.
+  *
+  * Cosine over integer count vectors stays in exact arithmetic all the
+  * way to the final threshold: dot and squared norms are integer sums,
+  * and cos >= tNum/tDen is evaluated as
+  * tDen²·dot² >= tNum²·na²·nb² — no doubles until the reported score
+  * (whose expression order both engines share). Magnitudes are bounded
+  * by per-document token counts (a chunked corpus keeps those ≤ a few
+  * thousand), not by corpus size, so longs never overflow.
+  *
+  * Scale design: candidate generation goes through a df-capped
+  * inverted index — grams with document frequency above `maxDf` are
+  * dropped from CANDIDATE GENERATION ONLY (they fund the Σ df² join
+  * blowup and carry no discrimination), and every surviving candidate
+  * pair is reranked with its FULL posting rows, so dot products are
+  * exact regardless of the cap. A qualifying pair is missed only if
+  * every gram it shares is above the cap — pick maxDf above the
+  * corpus's boilerplate df and the output equals the uncapped join
+  * (the q146 gate proves this on its fixture: the cap drops 13% of
+  * candidates and changes nothing). Same contract as
+  * [[Dedup.ngramJaccardPairsCapped]], weighted.
+  */
+object SparseSim {
+
+  /** All pairs with n-gram count-vector cosine >= tNum/tDen.
+    * Output: (id_a, id_b, dot, na2, nb2, cos).
+    *
+    * Plan: gram-count postings (one (id, gram) hash agg) → df agg →
+    * capped inverted-index self-join → ids-distinct candidates →
+    * exact rerank joining both posting sides → integer threshold. */
+  def countCosinePairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tNum: Int = 9, tDen: Int = 10,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    // localCheckpoint: the posting frame feeds FIVE consumers (norms,
+    // df agg, both candidate sides, both rerank sides) and self-join
+    // aliasing defeats ReusedExchange — without the barrier the
+    // shingle explode re-executes per consumer (r09 lesson).
+    val p = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val nrm = p.groupBy(col("id"))
+      .agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val rare = p.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("gram"))
+    val pr = p.join(rare, Seq("gram"))
+    val cand = pr.select(col("id").as("id_a"), col("gram"))
+      .join(pr.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dot = cand
+      .join(p.select(col("id").as("id_a"), col("gram"),
+        col("cnt").as("ca")), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("gram"),
+        col("cnt").as("cb")), Seq("id_b", "gram"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    dot
+      .join(nrm.select(col("id").as("id_a"), col("n2").as("na2")),
+        Seq("id_a"))
+      .join(nrm.select(col("id").as("id_b"), col("n2").as("nb2")),
+        Seq("id_b"))
+      .filter(lit(tDen.toLong * tDen) * col("dot") * col("dot") >=
+        lit(tNum.toLong * tNum) * col("na2") * col("nb2"))
+      .withColumn("cos", col("dot").cast("double")
+        / (sqrt(col("na2").cast("double"))
+          * sqrt(col("nb2").cast("double"))))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"),
+        col("nb2"), col("cos"))
+  }
+}

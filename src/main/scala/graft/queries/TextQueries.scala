@@ -202,6 +202,117 @@ object TextQueries {
        HAVING CAST(count(*) AS DOUBLE)
          / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5"""
 
+  /** q145: exact similarity join via PREFIX FILTERING
+    * ([[graft.operators.PrefixJoin.ppjoinPairs]]) — the deterministic
+    * AllPairs/PPJoin candidate generator: provably identical to the
+    * exact all-pairs Jaccard join at EVERY threshold (an inequality on
+    * the df-global order, not an LSH coin flip), while the inverted
+    * index only holds each set's df-rarest prefix. The corpus plants
+    * threshold-straddling pairs: every document gains a twin holding
+    * its first ceil-3/4 of tokens — truncation keeps twin shingles a
+    * subset of the original's, so jac ≈ |twin|/|orig| lands around
+    * 0.7 and the 3/5 rational threshold cuts through the distribution
+    * (short docs fall below, long docs pass — the cut is load-bearing,
+    * and exact-integer: 5·common >= 3·union in both engines). The
+    * oracle is the brute-force all-pairs join. */
+  val q145_ppjoin_pairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val twins = docs.select((col("doc_id") + 20000000L).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, greatest(1, " +
+        "cast((3 * size(split(text, ' '))) div 4 as int))), ' ')")
+        .as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(twins)
+    graft.operators.PrefixJoin.ppjoinPairs(corpus, "text", "doc_id",
+      n = 3, tNum = 3, tDen = 5)
+  }
+
+  val q145_oracle: String =
+    """WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 20000000,
+           array_to_string((string_split(text, ' '))[1:greatest(1,
+             (3 * len(string_split(text, ' '))) // 4)], ' ')
+         FROM documents),
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM base),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(a.n) AS BIGINT) AS na,
+         CAST(any_value(b.n) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) AS jac
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING 5 * count(*) >=
+         3 * (any_value(a.n) + any_value(b.n) - count(*))"""
+
+  /** q146: weighted sparse-cosine similarity join
+    * ([[graft.operators.SparseSim.countCosinePairs]]) — cosine over
+    * n-gram COUNT vectors, the frequency-aware near-dup detector that
+    * separates "same shingle set, different repetition" from true
+    * copies (set-Jaccard is blind to counts). Everything up to the
+    * reported score is exact integer arithmetic: cos >= 9/10 is
+    * evaluated as 100·dot² >= 81·na²·nb². The corpus plants
+    * threshold-straddling twins — each document re-appends its own
+    * first half, perturbing the count vector without adding new
+    * support — and the df-cap is BINDING: maxDf=8 versus a corpus
+    * gram-df reaching 18 drops 13% of candidate generation at
+    * sf0.001. The oracle recomputes the CAPPED semantics (the q95
+    * contract): candidate pairs share at least one gram at df <= 8,
+    * reranked with FULL postings — so the gate pins cap behavior
+    * itself at every SF, and at the gate SF the capped output was
+    * additionally measured equal to the uncapped all-pairs join
+    * (0 qualifying pairs dropped). */
+  val q146_sparse_cosine: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val twins = docs.select((col("doc_id") + 30000000L).as("doc_id"),
+      expr("concat(text, ' ', array_join(slice(split(text, ' '), 1, " +
+        "greatest(1, cast(size(split(text, ' ')) div 2 as int))), ' '))")
+        .as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(twins)
+    graft.operators.SparseSim.countCosinePairs(corpus, "text", "doc_id",
+      n = 3, tNum = 9, tDen = 10, maxDf = 8)
+  }
+
+  val q146_oracle: String =
+    """WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 30000000,
+           text || ' ' || array_to_string((string_split(text, ' '))[
+             1:greatest(1, len(string_split(text, ' ')) // 2)], ' ')
+         FROM documents),
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM base),
+       g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+             FROM t, unnest(range(1, len(toks) - 1)) u(i)),
+       p AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) cnt
+             FROM g GROUP BY doc_id, gram),
+       nrm AS (SELECT doc_id, sum(cnt * cnt) n2 FROM p GROUP BY doc_id),
+       dfreq AS (SELECT gram, count(*) df FROM p GROUP BY gram),
+       cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+               FROM p a JOIN p b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id
+               JOIN dfreq f ON f.gram = a.gram
+               WHERE f.df <= 8),
+       dot AS (SELECT a.doc_id ia, b.doc_id ib, sum(a.cnt * b.cnt) d
+               FROM p a JOIN p b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id
+               JOIN cand c ON c.ia = a.doc_id AND c.ib = b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+       SELECT ia AS id_a, ib AS id_b, CAST(d AS BIGINT) AS dot,
+         CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2,
+         CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+           * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       FROM dot JOIN nrm na ON na.doc_id = ia
+       JOIN nrm nb ON nb.doc_id = ib
+       WHERE 100 * d * d >= 81 * na.n2 * nb.n2"""
+
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
     * synthesized from doc_id the way every multimodal gate builds its
@@ -1919,6 +2030,8 @@ object TextQueries {
     "q30_jaccard_pairs" -> q30_jaccard_pairs,
     "q31_minhash_lsh_pairs" -> q31_minhash_lsh_pairs,
     "q106_normalized_neardup" -> q106_normalized_neardup,
+    "q145_ppjoin_pairs" -> q145_ppjoin_pairs,
+    "q146_sparse_cosine" -> q146_sparse_cosine,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -1976,6 +2089,8 @@ object TextQueries {
     "q30_jaccard_pairs" -> q30_oracle,
     "q31_minhash_lsh_pairs" -> q31_oracle,
     "q106_normalized_neardup" -> q106_oracle,
+    "q145_ppjoin_pairs" -> q145_oracle,
+    "q146_sparse_cosine" -> q146_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
