@@ -313,6 +313,112 @@ object TextQueries {
        JOIN nrm nb ON nb.doc_id = ib
        WHERE 100 * d * d >= 81 * na.n2 * nb.n2"""
 
+  /** q147: multi-phrase search through a positional inverted index
+    * ([[graft.operators.PhraseSearch.phraseHits]]) — exact-position
+    * phrase matching for a whole phrase table in ONE corpus pass
+    * (banned-phrase screening / contamination probes), instead of one
+    * contains() scan per phrase. The phrase set is derived from the
+    * corpus itself so the gate self-calibrates across SFs: every 50th
+    * document contributes its tokens 6-8 as a 3-term phrase; matches
+    * align candidate starts (position − offset) and require all three
+    * offsets to land. The source document always matches its own
+    * phrase, and the tiny shared vocabulary makes cross-document hits
+    * genuinely common — both engines must agree on every (phrase,
+    * doc, hit-count) row. */
+  val q147_phrase_search: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val phrases = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("phrase_id"),
+        slice(split(col("text"), " "), 6, 3).as("terms"))
+      .filter(size(col("terms")) === 3)
+    graft.operators.PhraseSearch.phraseHits(docs, "doc_id", "text",
+      phrases, "phrase_id", "terms")
+  }
+
+  val q147_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+         FROM documents),
+       ph AS (SELECT doc_id AS phrase_id,
+           array_to_string(toks[6:8], ' ') AS phrase,
+           toks[6:8] AS terms
+         FROM t WHERE doc_id % 50 = 0 AND len(toks) >= 8),
+       pt AS (SELECT phrase_id, phrase, CAST(o AS BIGINT) - 1 AS off,
+           terms[CAST(o AS INT)] AS term
+         FROM ph, unnest(range(1, 4)) u(o)),
+       post AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+           toks[CAST(i AS INT)] AS term
+         FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+       m AS (SELECT post.doc_id, pt.phrase_id, pt.phrase,
+           post.pos - pt.off AS strt, count(*) c
+         FROM post JOIN pt ON post.term = pt.term
+         WHERE post.pos - pt.off >= 0
+         GROUP BY 1, 2, 3, 4)
+       SELECT phrase_id, phrase, doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits
+       FROM m WHERE c = 3 GROUP BY 1, 2, 3"""
+
+  /** q148: BPE pair statistics ([[graft.operators.Bpe.pairStats]]) —
+    * one vocabulary-induction round's candidate table: adjacent
+    * within-word symbol-pair frequencies, top-20 by (n DESC, x, y).
+    * The iterative trainer is a driver loop over this operator; the
+    * gate pins the counting + deterministic cut. */
+  val q148_bpe_pair_stats: Q = (s, d) =>
+    graft.operators.Bpe.pairStats(Tables.documents(s, d), "text", 20)
+
+  val q148_oracle: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) word
+         FROM documents),
+       c AS (SELECT word, CAST(i AS INT) i
+         FROM w, unnest(range(1, length(word))) u(i))
+       SELECT word[i] AS x, word[i+1] AS y,
+         CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY x, y ORDER BY n DESC, x, y LIMIT 20"""
+
+  /** The q149 merge table: rank-ordered, drawn from the corpus's own
+    * frequent pairs so merges actually fire, with two multi-char
+    * chains ((o,r)→(or,t) makes "sort"→"s ort"; (e,r)→(er,g) makes
+    * "merge"→"m erg e") that pin rank-order application, not just
+    * single-pass substitution. */
+  private val bpeMerges = Seq("e" -> "r", "o" -> "r", "s" -> "t",
+    "or" -> "t", "er" -> "g", "t" -> "h")
+
+  /** q149: BPE merge-table APPLY ([[graft.operators.Bpe.applyMerges]])
+    * — tokenize the corpus with a fixed trained merge table, the
+    * NEXT.md "hard to oracle in SQL" candidate, delivered exactly:
+    * both engines run the IDENTICAL left-to-right non-overlapping
+    * fold per merge rank (Spark `aggregate` with a token-string
+    * accumulator; DuckDB `list_reduce` — a just-merged tail is a
+    * longer symbol and cannot re-match, so greedy left-to-right falls
+    * out of the fold with no island bookkeeping). Zero-shuffle
+    * stateless projection; the oracle SQL is generated by unrolling
+    * the six merge ranks. */
+  val q149_bpe_apply: Q = (s, d) =>
+    graft.operators.Bpe.applyMerges(Tables.documents(s, d), "doc_id",
+      "text", bpeMerges)
+
+  val q149_oracle: String = {
+    var cur = "list_transform(range(1, length(w) + 1), " +
+      "i -> w[CAST(i AS INT)])"
+    for ((x, y) <- bpeMerges) {
+      cur = s"string_split(list_reduce($cur, (acc, t) -> CASE WHEN " +
+        s"string_split(acc, ' ')[-1] = '$x' AND t = '$y' THEN " +
+        s"array_to_string(string_split(acc, ' ')[:-2] || ['$x$y'], " +
+        s"' ') ELSE acc || ' ' || t END), ' ')"
+    }
+    val wordSql = s"array_to_string($cur, ' ')"
+    s"""WITH b AS (SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(string_split(text, ' '), w -> length(w) > 0),
+           w -> $wordSql), ' | ') AS bpe,
+         len(list_filter(string_split(text, ' '),
+           w -> length(w) > 0)) AS nw
+       FROM documents)
+       SELECT doc_id, bpe,
+         CAST(len(string_split(bpe, ' ')) - (nw - 1) AS BIGINT)
+           AS n_sym
+       FROM b"""
+  }
+
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
     * synthesized from doc_id the way every multimodal gate builds its
@@ -2032,6 +2138,9 @@ object TextQueries {
     "q106_normalized_neardup" -> q106_normalized_neardup,
     "q145_ppjoin_pairs" -> q145_ppjoin_pairs,
     "q146_sparse_cosine" -> q146_sparse_cosine,
+    "q147_phrase_search" -> q147_phrase_search,
+    "q148_bpe_pair_stats" -> q148_bpe_pair_stats,
+    "q149_bpe_apply" -> q149_bpe_apply,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2091,6 +2200,9 @@ object TextQueries {
     "q106_normalized_neardup" -> q106_oracle,
     "q145_ppjoin_pairs" -> q145_oracle,
     "q146_sparse_cosine" -> q146_oracle,
+    "q147_phrase_search" -> q147_oracle,
+    "q148_bpe_pair_stats" -> q148_oracle,
+    "q149_bpe_apply" -> q149_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
