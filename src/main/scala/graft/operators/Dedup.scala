@@ -650,6 +650,50 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Embedding-level DECONTAMINATION: flag corpus vectors whose cosine
+    * against ANY eval/benchmark vector reaches `minCosine` — the
+    * semantic companion to the n-gram [[decontaminate]]: a paraphrased
+    * or reformatted benchmark item shares no 8-gram but sits at
+    * cosine ≈ 1 in embedding space. Output: (idCol, eval_id, cos), one
+    * row per contaminated (corpus, eval) pair; survivors are the
+    * anti-join.
+    *
+    * Scale shape (the q101 incremental contract, embedding variant):
+    * an eval suite is benchmark-sized — thousands of rows, KBs-MBs —
+    * so its bucket table and vectors BROADCAST, and the corpus side
+    * computes its hyperplane signatures inside its own scan and never
+    * rides an exchange for candidate generation. The only shuffle is
+    * the (id, eval_id) candidate dedup, bounded by true matches plus
+    * the per-table collision rate, never by the corpus. At
+    * minCosine ≥ 0.999 the LSH identity is exact for bit-identical
+    * vectors (they share every bucket in every table); lower
+    * thresholds inherit the recorded multi-table miss probability of
+    * [[embeddingCosinePairs]]. */
+  def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, minCosine: Double,
+      numPlanes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val planes = (0 until tables).map(t =>
+      makePlanes(numPlanes, dim, seed = 42L + t))
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+        col(vecCol).as("ve"), norm(col(vecCol)).as("ne"))
+      .localCheckpoint() // eval-bounded; reused for buckets and rerank
+    val evBuckets = ev.select(col("eval_id"),
+      posexplode(hyperplaneSignatures(col("ve"), planes))
+        .as(Seq("table", "bucket")))
+    val co = corpus.select(col(idCol).as("id"), col(vecCol).as("vc"),
+      norm(col(vecCol)).as("nc"),
+      posexplode(hyperplaneSignatures(col(vecCol), planes))
+        .as(Seq("table", "bucket")))
+    co.join(broadcast(evBuckets), Seq("table", "bucket"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(first(col("vc")).as("vc"), first(col("nc")).as("nc"))
+      .join(broadcast(ev), Seq("eval_id"))
+      .select(col("id").as(idCol), col("eval_id"),
+        (dot(col("vc"), col("ve")) / (col("nc") * col("ne"))).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Semantic (embedding-level) dedup survivors, the SemDeDup shape
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus by
     * embedding near-duplicate edges (cosine ≥ minCosine) and keep ONE

@@ -842,7 +842,48 @@ object VectorQueries {
 
   val q131_oracle: String = pqAdcSql(pqBaseSqlFrom(pqRotatedQv))
 
+  /** q150: embedding-level DECONTAMINATION
+    * ([[Dedup.embeddingDecontaminate]]) — flag corpus vectors at
+    * cosine ≥ 0.999 against an eval/benchmark set, the semantic
+    * companion to q72's n-gram decontamination (a paraphrased
+    * benchmark item shares no 8-gram but sits at cosine ≈ 1). The
+    * eval set is every 10th embedding; the corpus is the full table
+    * under remapped ids, so each eval item has exactly one planted
+    * contaminant plus whatever true duplicate vectors the fixture
+    * carries. Eval buckets and vectors broadcast; the corpus computes
+    * signatures in its own scan and never shuffles for candidates.
+    * At 0.999 the LSH identity is exact (the DedupSpec fixture guard:
+    * pairs at ≥ 0.999 are bit-identical and share every bucket), so
+    * the oracle is the exact cross join. */
+  val q150_embedding_decontam: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(
+      (col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
+    val evalSet = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.embeddingDecontaminate(corpus, evalSet, "embedding",
+      "vec_id", minCosine = 0.999, numPlanes = 12, dim = 64,
+      tables = 4)
+  }
+
+  val q150_oracle: String =
+    """WITH ev AS (SELECT vec_id AS eval_id,
+           CAST(embedding AS DOUBLE[]) v
+         FROM embeddings WHERE vec_id % 10 = 0),
+       co AS (SELECT vec_id + 40000000 AS vec_id,
+           CAST(embedding AS DOUBLE[]) v
+         FROM embeddings)
+       SELECT co.vec_id, ev.eval_id,
+         list_dot_product(co.v, ev.v)
+           / (sqrt(list_dot_product(co.v, co.v))
+              * sqrt(list_dot_product(ev.v, ev.v))) AS cos
+       FROM co, ev
+       WHERE list_dot_product(co.v, ev.v)
+           / (sqrt(list_dot_product(co.v, co.v))
+              * sqrt(list_dot_product(ev.v, ev.v))) >= 0.999"""
+
   val all: Map[String, Q] = Map(
+    "q150_embedding_decontam" -> q150_embedding_decontam,
     "q118_kmeans_assign" -> q118_kmeans_assign,
     "q128_hadamard_rotate" -> q128_hadamard_rotate,
     "q129_pq_rotated_encode" -> q129_pq_rotated_encode,
@@ -871,6 +912,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q150_embedding_decontam" -> q150_oracle,
     "q118_kmeans_assign" -> q118_oracle,
     "q128_hadamard_rotate" -> q128_oracle,
     "q129_pq_rotated_encode" -> q129_oracle,

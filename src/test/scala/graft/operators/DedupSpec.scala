@@ -728,6 +728,49 @@ class DedupSpec extends SparkSuite {
     assert(again.count() == kept.count())
   }
 
+  test("embeddingDecontaminate == exact cross pairs; eval broadcasts " +
+      "and the corpus scan never feeds an exchange") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(($"vec_id" + 40000000L).as("vec_id"),
+      $"embedding")
+    val evalSet = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding")
+    val q = Dedup.embeddingDecontaminate(corpus, evalSet, "embedding",
+      "vec_id", minCosine = 0.999, numPlanes = 12, dim = 64,
+      tables = 4)
+    val got = q.select($"vec_id", $"eval_id").as[(Long, Long)]
+      .collect().toSet
+    // brute-force reference (double margins are huge at the 0.999
+    // fixture-guarded threshold: pairs are bit-identical or far below)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cv = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val ev = cv.filter(_._1 % 10 == 0)
+    val brute = (for {
+      (ci, cvec) <- cv; (ei, evec) <- ev
+      if cos(cvec, evec) >= 0.999
+    } yield (ci + 40000000L, ei)).toSet
+    assert(brute.nonEmpty && got == brute)
+    // scale contract: eval buckets + vectors broadcast; the corpus
+    // parquet scan feeds its join directly — no exchange between them
+    // (the only exchange is the candidate-pair groupBy, match-bounded)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"eval buckets and eval vectors must broadcast:\n$plan")
+    val badShape =
+      "Exchange hashpartitioning[^\\n]*\\n[^\\n]*Scan parquet".r
+    assert(badShape.findFirstIn(plan).isEmpty,
+      s"corpus scan must not feed an exchange:\n$plan")
+  }
+
   test("base32 codec roundtrips (server.rs:103-108 analogue) — " +
       "expression and scala sides agree") {
     val cases = Seq("simple", "user/with/slashes", "säö ünicode",
