@@ -74,11 +74,19 @@ object PrefixJoin {
     // self-join read it, and the window+join above it is the plan's
     // most expensive stage — run it once.
     val pre = ranked.filter(col("__rn") <= col("__plen"))
-      .select(col("id"), col("s"))
+      .select(col("id"), col("nsh"), col("s"))
       .localCheckpoint()
-    val cand = pre.select(col("id").as("id_a"), col("s"))
-      .join(pre.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+    // length filter (AllPairs): jac >= t forces t·max(|A|,|B|) <=
+    // min(|A|,|B|) — applied IN the candidate join, before the
+    // distinct shuffle, it kills the size-mismatched bulk of each
+    // posting bucket for free (two longs ride along, nothing else)
+    val cand = pre.select(col("id").as("id_a"), col("nsh").as("__na"),
+        col("s"))
+      .join(pre.select(col("id").as("id_b"), col("nsh").as("__nb"),
+        col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tNum) * greatest(col("__na"), col("__nb")) <=
+          lit(tDen) * least(col("__na"), col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),

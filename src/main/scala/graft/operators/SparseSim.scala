@@ -53,8 +53,15 @@ object SparseSim {
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val nrm = p.groupBy(col("id"))
-      .agg(sum(col("cnt") * col("cnt")).as("n2"))
+    // one gram-count MAP row per doc: the rerank joins two maps per
+    // candidate pair instead of cand × |doc| posting rows — the dot
+    // walks the maps inside the row, so the rerank shuffle is bounded
+    // by the candidate count, not candidates × document size
+    val pmap = p.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("gram"), col("cnt")))).as("m"),
+        sum(col("cnt") * col("cnt")).as("n2"))
+      .localCheckpoint()
     val rare = p.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("gram"))
@@ -63,18 +70,15 @@ object SparseSim {
       .join(pr.select(col("id").as("id_b"), col("gram")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val dot = cand
-      .join(p.select(col("id").as("id_a"), col("gram"),
-        col("cnt").as("ca")), Seq("id_a"))
-      .join(p.select(col("id").as("id_b"), col("gram"),
-        col("cnt").as("cb")), Seq("id_b", "gram"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
-    dot
-      .join(nrm.select(col("id").as("id_a"), col("n2").as("na2")),
-        Seq("id_a"))
-      .join(nrm.select(col("id").as("id_b"), col("n2").as("nb2")),
-        Seq("id_b"))
+    cand
+      .join(pmap.select(col("id").as("id_a"), col("m").as("ma"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(pmap.select(col("id").as("id_b"), col("m").as("mb"),
+        col("n2").as("nb2")), Seq("id_b"))
+      .withColumn("dot", aggregate(
+        map_values(map_zip_with(col("ma"), col("mb"),
+          (_, a, b) => coalesce(a, lit(0L)) * coalesce(b, lit(0L)))),
+        lit(0L), (acc, x) => acc + x))
       .filter(lit(tDen.toLong * tDen) * col("dot") * col("dot") >=
         lit(tNum.toLong * tNum) * col("na2") * col("nb2"))
       .withColumn("cos", col("dot").cast("double")
