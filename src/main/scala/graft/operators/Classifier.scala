@@ -47,6 +47,46 @@ object Classifier {
     * exact integer score and label the argmax class (lowest id wins
     * ties). Docs with no features (empty text) score 0 everywhere and
     * label 0 — total, like the other curation signals. */
+  /** Threshold CALIBRATION sweep — the step between training a quality
+    * classifier and deploying it as a filter: for every candidate
+    * threshold, exact confusion counts (keep iff score >= threshold)
+    * against a gold label, plus precision/recall. This is how a
+    * pipeline owner picks the FineWeb-Edu-style "keep score >= 3"
+    * cutoff: read the sweep, choose the knee.
+    *
+    * Scale shape: the threshold table is decision-sized (tens of
+    * candidate cutoffs) and BROADCASTS into one corpus pass; the
+    * per-task partial agg collapses to |thresholds| rows before the
+    * only shuffle, so the reduce side is T-bounded regardless of
+    * corpus size. (For thousands of thresholds, sweep a score
+    * HISTOGRAM with one cumulative window instead — T here is a
+    * human-readable calibration table, not a curve plotter.)
+    * Counts are exact longs; precision/recall are ratios of those
+    * longs with NULL on empty denominators — both engines compute
+    * them from identical integers. */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+      goldCol: String, thresholds: DataFrame,
+      thrCol: String = "thr"): DataFrame = {
+    val s = scored.select(col(scoreCol).as("__s"),
+      col(goldCol).cast("boolean").as("__g"))
+    s.crossJoin(broadcast(
+        thresholds.select(col(thrCol).as("thr")).distinct()))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("__s") >= col("thr") && col("__g"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("thr") && !col("__g"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("thr") && col("__g"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("thr") && !col("__g"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
   def scoreHashedLinear(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, numClasses: Int, buckets: Int): DataFrame = {
     require(numClasses >= 2, s"need >= 2 classes, got $numClasses")

@@ -787,6 +787,81 @@ object TextQueries {
               WHEN s2 = g THEN 2 ELSE 3 END AS BIGINT) AS label
        FROM (SELECT *, greatest(s0, s1, s2, s3) g FROM sc)"""
 
+  /** q151: classifier threshold calibration
+    * ([[graft.operators.Classifier.thresholdSweep]]) — the step that
+    * turns q110's scores into a deployable filter: sweep candidate
+    * cutoffs over the s1−s0 margin against a gold label (lang = 'en'
+    * here; any labeled eval slice in production) and report exact
+    * confusion counts + precision/recall per cutoff. Candidate
+    * thresholds are data-derived (the distinct margins of every 25th
+    * document — a calibration sample), so the sweep self-calibrates
+    * across SFs; the threshold table broadcasts and the corpus is
+    * read once. */
+  val q151_threshold_sweep: Q = (s, d) => {
+    val B = 256; val C = 4
+    val weights = s.range(0, B).select(col("id").cast("int").as("bucket"),
+      array((0 until C).map(c =>
+        (col("id") * 2654435761L + lit(c.toLong * 40503L)) % 1997L
+          - 998L): _*).as("w"))
+    val docs = Tables.documents(s, d)
+    val scored = graft.operators.Classifier.scoreHashedLinear(
+        docs, "doc_id", "text", weights, C, B)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("margin", col("s1") - col("s0"))
+      .withColumn("gold", col("lang") === "en")
+    val thr = scored.filter(col("doc_id") % 25 === 0)
+      .select(col("margin").as("thr"))
+    graft.operators.Classifier.thresholdSweep(scored, "margin",
+      "gold", thr)
+  }
+
+  val q151_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') a
+         FROM documents),
+       uni AS (SELECT doc_id, unnest(a) gram FROM t),
+       bi AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') gram
+         FROM t, unnest(range(1, len(a))) u(i)),
+       f AS (SELECT doc_id, gram FROM uni
+             UNION ALL SELECT doc_id, gram FROM bi),
+       bk AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 4)) AS INT) % 256 AS bucket
+         FROM f),
+       sc AS (SELECT doc_id,
+           CAST(sum((bucket*2654435761 + 40503) % 1997 - 998)
+             - sum((bucket*2654435761 + 0) % 1997 - 998) AS BIGINT)
+             AS margin
+         FROM bk GROUP BY doc_id),
+       m AS (SELECT sc.doc_id, sc.margin, d.lang = 'en' AS gold
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       thr AS (SELECT DISTINCT margin AS thr FROM m
+         WHERE doc_id % 25 = 0)
+       SELECT thr,
+         CAST(sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN margin >= thr AND NOT gold THEN 1 ELSE 0
+           END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN margin < thr AND gold THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN margin < thr AND NOT gold THEN 1 ELSE 0
+           END) AS BIGINT) AS tn,
+         CASE WHEN sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0
+             END) + sum(CASE WHEN margin >= thr AND NOT gold THEN 1
+             ELSE 0 END) > 0 THEN
+           CAST(sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0
+             END) AS DOUBLE)
+           / (sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0 END)
+              + sum(CASE WHEN margin >= thr AND NOT gold THEN 1 ELSE 0
+                END)) END AS precision,
+         CASE WHEN sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0
+             END) + sum(CASE WHEN margin < thr AND gold THEN 1 ELSE 0
+             END) > 0 THEN
+           CAST(sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0
+             END) AS DOUBLE)
+           / (sum(CASE WHEN margin >= thr AND gold THEN 1 ELSE 0 END)
+              + sum(CASE WHEN margin < thr AND gold THEN 1 ELSE 0
+                END)) END AS recall
+       FROM m CROSS JOIN thr GROUP BY thr"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -2141,6 +2216,7 @@ object TextQueries {
     "q147_phrase_search" -> q147_phrase_search,
     "q148_bpe_pair_stats" -> q148_bpe_pair_stats,
     "q149_bpe_apply" -> q149_bpe_apply,
+    "q151_threshold_sweep" -> q151_threshold_sweep,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2203,6 +2279,7 @@ object TextQueries {
     "q147_phrase_search" -> q147_oracle,
     "q148_bpe_pair_stats" -> q148_oracle,
     "q149_bpe_apply" -> q149_oracle,
+    "q151_threshold_sweep" -> q151_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,

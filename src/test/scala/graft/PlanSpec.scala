@@ -44,6 +44,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q124 ADC top-k plans as TakeOrderedAndProject (per-partition " +
+      "heap over the codes column), not a global sort") {
+    val p = planOf(queries.VectorQueries.q124_pq_adc_topk(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort [adc_d2"), p)
+  }
+
   test("q01 aggregation is partial+final (map-side combine)") {
     val p = planOf(queries.TpchQueries.q01_pricing_summary(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
