@@ -249,4 +249,66 @@ object Graph {
         coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"),
         coalesce(col("recip_edges"), lit(0L)).as("recip_edges"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 46(5), 1999) with a FIXED
+    * iteration count in exact integer arithmetic — the third rank
+    * signal of the family ([[pageRank]] global prestige,
+    * [[personalizedPageRank]] trust, HITS the hub/authority split
+    * that separates directories from destinations). Kleinberg's L2
+    * normalization needs a square root, which no integer gate can
+    * replay — so this is the L1 variant (divide by the vector's SUM),
+    * which keeps the same fixpoint structure and makes every step a
+    * long sum plus a floor division:
+    *
+    *   a'(v) = Σ_{u→v} h(u);   a(v) = (a'(v)·scale) div Σ_w a'(w)
+    *   h'(u) = Σ_{u→v} a(v);   h(u) = (h'(u)·scale) div Σ_w h'(w)
+    *
+    * per round, from h₀ = scale at every node, over DEDUPLICATED
+    * edges. All values are non-negative so floor division is
+    * identical in Spark `div`, DuckDB `//`, Java `/`. Overflow
+    * contract: a'(v) ≤ maxInDegree·scale and the normalization
+    * multiplies by scale again, so maxDegree·scale² must stay under
+    * 2⁶³ — the default scale 10⁶ is safe to ~9×10⁶ max degree;
+    * rank granularity is scale⁻¹.
+    *
+    * Scale shape: each half-round is one (edges ⋈ ranks) shuffle with
+    * a node-keyed map-side partial sum — a Pregel superstep, exactly
+    * [[pageRank]]'s — plus a ONE-ROW total broadcast for the
+    * normalization (the bounded-build BNLJ shape the plan gate
+    * permits). Output: (node, hub, auth) after `iters` rounds. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def l1Normalized(raw: DataFrame, valCol: String,
+        outCol: String): DataFrame = {
+      val total = raw.agg(sum(col(valCol)).as("__S"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          when(col("__S") > 0,
+            expr(s"(coalesce($valCol, 0L) * $scale) div __S"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var h = nodes.select(col("node"), lit(scale).as("hub"))
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("__ar"))
+      a = l1Normalized(araw, "__ar", "auth").localCheckpoint()
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("__hr"))
+      val hn = l1Normalized(hraw, "__hr", "hub")
+      h = if (i == iters - 1) hn else hn.localCheckpoint()
+      i += 1
+    }
+    h.join(a, Seq("node")).select(col("node"), col("hub"), col("auth"))
+  }
 }

@@ -367,7 +367,47 @@ object GraphQueries {
            AS BIGINT) AS host_rank
        FROM d LEFT JOIN idx ON d.url = idx.link"""
 
+  /** q152: HITS hubs & authorities ([[Graph.hits]]) — the third rank
+    * signal of the graph family: PageRank scores global prestige,
+    * TrustRank scores seed proximity, HITS splits DIRECTORIES (hubs:
+    * the s%5==0 sources fanning into site0) from DESTINATIONS
+    * (authorities: site0 and the residue-cycle confluences). Two
+    * rounds of the L1-normalized integer update (Kleinberg's L2 norm
+    * needs a sqrt no integer oracle can replay; the L1 variant keeps
+    * the fixpoint structure in exact floor division). The oracle
+    * unrolls both rounds — four half-steps, each an edge join + sum +
+    * scalar-subquery normalization — over the closed-form edge set. */
+  val q152_hits: Q = (s, d) =>
+    Graph.hits(hostEdges(s, d), "src", "dst", iters = 2)
+
+  private def hitsHalfSql(outName: String, rawName: String,
+      joinKey: String, groupKey: String, prev: String,
+      prevVal: String): String =
+    s"""$rawName AS (SELECT e.$groupKey AS v,
+         CAST(SUM($prev.$prevVal) AS BIGINT) AS rw
+       FROM e JOIN $prev ON $prev.v = e.$joinKey GROUP BY e.$groupKey),
+       $outName AS (SELECT nodes.v,
+         CASE WHEN (SELECT SUM(rw) FROM $rawName) > 0
+              THEN (COALESCE(t.rw, 0) * 1000000)
+                // (SELECT SUM(rw) FROM $rawName)
+              ELSE 0 END AS x
+       FROM nodes LEFT JOIN $rawName t ON t.v = nodes.v)"""
+
+  val q152_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       e AS (SELECT DISTINCT src, dst FROM inst),
+       nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS x FROM nodes),
+       ${hitsHalfSql("a1", "a1r", "src", "dst", "h0", "x")},
+       ${hitsHalfSql("h1", "h1r", "dst", "src", "a1", "x")},
+       ${hitsHalfSql("a2", "a2r", "src", "dst", "h1", "x")},
+       ${hitsHalfSql("h2", "h2r", "dst", "src", "a2", "x")}
+       SELECT h2.v AS node, CAST(h2.x AS BIGINT) AS hub,
+         CAST(a2.x AS BIGINT) AS auth
+       FROM h2 JOIN a2 ON a2.v = h2.v"""
+
   val all: Map[String, Q] = Map(
+    "q152_hits" -> q152_hits,
     "q115_host_pagerank" -> q115_host_pagerank,
     "q116_degree_profile" -> q116_degree_profile,
     "q120_extract_anchors" -> q120_extract_anchors,
@@ -377,6 +417,7 @@ object GraphQueries {
     "q144_rank_refresh" -> q144_rank_refresh)
 
   val oracles: Map[String, String] = Map(
+    "q152_hits" -> q152_oracle,
     "q115_host_pagerank" -> q115_oracle,
     "q116_degree_profile" -> q116_oracle,
     "q120_extract_anchors" -> q120_oracle,

@@ -137,6 +137,53 @@ class GraphSpec extends SparkSuite {
     assert(base == rep)
   }
 
+  /** Scala reference of the exact L1-HITS contract (Graph.hits
+    * scaladoc) — same long sums, same floor divisions. */
+  private def refHits(edges: Set[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val s = raw.values.sum
+      nodes.map(v => v -> (if (s > 0) raw.getOrElse(v, 0L) * scale / s
+        else 0L)).toMap
+    }
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 0 until iters) {
+      a = norm(edges.toSeq.map { case (u, v) => v -> h(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+      h = norm(edges.toSeq.map { case (u, v) => u -> a(v) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits matches the scala reference bit-exactly; partitioning " +
+      "and duplicate edges don't change it; mass stays l1-bounded") {
+    val inst = mkEdges(19, 150)
+    val got = Graph.hits(inst.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == refHits(inst.toSet, iters = 3))
+    val rep = Graph.hits((inst ++ inst).toDF("src", "dst")
+        .repartition(5), "src", "dst", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep == got)
+    assert(got.values.map(_._1).sum <= 1000000L)
+    assert(got.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("hits separates hubs from authorities on a directory graph") {
+    // 0,1,2 each link to 10,11,12; nothing else
+    val e = (for (s <- 0L to 2L; t <- 10L to 12L) yield (s, t))
+    val got = Graph.hits(e.toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (s <- 0L to 2L) { assert(got(s)._1 > 0 && got(s)._2 == 0) }
+    for (t <- 10L to 12L) { assert(got(t)._1 == 0 && got(t)._2 > 0) }
+  }
+
   test("degreeProfile counts instances vs distinct neighbours and " +
       "reciprocal edges, zero-filling one-sided nodes") {
     // 1->2 twice, 2->1 (reciprocal), 3->3 (self-loop = own reverse),
