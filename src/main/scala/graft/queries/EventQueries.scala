@@ -317,7 +317,39 @@ object EventQueries {
          FROM events)
        WHERE rn = 1 AND NOT coalesce(event_type = 'error', FALSE)"""
 
+  /** q153: funnel analysis ([[graft.operators.Funnel.funnel]]) —
+    * per-user ordered-sequence matching view → click → purchase, the
+    * product-analytics staple the event surface was missing: earliest-
+    * completion greedy anchors (provably optimal — an earlier anchor
+    * only admits more later completions), strict ts ordering between
+    * steps, users keep their prefix when they stall. Three type-
+    * filtered scans aggregated to per-user rows before user-keyed
+    * joins — never a window over the full log. The oracle replays the
+    * same left-join CTE chain. */
+  val q153_funnel: Q = (s, d) =>
+    graft.operators.Funnel.funnel(Tables.events(s, d), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val q153_oracle: String =
+    """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT s1.u, s1.t1, min(e.ts) AS t2
+         FROM s1 LEFT JOIN events e ON e.user_id = s1.u
+           AND e.event_type = 'click' AND e.ts > s1.t1
+         GROUP BY s1.u, s1.t1),
+       s3 AS (SELECT s2.u, s2.t1, s2.t2, min(e.ts) AS t3
+         FROM s2 LEFT JOIN events e ON e.user_id = s2.u
+           AND e.event_type = 'purchase' AND e.ts > s2.t2
+         GROUP BY s2.u, s2.t1, s2.t2)
+       SELECT u AS user_id, t1, t2, t3,
+         CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS depth
+       FROM s3"""
+
   val all: Map[String, Q] = Map(
+    "q153_funnel" -> q153_funnel,
     "q79_latest_snapshot" -> q79_latest_snapshot,
     "q65_range_join" -> q65_range_join,
     "q56_variant_json" -> q56_variant_json,
@@ -334,6 +366,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q153_funnel" -> q153_oracle,
     "q79_latest_snapshot" -> q79_oracle,
     "q65_range_join" -> q65_oracle,
     "q64_exact_distinct" -> q64_oracle,
