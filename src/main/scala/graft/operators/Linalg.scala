@@ -204,4 +204,45 @@ object Linalg {
           (d(col("sl")) / col("n").cast("double")) *
           (d(col("sr")) / col("n").cast("double"))).as("cov"))
   }
+
+  /** Johnson–Lindenstrauss SIGN projection (Achlioptas, "Database-
+    * friendly random projections", JCSS 66(4) 2003: ±1 entries satisfy
+    * the JL lemma with the same distortion bound as Gaussians) — the
+    * training-free dimensionality reduction that PCA ([[pca]]) is not:
+    * no covariance pass, no eigen-solve, no model to ship; the
+    * projection matrix is a pure function of (i, j). Where PCA earns
+    * its two passes when directions matter, the sign sketch is what a
+    * pipeline uses to knock 768 dims down before sketching/ANN when
+    * any distance-preserving map will do.
+    *
+    * Determinism/portability: entry (i,j) is +1 iff the first hex char
+    * of md5("i:j") is below '8' — both engines share md5, so a SQL
+    * oracle rebuilds the exact matrix. Inputs quantize to longs
+    * (floor(x·scale), [[Cluster.quantize]]'s contract) and outputs are
+    * exact integer sums — no float accumulation order anywhere.
+    *
+    * Scale shape: ONE stateless projection — k·d scalar
+    * multiply-adds per row in a single codegen-able select (the
+    * hadamardRotate lesson: scalar expressions in one projection,
+    * never chained array stages), zero shuffles, the matrix riding in
+    * the plan as ±1 folds. Output: (idCol, j, y) rows, j in [0, k). */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, scale: Long = 10000L): DataFrame = {
+    require(k >= 1 && dim >= 1, s"need k, dim >= 1; got k=$k dim=$dim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Int = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+    val ys = Array.tabulate(k) { j =>
+      (0 until dim).map { i =>
+        val qi = floor(element_at(col(vecCol), i + 1).cast("double")
+          * scale).cast("long")
+        if (sign(i, j) > 0) qi else -qi
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol),
+        posexplode(array(ys.toIndexedSeq: _*)).as(Seq("j", "y")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("y"))
+  }
 }

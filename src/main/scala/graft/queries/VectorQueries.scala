@@ -882,7 +882,32 @@ object VectorQueries {
            / (sqrt(list_dot_product(co.v, co.v))
               * sqrt(list_dot_product(ev.v, ev.v))) >= 0.999"""
 
+  /** q154: Johnson–Lindenstrauss sign projection
+    * ([[graft.operators.Linalg.signProject]]) — the training-free
+    * dimensionality reduction next to PCA's trained one (q83): 64 → 16
+    * dims through a ±1 matrix that is a pure function of (i, j) via
+    * md5 parity, so the oracle rebuilds the exact matrix and the
+    * integer-quantized sums hash-match outright. One stateless
+    * projection, k·d scalar multiply-adds per row, zero shuffles. */
+  val q154_sign_project: Q = (s, d) =>
+    graft.operators.Linalg.signProject(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 16, dim = 64)
+
+  val q154_oracle: String =
+    """WITH q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * 10000) AS BIGINT) AS qi
+         FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) u(i)),
+       s AS (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+           CASE WHEN substr(md5(a.i || ':' || b.j), 1, 1) < '8'
+                THEN 1 ELSE -1 END AS sgn
+         FROM range(0, 64) a(i), range(0, 16) b(j))
+       SELECT q.vec_id, s.j, CAST(sum(s.sgn * q.qi) AS BIGINT) AS y
+       FROM q JOIN s ON s.i = q.i GROUP BY q.vec_id, s.j"""
+
   val all: Map[String, Q] = Map(
+    "q154_sign_project" -> q154_sign_project,
     "q150_embedding_decontam" -> q150_embedding_decontam,
     "q118_kmeans_assign" -> q118_kmeans_assign,
     "q128_hadamard_rotate" -> q128_hadamard_rotate,
@@ -912,6 +937,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q154_sign_project" -> q154_oracle,
     "q150_embedding_decontam" -> q150_oracle,
     "q118_kmeans_assign" -> q118_oracle,
     "q128_hadamard_rotate" -> q128_oracle,

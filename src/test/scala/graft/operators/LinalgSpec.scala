@@ -76,4 +76,43 @@ class LinalgSpec extends SparkSuite {
     assert(vars(0) >= vars(1) - 1e-9 && vars(1) >= vars(2) - 1e-9,
       vars.toString)
   }
+
+  test("signProject matches a scala replay of the md5 matrix exactly " +
+      "and preserves pairwise distance within JL distortion") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    val got = Linalg.signProject(emb, "vec_id", "embedding",
+        k = 16, dim = 64)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- vecs) {
+      val q = v.map(x => math.floor(x.toDouble * 10000).toLong)
+      val exp = Vector.tabulate(16)(j =>
+        (0 until 64).map(i => sign(i, j) * q(i)).sum)
+      assert(got(id) == exp, s"vec $id")
+    }
+    // JL sanity on real pairs: ||Px||² concentrates around k/d·scale²
+    // times ||x||² for ±1 entries (E[(s·x)²] = ||x||²); allow wide
+    // slack — this guards gross sign/index bugs, not the constant
+    val ids = vecs.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val dx = vecs(a).zip(vecs(b)).map { case (x, y) =>
+        (x.toDouble - y) * 10000 }
+      val trueD2 = dx.map(d => d * d).sum
+      val pd = got(a).zip(got(b)).map { case (x, y) =>
+        (x - y).toDouble }
+      val projD2 = pd.map(d => d * d).sum / 16.0
+      assert(projD2 > trueD2 * 0.2 && projD2 < trueD2 * 5.0,
+        s"pair ($a,$b): projD2/trueD2 = ${projD2 / trueD2}")
+    }
+  }
 }
