@@ -311,4 +311,45 @@ object Graph {
     }
     h.join(a, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert, Kumara, "Near
+    * linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 76, 2007) made DETERMINISTIC:
+    * the published algorithm breaks ballot ties randomly and updates
+    * asynchronously; here every node simultaneously adopts the modal
+    * label of its (symmetrized) neighbors with ties broken to the
+    * LOWEST label, for a FIXED iteration count — a pure function of
+    * the edge set that a SQL oracle replays round by round. Labels
+    * start as the node's own id, so after k rounds a label names the
+    * community's lexicographic anchor. Communities here are the
+    * mutual-link clusters connected components can't separate (CC
+    * merges everything touching; LPA needs a MAJORITY of neighbors).
+    *
+    * Scale shape: per round, one (edge ⋈ labels) shuffle + a
+    * (node, label) hash agg + one node-keyed rank window — Pregel
+    * supersteps like [[pageRank]]'s, with the ballot count combining
+    * map-side. Output: (node, label) after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val ue = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var l = ue.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < iters) {
+      val ballots = ue.join(l, ue("b") === l("node"))
+        .groupBy(ue("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label"))
+      val next = ballots.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      l = if (i == iters - 1) next else next.localCheckpoint()
+      i += 1
+    }
+    l
+  }
 }

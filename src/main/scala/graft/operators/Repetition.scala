@@ -137,4 +137,38 @@ object Repetition {
         coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
         coalesce(col("dup5_cov"), lit(0.0)).as("dup5_cov"))
   }
+
+  /** CROSS-document novelty profile — the corpus-redundancy diagnostic
+    * that tells a pipeline owner how much of each document is new
+    * material versus shingles the corpus has already seen: per doc,
+    * the fraction of its distinct n-gram shingles whose FIRST corpus
+    * occurrence (minimum doc id over an append-ordered id) is this
+    * document. A crawl full of templates shows novelty collapsing
+    * toward 0 as ids grow; a healthy diverse corpus plateaus. The
+    * within-doc signals above can't see this (they never cross
+    * documents); the dedup joins only see pairs above a threshold —
+    * novelty is the corpus-wide prefix view.
+    *
+    * Scale shape: explode distinct shingles → ONE gram-keyed hash agg
+    * (min doc id, map-side combine) → join back on the gram → doc-
+    * keyed count agg. The gram-keyed exchange carries one row per
+    * distinct (doc, gram); no self-join, no window, no pair
+    * materialization. Output: (doc_id, n_shingles, n_novel, novelty);
+    * docs with no shingle (< n tokens) are absent. */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+        distinctShingles(col(textCol), n).as("__sh"))
+      .select(col("doc_id"), explode(col("__sh")).as("s"))
+      .repartition(col("s")) // one exchange shared by agg + join probe
+    val firstSeen = ex.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("__first"))
+    ex.join(firstSeen, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
 }

@@ -406,7 +406,35 @@ object GraphQueries {
          CAST(a2.x AS BIGINT) AS auth
        FROM h2 JOIN a2 ON a2.v = h2.v"""
 
+  /** q156: deterministic label propagation
+    * ([[Graph.labelPropagation]]) — community detection over the
+    * symmetrized host graph: two synchronous rounds of modal-neighbor
+    * label adoption (ties to the lowest label), the published
+    * random/async algorithm pinned down to a pure function of the
+    * edge set. The oracle replays both rounds with the identical
+    * ballot-count + (count DESC, label) rank. */
+  val q156_label_propagation: Q = (s, d) =>
+    Graph.labelPropagation(hostEdges(s, d), "src", "dst", iters = 2)
+
+  private def lpaIterSql(k: Int): String =
+    s"""c$k AS (SELECT ue.a AS v, l${k - 1}.l AS l, count(*) AS c
+         FROM ue JOIN l${k - 1} ON l${k - 1}.v = ue.b GROUP BY 1, 2),
+       l$k AS (SELECT v, l FROM (SELECT v, l,
+           row_number() OVER (PARTITION BY v
+             ORDER BY c DESC, l) AS rn FROM c$k) WHERE rn = 1)"""
+
+  val q156_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       de AS (SELECT DISTINCT src, dst FROM inst),
+       ue AS (SELECT src AS a, dst AS b FROM de
+              UNION SELECT dst, src FROM de),
+       l0 AS (SELECT DISTINCT a AS v, a AS l FROM ue),
+       ${lpaIterSql(1)},
+       ${lpaIterSql(2)}
+       SELECT v AS node, l AS label FROM l2"""
+
   val all: Map[String, Q] = Map(
+    "q156_label_propagation" -> q156_label_propagation,
     "q152_hits" -> q152_hits,
     "q115_host_pagerank" -> q115_host_pagerank,
     "q116_degree_profile" -> q116_degree_profile,
@@ -417,6 +445,7 @@ object GraphQueries {
     "q144_rank_refresh" -> q144_rank_refresh)
 
   val oracles: Map[String, String] = Map(
+    "q156_label_propagation" -> q156_oracle,
     "q152_hits" -> q152_oracle,
     "q115_host_pagerank" -> q115_oracle,
     "q116_degree_profile" -> q116_oracle,

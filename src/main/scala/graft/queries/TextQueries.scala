@@ -862,6 +862,33 @@ object TextQueries {
                 END)) END AS recall
        FROM m CROSS JOIN thr GROUP BY thr"""
 
+  /** q155: corpus novelty profile
+    * ([[graft.operators.Repetition.noveltyProfile]]) — per document,
+    * the fraction of its distinct 3-gram shingles first seen in THIS
+    * document (minimum doc_id over the append order): the corpus-
+    * redundancy diagnostic between the within-doc repetition signals
+    * (q97/q130, which never cross documents) and the thresholded dedup
+    * joins (which only see pairs). One gram-keyed min agg + join back,
+    * no self-join, no pair materialization. */
+  val q155_novelty_profile: Q = (s, d) =>
+    graft.operators.Repetition.noveltyProfile(Tables.documents(s, d),
+      "doc_id", "text", n = 3)
+
+  val q155_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+         FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+       fs AS (SELECT s, min(doc_id) AS first_id FROM ex GROUP BY s)
+       SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN fs.first_id = ex.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+         CAST(sum(CASE WHEN fs.first_id = ex.doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*) AS novelty
+       FROM ex JOIN fs ON fs.s = ex.s GROUP BY ex.doc_id"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -2217,6 +2244,7 @@ object TextQueries {
     "q148_bpe_pair_stats" -> q148_bpe_pair_stats,
     "q149_bpe_apply" -> q149_bpe_apply,
     "q151_threshold_sweep" -> q151_threshold_sweep,
+    "q155_novelty_profile" -> q155_novelty_profile,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2280,6 +2308,7 @@ object TextQueries {
     "q148_bpe_pair_stats" -> q148_oracle,
     "q149_bpe_apply" -> q149_oracle,
     "q151_threshold_sweep" -> q151_oracle,
+    "q155_novelty_profile" -> q155_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,

@@ -184,6 +184,29 @@ class GraphSpec extends SparkSuite {
     for (t <- 10L to 12L) { assert(got(t)._1 == 0 && got(t)._2 > 0) }
   }
 
+  test("labelPropagation separates two cliques joined by one bridge " +
+      "(CC would merge them) and is partitioning-invariant") {
+    // cliques {0,1,2,3} and {10,11,12,13}, bridge 3-10
+    val clique = (for {
+      s <- Seq(0L, 1L, 2L, 3L); t <- Seq(0L, 1L, 2L, 3L) if s < t
+    } yield (s, t)) ++ (for {
+      s <- Seq(10L, 11L, 12L, 13L); t <- Seq(10L, 11L, 12L, 13L)
+      if s < t
+    } yield (s, t)) :+ (3L -> 10L)
+    val got = Graph.labelPropagation(clique.toDF("src", "dst"),
+        "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(got).toSet.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(got).toSet.size == 1)
+    assert(got(0L) != got(11L),
+      s"bridge merged the cliques: $got")
+    val rep = Graph.labelPropagation(
+        (clique ++ clique).toDF("src", "dst").repartition(5),
+        "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rep == got)
+  }
+
   test("degreeProfile counts instances vs distinct neighbours and " +
       "reciprocal edges, zero-filling one-sided nodes") {
     // 1->2 twice, 2->1 (reciprocal), 3->3 (self-loop = own reverse),

@@ -102,4 +102,22 @@ class RepetitionSpec extends SparkSuite {
       col("top2_frac") <= 0).count()
     assert(bad == 0)
   }
+
+  test("noveltyProfile: first doc is fully novel, an exact copy is " +
+      "fully redundant, a half-extension scores in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),          // exact copy -> novelty 0
+      (3L, "x y z w a b c d"))      // new prefix + copied suffix
+      .toDF("doc_id", "text")
+    val got = Repetition.noveltyProfile(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 1.0)))
+    assert(got(2L) == ((2L, 4L, 0L, 0.0)))
+    // doc 3 shingles: "x y z","y z w","z w a","w a b","a b c","b c d"
+    // -> 6 distinct, of which "a b c" and "b c d" were seen in doc 1
+    assert(got(3L) == ((3L, 6L, 4L, 4.0 / 6.0)))
+  }
 }
