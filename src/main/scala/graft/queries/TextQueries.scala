@@ -889,6 +889,55 @@ object TextQueries {
            AS DOUBLE) / count(*) AS novelty
        FROM ex JOIN fs ON fs.s = ex.s GROUP BY ex.doc_id"""
 
+  /** q157: token co-occurrence mining
+    * ([[graft.operators.Assoc.tokenPairSupport]]) — top-50 token
+    * pairs by document support (both in the same doc, counted once),
+    * the market-basket view that seeds stop-pair lists and query
+    * expansion. Per-doc distinct self-join (cost is a document
+    * property), one (x, y) hash agg, TakeOrdered heap with the
+    * (n DESC, x, y) deterministic cut. */
+  val q157_token_pairs: Q = (s, d) =>
+    graft.operators.Assoc.tokenPairSupport(Tables.documents(s, d),
+      "doc_id", "text", minSupport = 2L, k = 50)
+
+  val q157_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         list_distinct(string_split(text, ' ')) toks FROM documents),
+       e AS (SELECT doc_id, unnest(toks) tk FROM t)
+       SELECT a.tk AS x, b.tk AS y, CAST(count(*) AS BIGINT) AS n
+       FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tk < b.tk
+       GROUP BY a.tk, b.tk HAVING count(*) >= 2
+       ORDER BY n DESC, x, y LIMIT 50"""
+
+  /** q158: source overlap matrix
+    * ([[graft.operators.Assoc.sourceOverlap]]) — pairwise shared
+    * distinct 3-gram shingles between SOURCES with set Jaccard: the
+    * "how much of feed B is already in feed A" report a corpus buyer
+    * reads. The corpus collapses to source-level shingle sets in one
+    * distinct agg; the join's per-shingle cost is bounded by the
+    * catalog-sized source count. */
+  val q158_source_overlap: Q = (s, d) =>
+    graft.operators.Assoc.sourceOverlap(Tables.documents(s, d),
+      "source", "text", n = 3)
+
+  val q158_oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') toks
+         FROM documents),
+       sh AS (SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) s FROM t),
+       sz AS (SELECT source, count(*) AS nsh FROM sh GROUP BY source)
+       SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(any_value(za.nsh) AS BIGINT) AS na,
+         CAST(any_value(zb.nsh) AS BIGINT) AS nb,
+         CAST(count(*) AS DOUBLE)
+           / (any_value(za.nsh) + any_value(zb.nsh) - count(*)) AS jac
+       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       JOIN sz za ON za.source = a.source
+       JOIN sz zb ON zb.source = b.source
+       GROUP BY a.source, b.source"""
+
   /** q32: dedup survivors — documents minus near-duplicates (minhash
     * pairs at 0.5; the higher doc_id of each pair is dropped), the
     * end-to-end "clean the corpus" operator. */
@@ -2245,6 +2294,8 @@ object TextQueries {
     "q149_bpe_apply" -> q149_bpe_apply,
     "q151_threshold_sweep" -> q151_threshold_sweep,
     "q155_novelty_profile" -> q155_novelty_profile,
+    "q157_token_pairs" -> q157_token_pairs,
+    "q158_source_overlap" -> q158_source_overlap,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2309,6 +2360,8 @@ object TextQueries {
     "q149_bpe_apply" -> q149_oracle,
     "q151_threshold_sweep" -> q151_oracle,
     "q155_novelty_profile" -> q155_oracle,
+    "q157_token_pairs" -> q157_oracle,
+    "q158_source_overlap" -> q158_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,

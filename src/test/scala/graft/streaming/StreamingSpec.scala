@@ -538,4 +538,32 @@ class StreamingSpec extends SparkSuite {
       assert(got(3L) == (("& escaped entity text kept here", Seq())))
     } finally q.stop()
   }
+
+  test("streaming BPE apply (tokenize-on-ingest) matches the batch " +
+      "operator row-for-row — stateless append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val merges = Seq("e" -> "r", "o" -> "r", "s" -> "t",
+      "or" -> "t", "er" -> "g", "t" -> "h")
+    val docs = Seq((1L, "order sort stream"), (2L, "merge the fast"),
+      (3L, "a"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Bpe.applyMerges(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_out")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      val batch = graft.operators.Bpe.applyMerges(
+          docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch)
+      assert(got(1L)._2 == "or d er | s ort | st r e a m")
+    } finally q.stop()
+  }
 }
