@@ -169,7 +169,7 @@ object Avi {
   def syntheticGifTwinAviTable(docs: DataFrame, idShift: Long = 0L)
       : Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Multimodal.idScan(docs).mapPartitions { ids =>
       ids.map { id0 =>
         val nf = (id0 % 5 + 2).toInt
         val frames = (0 until nf).map { f =>
@@ -191,7 +191,7 @@ object Avi {
     * so [[decodeAviFrames]]' output is analytically recomputable. */
   def syntheticAviTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Multimodal.idScan(docs).mapPartitions { ids =>
       ids.map { id =>
         val nf = (id % 4 + 2).toInt
         val frames = (0 until nf).map(f => dibFrame(id, f, 6, 6))
@@ -212,7 +212,7 @@ object Avi {
     * all sit on the gate. */
   def syntheticMjpegTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Multimodal.idScan(docs).mapPartitions { ids =>
       ids.map { id =>
         val nf = (id % 3 + 2).toInt
         val frames = (0 until nf).map { f =>

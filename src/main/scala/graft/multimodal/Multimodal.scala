@@ -51,6 +51,22 @@ object Multimodal {
   }
   @inline private[multimodal] def ensureCodecInit(): Unit = CodecInit
 
+  /** Decode fan-out for the synthetic media generators: the id scan is
+    * 8 bytes/row and often ONE file split (an 80 MB parquet at sf1 is
+    * a single 128 MB-bound partition), while the downstream codec work
+    * is CPU-bound — without an explicit repartition the whole encode/
+    * decode chain runs on one core and wall time scales with ROWS, not
+    * rows/cores (the r10 scale gate caught exactly that on q58).
+    * Shuffling longs to the session's full parallelism costs ~nothing
+    * and mirrors the real-pipeline shape: hash the path/id list across
+    * the cluster BEFORE fetching and decoding payloads. */
+  private[multimodal] def idScan(docs: DataFrame)
+      : Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  }
+
   case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, features: Array[Float])
 
@@ -121,7 +137,7 @@ object Multimodal {
     * stand-in. */
   def syntheticImageTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idScan(docs).mapPartitions { ids =>
       ensureCodecInit()
       ids.map { id =>
         val img = new java.awt.image.BufferedImage(8, 8,
@@ -158,7 +174,7 @@ object Multimodal {
   def scrambledImageTable(docs: DataFrame, idShift: Long = 0L,
       pixel0Delta: Long = 0L): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idScan(docs).mapPartitions { ids =>
       ensureCodecInit()
       ids.map { id0 =>
         val h1 = (id0 * 2654435761L) & 0xffffff
@@ -312,7 +328,7 @@ object Multimodal {
   def syntheticAudioTable(docs: DataFrame, idShift: Long = 0L,
       ampShift: Int = 0): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idScan(docs).mapPartitions { ids =>
       ids.map { id0 =>
         val id = id0 + idShift
         val rate = 8000
@@ -514,7 +530,7 @@ object Multimodal {
     * [[decodeVideoFrames]] walks with a genuine multi-frame codec. */
   def syntheticVideoTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idScan(docs).mapPartitions { ids =>
       ensureCodecInit()
       // Palette, color model, writer and a reusable frame buffer built
       // once per partition (codec-handle reuse — the partition-batch

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact EDIT-DISTANCE similarity join — the record-linkage / fuzzy-key
+  * matcher (near-identical names, titles, product keys) next to the
+  * set-similarity family: [[PrefixJoin]] is exact on token SETS, this
+  * is exact on character SEQUENCES, where transposed or edited spans
+  * change Jaccard very little but edit distance is the semantics a
+  * linker actually wants.
+  *
+  * Candidate generation is provably complete (no LSH coin-flip), by
+  * composing two classic filters (Gravano et al. VLDB'01; Ed-Join,
+  * Xiao et al. VLDB'08):
+  *
+  *  - LENGTH filter: ed(A,B) <= k forces ||A|-|B|| <= k.
+  *  - POSITIONAL-FREE q-GRAM count filter with PREFIX indexing: one
+  *    edit destroys at most q of a string's q-grams (grams not
+  *    overlapping the edited position survive verbatim), so
+  *    ed(A,B) <= k implies the gram MULTISETS overlap in at least
+  *    max(|G(A)|,|G(B)|) - k*q elements. Under a global total order on
+  *    multiset elements — (df ASC, gram, occurrence) — the standard
+  *    prefix lemma then guarantees any qualifying pair shares an
+  *    element inside both (k*q+1)-prefixes. Strings too short to carry
+  *    that guarantee (fewer than k*q+1 grams, i.e. len < q+k*q) fall
+  *    back to an all-pairs pass over the SHORT POOL only; a gramless
+  *    string (len < q) can only pair, under the length filter, with
+  *    strings of len < q+k — also inside the pool, so the union of
+  *    the two candidate sets is complete at every k.
+  *
+  * Exact rerank: built-in `levenshtein` (codegen'd, same unit-cost
+  * definition as DuckDB's) over the candidates only.
+  *
+  * Scale design: the multiset element is (gram, occ) — occ numbers
+  * repeated grams within a string, so a string of "aaaa…" does NOT
+  * put all its mass on one join key. Prefixes hold each string's k*q+1
+  * df-RAREST elements, so the inverted index joins through the
+  * smallest postings lists exactly as in [[PrefixJoin]] — bucket cost
+  * is Σ df² over prefix elements only, and high-df grams leave the
+  * prefixes as their df grows. The short pool is the skew hazard
+  * (strings shorter than q*(k+1) chars all-pair within the pool);
+  * callers joining corpora with many very short keys should
+  * pre-collapse identical strings first ([[Dedup.exactGroups]]) — for
+  * typical name/title keys the pool is empty.
+  */
+object EditJoin {
+
+  /** All pairs with levenshtein(a, b) <= k, exactly.
+    * Output: (id_a, id_b, dist) with id_a < id_b. */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
+      k: Int, q: Int = 2): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    require(q >= 1, s"gram length must be >= 1, got $q")
+    val p = k * q + 1
+    // one row per string: (id, s, len); read by grams, the short pool,
+    // and both rerank sides — checkpoint so the scan runs once (the
+    // PrefixJoin self-join-canonicalization lesson)
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .localCheckpoint()
+    // multiset elements (gram, occ): posexplode over the gram sequence,
+    // occ = rank of this occurrence among equal grams within the string
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))"))
+          .as(Seq("pos", "g")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))))
+    // global order: element df ASC, then (g, occ) — total, deterministic
+    val dfreq = grams.groupBy(col("g"), col("occ"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = grams.join(dfreq, Seq("g", "occ"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("g"), col("occ"))))
+    val pre = ranked.filter(col("rn") <= p)
+      .select(col("id"), col("len"), col("g"), col("occ"))
+      .localCheckpoint()
+    val gramCand = pre.select(col("id").as("id_a"), col("len").as("la"),
+        col("g"), col("occ"))
+      .join(pre.select(col("id").as("id_b"), col("len").as("lb"),
+        col("g"), col("occ")), Seq("g", "occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= k)
+      .select(col("id_a"), col("id_b"))
+    // short pool: strings without the k*q+1-gram guarantee all-pair
+    // among themselves (complete per the scaladoc argument). The pair
+    // enumeration is an EQUI-join on a banded length key (side a
+    // explodes len-k..len+k), not a theta cross join — a hash join
+    // whose bucket fan-out is the pool's per-length census, never a
+    // nested-loop broadcast of the corpus.
+    val short = base.filter(col("len") < q + k * q)
+      .select(col("id"), col("len"))
+    val shortCand = short
+      .select(col("id").as("id_a"), col("len").as("la"),
+        explode(expr(s"sequence(len - $k, len + $k)")).as("lb"))
+      .join(short.select(col("id").as("id_b"), col("len").as("lb")),
+        Seq("lb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    gramCand.union(shortCand).distinct()
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label-aggregation operators for annotation and preference data —
+  * the consolidation step between raw human/model judgments and a
+  * training set: crowd labels become one gold label per item
+  * ([[majorityVote]]), pairwise preferences become per-item strengths
+  * ([[bradleyTerry]], the Bradley-Terry model preference-tuning
+  * pipelines fit over comparison data). No reference analogue
+  * (hematite has no labeling surface); both are deterministic and
+  * engine-portable by construction.
+  */
+object Labeling {
+
+  /** Majority-vote consolidation: one row per item with the vote
+    * count, the MODAL label (most votes; ties break to the
+    * lexicographically smallest label — deterministic, no annotator
+    * order dependence), the modal count, and the agreement ratio
+    * (modal/total — the per-item inter-annotator agreement that
+    * curation thresholds filter on).
+    *
+    * Scale shape: two hash aggregations — (item, label) counts, then a
+    * per-item min-struct reduction — both with map-side partial
+    * combine; no window, no per-item list materialization, so a
+    * mega-item (millions of votes on one id) is a hot reduce key with
+    * map-side combine, not a memory hazard. */
+  def majorityVote(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cnt = votes.select(col(itemCol).as("item"),
+        col(labelCol).as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("item"))
+      .agg(sum(col("c")).as("n_votes"),
+        min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+      .select(col("item"),
+        col("n_votes"),
+        col("m.label").as("label"),
+        (-col("m.nc")).as("label_votes"),
+        ((-col("m.nc")).cast("double") / col("n_votes")).as("agreement"))
+  }
+
+  /** Bradley-Terry preference strengths via `iters` fixed
+    * minorization-maximization rounds (Hunter, Ann. Statist. 2004) in
+    * scaled-LONG integer arithmetic — the [[Graph.pageRank]] recipe
+    * applied to the preference model: every sum is an exact long sum,
+    * every division a floor `div` identical in Spark and DuckDB, so a
+    * SQL oracle replays the fixpoint bit-for-bit and the gate is
+    * hash-exact rather than rank-only.
+    *
+    * Update, with strengths g as longs in units of scale⁻¹ (g0 =
+    * scale), W_i = wins of i, n_ij = comparisons between i and j:
+    *
+    *   c_ij = (scale·scale) div (g_i + g_j)
+    *   D_i  = Σ_{j≠i} n_ij · c_ij
+    *   g'_i = max(1, (W_i · scale · scale) div max(D_i, 1))
+    *
+    * The max(1, …) floors a never-winning item at the smallest
+    * positive strength so later rounds never divide by zero. Self
+    * comparisons (winner == loser) are discarded — they carry no
+    * information in the model. Overflow bound (documented, not free):
+    * W_i·scale² and Σ n_ij·c_ij ≤ N_i·scale² must fit a long, where
+    * N_i is ONE item's comparison count — at the default scale 10⁵
+    * that is ~9·10⁸ comparisons per item; lower `scale` to trade
+    * strength resolution for headroom on denser corpora.
+    *
+    * Scale shape per round: the ordered comparison table (two rows per
+    * unordered pair, built once and checkpointed) joins the current
+    * strength vector on each side and reduces per item — one hash-agg
+    * shuffle keyed by item with map-side combine, a Pregel superstep
+    * over the comparison graph. Items are typically a bounded catalog
+    * (models, sources, policies) while comparisons are the big table;
+    * nothing driver-side ever holds the comparisons. */
+  def bradleyTerry(prefs: DataFrame, winCol: String, loseCol: String,
+      iters: Int = 3, scale: Long = 100000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 1 && scale <= 3000000000L,
+      s"scale $scale out of range (scale*scale must fit a long comfortably)")
+    val p = prefs.select(col(winCol).as("w"), col(loseCol).as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+    val items = p.select(col("w").as("item"))
+      .union(p.select(col("l").as("item"))).distinct()
+      .localCheckpoint()
+    val wins = p.groupBy(col("w").as("item")).agg(count(lit(1)).as("wi"))
+    // ordered comparison counts: one row per (i, j) direction so each
+    // round is a single join+agg; built once, lineage cut
+    val nij = p.select(least(col("w"), col("l")).as("x"),
+        greatest(col("w"), col("l")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val dirs = nij.select(col("x").as("i"), col("y").as("j"), col("n"))
+      .union(nij.select(col("y").as("i"), col("x").as("j"), col("n")))
+      .localCheckpoint()
+    val s2 = scale * scale
+    var g = items.select(col("item"), lit(scale).as("r"))
+    var it = 0
+    while (it < iters) {
+      val den = dirs
+        .join(g.select(col("item").as("i"), col("r").as("ri")), Seq("i"))
+        .join(g.select(col("item").as("j"), col("r").as("rj")), Seq("j"))
+        .select(col("i"),
+          (col("n") * expr(s"$s2 div (ri + rj)")).as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).as("den"))
+      val next = items
+        .join(wins, Seq("item"), "left")
+        .join(den.select(col("i").as("item"), col("den")), Seq("item"),
+          "left")
+        .select(col("item"),
+          greatest(lit(1L), expr(
+            s"(coalesce(wi, 0L) * $s2) div greatest(coalesce(den, 1L), 1L)"))
+            .as("r"))
+      g = if (it == iters - 1) next else next.localCheckpoint()
+      it += 1
+    }
+    g.select(col("item"), col("r").as("strength"))
+  }
+}

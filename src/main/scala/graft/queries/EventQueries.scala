@@ -348,7 +348,99 @@ object EventQueries {
            AS depth
        FROM s3"""
 
+  /** q160: majority-vote label consolidation
+    * ([[graft.operators.Labeling.majorityVote]]) — the events stream
+    * read as an annotation log (item = user_id, one vote per event):
+    * modal label with the deterministic smallest-label tie-break, vote
+    * counts, agreement ratio. Two hash-aggs, no window, no per-item
+    * list. The tie-break is load-bearing in the fixture: users with
+    * an equal top-2 label count must pick the lexicographically
+    * smaller label identically in both engines. */
+  val q160_majority_label: Q = (s, d) =>
+    graft.operators.Labeling.majorityVote(Tables.events(s, d),
+        "user_id", "event_type")
+      .select(col("item").as("user_id"), col("n_votes"), col("label"),
+        col("label_votes"), col("agreement"))
+
+  val q160_oracle: String =
+    """WITH c AS (SELECT user_id, event_type AS label, count(*) AS c
+         FROM events GROUP BY 1, 2)
+       SELECT user_id, CAST(n_votes AS BIGINT) AS n_votes, label,
+         CAST(c AS BIGINT) AS label_votes,
+         CAST(c AS DOUBLE) / n_votes AS agreement
+       FROM (SELECT user_id, label, c,
+           sum(c) OVER (PARTITION BY user_id) AS n_votes,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY c DESC, label) AS rn
+         FROM c)
+       WHERE rn = 1"""
+
+  /** q161: Bradley-Terry preference strengths
+    * ([[graft.operators.Labeling.bradleyTerry]]) — pairwise
+    * preferences derived from the event log (within each user's
+    * (ts, event_id) order, consecutive events of different types
+    * duel; the higher `value` wins, exact-equal values and same-type
+    * pairs abstain), then 3 MM rounds in scaled-long integer
+    * arithmetic. The oracle replays the preference derivation AND
+    * unrolls all three rounds — floor divisions, the max(1,·)
+    * zero-win floor, and the left-join null handling are all
+    * hash-load-bearing. Scale shape: one window over the log to form
+    * duels, then per-round one item-keyed hash-agg over the bounded
+    * ordered-pair table. */
+  val q161_bradley_terry: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val duels = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("t"),
+        col("value").as("v"), col("ts"), col("event_id"))
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pt").isNotNull && col("t") =!= col("pt") &&
+        col("v") =!= col("pv"))
+      .select(
+        when(col("v") > col("pv"), col("t")).otherwise(col("pt")).as("win"),
+        when(col("v") > col("pv"), col("pt")).otherwise(col("t")).as("lose"))
+    graft.operators.Labeling.bradleyTerry(duels, "win", "lose",
+      iters = 3, scale = 100000L)
+  }
+
+  private def btIterSql(k: Int): String =
+    s"""d$k AS (SELECT i, CAST(sum(n * (10000000000 // (ri.r + rj.r)))
+           AS BIGINT) AS den
+         FROM dirs JOIN r${k - 1} ri ON ri.item = dirs.i
+           JOIN r${k - 1} rj ON rj.item = dirs.j
+         GROUP BY i),
+       r$k AS (SELECT items.item,
+           greatest(1, (COALESCE(wi, 0) * 10000000000)
+             // greatest(COALESCE(den, 1), 1)) AS r
+         FROM items LEFT JOIN wins USING (item)
+           LEFT JOIN d$k ON d$k.i = items.item)"""
+
+  val q161_oracle: String =
+    s"""WITH o AS (SELECT user_id, event_type AS t, value AS v,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS pt,
+         lag(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS pv
+       FROM events),
+       p AS (SELECT CASE WHEN v > pv THEN t ELSE pt END AS w,
+           CASE WHEN v > pv THEN pt ELSE t END AS l
+         FROM o WHERE pt IS NOT NULL AND t <> pt AND v <> pv),
+       items AS (SELECT w AS item FROM p UNION SELECT l FROM p),
+       wins AS (SELECT w AS item, count(*) AS wi FROM p GROUP BY 1),
+       nij AS (SELECT least(w, l) AS x, greatest(w, l) AS y,
+           count(*) AS n FROM p GROUP BY 1, 2),
+       dirs AS (SELECT x AS i, y AS j, n FROM nij
+         UNION ALL SELECT y, x, n FROM nij),
+       r0 AS (SELECT item, CAST(100000 AS BIGINT) AS r FROM items),
+       ${btIterSql(1)},
+       ${btIterSql(2)},
+       ${btIterSql(3)}
+       SELECT item, CAST(r AS BIGINT) AS strength FROM r3"""
+
   val all: Map[String, Q] = Map(
+    "q160_majority_label" -> q160_majority_label,
+    "q161_bradley_terry" -> q161_bradley_terry,
     "q153_funnel" -> q153_funnel,
     "q79_latest_snapshot" -> q79_latest_snapshot,
     "q65_range_join" -> q65_range_join,
@@ -366,6 +458,8 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q160_majority_label" -> q160_oracle,
+    "q161_bradley_terry" -> q161_oracle,
     "q153_funnel" -> q153_oracle,
     "q79_latest_snapshot" -> q79_oracle,
     "q65_range_join" -> q65_oracle,

@@ -396,7 +396,10 @@ object TextQueries {
     graft.operators.Bpe.applyMerges(Tables.documents(s, d), "doc_id",
       "text", bpeMerges)
 
-  val q149_oracle: String = {
+  /** DuckDB SQL for one word's BPE pieces under [[bpeMerges]] —
+    * the unrolled list_reduce chain shared by the q149 and q162
+    * oracles. */
+  private val bpeWordSql: String = {
     var cur = "list_transform(range(1, length(w) + 1), " +
       "i -> w[CAST(i AS INT)])"
     for ((x, y) <- bpeMerges) {
@@ -405,7 +408,11 @@ object TextQueries {
         s"array_to_string(string_split(acc, ' ')[:-2] || ['$x$y'], " +
         s"' ') ELSE acc || ' ' || t END), ' ')"
     }
-    val wordSql = s"array_to_string($cur, ' ')"
+    s"array_to_string($cur, ' ')"
+  }
+
+  val q149_oracle: String = {
+    val wordSql = bpeWordSql
     s"""WITH b AS (SELECT doc_id,
          array_to_string(list_transform(
            list_filter(string_split(text, ' '), w -> length(w) > 0),
@@ -418,6 +425,112 @@ object TextQueries {
            AS n_sym
        FROM b"""
   }
+
+  /** q162: tokenizer fertility by source — the vocabulary-fit report a
+    * pipeline owner reads per feed: documents, whitespace words, BPE
+    * symbols under the fixed q149 merge table, and fertility
+    * (symbols per word — high fertility means the vocabulary splits
+    * this feed's words into many pieces, i.e. poor fit / wasted
+    * sequence length). Composes [[graft.operators.Bpe.applyMerges]]
+    * (zero-shuffle projection) with one doc_id join to recover
+    * `source` and one source-keyed agg; the oracle replays the full
+    * per-word fold via the shared unrolled merge SQL. */
+  val q162_bpe_fertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bpe = graft.operators.Bpe.applyMerges(docs, "doc_id", "text",
+      bpeMerges)
+    bpe.join(docs.select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "),
+          w => length(w) > lit(0))).cast("long").as("nw")),
+      Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("n_sym")).as("n_sym"))
+      .withColumn("fertility",
+        col("n_sym").cast("double") / col("n_words"))
+  }
+
+  val q162_oracle: String =
+    s"""WITH b AS (SELECT doc_id, source,
+         array_to_string(list_transform(
+           list_filter(string_split(text, ' '), w -> length(w) > 0),
+           w -> $bpeWordSql), ' | ') AS bpe,
+         len(list_filter(string_split(text, ' '),
+           w -> length(w) > 0)) AS nw
+       FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_words,
+         CAST(sum(len(string_split(bpe, ' ')) - (nw - 1)) AS BIGINT)
+           AS n_sym,
+         CAST(sum(len(string_split(bpe, ' ')) - (nw - 1)) AS DOUBLE)
+           / sum(nw) AS fertility
+       FROM b GROUP BY source"""
+
+  /** q164: exact order-statistic length quantiles per source
+    * ([[graft.operators.Privacy.quantileProfile]]) — p25/p50/p75/p90
+    * of n_chars as actual row values at ceil(p·n), NOT interpolated
+    * percentiles (q49 covers those): order statistics are the
+    * engine-portable quantile, selected by identical integer rank
+    * arithmetic in both engines. One partitioned window + one agg. */
+  val q164_length_quantiles: Q = (s, d) =>
+    graft.operators.Privacy.quantileProfile(Tables.documents(s, d),
+        "source", "n_chars", "doc_id")
+      .select(col("grp").as("source"), col("n"), col("p25"), col("p50"),
+        col("p75"), col("p90"))
+
+  val q164_oracle: String =
+    """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+       FROM documents)
+       SELECT source, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rn = (1 * n + 3) // 4 THEN v END) AS p25,
+         max(CASE WHEN rn = (2 * n + 3) // 4 THEN v END) AS p50,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS p75,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90
+       FROM r GROUP BY source"""
+
+  /** q167: count-min heavy hitters ([[graft.operators.Sketch]]) — the
+    * top-20 tokens by exact count, each with its 4×512 count-min
+    * ESTIMATE. Both columns gate hash-exact: the sketch's md5-derived
+    * row hashes make the counter matrix and every collision a pure
+    * function of the corpus, so the oracle replays the estimates
+    * including their overestimation error — a sketch gate with no
+    * tolerance band (contrast q45's HLL, engine-specific by nature).
+    * Plan: one d·w-bounded hash-agg for the matrix (broadcast back),
+    * one token count agg, probe join. */
+  val q167_cms_heavy: Q = (s, d) => {
+    val items = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val mat = graft.operators.Sketch.countMinMatrix(items, "token",
+      d = 4, w = 512)
+    val exact = items.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    graft.operators.Sketch.countMinEstimates(mat, exact, "token",
+        d = 4, w = 512)
+      .join(exact, col("key") === col("token"))
+      .select(col("token"), col("n"), col("est"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+  }
+
+  val q167_oracle: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+         FROM documents),
+       mat AS (SELECT r,
+           CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t),
+             1, 4)) AS INT) % 512 AS bucket, count(*) AS c
+         FROM tok CROSS JOIN range(4) rr(r) GROUP BY 1, 2),
+       ex AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+       pr AS (SELECT ex.t, ex.n, r,
+           CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || ex.t),
+             1, 4)) AS INT) % 512 AS bucket
+         FROM ex CROSS JOIN range(4) rr(r)),
+       est AS (SELECT pr.t, pr.n, min(COALESCE(mat.c, 0)) AS est
+         FROM pr LEFT JOIN mat ON mat.r = pr.r AND mat.bucket = pr.bucket
+         GROUP BY pr.t, pr.n)
+       SELECT t AS token, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
+       FROM est ORDER BY n DESC, token LIMIT 20"""
 
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
@@ -2296,6 +2409,9 @@ object TextQueries {
     "q155_novelty_profile" -> q155_novelty_profile,
     "q157_token_pairs" -> q157_token_pairs,
     "q158_source_overlap" -> q158_source_overlap,
+    "q162_bpe_fertility" -> q162_bpe_fertility,
+    "q164_length_quantiles" -> q164_length_quantiles,
+    "q167_cms_heavy" -> q167_cms_heavy,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2362,6 +2478,9 @@ object TextQueries {
     "q155_novelty_profile" -> q155_oracle,
     "q157_token_pairs" -> q157_oracle,
     "q158_source_overlap" -> q158_oracle,
+    "q162_bpe_fertility" -> q162_oracle,
+    "q164_length_quantiles" -> q164_oracle,
+    "q167_cms_heavy" -> q167_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,

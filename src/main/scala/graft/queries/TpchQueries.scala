@@ -715,7 +715,50 @@ object TpchQueries {
            ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
        FROM v"""
 
+  /** q159: exact edit-distance similarity join
+    * ([[graft.operators.EditJoin.editDistancePairs]]) — record
+    * linkage over customer names: all pairs within levenshtein
+    * distance 1, found through the provably-complete q-gram prefix
+    * index + length filter (Ed-Join), then exactly reranked. The
+    * oracle is the brute-force all-pairs join, so ANY candidate the
+    * prefix filter wrongly drops (or any levenshtein disagreement
+    * between engines) hash-fails. The name corpus is adversarial for
+    * blocking: every name shares the 9-char "Customer#" prefix and
+    * most zero digits, so a naive gram index degenerates — only the
+    * df-rarest-prefix selection keeps buckets small. */
+  val q159_edit_join: Q = (s, d) =>
+    graft.operators.EditJoin.editDistancePairs(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      "c_name", "c_custkey", k = 1, q = 2)
+
+  val q159_oracle: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       FROM customer a JOIN customer b
+         ON a.c_custkey < b.c_custkey
+         AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+
+  /** q163: k-anonymity release audit
+    * ([[graft.operators.Privacy.kAnonymityClasses]]) — the customer
+    * table profiled over the quasi-identifier pair (nation, market
+    * segment) at k=5: every equivalence class with its size and risk
+    * flag. The 25×5 class space over small-SF row counts guarantees
+    * genuinely at-risk classes exist, so the flag is load-bearing.
+    * One hash-agg, the exact-dedup plan shape. */
+  val q163_k_anonymity: Q = (s, d) =>
+    graft.operators.Privacy.kAnonymityClasses(Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment")), k = 5)
+
+  val q163_oracle: String =
+    """SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size,
+         count(*) < 5 AS at_risk
+       FROM customer GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q159_edit_join" -> q159_edit_join,
+    "q163_k_anonymity" -> q163_k_anonymity,
     "q80_scd2_history" -> q80_scd2_history,
     "q61_outer_join" -> q61_outer_join,
     "q62_window_nav" -> q62_window_nav,
@@ -747,6 +790,8 @@ object TpchQueries {
     "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
+    "q159_edit_join" -> q159_oracle,
+    "q163_k_anonymity" -> q163_oracle,
     "q80_scd2_history" -> q80_oracle,
     "q61_outer_join" -> q61_oracle,
     "q62_window_nav" -> q62_oracle,

@@ -906,7 +906,151 @@ object VectorQueries {
        SELECT q.vec_id, s.j, CAST(sum(s.sgn * q.qi) AS BIGINT) AS y
        FROM q JOIN s ON s.i = q.i GROUP BY q.vec_id, s.j"""
 
+  /** q165: hybrid-retrieval rank fusion
+    * ([[graft.operators.Fusion.rrfTopK]]) — the BM25 lexical top-100
+    * (q77's scoring) fused with the dense cosine top-100 against the
+    * stored query vector (q36's scoring, id 0) by Reciprocal Rank
+    * Fusion in exact integer arithmetic: contribution = 10⁹ div
+    * (60 + rank), fused scores are exact long sums, so the gate
+    * hash-matches the scores themselves. The two rankings genuinely
+    * disagree (lexical term hits vs embedding geometry), so the fused
+    * order is a real interleave, not either input echoed. */
+  val q165_rrf_fusion: Q = (s, d) => {
+    val bm = graft.operators.Bm25.topK(
+      graft.Tables.documents(s, d), "text", "doc_id",
+      terms = Seq("spark", "query", "vector", "hash", "window"), k = 100)
+    val dense = Similarity.topKForId(Tables.embeddings(s, d),
+        "embedding", "vec_id", queryId = 0, k = 100)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rk"))
+    graft.operators.Fusion.rrfTopK(
+        Seq(bm.select(col("doc_id"), col("rk")), dense),
+        "doc_id", "rk", k = 50)
+      .select(col("id").as("doc_id"), col("fused"), col("rk"))
+  }
+
+  val q165_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents),
+       base AS (SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,
+         CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf3,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf4
+       FROM t),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3,
+         sum(CASE WHEN tf4 > 0 THEN 1.0 ELSE 0.0 END) AS df4
+       FROM base),
+       sc AS (SELECT doc_id,
+           ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
+             / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
+             / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
+             / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.2 + 1.0))
+             / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * (tf4 * (1.2 + 1.0))
+             / (tf4 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           AS score
+       FROM base, st),
+       lex AS (SELECT doc_id, rk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         FROM sc) WHERE rk <= 100),
+       q AS (SELECT CAST(embedding AS DOUBLE[]) qv
+             FROM embeddings WHERE vec_id = 0),
+       ds AS (SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+         FROM embeddings, q WHERE vec_id <> 0),
+       den AS (SELECT vec_id AS doc_id, rk FROM (
+         SELECT vec_id, CAST(row_number() OVER
+           (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+         FROM ds) WHERE rk <= 100),
+       contrib AS (
+         SELECT doc_id, 1000000000 // (60 + rk) AS p FROM lex
+         UNION ALL
+         SELECT doc_id, 1000000000 // (60 + rk) AS p FROM den),
+       fused AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS fused
+         FROM contrib GROUP BY doc_id)
+       SELECT doc_id, fused, rk FROM (
+         SELECT doc_id, fused, CAST(row_number() OVER
+           (ORDER BY fused DESC, doc_id) AS BIGINT) AS rk
+         FROM fused)
+       WHERE rk <= 50"""
+
+  /** q166: MMR diversified re-rank ([[graft.operators.Mmr.rerank]]) —
+    * the top-60 cosine candidates against the stored query (q36's
+    * scoring) greedily diversified to 8 picks at λ=7/10. The oracle
+    * replays all 8 greedy steps in chained SQL CTEs over the same
+    * pool + pairwise-sim tables, so every pick — including the
+    * diversity penalties that pull lower-relevance items forward —
+    * must match exactly. The pool build is the distributed stage
+    * (TakeOrdered top-m); the greedy is O(k·m) over the bounded pool
+    * (see the operator scaladoc for why that is the scale shape). */
+  val q166_mmr_rerank: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val pool = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("v"),
+        (dot(col("embedding"), col("qv"))
+          / (norm(col("embedding")) * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(60)
+    graft.operators.Mmr.rerank(pool, "id", "v", "rel", k = 8,
+      lamNum = 7, lamDen = 10)
+  }
+
+  val q166_oracle: String = {
+    // every sel_i is referenced three times (IN, NOT IN, union) —
+    // without MATERIALIZED the CTE chain re-inlines the whole prefix
+    // 3^k times (the q149 BPE-fold lesson, SQL-side this time)
+    val steps = new StringBuilder
+    for (i <- 2 to 8) {
+      steps.append(s""",
+       s$i AS MATERIALIZED (SELECT p.id FROM pool p
+         JOIN sims ON sims.ia = p.id
+           AND sims.ib IN (SELECT id FROM sel${i - 1})
+         WHERE p.id NOT IN (SELECT id FROM sel${i - 1})
+         GROUP BY p.id, p.rel
+         ORDER BY 7 * p.rel - 3 * max(sims.sim) DESC, p.id LIMIT 1),
+       sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         UNION ALL SELECT $i, id FROM s$i)""")
+    }
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) qv
+         FROM embeddings WHERE vec_id = 0),
+       pool AS MATERIALIZED (SELECT id, v, rel FROM (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS rel
+         FROM embeddings, qv WHERE vec_id <> 0
+         ORDER BY rel DESC, vec_id LIMIT 60)),
+       sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS sim
+         FROM pool a JOIN pool b ON a.id <> b.id),
+       s1 AS (SELECT id FROM pool ORDER BY 7 * rel DESC, id LIMIT 1),
+       sel1 AS MATERIALIZED (SELECT 1 AS step, id FROM s1)${steps}
+       SELECT CAST(step AS BIGINT) AS step, id FROM sel8"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q166_mmr_rerank" -> q166_mmr_rerank,
+    "q165_rrf_fusion" -> q165_rrf_fusion,
     "q154_sign_project" -> q154_sign_project,
     "q150_embedding_decontam" -> q150_embedding_decontam,
     "q118_kmeans_assign" -> q118_kmeans_assign,
@@ -937,6 +1081,8 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q166_mmr_rerank" -> q166_oracle,
+    "q165_rrf_fusion" -> q165_oracle,
     "q154_sign_project" -> q154_oracle,
     "q150_embedding_decontam" -> q150_oracle,
     "q118_kmeans_assign" -> q118_oracle,

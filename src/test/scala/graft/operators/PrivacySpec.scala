@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** k-anonymity census + exact order-statistic quantiles. */
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    ("us", "a"), ("us", "a"), ("us", "a"), ("us", "a"), ("us", "a"),
+    ("us", "b"), ("us", "b"),
+    ("fr", "a")
+  ).toDF("country", "tier")
+
+  test("kAnonymityClasses: class sizes and the k flag") {
+    val got = Privacy.kAnonymityClasses(people,
+        Seq(col("country"), col("tier")), k = 5)
+      .select($"country", $"tier", $"class_size", $"at_risk")
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("us", "a", 5L, false), ("us", "b", 2L, true),
+      ("fr", "a", 1L, true)))
+  }
+
+  test("kAnonymitySummary: risk record count and fraction") {
+    val got = Privacy.kAnonymitySummary(people,
+        Seq(col("country"), col("tier")), k = 5)
+      .select($"n_classes", $"n_records", $"risk_classes",
+        $"risk_records", $"risk_fraction")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 8L, 2L, 3L, 3.0 / 8)))
+  }
+
+  test("quantileProfile: order statistics match a sorted-Seq " +
+      "reference, including size-1 and size-2 groups") {
+    val rows = Seq.tabulate(37)(i => ("big", (i * 7 + 3) % 100, i)) ++
+      Seq(("one", 42, 100), ("two", 5, 101), ("two", 9, 102))
+    val df = rows.toDF("grp", "v", "id")
+    val got = Privacy.quantileProfile(df, "grp", "v", "id")
+      .select($"grp", $"n", $"p25", $"p50", $"p75", $"p90")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def ref(vs: Seq[Int], num: Int, den: Int): Long = {
+      val sorted = vs.sorted
+      sorted(((num.toLong * vs.size + den - 1) / den - 1).toInt).toLong
+    }
+    for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+      val (_, n, p25, p50, p75, p90) = got(g)
+      assert(n == vs.size)
+      assert(p25 == ref(vs, 1, 4), s"$g p25")
+      assert(p50 == ref(vs, 2, 4), s"$g p50")
+      assert(p75 == ref(vs, 3, 4), s"$g p75")
+      assert(p90 == ref(vs, 9, 10), s"$g p90")
+    }
+  }
+}
