@@ -40,6 +40,21 @@ object Sketch {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Merge sketch matrices by cell-wise sum — the property that makes
+    * count-min THE distributed/streaming frequency summary: every
+    * shard (or micro-batch, or day partition) sketches independently
+    * and the union's sketch is the exact cell sum, with zero
+    * re-reading. merge(matrix(A), matrix(B)) == matrix(A ∪ B)
+    * bit-exactly, because cells are plain counts (SketchSpec pins the
+    * identity; the q168 gate runs estimates through a merged pair of
+    * half-corpus sketches against the full-corpus oracle). */
+  def mergeMatrices(mats: Seq[DataFrame]): DataFrame = {
+    require(mats.nonEmpty, "need at least one matrix")
+    mats.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Point estimates for every key of `probes` against the matrix:
     * (key, est) with est = min_r counter(r, bucket_r(key)). A bucket
     * never touched estimates 0 via the left-join coalesce. */

@@ -438,8 +438,32 @@ object EventQueries {
        ${btIterSql(3)}
        SELECT item, CAST(r AS BIGINT) AS strength FROM r3"""
 
+  /** q169: Markov transition matrix
+    * ([[graft.operators.Markov.transitions]]) — consecutive-event
+    * state transitions per user under the (ts, event_id) total order:
+    * counts, per-from totals, conditional probabilities. The user-flow
+    * graph next to q24's sessions and q153's funnels; one per-stream
+    * window, then |states|²-bounded aggregates. */
+  val q169_markov_transitions: Q = (s, d) =>
+    graft.operators.Markov.transitions(Tables.events(s, d),
+      "user_id", "event_type", Seq("ts", "event_id"))
+
+  val q169_oracle: String =
+    """WITH o AS (SELECT event_type AS to_state,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS from_state
+       FROM events),
+       t AS (SELECT from_state, to_state, count(*) AS n
+         FROM o WHERE from_state IS NOT NULL GROUP BY 1, 2),
+       f AS (SELECT from_state, sum(n) AS n_from FROM t GROUP BY 1)
+       SELECT t.from_state, t.to_state, CAST(t.n AS BIGINT) AS n,
+         CAST(f.n_from AS BIGINT) AS n_from,
+         CAST(t.n AS DOUBLE) / f.n_from AS p
+       FROM t JOIN f USING (from_state)"""
+
   val all: Map[String, Q] = Map(
     "q160_majority_label" -> q160_majority_label,
+    "q169_markov_transitions" -> q169_markov_transitions,
     "q161_bradley_terry" -> q161_bradley_terry,
     "q153_funnel" -> q153_funnel,
     "q79_latest_snapshot" -> q79_latest_snapshot,
@@ -459,6 +483,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q160_majority_label" -> q160_oracle,
+    "q169_markov_transitions" -> q169_oracle,
     "q161_bradley_terry" -> q161_oracle,
     "q153_funnel" -> q153_oracle,
     "q79_latest_snapshot" -> q79_oracle,

@@ -532,6 +532,30 @@ object TextQueries {
        SELECT t AS token, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
        FROM est ORDER BY n DESC, token LIMIT 20"""
 
+  /** q168: count-min MERGEABILITY ([[graft.operators.Sketch
+    * .mergeMatrices]]) — the property that makes the sketch
+    * distributed: the corpus splits by doc_id parity, each half
+    * sketches INDEPENDENTLY, the merged matrix serves the same top-20
+    * estimates as q167, and the oracle recomputes from the FULL corpus
+    * — so the gate passes only because cell-wise sums commute with
+    * corpus union exactly. This is the per-shard / per-day sketch
+    * workflow: union summaries, never re-read data. */
+  val q168_cms_merged: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val merged = graft.operators.Sketch.mergeMatrices(Seq(
+      graft.operators.Sketch.countMinMatrix(half(0), "token", 4, 512),
+      graft.operators.Sketch.countMinMatrix(half(1), "token", 4, 512)))
+    val items = docs.select(explode(split(col("text"), " ")).as("token"))
+    val exact = items.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    graft.operators.Sketch.countMinEstimates(merged, exact, "token",
+        d = 4, w = 512)
+      .join(exact, col("key") === col("token"))
+      .select(col("token"), col("n"), col("est"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+  }
+
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
     * synthesized from doc_id the way every multimodal gate builds its
@@ -2412,6 +2436,7 @@ object TextQueries {
     "q162_bpe_fertility" -> q162_bpe_fertility,
     "q164_length_quantiles" -> q164_length_quantiles,
     "q167_cms_heavy" -> q167_cms_heavy,
+    "q168_cms_merged" -> q168_cms_merged,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2481,6 +2506,7 @@ object TextQueries {
     "q162_bpe_fertility" -> q162_oracle,
     "q164_length_quantiles" -> q164_oracle,
     "q167_cms_heavy" -> q167_oracle,
+    "q168_cms_merged" -> q167_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,

@@ -41,6 +41,25 @@ class SketchSpec extends SparkSuite {
       "every sketch row must count every instance exactly once")
   }
 
+  test("mergeMatrices(shards) == matrix(union) bit-exactly — the " +
+      "property that makes the sketch distributed") {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def toks(df: DataFrame) =
+      df.select(explode(split($"text", " ")).as("token"))
+    val full = Sketch.countMinMatrix(toks(docs), "token", 4, 128)
+      .as[(Int, Int, Long)].collect().toSet
+    val merged = Sketch.mergeMatrices(Seq(
+        Sketch.countMinMatrix(toks(docs.filter($"doc_id" % 3 === 0)),
+          "token", 4, 128),
+        Sketch.countMinMatrix(toks(docs.filter($"doc_id" % 3 === 1)),
+          "token", 4, 128),
+        Sketch.countMinMatrix(toks(docs.filter($"doc_id" % 3 === 2)),
+          "token", 4, 128)))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged == full)
+  }
+
   test("absent keys estimate from whatever occupies their buckets — " +
       "never negative, zero on an empty matrix") {
     val mat = Sketch.countMinMatrix(items.limit(0), "token", 4, 64)

@@ -566,4 +566,31 @@ class StreamingSpec extends SparkSuite {
       assert(got(1L)._2 == "or d er | s ort | st r e a m")
     } finally q.stop()
   }
+
+  test("streaming count-min matrix (complete mode) converges to the " +
+      "batch sketch — the one-pass bounded-state frequency summary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val toks = Seq("a", "b", "a", "c", "a", "b", "d", "a")
+    val input = MemoryStream[String]
+    val q = graft.operators.Sketch.countMinMatrix(
+        input.toDF().toDF("token"), "token", d = 3, w = 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      input.addData(toks.take(3): _*)
+      q.processAllAvailable()
+      input.addData(toks.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .as[(Int, Int, Long)].collect().toSet
+      val batch = graft.operators.Sketch.countMinMatrix(
+          toks.toDF("token"), "token", d = 3, w = 16)
+        .as[(Int, Int, Long)].collect().toSet
+      assert(got == batch)
+      // fold, not Set.map(...).sum — mapping a Set dedups equal counts
+      assert(batch.foldLeft(0L)(_ + _._3) == 3L * toks.size)
+    } finally q.stop()
+  }
 }
