@@ -168,4 +168,46 @@ object Curation {
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("gram"))
       .limit(k)
+
+  /** Robust per-group outlier census via median/MAD (the
+    * median-absolute-deviation rule: |x − med| > k·MAD) — the outlier
+    * detector that survives the outliers themselves, unlike
+    * mean/stddev z-scores which the anomalies drag toward themselves.
+    * Everything is EXACT: med and MAD are order statistics (value at
+    * ceil(n/2) of the tiebroken sort — the q164 selection rule, not
+    * interpolation), deviations are integer |v−med|, and the flag is
+    * an integer comparison, so the census is engine-portable with no
+    * tolerance.
+    *
+    * Output: (grp, n, med, mad, n_out). Scale shape: two partitioned
+    * row_number windows (values, then deviations — the per-group sort
+    * bound of q164 applies) with the one-row-per-group med/mad frames
+    * joined back group-keyed; the final census is one agg. */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String, k: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(col(groupCol).as("grp"),
+      col(valCol).cast("long").as("v"), col(tieCol).as("tb"))
+    def pickMid(in: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c), col("tb"))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("grp"))))
+        .filter(col("__rn") === expr("(2 * __n + 3) div 4"))
+        .select(col("grp"), col(c).as(s"__mid_$c"),
+          col("__n").as(s"__n_$c"))
+    }
+    val med = pickMid(base, "v")
+    val dev = base.join(med, Seq("grp"))
+      .withColumn("d", abs(col("v") - col("__mid_v")))
+    val mad = pickMid(dev.select(col("grp"), col("d"), col("tb")), "d")
+    dev.join(mad, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("__n_v")).as("n"),
+        max(col("__mid_v")).as("med"),
+        max(col("__mid_d")).as("mad"),
+        sum(when(col("d") > lit(k) * col("__mid_d"), 1L)
+          .otherwise(0L)).as("n_out"))
+  }
 }

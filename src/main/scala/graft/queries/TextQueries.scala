@@ -556,6 +556,99 @@ object TextQueries {
       .orderBy(col("n").desc, col("token")).limit(20)
   }
 
+  /** q170: robust length-outlier census per source
+    * ([[graft.operators.Curation.robustOutliers]]) — median/MAD
+    * outlier detection over n_chars at k=3 (9 corpus-wide outliers at
+    * gate SF, so the flag is load-bearing): the truncation/
+    * concatenation-anomaly detector that mean/stddev z-scores get
+    * dragged off by. Both med and MAD are exact order statistics (the
+    * q164 selection rule), deviations and flags are integer
+    * arithmetic — the census gates with no tolerance. */
+  val q170_robust_outliers: Q = (s, d) =>
+    graft.operators.Curation.robustOutliers(Tables.documents(s, d),
+        "source", "n_chars", "doc_id", k = 3)
+      .select(col("grp").as("source"), col("n"), col("med"),
+        col("mad"), col("n_out"))
+
+  val q170_oracle: String =
+    """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+       FROM documents),
+       med AS (SELECT source, max(n) AS n,
+           max(CASE WHEN rn = (2 * n + 3) // 4 THEN v END) AS med
+         FROM r GROUP BY source),
+       d AS (SELECT r.source, abs(r.v - med.med) AS dev, r.doc_id
+         FROM r JOIN med USING (source)),
+       r2 AS (SELECT source, dev,
+           row_number() OVER (PARTITION BY source
+             ORDER BY dev, doc_id) AS rn2,
+           count(*) OVER (PARTITION BY source) AS n2
+         FROM d),
+       mad AS (SELECT source,
+           max(CASE WHEN rn2 = (2 * n2 + 3) // 4 THEN dev END) AS mad
+         FROM r2 GROUP BY source)
+       SELECT med.source, CAST(med.n AS BIGINT) AS n,
+         CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+         CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_out
+       FROM d JOIN med USING (source) JOIN mad USING (source)
+       GROUP BY med.source, med.n, med.med, mad.mad"""
+
+  /** q171: dedup impact by source — the "which feed is redundant"
+    * report a corpus owner reads before paying for more of it: per
+    * source, document count, exact-duplicate members (text appears
+    * more than once corpus-wide) and near-duplicate members (flagged
+    * id_b of a minhash pair at 0.5 — q32's operator and parameters,
+    * whose LSH==all-pairs identity this corpus preserves: planted
+    * twins have bit-identical signatures and twin-of-A pairs collide
+    * exactly when A's pairs do). Corpus = documents ∪ every-7th doc
+    * re-id'd (same text, same source), so both columns are
+    * load-bearing. */
+  val q171_dedup_by_source: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text"),
+          col("source")))
+    val exactN = corpus.groupBy(col("text")).agg(count(lit(1)).as("__n"))
+    val nearIds = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__nd", lit(1L))
+    corpus.join(exactN, Seq("text"))
+      .join(nearIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("__nd").isNotNull, 1L).otherwise(0L))
+          .as("n_near_dup"))
+  }
+
+  val q171_oracle: String =
+    """WITH c AS (SELECT doc_id, text, source FROM documents
+         UNION ALL SELECT doc_id + 40000000, text, source
+         FROM documents WHERE doc_id % 7 = 0),
+       eg AS (SELECT text, count(*) AS n FROM c GROUP BY text),
+       t AS (SELECT doc_id, string_split(text, ' ') toks FROM c),
+       sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) shingles FROM t),
+       ex AS (SELECT doc_id, len(shingles) n, unnest(shingles) s FROM sh),
+       dup AS (
+         SELECT DISTINCT b.doc_id AS doc_id
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5)
+       SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN eg.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dup,
+         CAST(sum(CASE WHEN c.doc_id IN (SELECT doc_id FROM dup)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+       FROM c JOIN eg USING (text) GROUP BY c.source"""
+
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
     * synthesized from doc_id the way every multimodal gate builds its
@@ -2437,6 +2530,8 @@ object TextQueries {
     "q164_length_quantiles" -> q164_length_quantiles,
     "q167_cms_heavy" -> q167_cms_heavy,
     "q168_cms_merged" -> q168_cms_merged,
+    "q170_robust_outliers" -> q170_robust_outliers,
+    "q171_dedup_by_source" -> q171_dedup_by_source,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2507,6 +2602,8 @@ object TextQueries {
     "q164_length_quantiles" -> q164_oracle,
     "q167_cms_heavy" -> q167_oracle,
     "q168_cms_merged" -> q167_oracle,
+    "q170_robust_outliers" -> q170_oracle,
+    "q171_dedup_by_source" -> q171_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
