@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions._
   * Exact rerank: built-in `levenshtein` (codegen'd, same unit-cost
   * definition as DuckDB's) over the candidates only.
   *
+  * BOUNDED-ENTROPY caveat (the honest worst case): prefix filtering
+  * keeps posting lists small only while the gram vocabulary grows
+  * with the corpus — natural-language keys (names, titles) do, which
+  * is the published design point. Fixed-format keys over a tiny
+  * alphabet (zero-padded ids, phone numbers) saturate any fixed-q
+  * vocabulary, so per-gram df grows linearly with corpus size and the
+  * candidate join trends quadratic (measured: 15k "Customer#0000NNNNN"
+  * names at q=2 put ~500 strings in each rare-gram bucket). On such
+  * keys raise q to match the key's entropy, or better, block on the
+  * high-entropy subfield (exact-join the invariant prefix away) —
+  * exactness is preserved either way; EditJoinSpec proves == brute
+  * force on exactly that adversarial corpus.
+  *
   * Scale design: the multiset element is (gram, occ) — occ numbers
   * repeated grams within a string, so a string of "aaaa…" does NOT
   * put all its mass on one join key. Prefixes hold each string's k*q+1

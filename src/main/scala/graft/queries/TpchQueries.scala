@@ -717,27 +717,35 @@ object TpchQueries {
 
   /** q159: exact edit-distance similarity join
     * ([[graft.operators.EditJoin.editDistancePairs]]) — record
-    * linkage over customer names: all pairs within levenshtein
-    * distance 1, found through the provably-complete q-gram prefix
-    * index + length filter (Ed-Join), then exactly reranked. The
-    * oracle is the brute-force all-pairs join, so ANY candidate the
-    * prefix filter wrongly drops (or any levenshtein disagreement
-    * between engines) hash-fails. The name corpus is adversarial for
-    * blocking: every name shares the 9-char "Customer#" prefix and
-    * most zero digits, so a naive gram index degenerates — only the
-    * df-rarest-prefix selection keeps buckets small. */
+    * linkage over document TITLE keys (first four tokens): all pairs
+    * within levenshtein distance 2, found through the
+    * provably-complete q-gram prefix index + length filter (Ed-Join),
+    * then exactly reranked. The oracle is the brute-force all-pairs
+    * join, so ANY candidate the prefix filter wrongly drops (or any
+    * levenshtein disagreement between engines) hash-fails. Natural-
+    * language keys are the operator's design point: the gram
+    * vocabulary GROWS with the corpus, keeping posting lists bounded
+    * (the operator scaladoc documents the bounded-entropy worst case
+    * — fixed-format keys like zero-padded ids — where any fixed-q
+    * gram index degenerates; EditJoinSpec proves exactness on exactly
+    * that corpus with customer names). */
   val q159_edit_join: Q = (s, d) =>
     graft.operators.EditJoin.editDistancePairs(
-      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
-      "c_name", "c_custkey", k = 1, q = 2)
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 4), " ")
+          .as("title")),
+      "title", "doc_id", k = 2, q = 2)
 
   val q159_oracle: String =
-    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-       FROM customer a JOIN customer b
-         ON a.c_custkey < b.c_custkey
-         AND abs(length(a.c_name) - length(b.c_name)) <= 1
-       WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+    """WITH s AS (SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:4], ' ') AS title
+       FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+       FROM s a JOIN s b
+         ON a.doc_id < b.doc_id
+         AND abs(length(a.title) - length(b.title)) <= 2
+       WHERE levenshtein(a.title, b.title) <= 2"""
 
   /** q163: k-anonymity release audit
     * ([[graft.operators.Privacy.kAnonymityClasses]]) — the customer
