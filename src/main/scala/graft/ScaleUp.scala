@@ -101,7 +101,20 @@ object ScaleUp {
       shift("user_id", r).as("user_id"), col("event_type"), col("value"),
       col("props")))
     replicate("documents") { (df, r) =>
-      val suffixed = regexp_replace(col("text"), "(\\S+)", s"$$1r$r")
+      // Replica-fresh vocabulary at BOTH granularities: interleaving
+      // the replica digit after every non-space char makes every
+      // TOKEN unique to its replica (the original suffix property —
+      // cross-replica shingle joins stay empty) AND every CHARACTER
+      // q-gram unique to its replica (every 2-gram now contains the
+      // digit). The old "$token r$r" suffix refreshed only the token
+      // vocabulary, so char-gram document frequencies grew ×factor by
+      // construction and the char-level edit join (q159) measured
+      // quadratic against a corpus shape no real corpus has — real
+      // growth adds vocabulary at every granularity (Heaps' law), the
+      // synthetic replication must too, or the scale gate compares
+      // operators against different laws depending on which
+      // granularity they key on.
+      val suffixed = regexp_replace(col("text"), "(\\S)", s"$$1$r")
       val text =
         if (r == 0) col("text")
         else if (dupEvery > 0)
