@@ -169,6 +169,45 @@ object Curation {
       .orderBy(col("df").desc, col("gram"))
       .limit(k)
 
+  /** Quantile normalization across groups — map every group's
+    * empirical score distribution onto the GLOBAL one (the r-th of a
+    * group's n_g values becomes the ceil(r·N/n_g)-th of all N values):
+    * the calibration step before a single corpus-wide threshold can be
+    * applied to per-source quality scores whose scales drifted (one
+    * feed's classifier says 0.9 where another's says 0.6 for the same
+    * quality — rank structure is what transfers, so ranks are what
+    * normalization preserves). The batch-analytics sibling of
+    * microarray quantile normalization; everything is exact: ranks,
+    * the ceil index arithmetic, and the substituted values are actual
+    * corpus values.
+    *
+    * Scale shape: the GLOBAL rank comes from the [[PrefixSum]]
+    * distributed scan (range-partition + per-partition index + offset
+    * broadcast — never a single-partition window); per-group ranks are
+    * one partitioned window; the substitution is one join keyed by the
+    * target rank. Output: input rows + (rank_grp, norm). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"),
+      col(valCol).cast("long").as("v"), col(tieCol).as("tb"))
+    val global = PrefixSum.withRunningTotal(
+        base.withColumn("__one", lit(1L)), Seq("v", "tb"), "__one")
+      .select(col("v").as("__gv"), col("__one_cum").as("__gr"))
+      .localCheckpoint() // the N count below must see the same frame
+    val n = global.count()
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"), col("tb"))
+    val ranked = base
+      .withColumn("rank_grp", row_number().over(wg).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("__gi",
+        expr(s"(rank_grp * ${n}L + __ng - 1L) div __ng"))
+    ranked.join(global, col("__gi") === col("__gr"))
+      .select(col("grp"), col("tb"), col("v"), col("rank_grp"),
+        col("__gv").as("norm"))
+  }
+
   /** Robust per-group outlier census via median/MAD (the
     * median-absolute-deviation rule: |x − med| > k·MAD) — the outlier
     * detector that survives the outliers themselves, unlike

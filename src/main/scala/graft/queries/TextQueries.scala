@@ -649,6 +649,37 @@ object TextQueries {
            THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
        FROM c JOIN eg USING (text) GROUP BY c.source"""
 
+  /** q172: cross-source quantile normalization
+    * ([[graft.operators.Curation.quantileNormalize]]) — every
+    * source's n_chars distribution mapped onto the global one (the
+    * r-th of a source's n_g docs takes the value of the
+    * ceil(r·N/n_g)-th doc corpus-wide): the score-calibration step
+    * before one corpus-wide threshold can govern heterogeneous feeds.
+    * Exact end-to-end — ranks, index arithmetic, and substituted
+    * values are all integers; the Spark global rank is the PrefixSum
+    * distributed scan while the oracle uses a plain global window. */
+  val q172_quantile_normalize: Q = (s, d) =>
+    graft.operators.Curation.quantileNormalize(Tables.documents(s, d),
+        "source", "n_chars", "doc_id")
+      .select(col("tb").as("doc_id"), col("grp").as("source"),
+        col("v").as("n_chars"), col("rank_grp"), col("norm"))
+
+  val q172_oracle: String =
+    """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+         FROM documents),
+       g AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS gr
+         FROM b),
+       n AS (SELECT count(*) AS nn FROM b),
+       r AS (SELECT doc_id, source, v,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY v, doc_id) AS BIGINT) AS rank_grp,
+           count(*) OVER (PARTITION BY source) AS ng
+         FROM b)
+       SELECT r.doc_id, r.source, r.v AS n_chars, r.rank_grp,
+         CAST(g.v AS BIGINT) AS norm
+       FROM r JOIN n ON TRUE
+       JOIN g ON g.gr = (r.rank_grp * n.nn + r.ng - 1) // r.ng"""
+
   /** q108: URL-canonicalization dedup — the crawled-web dedup key the
     * r09 verdict queued (fixtures have no url column, so the corpus is
     * synthesized from doc_id the way every multimodal gate builds its
@@ -2532,6 +2563,7 @@ object TextQueries {
     "q168_cms_merged" -> q168_cms_merged,
     "q170_robust_outliers" -> q170_robust_outliers,
     "q171_dedup_by_source" -> q171_dedup_by_source,
+    "q172_quantile_normalize" -> q172_quantile_normalize,
     "q108_url_canon_dedup" -> q108_url_canon_dedup,
     "q109_html_extract" -> q109_html_extract,
     "q110_classifier_label" -> q110_classifier_label,
@@ -2604,6 +2636,7 @@ object TextQueries {
     "q168_cms_merged" -> q167_oracle,
     "q170_robust_outliers" -> q170_oracle,
     "q171_dedup_by_source" -> q171_oracle,
+    "q172_quantile_normalize" -> q172_oracle,
     "q108_url_canon_dedup" -> q108_oracle,
     "q109_html_extract" -> q109_oracle,
     "q110_classifier_label" -> q110_oracle,
