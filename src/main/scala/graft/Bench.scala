@@ -19,6 +19,106 @@ object Bench {
     else if (walls.size < 3 || !burstSuspect(walls)) walls.min
     else walls.sorted.apply(walls.size / 2)
 
+  /** Wall-run disagreement max/min — 1.0 for clean agreement. Emitted
+    * on the metric line so the driver artifact carries its own health
+    * indicator (r10 verdict What's-wrong #3: a queue-inflated driver
+    * run read as false 4-7x regressions to anyone trusting BENCH_rN
+    * alone). round_report labels per-query deltas from a >1.5x noisy
+    * run "inconclusive" instead of regressions. */
+  private[graft] def noiseRatio(walls: Seq[Double]): Double =
+    if (walls.isEmpty) 1.0
+    else walls.max / math.max(walls.min, 1e-9)
+
+  /** JSON string escaping — backslash FIRST, then quotes and control
+    * chars. The old replaceAll("[\r\n\"]") left backslashes raw, so an
+    * exception message containing a regex fragment or escaped path
+    * produced a malformed metric line (ADVICE r06). */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  // Locale.ROOT: a comma-decimal default locale would make the JSON
+  // line unparsable — the exact failure the short line exists to fix.
+  private[graft] def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The stdout metric line the driver tail-captures. Its size is
+    * INDEPENDENT of suite count by construction (r10 verdict item 1:
+    * the full 172-entry per-query map grew past the driver's
+    * 2000-byte tail capture and BENCH_r10.json parsed null — the r04
+    * failure mode recurring at a larger suite; short keys and
+    * last-bare-line printing only bought headroom that growth spent).
+    * Bounded content: suite total, query count, the `nSlow` slowest
+    * per-query entries (short keys), noise_ratio, up to three wall
+    * runs, up to `maxErrs` error entries (messages already truncated)
+    * plus the total error count, and the sf dir. The full per-query
+    * map lives in BENCH_LOCAL.json only. BenchLogicSpec replays the
+    * driver's 2000-byte tail capture against a synthetic 500-query
+    * registry so the overflow cannot regress by growth again. */
+  private[graft] def metricLine(wall: Double, results: Map[String, Double],
+      errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
+      sfDir: String, nSlow: Int = 5, maxErrs: Int = 3): String = {
+    val slowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
+      .take(nSlow)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val errPart =
+      if (errs.isEmpty) ""
+      else {
+        val shown = errs.toSeq.sortBy(_._1).take(maxErrs)
+          .map { case (k, v) =>
+            s"${jstr(k.takeWhile(_ != '_'))}:${jstr(v.take(160))}" }
+          .mkString("{", ",", "}")
+        s""","n_errors":${errs.size},"errors":$shown"""
+      }
+    s"""{"metric":"total","value":${s3(wall)},"unit":"sec","n_queries":${
+      results.size},"slowest":$slowest,"noise_ratio":${
+      s3(noiseRatio(wallRuns))},"wall_runs":[${
+      wallRuns.take(3).map(s3).mkString(",")}]$errPart${
+      if (burst) ""","burst":true""" else ""},"sf":${jstr(sfDir)}}"""
+  }
+
+  /** The full-fidelity canonical artifact line (BENCH_LOCAL.json):
+    * every per-query time under its full registry name, the isolated
+    * re-measure list, walls, noise. This one may grow with the suite —
+    * it is a file, not a tail capture. */
+  private[graft] def localLine(wall: Double, results: Map[String, Double],
+      errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
+      isolated: Set[String], sfDir: String): String = {
+    val dict = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val errDict = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val isoList = isolated.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":${s3(wall)},"unit":"sec","n_queries":${
+      results.size},"queries":$dict${
+      if (errs.nonEmpty) s""","errors":$errDict""" else ""},"noise_ratio":${
+      s3(noiseRatio(wallRuns))},"wall_runs":[${
+      wallRuns.map(s3).mkString(",")}]${
+      if (isolated.nonEmpty) s""","isolated":$isoList""" else ""}${
+      if (burst) ""","burst":true""" else ""},"sf":${jstr(sfDir)}}"""
+  }
+
+  /** Per-query times scraped from a bench artifact's text. Driver
+    * BENCH_rN.json artifacts wrap the metric line inside a "tail"
+    * JSON STRING VALUE with escaped quotes (\"q120\":0.182) — the
+    * plain entry regex matches zero of those (ADVICE r10: the
+    * best-known-baseline merge was a silent no-op), so unescape
+    * before matching. The unescape is safe on the clean
+    * BENCH_LOCAL.json form too: its query names contain no
+    * backslashes. */
+  private[graft] def parseBenchText(txt: String): Map[String, Double] = {
+    val entry = """"(q[0-9]+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
+    entry.findAllMatchIn(txt.replace("\\\"", "\""))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   /** The canonical artifact (BENCH_LOCAL.json) seeds the next run's
     * scheduling and the round trend — refuse to overwrite it only when
     * NO two passes agree within 2x (r07: a burst-inflated artifact
@@ -123,11 +223,14 @@ object Bench {
     val prevTimes: Map[String, Double] = {
       def parse(path: java.nio.file.Path): Map[String, Double] =
         try {
-          val txt = java.nio.file.Files.readString(path)
-          val entry =
-            """"(q[0-9]+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
-          entry.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ts = parseBenchText(java.nio.file.Files.readString(path))
+          // a zero-entry artifact is a parse regression (the escaped-
+          // tail silent no-op, ADVICE r10) — say so instead of quietly
+          // merging nothing
+          if (ts.isEmpty)
+            System.err.println(s"[bench] warning: $path yielded zero " +
+              "per-query entries — baseline merge skipped it")
+          ts
         } catch { case _: Throwable => Map.empty }
       val local = parse(java.nio.file.Paths.get("BENCH_LOCAL.json"))
       val lastRound =
@@ -252,46 +355,6 @@ object Bench {
     val results = concurrent ++ isolated.map { case (k, v) =>
       k -> math.min(v, concurrent(k))
     }
-    // Locale.ROOT: a comma-decimal default locale would make the JSON
-    // line unparsable — the exact failure the short line exists to fix.
-    def s3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def dict(short: Boolean) = results.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        val key = if (short) k.takeWhile(_ != '_') else k
-        s"\"" + key + "\":" + s3(v)
-      }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) s3(wall) else "0.0"
-    // Real JSON string escaping — backslash FIRST, then quotes and
-    // control chars. The old replaceAll("[\r\n\"]") left backslashes
-    // raw, so an exception message containing a regex fragment or
-    // escaped path produced a malformed metric line (ADVICE r06).
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def errDict = errs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    // The driver captures only the last 2000 bytes of the log: full
-    // query names × 74 queries overflowed that in r04 (parsed:null).
-    // The stdout line therefore uses the contract's short "q1":sec key
-    // form (~1 KB, room to grow); the full-name artifact goes to a file.
-    // publish the names whose numbers actually changed basis — a
-    // failed isolated rerun keeps its concurrent number and is NOT
-    // listed, so trend readers never misread its basis
-    def isoList(short: Boolean) = isolated.keySet.toSeq.sorted
-      .map(k => "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\"")
-      .mkString("[", ",", "]")
-    def line(short: Boolean) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-        dict(short)}${
-        if (errs.nonEmpty) s""","errors":$errDict""" else ""},"wall_runs":[${
-        wallRuns.map(s3).mkString(",")}]${
-        if (isolated.nonEmpty) s""","isolated":${isoList(short)}""" else ""}${
-        if (burst) ""","burst":true""" else ""},"sf":"$sfDir"}"""
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
     // must not clobber it. Match the directory NAME, not a hardcoded
@@ -306,14 +369,25 @@ object Bench {
         (shouldPersist(wallRuns) || prevTimes.keySet != selected.keySet))
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (line(short = false) + "\n").getBytes("UTF-8"))
+        (localLine(wall, results, errs.toMap, wallRuns, burst,
+          isolated.keySet.toSet, sfDir) + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    // Full-fidelity out-of-band channel for tooling (scale_bench reads
+    // per-query times for the synthetic sf1/sfmid dirs, which never own
+    // BENCH_LOCAL.json): the complete per-query line goes to a FILE the
+    // caller names, because the stdout line is bounded by design.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (localLine(wall, results, errs.toMap, wallRuns, burst,
+          isolated.keySet.toSet, sfDir) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // Stop Spark BEFORE printing the metric: the driver parses the last
     // bare line of the tail, so nothing (executor shutdown logs, pool
     // teardown) may print after it. Paired with build.sbt's
     // StdoutOutput + showSuccess=false, this line ends the output.
     spark.stop()
-    println(line(short = true))
+    println(metricLine(wall, results, errs.toMap, wallRuns, burst, sfDir))
     System.out.flush()
     if (errs.nonEmpty) sys.exit(1)
   }

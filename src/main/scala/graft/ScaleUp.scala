@@ -114,6 +114,20 @@ object ScaleUp {
       // synthetic replication must too, or the scale gate compares
       // operators against different laws depending on which
       // granularity they key on.
+      // SINGLE-DIGIT replica ids only (ADVICE r10): interleaving a
+      // bare multi-digit index is ambiguous — interleave("a1", r=11)
+      // and interleave("a11", r=1) both yield "a11111", so digit-
+      // bearing tokens could collide across replicas and silently
+      // break the replica-fresh-vocabulary invariant the scale gate
+      // measures. A delimiter would disambiguate but reintroduce the
+      // very bug this interleave fixed: every (char, delimiter)
+      // 2-gram would be replica-INdependent, so char-gram df would
+      // grow xfactor again and the edit join would measure quadratic
+      // against a corpus shape no real corpus has. factor <= 10 keeps
+      // the id a single digit; the scale gate never exceeds 10.
+      require(factor <= 10,
+        s"documents interleave supports factor <= 10 (single-digit " +
+          s"replica ids), got $factor")
       val suffixed = regexp_replace(col("text"), "(\\S)", s"$$1$r")
       val text =
         if (r == 0) col("text")

@@ -32,6 +32,84 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.representativeWall(Nil) == 0.0)
   }
 
+  test("stdout metric line survives the driver's 2000-byte tail capture " +
+      "at ANY suite size (replay against a synthetic 500-query registry)") {
+    // r04 and again r10: the per-query map on the stdout line grew past
+    // the driver's last-2000-bytes capture and BENCH_rN.json parsed
+    // null. The line is now bounded by construction; this replay pins
+    // that growth can never regress it again.
+    val results = (1 to 500)
+      .map(i => f"q$i%03d_synthetic_query_with_a_long_name" -> i * 0.123)
+      .toMap
+    val errs = (1 to 40).map(i =>
+      s"q$i${"_fail"}" -> ("boom: " + "x" * 300)).toMap
+    val line = Bench.metricLine(123.456, results, errs,
+      Seq(123.456, 130.0, 250.0), burst = false,
+      "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    assert(line.length < 1200, s"metric line is ${line.length} bytes")
+    // the driver keeps only the LAST 2000 bytes of stdout and parses
+    // the last bare line: simulate 10 KB of preceding log noise
+    val stdout = ("[info] noise\n" * 700) + line + "\n"
+    val tail = stdout.takeRight(2000)
+    val lastLine = tail.split('\n').filter(_.contains("\"metric\"")).last
+    assert(lastLine == line)
+    // parse with javax-free brute force: the driver uses json.loads;
+    // jackson-databind rides in on Spark's classpath
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(lastLine)
+    assert(node.get("metric").asText == "total")
+    assert(math.abs(node.get("value").asDouble - 123.456) < 1e-9)
+    assert(node.get("n_queries").asInt == 500)
+    assert(node.get("slowest").size == 5)
+    // slowest-5 = q500..q496 at short keys
+    assert(node.get("slowest").has("q500"))
+    assert(node.get("noise_ratio").asDouble > 2.0) // 250/123.456
+    assert(node.get("n_errors").asInt == 40)
+    assert(node.get("errors").size == 3)
+  }
+
+  test("metric line stays bounded and valid with zero queries and " +
+      "zero errors") {
+    val line = Bench.metricLine(0.0, Map.empty, Map.empty, Seq(0.1, 0.1),
+      burst = false, "/tmp/x")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("n_queries").asInt == 0)
+    assert(!node.has("errors"))
+  }
+
+  test("localLine keeps the full per-query map under full names for " +
+      "BENCH_LOCAL.json") {
+    val line = Bench.localLine(10.0, Map("q01_full_name" -> 1.0,
+      "q02_other" -> 2.0), Map.empty, Seq(10.0, 11.0), burst = false,
+      Set("q02_other"), "/root/testdata/sf0.1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("queries").has("q01_full_name"))
+    assert(node.get("isolated").get(0).asText == "q02_other")
+    assert(node.get("noise_ratio").asDouble < 1.2)
+  }
+
+  test("parseBenchText reads per-query entries from BOTH the clean " +
+      "artifact and the driver wrapper's escaped tail (ADVICE r10: the " +
+      "escaped form matched zero entries, silently disabling the " +
+      "best-known-baseline merge)") {
+    val clean = """{"metric":"total","queries":{"q01_agg":1.5,"q102_x":2.25}}"""
+    assert(Bench.parseBenchText(clean) ==
+      Map("q01_agg" -> 1.5, "q102_x" -> 2.25))
+    // the r10 driver artifact shape: entries inside a "tail" string
+    val wrapper = """{"n":10,"rc":0,"tail":"0.686,\"q120\":0.182,\"q121\":0.399,\"q32\":5.558"}"""
+    val parsed = Bench.parseBenchText(wrapper)
+    assert(parsed == Map("q120" -> 0.182, "q121" -> 0.399, "q32" -> 5.558))
+  }
+
+  test("noiseRatio is max/min of the wall runs") {
+    assert(Bench.noiseRatio(Seq(57.3, 70.5)) > 1.2)
+    assert(Bench.noiseRatio(Seq(10.0, 10.0)) == 1.0)
+    assert(Bench.noiseRatio(Nil) == 1.0)
+  }
+
   test("shouldPersist refuses to reseed BENCH_LOCAL only when NO two " +
       "walls corroborate each other (within 2x)") {
     assert(Bench.shouldPersist(Seq(5.6, 7.5)))

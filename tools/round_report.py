@@ -19,6 +19,21 @@ import sys
 # r09 measured 0.775; the floor leaves headroom for fixture noise but
 # fails the report (exit 3) on a real probe-ordering regression.
 RECALL_FLOOR = 0.75
+# Same treatment for the other approximate-search quality points (r10
+# verdict item 6): a codebook/probe regression must FAIL the report,
+# not just trend in QUALITY.json. Floors sit under the measured values
+# (ivf 0.694, ivfpq@16-of-64 0.544, flat pq 0.413) with fixture-noise
+# headroom. Keys absent from QUALITY.json are skipped (older artifacts).
+QUALITY_FLOORS = {
+    "recall_at_20": RECALL_FLOOR,
+    "ivf_recall_at_20": 0.6,
+    "ivfpq_recall_at_20": 0.45,
+    "pq_recall_at_20": 0.3,
+}
+# Driver-artifact noise honesty (r10 verdict item 7): when the bench
+# run's wall passes disagree by more than this, per-query deltas are
+# queue/noise-inflated — label them inconclusive, don't rank movers.
+NOISE_LIMIT = 1.5
 
 
 def parse_bench(path):
@@ -35,6 +50,22 @@ def parse_bench(path):
     # normalize to the short q-number key so rounds with different
     # name forms still line up
     return {k.split("_")[0]: (v, k) for k, v in times.items()}
+
+
+def parse_noise(path):
+    """noise_ratio from a bench artifact (either the clean JSON line or
+    the driver wrapper's escaped tail); wall_runs max/min as fallback;
+    1.0 when neither is present."""
+    text = open(path).read()
+    m = re.search(r'\\?"noise_ratio\\?":\s*([0-9.]+)', text)
+    if m:
+        return float(m.group(1))
+    m = re.search(r'\\?"wall_runs\\?":\s*\[([0-9.,\s]+)\]', text)
+    if m:
+        walls = [float(x) for x in m.group(1).split(",") if x.strip()]
+        if walls and min(walls) > 0:
+            return max(walls) / min(walls)
+    return 1.0
 
 
 def parse_plan_names(path):
@@ -85,6 +116,13 @@ def main():
     if re.search(r'\\?"burst\\?":\s*true', open(new_bench).read()):
         lines += ["**WARNING: bench artifact is burst-suspect (pass "
                   "walls disagree >2x) — timings unreliable**", ""]
+    noise = parse_noise(new_bench)
+    noisy = noise > NOISE_LIMIT
+    if noisy:
+        lines += [f"**NOTE: bench run is noisy (wall disagreement "
+                  f"{noise:.2f}x > {NOISE_LIMIT}x) — per-query deltas "
+                  "below are INCONCLUSIVE (queue/co-tenant inflation), "
+                  "not regressions**", ""]
     if common:
         osum = sum(ob[q][0] for q in common)
         nsum = sum(nb[q][0] for q in common)
@@ -97,7 +135,9 @@ def main():
             o, n = ob[q][0], nb[q][0]
             if abs(n - o) < 0.3:
                 continue  # sub-noise (documented concurrent jitter)
-            lines.append(f"| {nb[q][1]} | {o:.2f} | {n:.2f} | {n - o:+.2f} |")
+            tag = " (inconclusive: noisy run)" if noisy and n > o else ""
+            lines.append(f"| {nb[q][1]} | {o:.2f} | {n:.2f} "
+                         f"| {n - o:+.2f}{tag} |")
     new_only = sorted(set(nb) - set(ob))
     if new_only:
         lines += ["", "New queries: " + ", ".join(
@@ -119,15 +159,18 @@ def main():
         d = json.load(open("QUALITY.json"))
         lines += [f"QUALITY.json: recall_at_20={d['recall_at_20']}, "
                   f"hll_max_rel_err={d['hll_max_rel_err']}", ""]
-        # Hard floor (r09 verdict item 5): the recall curve used to be
-        # diff-only — a probe-ordering regression would print a delta
-        # and still ship. recall@20 at the standard 64x12 budget must
-        # stay >= RECALL_FLOOR or the round report itself fails.
-        if float(d["recall_at_20"]) < RECALL_FLOOR:
-            print(f"QUALITY FAILURE: recall_at_20={d['recall_at_20']} "
-                  f"below pinned floor {RECALL_FLOOR} — ANN probe "
-                  f"ordering or budget regressed", file=sys.stderr)
-            sys.exit(3)
+        # Hard floors (r09 verdict item 5; widened to the PQ/IVF-PQ
+        # points in r11 per the r10 verdict item 6): the quality
+        # numbers used to be diff-only — a probe-ordering or codebook
+        # regression would print a delta and still ship. Every floored
+        # metric present in QUALITY.json must clear its floor or the
+        # round report itself fails (exit 3).
+        for metric, floor in QUALITY_FLOORS.items():
+            if metric in d and float(d[metric]) < floor:
+                print(f"QUALITY FAILURE: {metric}={d[metric]} below "
+                      f"pinned floor {floor} — approximate-search "
+                      f"quality regressed", file=sys.stderr)
+                sys.exit(3)
         # recall-vs-budget curve, diffed against the last committed
         # QUALITY.json (r08 verdict item 6: a probe-ordering regression
         # must show up as a number, and the low-budget end of the curve

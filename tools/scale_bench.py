@@ -30,7 +30,11 @@ FMID = max(2, round(FACTOR ** 0.5)) if FACTOR > 3 else None
 # Extrapolation scale derived from FACTOR, not a literal: one factor
 # beyond the measured range (100x when FACTOR=10).
 EXTRAP = FACTOR * FACTOR
-N_HEAVY = 10
+# Top-N heaviest gated queries get the third (mid-scale) measured
+# point. 20, not 10 (r10 verdict item 8): at 172 queries the 10-cut
+# left q124/q158/q106-tier multi-second queries on 2-point fits, where
+# noise in either endpoint lands entirely in the quadratic term.
+N_HEAVY = 20
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
 SFMID = "/tmp/graft-sfmid"
@@ -57,15 +61,22 @@ def run(cmd, env=None):
                           env=e)
 
 def bench(sf_dir, only=None):
-    env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32"}
+    # The stdout metric line is bounded by design (total + slowest-5;
+    # r10: the full per-query map outgrew the driver's tail capture),
+    # so tooling reads the full-fidelity artifact through the
+    # SPARK_GRAFT_BENCH_OUT file channel instead of scraping stdout.
+    out = f"/tmp/graft-bench-out-{os.getpid()}.json"
+    if os.path.exists(out):
+        os.remove(out)
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
+           "SPARK_GRAFT_BENCH_OUT": out}
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
     r = run('sbt -batch "runMain graft.Bench"', env)
-    for line in (r.stdout + r.stderr).splitlines():
-        if '"metric"' in line:
-            start = line.index("{")
-            return json.loads(line[start:])
-    raise SystemExit(f"no bench line for {sf_dir}:\n{r.stdout[-2000:]}\n"
+    if os.path.exists(out):
+        with open(out) as f:
+            return json.load(f)
+    raise SystemExit(f"no bench artifact for {sf_dir}:\n{r.stdout[-2000:]}\n"
                      f"{r.stderr[-2000:]}")
 
 def bench_only(sf_dir, query):
