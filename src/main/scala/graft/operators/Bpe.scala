@@ -90,6 +90,92 @@ object Bpe {
     split(sN, " ")
   }
 
+  /** Greedy BPE vocabulary induction (the training loop the reference
+    * recipe runs once per corpus; Sennrich §3.2): `rounds` iterations
+    * of count-pairs → take the (n DESC, x, y) argmax → merge it
+    * everywhere → repeat. Returns the induced merge table in rank
+    * order with each pair's frequency AT SELECTION TIME.
+    *
+    * Like every real BPE trainer, the loop runs over the WORD-
+    * FREQUENCY table, not the corpus: one corpus pass aggregates
+    * (word, count), and all subsequent rounds touch only distinct
+    * words with pair counts weighted by word frequency — at 100 TB
+    * that is the difference between re-scanning petabytes per merge
+    * and re-scanning a ~10⁸-row cached vocabulary. Per round: one
+    * scan of the persisted vocabulary (explode adjacent symbol pairs
+    * → one weighted hash agg → a 1-row collect), then one bound
+    * merge-fold projection producing the next round's vocabulary,
+    * persisted while the previous one unpersists — lineage stays one
+    * stage deep no matter how many rounds run. The loop is inherently
+    * sequential in rounds (merge r+1's counts depend on merge r);
+    * that is the algorithm, not a Spark limitation.
+    *
+    * Induction state and [[applyMerges]] agree by construction: the
+    * trainer's round-k vocabulary equals applying the first k merges
+    * in rank order, one full left-to-right pass each — which is
+    * exactly what applyMerges does — so a corpus tokenized with the
+    * trained table reproduces the trainer's final state (pinned in
+    * BpeSpec). */
+  def trainMerges(docs: DataFrame, textCol: String,
+      rounds: Int): Seq[(String, String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2) // 1-char words never pair
+      .groupBy(col("word")).agg(count(lit(1)).as("nw"))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = words.select(col("nw"), array_join(chars, " ").as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val arr = split(col("syms"), " ")
+      val best = vocab
+        .select(col("nw"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("nw")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true // every word fully merged
+      else {
+        val x = best(0).getString(0)
+        val y = best(0).getString(1)
+        out += ((x, y, best(0).getLong(2)))
+        // apply ONLY the new merge to the previous round's persisted
+        // state — the single-element transform binds the fold input
+        // so the three split() references inside mergeFold re-split a
+        // bound string, not the upstream plan (the wordPieces lesson)
+        val next = vocab.select(col("nw"),
+          element_at(transform(array(col("syms")),
+            v => mergeFold(split(v, " "), x, y)), 1).as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      r += 1
+    }
+    vocab.unpersist()
+    out.toSeq
+  }
+
+  /** [[trainMerges]] as a gate-able frame: (rank 1.., x, y, n). */
+  def trainMergesDf(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, rounds).zipWithIndex
+      .map { case ((x, y, n), i) => ((i + 1).toLong, x, y, n) }
+      .toDF("rank", "x", "y", "n")
+  }
+
   /** Tokenize with a fixed merge table. Output: (doc_id, bpe, n_sym)
     * where `bpe` joins each word's pieces with spaces and words with
     * " | ", and n_sym counts pieces. The piece computation is

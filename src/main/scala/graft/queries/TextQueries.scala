@@ -467,6 +467,61 @@ object TextQueries {
            / sum(nw) AS fertility
        FROM b GROUP BY source"""
 
+  /** q173: BPE merge-round induction ([[graft.operators.Bpe
+    * .trainMerges]]) — the greedy vocabulary TRAINING loop itself,
+    * four rounds over the real corpus slice: count weighted adjacent
+    * pairs over the word-frequency table, take the (n DESC, x, y)
+    * argmax, merge it everywhere, repeat. Output (rank, x, y, n) with
+    * n = the pair's frequency at selection time. The oracle unrolls
+    * all four rounds in generated SQL (the q161 per-round pattern):
+    * each b_r CTE recomputes round r's argmax and each t_r re-applies
+    * it via the SAME list_reduce fold q149 pinned — the merge pair is
+    * data-dependent, so the fold's CASE references the b_r columns
+    * through a cross join rather than literals. Every CTE is
+    * MATERIALIZED: t_r is referenced by both p_{r+1} and t_{r+1}, and
+    * un-materialized DuckDB CTE re-inlining is exponential in rounds
+    * (the q166 lesson). */
+  val q173_bpe_train: Q = (s, d) =>
+    graft.operators.Bpe.trainMergesDf(Tables.documents(s, d), "text",
+      rounds = 4)
+
+  val q173_oracle: String = {
+    val rounds = 4
+    val mergeT = (r: Int) =>
+      s"""t$r AS MATERIALIZED (SELECT word, nw,
+           string_split(list_reduce(syms,
+             (acc, t) -> CASE WHEN string_split(acc, ' ')[-1] = b.x
+                 AND t = b.y
+               THEN array_to_string(string_split(acc, ' ')[:-2]
+                 || [b.x || b.y], ' ')
+               ELSE acc || ' ' || t END), ' ') AS syms
+         FROM t${r - 1} CROSS JOIN b$r b)"""
+    val steps = (1 to rounds).map { r =>
+      val pb =
+        s"""p$r AS (SELECT syms[CAST(i AS INT)] AS x,
+             syms[CAST(i AS INT) + 1] AS y, sum(nw) AS n
+           FROM t${r - 1}, unnest(range(1, len(syms))) u(i)
+           GROUP BY 1, 2),
+           b$r AS MATERIALIZED (SELECT x, y, CAST(n AS BIGINT) AS n
+             FROM p$r ORDER BY n DESC, x, y LIMIT 1)"""
+      // the final round's re-tokenization feeds nothing — skip it
+      if (r < rounds) pb + ",\n       " + mergeT(r) else pb
+    }.mkString(",\n       ")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, x, y, n FROM b$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH wq AS MATERIALIZED (SELECT word,
+         CAST(count(*) AS BIGINT) AS nw FROM (
+           SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents)
+         WHERE length(word) >= 2 GROUP BY word),
+       t0 AS MATERIALIZED (SELECT word, nw,
+         list_transform(range(1, length(word) + 1),
+           i -> word[CAST(i AS INT)]) AS syms FROM wq),
+       $steps
+       $sel"""
+  }
+
   /** q164: exact order-statistic length quantiles per source
     * ([[graft.operators.Privacy.quantileProfile]]) — p25/p50/p75/p90
     * of n_chars as actual row values at ceil(p·n), NOT interpolated
@@ -2518,6 +2573,7 @@ object TextQueries {
            / (any_value(a.nn) + any_value(b.nn) - count(*)) >= 0.5"""
 
   val all: Map[String, Q] = Map(
+    "q173_bpe_train" -> q173_bpe_train,
     "q101_incremental_neardup" -> q101_incremental_neardup,
     "q98_dsir_rank" -> q98_dsir_rank,
     "q97_gopher_repetition" -> q97_gopher_repetition,
@@ -2590,6 +2646,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q173_bpe_train" -> q173_oracle,
     "q101_incremental_neardup" -> q101_oracle,
     "q98_dsir_rank" -> q98_oracle,
     "q97_gopher_repetition" -> q97_oracle,
