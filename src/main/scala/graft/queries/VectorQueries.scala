@@ -1048,7 +1048,73 @@ object VectorQueries {
        SELECT CAST(step AS BIGINT) AS step, id FROM sel8"""
   }
 
+  /** q174: grouped MMR — corpus-scale diversified selection
+    * ([[graft.operators.Mmr.rerankGrouped]]): per-label candidate
+    * pools (top-12 by q36's cosine relevance, the capPerKey /
+    * WindowGroupLimit bound) each greedily diversified to 4 picks at
+    * λ=7/10, with zero driver-side data and zero per-step shuffles —
+    * the distributed composition of q166's bounded greedy. The oracle
+    * replays all 4 greedy steps for ALL groups at once in chained
+    * per-group CTEs (argmax via a partitioned row_number instead of
+    * q166's LIMIT 1), so every pick in every group must match. */
+  val q174_mmr_grouped: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val cands = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .select(col("label"), col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"),
+        (dot(col("embedding"), col("qv"))
+          / (norm(col("embedding")) * col("qn"))).as("rel"))
+    graft.operators.Mmr.rerankGrouped(cands, "label", "id", "v", "rel",
+      k = 4, m = 12)
+  }
+
+  val q174_oracle: String = {
+    val steps = new StringBuilder
+    for (i <- 2 to 4) {
+      steps.append(s""",
+       m$i AS (SELECT p.g, p.id, p.rel, max(s.sim) AS ms
+         FROM pool p
+         JOIN sims s ON s.g = p.g AND s.ia = p.id
+         JOIN sel${i - 1} sp ON sp.g = s.g AND sp.id = s.ib
+         WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} q
+           WHERE q.g = p.g AND q.id = p.id)
+         GROUP BY p.g, p.id, p.rel),
+       s$i AS (SELECT g, id FROM (
+         SELECT g, id, row_number() OVER (PARTITION BY g
+           ORDER BY 7 * rel - 3 * ms DESC, id) AS rn FROM m$i)
+         WHERE rn = 1),
+       sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         UNION ALL SELECT g, $i, id FROM s$i)""")
+    }
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) qv
+         FROM embeddings WHERE vec_id = 0),
+       pool AS MATERIALIZED (SELECT g, id, v, rel FROM (
+         SELECT g, id, v, rel, row_number() OVER (PARTITION BY g
+           ORDER BY rel DESC, id) AS rn
+         FROM (SELECT label AS g, vec_id AS id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv, qv))) AS rel
+           FROM embeddings, qv WHERE vec_id <> 0))
+         WHERE rn <= 12),
+       sims AS MATERIALIZED (SELECT a.g, a.id AS ia, b.id AS ib,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS sim
+         FROM pool a JOIN pool b ON a.g = b.g AND a.id <> b.id),
+       s1 AS (SELECT g, id FROM (
+         SELECT g, id, row_number() OVER (PARTITION BY g
+           ORDER BY 7 * rel DESC, id) AS rn FROM pool) WHERE rn = 1),
+       sel1 AS MATERIALIZED (SELECT g, 1 AS step, id FROM s1)${steps}
+       SELECT g AS label, CAST(step AS BIGINT) AS step, id FROM sel4"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q174_mmr_grouped" -> q174_mmr_grouped,
     "q166_mmr_rerank" -> q166_mmr_rerank,
     "q165_rrf_fusion" -> q165_rrf_fusion,
     "q154_sign_project" -> q154_sign_project,
@@ -1081,6 +1147,7 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q174_mmr_grouped" -> q174_oracle,
     "q166_mmr_rerank" -> q166_oracle,
     "q165_rrf_fusion" -> q165_oracle,
     "q154_sign_project" -> q154_oracle,
