@@ -138,6 +138,30 @@ object QualityProbe {
     }
     val rotMeanRecall = rotPerQuery.map(_._2).sum / rotPerQuery.size
 
+    // --- learned-rotation PQ recall (q175/q176 family): the same
+    // operating point under the offline-trained integer rotation
+    // fixture. On near-isotropic embeddings this, like the Hadamard,
+    // is a null-case trend (OPQ wins come from anisotropy) — but it
+    // is the number that MOVES once a data-fitted rotation replaces
+    // the fixture, so the learned-vs-FWHT delta stays visible.
+    val opqRot = operators.Pq.learnedRotationFixture(64)
+    val (encLrn, lrnBooks) = operators.Pq.encodeMatrixRotated(emb,
+      "vec_id", "embedding", opqRot, m = 8, k = 16, updates = 1)
+    val encLrnCached = encLrn.localCheckpoint()
+    val lrnPerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val exact = allVecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      val adc = operators.Pq.adcTopNMatrixRotated(encLrnCached,
+          "vec_id", lrnBooks, opqRot, qv, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (adc & exact).size.toDouble / k
+    }
+    val lrnMeanRecall = lrnPerQuery.map(_._2).sum / lrnPerQuery.size
+
     // --- IVF-PQ recall at probe-16-of-64 (the q140/q141 family at a
     // budgeted operating point; the gate itself probes 3-of-8 and is
     // oracle-exact, so only the approximation quality needs a trend).
@@ -188,6 +212,7 @@ object QualityProbe {
         s""""pq_per_query":{${pqPerQuery.map { case (q, r) =>
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""pq_rotated_recall_at_20":${s3(rotMeanRecall)},""" +
+        s""""pq_learned_recall_at_20":${s3(lrnMeanRecall)},""" +
         s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
         s""""ivfpq_lists":64,"ivfpq_probes":16,""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +

@@ -109,6 +109,126 @@ object Pq {
     encodeQuantized(q, idCol, dim, m, k, updates)
   }
 
+  /** General LEARNED-rotation application: y = R·x over a quantized
+    * long-vector column, where R is an integer-scaled rotation matrix
+    * trained OFFLINE (real OPQ alternates codebook fit and Procrustes
+    * rotation solves over a sample — a training loop that belongs
+    * offline exactly like the classifier's weights, q110's pattern;
+    * Ge et al., CVPR 2013). Because R's entries are integers, the
+    * rotation is exact long arithmetic and the whole rotate → train →
+    * encode → ADC pipeline stays a pure function of (input, R) — a
+    * SQL oracle replays it bit-exactly, which a float rotation can
+    * never do. R ≈ rscale·Q for orthogonal Q preserves
+    * nearest-neighbour order up to the rounding perturbation; with
+    * rscale 127 the relative rounding error per entry is < 0.4%.
+    *
+    * Plan shape: ONE per-row projection, no shuffle, no join — a
+    * native expression ([[graft.expressions.MatVecLong]]) running the
+    * d² multiply-adds as a primitive loop over the flat-packed matrix
+    * INSIDE whole-stage codegen. The scalar-expression formulation
+    * ([[hadamardRotate]]'s shape) is correct but generates d² term
+    * nodes: at d=64 the whole-stage method passes the 64 KB limit and
+    * Spark silently drops to interpreted projection — the loop kernel
+    * keeps the hot path generated. (Hadamard keeps the scalar
+    * butterfly because its log d stages share structure codegen CSE
+    * recovers; a dense learned matrix has nothing to share.)
+    *
+    * Overflow bound: |y_i| ≤ d·max|x|·max|R| — at d=64, scale 10⁴,
+    * rscale 127 that is 8.1×10⁷, so subspace squared distances stay
+    * ≤ dsub·(2·8.1×10⁷)² ≈ 2×10¹⁷ — inside long range with the same
+    * headroom the Hadamard path documents. */
+  def rotateByMatrix(q: DataFrame, vecCol: String,
+      rot: Array[Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    q.withColumn(vecCol, GraftColumnBridge.column(
+      graft.expressions.MatVecLong(
+        GraftColumnBridge.expression(col(vecCol)),
+        rot.map(_.toSeq).toSeq)))
+  }
+
+  /** [[encode]] with a learned integer rotation ([[rotateByMatrix]]):
+    * quantize → rotate by R → train/encode. Same deterministic
+    * contract as [[encodeRotated]]; searches must rotate the query
+    * through [[adcTopNMatrixRotated]] (same R). */
+  def encodeMatrixRotated(df: DataFrame, idCol: String, vecCol: String,
+      rot: Array[Array[Long]], m: Int, k: Int, updates: Int = 1,
+      scale: Long = 10000L)
+      : (DataFrame, Array[Array[Array[Long]]]) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(rot.length == dim,
+      s"rotation is ${rot.length}-dim, vectors are $dim-dim")
+    val q = rotateByMatrix(
+        df.select(col(idCol).as("__id"),
+          Cluster.quantize(col(vecCol), scale).as("__v")),
+        "__v", rot)
+      .localCheckpoint()
+    encodeQuantized(q, idCol, dim, m, k, updates)
+  }
+
+  /** Driver-side y = R·x — the query-vector half of
+    * [[rotateByMatrix]], one d² integer multiply-accumulate. */
+  def rotLocal(rot: Array[Array[Long]], x: Array[Long]): Array[Long] = {
+    require(rot.length == x.length,
+      s"rotation is ${rot.length}-dim, vector is ${x.length}-dim")
+    rot.map { row =>
+      var s = 0L; var j = 0
+      while (j < x.length) { s += row(j) * x(j); j += 1 }
+      s
+    }
+  }
+
+  /** [[adcTopN]] against an [[encodeMatrixRotated]] index: the query
+    * takes the same quantize → R path the corpus did, then searches
+    * the rotated-space codes. */
+  def adcTopNMatrixRotated(encoded: DataFrame, idCol: String,
+      books: Array[Array[Array[Long]]], rot: Array[Array[Long]],
+      queryVec: Array[Float], n: Int, scale: Long = 10000L): DataFrame =
+    adcTopNQuantized(encoded, idCol, books,
+      rotLocal(rot,
+        queryVec.map(x => math.floor(x.toDouble * scale).toLong)), n)
+
+  /** A closed-form integer "trained" rotation fixture: `sweeps`·d
+    * Givens rotations with hash-derived planes and angles composed
+    * onto the identity, then rounded to rscale·Q — a deterministic
+    * stand-in for offline-learned OPQ weights (the q110
+    * offline-weights pattern: the training loop lives outside the
+    * engine; the engine's contract is exact application of a given
+    * model). Pure SplitMix64 arithmetic + StrictMath trig, so the
+    * matrix is bit-identical across runs and platforms; Q is exactly
+    * orthogonal before rounding, and the ±0.5 entry rounding keeps
+    * ‖RᵀR − rscale²·I‖ small enough that neighbour order is
+    * preserved at recall-measurement fidelity. */
+  def learnedRotationFixture(dim: Int, rscale: Long = 127L,
+      sweeps: Int = 4): Array[Array[Long]] = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    def h(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val g = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var t = 0L
+    while (t < sweeps.toLong * dim) {
+      val a = java.lang.Math.floorMod(h(3 * t), dim)
+      val b0 = java.lang.Math.floorMod(h(3 * t + 1), dim - 1)
+      val b = if (b0 >= a) b0 + 1 else b0 // b != a, uniform
+      val theta = 2.0 * StrictMath.PI *
+        ((h(3 * t + 2) >>> 11).toDouble / (1L << 53).toDouble)
+      val c = StrictMath.cos(theta)
+      val s = StrictMath.sin(theta)
+      var r = 0
+      while (r < dim) {
+        val ga = g(r)(a); val gb = g(r)(b)
+        g(r)(a) = c * ga - s * gb
+        g(r)(b) = s * ga + c * gb
+        r += 1
+      }
+      t += 1
+    }
+    g.map(_.map(v => StrictMath.round(v * rscale.toDouble)))
+  }
+
   /** Train + encode over an already-quantized (__id, __v) frame —
     * the shared back half of [[encode]] / [[encodeRotated]]. */
   private def encodeQuantized(q: DataFrame, idCol: String, dim: Int,

@@ -842,6 +842,73 @@ object VectorQueries {
 
   val q131_oracle: String = pqAdcSql(pqBaseSqlFrom(pqRotatedQv))
 
+  /** The learned-rotation OPQ fixture (Pq.learnedRotationFixture
+    * scaladoc): a closed-form 64×64 integer matrix ≈ 127·Q for a
+    * hash-derived orthogonal Q — the offline-weights stand-in for a
+    * Procrustes-trained OPQ rotation, shared verbatim by the Spark
+    * operators and the generated oracle SQL. */
+  private lazy val opqRot: Array[Array[Long]] =
+    graft.operators.Pq.learnedRotationFixture(64)
+
+  /** Quantize + learned matrix rotation as SQL: y_i = Σ_j R[i][j]·x_j
+    * with R inlined as a literal list-of-lists (the fixture is the
+    * model; the oracle replays its exact application). */
+  private lazy val pqLearnedQv: String = {
+    val lit = opqRot.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n           ", "]")
+    s"""qv0 AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       FROM embeddings),
+       rm AS (SELECT $lit AS r),
+       qv AS (SELECT vec_id, list_transform(range(0, 64),
+           i -> CAST(list_sum(list_transform(range(0, 64),
+             j -> r[CAST(i + 1 AS INT)][CAST(j + 1 AS INT)]
+               * v[CAST(j + 1 AS INT)])) AS BIGINT)) AS v
+         FROM qv0 CROSS JOIN rm)"""
+  }
+
+  /** q175: PQ train→encode under the LEARNED rotation
+    * (Pq.encodeMatrixRotated) — q129's pipeline with an offline-
+    * trained matrix instead of the closed-form Hadamard: rotation,
+    * all eight subspace Lloyd runs, codes and recon_d2 are exact
+    * integer functions of (corpus, R), and the oracle replays the
+    * matrix application plus the full training in generated SQL. */
+  val q175_opq_learned_encode: Q = (s, d) => {
+    val (enc, _) = graft.operators.Pq.encodeMatrixRotated(
+      Tables.embeddings(s, d), "vec_id", "embedding", opqRot,
+      m = pqM, k = pqK, updates = 1)
+    enc.select(col("vec_id") +:
+      (0 until pqM).map(i =>
+        element_at(col("codes"), i + 1).as(s"c$i")) :+
+      col("recon_d2"): _*)
+  }
+
+  val q175_oracle: String = {
+    val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
+    val joins = (1 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = a2_0.vec_id").mkString(" ")
+    val recon = (0 until pqM).map(s => s"a2_$s.d2").mkString(" + ")
+    s"""${pqBaseSqlFrom(pqLearnedQv)}
+       SELECT a2_0.vec_id, $encCols, CAST($recon AS BIGINT) AS recon_d2
+       FROM a2_0 $joins"""
+  }
+
+  /** q176: ADC search against the learned-rotation index
+    * (Pq.adcTopNMatrixRotated) — the query vector takes the same
+    * quantize→R path driver-side, then the top-20 scan over 8-byte
+    * codes (TakeOrderedAndProject, zero shuffles — q124's shape). */
+  val q176_opq_learned_adc: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (enc, books) = graft.operators.Pq.encodeMatrixRotated(emb,
+      "vec_id", "embedding", opqRot, m = pqM, k = pqK, updates = 1)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Pq.adcTopNMatrixRotated(enc, "vec_id", books,
+      opqRot, qvec, n = 20)
+  }
+
+  val q176_oracle: String = pqAdcSql(pqBaseSqlFrom(pqLearnedQv))
+
   /** q150: embedding-level DECONTAMINATION
     * ([[Dedup.embeddingDecontaminate]]) — flag corpus vectors at
     * cosine ≥ 0.999 against an eval/benchmark set, the semantic
@@ -1114,6 +1181,8 @@ object VectorQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q175_opq_learned_encode" -> q175_opq_learned_encode,
+    "q176_opq_learned_adc" -> q176_opq_learned_adc,
     "q174_mmr_grouped" -> q174_mmr_grouped,
     "q166_mmr_rerank" -> q166_mmr_rerank,
     "q165_rrf_fusion" -> q165_rrf_fusion,
@@ -1147,6 +1216,8 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q175_opq_learned_encode" -> q175_oracle,
+    "q176_opq_learned_adc" -> q176_oracle,
     "q174_mmr_grouped" -> q174_oracle,
     "q166_mmr_rerank" -> q166_oracle,
     "q165_rrf_fusion" -> q165_oracle,

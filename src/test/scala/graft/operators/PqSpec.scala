@@ -192,4 +192,63 @@ class PqSpec extends SparkSuite {
     assert(booksR.map(_.map(_.toSeq).toSeq).toSeq ==
       booksP.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("rotateByMatrix equals the driver-side rotLocal row by row, " +
+      "and the learned fixture is rscale-orthogonal up to rounding") {
+    val rot = Pq.learnedRotationFixture(16, rscale = 127L)
+    // determinism across invocations (pure closed form)
+    assert(rot.map(_.toSeq).toSeq ==
+      Pq.learnedRotationFixture(16, rscale = 127L).map(_.toSeq).toSeq)
+    // R ~= 127*Q for orthogonal Q: diag(R*Rt) near 127^2*16, off-diag
+    // small relative to it (rounding-only error)
+    val d = 16
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => rot(i)(t) * rot(j)(t)).sum
+      if (i == j)
+        assert(math.abs(dot - 127L * 127L * 1L) < 1300,
+          s"row $i self-dot $dot far from ${127 * 127}")
+      else
+        assert(math.abs(dot) < 1300, s"rows $i,$j dot $dot")
+    }
+    val vecs = (0L until 25L).map(id =>
+      id -> (0 until d).map(t => ((id * 37 + t * 11) % 19 - 9).toLong))
+    val got = Pq.rotateByMatrix(vecs.toDF("id", "v"), "v", rot)
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, x) =>
+      assert(got(id) == Pq.rotLocal(rot, x.toArray).toSeq, s"id $id")
+    }
+  }
+
+  test("encodeMatrixRotated: codes equal encode() on pre-rotated " +
+      "input, and the ADC query path rotates identically") {
+    val df = emb.take(60).toDF("vec_id", "embedding")
+    val rot = Pq.learnedRotationFixture(64)
+    val (encL, booksL) = Pq.encodeMatrixRotated(df, "vec_id",
+      "embedding", rot, m = 4, k = 8, updates = 1)
+    val rotated = Pq.rotateByMatrix(
+        df.select($"vec_id",
+          Cluster.quantize($"embedding", 10000L).as("v")),
+        "v", rot)
+      // double, not float: matrix-rotated components reach ~1e6-1e8,
+      // and float loses integer exactness above 2^24
+      .select($"vec_id", transform($"v", _.cast("double")).as("embedding"))
+    val (encP, booksP) = Pq.encode(rotated, "vec_id", "embedding",
+      m = 4, k = 8, updates = 1, scale = 1L)
+    assert(encL.as[(Long, Seq[Int], Long)].collect().toSet ==
+      encP.as[(Long, Seq[Int], Long)].collect().toSet)
+    assert(booksL.map(_.map(_.toSeq).toSeq).toSeq ==
+      booksP.map(_.map(_.toSeq).toSeq).toSeq)
+    // query path: adcTopNMatrixRotated(q) == adcTopN over the
+    // pre-rotated index with the pre-rotated query at scale 1
+    val qv = emb.head._2.toArray
+    val qRot = Pq.rotLocal(rot,
+      qv.map(x => math.floor(x.toDouble * 10000L).toLong))
+    val viaOp = Pq.adcTopNMatrixRotated(encL.localCheckpoint(),
+        "vec_id", booksL, rot, qv, n = 10)
+      .as[(Long, Long)].collect().toSeq
+    val viaRef = Pq.adcTopN(encP.localCheckpoint(), "vec_id", booksP,
+        qRot.map(_.toFloat), n = 10, scale = 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaOp.map(_._1) == viaRef.map(_._1))
+  }
 }

@@ -29,6 +29,7 @@ QUALITY_FLOORS = {
     "ivf_recall_at_20": 0.6,
     "ivfpq_recall_at_20": 0.45,
     "pq_recall_at_20": 0.3,
+    "pq_learned_recall_at_20": 0.3,
 }
 # Driver-artifact noise honesty (r10 verdict item 7): when the bench
 # run's wall passes disagree by more than this, per-query deltas are
