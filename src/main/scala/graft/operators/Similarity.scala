@@ -639,4 +639,77 @@ object Similarity {
     ivfProbe(spark, indexDir, queryVec, k, nProbes, idCol, vecCol,
       excludeId = Some(queryId))
   }
+
+  /** Compressed-domain brute search over int8 scalar-quantized codes
+    * (the FAISS SQ8 tier): rank by cosine computed DIRECTLY on the
+    * 1-byte-per-dim codes — symmetric per-vector quantization scales
+    * each vector by a positive s, and cosine is invariant to positive
+    * per-vector scaling, so cos(codes, q) ≈ cos(x, q) with only the
+    * ±0.5 rounding perturbation and NO reconstruction arithmetic.
+    * The search therefore touches only the codes column: 4× less scan
+    * I/O than a float32 brute pass, same zero-shuffle
+    * TakeOrderedAndProject plan as [[topKForId]], and the scores are
+    * exact doubles over integer code values — a SQL oracle replays
+    * them bit-for-bit (the code formula is q71's, already pinned).
+    * Output: (idCol, sim) top-k by (sim DESC, id). */
+  def sq8TopKForId(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val codes = int8Codes(col(vecCol), int8Scale(col(vecCol)))
+      .cast("array<double>")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+    emb.select(col(idCol), codes.as("__c"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (dot(col("__c"), col("__qv"))
+          / (norm(col("__c")) * col("__qn"))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Label-noise audit (the confident-learning screen, Northcutt et
+    * al. arXiv:1911.00068 simplified to its kNN-disagreement core):
+    * vote each query's top-`k` neighbour labels, compare the majority
+    * to the query's OWN label, and report per-label totals — the
+    * table a curation owner reads to find systematically mislabeled
+    * slices before training on them.
+    *
+    * Candidate-source-agnostic by design: `pairs` is any
+    * (query_id, item_id, sim) frame — [[knnJoin]] for a broadcastable
+    * probe batch (the gate's exact path), LSH candidates
+    * ([[lshTableCandidates]]) or IVF probes for corpus-as-queries at
+    * 100 TB — so the audit itself never dictates an all-pairs plan.
+    * Inside: one WindowGroupLimit top-k, one (query, label) vote agg,
+    * one majority rank, two label joins (labels frames are dimension-
+    * sized per query batch), one final per-label agg. Ties: top-k by
+    * (sim DESC, item_id); majority to the smallest label (q39's
+    * rule). Output: (label, n, n_disagree, noise_rate). */
+  def labelNoiseAudit(pairs: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = Sample.capPerKey(
+      pairs.select(col("query_id"), col("item_id"), col("sim")),
+      col("query_id"), Seq(col("sim").desc, col("item_id")), cap = k)
+    val itemLbl = labels.select(col(idCol).as("item_id"),
+      col(labelCol).as("__nl"))
+    val votes = topk.join(itemLbl, "item_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__votes").desc, col("__nl"))
+    val majority = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("__knn"))
+    val ownLbl = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__own"))
+    majority.join(ownLbl, "query_id")
+      .groupBy(col("__own"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__knn") =!= col("__own"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("__own").as("label"), col("n"), col("n_disagree"),
+        (col("n_disagree").cast("double") / col("n")).as("noise_rate"))
+  }
 }

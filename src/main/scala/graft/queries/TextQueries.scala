@@ -522,6 +522,34 @@ object TextQueries {
        $sel"""
   }
 
+  /** q178: token frequency spectrum (count-of-counts) — the
+    * frequency-of-frequencies table: for each occurrence count f, how
+    * many distinct token types occur exactly f times, and the total
+    * token mass f·n_types they carry. This is the Good–Turing
+    * smoothing input, the Zipf-fit diagnostic, and the
+    * vocabulary-sizing report (the long tail of f=1 hapaxes is what a
+    * tokenizer budget fights) — a corpus-level number every training
+    * run reads once. Scale shape: two hash aggs — tokens (the big
+    * one, map-side combined) then the spectrum (cardinality ≤ max
+    * frequency, tiny); nothing else. */
+  val q178_token_spectrum: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+      .select(col("f"), col("n_types"),
+        (col("f") * col("n_types")).as("mass"))
+
+  val q178_oracle: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+         FROM t WHERE length(tok) > 0 GROUP BY tok)
+       SELECT f, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(f * count(*) AS BIGINT) AS mass
+       FROM fr GROUP BY f"""
+
   /** q164: exact order-statistic length quantiles per source
     * ([[graft.operators.Privacy.quantileProfile]]) — p25/p50/p75/p90
     * of n_chars as actual row values at ceil(p·n), NOT interpolated
@@ -2574,6 +2602,7 @@ object TextQueries {
 
   val all: Map[String, Q] = Map(
     "q173_bpe_train" -> q173_bpe_train,
+    "q178_token_spectrum" -> q178_token_spectrum,
     "q101_incremental_neardup" -> q101_incremental_neardup,
     "q98_dsir_rank" -> q98_dsir_rank,
     "q97_gopher_repetition" -> q97_gopher_repetition,
@@ -2647,6 +2676,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q173_bpe_train" -> q173_oracle,
+    "q178_token_spectrum" -> q178_oracle,
     "q101_incremental_neardup" -> q101_oracle,
     "q98_dsir_rank" -> q98_oracle,
     "q97_gopher_repetition" -> q97_oracle,

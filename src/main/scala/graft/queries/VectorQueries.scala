@@ -1180,7 +1180,85 @@ object VectorQueries {
        SELECT g AS label, CAST(step AS BIGINT) AS step, id FROM sel4"""
   }
 
+  /** q177: SQ8 compressed-domain brute search
+    * ([[graft.operators.Similarity.sq8TopKForId]]) — cosine ranking
+    * computed directly on the int8 codes (cosine is invariant to the
+    * positive per-vector quantization scale, so no reconstruction):
+    * the 1-byte-per-dim storage tier between float32 brute force
+    * (q36) and PQ (q124). The scores are exact doubles over integer
+    * code values, so the oracle replays the q71-pinned code formula
+    * and every similarity bit-for-bit. */
+  val q177_sq8_topk: Q = (s, d) =>
+    Similarity.sq8TopKForId(Tables.embeddings(s, d), "embedding",
+      "vec_id", queryId = 0, k = 20)
+
+  val q177_oracle: String =
+    """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         127.0 / list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS s
+       FROM embeddings),
+       c AS (SELECT vec_id,
+         list_transform(v, x -> floor(x * s + 0.5)) AS cv
+       FROM c0),
+       q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv))
+              * sqrt(list_dot_product(qv, qv))) AS sim
+       FROM c, q WHERE vec_id <> 0
+       ORDER BY sim DESC, vec_id LIMIT 20"""
+
+  /** q179: label-noise audit ([[graft.operators.Similarity
+    * .labelNoiseAudit]]) — the confident-learning screen: each probe
+    * vector's kNN-majority label vs its own label, aggregated per
+    * label into the mislabeled-slice report. Candidates here come
+    * from the exact [[graft.operators.Similarity.knnJoin]] over a
+    * broadcastable 64-query batch (q39's gate shape); at corpus scale
+    * the same audit runs unchanged over LSH/IVF candidate frames —
+    * the operator is candidate-source-agnostic by contract. The
+    * oracle replays the kNN, the votes, the (votes DESC, label)
+    * majority, and the per-label aggregation. */
+  val q179_label_noise: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pairs = Similarity.knnJoin(e.filter(col("vec_id") < 64), e,
+      "embedding", "vec_id", "embedding", "vec_id", k = 5)
+    Similarity.labelNoiseAudit(pairs, e, "vec_id", "label", k = 5)
+  }
+
+  val q179_oracle: String =
+    """WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+         list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                          CAST(a.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[]))))
+           AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id < 64 AND b.vec_id <> a.vec_id),
+       t AS (SELECT query_id, item_id FROM (
+         SELECT query_id, item_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, item_id) AS rn
+         FROM p) WHERE rn <= 5),
+       v AS (SELECT t.query_id, e.label AS nl, count(*) AS votes
+         FROM t JOIN embeddings e ON e.vec_id = t.item_id
+         GROUP BY 1, 2),
+       mj AS (SELECT query_id, nl FROM (
+         SELECT query_id, nl, row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, nl) AS rn
+         FROM v) WHERE rn = 1)
+       SELECT e.label AS label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN mj.nl <> e.label THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_disagree,
+         CAST(sum(CASE WHEN mj.nl <> e.label THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*) AS noise_rate
+       FROM mj JOIN embeddings e ON e.vec_id = mj.query_id
+       GROUP BY e.label"""
+
   val all: Map[String, Q] = Map(
+    "q177_sq8_topk" -> q177_sq8_topk,
+    "q179_label_noise" -> q179_label_noise,
     "q175_opq_learned_encode" -> q175_opq_learned_encode,
     "q176_opq_learned_adc" -> q176_opq_learned_adc,
     "q174_mmr_grouped" -> q174_mmr_grouped,
@@ -1216,6 +1294,8 @@ object VectorQueries {
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
 
   val oracles: Map[String, String] = Map(
+    "q177_sq8_topk" -> q177_oracle,
+    "q179_label_noise" -> q179_oracle,
     "q175_opq_learned_encode" -> q175_oracle,
     "q176_opq_learned_adc" -> q176_oracle,
     "q174_mmr_grouped" -> q174_oracle,

@@ -347,4 +347,60 @@ class SimilaritySpec extends SparkSuite {
       == survivors.count())
     assert(lshTop == want)
   }
+
+  test("SQ8 compressed-domain top-k matches a driver-side replay of " +
+      "the code cosine, and ranks close to exact cosine") {
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().take(200)
+    val got = Similarity.sq8TopKForId(
+        rows.toSeq.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", queryId = rows.head._1, k = 15)
+      .as[(Long, Double)].collect().toSeq
+    // driver replay: q71's code formula, then cosine on code ints
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qv = rows.head._2.map(_.toDouble)
+    val qn = math.sqrt(dot(qv, qv))
+    val expect = rows.tail.map { case (id, v) =>
+      val scale = 127.0 / v.map(x => math.abs(x.toDouble)).max
+      val c = v.map(x => math.floor(x.toDouble * scale + 0.5))
+      id -> (dot(c, qv) / (math.sqrt(dot(c, c)) * qn))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(15)
+    assert(got == expect.toSeq)
+    // quality: overlap with exact-cosine top-15 is high (rounding-only
+    // perturbation) — a regression here means the code path broke
+    val exact = rows.tail.map { case (id, v) =>
+      val dv = v.map(_.toDouble)
+      id -> (dot(dv, qv) / (math.sqrt(dot(dv, dv)) * qn))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(15).map(_._1).toSet
+    val overlap = got.map(_._1).count(exact) / 15.0
+    assert(overlap >= 0.8, s"sq8-vs-exact overlap $overlap")
+  }
+
+  test("labelNoiseAudit flags a planted mislabeled point and nothing " +
+      "else on separable clusters") {
+    // three tight clusters; vec 20 sits in cluster 0 but carries
+    // label 1 — its kNN majority is 0, so label 1 gets one disagree
+    def vec(base: Int, j: Int): Seq[Float] =
+      Seq.tabulate(4)(t =>
+        (if (t == base) 10f else 0f) + 0.01f * j)
+    val rows =
+      (0 until 7).map(j => (j.toLong, vec(0, j), 0)) ++
+      (7 until 14).map(j => (j.toLong, vec(1, j), 1)) ++
+      (14 until 20).map(j => (j.toLong, vec(2, j), 2)) :+
+      ((20L, vec(0, 9), 1)) // planted: cluster 0 geometry, label 1
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.knnJoin(e, e, "embedding", "vec_id",
+      "embedding", "vec_id", k = 5)
+    val got = Similarity.labelNoiseAudit(pairs, e, "vec_id", "label",
+        k = 5)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0) == ((7L, 0L)))
+    assert(got(1) == ((8L, 1L)), s"label 1: ${got(1)}") // the plant
+    assert(got(2) == ((6L, 0L)))
+  }
 }
