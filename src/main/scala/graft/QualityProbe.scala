@@ -162,6 +162,28 @@ object QualityProbe {
     }
     val lrnMeanRecall = lrnPerQuery.map(_._2).sum / lrnPerQuery.size
 
+    // --- SQ8 compressed-domain recall (q177): cosine ranking on the
+    // int8 codes vs exact full-precision cosine top-k. The only error
+    // source is the ±0.5 per-component rounding, so this should sit
+    // near 1.0 — a drop flags a code-formula or ranking regression.
+    val sq8PerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      def dotD(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val qn = math.sqrt(dotD(qv, qv))
+      val exactCos = allVecs.toSeq.filter(_._1 != qid).map { case (id, v) =>
+        id -> dotD(v, qv) / (math.sqrt(dotD(v, v)) * qn)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val got = operators.Similarity.sq8TopKForId(emb, "embedding",
+          "vec_id", qid, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (got & exactCos).size.toDouble / k
+    }
+    val sq8MeanRecall = sq8PerQuery.map(_._2).sum / sq8PerQuery.size
+
     // --- IVF-PQ recall at probe-16-of-64 (the q140/q141 family at a
     // budgeted operating point; the gate itself probes 3-of-8 and is
     // oracle-exact, so only the approximation quality needs a trend).
@@ -213,6 +235,7 @@ object QualityProbe {
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""pq_rotated_recall_at_20":${s3(rotMeanRecall)},""" +
         s""""pq_learned_recall_at_20":${s3(lrnMeanRecall)},""" +
+        s""""sq8_recall_at_20":${s3(sq8MeanRecall)},""" +
         s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
         s""""ivfpq_lists":64,"ivfpq_probes":16,""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +

@@ -30,6 +30,7 @@ QUALITY_FLOORS = {
     "ivfpq_recall_at_20": 0.45,
     "pq_recall_at_20": 0.3,
     "pq_learned_recall_at_20": 0.3,
+    "sq8_recall_at_20": 0.9,  # rounding-only error; measured 0.9875
 }
 # Driver-artifact noise honesty (r10 verdict item 7): when the bench
 # run's wall passes disagree by more than this, per-query deltas are
