@@ -162,6 +162,29 @@ object QualityProbe {
     }
     val lrnMeanRecall = lrnPerQuery.map(_._2).sum / lrnPerQuery.size
 
+    // --- DATA-FITTED rotation PQ recall (q181/q182 family): the
+    // committed PqFitted matrix (offline PCA + snake eigenvalue
+    // allocation over these embeddings). This is the number the
+    // r10 verdict asked to make visible: fitted-vs-FWHT-vs-flat at
+    // the same m/k operating point.
+    val fitRot = operators.PqFitted.r64
+    val (encFit, fitBooks) = operators.Pq.encodeMatrixRotated(emb,
+      "vec_id", "embedding", fitRot, m = 8, k = 16, updates = 1)
+    val encFitCached = encFit.localCheckpoint()
+    val fitPerQuery = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val exact = allVecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      val adc = operators.Pq.adcTopNMatrixRotated(encFitCached,
+          "vec_id", fitBooks, fitRot, qv, k)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      qid -> (adc & exact).size.toDouble / k
+    }
+    val fitMeanRecall = fitPerQuery.map(_._2).sum / fitPerQuery.size
+
     // --- SQ8 compressed-domain recall (q177): cosine ranking on the
     // int8 codes vs exact full-precision cosine top-k. The only error
     // source is the ±0.5 per-component rounding, so this should sit
@@ -235,6 +258,7 @@ object QualityProbe {
           s"\"$q\":${s3(r)}" }.mkString(",")}},""" +
         s""""pq_rotated_recall_at_20":${s3(rotMeanRecall)},""" +
         s""""pq_learned_recall_at_20":${s3(lrnMeanRecall)},""" +
+        s""""pq_fitted_recall_at_20":${s3(fitMeanRecall)},""" +
         s""""sq8_recall_at_20":${s3(sq8MeanRecall)},""" +
         s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
         s""""ivfpq_lists":64,"ivfpq_probes":16,""" +

@@ -50,6 +50,57 @@ object Packing {
       (start % seqLen).as("seq_offset"))
   }
 
+  /** Aligned packing — pack documents onto fixed-`seqLen` training
+    * sequences with ZERO cross-sequence straddling, the
+    * cross-contamination-free alternative to [[concatChunk]]. Each
+    * document pads to the next power of two (the standard
+    * length-bucketing quantization, e.g. TensorFlow's
+    * bucket_by_sequence_length) and the corpus lays out in
+    * (pad DESC, id) order by global prefix sum. Buddy-allocation
+    * alignment (Knowlton 1965 / Knuth TAOCP vol. 1 §2.5) makes the
+    * layout valid with NO bin state at all: every earlier pad length
+    * is a ≥ power of two, so each document's global start offset is a
+    * multiple of its own pad length, hence `start mod seqLen` +
+    * pad ≤ seqLen — no document ever crosses a sequence boundary.
+    *
+    * Why this shape at 100 TB: first-fit/best-fit greedy packing keeps
+    * an open-bin state that is inherently sequential and grows with
+    * the corpus (billions of bins at pretraining scale — a driver-side
+    * plan cannot hold them); this layout is one distributed
+    * [[PrefixSum]] scan plus per-row integer arithmetic, with the
+    * padding waste (strictly < 2× per document, exact per-row in
+    * `waste`) as the known, bounded price.
+    *
+    * Contract: documents longer than `seqLen` tokens raise in-plan
+    * (truncate or filter upstream — same as any fixed-length loader).
+    * Zero-token documents pad to 1 slot. Output per document: n_tokens,
+    * pad_len, bin (which training sequence), bin_offset (start inside
+    * it), waste (= pad_len − n_tokens). */
+  def alignedPack(docs: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1 && (seqLen & (seqLen - 1)) == 0,
+      s"seqLen must be a power of two, got $seqLen")
+    val levels = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= seqLen).toSeq
+    val n = col("__n")
+    val pad = levels.tail.foldLeft(when(n <= levels.head, levels.head)) {
+        (acc, p) => acc.when(n <= p, p)
+      }.otherwise(raise_error(concat(
+        lit(s"alignedPack: document longer than seqLen=$seqLen: "),
+        col("doc_id").cast("string"))).cast("long"))
+      .cast("long")
+    val withCum = PrefixSum.withRunningTotal(
+      docs.select(col(idCol).as("doc_id"),
+          col(nTokensCol).cast("long").as("__n"))
+        .withColumn("__pad", pad)
+        .withColumn("__negp", -col("__pad")),
+      Seq("__negp", "doc_id"), "__pad")
+    withCum.select(col("doc_id"), col("__n").as("n_tokens"),
+      col("__pad").as("pad_len"),
+      expr(s"(__pad_cum - __pad) div $seqLen").as("bin"),
+      ((col("__pad_cum") - col("__pad")) % seqLen).as("bin_offset"),
+      (col("__pad") - col("__n")).as("waste"))
+  }
+
   /** Token-budget selection — the "take the best N tokens" cut that
     * ends every data-selection pass (DSIR/classifier ranks in, a token
     * budget out): walk documents in the caller's PRIORITY order

@@ -2147,6 +2147,42 @@ object TextQueries {
          CAST((cum - n) % 256 AS BIGINT) AS seq_offset
        FROM c"""
 
+  /** q180: ALIGNED sequence packing (Packing.alignedPack scaladoc —
+    * buddy-allocation layout: pad to the next power of two, lay out by
+    * prefix sum in (pad DESC, id) order; no document ever straddles a
+    * sequence boundary, the cross-contamination-free loader shape).
+    * The oracle replays the identical CASE-chain quantization and the
+    * same running total with a plain window; bin/offset/waste are all
+    * integer arithmetic so the gate is hash-exact. Docs span 10–99
+    * tokens against seqLen=128, so every pad level 16/32/64/128 is
+    * exercised and multi-doc bins occur corpus-wide. */
+  val q180_aligned_packing: Q = (s, d) =>
+    graft.operators.Packing.alignedPack(
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTokens(col("text")).as("n_tok")),
+      "doc_id", "n_tok", seqLen = 128)
+
+  val q180_aligned_oracle: String =
+    """WITH s AS (SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       FROM documents),
+       q AS (SELECT doc_id, n,
+         CAST(CASE WHEN n <= 1 THEN 1 WHEN n <= 2 THEN 2
+              WHEN n <= 4 THEN 4 WHEN n <= 8 THEN 8
+              WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+              END AS BIGINT) AS pad
+       FROM s),
+       c AS (SELECT doc_id, n, pad,
+         sum(pad) OVER (ORDER BY pad DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM q)
+       SELECT doc_id, n AS n_tokens, pad AS pad_len,
+         CAST((cum - pad) // 128 AS BIGINT) AS bin,
+         CAST((cum - pad) % 128 AS BIGINT) AS bin_offset,
+         CAST(pad - n AS BIGINT) AS waste
+       FROM c"""
+
   /** q139: curation telemetry — the per-source funnel report a
     * pipeline owner actually reads: docs/kept counts plus PER-RULE
     * fire counts (reasons string exploded back to rules), one row per
@@ -2661,6 +2697,7 @@ object TextQueries {
     "q130_dup_line_profile" -> q130_dup_line_profile,
     "q133_curation_funnel" -> q133_curation_funnel,
     "q134_sequence_packing" -> q134_sequence_packing,
+    "q180_aligned_packing" -> q180_aligned_packing,
     "q135_token_budget" -> q135_token_budget,
     "q136_shuffled_packing" -> q136_shuffled_packing,
     "q138_boilerplate_ngrams" -> q138_boilerplate_ngrams,
@@ -2736,6 +2773,7 @@ object TextQueries {
     "q130_dup_line_profile" -> q130_dup_line_oracle,
     "q133_curation_funnel" -> q133_curation_oracle,
     "q134_sequence_packing" -> q134_packing_oracle,
+    "q180_aligned_packing" -> q180_aligned_oracle,
     "q135_token_budget" -> q135_budget_oracle,
     "q136_shuffled_packing" -> q136_shuffled_oracle,
     "q138_boilerplate_ngrams" -> q138_boilerplate_oracle,

@@ -853,8 +853,8 @@ object VectorQueries {
   /** Quantize + learned matrix rotation as SQL: y_i = Σ_j R[i][j]·x_j
     * with R inlined as a literal list-of-lists (the fixture is the
     * model; the oracle replays its exact application). */
-  private lazy val pqLearnedQv: String = {
-    val lit = opqRot.map(_.mkString("[", ", ", "]"))
+  private def pqMatrixQv(rot: Array[Array[Long]]): String = {
+    val lit = rot.map(_.mkString("[", ", ", "]"))
       .mkString("[", ",\n           ", "]")
     s"""qv0 AS (SELECT vec_id, list_transform(embedding,
          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
@@ -866,6 +866,16 @@ object VectorQueries {
                * v[CAST(j + 1 AS INT)])) AS BIGINT)) AS v
          FROM qv0 CROSS JOIN rm)"""
   }
+
+  private lazy val pqLearnedQv: String = pqMatrixQv(opqRot)
+
+  /** The DATA-FITTED rotation (operators/PqFitted.scala — trained
+    * offline by [[graft.FitRotation]]: PCA + snake eigenvalue
+    * allocation over the reference embeddings, Ge et al. CVPR 2013
+    * §4). q181/q182 gate its exact application; its recall trends in
+    * QUALITY.json as pq_fitted_recall_at_20. */
+  private lazy val pqFittedQv: String =
+    pqMatrixQv(graft.operators.PqFitted.r64)
 
   /** q175: PQ train→encode under the LEARNED rotation
     * (Pq.encodeMatrixRotated) — q129's pipeline with an offline-
@@ -908,6 +918,49 @@ object VectorQueries {
   }
 
   val q176_oracle: String = pqAdcSql(pqBaseSqlFrom(pqLearnedQv))
+
+  /** q181: PQ train→encode under the DATA-FITTED rotation — q175's
+    * pipeline with the matrix OPQ actually trained on the corpus
+    * (PqFitted.scala: offline PCA + snake eigenvalue allocation,
+    * regenerated by graft.FitRotation). Same exact-integer contract:
+    * the oracle replays rotation + all eight Lloyd runs with the
+    * committed matrix inlined as a SQL literal. */
+  val q181_opq_fitted_encode: Q = (s, d) => {
+    val (enc, _) = graft.operators.Pq.encodeMatrixRotated(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      graft.operators.PqFitted.r64, m = pqM, k = pqK, updates = 1)
+    enc.select(col("vec_id") +:
+      (0 until pqM).map(i =>
+        element_at(col("codes"), i + 1).as(s"c$i")) :+
+      col("recon_d2"): _*)
+  }
+
+  val q181_oracle: String = {
+    val encCols = (0 until pqM).map(s => s"a2_$s.cid AS c$s").mkString(", ")
+    val joins = (1 until pqM)
+      .map(s => s"JOIN a2_$s ON a2_$s.vec_id = a2_0.vec_id").mkString(" ")
+    val recon = (0 until pqM).map(s => s"a2_$s.d2").mkString(" + ")
+    s"""${pqBaseSqlFrom(pqFittedQv)}
+       SELECT a2_0.vec_id, $encCols, CAST($recon AS BIGINT) AS recon_d2
+       FROM a2_0 $joins"""
+  }
+
+  /** q182: ADC top-k under the data-fitted rotation — the complete
+    * trained-OPQ retrieval path (rotate corpus by the trained R →
+    * encode → rotate query → ADC over 8-byte codes; q124's
+    * zero-shuffle TakeOrderedAndProject shape). */
+  val q182_opq_fitted_adc: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (enc, books) = graft.operators.Pq.encodeMatrixRotated(emb,
+      "vec_id", "embedding", graft.operators.PqFitted.r64,
+      m = pqM, k = pqK, updates = 1)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.operators.Pq.adcTopNMatrixRotated(enc, "vec_id", books,
+      graft.operators.PqFitted.r64, qvec, n = 20)
+  }
+
+  val q182_oracle: String = pqAdcSql(pqBaseSqlFrom(pqFittedQv))
 
   /** q150: embedding-level DECONTAMINATION
     * ([[Dedup.embeddingDecontaminate]]) — flag corpus vectors at
@@ -1261,6 +1314,8 @@ object VectorQueries {
     "q179_label_noise" -> q179_label_noise,
     "q175_opq_learned_encode" -> q175_opq_learned_encode,
     "q176_opq_learned_adc" -> q176_opq_learned_adc,
+    "q181_opq_fitted_encode" -> q181_opq_fitted_encode,
+    "q182_opq_fitted_adc" -> q182_opq_fitted_adc,
     "q174_mmr_grouped" -> q174_mmr_grouped,
     "q166_mmr_rerank" -> q166_mmr_rerank,
     "q165_rrf_fusion" -> q165_rrf_fusion,
@@ -1298,6 +1353,8 @@ object VectorQueries {
     "q179_label_noise" -> q179_oracle,
     "q175_opq_learned_encode" -> q175_oracle,
     "q176_opq_learned_adc" -> q176_oracle,
+    "q181_opq_fitted_encode" -> q181_oracle,
+    "q182_opq_fitted_adc" -> q182_oracle,
     "q174_mmr_grouped" -> q174_oracle,
     "q166_mmr_rerank" -> q166_oracle,
     "q165_rrf_fusion" -> q165_oracle,

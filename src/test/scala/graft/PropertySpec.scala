@@ -285,6 +285,48 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("aligned packing never straddles a boundary and never overlaps " +
+      "for arbitrary length lists") {
+    import graft.operators.Packing
+    val genLens = Gen.listOfN(40, Gen.choose(0L, 32L))
+    samples(genLens, 10).foreach { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val got = Packing.alignedPack(docs.toDF("id", "n"), "id", "n",
+          seqLen = 32)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == lens.length) // every doc placed exactly once
+      got.foreach { case (_, n, pad, _, off, waste) =>
+        // pad is the NEXT power of two and waste is its excess
+        assert((pad & (pad - 1)) == 0 && pad >= math.max(n, 1) &&
+          (pad == 1 || pad / 2 < math.max(n, 1)))
+        assert(waste == pad - n)
+        // the buddy alignment theorem: start is a multiple of pad, so
+        // the padded span never crosses the seqLen boundary
+        assert(off % pad == 0 && off + pad <= 32)
+      }
+      // padded spans tile each bin without overlap
+      got.groupBy(_._4).values.foreach { bin =>
+        val spans = bin.map(d => (d._5, d._5 + d._3)).sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(b._1 >= a._2)
+          case _ =>
+        }
+      }
+      // replays the serial reference layout exactly
+      var cum = 0L
+      val serial = docs.map { case (i, n) =>
+        val pad = Iterator.iterate(1L)(_ * 2).find(_ >= n).get
+        (i, pad)
+      }.sortBy { case (i, pad) => (-pad, i) }.map { case (i, pad) =>
+        val start = cum; cum += pad
+        i -> ((start / 32, start % 32))
+      }.toMap
+      got.foreach { case (i, _, _, b, off, _) =>
+        assert(serial(i) == ((b, off)))
+      }
+    }
+  }
+
   test("leakage-safe splits assign every row, never split a group, " +
       "and roughly respect the requested fractions") {
     import graft.operators.Sample

@@ -219,6 +219,66 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("fitRotationPca: deterministic, rscale-orthogonal, and its " +
+      "snake allocation balances per-subspace eigenvalue products " +
+      "on anisotropic data (and the committed fixture is valid)") {
+    // strongly anisotropic deterministic sample: coordinate j has
+    // scale (j+1), so identity-order subspaces have wildly unbalanced
+    // variance products — the case a fitted rotation exists for
+    def h(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val d = 16
+    val m = 4
+    val sample = Array.tabulate(200, d) { (r, j) =>
+      (((h(r.toLong * d + j) >>> 11).toDouble / (1L << 53).toDouble)
+        - 0.5) * (j + 1)
+    }
+    val rscale = 127L
+    val rot = Pq.fitRotationPca(sample, m, rscale)
+    // pure function of the sample
+    assert(rot.map(_.toSeq).toSeq ==
+      Pq.fitRotationPca(sample, m, rscale).map(_.toSeq).toSeq)
+    // R ~= 127*Q: rounding-only deviation from orthogonality
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => rot(i)(t) * rot(j)(t)).sum
+      if (i == j) assert(math.abs(dot - rscale * rscale) < 1300,
+        s"row $i self-dot $dot")
+      else assert(math.abs(dot) < 1300, s"rows $i,$j dot $dot")
+    }
+    // balance: per-bucket log-product of variances after the fitted
+    // rotation is far tighter than contiguous identity grouping
+    def logProdRange(vars: Seq[Double]): Double = {
+      val sums = vars.grouped(d / m).map(_.map(math.log).sum).toSeq
+      sums.max - sums.min
+    }
+    def colVars(rows: Array[Array[Double]]): Seq[Double] = {
+      val n = rows.length
+      (0 until d).map { j =>
+        val mu = rows.map(_(j)).sum / n
+        rows.map(v => (v(j) - mu) * (v(j) - mu)).sum / n
+      }
+    }
+    val rotated = sample.map(v => rot.map(row =>
+      row.zip(v).map { case (a, b) => a * b }.sum / rscale.toDouble))
+    val natural = logProdRange(colVars(sample))
+    val fitted = logProdRange(colVars(rotated))
+    assert(fitted < natural / 4,
+      s"fitted log-product range $fitted vs natural $natural")
+    // the committed corpus fixture stays a valid rscale-rotation
+    val fx = PqFitted.r64
+    assert(fx.length == 64 && fx.forall(_.length == 64))
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dot = (0 until 64).map(t => fx(i)(t) * fx(j)(t)).sum
+      if (i == j) assert(math.abs(dot - 127L * 127L) < 1300,
+        s"fixture row $i self-dot $dot")
+      else assert(math.abs(dot) < 1300, s"fixture rows $i,$j dot $dot")
+    }
+  }
+
   test("encodeMatrixRotated: codes equal encode() on pre-rotated " +
       "input, and the ADC query path rotates identically") {
     val df = emb.take(60).toDF("vec_id", "embedding")
