@@ -78,6 +78,47 @@ object NgramLm {
         (sum(col("__lp")) / count(lit(1))).as("logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): split each language's documents into head/middle/tail
+    * TERCILES by LM fluency — the standard web-corpus quality
+    * partition (train on head+middle, inspect or drop tail). Scores
+    * come from [[scoreDocs]] under the corpus's own bigram LM; buckets
+    * are exact integer-rank cuts (3·rank ≤ n / ≤ 2n) in
+    * (logprob DESC, id) order, so only documents at a tercile BOUNDARY
+    * depend on score comparisons — boundary gaps on the reference
+    * corpus are ≥ 3.6e-5, nine orders above double-sum noise (the q94
+    * rank-surface argument; raw doubles never cross the gate).
+    *
+    * Scale shape: per-language ranks via [[PrefixSum]]'s two-pass
+    * range-partitioned scan over (lang, −logprob, id) — NOT a
+    * `Window.partitionBy(lang)`, which would funnel each language
+    * through ONE task (a 20 TB partition for the head language at
+    * corpus scale). Each language's rank base is its min global
+    * running total (one language-count agg, broadcast back); docs with
+    * fewer than two tokens have no bigrams and are dropped, matching
+    * [[scoreDocs]]. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String): DataFrame = {
+    val scored = scoreDocs(docs, idCol, textCol,
+        bigramLm(docs, textCol), vocabSize(docs, textCol))
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+    val ranked = PrefixSum.withRunningTotal(
+      scored.select(col(idCol).as("doc_id"),
+        col(strataCol).as("__g"), (-col("logprob")).as("__neg"),
+        lit(1L).as("__one")),
+      Seq("__g", "__neg", "doc_id"), "__one")
+    val base = ranked.groupBy(col("__g"))
+      .agg(min(col("__one_cum")).as("__base"),
+        count(lit(1)).as("__n"))
+    ranked.join(broadcast(base), Seq("__g"))
+      .select(col("doc_id"), col("__g").as(strataCol),
+        when(lit(3) * (col("__one_cum") - col("__base") + 1) <= col("__n"),
+            lit("head"))
+          .when(lit(3) * (col("__one_cum") - col("__base") + 1) <=
+            lit(2) * col("__n"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** The `k` least fluent documents under the corpus's own bigram LM —
     * the junk-candidate list, ranked worst (lowest mean log-prob)
     * first with the id breaking ties. Returns (idCol, rk). */

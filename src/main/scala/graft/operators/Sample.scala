@@ -124,6 +124,57 @@ object Sample {
     df.filter(col(idCol).isNotNull && bucket < limit)
   }
 
+  /** Temperature-based mixture reweighting — the multilingual
+    * pretraining recipe (Raffel et al. JMLR 2020 §3.4.3 / mC4: sample
+    * stratum s with probability ∝ p_s^α, α < 1 upweighting the tail so
+    * low-resource languages are not drowned by the head): realized as
+    * per-stratum Bernoulli keep-rates r_s = maxRate·(n_min/n_s)^(1−α)
+    * — the surviving composition is ∝ n_s^α with the smallest stratum
+    * kept at maxRate. Rates are derived IN-PLAN from the corpus's own
+    * counts (one tiny stratum agg + broadcast join back; the corpus
+    * itself never shuffles), then applied through the same salted-md5
+    * thresholds as [[weightedMix]] — reproducible anywhere, and
+    * raising maxRate only ADDS rows.
+    *
+    * α is restricted to {1/4, 1/2, 3/4}: dyadic exponents evaluate as
+    * sqrt chains, and IEEE 754 sqrt/divide/multiply are CORRECTLY
+    * ROUNDED everywhere, so the data-dependent thresholds are
+    * bit-identical across engines and the operator gates oracle-exact.
+    * pow(x, 0.3) is not correctly rounded and differs across libm
+    * implementations — an α outside the dyadic set would make every
+    * threshold engine-dependent, the same reason q77 emits ranks over
+    * log scores (NEXT.md numerics rules). */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double = 0.5, maxRate: Double = 1.0): DataFrame = {
+    require(maxRate > 0 && maxRate <= 1,
+      s"maxRate $maxRate out of (0,1]")
+    // (n_min/n_s)^(1-α) as a chain of correctly-rounded sqrt steps
+    def dyadicPow(x: Column): Column = alpha match {
+      case 0.5 => sqrt(x)
+      case 0.75 => sqrt(sqrt(x))
+      case 0.25 => sqrt(x) * sqrt(sqrt(x))
+      case a => throw new IllegalArgumentException(
+        s"alpha must be 0.25, 0.5, or 0.75 (dyadic exponents stay " +
+          s"correctly rounded cross-engine; pow does not), got $a")
+    }
+    val counts = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__ns"))
+    val nmin = counts.agg(min(col("__ns")).as("__nmin"))
+    val th = counts.crossJoin(broadcast(nmin))
+      .select(col("__s"),
+        floor(lit(maxRate) *
+            dyadicPow(col("__nmin").cast("double") / col("__ns")) *
+            lit(4294967296.0))
+          .cast("long").as("__lim"))
+    val bucket = conv(substring(saltedMd5("temp:", col(idCol)), 1, 8),
+      16, 10).cast("long")
+    // null guard restores the scan's IsNotNull pushdown (see weightedMix)
+    df.filter(col(idCol).isNotNull)
+      .join(broadcast(th), col(stratumCol) === col("__s"))
+      .filter(bucket < col("__lim"))
+      .drop("__s", "__lim")
+  }
+
   /** Deterministic Bernoulli-style sample: keeps a row iff its hash
     * falls below the rate threshold. Uses the first 8 hex chars of the
     * md5 as a uniform 32-bit value — reproducible across engines and

@@ -2183,6 +2183,88 @@ object TextQueries {
          CAST(pad - n AS BIGINT) AS waste
        FROM c"""
 
+  /** q183: temperature-based mixture reweighting
+    * (Sample.temperatureMix scaladoc — the mC4/mT5 α-sampling recipe,
+    * α=1/2: per-language keep-rates r = (n_min/n_lang)^(1/2) derived
+    * IN-PLAN from the corpus's own counts; the survivor composition is
+    * ∝ √n_lang, upweighting low-resource languages). The reference
+    * corpus is genuinely skewed (en 218 vs fr 64 at sf0.01), so every
+    * language gets a different data-dependent threshold; the oracle
+    * recomputes thresholds with the same sqrt/divide/multiply chain —
+    * correctly rounded IEEE ops, so they match bit-for-bit — and
+    * replays the salted-md5 cut. Output aggregated per language
+    * (count + id checksum) to keep the gate surface small while
+    * pinning the exact survivor set. */
+  val q183_temperature_mix: Q = (s, d) =>
+    graft.operators.Sample.temperatureMix(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, maxRate = 1.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+
+  val q183_temperature_oracle: String =
+    """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns
+         FROM documents GROUP BY lang),
+       mn AS (SELECT min(ns) AS nmin FROM n),
+       th AS (SELECT lang,
+         CAST(floor(1.0 * sqrt(CAST(nmin AS DOUBLE) / ns)
+           * 4294967296.0) AS BIGINT) AS lim
+       FROM n CROSS JOIN mn),
+       b AS (SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS u
+       FROM documents)
+       SELECT b.lang, count(*) AS n_docs,
+         CAST(sum(b.doc_id) AS BIGINT) AS id_sum
+       FROM b JOIN th ON b.lang = th.lang
+       WHERE b.u < th.lim GROUP BY b.lang"""
+
+  /** q184: CCNet perplexity bucketing (NgramLm.perplexityBuckets
+    * scaladoc — Wenzek et al. arXiv:1911.00359 §4.3: per-language
+    * head/middle/tail terciles by LM fluency, the standard web-corpus
+    * quality partition). Exact integer-rank cuts in (logprob DESC, id)
+    * order; ranks ride the distributed PrefixSum scan, never a
+    * per-language single-task window. The oracle replays q94's LM CTE
+    * plus the tercile CASE per language — only boundary documents
+    * depend on score comparisons (gaps ≥ 3.6e-5 on this corpus, the
+    * q94 rank-surface argument). */
+  val q184_perplexity_buckets: Q = (s, d) =>
+    graft.operators.NgramLm.perplexityBuckets(
+      Tables.documents(s, d), "doc_id", "text", "lang")
+
+  val q184_buckets_oracle: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       uni AS (
+         SELECT u.tok, count(*) AS c1 FROM (
+           SELECT unnest(a) AS tok FROM t) u GROUP BY u.tok),
+       v AS (SELECT count(*) AS vs FROM uni),
+       big AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(a)),
+           i -> a[i] || ' ' || a[i + 1])) AS gram
+         FROM t),
+       bc AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+       sc AS (
+         SELECT b.doc_id,
+           sum(ln((bc.c12 + 1.0) / (u.c1 + v.vs + 0.0))) / count(*)
+             AS lp
+         FROM big b
+         JOIN bc USING (gram)
+         JOIN uni u ON u.tok = split_part(b.gram, ' ', 1)
+         CROSS JOIN v
+         GROUP BY b.doc_id),
+       r AS (SELECT s.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+             ORDER BY s.lp DESC, s.doc_id) AS rn,
+           count(*) OVER (PARTITION BY d.lang) AS n
+         FROM sc s JOIN documents d USING (doc_id))
+       SELECT doc_id, lang,
+         CASE WHEN 3 * rn <= n THEN 'head'
+              WHEN 3 * rn <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM r"""
+
   /** q139: curation telemetry — the per-source funnel report a
     * pipeline owner actually reads: docs/kept counts plus PER-RULE
     * fire counts (reasons string exploded back to rules), one row per
@@ -2698,6 +2780,8 @@ object TextQueries {
     "q133_curation_funnel" -> q133_curation_funnel,
     "q134_sequence_packing" -> q134_sequence_packing,
     "q180_aligned_packing" -> q180_aligned_packing,
+    "q183_temperature_mix" -> q183_temperature_mix,
+    "q184_perplexity_buckets" -> q184_perplexity_buckets,
     "q135_token_budget" -> q135_token_budget,
     "q136_shuffled_packing" -> q136_shuffled_packing,
     "q138_boilerplate_ngrams" -> q138_boilerplate_ngrams,
@@ -2774,6 +2858,8 @@ object TextQueries {
     "q133_curation_funnel" -> q133_curation_oracle,
     "q134_sequence_packing" -> q134_packing_oracle,
     "q180_aligned_packing" -> q180_aligned_oracle,
+    "q183_temperature_mix" -> q183_temperature_oracle,
+    "q184_perplexity_buckets" -> q184_buckets_oracle,
     "q135_token_budget" -> q135_budget_oracle,
     "q136_shuffled_packing" -> q136_shuffled_oracle,
     "q138_boilerplate_ngrams" -> q138_boilerplate_oracle,

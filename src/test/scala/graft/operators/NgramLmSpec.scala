@@ -42,6 +42,42 @@ class NgramLmSpec extends SparkSuite {
     assert(byId(5L)._2 < Seq(1L, 2L, 3L, 4L).map(byId(_)._2).min)
   }
 
+  test("perplexityBuckets: exact per-language terciles agreeing with " +
+      "a driver-side ranked reference, partitioning-independent") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang")
+    val got = NgramLm.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    // reference: scoreDocs + a driver-side per-lang sort and cut
+    val scored = NgramLm.scoreDocs(docs, "doc_id", "text",
+        NgramLm.bigramLm(docs, "text"), NgramLm.vocabSize(docs, "text"))
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"logprob")
+      .as[(Long, String, Double)].collect()
+    val expected = scored.groupBy(_._2).toSeq.flatMap {
+      case (lang, rows) =>
+        val ranked = rows.sortBy { case (id, _, lp) => (-lp, id) }
+        val n = ranked.length
+        ranked.zipWithIndex.map { case ((id, _, _), i) =>
+          val rn = i + 1
+          val bucket = if (3 * rn <= n) "head"
+                       else if (3 * rn <= 2 * n) "middle" else "tail"
+          (id, lang, bucket)
+        }
+    }.toSet
+    assert(got.toSet == expected)
+    // tercile sizes: each bucket within one of n/3 per language
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.values.sum == n)
+      assert(sizes.getOrElse("head", 0) == n / 3, s"$lang head $sizes")
+    }
+    assert(NgramLm.perplexityBuckets(docs.repartition(9), "doc_id",
+        "text", "lang")
+      .as[(Long, String, String)].collect().toSet == got.toSet)
+  }
+
   test("fully-OOV documents hit the Laplace floor ln(1/V) exactly") {
     val lm = NgramLm.bigramLm(corpus, "text")
     val v = NgramLm.vocabSize(corpus, "text")

@@ -80,6 +80,44 @@ class SampleSpec extends SparkSuite {
       == mixed.select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix matches a driver-side threshold replay, keeps " +
+      "the smallest stratum whole at maxRate=1, and rejects " +
+      "non-dyadic alpha") {
+    val corpus = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val nmin = corpus.values.min
+    val got = Sample.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.5, maxRate = 1.0)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    // driver replay: same md5 bucket, same sqrt-chain threshold
+    val expected = docs.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().filter { case (id, lang) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"temp:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(md5.take(8), 16)
+        val lim = math.floor(1.0 *
+          math.sqrt(nmin.toDouble / corpus(lang)) * 4294967296.0).toLong
+        u < lim
+      }
+    assert(got.toSet == expected.toSet)
+    // smallest stratum kept whole; bigger strata thinned toward sqrt
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val smallest = corpus.minBy(_._2)._1
+    assert(byLang(smallest) == corpus(smallest))
+    val biggest = corpus.maxBy(_._2)._1
+    assert(byLang(biggest) < corpus(biggest))
+    // partitioning independence
+    assert(Sample.temperatureMix(docs.repartition(9), "lang", "doc_id",
+        alpha = 0.5, maxRate = 1.0)
+      .select($"doc_id").as[Long].collect().toSet
+      == got.map(_._1).toSet)
+    intercept[IllegalArgumentException] {
+      Sample.temperatureMix(docs, "lang", "doc_id", alpha = 0.3)
+        .count()
+    }
+  }
+
   test("composition: weightedMix then splitAssign yields non-empty " +
       "val/test inside the mixed stratum (per-decision salts make the " +
       "variates independent — r05 ADVICE pathology)") {
