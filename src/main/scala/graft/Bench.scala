@@ -105,18 +105,55 @@ object Bench {
       if (burst) ""","burst":true""" else ""},"sf":${jstr(sfDir)}}"""
   }
 
-  /** Per-query times scraped from a bench artifact's text. Driver
-    * BENCH_rN.json artifacts wrap the metric line inside a "tail"
-    * JSON STRING VALUE with escaped quotes (\"q120\":0.182) — the
-    * plain entry regex matches zero of those (ADVICE r10: the
-    * best-known-baseline merge was a silent no-op), so unescape
-    * before matching. The unescape is safe on the clean
-    * BENCH_LOCAL.json form too: its query names contain no
-    * backslashes. */
+  /** Per-query times from a bench artifact — STRUCTURAL, not a text
+    * scrape: the artifact is parsed as JSON and only the values inside
+    * objects NAMED "queries" or "slowest" count (ADVICE r11: the old
+    * whole-text regex over the unescaped artifact could misread a
+    * jstr-escaped free-text ERROR value that happened to contain a
+    * "qN":number fragment as a baseline time). Driver BENCH_rN.json
+    * artifacts carry those maps under "parsed", and additionally embed
+    * the full metric line as the LAST bare JSON line of the "tail"
+    * string — that line is parsed as JSON too (so a driver artifact
+    * whose "parsed" is null still yields the slowest-5). A truncated
+    * tail that is not valid JSON yields nothing, BY DESIGN: a
+    * fragment's numbers can't be attributed safely. */
   private[graft] def parseBenchText(txt: String): Map[String, Double] = {
-    val entry = """"(q[0-9]+[A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)""".r
-    entry.findAllMatchIn(txt.replace("\\\"", "\""))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    import com.fasterxml.jackson.databind.JsonNode
+    val name = """q[0-9]+[A-Za-z0-9_]*""".r
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def walk(node: JsonNode, out: scala.collection.mutable.Map[String, Double]): Unit =
+      if (node != null && node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getKey match {
+            case "queries" | "slowest" if e.getValue.isObject =>
+              val qs = e.getValue.fields()
+              while (qs.hasNext) {
+                val q = qs.next()
+                if (q.getValue.isNumber &&
+                    name.pattern.matcher(q.getKey).matches())
+                  out(q.getKey) = q.getValue.asDouble()
+              }
+            case "tail" if e.getValue.isTextual =>
+              // the metric line is the last bare JSON line of stdout
+              e.getValue.asText().linesIterator.toSeq.reverseIterator
+                .map(_.trim)
+                .find(l => l.startsWith("{") && l.endsWith("}"))
+                .foreach { l =>
+                  try walk(mapper.readTree(l), out)
+                  catch { case _: Throwable => () }
+                }
+            case _ if e.getValue.isObject => walk(e.getValue, out)
+            case _ => ()
+          }
+        }
+      }
+    try {
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      walk(mapper.readTree(txt), out)
+      out.toMap
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** The canonical artifact (BENCH_LOCAL.json) seeds the next run's

@@ -7,17 +7,29 @@ import org.apache.spark.sql.types._
 
 /** The integer matrix–vector kernel shared by interpreted and generated
   * code (static forwarder, the [[LshSig]] pattern): y_i =
-  * Σ_j flat(i·dim + j) · x_j in exact long arithmetic. */
+  * Σ_j flat(i·cols + j) · x_j in exact long arithmetic over a
+  * rows×cols matrix.
+  *
+  * The input length is REQUIRED to equal `cols`: a ragged row
+  * zero-padded or truncated here would produce a silently wrong
+  * rotation/projection that persists into codes (ADVICE r11) — unlike
+  * the score-feeding VecDot/NearestCentroid kernels, this one's output
+  * is stored, so it throws with row context instead. */
 object MatVec {
-  def apply(v: ArrayData, flat: Array[Long], dim: Int): Array[Long] = {
-    val n = math.min(v.numElements(), dim)
-    val out = new Array[Long](dim)
+  def apply(v: ArrayData, flat: Array[Long], rows: Int,
+      cols: Int): Array[Long] = {
+    if (v.numElements() != cols)
+      throw new IllegalArgumentException(
+        s"mat_vec_long: input vector has ${v.numElements()} elements " +
+          s"but the matrix expects $cols — ragged input would corrupt " +
+          "persisted codes, refusing")
+    val out = new Array[Long](rows)
     var i = 0
-    while (i < dim) {
-      val off = i * dim
+    while (i < rows) {
+      val off = i * cols
       var acc = 0L
       var j = 0
-      while (j < n) {
+      while (j < cols) {
         acc += flat(off + j) * v.getLong(j)
         j += 1
       }
@@ -29,23 +41,29 @@ object MatVec {
 }
 
 /** Native y = R·x over an array<long> column with an integer matrix R
-  * embedded as one flat reference array — the learned-rotation apply
-  * kernel (Pq.rotateByMatrix). The Column-API formulation (d scalar
-  * sums of d products) is the same arithmetic but generates d² term
-  * expressions in one projection: at d=64 that is 4096 nodes, the
-  * whole-stage method passes 64 KB, and Spark silently falls back to
-  * interpreted projection — correct, but off the codegen path this
-  * repo pins (PlanSpec CODEGEN_ONLY). This expression is a two-level
-  * primitive loop inside whole-stage codegen, bit-identical to the
-  * composed form and to Pq.rotLocal. */
+  * embedded as one flat reference array — the learned-rotation /
+  * sign-projection apply kernel (Pq.rotateByMatrix, Linalg
+  * .signProject). The Column-API formulation (rows scalar sums of cols
+  * products each) is the same arithmetic but generates rows·cols term
+  * expressions in one projection: at 64×64 (or 16×64 inside a
+  * Generate) the whole-stage method passes 64 KB, and Spark silently
+  * falls back to interpreted projection — correct, but off the codegen
+  * path this repo pins (PlanSpec CODEGEN_ONLY; the r11 bench tail
+  * carried exactly that janino trace, from q154's inlined sign sums).
+  * This expression is a two-level primitive loop inside whole-stage
+  * codegen, bit-identical to the composed form and to Pq.rotLocal.
+  *
+  * R may be rectangular: rows×cols with the input required to be
+  * exactly cols long (see [[MatVec]]). */
 case class MatVecLong(child: Expression, rot: Seq[Seq[Long]])
     extends UnaryExpression {
 
-  private val dim = rot.size
-  require(dim > 0 && rot.forall(_.size == dim),
-    s"rotation matrix must be square, got ${dim} rows")
+  private val rows = rot.size
+  private val cols = rot.headOption.map(_.size).getOrElse(0)
+  require(rows > 0 && cols > 0 && rot.forall(_.size == cols),
+    s"matrix rows must share one length, got ${rot.map(_.size).distinct}")
 
-  /** flat layout: i·dim + j */
+  /** flat layout: i·cols + j */
   @transient private lazy val flat: Array[Long] = rot.flatten.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -64,7 +82,7 @@ case class MatVecLong(child: Expression, rot: Seq[Seq[Long]])
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(
-        MatVec(input.asInstanceOf[ArrayData], flat, dim))
+        MatVec(input.asInstanceOf[ArrayData], flat, rows, cols))
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -73,7 +91,7 @@ case class MatVecLong(child: Expression, rot: Seq[Seq[Long]])
       s"""
          |${ev.value} = org.apache.spark.sql.catalyst.expressions
          |  .UnsafeArrayData.fromPrimitiveArray(
-         |    graft.expressions.MatVec.apply($v, $flatRef, $dim));
+         |    graft.expressions.MatVec.apply($v, $flatRef, $rows, $cols));
        """.stripMargin
     })
   }

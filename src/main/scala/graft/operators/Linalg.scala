@@ -221,28 +221,34 @@ object Linalg {
     * (floor(x·scale), [[Cluster.quantize]]'s contract) and outputs are
     * exact integer sums — no float accumulation order anywhere.
     *
-    * Scale shape: ONE stateless projection — k·d scalar
-    * multiply-adds per row in a single codegen-able select (the
-    * hadamardRotate lesson: scalar expressions in one projection,
-    * never chained array stages), zero shuffles, the matrix riding in
-    * the plan as ±1 folds. Output: (idCol, j, y) rows, j in [0, k). */
+    * Scale shape: ONE stateless projection — the k·d multiply-adds run
+    * as a primitive loop inside whole-stage codegen (the
+    * [[graft.expressions.MatVecLong]] kernel over the flat-packed ±1
+    * matrix), zero shuffles. The earlier scalar-expression formulation
+    * (k sums of d element_at terms inlined into the Generate) was the
+    * same arithmetic but passed janino's 64 KB method limit at
+    * 16×64 and silently fell back to interpreted eval — the r11 bench
+    * tail carried exactly that trace (ADVICE r11). Quantization stays
+    * a bounded HOF transform (floor(x·scale) per element, the same
+    * expression as before), so the output is bit-identical and the
+    * q154 oracle is unchanged. Output: (idCol, j, y), j in [0, k). */
   def signProject(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, scale: Long = 10000L): DataFrame = {
     require(k >= 1 && dim >= 1, s"need k, dim >= 1; got k=$k dim=$dim")
     val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(i: Int, j: Int): Int = {
+    def sign(i: Int, j: Int): Long = {
       val h = md.digest(s"$i:$j".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
     }
-    val ys = Array.tabulate(k) { j =>
-      (0 until dim).map { i =>
-        val qi = floor(element_at(col(vecCol), i + 1).cast("double")
-          * scale).cast("long")
-        if (sign(i, j) > 0) qi else -qi
-      }.reduce(_ + _)
-    }
-    df.select(col(idCol),
-        posexplode(array(ys.toIndexedSeq: _*)).as(Seq("j", "y")))
+    // rows = output dims j, cols = input dims i (MatVec layout)
+    val signs: Seq[Seq[Long]] =
+      Seq.tabulate(k)(j => Seq.tabulate(dim)(i => sign(i, j)))
+    val quantized = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    import org.apache.spark.sql.GraftColumnBridge
+    val ys = GraftColumnBridge.column(graft.expressions.MatVecLong(
+      GraftColumnBridge.expression(quantized), signs))
+    df.select(col(idCol), posexplode(ys).as(Seq("j", "y")))
       .select(col(idCol), col("j").cast("long").as("j"), col("y"))
   }
 }

@@ -143,7 +143,15 @@ object Sample {
     * pow(x, 0.3) is not correctly rounded and differs across libm
     * implementations — an α outside the dyadic set would make every
     * threshold engine-dependent, the same reason q77 emits ranks over
-    * log scores (NEXT.md numerics rules). */
+    * log scores (NEXT.md numerics rules).
+    *
+    * NULL strata are a stratum: the count agg keeps the null group and
+    * the join back is null-safe (`<=>`), so rows with a missing
+    * language tag are temperature-thinned by the null group's own
+    * count instead of silently dropped (ADVICE r11: the earlier inner
+    * equality join never matched null and shrank the corpus —
+    * inconsistent with [[weightedMix]], which keeps unknown strata at
+    * defaultRate). */
   def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
       alpha: Double = 0.5, maxRate: Double = 1.0): DataFrame = {
     require(maxRate > 0 && maxRate <= 1,
@@ -168,9 +176,11 @@ object Sample {
           .cast("long").as("__lim"))
     val bucket = conv(substring(saltedMd5("temp:", col(idCol)), 1, 8),
       16, 10).cast("long")
-    // null guard restores the scan's IsNotNull pushdown (see weightedMix)
+    // null guard restores the scan's IsNotNull pushdown (see
+    // weightedMix); the stratum join is NULL-SAFE so a null stratum
+    // matches its own count row instead of dropping (scaladoc contract)
     df.filter(col(idCol).isNotNull)
-      .join(broadcast(th), col(stratumCol) === col("__s"))
+      .join(broadcast(th), col(stratumCol) <=> col("__s"))
       .filter(bucket < col("__lim"))
       .drop("__s", "__lim")
   }

@@ -91,17 +91,29 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(node.get("noise_ratio").asDouble < 1.2)
   }
 
-  test("parseBenchText reads per-query entries from BOTH the clean " +
-      "artifact and the driver wrapper's escaped tail (ADVICE r10: the " +
-      "escaped form matched zero entries, silently disabling the " +
-      "best-known-baseline merge)") {
+  test("parseBenchText walks ONLY queries/slowest objects (clean " +
+      "artifact, driver 'parsed' wrapper, and the tail's last bare " +
+      "metric line) and never scrapes free text — an escaped error " +
+      "message containing a \"qN\":number fragment is NOT a baseline " +
+      "(ADVICE r11)") {
     val clean = """{"metric":"total","queries":{"q01_agg":1.5,"q102_x":2.25}}"""
     assert(Bench.parseBenchText(clean) ==
       Map("q01_agg" -> 1.5, "q102_x" -> 2.25))
-    // the r10 driver artifact shape: entries inside a "tail" string
-    val wrapper = """{"n":10,"rc":0,"tail":"0.686,\"q120\":0.182,\"q121\":0.399,\"q32\":5.558"}"""
-    val parsed = Bench.parseBenchText(wrapper)
-    assert(parsed == Map("q120" -> 0.182, "q121" -> 0.399, "q32" -> 5.558))
+    // the r11+ driver artifact shape: stack-trace noise in the tail,
+    // the metric line as its last bare JSON line, and parsed.slowest
+    val wrapper = """{"n":11,"rc":0,"tail":"at janino.Foo(bar:1)\n{\"metric\":\"total\",\"value\":28.8,\"slowest\":{\"q146\":6.248,\"q145\":5.814}}\n","parsed":{"metric":"total","slowest":{"q146":6.248,"q131":4.339}}}"""
+    assert(Bench.parseBenchText(wrapper) ==
+      Map("q146" -> 6.248, "q145" -> 5.814, "q131" -> 4.339))
+    // adversarial: a jstr-escaped ERROR value carrying what LOOKS like
+    // a per-query entry must yield nothing (the old regex misread it)
+    val adversarial = """{"queries":{"q01_agg":1.5},"errors":{"q81_index":"timeout after \"q32\":5.558 while..."}}"""
+    assert(Bench.parseBenchText(adversarial) == Map("q01_agg" -> 1.5))
+    // a TRUNCATED tail (the r10 overflow shape) is not valid JSON —
+    // zero entries by design, never a guess
+    val truncated = """{"n":10,"rc":0,"tail":"0.686,\"q120\":0.182,\"q121\":0.399"}"""
+    assert(Bench.parseBenchText(truncated).isEmpty)
+    // non-JSON garbage parses to empty, not an exception
+    assert(Bench.parseBenchText("not json at all").isEmpty)
   }
 
   test("noiseRatio is max/min of the wall runs") {

@@ -10,13 +10,20 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query executes at sf0.001") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+  test("every declared query executes at sf0.001 — WITH whole-stage " +
+      "codegen fallback DISABLED, so a generated method passing " +
+      "janino's 64 KB limit fails the suite instead of silently " +
+      "running interpreted (ADVICE r11: q154's inlined sign sums did " +
+      "exactly that, and only a bench-tail stack trace betrayed it)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("every oracle key has a matching query") {

@@ -115,4 +115,27 @@ class LinalgSpec extends SparkSuite {
         s"pair ($a,$b): projD2/trueD2 = ${projD2 / trueD2}")
     }
   }
+
+  test("MatVec kernel REFUSES ragged input (ADVICE r11: zero-padding " +
+      "a short vector would persist a silently wrong projection) and " +
+      "supports rectangular matrices") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import spark.implicits._
+    // rectangular 2x3: y = [x1+x2+x3, x1-x3]
+    val rot = Seq(Seq(1L, 1L, 1L), Seq(1L, 0L, -1L))
+    def mv(df: org.apache.spark.sql.DataFrame) =
+      df.select(GraftColumnBridge.column(graft.expressions.MatVecLong(
+        GraftColumnBridge.expression(col("v")), rot)).as("y"))
+    val ok = mv(Seq(Seq(2L, 3L, 5L)).toDF("v")).as[Seq[Long]].head()
+    assert(ok == Seq(10L, -3L))
+    // a 2-element vector against a 3-column matrix must THROW, not
+    // zero-pad — and the error must say why
+    val e = intercept[Exception] {
+      mv(Seq(Seq(2L, 3L)).toDF("v")).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(e).contains("ragged input"), rootMsg(e))
+  }
 }

@@ -118,6 +118,32 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("temperatureMix treats a NULL stratum as its own stratum (null-" +
+      "safe join — rows with a missing tag are thinned by the null " +
+      "group's count, never silently dropped; ADVICE r11)") {
+    // null out one language's tags: those rows form the null stratum
+    val tagged = docs.withColumn("lang",
+      when($"lang" === "de", lit(null: String)).otherwise($"lang"))
+    val nullIn = tagged.filter($"lang".isNull)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(nullIn.nonEmpty, "fixture must have a de stratum")
+    val kept = Sample.temperatureMix(tagged, "lang", "doc_id",
+      alpha = 0.5, maxRate = 1.0)
+    val nullKept = kept.filter($"lang".isNull)
+      .select($"doc_id").as[Long].collect().toSet
+    // the null group survives at its own temperature rate — same ids
+    // as running the mix with the tag present (same counts, same hash)
+    val reference = Sample.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.5, maxRate = 1.0)
+      .filter($"lang" === "de").select($"doc_id").as[Long].collect().toSet
+    assert(nullKept == reference,
+      s"null stratum kept ${nullKept.size} vs tagged ${reference.size}")
+    // and non-null strata are untouched by the null group's presence
+    assert(kept.filter($"lang" === "en").count() ==
+      Sample.temperatureMix(docs, "lang", "doc_id", alpha = 0.5,
+        maxRate = 1.0).filter($"lang" === "en").count())
+  }
+
   test("composition: weightedMix then splitAssign yields non-empty " +
       "val/test inside the mixed stratum (per-decision salts make the " +
       "variates independent — r05 ADVICE pathology)") {
