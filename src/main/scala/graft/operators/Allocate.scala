@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget allocation across domains — the planning step a
+  * data-mixing pass runs BEFORE sampling: given each domain's
+  * available token count n_i and a mixing weight w_i, split a total
+  * budget B proportionally to the weights, capping every domain at
+  * what it actually has and re-flowing its surplus to the rest
+  * (capped proportional allocation / "water-filling"). The output
+  * feeds [[Sample.weightedMix]] / token-budget selection (q135) as
+  * per-domain targets.
+  *
+  * Algorithm (exact, closed-form): sort domains ascending by n_i/w_i
+  * (scarcity per unit weight; ties by domain). The capped set is a
+  * PREFIX of that order: scanning in order with
+  * B̂_i = B − Σ_{j<i} n_j and Ŵ_i = W − Σ_{j<i} w_j (as if every
+  * earlier domain were capped), domain i is capped iff
+  * n_i·Ŵ_i ≤ B̂_i·w_i, and the standard exchange argument gives that
+  * once the condition fails it fails for every later domain (later
+  * domains have larger n/w, the pool ratio B̂/Ŵ is unchanged by
+  * skipping them) — so the boundary k is the FIRST failure, capped
+  * domains take n_i, and each uncapped domain takes
+  * floor(B̂_k·w_i / Ŵ_k). Floor remainders (< one token per uncapped
+  * domain) are deliberately left unallocated. B̂_k ≥ 0 by induction
+  * (each capped take removes at most its proportional share).
+  *
+  * Numerics: all comparisons and the final floor division are exact
+  * LONG arithmetic (Spark `div` == DuckDB `//` on non-negatives —
+  * the PageRank idiom), with the documented overflow bound
+  * max(n_i, B)·Σw_i < 2^63 — at 10^14 tokens and weight sums ≤ 10^4
+  * that leaves 900× headroom. The sort key n_i/w_i is one
+  * correctly-rounded double division, identical in every engine, with
+  * the domain as tiebreak — so a SQL oracle replays the whole
+  * allocation and the gate hash-matches.
+  *
+  * Scale shape: the input is ONE ROW PER DOMAIN (thousands at most —
+  * the caller already aggregated the corpus), so the unpartitioned
+  * windows here run over a bounded model-sized frame, not a corpus:
+  * `maxDomains` is require-guarded and a literal `.limit` rides above
+  * the window so the plan itself is provably bounded. The
+  * corpus-sized work (counting tokens per domain) happens upstream in
+  * an ordinary scalable agg. */
+object Allocate {
+
+  /** Water-fill `budget` over `avail` rows (domainCol, availCol,
+    * weightCol; weights >= 1). Returns (domainCol, avail, weight,
+    * capped, allocation). */
+  def waterFill(avail: DataFrame, domainCol: String, availCol: String,
+      weightCol: String, budget: Long, maxDomains: Int = 100000)
+      : DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val got = avail.limit(maxDomains + 1).count()
+    require(got <= maxDomains,
+      s"allocation frame has > maxDomains=$maxDomains rows — waterFill " +
+        "runs over per-domain aggregates, not a corpus")
+    val base = avail.select(col(domainCol).as("__d"),
+        col(availCol).cast("long").as("__n"),
+        col(weightCol).cast("long").as("__w"))
+      .limit(maxDomains)
+    // scarcity order: ascending n/w, domain tiebreak (a total order —
+    // one correctly-rounded double division, portable)
+    val ord = Window.orderBy(
+      (col("__n").cast("double") / col("__w")).asc, col("__d").asc)
+    val staged = base
+      .withColumn("__pn",
+        coalesce(sum(col("__n")).over(ord.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pw",
+        coalesce(sum(col("__w")).over(ord.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pos", row_number().over(ord))
+    val totals = base.agg(sum(col("__w")).as("__tw"))
+    val cond = staged.crossJoin(broadcast(totals))
+      .withColumn("__brem", lit(budget) - col("__pn"))
+      .withColumn("__wrem", col("__tw") - col("__pw"))
+      .withColumn("__capped",
+        col("__n") * col("__wrem") <= col("__brem") * col("__w"))
+    // the boundary: first position where the cap test fails (the
+    // exchange argument makes the capped set exactly the positions
+    // before it); its B̂_k/Ŵ_k is the shared pool for the uncapped
+    val boundary = cond.filter(!col("__capped"))
+      .agg(min(struct(col("__pos"), col("__brem"), col("__wrem")))
+        .as("__b"))
+      .select(col("__b").getField("__pos").as("__k"),
+        col("__b").getField("__brem").as("__bk"),
+        col("__b").getField("__wrem").as("__wk"))
+    cond.crossJoin(broadcast(boundary))
+      .withColumn("__isCapped",
+        col("__k").isNull || col("__pos") < col("__k"))
+      .withColumn("allocation",
+        when(col("__isCapped"), col("__n"))
+          .otherwise(expr("(__bk * __w) div __wk")))
+      .select(col("__d").as(domainCol), col("__n").as("avail"),
+        col("__w").as("weight"), col("__isCapped").as("capped"),
+        col("allocation"))
+  }
+}

@@ -214,4 +214,91 @@ object Sample {
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__rn") <= cap).drop("__rn")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * IPL 97(5) 2006): select `n` rows where row i's inclusion
+    * probability scales with its weight, by taking the top-n under the
+    * key u_i^(1/w_i) with u_i a per-row uniform. The quality-weighted
+    * corpus-selection step ("sample 1M docs, preferring high quality
+    * scores") that per-stratum rates ([[weightedMix]]) cannot express:
+    * here the SAMPLE SIZE is exact and the preference is per-row.
+    *
+    * Determinism/portability: u_i = (2·bucket + 1) / 2^33 with bucket
+    * the first 8 md5 hex chars of the salted id — a dyadic rational,
+    * so both engines build the bit-identical double. The key is
+    * compared as ln(u)/w (same argmax as u^(1/w); w > 0 required):
+    * ln() can differ in the last ulp across libm implementations, so
+    * the gate surface is the RANK (id-tiebroken), never the raw key —
+    * the q77 rule — and key gaps on md5 uniforms are ~1/n relative,
+    * twelve orders above ulp noise (gap-asserted in SampleSpec).
+    *
+    * Scale shape: one stateless projection computes the key, then a
+    * TakeOrderedAndProject top-n (per-partition heaps — no full sort,
+    * no exchange of the corpus); rank assignment runs over the n
+    * survivors only. Output: (idCol, rk 1..n) in selection order. */
+  def weightedTopN(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val bucket = conv(substring(saltedMd5("wsamp:", col(idCol)), 1, 8),
+      16, 10).cast("long")
+    val u = (bucket * 2 + 1).cast("double") / lit(8589934592.0)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(idCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), key.as("__k"))
+      .orderBy(col("__k").desc, col(idCol)).limit(n)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("__k").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rk"))
+  }
+
+  /** EXACT composition matching — resample a corpus onto a target
+    * stratum profile: given integer target shares p_b (e.g. en:3,
+    * fr:2, de:1), keep m_b = k·p_b rows of stratum b with
+    * k = min_b floor(n_b / p_b), the LARGEST corpus whose composition
+    * is exactly p_b-proportional (the binding stratum is kept at its
+    * full multiple). This is the "match the reference corpus profile"
+    * curation step — [[temperatureMix]] flattens a power law,
+    * [[weightedMix]] applies fixed rates; this hits an arbitrary
+    * target composition with exact counts. Strata not listed in
+    * `shares` are dropped (a profile is a whitelist); a listed stratum
+    * absent from the corpus makes k = 0 — the profile is infeasible
+    * and the result is deliberately EMPTY, never silently
+    * disproportionate.
+    *
+    * All arithmetic is integer (counts, floors, products), so the
+    * operator gates hash-exact. Rows within a stratum are chosen in
+    * salted-md5 hash order (rank m_b ≤ k·p_b), reproducible anywhere.
+    *
+    * Scale shape: one stratum-count agg (|shares| rows) collected
+    * driver-side — model-sized, the PQ-codebook pattern — so the
+    * per-stratum limits inline as LITERALS: the rank window then
+    * prunes at max_b m_b via WindowGroupLimit (per-partition top-m
+    * heaps before the one stratum-keyed exchange), never a full
+    * per-stratum sort. Output: (stratumCol, idCol, rank). */
+  def matchComposition(df: DataFrame, stratumCol: String, idCol: String,
+      shares: Seq[(String, Long)]): DataFrame = {
+    require(shares.nonEmpty, "need at least one target share")
+    require(shares.map(_._1).distinct.size == shares.size,
+      "duplicate stratum in shares")
+    shares.foreach { case (s, p) =>
+      require(p >= 1, s"share for $s must be >= 1, got $p") }
+    val listed = df.filter(col(stratumCol).isin(shares.map(_._1): _*))
+    val counts = listed.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = shares.map { case (s, p) => counts.getOrElse(s, 0L) / p }.min
+    val limits = shares.map { case (s, p) => s -> k * p }.toMap
+    val maxLim = limits.values.max
+    val lim = (shares.map { case (s, _) =>
+      when(col(stratumCol) === s, lit(limits(s))): Column } :+ lit(0L))
+      .reduceRight((w, o) => w.otherwise(o))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(saltedMd5("prof:", col(idCol)), col(idCol))
+    listed
+      .withColumn("rank", row_number().over(w).cast("long"))
+      // literal bound first: WindowGroupLimit prunes rank > maxLim
+      // map-side; the per-stratum exact cut follows
+      .filter(col("rank") <= maxLim && col("rank") <= lim)
+      .select(col(stratumCol), col(idCol), col("rank"))
+  }
 }

@@ -2718,7 +2718,115 @@ object TextQueries {
        HAVING CAST(count(*) AS DOUBLE)
            / (any_value(a.nn) + any_value(b.nn) - count(*)) >= 0.5"""
 
+  /** q185: weighted sampling without replacement
+    * ([[graft.operators.Sample.weightedTopN]], Efraimidis–Spirakis) —
+    * select exactly 50 documents with inclusion probability scaling
+    * with n_chars (the "prefer long/high-quality docs, exact sample
+    * size" curation step per-stratum rates can't express). The
+    * selection key ln(u)/w rides on a dyadic-rational uniform both
+    * engines build bit-identically; the gate surface is the RANK
+    * (id-tiebroken), the q77 rule for log-bearing scores — key gaps
+    * on md5 uniforms are ~1/n relative, far above ulp noise
+    * (SampleSpec asserts the gap at the cut). One stateless
+    * projection + TakeOrderedAndProject: no corpus exchange. */
+  val q185_weighted_sample: Q = (s, d) =>
+    graft.operators.Sample.weightedTopN(
+      Tables.documents(s, d), "doc_id", "n_chars", n = 50)
+
+  val q185_oracle: String =
+    """WITH k AS (SELECT doc_id,
+         ln((2 * CAST(('0x' || substr(md5('wsamp:'
+               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+             / 8589934592.0) / n_chars AS key
+       FROM documents WHERE n_chars > 0)
+       SELECT doc_id, CAST(row_number()
+           OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rk
+       FROM k ORDER BY key DESC, doc_id LIMIT 50"""
+
+  /** q186: exact composition matching
+    * ([[graft.operators.Sample.matchComposition]]) — resample the
+    * corpus onto a 4:2:2:1:1 language profile: k = min_b
+    * floor(n_b/p_b) sets the scale (fr is the binding stratum at
+    * every SF), each language keeps exactly k·p_b docs in salted-md5
+    * hash order. Integer arithmetic end to end, so the gate
+    * hash-matches; the rank window prunes at the max limit through
+    * WindowGroupLimit before the one stratum exchange. */
+  val q186_match_composition: Q = (s, d) =>
+    graft.operators.Sample.matchComposition(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id",
+      Seq(("en", 4L), ("fr", 2L), ("de", 2L), ("es", 1L), ("zh", 1L)))
+
+  val q186_oracle: String =
+    """WITH p(lang, share) AS (VALUES ('en', 4), ('fr', 2), ('de', 2),
+         ('es', 1), ('zh', 1)),
+       n AS (SELECT d.lang, count(*) AS nb, any_value(p.share) AS share
+         FROM documents d JOIN p ON d.lang = p.lang GROUP BY d.lang),
+       k AS (SELECT min(nb // share) AS k FROM n),
+       lim AS (SELECT n.lang, k.k * n.share AS lim FROM n CROSS JOIN k),
+       r AS (SELECT d.lang, d.doc_id,
+           CAST(row_number() OVER (PARTITION BY d.lang
+             ORDER BY md5('prof:' || CAST(d.doc_id AS VARCHAR)),
+               d.doc_id) AS BIGINT) AS rank
+         FROM documents d JOIN p ON d.lang = p.lang)
+       SELECT r.lang, r.doc_id, r.rank
+       FROM r JOIN lim ON r.lang = lim.lang
+       WHERE r.rank <= lim.lim"""
+
+  /** q188: water-filling token-budget allocation
+    * ([[graft.operators.Allocate.waterFill]]) — split half the
+    * corpus's total characters across the 20 sources proportionally
+    * to md5-derived integer weights, capping each source at what it
+    * has and re-flowing surplus (the mixing-plan step before
+    * weightedMix / token-budget selection). The capped set is a
+    * prefix of the scarcity order; every comparison and the final
+    * floor division are exact long arithmetic, so the allocation
+    * hash-matches; the oracle replays the identical prefix-sum
+    * closed form. The allocation frame is 20 rows — the
+    * unpartitioned windows run over a bounded model-sized frame by
+    * contract, never a corpus. */
+  val q188_budget_allocation: Q = (s, d) => {
+    val avail = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("avail"))
+      .withColumn("weight",
+        conv(substring(md5(concat(lit("wgt:"), col("source"))), 1, 2),
+          16, 10).cast("long") % 8 + 1)
+    val total = avail.agg(sum(col("avail"))).head().getLong(0)
+    graft.operators.Allocate.waterFill(avail, "source", "avail",
+      "weight", budget = total / 2)
+  }
+
+  val q188_oracle: String =
+    """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n,
+         CAST((CAST(('0x' || substr(md5('wgt:' || source), 1, 2))
+             AS BIGINT) % 8) + 1 AS BIGINT) AS w
+       FROM documents GROUP BY source),
+       b AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS budget,
+         CAST(sum(w) AS BIGINT) AS tw FROM a),
+       s AS (SELECT a.*, b.budget, b.tw,
+           CAST(COALESCE(sum(n) OVER w2, 0) AS BIGINT) AS pn,
+           CAST(COALESCE(sum(w) OVER w2, 0) AS BIGINT) AS pw,
+           row_number() OVER (ORDER BY CAST(n AS DOUBLE) / w, source)
+             AS pos
+         FROM a CROSS JOIN b
+         WINDOW w2 AS (ORDER BY CAST(n AS DOUBLE) / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       c AS (SELECT *, budget - pn AS brem, tw - pw AS wrem,
+           (n * (tw - pw) <= (budget - pn) * w) AS capped FROM s),
+       kk AS (SELECT min(pos) AS kpos FROM c WHERE NOT capped),
+       kb AS (SELECT c.brem AS bk, c.wrem AS wk
+         FROM c JOIN kk ON c.pos = kk.kpos)
+       SELECT c.source, c.n AS avail, c.w AS weight,
+         (kk.kpos IS NULL OR c.pos < kk.kpos) AS capped,
+         CAST(CASE WHEN kk.kpos IS NULL OR c.pos < kk.kpos THEN c.n
+              ELSE (kb.bk * c.w) // kb.wk END AS BIGINT) AS allocation
+       FROM c LEFT JOIN kk ON true LEFT JOIN kb ON true"""
+
   val all: Map[String, Q] = Map(
+    "q185_weighted_sample" -> q185_weighted_sample,
+    "q186_match_composition" -> q186_match_composition,
+    "q188_budget_allocation" -> q188_budget_allocation,
     "q173_bpe_train" -> q173_bpe_train,
     "q178_token_spectrum" -> q178_token_spectrum,
     "q101_incremental_neardup" -> q101_incremental_neardup,
@@ -2796,6 +2904,9 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q185_weighted_sample" -> q185_oracle,
+    "q186_match_composition" -> q186_oracle,
+    "q188_budget_allocation" -> q188_oracle,
     "q173_bpe_train" -> q173_oracle,
     "q178_token_spectrum" -> q178_oracle,
     "q101_incremental_neardup" -> q101_oracle,

@@ -764,7 +764,71 @@ object TpchQueries {
          count(*) < 5 AS at_risk
        FROM customer GROUP BY 1, 2"""
 
+  /** q187: probabilistic record linkage
+    * ([[graft.operators.Linkage.scorePairs]], Fellegi–Sunter) —
+    * reconcile the customer table against a synthesized "dirty"
+    * registry of the same entities (each customer re-keyed +1000000
+    * with name / acctbal / mktsegment independently corrupted by md5
+    * parity — the q108 synthesized-alias gate pattern applied to
+    * structured records). Blocking on c_nationkey keeps true pairs
+    * co-blocked by construction and turns all-pairs into a 25-block
+    * equi-join; scores are exact long sums of scaled log-odds
+    * weights (name ±24000/−8000, acctbal +10000/−5000, segment
+    * ±6000), thresholded at 13000 (possible) / 28000 (match).
+    * Unique names push every non-twin pair below the floor, so the
+    * output is exactly the twins still recognizable from the
+    * surviving fields — deterministic, and the oracle replays the
+    * whole synthesis + scoring. */
+  val q187_record_linkage: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    def keep(salt: String) =
+      substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
+        1, 1) < "8"
+    val dirty = cust.select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      when(keep("nm:"), col("c_name"))
+        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
+      col("c_nationkey"),
+      when(keep("ab:"), col("c_acctbal"))
+        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
+      when(keep("mk:"), col("c_mktsegment"))
+        .otherwise(lit("UNKNOWN")).as("c_mktsegment"))
+    graft.operators.Linkage.scorePairs(cust, dirty,
+      "c_custkey", "c_custkey", Seq("c_nationkey"),
+      Seq(graft.operators.Linkage.FieldRule("c_name", 24000L, -8000L),
+        graft.operators.Linkage.FieldRule("c_acctbal", 10000L, -5000L),
+        graft.operators.Linkage.FieldRule("c_mktsegment", 6000L, -6000L)),
+      minScore = 13000L, tMatch = 28000L)
+  }
+
+  val q187_oracle: String =
+    """WITH dirty AS (SELECT c_custkey + 1000000 AS c_custkey,
+         CASE WHEN substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_name ELSE c_name || '~' END AS c_name,
+         c_nationkey,
+         CASE WHEN substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
+         CASE WHEN substr(md5('mk:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_mktsegment ELSE 'UNKNOWN' END AS c_mktsegment
+       FROM customer),
+       scored AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_agree,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 24000 ELSE -8000 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal
+              THEN 10000 ELSE -5000 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 6000 ELSE -6000 END) AS BIGINT) AS score
+       FROM customer a JOIN dirty b ON a.c_nationkey = b.c_nationkey)
+       SELECT a_id, b_id, n_agree, score,
+         CASE WHEN score >= 28000 THEN 'match' ELSE 'possible' END
+           AS verdict
+       FROM scored WHERE score >= 13000"""
+
   val all: Map[String, Q] = Map(
+    "q187_record_linkage" -> q187_record_linkage,
     "q159_edit_join" -> q159_edit_join,
     "q163_k_anonymity" -> q163_k_anonymity,
     "q80_scd2_history" -> q80_scd2_history,
@@ -798,6 +862,7 @@ object TpchQueries {
     "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
+    "q187_record_linkage" -> q187_oracle,
     "q159_edit_join" -> q159_oracle,
     "q163_k_anonymity" -> q163_oracle,
     "q80_scd2_history" -> q80_oracle,

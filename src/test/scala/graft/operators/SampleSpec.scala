@@ -235,4 +235,73 @@ class SampleSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
+
+  test("weightedTopN matches an exact driver replay of the E-S keys, " +
+      "favors heavy rows, is partition-independent, and its rank " +
+      "surface sits on key gaps far above ulp noise") {
+    val got = Sample.weightedTopN(docs, "doc_id", "n_chars", 50)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 50 && got.map(_._2).toSeq == (1L to 50L))
+    // driver replay: same md5 uniform, same ln(u)/w key, same ties
+    val keys = docs.select($"doc_id", $"n_chars").as[(Long, Long)]
+      .collect().map { case (id, w) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"wsamp:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val u = (2.0 * java.lang.Long.parseLong(md5, 16) + 1) /
+          8589934592.0
+        (id, math.log(u) / w)
+      }.sortBy { case (id, k) => (-k, id) }
+    assert(got.map(_._1).toSeq == keys.take(50).map(_._1).toSeq)
+    // the rank surface is safe: the relative key gap at the cut is
+    // astronomically larger than the ~1e-16 ulp disagreement ln() can
+    // carry across libm implementations
+    val gap = math.abs(keys(49)._2 - keys(50)._2) /
+      math.max(math.abs(keys(49)._2), 1e-300)
+    assert(gap > 1e-9, s"cut gap $gap too tight for a rank surface")
+    // heavier rows are preferred: the selected mean weight beats the
+    // corpus mean (E-S inclusion probability rises with weight)
+    val wById = docs.select($"doc_id", $"n_chars").as[(Long, Long)]
+      .collect().toMap
+    val selMean = got.map(r => wById(r._1)).sum.toDouble / got.length
+    val allMean = wById.values.sum.toDouble / wById.size
+    assert(selMean > allMean, s"selected mean $selMean <= corpus $allMean")
+    // partitioning independence (TakeOrderedAndProject, not df.sample)
+    val re = Sample.weightedTopN(docs.repartition(9), "doc_id",
+      "n_chars", 50).as[(Long, Long)].collect().toSet
+    assert(re == got.toSet)
+    val plan = Sample.weightedTopN(docs, "doc_id", "n_chars", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("matchComposition hits the target profile with exact counts, " +
+      "keeps the binding stratum at its full multiple, drops unlisted " +
+      "strata, and returns EMPTY when a listed stratum is absent") {
+    val shares = Seq(("en", 4L), ("fr", 2L), ("zh", 1L))
+    val got = Sample.matchComposition(docs, "lang", "doc_id", shares)
+      .select($"lang", $"doc_id").as[(String, Long)].collect()
+    val counts = docs.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    val k = shares.map { case (s, p) => counts(s) / p }.min
+    val byLang = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang == shares.map { case (s, p) => s -> (k * p).toInt }.toMap,
+      s"composition $byLang, k=$k")
+    // unlisted strata never leak through
+    assert(!got.exists(r => r._1 == "de" || r._1 == "es"))
+    // infeasible profile (stratum not in the corpus) -> empty, never
+    // silently disproportionate
+    assert(Sample.matchComposition(docs, "lang", "doc_id",
+      Seq(("en", 1L), ("xx", 1L))).count() == 0)
+    // partitioning independence
+    val re = Sample.matchComposition(docs.repartition(7), "lang",
+        "doc_id", shares)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(re == got.toSet)
+    // the rank window prunes through WindowGroupLimit (literal max
+    // limit) before the stratum exchange
+    val plan = Sample.matchComposition(docs, "lang", "doc_id", shares)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
 }
