@@ -189,6 +189,17 @@ object TextFunctions {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Dictionary tagging: distinct tag ids (ascending) of every
+    * dictionary phrase occurring as a SUBSTRING of the text — one
+    * Aho–Corasick pass per row, O(bytes) independent of dictionary
+    * size ([[graft.expressions.DictTags]]). The taxonomy/keyword
+    * labeling pass; semantics match `contains(text, phrase)`. */
+  def dictTags(text: Column, dict: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.DictTags(
+      GraftColumnBridge.expression(text), dict))
+  }
+
   /** URL canonicalization for web-corpus dedup keys: scheme/host
     * lowercase, default-port and fragment drop, unreserved
     * percent-decode with uppercase residual hex, dot-segment and

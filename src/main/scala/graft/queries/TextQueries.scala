@@ -2823,7 +2823,36 @@ object TextQueries {
               ELSE (kb.bk * c.w) // kb.wk END AS BIGINT) AS allocation
        FROM c LEFT JOIN kk ON true LEFT JOIN kb ON true"""
 
+  /** The q189 taxonomy: multi-word phrases sharing prefixes/suffixes
+    * ("agg" / "agg row" / "row scan") so the automaton's failure links
+    * are load-bearing, plus high-frequency single words — the shape of
+    * a real keyword dictionary. */
+  private val q189_dict = Seq("agg", "agg row", "row scan",
+    "scan slow", "spark quer", "hash join", "window agg",
+    "data column", "join query", "stream big", "merge", "vector")
+
+  /** q189: dictionary tagging ([[graft.operators.Tagger.tagDocs]]) —
+    * every (document, matched phrase) pair for a 12-entry taxonomy,
+    * matched in ONE Aho–Corasick corpus pass (native
+    * [[graft.expressions.DictTags]]; per-row cost independent of
+    * dictionary size — the big-fixed-dictionary complement to q147's
+    * positional postings). Substring semantics == `contains`, which
+    * is exactly what the oracle replays per dictionary entry. */
+  val q189_dict_tags: Q = (s, d) =>
+    graft.operators.Tagger.tagDocs(Tables.documents(s, d),
+      "doc_id", "text", q189_dict)
+
+  val q189_oracle: String = {
+    val vals = q189_dict.zipWithIndex.map { case (p, i) =>
+      s"(CAST($i AS BIGINT), '$p')" }.mkString(", ")
+    s"""SELECT d.doc_id, t.tag_id, t.phrase
+       FROM documents d
+       JOIN (VALUES $vals) t(tag_id, phrase)
+         ON contains(d.text, t.phrase)"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q189_dict_tags" -> q189_dict_tags,
     "q185_weighted_sample" -> q185_weighted_sample,
     "q186_match_composition" -> q186_match_composition,
     "q188_budget_allocation" -> q188_budget_allocation,
@@ -2904,6 +2933,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q189_dict_tags" -> q189_oracle,
     "q185_weighted_sample" -> q185_oracle,
     "q186_match_composition" -> q186_oracle,
     "q188_budget_allocation" -> q188_oracle,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TaggerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+
+  test("Aho-Corasick tagging == per-phrase contains brute force on the " +
+      "real corpus (fail links load-bearing: dict shares prefixes and " +
+      "suffixes)") {
+    val dict = Seq("agg", "agg row", "row scan", "scan", "spark quer",
+      "merge", "rge sl") // "rge sl" straddles "merge slow" — suffix case
+    val got = Tagger.tagDocs(docs, "doc_id", "text", dict)
+      .select($"doc_id", $"tag_id").as[(Long, Long)].collect().toSet
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val expect = (for {
+      (id, t) <- texts
+      (p, i) <- dict.zipWithIndex
+      if t.contains(p)
+    } yield (id, i.toLong)).toSet
+    assert(got == expect,
+      s"diff: ${(got diff expect).take(5)} / ${(expect diff got).take(5)}")
+    // tagCoverage is the same set aggregated
+    val cov = Tagger.tagCoverage(docs, "doc_id", "text", dict)
+      .select($"tag_id", $"n_docs").as[(Long, Long)].collect().toMap
+    val expCov = expect.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(cov == expCov)
+  }
+
+  test("edge cases: phrase at start/end, overlapping occurrences, " +
+      "phrase == whole text, no-match, null text, duplicate dict " +
+      "rejected") {
+    val rows = Seq((1L, Option("abcabc")), (2L, Option("xabca")),
+      (3L, Option("zzz")), (4L, Option.empty[String]), (5L, Option("bc")))
+      .toDF("id", "t")
+    val dict = Seq("abc", "bca", "bc", "abcabc", "zzz")
+    val got = Tagger.tagDocs(rows, "id", "t", dict)
+      .select($"id", $"tag_id").as[(Long, Long)].collect().toSet
+    val expect = Set(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), // abcabc: all but zzz
+      (2L, 0L), (2L, 1L), (2L, 2L),           // xabca
+      (3L, 4L),                               // zzz (whole text)
+      (5L, 2L))                               // bc == whole text
+    assert(got == expect, got.toString)
+    intercept[IllegalArgumentException] {
+      Tagger.tagDocs(rows, "id", "t", Seq("a", "a")).count()
+    }
+    intercept[IllegalArgumentException] {
+      Tagger.tagDocs(rows, "id", "t", Seq("a", "")).count()
+    }
+  }
+}
