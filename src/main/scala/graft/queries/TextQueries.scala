@@ -2851,7 +2851,62 @@ object TextQueries {
          ON contains(d.text, t.phrase)"""
   }
 
+  /** q190: corpus drift / keyness report
+    * ([[graft.operators.Drift.keynessTopK]], Dunning LLR) — the top-30
+    * tokens most over-represented in the English slice vs the rest of
+    * the corpus, by the G² log-likelihood ratio over each token's 2×2
+    * contingency table. Every ln input is one double ratio of double
+    * products of exact counts (bit-identical across engines); the
+    * gate surface is the token-tiebroken RANK plus the exact counts
+    * and the decimal-exact enrichment direction — raw G² never
+    * crosses the gate (the q77 rule). The en/non-en split gives the
+    * report real signal (language function words dominate the top). */
+  val q190_keyness_drift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Drift.keynessTopK(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "text", k = 30)
+  }
+
+  val q190_oracle: String =
+    """WITH at AS (SELECT unnest(string_split(text, ' ')) AS tok
+         FROM documents WHERE lang = 'en'),
+       bt AS (SELECT unnest(string_split(text, ' ')) AS tok
+         FROM documents WHERE lang <> 'en'),
+       ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca
+         FROM at GROUP BY tok),
+       cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb
+         FROM bt GROUP BY tok),
+       tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM at) AS ta,
+         (SELECT CAST(count(*) AS BIGINT) FROM bt) AS tb),
+       j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+           COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb, ta, tb
+         FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok CROSS JOIN tot),
+       g AS (SELECT tok, ca, cb,
+           CASE WHEN CAST(ca AS HUGEINT) * tb > CAST(cb AS HUGEINT) * ta
+                THEN 'a' ELSE 'b' END AS direction,
+           ((CASE WHEN ca = 0 THEN 0.0 ELSE CAST(ca AS DOUBLE)
+               * ln((CAST(ca AS DOUBLE) * CAST(ta + tb AS DOUBLE))
+                 / (CAST(ta AS DOUBLE) * CAST(ca + cb AS DOUBLE))) END)
+            + (CASE WHEN cb = 0 THEN 0.0 ELSE CAST(cb AS DOUBLE)
+               * ln((CAST(cb AS DOUBLE) * CAST(ta + tb AS DOUBLE))
+                 / (CAST(tb AS DOUBLE) * CAST(ca + cb AS DOUBLE))) END)
+            + (CASE WHEN ta - ca = 0 THEN 0.0 ELSE CAST(ta - ca AS DOUBLE)
+               * ln((CAST(ta - ca AS DOUBLE) * CAST(ta + tb AS DOUBLE))
+                 / (CAST(ta AS DOUBLE)
+                    * CAST((ta + tb) - (ca + cb) AS DOUBLE))) END)
+            + (CASE WHEN tb - cb = 0 THEN 0.0 ELSE CAST(tb - cb AS DOUBLE)
+               * ln((CAST(tb - cb AS DOUBLE) * CAST(ta + tb AS DOUBLE))
+                 / (CAST(tb AS DOUBLE)
+                    * CAST((ta + tb) - (ca + cb) AS DOUBLE))) END))
+           * 2.0 AS g2
+         FROM j)
+       SELECT CAST(row_number() OVER (ORDER BY g2 DESC, tok) AS BIGINT)
+           AS rk, tok, ca, cb, direction
+       FROM g ORDER BY g2 DESC, tok LIMIT 30"""
+
   val all: Map[String, Q] = Map(
+    "q190_keyness_drift" -> q190_keyness_drift,
     "q189_dict_tags" -> q189_dict_tags,
     "q185_weighted_sample" -> q185_weighted_sample,
     "q186_match_composition" -> q186_match_composition,
@@ -2933,6 +2988,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q190_keyness_drift" -> q190_oracle,
     "q189_dict_tags" -> q189_oracle,
     "q185_weighted_sample" -> q185_oracle,
     "q186_match_composition" -> q186_oracle,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+
+  private def replay(a: Seq[String], b: Seq[String], k: Int) = {
+    val ca = a.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cb = b.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (ta, tb) = (ca.values.sum, cb.values.sum)
+    val tt = (ta + tb).toDouble
+    def cell(o: Long, ct: Long, colT: Long): Double =
+      if (o == 0) 0.0
+      else o.toDouble * math.log((o.toDouble * tt) /
+        (ct.toDouble * colT.toDouble))
+    val g2 = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+      val (x, y) = (ca.getOrElse(t, 0L), cb.getOrElse(t, 0L))
+      val ab = x + y
+      val rest = ta + tb - ab
+      val g = (cell(x, ta, ab) + cell(y, tb, ab) +
+        cell(ta - x, ta, rest) + cell(tb - y, tb, rest)) * 2.0
+      (t, x, y, g)
+    }
+    (g2.sortBy { case (t, _, _, g) => (-g, t) }, ta, tb)
+  }
+
+  test("keynessTopK matches a driver replay of the Dunning G2 table " +
+      "on the real corpus, and the rank surface sits on gaps far " +
+      "above ulp noise at the cut") {
+    val aT = docs.filter($"lang" === "en").select($"text")
+      .as[String].collect().toSeq
+    val bT = docs.filter($"lang" =!= "en").select($"text")
+      .as[String].collect().toSeq
+    val (exp, ta, tb) = replay(aT, bT, 30)
+    val got = Drift.keynessTopK(docs.filter($"lang" === "en"),
+        docs.filter($"lang" =!= "en"), "text", 30)
+      .select($"rk", $"tok", $"ca", $"cb", $"direction")
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 30)
+    got.zip(exp.take(30)).foreach { case (g, (t, x, y, _)) =>
+      assert(g._2 == t && g._3 == x && g._4 == y, s"rank ${g._1}: $g vs $t")
+      val dir = if (x * tb > y * ta) "a" else "b"
+      assert(g._5 == dir, s"direction of $t")
+    }
+    // the 30/31 cut: distinct contingency tables must be separated by
+    // far more than the ~1e-16 relative ulp noise ln() can carry
+    val cut = exp(29)._4
+    val next = exp(30)._4
+    if ((exp(29)._2, exp(29)._3) != (exp(30)._2, exp(30)._3)) {
+      val gap = math.abs(cut - next) / math.max(math.abs(cut), 1e-300)
+      assert(gap > 1e-9, s"G2 gap at the cut is $gap — too tight")
+    }
+  }
+
+  test("planted drift: a token exclusive to corpus A ranks first with " +
+      "direction a; symmetric tokens tie-break deterministically") {
+    val a = Seq((1L, "xx yy common common"), (2L, "xx common zz"))
+      .toDF("id", "text")
+    val b = Seq((3L, "common common yy zz"), (4L, "common zz yy"))
+      .toDF("id", "text")
+    val got = Drift.keynessTopK(a, b, "text", 5)
+      .select($"rk", $"tok", $"direction")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.head._2 == "xx" && got.head._3 == "a", got.mkString(","))
+    // all four distinct tokens present (k=5 exceeds the vocabulary),
+    // ranks 1..4, no duplicates
+    assert(got.map(_._1).toSeq == (1L to 4L) &&
+      got.map(_._2).distinct.length == 4)
+  }
+}
