@@ -43,7 +43,28 @@ object Linkage {
     * for score >= tMatch else 'possible'. */
   def scorePairs(a: DataFrame, b: DataFrame, idColA: String,
       idColB: String, blockCols: Seq[String], fields: Seq[FieldRule],
-      minScore: Long, tMatch: Long): DataFrame = {
+      minScore: Long, tMatch: Long): DataFrame =
+    scored(a, b, idColA, idColB, blockCols, fields, minScore, tMatch,
+      broadcastRight = false)
+
+  /** Incremental linkage — the ingest-time shape: link a (small)
+    * DELTA of new records against a (huge) standing registry. Same
+    * semantics as [[scorePairs]] with `a` = registry, `b` = delta,
+    * but the delta is BROADCAST, so the registry is ONE scan with the
+    * block-key probe and the per-pair score inline — the registry
+    * never feeds an exchange (the q82/q150 incremental-operator
+    * contract, plan-pinned in LinkageSpec). Use when
+    * |delta| × row width fits a broadcast (the usual batch-ingest
+    * case); fall back to [[scorePairs]] for registry-vs-registry. */
+  def scorePairsIncremental(registry: DataFrame, delta: DataFrame,
+      idColA: String, idColB: String, blockCols: Seq[String],
+      fields: Seq[FieldRule], minScore: Long, tMatch: Long): DataFrame =
+    scored(registry, delta, idColA, idColB, blockCols, fields,
+      minScore, tMatch, broadcastRight = true)
+
+  private def scored(a: DataFrame, b: DataFrame, idColA: String,
+      idColB: String, blockCols: Seq[String], fields: Seq[FieldRule],
+      minScore: Long, tMatch: Long, broadcastRight: Boolean): DataFrame = {
     require(blockCols.nonEmpty, "need at least one blocking column")
     require(fields.nonEmpty, "need at least one comparison field")
     require(tMatch >= minScore,
@@ -70,7 +91,7 @@ object Linkage {
     val nAgree = fields.map(f =>
         when(agree(f), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    la.join(lb, on)
+    la.join(if (broadcastRight) broadcast(lb) else lb, on)
       .select(col(s"__a_$idColA").as("a_id"),
         col(s"__b_$idColB").as("b_id"),
         nAgree.as("n_agree"), score.as("score"))

@@ -827,7 +827,63 @@ object TpchQueries {
            AS verdict
        FROM scored WHERE score >= 13000"""
 
+  /** q191: incremental record linkage
+    * ([[graft.operators.Linkage.scorePairsIncremental]]) — q187's
+    * scoring applied the ingest way: a 10% dirty-twin DELTA linked
+    * against the full customer registry with the delta broadcast, so
+    * the registry is one exchange-free scan (plan-pinned in
+    * LinkageSpec). Same synthesis, weights, and thresholds as q187;
+    * the oracle is q187's restricted to the delta. */
+  val q191_incremental_linkage: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    def keep(salt: String) =
+      substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
+        1, 1) < "8"
+    val delta = cust.filter(col("c_custkey") % 10 === 0).select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      when(keep("nm:"), col("c_name"))
+        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
+      col("c_nationkey"),
+      when(keep("ab:"), col("c_acctbal"))
+        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
+      when(keep("mk:"), col("c_mktsegment"))
+        .otherwise(lit("UNKNOWN")).as("c_mktsegment"))
+    graft.operators.Linkage.scorePairsIncremental(cust, delta,
+      "c_custkey", "c_custkey", Seq("c_nationkey"),
+      Seq(graft.operators.Linkage.FieldRule("c_name", 24000L, -8000L),
+        graft.operators.Linkage.FieldRule("c_acctbal", 10000L, -5000L),
+        graft.operators.Linkage.FieldRule("c_mktsegment", 6000L, -6000L)),
+      minScore = 13000L, tMatch = 28000L)
+  }
+
+  val q191_oracle: String =
+    """WITH dirty AS (SELECT c_custkey + 1000000 AS c_custkey,
+         CASE WHEN substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_name ELSE c_name || '~' END AS c_name,
+         c_nationkey,
+         CASE WHEN substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
+         CASE WHEN substr(md5('mk:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_mktsegment ELSE 'UNKNOWN' END AS c_mktsegment
+       FROM customer WHERE c_custkey % 10 = 0),
+       scored AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_agree,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 24000 ELSE -8000 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal
+              THEN 10000 ELSE -5000 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 6000 ELSE -6000 END) AS BIGINT) AS score
+       FROM customer a JOIN dirty b ON a.c_nationkey = b.c_nationkey)
+       SELECT a_id, b_id, n_agree, score,
+         CASE WHEN score >= 28000 THEN 'match' ELSE 'possible' END
+           AS verdict
+       FROM scored WHERE score >= 13000"""
+
   val all: Map[String, Q] = Map(
+    "q191_incremental_linkage" -> q191_incremental_linkage,
     "q187_record_linkage" -> q187_record_linkage,
     "q159_edit_join" -> q159_edit_join,
     "q163_k_anonymity" -> q163_k_anonymity,
@@ -862,6 +918,7 @@ object TpchQueries {
     "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
+    "q191_incremental_linkage" -> q191_oracle,
     "q187_record_linkage" -> q187_oracle,
     "q159_edit_join" -> q159_oracle,
     "q163_k_anonymity" -> q163_oracle,

@@ -80,6 +80,24 @@ class LinkageSpec extends SparkSuite {
     assert(!got.keys.exists(k => k._1 == 3L || k._2 == 13L))
   }
 
+  test("scorePairsIncremental == scorePairs on the same inputs, and " +
+      "the registry side NEVER shuffles (delta broadcast; zero hash " +
+      "exchanges — the q82/q150 incremental contract)") {
+    val full = Linkage.scorePairs(left, right, "id", "id", Seq("blk"),
+        fields, 4L, 20L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val incr = Linkage.scorePairsIncremental(left, right, "id", "id",
+        Seq("blk"), fields, 4L, 20L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(incr == full)
+    val plan = Linkage.scorePairsIncremental(left, right, "id", "id",
+        Seq("blk"), fields, 4L, 20L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"registry fed an exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("the blocked join is an equi-join — no cartesian / broadcast " +
       "NLJ anywhere in the plan — and weights are sanity-guarded") {
     val plan = Linkage.scorePairs(left, right, "id", "id", Seq("blk"),
