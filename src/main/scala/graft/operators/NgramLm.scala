@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -126,6 +126,109 @@ object NgramLm {
       k: Int): DataFrame =
     scoreDocs(docs, idCol, textCol,
         bigramLm(docs, textCol), vocabSize(docs, textCol))
+      .orderBy(col("logprob").asc, col(idCol)).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("logprob").asc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rk"))
+
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney, ICASSP 1995;
+    * Chen & Goodman, CL 1999 eq. 4.27) — the smoothing KenLM/CCNet
+    * actually ship, next to [[bigramLm]]'s Laplace baseline:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with D = 3/4. The continuation probability N1+(·w2)/N1+(··)
+    * (how many distinct left-contexts w2 follows, over all distinct
+    * bigram types) is what fixes Laplace's "Francisco problem":
+    * frequent-but-bound tokens stop stealing mass from genuinely
+    * free-floating ones.
+    *
+    * Cross-engine exactness: D = 3/4 keeps every probability a ratio
+    * of exact integers — the score is t1 + t2 with
+    * t1 = max(4·c12−3, 0)/(4·c1) and
+    * t2 = 3·N1w·Ncont / (4·c1·NB), each term ONE double division of
+    * double products of exact longs, summed once — so both engines
+    * build the bit-identical ln input and the gate surface is the
+    * id-tiebroken RANK (the q77/q94 rule).
+    *
+    * Scale shape: identical to [[bigramLm]] — the distinct-gram table
+    * carries c12 with c(w1·) and N1+(w1·) denormalized in (one agg
+    * over the DISTINCT grams, far smaller than the instance stream),
+    * continuation counts are one more distinct-gram agg keyed on w2,
+    * and N1+(··) is a broadcast 1-row frame. Scoring is the q94 join
+    * shape plus one extra equi-join on the second token. */
+  def kneserNeyLm(train: DataFrame, textCol: String): DataFrame = {
+    val bi = train.select(explode(
+        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val w1 = bi.groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
+    bi.join(w1, substring_index(col("gram"), " ", 1) === col("__w1"))
+      .select(col("gram"), col("c12"), col("c1"), col("n1w"))
+  }
+
+  /** Continuation counts N1+(·w2): distinct left-contexts per second
+    * token, from the same distinct-gram table as [[kneserNeyLm]]. */
+  def knContinuation(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(
+        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(substring_index(col("gram"), " ", -1).as("__w2"))
+      .agg(count(lit(1)).as("ncont"))
+
+  /** N1+(··) — total distinct bigram types, broadcastable 1-row. */
+  def knTotals(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(
+        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+      .agg(countDistinct(col("gram")).as("__nb"))
+
+  /** Mean KN bigram log-probability per document. Out-of-vocabulary
+    * handling is a deliberate, SQL-replayable floor: an unseen gram
+    * with a KNOWN w1 backs off to the interpolation term alone
+    * (c12 = 0 → t1 = 0); an unseen w1 or w2 contributes the uniform
+    * continuation floor 1/(4·NB) (Laplace's 1/V in KN clothing —
+    * standard KN reserves no OOV mass, and a −∞ would poison the
+    * mean). Output (idCol, n_bigrams, logprob); sub-2-token docs drop
+    * as in [[scoreDocs]]. */
+  def scoreDocsKn(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, cont: DataFrame, totals: DataFrame): DataFrame = {
+    val grams = docs.select(col(idCol), explode(
+      TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
+    // w1 stats re-keyed from the lm (every gram of a w1 carries the
+    // same denormalized c1/n1w) so an UNSEEN gram with a known w1
+    // still reaches its backoff weight — the gram-keyed left join
+    // alone would lose c1/n1w exactly when backoff is needed
+    val w1 = lm.groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
+      .agg(max(col("c1")).as("c1"), max(col("n1w")).as("n1w"))
+    val d = (c: Column) => c.cast("double")
+    val t1 = d(greatest(col("c12") * 4 - 3, lit(0L))) / d(col("c1") * 4)
+    val t2 = (lit(3.0) * d(col("n1w")) * d(col("ncont"))) /
+      (d(col("c1") * 4) * d(col("__nb")))
+    val p = when(col("c1").isNull || col("ncont").isNull,
+        lit(1.0) / d(col("__nb") * 4))
+      .otherwise(
+        when(col("c12").isNull, lit(0.0)).otherwise(t1) + t2)
+    grams
+      .join(lm.select(col("gram"), col("c12")), Seq("gram"), "left")
+      .join(w1,
+        substring_index(col("gram"), " ", 1) === col("__w1"), "left")
+      .join(cont,
+        substring_index(col("gram"), " ", -1) === col("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), log(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__lp")) / count(lit(1))).as("logprob"))
+  }
+
+  /** The `k` least fluent documents under the corpus's own KN bigram
+    * LM — [[worstK]]'s surface with the production smoothing.
+    * Returns (idCol, rk). */
+  def worstKKn(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    scoreDocsKn(docs, idCol, textCol, kneserNeyLm(docs, textCol),
+        knContinuation(docs, textCol), knTotals(docs, textCol))
       .orderBy(col("logprob").asc, col(idCol)).limit(k)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("logprob").asc, col(idCol))).cast("long"))

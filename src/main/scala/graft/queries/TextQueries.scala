@@ -2905,7 +2905,58 @@ object TextQueries {
            AS rk, tok, ca, cb, direction
        FROM g ORDER BY g2 DESC, tok LIMIT 30"""
 
+  /** q192: Kneser–Ney LM fluency ranking
+    * ([[graft.operators.NgramLm.worstKKn]]) — the 25 least fluent
+    * documents under the corpus's own interpolated-KN bigram LM
+    * (D = 3/4), the production smoothing next to q94's Laplace
+    * baseline. D = 3/4 keeps every probability a ratio of exact
+    * integers: the ln input is t1 + t2 with each term one double
+    * division of double products of exact counts, so both engines
+    * build it bit-identically and the rank surface carries the gate
+    * (boundary gaps spec-checked, the q94 argument). The oracle
+    * replays the distinct-gram table, c(w1·)/N1+(w1·) stats,
+    * continuation counts, and the interpolation formula. */
+  val q192_kn_fluency: Q = (s, d) =>
+    graft.operators.NgramLm.worstKKn(
+      Tables.documents(s, d), "doc_id", "text", 25)
+
+  val q192_oracle: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       big AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(a)),
+           i -> a[i] || ' ' || a[i + 1])) AS gram
+         FROM t),
+       bc AS (SELECT gram, CAST(count(*) AS BIGINT) AS c12
+         FROM big GROUP BY gram),
+       w1 AS (SELECT split_part(gram, ' ', 1) AS w1,
+           CAST(sum(c12) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS n1w
+         FROM bc GROUP BY 1),
+       w2 AS (SELECT split_part(gram, ' ', 2) AS w2,
+           CAST(count(*) AS BIGINT) AS ncont
+         FROM bc GROUP BY 1),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bc),
+       sc AS (
+         SELECT b.doc_id,
+           sum(ln(CAST(greatest(4 * bc.c12 - 3, 0) AS DOUBLE)
+               / CAST(4 * w1.c1 AS DOUBLE)
+             + (3.0 * CAST(w1.n1w AS DOUBLE) * CAST(w2.ncont AS DOUBLE))
+               / (CAST(4 * w1.c1 AS DOUBLE) * CAST(nb.nb AS DOUBLE))))
+             / count(*) AS lp
+         FROM big b
+         JOIN bc USING (gram)
+         JOIN w1 ON w1.w1 = split_part(b.gram, ' ', 1)
+         JOIN w2 ON w2.w2 = split_part(b.gram, ' ', 2)
+         CROSS JOIN nb
+         GROUP BY b.doc_id)
+       SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lp ASC, doc_id) AS BIGINT)
+           AS rk
+       FROM sc ORDER BY lp ASC, doc_id LIMIT 25"""
+
   val all: Map[String, Q] = Map(
+    "q192_kn_fluency" -> q192_kn_fluency,
     "q190_keyness_drift" -> q190_keyness_drift,
     "q189_dict_tags" -> q189_dict_tags,
     "q185_weighted_sample" -> q185_weighted_sample,
@@ -2988,6 +3039,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q192_kn_fluency" -> q192_oracle,
     "q190_keyness_drift" -> q190_oracle,
     "q189_dict_tags" -> q189_oracle,
     "q185_weighted_sample" -> q185_oracle,

@@ -87,4 +87,77 @@ class NgramLmSpec extends SparkSuite {
     assert(r.getLong(1) == 3L)
     assert(r.getDouble(2) == math.log(1.0 / vocab))
   }
+
+  test("Kneser-Ney: scoreDocsKn matches a driver replay of the " +
+      "interpolation formula on every document, and the salad still " +
+      "ranks worst") {
+    val texts = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    // driver-side KN stats over distinct bigrams
+    val grams = texts.flatMap { case (id, t) =>
+      val a = t.split(" ", -1); a.indices.dropRight(1)
+        .map(i => (id, a(i) + " " + a(i + 1))) }
+    val c12 = grams.map(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val w1 = c12.toSeq.groupBy(_._1.split(" ")(0)).map { case (w, gs) =>
+      w -> (gs.map(_._2).sum, gs.size.toLong) } // (c1, n1w)
+    val cont = c12.keys.toSeq.groupBy(_.split(" ")(1))
+      .view.mapValues(_.size.toLong).toMap
+    val nb = c12.size.toDouble
+    def pKn(g: String): Double = {
+      val (c1, n1w) = w1(g.split(" ")(0))
+      val t1 = math.max(4 * c12(g) - 3, 0).toDouble / (4 * c1).toDouble
+      val t2 = (3.0 * n1w * cont(g.split(" ")(1))) / ((4 * c1) * nb)
+      t1 + t2
+    }
+    val exp = grams.groupBy(_._1).map { case (id, gs) =>
+      id -> gs.map(g => math.log(pKn(g._2))).sum / gs.length }
+    val got = NgramLm.scoreDocsKn(corpus, "doc_id", "text",
+        NgramLm.kneserNeyLm(corpus, "text"),
+        NgramLm.knContinuation(corpus, "text"),
+        NgramLm.knTotals(corpus, "text"))
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (id, n, lp) =>
+      assert(math.abs(lp - exp(id)) < 1e-12, s"doc $id: $lp vs ${exp(id)}")
+    }
+    assert(NgramLm.worstKKn(corpus, "doc_id", "text", 1)
+      .head().getLong(0) == 5L)
+    // per-w1 probabilities sum to 1 (the KN normalization identity:
+    // Σ_w2 P(w2|w1) = 1 when every continuation is in-vocab)
+    w1.keys.foreach { w =>
+      // .toSeq before map: keys is a Set, and equal probabilities
+      // (symmetric grams) would collapse before the sum
+      val mass = c12.keys.toSeq.filter(_.startsWith(w + " "))
+        .map(pKn).sum +
+        // unseen-continuation mass: D/c1·N1w · Σ_{w2 not after w1} Pcont
+        (3.0 * w1(w)._2 / (4.0 * w1(w)._1)) *
+          cont.filter { case (w2, _) =>
+            !c12.contains(w + " " + w2) }.values.sum / nb
+      assert(math.abs(mass - 1.0) < 1e-9, s"w1=$w mass $mass")
+    }
+  }
+
+  test("Kneser-Ney OOV contract: unseen gram with a known w1 backs " +
+      "off to the continuation term alone; unseen w1 or w2 hits the " +
+      "uniform floor 1/(4*NB) exactly") {
+    val lm = NgramLm.kneserNeyLm(corpus, "text")
+    val cont = NgramLm.knContinuation(corpus, "text")
+    val tot = NgramLm.knTotals(corpus, "text")
+    val nb = tot.head().getLong(0).toDouble
+    // "mat cat": both tokens known, gram unseen -> pure interpolation
+    val known = Seq((8L, "mat cat")).toDF("doc_id", "text")
+    val r1 = NgramLm.scoreDocsKn(known, "doc_id", "text", lm, cont, tot)
+      .head()
+    val w1Stats = lm.filter(substring_index($"gram", " ", 1) === "mat")
+      .select($"c1", $"n1w").head()
+    val ncontCat = cont.filter($"__w2" === "cat").head().getLong(1)
+    val expP = (3.0 * w1Stats.getLong(1) * ncontCat) /
+      ((4 * w1Stats.getLong(0)) * nb)
+    assert(r1.getDouble(2) == math.log(expP))
+    // fully alien tokens -> the uniform continuation floor
+    val alien = Seq((9L, "zig zag")).toDF("doc_id", "text")
+    val r2 = NgramLm.scoreDocsKn(alien, "doc_id", "text", lm, cont, tot)
+      .head()
+    assert(r2.getDouble(2) == math.log(1.0 / (4.0 * nb)))
+  }
 }
