@@ -593,4 +593,34 @@ class StreamingSpec extends SparkSuite {
       assert(batch.foldLeft(0L)(_ + _._3) == 3L * toks.size)
     } finally q.stop()
   }
+
+  test("streaming dictionary tagging (tag-on-ingest) matches the " +
+      "batch tagger — the Aho-Corasick expression is a stateless " +
+      "projection, so the automaton rides micro-batches unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dict = Seq("agg", "agg row", "hash join", "spark")
+    val docs = Seq((1L, "the agg row scan"), (2L, "a hash join under spark"),
+      (3L, "nothing here"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Tagger.tagDocs(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", dict)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tag_out").start()
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("tag_out")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = graft.operators.Tagger.tagDocs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", dict)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == batch)
+      assert(got == Set((1L, 0L, "agg"), (1L, 1L, "agg row"),
+        (2L, 2L, "hash join"), (2L, 3L, "spark")))
+    } finally q.stop()
+  }
 }
