@@ -48,7 +48,12 @@ SFMID = "/tmp/graft-sfmid"
 SF1_SKEW = "/tmp/graft-sf1-skew"
 SFMID_SKEW = "/tmp/graft-sfmid-skew"
 SKEW_DUP_EVERY = 10
-SKEW_QUERIES = ["q90", "q91"]
+# FULL registry names: the r11 switch from stdout scraping to the
+# SPARK_GRAFT_BENCH_OUT file channel changed the artifact's "queries"
+# keys from short to full names, and short-name lookups here raised
+# KeyError the first time the skew fit ran after it (r12). The output
+# rows keep the short form for artifact continuity.
+SKEW_QUERIES = ["q90_repeated_spans", "q91_span_scrub"]
 # r06: empty — q37 (the one O(n^2)-by-design exclusion) now runs the
 # LSH-candidates + rerank plan and is gated like everything else.
 EXCLUDE = set()
@@ -230,7 +235,7 @@ def main():
         pts = [(1, t01), (FMID or 3, t_mid[q]), (FACTOR, t_one[q])]
         ratio_x = extrap_ratio(pts)
         skew_rows.append({
-            "query": q, "sf0.1_s": round(t01, 3),
+            "query": q.split("_")[0], "sf0.1_s": round(t01, 3),
             "skew_mid_s": round(t_mid[q], 3),
             "skew_sf1_s": round(t_one[q], 3),
             "per_row_ratio": round(ratio, 3),
