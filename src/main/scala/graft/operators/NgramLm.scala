@@ -158,10 +158,17 @@ object NgramLm {
     * continuation counts are one more distinct-gram agg keyed on w2,
     * and N1+(··) is a broadcast 1-row frame. Scoring is the q94 join
     * shape plus one extra equi-join on the second token. */
-  def kneserNeyLm(train: DataFrame, textCol: String): DataFrame = {
-    val bi = train.select(explode(
+  /** Distinct-gram counts (gram, c12) — the shared precursor of every
+    * KN stat frame. */
+  private def gramCounts(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(
         TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+
+  def kneserNeyLm(train: DataFrame, textCol: String): DataFrame =
+    lmFromCounts(gramCounts(train, textCol))
+
+  private def lmFromCounts(bi: DataFrame): DataFrame = {
     val w1 = bi.groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
     bi.join(w1, substring_index(col("gram"), " ", 1) === col("__w1"))
@@ -169,19 +176,19 @@ object NgramLm {
   }
 
   /** Continuation counts N1+(·w2): distinct left-contexts per second
-    * token, from the same distinct-gram table as [[kneserNeyLm]]. */
-  def knContinuation(train: DataFrame, textCol: String): DataFrame =
-    train.select(explode(
-        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("__c"))
-      .groupBy(substring_index(col("gram"), " ", -1).as("__w2"))
+    * token. Takes any frame with one row per distinct gram (the
+    * trained [[kneserNeyLm]], or its distinct-gram precursor as
+    * [[worstKKn]] passes) — deriving from the shared gram-agg subtree
+    * instead of the corpus lets exchange reuse serve all three KN
+    * stat frames from ONE distinct-gram aggregation. */
+  def knContinuation(lm: DataFrame): DataFrame =
+    lm.groupBy(substring_index(col("gram"), " ", -1).as("__w2"))
       .agg(count(lit(1)).as("ncont"))
 
-  /** N1+(··) — total distinct bigram types, broadcastable 1-row. */
-  def knTotals(train: DataFrame, textCol: String): DataFrame =
-    train.select(explode(
-        TextFunctions.positionalShingles(col(textCol), 2)).as("gram"))
-      .agg(countDistinct(col("gram")).as("__nb"))
+  /** N1+(··) — total distinct bigram types (the lm's row count),
+    * broadcastable 1-row. */
+  def knTotals(lm: DataFrame): DataFrame =
+    lm.agg(count(lit(1)).as("__nb"))
 
   /** Mean KN bigram log-probability per document. Out-of-vocabulary
     * handling is a deliberate, SQL-replayable floor: an unseen gram
@@ -226,11 +233,16 @@ object NgramLm {
     * LM — [[worstK]]'s surface with the production smoothing.
     * Returns (idCol, rk). */
   def worstKKn(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    scoreDocsKn(docs, idCol, textCol, kneserNeyLm(docs, textCol),
-        knContinuation(docs, textCol), knTotals(docs, textCol))
+      k: Int): DataFrame = {
+    // one distinct-gram subtree feeds lm, continuation counts, AND
+    // totals — its exchange is canonically identical across the three
+    // branches, so it shuffles once and is reused
+    val bi = gramCounts(docs, textCol)
+    scoreDocsKn(docs, idCol, textCol, lmFromCounts(bi),
+        knContinuation(bi), knTotals(bi))
       .orderBy(col("logprob").asc, col(idCol)).limit(k)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("logprob").asc, col(idCol))).cast("long"))
       .select(col(idCol), col("rk"))
+  }
 }

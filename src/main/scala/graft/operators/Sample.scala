@@ -271,10 +271,14 @@ object Sample {
     *
     * Scale shape: one stratum-count agg (|shares| rows) collected
     * driver-side — model-sized, the PQ-codebook pattern — so the
-    * per-stratum limits inline as LITERALS: the rank window then
-    * prunes at max_b m_b via WindowGroupLimit (per-partition top-m
-    * heaps before the one stratum-keyed exchange), never a full
-    * per-stratum sort. Output: (stratumCol, idCol, rank). */
+    * per-stratum limits inline as LITERALS: when max_b m_b sits under
+    * `spark.sql.window.group.limit.threshold` (default 1000) the rank
+    * window prunes through WindowGroupLimit (per-partition top-m heaps
+    * before the one stratum-keyed exchange); above it Spark's rule
+    * deliberately declines and the window sorts each stratum — the
+    * cost exact-count rank selection fundamentally carries (raise the
+    * session threshold to keep the prune for bigger profiles). Output:
+    * (stratumCol, idCol, rank). */
   def matchComposition(df: DataFrame, stratumCol: String, idCol: String,
       shares: Seq[(String, Long)]): DataFrame = {
     require(shares.nonEmpty, "need at least one target share")

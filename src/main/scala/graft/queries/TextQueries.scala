@@ -2749,8 +2749,9 @@ object TextQueries {
     * floor(n_b/p_b) sets the scale (fr is the binding stratum at
     * every SF), each language keeps exactly k·p_b docs in salted-md5
     * hash order. Integer arithmetic end to end, so the gate
-    * hash-matches; the rank window prunes at the max limit through
-    * WindowGroupLimit before the one stratum exchange. */
+    * hash-matches; under the default window-group-limit threshold the
+    * rank window prunes map-side (above it, the per-stratum sort is
+    * exact-count selection's inherent cost — operator scaladoc). */
   val q186_match_composition: Q = (s, d) =>
     graft.operators.Sample.matchComposition(
       Tables.documents(s, d).select(col("doc_id"), col("lang")),

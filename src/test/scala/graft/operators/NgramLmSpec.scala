@@ -112,10 +112,9 @@ class NgramLmSpec extends SparkSuite {
     }
     val exp = grams.groupBy(_._1).map { case (id, gs) =>
       id -> gs.map(g => math.log(pKn(g._2))).sum / gs.length }
-    val got = NgramLm.scoreDocsKn(corpus, "doc_id", "text",
-        NgramLm.kneserNeyLm(corpus, "text"),
-        NgramLm.knContinuation(corpus, "text"),
-        NgramLm.knTotals(corpus, "text"))
+    val lmF = NgramLm.kneserNeyLm(corpus, "text")
+    val got = NgramLm.scoreDocsKn(corpus, "doc_id", "text", lmF,
+        NgramLm.knContinuation(lmF), NgramLm.knTotals(lmF))
       .as[(Long, Long, Double)].collect()
     got.foreach { case (id, n, lp) =>
       assert(math.abs(lp - exp(id)) < 1e-12, s"doc $id: $lp vs ${exp(id)}")
@@ -141,8 +140,8 @@ class NgramLmSpec extends SparkSuite {
       "off to the continuation term alone; unseen w1 or w2 hits the " +
       "uniform floor 1/(4*NB) exactly") {
     val lm = NgramLm.kneserNeyLm(corpus, "text")
-    val cont = NgramLm.knContinuation(corpus, "text")
-    val tot = NgramLm.knTotals(corpus, "text")
+    val cont = NgramLm.knContinuation(lm)
+    val tot = NgramLm.knTotals(lm)
     val nb = tot.head().getLong(0).toDouble
     // "mat cat": both tokens known, gram unseen -> pure interpolation
     val known = Seq((8L, "mat cat")).toDF("doc_id", "text")
