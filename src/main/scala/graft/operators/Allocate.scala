@@ -56,10 +56,17 @@ object Allocate {
     require(got <= maxDomains,
       s"allocation frame has > maxDomains=$maxDomains rows — waterFill " +
         "runs over per-domain aggregates, not a corpus")
+    // localCheckpoint the (bounded, just-guarded) frame: the plan
+    // below references it from four branches (prefix windows, totals,
+    // the boundary agg, and the final projection), and the caller's
+    // `avail` is typically a CORPUS aggregation — without the barrier
+    // each branch would re-run that corpus scan (the r09
+    // hammingHalvesPairs lesson, driver-plan variant)
     val base = avail.select(col(domainCol).as("__d"),
         col(availCol).cast("long").as("__n"),
         col(weightCol).cast("long").as("__w"))
       .limit(maxDomains)
+      .localCheckpoint()
     // scarcity order: ascending n/w, domain tiebreak (a total order —
     // one correctly-rounded double division, portable)
     val ord = Window.orderBy(

@@ -41,11 +41,19 @@ object Linkage {
     * and their id columns. Output: (a_id, b_id, n_agree, score,
     * verdict) for pairs with score >= minScore; verdict is 'match'
     * for score >= tMatch else 'possible'. */
+  /** `maxBlock` is the LSH-maxBucket discipline applied to blocking:
+    * blocks whose A-side (registry) population exceeds it are dropped
+    * ENTIRELY — a degenerate key value (one giant nation, a default
+    * placeholder) would otherwise cost |A_b|·|B_b| like any banded
+    * join. Deterministic and oracle-replayable (the gate recomputes
+    * capped semantics, the q95/q104 pattern); the default leaves the
+    * plan untouched. */
   def scorePairs(a: DataFrame, b: DataFrame, idColA: String,
       idColB: String, blockCols: Seq[String], fields: Seq[FieldRule],
-      minScore: Long, tMatch: Long): DataFrame =
+      minScore: Long, tMatch: Long,
+      maxBlock: Int = Int.MaxValue): DataFrame =
     scored(a, b, idColA, idColB, blockCols, fields, minScore, tMatch,
-      broadcastRight = false)
+      broadcastRight = false, maxBlock)
 
   /** Incremental linkage — the ingest-time shape: link a (small)
     * DELTA of new records against a (huge) standing registry. Same
@@ -58,13 +66,16 @@ object Linkage {
     * case); fall back to [[scorePairs]] for registry-vs-registry. */
   def scorePairsIncremental(registry: DataFrame, delta: DataFrame,
       idColA: String, idColB: String, blockCols: Seq[String],
-      fields: Seq[FieldRule], minScore: Long, tMatch: Long): DataFrame =
+      fields: Seq[FieldRule], minScore: Long, tMatch: Long,
+      maxBlock: Int = Int.MaxValue): DataFrame =
     scored(registry, delta, idColA, idColB, blockCols, fields,
-      minScore, tMatch, broadcastRight = true)
+      minScore, tMatch, broadcastRight = true, maxBlock)
 
   private def scored(a: DataFrame, b: DataFrame, idColA: String,
       idColB: String, blockCols: Seq[String], fields: Seq[FieldRule],
-      minScore: Long, tMatch: Long, broadcastRight: Boolean): DataFrame = {
+      minScore: Long, tMatch: Long, broadcastRight: Boolean,
+      maxBlock: Int): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
     require(blockCols.nonEmpty, "need at least one blocking column")
     require(fields.nonEmpty, "need at least one comparison field")
     require(tMatch >= minScore,
@@ -81,6 +92,20 @@ object Linkage {
     // candidates (null-safe equality here would pool every
     // missing-key row into one degenerate mega-block — the same skew
     // bomb the LSH family caps buckets against)
+    // the block cap: one partial+final agg over A's block keys (one
+    // aggregated row per distinct block rides the exchange, never A's
+    // rows) and an inner equi-join back — AQE-splittable, and the
+    // default maxBlock leaves the plan untouched
+    val laCapped =
+      if (maxBlock == Int.MaxValue) la
+      else {
+        val keep = la
+          .groupBy(blockCols.map(c => col(s"__a_$c")): _*)
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBlock)
+          .drop("__bn")
+        la.join(keep, blockCols.map(c => s"__a_$c"))
+      }
     val on = blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
       .reduce(_ && _)
     def agree(f: FieldRule): Column =
@@ -91,7 +116,7 @@ object Linkage {
     val nAgree = fields.map(f =>
         when(agree(f), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    la.join(if (broadcastRight) broadcast(lb) else lb, on)
+    laCapped.join(if (broadcastRight) broadcast(lb) else lb, on)
       .select(col(s"__a_$idColA").as("a_id"),
         col(s"__b_$idColB").as("b_id"),
         nAgree.as("n_agree"), score.as("score"))

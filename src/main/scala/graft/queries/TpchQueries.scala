@@ -764,6 +764,34 @@ object TpchQueries {
          count(*) < 5 AS at_risk
        FROM customer GROUP BY 1, 2"""
 
+  /** The q187/q191/q193 fixture: a "dirty" registry of the same
+    * entities — each customer re-keyed +1000000 with name / acctbal /
+    * mktsegment independently corrupted by md5 parity (the q108
+    * synthesized-alias pattern applied to structured records);
+    * c_nationkey is kept so true pairs co-block by construction. */
+  private def dirtyCustomerTwin(cust: DataFrame): DataFrame = {
+    def keep(salt: String) =
+      substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
+        1, 1) < "8"
+    cust.select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      when(keep("nm:"), col("c_name"))
+        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
+      col("c_nationkey"),
+      when(keep("ab:"), col("c_acctbal"))
+        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
+      when(keep("mk:"), col("c_mktsegment"))
+        .otherwise(lit("UNKNOWN")).as("c_mktsegment"))
+  }
+
+  /** Scaled log-odds weights shared by the linkage gates: name
+    * ±24000/−8000, acctbal +10000/−5000, segment ±6000; thresholds
+    * 13000 (possible) / 28000 (match). */
+  private val linkageFields = Seq(
+    graft.operators.Linkage.FieldRule("c_name", 24000L, -8000L),
+    graft.operators.Linkage.FieldRule("c_acctbal", 10000L, -5000L),
+    graft.operators.Linkage.FieldRule("c_mktsegment", 6000L, -6000L))
+
   /** q187: probabilistic record linkage
     * ([[graft.operators.Linkage.scorePairs]], Fellegi–Sunter) —
     * reconcile the customer table against a synthesized "dirty"
@@ -781,23 +809,8 @@ object TpchQueries {
     * whole synthesis + scoring. */
   val q187_record_linkage: Q = (s, d) => {
     val cust = Tables.customer(s, d)
-    def keep(salt: String) =
-      substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
-        1, 1) < "8"
-    val dirty = cust.select(
-      (col("c_custkey") + 1000000L).as("c_custkey"),
-      when(keep("nm:"), col("c_name"))
-        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
-      col("c_nationkey"),
-      when(keep("ab:"), col("c_acctbal"))
-        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
-      when(keep("mk:"), col("c_mktsegment"))
-        .otherwise(lit("UNKNOWN")).as("c_mktsegment"))
-    graft.operators.Linkage.scorePairs(cust, dirty,
-      "c_custkey", "c_custkey", Seq("c_nationkey"),
-      Seq(graft.operators.Linkage.FieldRule("c_name", 24000L, -8000L),
-        graft.operators.Linkage.FieldRule("c_acctbal", 10000L, -5000L),
-        graft.operators.Linkage.FieldRule("c_mktsegment", 6000L, -6000L)),
+    graft.operators.Linkage.scorePairs(cust, dirtyCustomerTwin(cust),
+      "c_custkey", "c_custkey", Seq("c_nationkey"), linkageFields,
       minScore = 13000L, tMatch = 28000L)
   }
 
@@ -836,23 +849,10 @@ object TpchQueries {
     * the oracle is q187's restricted to the delta. */
   val q191_incremental_linkage: Q = (s, d) => {
     val cust = Tables.customer(s, d)
-    def keep(salt: String) =
-      substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
-        1, 1) < "8"
-    val delta = cust.filter(col("c_custkey") % 10 === 0).select(
-      (col("c_custkey") + 1000000L).as("c_custkey"),
-      when(keep("nm:"), col("c_name"))
-        .otherwise(concat(col("c_name"), lit("~"))).as("c_name"),
-      col("c_nationkey"),
-      when(keep("ab:"), col("c_acctbal"))
-        .otherwise(col("c_acctbal") + 1.0).as("c_acctbal"),
-      when(keep("mk:"), col("c_mktsegment"))
-        .otherwise(lit("UNKNOWN")).as("c_mktsegment"))
+    val delta = dirtyCustomerTwin(
+      cust.filter(col("c_custkey") % 10 === 0))
     graft.operators.Linkage.scorePairsIncremental(cust, delta,
-      "c_custkey", "c_custkey", Seq("c_nationkey"),
-      Seq(graft.operators.Linkage.FieldRule("c_name", 24000L, -8000L),
-        graft.operators.Linkage.FieldRule("c_acctbal", 10000L, -5000L),
-        graft.operators.Linkage.FieldRule("c_mktsegment", 6000L, -6000L)),
+      "c_custkey", "c_custkey", Seq("c_nationkey"), linkageFields,
       minScore = 13000L, tMatch = 28000L)
   }
 
@@ -882,7 +882,52 @@ object TpchQueries {
            AS verdict
        FROM scored WHERE score >= 13000"""
 
+  /** q193: BLOCK-CAPPED record linkage — q187 with `maxBlock = 60`
+    * BINDING at the gate SF (12 of 25 nation blocks exceed it at
+    * sf0.01 and are dropped entirely): the LSH-maxBucket discipline
+    * applied to blocking, gated the q95/q104 way — the oracle
+    * recomputes the capped semantics (block census + the ≤60 join
+    * condition), so the 100 TB degenerate-block path is what
+    * hash-matches, not just the happy path. */
+  val q193_linkage_capped: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    graft.operators.Linkage.scorePairs(cust, dirtyCustomerTwin(cust),
+      "c_custkey", "c_custkey", Seq("c_nationkey"), linkageFields,
+      minScore = 13000L, tMatch = 28000L, maxBlock = 60)
+  }
+
+  val q193_oracle: String =
+    """WITH dirty AS (SELECT c_custkey + 1000000 AS c_custkey,
+         CASE WHEN substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_name ELSE c_name || '~' END AS c_name,
+         c_nationkey,
+         CASE WHEN substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_acctbal ELSE c_acctbal + 1.0 END AS c_acctbal,
+         CASE WHEN substr(md5('mk:' || CAST(c_custkey AS VARCHAR)), 1, 1)
+                < '8' THEN c_mktsegment ELSE 'UNKNOWN' END AS c_mktsegment
+       FROM customer),
+       bs AS (SELECT c_nationkey, count(*) AS bn
+         FROM customer GROUP BY 1),
+       scored AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal THEN 1 ELSE 0 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_agree,
+         CAST((CASE WHEN a.c_name = b.c_name THEN 24000 ELSE -8000 END)
+           + (CASE WHEN a.c_acctbal = b.c_acctbal
+              THEN 10000 ELSE -5000 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 6000 ELSE -6000 END) AS BIGINT) AS score
+       FROM customer a
+       JOIN bs ON bs.c_nationkey = a.c_nationkey AND bs.bn <= 60
+       JOIN dirty b ON a.c_nationkey = b.c_nationkey)
+       SELECT a_id, b_id, n_agree, score,
+         CASE WHEN score >= 28000 THEN 'match' ELSE 'possible' END
+           AS verdict
+       FROM scored WHERE score >= 13000"""
+
   val all: Map[String, Q] = Map(
+    "q193_linkage_capped" -> q193_linkage_capped,
     "q191_incremental_linkage" -> q191_incremental_linkage,
     "q187_record_linkage" -> q187_record_linkage,
     "q159_edit_join" -> q159_edit_join,
@@ -918,6 +963,7 @@ object TpchQueries {
     "q76_merge_upsert" -> q76_merge_upsert)
 
   val oracles: Map[String, String] = Map(
+    "q193_linkage_capped" -> q193_oracle,
     "q191_incremental_linkage" -> q191_oracle,
     "q187_record_linkage" -> q187_oracle,
     "q159_edit_join" -> q159_oracle,

@@ -98,6 +98,38 @@ class LinkageSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
   }
 
+  test("maxBlock drops over-populated blocks ENTIRELY (the LSH " +
+      "maxBucket discipline): a binding cap removes the big block's " +
+      "pairs including its true twins, leaves other blocks untouched, " +
+      "and the default is the uncapped identity") {
+    // b2 has 2 registry rows, b1 has 2 — cap 1 drops BOTH blocks'
+    // pairs; cap 2 keeps everything (same as default)
+    val capped = Linkage.scorePairs(left, right, "id", "id", Seq("blk"),
+        fields, 4L, 20L, maxBlock = 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty, capped.toString)
+    // a mixed fixture: one singleton block survives a cap of 1
+    val bigLeft = left.union(Seq((5L, "b3", "eve", "cork", 33L))
+      .toDF("id", "blk", "name", "city", "age"))
+    val bigRight = right.union(Seq((16L, "b3", "eve", "cork", 34L))
+      .toDF("id", "blk", "name", "city", "age"))
+    val mixed = Linkage.scorePairs(bigLeft, bigRight, "id", "id",
+        Seq("blk"), fields, 4L, 20L, maxBlock = 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(mixed == Set((5L, 16L)), mixed.toString)
+    val dflt = Linkage.scorePairs(bigLeft, bigRight, "id", "id",
+        Seq("blk"), fields, 4L, 20L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val cap99 = Linkage.scorePairs(bigLeft, bigRight, "id", "id",
+        Seq("blk"), fields, 4L, 20L, maxBlock = 99)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(cap99 == dflt)
+    intercept[IllegalArgumentException] {
+      Linkage.scorePairs(left, right, "id", "id", Seq("blk"),
+        fields, 4L, 20L, maxBlock = 0)
+    }
+  }
+
   test("the blocked join is an equi-join — no cartesian / broadcast " +
       "NLJ anywhere in the plan — and weights are sanity-guarded") {
     val plan = Linkage.scorePairs(left, right, "id", "id", Seq("blk"),
