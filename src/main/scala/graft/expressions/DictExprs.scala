@@ -71,6 +71,27 @@ private[expressions] final class AhoCorasick(dict: Seq[String]) {
     while (t < hit.length) { if (hit(t)) b += t; t += 1 }
     b.toArray
   }
+
+  /** EVERY occurrence as (tag, 1-based start position) — overlapping
+    * and repeated matches included — ordered by (pos, tag). */
+  def searchSpans(text: String): Array[(Int, Int)] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !children(s).containsKey(ch)) s = fail(s)
+      if (children(s).containsKey(ch)) s = children(s).get(ch)
+      var o = out(s)
+      while (o.nonEmpty) {
+        // match ENDS at i (0-based): start = i - len + 1, as 1-based
+        b += ((o.head, i - dict(o.head).length + 2))
+        o = o.tail
+      }
+      i += 1
+    }
+    b.sortBy { case (tag, pos) => (pos, tag) }.toArray
+  }
 }
 
 /** Distinct dictionary tags present in a text column, ascending tag id
@@ -108,6 +129,48 @@ case class DictTags(child: Expression, dict: Seq[String])
     new GenericArrayData(
       auto.search(v.asInstanceOf[UTF8String].toString)
         .map(x => x: Any))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Every dictionary occurrence as struct(tag, pos) — pos the 1-based
+  * start offset (SQL substr convention), overlapping and repeated
+  * matches included, (pos, tag)-ordered. The SPAN form of [[DictTags]]
+  * for annotation/redaction passes ("where exactly does the blocklist
+  * term sit"); same one-pass automaton, same substring semantics, so
+  * the oracle replays each entry's positions with substr equality. */
+case class DictTagSpans(child: Expression, dict: Seq[String])
+    extends UnaryExpression with SelfCallCodegen {
+  require(dict.nonEmpty, "dictionary must be non-empty")
+  require(dict.forall(_.nonEmpty), "dictionary phrases must be non-empty")
+  require(dict.distinct.size == dict.size, "dictionary has duplicates")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tag", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"dict_tag_spans needs string, got ${t.simpleString}")
+    }
+
+  @transient private lazy val auto = new AhoCorasick(dict)
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      auto.searchSpans(v.asInstanceOf[UTF8String].toString)
+        .map { case (tag, pos) =>
+          org.apache.spark.sql.catalyst.InternalRow(tag, pos): Any
+        })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

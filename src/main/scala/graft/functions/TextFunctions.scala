@@ -200,6 +200,16 @@ object TextFunctions {
       GraftColumnBridge.expression(text), dict))
   }
 
+  /** [[dictTags]]'s span form: EVERY occurrence as struct(tag, pos)
+    * with pos the 1-based start offset — overlapping/repeated matches
+    * included, (pos, tag)-ordered ([[graft.expressions.DictTagSpans]]).
+    * The annotation/redaction primitive. */
+  def dictTagSpans(text: Column, dict: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.DictTagSpans(
+      GraftColumnBridge.expression(text), dict))
+  }
+
   /** URL canonicalization for web-corpus dedup keys: scheme/host
     * lowercase, default-port and fragment drop, unreserved
     * percent-decode with uppercase residual hex, dot-segment and

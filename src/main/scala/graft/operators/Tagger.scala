@@ -43,4 +43,24 @@ object Tagger {
     tagDocs(docs, idCol, textCol, dict)
       .groupBy(col("tag_id"), col("phrase"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** (idCol, tag_id, pos, phrase) — EVERY occurrence with its 1-based
+    * start offset (overlaps and repeats included): the
+    * annotation/redaction span list, same one-pass automaton as
+    * [[tagDocs]]. The output explode carries one row per HIT — at
+    * 100 TB, bound hit volume by the dictionary (blocklists and
+    * taxonomies are hit-sparse by nature) or aggregate before
+    * exchanging. */
+  def tagSpans(docs: DataFrame, idCol: String, textCol: String,
+      dict: Seq[String]): DataFrame = {
+    val spans = docs.select(col(idCol),
+      explode(TextFunctions.dictTagSpans(col(textCol), dict)).as("sp"))
+    val phrases = dict.zipWithIndex.map { case (p, i) =>
+      when(col("tag_id") === i, lit(p)) }
+    val phrase = phrases.reduceRight((w, o) => w.otherwise(o))
+    spans.select(col(idCol),
+        col("sp.tag").cast("long").as("tag_id"),
+        col("sp.pos").cast("long").as("pos"))
+      .withColumn("phrase", phrase)
+  }
 }

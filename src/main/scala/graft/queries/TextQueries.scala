@@ -2956,7 +2956,29 @@ object TextQueries {
            AS rk
        FROM sc ORDER BY lp ASC, doc_id LIMIT 25"""
 
+  /** q194: dictionary SPAN extraction
+    * ([[graft.operators.Tagger.tagSpans]]) — q189's taxonomy with
+    * exact 1-based start offsets for EVERY occurrence (overlaps and
+    * repeats included), the annotation/redaction surface. The oracle
+    * brute-forces each entry's positions by substr equality over the
+    * whole text — O(chars·|dict|), affordable at gate scale and
+    * provably complete, against the automaton's single pass. */
+  val q194_dict_spans: Q = (s, d) =>
+    graft.operators.Tagger.tagSpans(Tables.documents(s, d),
+      "doc_id", "text", q189_dict)
+
+  val q194_oracle: String = {
+    val vals = q189_dict.zipWithIndex.map { case (p, i) =>
+      s"(CAST($i AS BIGINT), '$p')" }.mkString(", ")
+    s"""SELECT d.doc_id, t.tag_id, CAST(u.i AS BIGINT) AS pos, t.phrase
+       FROM documents d
+       JOIN (VALUES $vals) t(tag_id, phrase) ON true,
+       unnest(range(1, len(d.text) - len(t.phrase) + 2)) u(i)
+       WHERE substr(d.text, CAST(u.i AS INT), len(t.phrase)) = t.phrase"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q194_dict_spans" -> q194_dict_spans,
     "q192_kn_fluency" -> q192_kn_fluency,
     "q190_keyness_drift" -> q190_keyness_drift,
     "q189_dict_tags" -> q189_dict_tags,
@@ -3040,6 +3062,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q194_dict_spans" -> q194_oracle,
     "q192_kn_fluency" -> q192_oracle,
     "q190_keyness_drift" -> q190_oracle,
     "q189_dict_tags" -> q189_oracle,

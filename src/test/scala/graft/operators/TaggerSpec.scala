@@ -31,6 +31,30 @@ class TaggerSpec extends SparkSuite {
     assert(cov == expCov)
   }
 
+  test("tagSpans == brute-force substr positions on the real corpus " +
+      "(every occurrence, overlaps and repeats included, 1-based)") {
+    val dict = Seq("agg", "agg row", "scan", "an", "a")
+    val got = Tagger.tagSpans(docs, "doc_id", "text", dict)
+      .select($"doc_id", $"tag_id", $"pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val expect = (for {
+      (id, t) <- texts.toSeq
+      (p, tag) <- dict.zipWithIndex
+      i <- 0 to t.length - p.length
+      if t.regionMatches(i, p, 0, p.length)
+    } yield (id, tag.toLong, (i + 1).toLong)).toSet
+    assert(got == expect,
+      s"diff: ${(got diff expect).take(5)} / ${(expect diff got).take(5)}")
+    // spans refine tags: the distinct (doc, tag) projection of spans
+    // equals tagDocs
+    val viaSpans = got.map(r => (r._1, r._2))
+    val viaTags = Tagger.tagDocs(docs, "doc_id", "text", dict)
+      .select($"doc_id", $"tag_id").as[(Long, Long)].collect().toSet
+    assert(viaSpans == viaTags)
+  }
+
   test("edge cases: phrase at start/end, overlapping occurrences, " +
       "phrase == whole text, no-match, null text, duplicate dict " +
       "rejected") {
