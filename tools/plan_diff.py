@@ -9,7 +9,14 @@ that wall-clock noise can hide:
 
 Usage: tools/plan_diff.py PLANS_r02.txt PLANS_r03.txt
 Exit 1 if any regression is found (new queries are reported, not fatal).
+
+A plan change that is the REQUIRED price of a semantics fix (e.g. q183's
+counts scan losing its inferred IsNotNull(lang) pushdown because null
+became a stratum) is waived via tools/plan_waivers.txt: one exact
+regression string per line, '#' comments allowed. Waived hits downgrade
+to notes so a real future regression on the same query still fails.
 """
+import os
 import re
 import sys
 
@@ -72,6 +79,17 @@ def main():
         s = stats(new[q])
         notes.append(
             f"{q}: NEW (shuffles={s['shuffles']}, pushed={s['pushed_filters']}, codegen={s['codegen_spans']})")
+
+    waiver_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "plan_waivers.txt")
+    waivers = set()
+    if os.path.exists(waiver_path):
+        with open(waiver_path) as f:
+            waivers = {l.strip() for l in f
+                       if l.strip() and not l.lstrip().startswith("#")}
+    waived = [r for r in regressions if r in waivers]
+    regressions = [r for r in regressions if r not in waivers]
+    notes.extend(f"{r} [waived: plan_waivers.txt]" for r in waived)
 
     for n in notes:
         print("note:", n)
