@@ -46,6 +46,61 @@ object Assoc {
       .limit(k)
   }
 
+  /** Top-k collocations by pointwise mutual information over document
+    * co-occurrence — [[tokenPairSupport]]'s counts turned into an
+    * ASSOCIATION STRENGTH: lift(x,y) = (n_xy·N) / (n_x·n_y) with N
+    * the document count, n_x/n_y per-token document frequencies,
+    * n_xy the pair support (PMI = ln lift; ln is monotonic, so the
+    * lift ordering IS the PMI ordering and the ln never needs to be
+    * computed). Support ranks common-word pairs first; lift ranks the
+    * pairs that co-occur far above chance — the collocation /
+    * phrase-mining / topic-seed surface. minSupport is load-bearing:
+    * an unsupported floor lets two singleton tokens reach the maximal
+    * lift N.
+    *
+    * Numerics: lift is ONE double division of double products of
+    * exact longs — every step correctly rounded, so the value, the
+    * ordering, and the top-k cut are bit-identical cross-engine and
+    * the ranked output gates hash-exact (the q190 ln-input rule,
+    * minus the ln).
+    *
+    * Scale shape: the [[tokenPairSupport]] per-document self-join
+    * (cost bounded by document vocabulary, never corpus size), one
+    * df agg, two token-keyed joins of the pair table against the
+    * vocab-sized df table (shuffle joins — df is NOT broadcast, a
+    * web-scale vocabulary outgrows the driver), one broadcast of the
+    * single-row N, TakeOrdered heap for the cut. */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+      minSupport: Long = 2L, k: Int = 50): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .repartition(col("id"))
+      .localCheckpoint() // feeds the self-join twice + the df agg
+    val pairs = toks.select(col("id"), col("t").as("x"))
+      .join(toks.select(col("id"), col("t").as("y")), Seq("id"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minSupport)
+    val df = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val ranked = pairs
+      .join(df.select(col("t").as("x"), col("df").as("n_x")), Seq("x"))
+      .join(df.select(col("t").as("y"), col("df").as("n_y")), Seq("y"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("lift",
+        (col("n_xy").cast("double") * col("n_docs").cast("double"))
+          / (col("n_x").cast("double") * col("n_y").cast("double")))
+      .orderBy(col("lift").desc, col("x"), col("y")).limit(k)
+    ranked.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("x"), col("y"))).cast("long"))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("lift"), col("rk"))
+  }
+
   /** Pairwise SOURCE overlap matrix over distinct n-gram shingles:
     * for every source pair, shared distinct shingles, per-source set
     * sizes, and the set Jaccard — "how much of feed B have I already

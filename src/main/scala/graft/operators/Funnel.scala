@@ -50,4 +50,35 @@ object Funnel {
       (1 to steps.length).map(j => col(s"t$j")) :+
       depth.as("depth"): _*)
   }
+
+  /** Retention cohort matrix — the other product-analytics staple
+    * next to [[funnel]]: group users by the DAY of their first event
+    * (their cohort), then count how many of each cohort were active
+    * again N days later. Output one row per observed
+    * (cohort_date, day_offset): (cohort_date, day_offset, n_users),
+    * offset 0 being the cohort's own size (every user is active on
+    * their first day). Day boundaries are calendar dates of `tsCol`
+    * in the session time zone (UTC here — the Tables.events
+    * contract); all arithmetic is exact integers and dates, so the
+    * matrix gates hash-exact.
+    *
+    * Scale shape: the log collapses to DISTINCT (user, active-day)
+    * rows first (one dedup agg — the only pass over raw events);
+    * first-day per user is a user-keyed min agg over THAT frame; one
+    * user-keyed join back and one (cohort, offset) count agg. Every
+    * shuffle is keyed on users or the date matrix (both ≪ the event
+    * log); no windows, nothing driver-side. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+      .localCheckpoint() // feeds the cohort agg + the join back
+    val cohort = days.groupBy(col("__u")).agg(min(col("__d")).as("__c0"))
+    days.join(cohort, Seq("__u"))
+      .groupBy(col("__c0").as("cohort_date"),
+        datediff(col("__d"), col("__c0")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Label-aggregation operators for annotation and preference data —
@@ -116,5 +116,55 @@ object Labeling {
       it += 1
     }
     g.select(col("item"), col("r").as("strength"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two label columns on the same items: the label-QA number behind
+    * "are these two annotators / this model and the gold labels /
+    * this heuristic and the metadata actually measuring the same
+    * thing", where raw accuracy flatters any skewed label
+    * distribution. κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+    * agreement rate and p_e = Σ_c (a_c/n)(b_c/n) the chance agreement
+    * from the two raters' marginals.
+    *
+    * Contract: rows where EITHER column is null are excluded (an
+    * abstention is not a judgment); if p_e = 1 (both raters constant)
+    * κ is undefined and reported null. Exactness: p_o and p_e are
+    * single divisions of exact integers (marginal products summed in
+    * DECIMAL(38,0) — long overflows at 1e12-row classes squared; the
+    * scale-0 decimal→double cast converts once, the q197 rule), and
+    * κ is a fixed chain of correctly-rounded ops — all three VALUES
+    * gate hash-exact cross-engine.
+    *
+    * Scale shape: one count agg for (n, agree), two class-keyed
+    * marginal aggs (class cardinality is model-sized, but the aggs
+    * are partial+final either way), an inner join of the marginals
+    * (classes missing from either side contribute 0 to p_e), three
+    * 1-row frames broadcast-crossed. Output 1 row:
+    * (n_items, n_agree, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .localCheckpoint() // feeds the pair agg + both marginals
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val nAgree = base.agg(count(lit(1)).as("__n"),
+      sum(when(col("__a") === col("__b"), lit(1L)).otherwise(lit(0L)))
+        .as("__agree"))
+    val ma = base.groupBy(col("__a").as("__ca"))
+      .agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b").as("__cb"))
+      .agg(count(lit(1)).as("__nb"))
+    val prod = ma.join(mb, col("__ca") === col("__cb"))
+      .agg(coalesce(sum(d38(col("__na")) * d38(col("__nb"))),
+        lit(0).cast("decimal(38,0)")).as("__s"))
+    val po = d(col("__agree")) / d(col("__n"))
+    val pe = d(col("__s")) / (d(col("__n")) * d(col("__n")))
+    val kappa = when(pe === lit(1.0), lit(null).cast("double"))
+      .otherwise((po - pe) / (lit(1.0) - pe))
+    nAgree.crossJoin(broadcast(prod))
+      .select(col("__n").as("n_items"), col("__agree").as("n_agree"),
+        po.as("po"), pe.as("pe"), kappa.as("kappa"))
   }
 }

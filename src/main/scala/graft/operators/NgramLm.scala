@@ -229,6 +229,112 @@ object NgramLm {
         (sum(col("__lp")) / count(lit(1))).as("logprob"))
   }
 
+  /** Distinct TRIGRAM counts (gram, c123) — the one corpus pass every
+    * trigram-KN stat frame derives from. */
+  private def triCounts(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(
+        TextFunctions.positionalShingles(col(textCol), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c123"))
+
+  private def w1Of(g: Column) = substring_index(g, " ", 1)
+  private def w2Of(g: Column) =
+    substring_index(substring_index(g, " ", 2), " ", -1)
+  private def w3Of(g: Column) = substring_index(g, " ", -1)
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman, CL 1999
+    * §4.1.6) — [[scoreDocsKn]]'s recursion taken one order up, the
+    * order production LMs actually start at:
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *              + D·N1+(w1w2·)/c(w1w2·) · P_KN(w3|w2)
+    *   P_KN(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *              + D·N1+(w2·)/N1+(·w2·) · P_KN(w3)
+    *   P_KN(w3)   = N1+(·w3)/N1+(··)
+    *
+    * with D = 3/4 at every level. EVERY lower-order stat is a
+    * CONTINUATION count derived from the DISTINCT-TRIGRAM table (the
+    * Chen–Goodman prescription — raw bigram counts at the middle
+    * level break the per-history normalization: N1+(w2·) must count
+    * the same (w2,w3) types the middle numerators sum over, which is
+    * exactly what makes Σ_w3 P = 1 hold level by level, spec-proven).
+    * So: one distinct-trigram subtree T feeds (a) history stats
+    * c(w1w2·), N1+(w1w2·); (b) the continuation-bigram table B' =
+    * distinct (w2,w3) with N1+(·w2w3); and B' feeds the middle stats,
+    * the unigram continuation counts, and N1+(··) = |B'| — the q192
+    * shared-subtree discipline, two gram-keyed aggs total.
+    *
+    * Backoff contract (each branch SQL-replayable): unseen trigram
+    * with known history → t1 = 0; unseen HISTORY → pure backoff
+    * P_KN(w3|w2) (the standard back-off-on-zero-context rule);
+    * unseen (w2w3) with known w2 → middle t1 = 0; unseen w2 →
+    * P_KN(w3); unseen w3 → uniform floor 1/(4·N1+(··)) (the q192
+    * floor one level down). Numerics: D = 3/4 keeps every input
+    * exact-integer; each level is (one division) + (3.0·types·p_lower)
+    * / (4·denom) — a FIXED chain of correctly-rounded double ops, so
+    * the ln inputs are bit-identical cross-engine and the
+    * id-tiebroken RANK gates (the q77/q94 rule).
+    *
+    * Documents with fewer than three tokens have no trigrams and
+    * drop, as in [[scoreDocs]]. `train` is the reference corpus
+    * (usually the scored corpus itself — [[worstKKn3]]'s bootstrap).
+    * Output (idCol, n_trigrams, logprob). */
+  def scoreDocsKn3(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame): DataFrame = {
+    val tri = triCounts(train, textCol)
+    val hist = tri.groupBy(
+        concat(w1Of(col("gram")), lit(" "), w2Of(col("gram"))).as("__h"))
+      .agg(sum(col("c123")).as("c12dot"), count(lit(1)).as("n1w12"))
+    val bp = tri.groupBy(
+        concat(w2Of(col("gram")), lit(" "), w3Of(col("gram"))).as("__m"))
+      .agg(count(lit(1)).as("nc23"))
+    val mid = bp.groupBy(w1Of(col("__m")).as("__mw2"))
+      .agg(sum(col("nc23")).as("nmid2"), count(lit(1)).as("ntypes2"))
+    val uni = bp.groupBy(substring_index(col("__m"), " ", -1).as("__uw3"))
+      .agg(count(lit(1)).as("ncont3"))
+    val totals = bp.agg(count(lit(1)).as("__nb"))
+    val grams = docs.select(col(idCol), explode(
+      TextFunctions.positionalShingles(col(textCol), 3)).as("gram"))
+    val d = (c: Column) => c.cast("double")
+    val pu = when(col("ncont3").isNull,
+        lit(1.0) / d(col("__nb") * 4))
+      .otherwise(d(col("ncont3")) / d(col("__nb")))
+    val pbi = when(col("nmid2").isNull, pu)
+      .otherwise(
+        when(col("nc23").isNull, lit(0.0))
+          .otherwise(d(greatest(col("nc23") * 4 - 3, lit(0L)))
+            / d(col("nmid2") * 4))
+        + (lit(3.0) * d(col("ntypes2")) * pu) / d(col("nmid2") * 4))
+    val p = when(col("c12dot").isNull, pbi)
+      .otherwise(
+        when(col("c123").isNull, lit(0.0))
+          .otherwise(d(greatest(col("c123") * 4 - 3, lit(0L)))
+            / d(col("c12dot") * 4))
+        + (lit(3.0) * d(col("n1w12")) * pbi) / d(col("c12dot") * 4))
+    grams
+      .join(tri, Seq("gram"), "left")
+      .join(hist, concat(w1Of(col("gram")), lit(" "),
+        w2Of(col("gram"))) === col("__h"), "left")
+      .join(bp, concat(w2Of(col("gram")), lit(" "),
+        w3Of(col("gram"))) === col("__m"), "left")
+      .join(mid, w2Of(col("gram")) === col("__mw2"), "left")
+      .join(uni, w3Of(col("gram")) === col("__uw3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), log(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("__lp")) / count(lit(1))).as("logprob"))
+  }
+
+  /** The `k` least fluent documents under the corpus's own KN TRIGRAM
+    * LM — [[worstKKn]] one order up. Returns (idCol, rk). */
+  def worstKKn3(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    scoreDocsKn3(docs, idCol, textCol, train = docs)
+      .orderBy(col("logprob").asc, col(idCol)).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("logprob").asc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rk"))
+
   /** The `k` least fluent documents under the corpus's own KN bigram
     * LM — [[worstK]]'s surface with the production smoothing.
     * Returns (idCol, rk). */

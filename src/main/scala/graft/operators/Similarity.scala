@@ -104,6 +104,98 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019
+    * arXiv:1811.01136 §3: the CCMatrix/LASER bitext-mining criterion):
+    * absolute cosine over-retrieves in dense neighborhoods, so score
+    * each candidate pair by its cosine RELATIVE to both endpoints'
+    * neighborhoods — margin(x,y) = cos(x,y) / ((avgNNk(x→Y) +
+    * avgNNk(y→X)) / 2) with `ratio` margin and k-NN averages in both
+    * directions — then keep, per source vector, the best target BY
+    * MARGIN among its top-k cosine candidates (the forward strategy),
+    * ranked corpus-wide. The aligned-pair miner for parallel corpora,
+    * cross-modal pairs, or caption↔image alignment.
+    *
+    * Numerics: cosines fold bit-identically cross-engine (file-head
+    * contract); each neighborhood sum runs over FIXED-POINT cosines —
+    * floor(cos·1e18) as a long, summed exactly in DECIMAL(38,0) —
+    * and the margin is a FIXED chain of correctly-rounded double ops:
+    * cos / ((sx/1e18/cx + sy/1e18/cy) / 2). Every step (multiply,
+    * floor, exact integer sum, SCALE-0 decimal→double, divisions) is
+    * a single correctly-rounded conversion in both engines, so
+    * values, cuts, and ranks all gate hash-exact. (A DECIMAL(·,18)
+    * sum is NOT portable: converting a scaled decimal to double
+    * divides by 10^18 after a first rounding in some engines — two
+    * roundings, last-ulp drift. Scale 0 has no division, hence the
+    * fixed-point quantization; the documented semantics is
+    * "neighborhood averages quantized at 1e-18".)
+    *
+    * Scale shape: this form broadcasts the SOURCE side (a probe batch
+    * / one shard of the smaller language) into the target scan — the
+    * knnJoin contract; both rank windows and both stat aggs key on
+    * vector ids, so nothing exceeds one exchange of the candidate
+    * table per direction. For corpus×corpus mining, generate
+    * candidates with [[lshTableCandidates]]/[[ivfProbe]] and feed
+    * them to [[marginFromSims]] — the margin tail is
+    * candidate-bounded either way, never all-pairs. */
+  def marginMining(left: DataFrame, right: DataFrame, lVec: String,
+      lId: String, rVec: String, rId: String, k: Int,
+      n: Int): DataFrame = {
+    val sims = right
+      .select(col(rId).as("dst_id"), col(rVec).as("__rv"),
+        norm(col(rVec)).as("__rn"))
+      .crossJoin(broadcast(left.select(col(lId).as("src_id"),
+        col(lVec).as("__lv"), norm(col(lVec)).as("__ln"))))
+      .select(col("src_id"), col("dst_id"),
+        (dot(col("__rv"), col("__lv")) / (col("__rn") * col("__ln")))
+          .as("cos"))
+    marginFromSims(sims, k, n)
+  }
+
+  /** The margin tail over an arbitrary candidate table
+    * (src_id, dst_id, cos) — see [[marginMining]]. k-NN sets and their
+    * averages are computed WITHIN the candidate table (the standard
+    * practical approximation when candidates come from an ANN index);
+    * endpoints with fewer than k candidates average what they have. */
+  def marginFromSims(sims: DataFrame, k: Int, n: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val simsD = sims.withColumn("__cf",
+        floor(col("cos") * lit(1e18)).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))
+      .withColumn("__rs", row_number().over(Window
+        .partitionBy(col("src_id"))
+        .orderBy(col("cos").desc, col("dst_id"))))
+      .withColumn("__rd", row_number().over(Window
+        .partitionBy(col("dst_id"))
+        .orderBy(col("cos").desc, col("src_id"))))
+      .localCheckpoint() // feeds both stat aggs + the forward candidates
+    val srcStats = simsD.filter(col("__rs") <= k)
+      .groupBy(col("src_id"))
+      .agg(sum(col("__cf")).as("__sx"), count(lit(1)).as("__cx"))
+    val dstStats = simsD.filter(col("__rd") <= k)
+      .groupBy(col("dst_id"))
+      .agg(sum(col("__cf")).as("__sy"), count(lit(1)).as("__cy"))
+    val margin = col("cos") /
+      ((col("__sx").cast("double") / lit(1e18)
+          / col("__cx").cast("double")
+        + col("__sy").cast("double") / lit(1e18)
+          / col("__cy").cast("double"))
+        / lit(2.0))
+    val scored = simsD.filter(col("__rs") <= k)
+      .join(srcStats, Seq("src_id"))
+      .join(dstStats, Seq("dst_id"))
+      .withColumn("margin", margin)
+      .withColumn("__best", row_number().over(Window
+        .partitionBy(col("src_id"))
+        .orderBy(col("margin").desc, col("dst_id"))))
+      .filter(col("__best") === 1)
+      .orderBy(col("margin").desc, col("src_id")).limit(n)
+    scored.withColumn("rk", row_number().over(Window
+        .orderBy(col("margin").desc, col("src_id"))).cast("long"))
+      .select(col("src_id"), col("dst_id"), col("cos"), col("margin"),
+        col("rk"))
+  }
+
   // ----------------------------------------------------------------- LSH
 
   /** Query-directed multi-probe bucket order (multi-probe LSH, Lv et

@@ -461,7 +461,27 @@ object EventQueries {
          CAST(t.n AS DOUBLE) / f.n_from AS p
        FROM t JOIN f USING (from_state)"""
 
+  /** q203: retention cohort matrix
+    * ([[graft.operators.Funnel.retentionCohorts]]) — users grouped by
+    * their first-event DAY, counted on each later active day offset:
+    * the product-analytics staple next to q153's funnel. The log
+    * collapses to distinct (user, day) before anything else touches
+    * it; exact integers and dates — hash-exact. */
+  val q203_retention_cohorts: Q = (s, d) =>
+    graft.operators.Funnel.retentionCohorts(Tables.events(s, d),
+      "user_id", "ts")
+
+  val q203_oracle: String =
+    """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       c0 AS (SELECT u, min(d) AS c0 FROM days GROUP BY u)
+       SELECT c0.c0 AS cohort_date,
+         CAST(days.d - c0.c0 AS BIGINT) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM days JOIN c0 USING (u) GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q203_retention_cohorts" -> q203_retention_cohorts,
     "q160_majority_label" -> q160_majority_label,
     "q169_markov_transitions" -> q169_markov_transitions,
     "q161_bradley_terry" -> q161_bradley_terry,
@@ -482,6 +502,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q203_retention_cohorts" -> q203_oracle,
     "q160_majority_label" -> q160_oracle,
     "q169_markov_transitions" -> q169_oracle,
     "q161_bradley_terry" -> q161_oracle,

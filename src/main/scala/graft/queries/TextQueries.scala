@@ -2977,7 +2977,275 @@ object TextQueries {
        WHERE substr(d.text, CAST(u.i AS INT), len(t.phrase)) = t.phrase"""
   }
 
+  /** q195: proximity span pairs
+    * ([[graft.operators.Tagger.spanPairs]]) — every co-occurrence of
+    * two DIFFERENT q189-taxonomy entries within 40 characters (start-
+    * offset distance), per document: the relation-candidate surface
+    * over q194's span list. The pairing runs INSIDE the row (array
+    * higher-order functions over the one-pass automaton's output —
+    * zero joins, zero exchanges); the oracle self-joins its brute-
+    * forced span table, provably the same pair set. Exact integers
+    * end to end → hash-exact gate. */
+  val q195_span_pairs: Q = (s, d) =>
+    graft.operators.Tagger.spanPairs(Tables.documents(s, d),
+      "doc_id", "text", q189_dict, maxDist = 40)
+
+  val q195_oracle: String = {
+    val vals = q189_dict.zipWithIndex.map { case (p, i) =>
+      s"(CAST($i AS BIGINT), '$p')" }.mkString(", ")
+    s"""WITH sp AS (
+         SELECT d.doc_id, t.tag_id, CAST(u.i AS BIGINT) AS pos,
+           t.phrase
+         FROM documents d
+         JOIN (VALUES $vals) t(tag_id, phrase) ON true,
+         unnest(range(1, len(d.text) - len(t.phrase) + 2)) u(i)
+         WHERE substr(d.text, CAST(u.i AS INT), len(t.phrase))
+             = t.phrase)
+       SELECT a.doc_id, a.tag_id AS tag_a, a.pos AS pos_a,
+         a.phrase AS phrase_a, b.tag_id AS tag_b, b.pos AS pos_b,
+         b.phrase AS phrase_b
+       FROM sp a JOIN sp b
+         ON a.doc_id = b.doc_id AND a.tag_id < b.tag_id
+        AND abs(a.pos - b.pos) <= 40"""
+  }
+
+  /** q196: PMI collocation mining
+    * ([[graft.operators.Assoc.pmiTopK]]) — q157's co-occurrence
+    * counts turned into association strength: top-40 token pairs by
+    * lift = (n_xy·N)/(n_x·n_y) at support ≥ 5 (PMI = ln lift; ln is
+    * monotonic so the lift ordering IS the PMI ordering and no ln is
+    * ever computed). lift is one double division of double products
+    * of exact longs — bit-identical cross-engine, so the value, the
+    * cut, and the rank all gate hash-exact. */
+  val q196_pmi_collocations: Q = (s, d) =>
+    graft.operators.Assoc.pmiTopK(Tables.documents(s, d),
+      "doc_id", "text", minSupport = 5L, k = 40)
+
+  val q196_oracle: String =
+    """WITH t AS (SELECT doc_id,
+         list_distinct(string_split(text, ' ')) toks FROM documents),
+       e AS (SELECT doc_id, unnest(toks) tk FROM t),
+       p AS (SELECT a.tk AS x, b.tk AS y, CAST(count(*) AS BIGINT) AS n_xy
+         FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tk < b.tk
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+       df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM e
+         GROUP BY tk),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       l AS (SELECT p.x, p.y, p.n_xy, dx.df AS n_x, dy.df AS n_y,
+           (CAST(p.n_xy AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+             / (CAST(dx.df AS DOUBLE) * CAST(dy.df AS DOUBLE)) AS lift
+         FROM p JOIN df dx ON dx.tk = p.x JOIN df dy ON dy.tk = p.y
+         CROSS JOIN n)
+       SELECT x, y, n_xy, n_x, n_y, lift,
+         CAST(row_number() OVER (ORDER BY lift DESC, x, y) AS BIGINT)
+           AS rk
+       FROM l ORDER BY lift DESC, x, y LIMIT 40"""
+
+  /** q198: trigram Kneser–Ney fluency ranking
+    * ([[graft.operators.NgramLm.worstKKn3]], Chen & Goodman CL 1999
+    * §4.1.6) — q192's production smoothing at the order real LMs
+    * start at: worst-25 documents under the corpus's own interpolated
+    * trigram KN, every lower-order stat a CONTINUATION count derived
+    * from the one distinct-trigram table (what makes Σ_w3 P = 1 hold
+    * level by level — spec-proven). D = 3/4 keeps every ln input a
+    * fixed chain of correctly-rounded ops over exact integers; the
+    * id-tiebroken rank gates (q77 rule). */
+  val q198_kn3_fluency: Q = (s, d) =>
+    graft.operators.NgramLm.worstKKn3(Tables.documents(s, d),
+      "doc_id", "text", k = 25)
+
+  val q198_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+         FROM documents),
+       g AS (SELECT doc_id,
+           array_to_string(list_slice(a, u.i, u.i + 2), ' ') AS gram
+         FROM t, unnest(range(1, greatest(len(a) - 1, 1))) u(i)),
+       tc AS (SELECT gram, CAST(count(*) AS BIGINT) AS c123
+         FROM g GROUP BY gram),
+       sp AS (SELECT gram, c123,
+           split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+           split_part(gram, ' ', 3) AS w3 FROM tc),
+       hist AS (SELECT w1 || ' ' || w2 AS h,
+           CAST(sum(c123) AS BIGINT) AS c12dot,
+           CAST(count(*) AS BIGINT) AS n1w12 FROM sp GROUP BY 1),
+       bp AS (SELECT w2 AS bw2, w3 AS bw3,
+           CAST(count(*) AS BIGINT) AS nc23 FROM sp GROUP BY 1, 2),
+       mid AS (SELECT bw2, CAST(sum(nc23) AS BIGINT) AS nmid2,
+           CAST(count(*) AS BIGINT) AS ntypes2 FROM bp GROUP BY 1),
+       uni AS (SELECT bw3, CAST(count(*) AS BIGINT) AS ncont3
+         FROM bp GROUP BY 1),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bp),
+       gi AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2, split_part(gram, ' ', 3) AS w3
+         FROM g),
+       j AS (SELECT gi.doc_id, tc.c123, h.c12dot, h.n1w12, b.nc23,
+           m.nmid2, m.ntypes2, u.ncont3, nb.nb
+         FROM gi
+         LEFT JOIN tc ON tc.gram = gi.gram
+         LEFT JOIN hist h ON h.h = gi.w1 || ' ' || gi.w2
+         LEFT JOIN bp b ON b.bw2 = gi.w2 AND b.bw3 = gi.w3
+         LEFT JOIN mid m ON m.bw2 = gi.w2
+         LEFT JOIN uni u ON u.bw3 = gi.w3
+         CROSS JOIN nb),
+       j2 AS (SELECT *, CASE WHEN ncont3 IS NULL
+             THEN 1.0 / CAST(4 * nb AS DOUBLE)
+             ELSE CAST(ncont3 AS DOUBLE) / CAST(nb AS DOUBLE) END AS pu
+         FROM j),
+       j3 AS (SELECT *, CASE WHEN nmid2 IS NULL THEN pu
+             ELSE (CASE WHEN nc23 IS NULL THEN 0.0
+                   ELSE CAST(greatest(4 * nc23 - 3, 0) AS DOUBLE)
+                     / CAST(4 * nmid2 AS DOUBLE) END)
+               + (3.0 * CAST(ntypes2 AS DOUBLE) * pu)
+                 / CAST(4 * nmid2 AS DOUBLE) END AS pbi
+         FROM j2),
+       j4 AS (SELECT doc_id, CASE WHEN c12dot IS NULL THEN pbi
+             ELSE (CASE WHEN c123 IS NULL THEN 0.0
+                   ELSE CAST(greatest(4 * c123 - 3, 0) AS DOUBLE)
+                     / CAST(4 * c12dot AS DOUBLE) END)
+               + (3.0 * CAST(n1w12 AS DOUBLE) * pbi)
+                 / CAST(4 * c12dot AS DOUBLE) END AS pr
+         FROM j3),
+       sc AS (SELECT doc_id, sum(ln(pr)) / count(*) AS lp
+         FROM j4 GROUP BY doc_id)
+       SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lp ASC, doc_id) AS BIGINT)
+           AS rk
+       FROM sc ORDER BY lp ASC, doc_id LIMIT 25"""
+
+  /** q199: vocabulary-growth curve
+    * ([[graft.operators.Drift.vocabGrowth]], Heaps' law) — token
+    * instances and distinct token types seen after the first N
+    * documents (ascending doc_id), N = 50..500 by 50: the
+    * corpus-sizing report next to q178's frequency spectrum. Exact
+    * integers end to end (first-seen rank ≤ N, never sampled) —
+    * hash-exact; ranks ride the distributed PrefixSum, the only
+    * unpartitioned state is the 10-row ladder. */
+  val q199_vocab_growth: Q = (s, d) =>
+    graft.operators.Drift.vocabGrowth(Tables.documents(s, d),
+      "doc_id", "text", (1L to 10L).map(_ * 50L))
+
+  val q199_oracle: String = {
+    val vals = (1 to 10).map(i => s"(${i * 50})").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS a,
+           row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+       tok AS (SELECT rk, unnest(a) AS tk FROM d),
+       fr AS (SELECT tk, min(rk) AS fr FROM tok GROUP BY tk),
+       cp AS (SELECT * FROM (VALUES $vals) v(n))
+       SELECT CAST(cp.n AS BIGINT) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM d WHERE d.rk <= cp.n)
+           AS n_docs_seen,
+         (SELECT CAST(coalesce(sum(len(a)), 0) AS BIGINT) FROM d
+           WHERE d.rk <= cp.n) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM fr WHERE fr.fr <= cp.n)
+           AS n_types
+       FROM cp"""
+  }
+
+  /** q200: token dispersion report
+    * ([[graft.operators.Drift.dispersionTopK]], Gries IJCL 2008) —
+    * the 30 burstiest tokens (count ≥ 30) across SOURCES by the
+    * deviation-of-proportions DP: high-frequency tokens that live in
+    * one source are boilerplate, not vocabulary — what a raw
+    * frequency stoplist misses. DP = A/(2CN) with A an exact
+    * DECIMAL(38,0) sum of cross-products (absent parts in closed
+    * form), one division — DP VALUES gate hash-exact. */
+  val q200_dispersion: Q = (s, d) =>
+    graft.operators.Drift.dispersionTopK(Tables.documents(s, d),
+      "source", "text", minCount = 30L, k = 30)
+
+  val q200_oracle: String =
+    """WITH tp AS (SELECT source AS p,
+         unnest(string_split(text, ' ')) AS tok FROM documents),
+       c AS (SELECT p, tok, CAST(count(*) AS BIGINT) AS c
+         FROM tp GROUP BY 1, 2),
+       np AS (SELECT p, CAST(sum(c) AS BIGINT) AS np FROM c GROUP BY 1),
+       ct AS (SELECT tok AS t2, CAST(sum(c) AS BIGINT) AS ct
+         FROM c GROUP BY 1),
+       n AS (SELECT CAST(sum(np) AS BIGINT) AS n FROM np),
+       j AS (SELECT c.tok, ct.ct, n.n,
+           sum(abs(CAST(c.c AS HUGEINT) * n.n
+             - CAST(np.np AS HUGEINT) * ct.ct)) AS s1,
+           CAST(sum(np.np) AS BIGINT) AS sn
+         FROM c JOIN np USING (p) JOIN ct ON ct.t2 = c.tok
+         CROSS JOIN n GROUP BY 1, 2, 3),
+       a AS (SELECT tok, ct AS c,
+           CAST(s1 + CAST(ct AS HUGEINT) * (n - sn) AS DOUBLE)
+             / (2.0 * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE)) AS dp
+         FROM j WHERE ct >= 30)
+       SELECT tok, c, dp,
+         CAST(row_number() OVER (ORDER BY dp DESC, tok) AS BIGINT)
+           AS rk
+       FROM a ORDER BY dp DESC, tok LIMIT 30"""
+
+  /** q201: language-ID quality audit via Cohen's kappa
+    * ([[graft.operators.Labeling.cohenKappa]]) — chance-corrected
+    * agreement between q35's heuristic language ID and the labeled
+    * lang column: the label-QA number raw accuracy can't give on a
+    * skewed language mix. po/pe/kappa are fixed chains of
+    * correctly-rounded ops over exact integers (marginal products in
+    * DECIMAL(38,0)) — all three VALUES gate hash-exact. */
+  val q201_langid_kappa: Q = (s, d) =>
+    graft.operators.Labeling.cohenKappa(
+      q35_langid(s, d), "lang", "pred_lang")
+
+  val q201_oracle: String =
+    s"""WITH pred AS ($q35_oracle),
+       base AS (SELECT lang, pred_lang FROM pred
+         WHERE lang IS NOT NULL AND pred_lang IS NOT NULL),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS agree FROM base),
+       ma AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS na
+         FROM base GROUP BY 1),
+       mb AS (SELECT pred_lang AS c, CAST(count(*) AS BIGINT) AS nb
+         FROM base GROUP BY 1),
+       s AS (SELECT coalesce(sum(CAST(ma.na AS HUGEINT) * mb.nb), 0)
+           AS s FROM ma JOIN mb USING (c)),
+       k0 AS (SELECT nn.n, nn.agree,
+           CAST(nn.agree AS DOUBLE) / CAST(nn.n AS DOUBLE) AS po,
+           CAST(s.s AS DOUBLE)
+             / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS pe
+         FROM nn CROSS JOIN s)
+       SELECT n AS n_items, agree AS n_agree, po, pe,
+         CASE WHEN pe = 1.0 THEN NULL
+           ELSE (po - pe) / (1.0 - pe) END AS kappa
+       FROM k0"""
+
+  /** q202: per-source lexical diversity
+    * ([[graft.operators.Drift.lexicalDiversity]]) — token/type
+    * counts, type-token ratio, and Simpson's repeated-token
+    * probability per source: the template/boilerplate screen. Exact
+    * integer numerators, DECIMAL(38,0) sums, one division each —
+    * ttr and simpson VALUES gate hash-exact. */
+  val q202_lexical_diversity: Q = (s, d) =>
+    graft.operators.Drift.lexicalDiversity(Tables.documents(s, d),
+      "source", "text")
+
+  val q202_oracle: String =
+    """WITH tp AS (SELECT source AS part,
+         unnest(string_split(text, ' ')) AS tok FROM documents),
+       c AS (SELECT part, tok, CAST(count(*) AS BIGINT) AS c
+         FROM tp GROUP BY 1, 2),
+       a AS (SELECT part, CAST(sum(c) AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS tv,
+           sum(CAST(c AS HUGEINT) * (c - 1)) AS pairs
+         FROM c GROUP BY 1)
+       SELECT part, nt AS n_tokens, tv AS n_types,
+         CAST(tv AS DOUBLE) / CAST(nt AS DOUBLE) AS ttr,
+         CASE WHEN nt < 2 THEN NULL
+           ELSE CAST(pairs AS DOUBLE)
+             / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)
+         END AS simpson
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q200_dispersion" -> q200_dispersion,
+    "q201_langid_kappa" -> q201_langid_kappa,
+    "q202_lexical_diversity" -> q202_lexical_diversity,
+    "q199_vocab_growth" -> q199_vocab_growth,
+    "q198_kn3_fluency" -> q198_kn3_fluency,
+    "q196_pmi_collocations" -> q196_pmi_collocations,
+    "q195_span_pairs" -> q195_span_pairs,
     "q194_dict_spans" -> q194_dict_spans,
     "q192_kn_fluency" -> q192_kn_fluency,
     "q190_keyness_drift" -> q190_keyness_drift,
@@ -3062,6 +3330,13 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q200_dispersion" -> q200_oracle,
+    "q201_langid_kappa" -> q201_oracle,
+    "q202_lexical_diversity" -> q202_oracle,
+    "q199_vocab_growth" -> q199_oracle,
+    "q198_kn3_fluency" -> q198_oracle,
+    "q196_pmi_collocations" -> q196_oracle,
+    "q195_span_pairs" -> q195_oracle,
     "q194_dict_spans" -> q194_oracle,
     "q192_kn_fluency" -> q192_oracle,
     "q190_keyness_drift" -> q190_oracle,

@@ -75,6 +75,65 @@ object VectorQueries {
               * sqrt(list_dot_product(b.v, b.v))) >= 0.999
        ORDER BY cos DESC, id_a, id_b LIMIT 15"""
 
+  /** q197: margin-based parallel-pair mining
+    * ([[graft.operators.Similarity.marginMining]], Artetxe & Schwenk
+    * arXiv:1811.01136 — the CCMatrix/LASER bitext criterion): even
+    * vec_ids as the source language, odd as the target; for each
+    * source its best target BY MARGIN (cosine relative to both
+    * endpoints' k-NN neighborhoods, k=5), top-30 pairs corpus-wide.
+    * Cosines fold bit-identically; neighborhood sums are fixed-point
+    * longs (floor(cos·1e18), exact integer sums — a scaled-DECIMAL
+    * sum would cost a second rounding at the decimal→double cast in
+    * DuckDB); the margin is a fixed chain of correctly-rounded double
+    * ops the oracle replays in the same order — hash-exact gate. */
+  val q197_margin_mining: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.marginMining(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30)
+  }
+
+  val q197_oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                  FROM embeddings),
+       sims AS (
+         SELECT l.vec_id AS src_id, r.vec_id AS dst_id,
+           list_dot_product(r.v, l.v)
+             / (sqrt(list_dot_product(r.v, r.v))
+                * sqrt(list_dot_product(l.v, l.v))) AS cos
+         FROM e l JOIN e r
+           ON l.vec_id % 2 = 0 AND r.vec_id % 2 = 1),
+       rk AS (SELECT src_id, dst_id, cos,
+           CAST(floor(cos * 1e18) AS BIGINT) AS cf,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY cos DESC, dst_id) AS rs,
+           row_number() OVER (PARTITION BY dst_id
+             ORDER BY cos DESC, src_id) AS rd
+         FROM sims),
+       sx AS (SELECT src_id, sum(cf) AS sx,
+           CAST(count(*) AS BIGINT) AS cx
+         FROM rk WHERE rs <= 5 GROUP BY src_id),
+       sy AS (SELECT dst_id, sum(cf) AS sy,
+           CAST(count(*) AS BIGINT) AS cy
+         FROM rk WHERE rd <= 5 GROUP BY dst_id),
+       m AS (SELECT rk.src_id, rk.dst_id, rk.cos,
+           rk.cos / ((CAST(sx.sx AS DOUBLE) / 1e18
+               / CAST(sx.cx AS DOUBLE)
+             + CAST(sy.sy AS DOUBLE) / 1e18
+               / CAST(sy.cy AS DOUBLE))
+             / 2.0) AS margin
+         FROM rk JOIN sx USING (src_id) JOIN sy USING (dst_id)
+         WHERE rk.rs <= 5),
+       best AS (SELECT src_id, dst_id, cos, margin,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY margin DESC, dst_id) AS b
+         FROM m)
+       SELECT src_id, dst_id, cos, margin,
+         CAST(row_number() OVER (ORDER BY margin DESC, src_id)
+           AS BIGINT) AS rk
+       FROM best WHERE b = 1 ORDER BY margin DESC, src_id LIMIT 30"""
+
   /** q38: per-label embedding stats — norms through exact DECIMAL so the
     * cross-row mean is bit-stable. */
   val q38_embedding_stats: Q = (s, d) =>
@@ -1346,9 +1405,11 @@ object VectorQueries {
     "q37_cosine_pairs" -> q37_cosine_pairs,
     "q38_embedding_stats" -> q38_embedding_stats,
     "q39_knn_labels" -> q39_knn_labels,
-    "q40_ann_lsh_topk" -> q40_ann_lsh_topk)
+    "q40_ann_lsh_topk" -> q40_ann_lsh_topk,
+    "q197_margin_mining" -> q197_margin_mining)
 
   val oracles: Map[String, String] = Map(
+    "q197_margin_mining" -> q197_oracle,
     "q177_sq8_topk" -> q177_oracle,
     "q179_label_noise" -> q179_oracle,
     "q175_opq_learned_encode" -> q175_oracle,

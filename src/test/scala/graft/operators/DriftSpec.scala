@@ -73,4 +73,48 @@ class DriftSpec extends SparkSuite {
     assert(got.map(_._1).toSeq == (1L to 4L) &&
       got.map(_._2).distinct.length == 4)
   }
+
+  test("vocabGrowth == driver replay on the real corpus; curves " +
+      "monotone; tail checkpoint covers the whole corpus; ladder " +
+      "guards; partitioning independence") {
+    val cps = (1L to 10L).map(_ * 50L)
+    val got = Drift.vocabGrowth(docs, "doc_id", "text", cps)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val expect = cps.map { n =>
+      val pre = rows.take(n.toInt)
+      (n, pre.length.toLong,
+        pre.map(_._2.split(" ", -1).length.toLong).sum,
+        pre.flatMap(_._2.split(" ", -1)).distinct.length.toLong)
+    }
+    assert(got.toSeq == expect,
+      s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+    // monotone non-decreasing in every cumulative column
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4) }
+    // a checkpoint beyond the corpus reports the whole corpus
+    val beyond = Drift.vocabGrowth(docs, "doc_id", "text",
+        Seq(1000000L)).as[(Long, Long, Long, Long)].head()
+    assert(beyond._2 == rows.length.toLong &&
+      beyond._4 == rows.flatMap(_._2.split(" ", -1))
+        .distinct.length.toLong)
+    // partitioning independence: ranks come from the id order, not
+    // the physical layout
+    val shuffled = Drift.vocabGrowth(docs.repartition(7), "doc_id",
+        "text", cps).as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(shuffled.toSeq == expect)
+    intercept[IllegalArgumentException] {
+      Drift.vocabGrowth(docs, "doc_id", "text", Seq(100L, 50L))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.vocabGrowth(docs, "doc_id", "text", Seq(50L, 50L))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.vocabGrowth(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.vocabGrowth(docs, "doc_id", "text", (1L to 1001L))
+    }
+  }
 }

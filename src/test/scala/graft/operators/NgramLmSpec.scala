@@ -136,6 +136,85 @@ class NgramLmSpec extends SparkSuite {
     }
   }
 
+  test("trigram Kneser-Ney: scoreDocsKn3 == driver replay on every " +
+      "document; normalization Σ_w3 P = 1 holds level by level; " +
+      "salad worst; every backoff branch exact") {
+    val texts = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val tris = texts.flatMap { case (id, t) =>
+      val a = t.split(" ", -1)
+      (0 to a.length - 3).map(i => (id, (a(i), a(i + 1), a(i + 2)))) }
+    val c123 = tris.map(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val hist = c123.toSeq.groupBy(t => (t._1._1, t._1._2))
+      .map { case (h, gs) => h -> (gs.map(_._2).sum, gs.size.toLong) }
+    // continuation-bigram table B': distinct (w2,w3), nc23 = # distinct w1
+    val bp = c123.keys.toSeq.groupBy(t => (t._2, t._3))
+      .view.mapValues(_.size.toLong).toMap
+    val mid = bp.toSeq.groupBy(_._1._1).map { case (w2, gs) =>
+      w2 -> (gs.map(_._2).sum, gs.size.toLong) } // (nmid2, ntypes2)
+    val uni = bp.keys.toSeq.groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val nbv = bp.size.toDouble
+    def pu(w3: String) = uni.get(w3)
+      .map(n => n.toDouble / nbv).getOrElse(1.0 / (4.0 * nbv))
+    def pbi(w2: String, w3: String): Double = mid.get(w2) match {
+      case None => pu(w3)
+      case Some((nmid2, ntypes2)) =>
+        val t1 = bp.get((w2, w3)).map(nc =>
+          math.max(4 * nc - 3, 0).toDouble / (4 * nmid2).toDouble)
+          .getOrElse(0.0)
+        t1 + (3.0 * ntypes2 * pu(w3)) / (4 * nmid2).toDouble
+    }
+    def p(w1: String, w2: String, w3: String): Double =
+      hist.get((w1, w2)) match {
+        case None => pbi(w2, w3)
+        case Some((c12dot, n1w12)) =>
+          val t1 = c123.get((w1, w2, w3)).map(c =>
+            math.max(4 * c - 3, 0).toDouble / (4 * c12dot).toDouble)
+            .getOrElse(0.0)
+          t1 + (3.0 * n1w12 * pbi(w2, w3)) / (4 * c12dot).toDouble
+      }
+    val exp = tris.groupBy(_._1).map { case (id, gs) =>
+      id -> gs.map(g => math.log(p(g._2._1, g._2._2, g._2._3))).sum /
+        gs.length }
+    val got = NgramLm.scoreDocsKn3(corpus, "doc_id", "text", corpus)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == exp.size)
+    got.foreach { case (id, n, lp) =>
+      assert(n == tris.count(_._1 == id).toLong)
+      assert(math.abs(lp - exp(id)) < 1e-12, s"doc $id: $lp vs ${exp(id)}")
+    }
+    assert(NgramLm.worstKKn3(corpus, "doc_id", "text", 1)
+      .head().getLong(0) == 5L)
+    // normalization over the continuation vocab, level by level —
+    // this is WHY the middle-level stats must come from the trigram
+    // table (raw bigram counts break it); keys.toSeq before map (the
+    // r12 Set-dedup lesson)
+    val vocab = uni.keys.toSeq
+    assert(math.abs(vocab.map(pu).sum - 1.0) < 1e-9)
+    mid.keys.foreach { w2 =>
+      val mass = vocab.map(w3 => pbi(w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"w2=$w2 mass $mass") }
+    hist.keys.foreach { case h @ (h1, h2) =>
+      val mass = vocab.map(w3 => p(h1, h2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"hist=$h mass $mass") }
+    // backoff branches, each a single-trigram probe so the score is
+    // one ln with no sum — exact equality expected:
+    def lp1(text: String): Double =
+      NgramLm.scoreDocsKn3(Seq((99L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", corpus).head().getDouble(2)
+    // known history, unseen trigram, unseen (w2,w3), known w2/w3
+    assert(lp1("the cat dog") == math.log(p("the", "cat", "dog")))
+    assert(p("the", "cat", "dog") ==
+      (3.0 * hist(("the", "cat"))._2 * pbi("cat", "dog")) /
+        (4 * hist(("the", "cat"))._1).toDouble)
+    // unseen history, known (w2,w3) -> pure middle backoff
+    assert(lp1("mat cat sat") == math.log(pbi("cat", "sat")))
+    // fully alien -> the uniform floor one level down
+    assert(lp1("zig zag zog") == math.log(1.0 / (4.0 * nbv)))
+  }
+
   test("Kneser-Ney OOV contract: unseen gram with a known w1 backs " +
       "off to the continuation term alone; unseen w1 or w2 hits the " +
       "uniform floor 1/(4*NB) exactly") {

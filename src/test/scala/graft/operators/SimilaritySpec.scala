@@ -44,6 +44,63 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("marginMining == full driver replay of the Artetxe-Schwenk " +
+      "ratio margin on the real corpus (bit-exact values, cut, ranks)") {
+    val k = 5
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val left = rows.filter(_._1 % 2 == 0)
+    val right = rows.filter(_._1 % 2 == 1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(l: Array[Float], r: Array[Float]) =
+      dot(r, l) / (math.sqrt(dot(r, r)) * math.sqrt(dot(l, l)))
+    val sims = for ((lid, lv) <- left; (rid, rv) <- right)
+      yield (lid, rid, cos(lv, rv))
+    val bySrc = sims.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(k)).toMap
+    val byDst = sims.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).take(k)).toMap
+    // fixed-point replay: floor(cos*1e18) longs, exact integer sum,
+    // then the operator's rounded-op chain in the same order
+    def avg(ts: Seq[(Long, Long, Double)]) =
+      ts.map(t => BigInt(math.floor(t._3 * 1e18).toLong)).sum
+        .doubleValue / 1e18 / ts.length.toDouble
+    val expect = bySrc.toSeq.flatMap { case (src, cands) =>
+      val scored = cands.map { case (_, dst, c) =>
+        (dst, c, c / ((avg(bySrc(src)) + avg(byDst(dst))) / 2.0)) }
+      scored.sortBy(t => (-t._3, t._1)).headOption
+        .map { case (dst, c, m) => (src, dst, c, m) }
+    }.sortBy(t => (-t._4, t._1)).take(30)
+      .zipWithIndex.map { case ((s0, d0, c, m), i) =>
+        (s0, d0, c, m, (i + 1).toLong) }
+    val got = Similarity.marginMining(
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id", "embedding", "vec_id", k = k, n = 30)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+      .sortBy(_._5)
+    assert(got == expect,
+      s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+    // hub discount property: an exact duplicate pair must outrank a
+    // pair whose target is a hub equally close to several sources
+    val l2 = Seq((0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (4L, Array(0.1f, 0.1f, 1f))).toDF("vec_id", "embedding")
+    val r2 = Seq((1L, Array(1f, 0f, 0f)),
+      (3L, Array(0.6f, 0.6f, 0.52f))).toDF("vec_id", "embedding")
+    val mm = Similarity.marginMining(l2, r2, "embedding", "vec_id",
+        "embedding", "vec_id", k = 2, n = 10)
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val best = mm.minBy(_._5)
+    assert((best._1, best._2) == ((0L, 1L)), mm.mkString(", "))
+    intercept[IllegalArgumentException] {
+      Similarity.marginFromSims(l2.select($"vec_id".as("src_id"),
+        $"vec_id".as("dst_id"), lit(1.0).as("cos")), 0, 5)
+    }
+  }
+
   test("VecMean typed Aggregator equals the long-form centroid query") {
     import graft.functions.VecMean
     val byAgg = emb.as[(Long, Array[Float], Int)]

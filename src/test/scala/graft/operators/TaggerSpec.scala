@@ -55,6 +55,56 @@ class TaggerSpec extends SparkSuite {
     assert(viaSpans == viaTags)
   }
 
+  test("spanPairs == brute-force pair replay on the real corpus " +
+      "(distinct tags only, start-offset distance, boundary inclusive)") {
+    val dict = Seq("agg", "agg row", "scan", "merge")
+    val maxDist = 25
+    val got = Tagger.spanPairs(docs, "doc_id", "text", dict, maxDist)
+      .select($"doc_id", $"tag_a", $"pos_a", $"tag_b", $"pos_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    def spansOf(t: String) = for {
+      (p, tag) <- dict.zipWithIndex
+      i <- 0 to t.length - p.length
+      if t.regionMatches(i, p, 0, p.length)
+    } yield (tag.toLong, (i + 1).toLong)
+    val expect = (for {
+      (id, t) <- texts.toSeq
+      sp = spansOf(t)
+      (ta, pa) <- sp
+      (tb, pb) <- sp
+      if ta < tb && math.abs(pa - pb) <= maxDist
+    } yield (id, ta, pa, tb, pb)).toSet
+    assert(got == expect,
+      s"diff: ${(got diff expect).take(5)} / ${(expect diff got).take(5)}")
+    // same-tag pairs are excluded even at distance 0, and the boundary
+    // is inclusive: both pinned on a constructed row
+    val rows = Seq((1L, "agg x agg then a merge here agg")).toDF("id", "t")
+    // spans: agg@1, agg@7, agg@29 (same tag - never paired),
+    // merge@18; |1-18|=17, |7-18|=11, |29-18|=11
+    val small = Tagger.spanPairs(rows, "id", "t", Seq("agg", "merge"), 11)
+      .select($"pos_a", $"pos_b").as[(Long, Long)].collect().toSet
+    assert(small == Set((7L, 18L), (29L, 18L)), small.toString)
+    val atBoundary = Tagger.spanPairs(rows, "id", "t",
+        Seq("agg", "merge"), 17)
+      .select($"pos_a", $"pos_b").as[(Long, Long)].collect().toSet
+    assert(atBoundary == Set((1L, 18L), (7L, 18L), (29L, 18L)))
+    // nested entries at the same offset co-occur at distance 0
+    val nested = Tagger.spanPairs(
+        Seq((1L, "agg row")).toDF("id", "t"),
+        "id", "t", Seq("agg", "agg row"), 0)
+      .select($"tag_a", $"pos_a", $"tag_b", $"pos_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(nested == Set((0L, 1L, 1L, 1L)))
+    // null text yields no pairs; negative maxDist rejected
+    assert(Tagger.spanPairs(Seq((1L, Option.empty[String])).toDF("id", "t"),
+      "id", "t", Seq("a", "b"), 5).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Tagger.spanPairs(rows, "id", "t", Seq("a", "b"), -1)
+    }
+  }
+
   test("edge cases: phrase at start/end, overlapping occurrences, " +
       "phrase == whole text, no-match, null text, duplicate dict " +
       "rejected") {
