@@ -121,7 +121,14 @@ object Bench {
     import com.fasterxml.jackson.databind.JsonNode
     val name = """q[0-9]+[A-Za-z0-9_]*""".r
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def walk(node: JsonNode, out: scala.collection.mutable.Map[String, Double]): Unit =
+    // EXPLICIT precedence (ADVICE r12: the old single-map walk let
+    // Jackson field-iteration order decide which of a tail-embedded
+    // metric line and the driver's "parsed" object won on a
+    // disagreement): tail-derived values go to their own map and the
+    // structured "parsed"/"queries" values overwrite them at the end.
+    def walk(node: JsonNode,
+        out: scala.collection.mutable.Map[String, Double],
+        tailOut: scala.collection.mutable.Map[String, Double]): Unit =
       if (node != null && node.isObject) {
         val it = node.fields()
         while (it.hasNext) {
@@ -136,23 +143,26 @@ object Bench {
                   out(q.getKey) = q.getValue.asDouble()
               }
             case "tail" if e.getValue.isTextual =>
-              // the metric line is the last bare JSON line of stdout
+              // the metric line is the last bare JSON line of stdout;
+              // its values land in tailOut (the weaker channel)
               e.getValue.asText().linesIterator.toSeq.reverseIterator
                 .map(_.trim)
                 .find(l => l.startsWith("{") && l.endsWith("}"))
                 .foreach { l =>
-                  try walk(mapper.readTree(l), out)
+                  try walk(mapper.readTree(l), tailOut, tailOut)
                   catch { case _: Throwable => () }
                 }
-            case _ if e.getValue.isObject => walk(e.getValue, out)
+            case _ if e.getValue.isObject =>
+              walk(e.getValue, out, tailOut)
             case _ => ()
           }
         }
       }
     try {
       val out = scala.collection.mutable.Map.empty[String, Double]
-      walk(mapper.readTree(txt), out)
-      out.toMap
+      val tailOut = scala.collection.mutable.Map.empty[String, Double]
+      walk(mapper.readTree(txt), out, tailOut)
+      (tailOut ++ out).toMap // structured values win over the tail line
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -52,21 +52,22 @@ object Allocate {
       weightCol: String, budget: Long, maxDomains: Int = 100000)
       : DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val got = avail.limit(maxDomains + 1).count()
-    require(got <= maxDomains,
-      s"allocation frame has > maxDomains=$maxDomains rows — waterFill " +
-        "runs over per-domain aggregates, not a corpus")
-    // localCheckpoint the (bounded, just-guarded) frame: the plan
-    // below references it from four branches (prefix windows, totals,
-    // the boundary agg, and the final projection), and the caller's
-    // `avail` is typically a CORPUS aggregation — without the barrier
-    // each branch would re-run that corpus scan (the r09
-    // hammingHalvesPairs lesson, driver-plan variant)
+    // localCheckpoint the limit(maxDomains+1)-bounded projection FIRST,
+    // then guard on the checkpointed frame: the caller's `avail` is
+    // typically a CORPUS aggregation, and the plan below references it
+    // from four branches (prefix windows, totals, the boundary agg,
+    // and the final projection) — checkpointing before the guard means
+    // the upstream aggregation executes exactly once (ADVICE r12: the
+    // separate limit(maxDomains+1).count() guard was re-running it)
     val base = avail.select(col(domainCol).as("__d"),
         col(availCol).cast("long").as("__n"),
         col(weightCol).cast("long").as("__w"))
-      .limit(maxDomains)
+      .limit(maxDomains + 1)
       .localCheckpoint()
+    val got = base.count()
+    require(got <= maxDomains,
+      s"allocation frame has > maxDomains=$maxDomains rows — waterFill " +
+        "runs over per-domain aggregates, not a corpus")
     // scarcity order: ascending n/w, domain tiebreak (a total order —
     // one correctly-rounded double division, portable)
     val ord = Window.orderBy(

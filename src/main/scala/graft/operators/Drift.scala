@@ -42,10 +42,12 @@ object Drift {
     require(k >= 1, s"k must be >= 1, got $k")
     val ca = counts(a, textCol).select(col("tok"), col("c").as("ca"))
     val cb = counts(b, textCol).select(col("tok"), col("c").as("cb"))
-    val ta = a.select(explode(TextFunctions.tokens(col(textCol)))
-      .as("t")).agg(count(lit(1)).as("__ta"))
-    val tb = b.select(explode(TextFunctions.tokens(col(textCol)))
-      .as("t")).agg(count(lit(1)).as("__tb"))
+    // corpus token totals ARE the sums of the per-token aggregates —
+    // deriving them from ca/cb (exchange-reused subtrees) instead of
+    // two extra explode+count corpus passes (ADVICE r12) drops two
+    // full corpus scans; coalesce keeps the empty-corpus total at 0
+    val ta = ca.agg(coalesce(sum(col("ca")), lit(0L)).as("__ta"))
+    val tb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("__tb"))
     val joined = ca.join(cb, Seq("tok"), "full_outer")
       .select(col("tok"),
         coalesce(col("ca"), lit(0L)).as("ca"),

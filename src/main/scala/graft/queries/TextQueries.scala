@@ -2217,7 +2217,7 @@ object TextQueries {
        FROM documents)
        SELECT b.lang, count(*) AS n_docs,
          CAST(sum(b.doc_id) AS BIGINT) AS id_sum
-       FROM b JOIN th ON b.lang = th.lang
+       FROM b JOIN th ON b.lang IS NOT DISTINCT FROM th.lang
        WHERE b.u < th.lim GROUP BY b.lang"""
 
   /** q184: CCNet perplexity bucketing (NgramLm.perplexityBuckets

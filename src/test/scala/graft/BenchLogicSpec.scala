@@ -116,6 +116,20 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.parseBenchText("not json at all").isEmpty)
   }
 
+  test("parseBenchText precedence is EXPLICIT: when the tail's embedded " +
+      "metric line and the structured 'parsed' object disagree on a " +
+      "query's time (a rerun artifact), the structured value wins — " +
+      "never Jackson field-iteration order (ADVICE r12)") {
+    // q146 disagrees (tail says 9.999, parsed says 6.248); q145 only
+    // in the tail; q131 only in parsed — both orderings of the two
+    // top-level fields must yield the same map
+    val tailFirst = """{"tail":"{\"slowest\":{\"q146\":9.999,\"q145\":5.814}}\n","parsed":{"slowest":{"q146":6.248,"q131":4.339}}}"""
+    val parsedFirst = """{"parsed":{"slowest":{"q146":6.248,"q131":4.339}},"tail":"{\"slowest\":{\"q146\":9.999,\"q145\":5.814}}\n"}"""
+    val want = Map("q146" -> 6.248, "q145" -> 5.814, "q131" -> 4.339)
+    assert(Bench.parseBenchText(tailFirst) == want)
+    assert(Bench.parseBenchText(parsedFirst) == want)
+  }
+
   test("noiseRatio is max/min of the wall runs") {
     assert(Bench.noiseRatio(Seq(57.3, 70.5)) > 1.2)
     assert(Bench.noiseRatio(Seq(10.0, 10.0)) == 1.0)

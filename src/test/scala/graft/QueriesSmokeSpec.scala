@@ -15,6 +15,10 @@ class QueriesSmokeSpec extends SparkSuite {
       "janino's 64 KB limit fails the suite instead of silently " +
       "running interpreted (ADVICE r11: q154's inlined sign sums did " +
       "exactly that, and only a bench-tail stack trace betrayed it)") {
+    // restore whatever value the suite had, not a hardcoded "true"
+    // (ADVICE r12: a hardcoded restore would mask a future
+    // suite-level override of this conf)
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -23,7 +27,10 @@ class QueriesSmokeSpec extends SparkSuite {
           catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
-    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("every oracle key has a matching query") {
