@@ -36,8 +36,9 @@ object SparseSim {
   /** All pairs with n-gram count-vector cosine >= tNum/tDen.
     * Output: (id_a, id_b, dot, na2, nb2, cos).
     *
-    * Plan: gram-count postings (one (id, gram) hash agg) → df agg →
-    * capped inverted-index self-join → ids-distinct candidates →
+    * Plan: gram-count postings (one (id, gram) hash agg) → bucketed
+    * pair expansion (gram-keyed hash agg, arrays bounded by maxDf,
+    * a<b pairs unrolled in-plan) → ids-distinct candidates →
     * exact rerank joining both posting sides → integer threshold. */
   def countCosinePairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tNum: Int = 9, tDen: Int = 10,
@@ -62,14 +63,21 @@ object SparseSim {
         struct(col("gram"), col("cnt")))).as("m"),
         sum(col("cnt") * col("cnt")).as("n2"))
       .localCheckpoint()
-    val rare = p.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("gram"))
-    val pr = p.join(rare, Seq("gram"))
-    val cand = pr.select(col("id").as("id_a"), col("gram"))
-      .join(pr.select(col("id").as("id_b"), col("gram")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // candidate generation as BUCKETED pair expansion: one hash agg on
+    // gram collects each rare gram's posting ids (bounded by maxDf, so
+    // the per-bucket array is provably small), and the a<b pairs unroll
+    // in-plan from the sorted array — no df-filter join, no posting
+    // self-join, one shuffle instead of three (the Σ df² candidate
+    // row count is unchanged; what disappears is re-scanning and
+    // re-shuffling the posting frame per join side)
+    val cand = p.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+               struct(x AS id_a, y AS id_b))))""")).as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b")).distinct()
     cand
       .join(pmap.select(col("id").as("id_a"), col("m").as("ma"),
         col("n2").as("na2")), Seq("id_a"))
