@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Isotonic (monotone) probability calibration — the PAV fit that maps
+  * a classifier's raw score to a calibrated P(label=1 | score), the
+  * step a pipeline runs between [[Classifier]] scoring and any
+  * decision that treats the score as a probability (threshold picking
+  * against a precision target, expected-quality weighting, mixture
+  * budgeting). Zadrozny & Elkan (KDD'02) is the standard recipe;
+  * the estimator itself is Ayer et al. (Ann. Math. Stat. 1955).
+  *
+  * Algorithm: pool-adjacent-violators, computed via the CLOSED-FORM
+  * minimax identity (Robertson, Wright & Dykstra 1988, Thm 1.4.4)
+  * instead of the sequential pooling loop:
+  *
+  *   rate_k = min_{j>=k} max_{i<=k} mean(pos_i..pos_j / n_i..n_j)
+  *
+  * which needs only the O(B²) table of interval means over the B
+  * score bins — two running-extreme windows over that table, no
+  * iteration, no driver loop, so a SQL oracle replays it verbatim.
+  *
+  * Numerics: bin counts and positives are exact longs; every interval
+  * mean is ONE correctly-rounded double division of exact longs, so
+  * both engines build bit-identical mean tables, and running max/min
+  * over identical doubles select identically (the q183 house rule:
+  * data-dependent doubles gate exactly iff every step is a single
+  * correctly-rounded IEEE op). Two true means closer than one ulp
+  * (~1e-16 — counts would need to exceed 1e12 per bin) could round
+  * together; the selection is still deterministic and identical in
+  * both engines, so the gate holds regardless.
+  *
+  * Scale shape: the corpus-sized work is ONE partial+final hash agg
+  * (score → n, pos). Everything after runs on the BIN frame, which is
+  * model-sized by contract: `maxBins` is require-guarded after a
+  * localCheckpoint (the [[Allocate.waterFill]] pattern — the guard
+  * count and the downstream branches share one materialization), and
+  * the O(B²) pair frame plus its two windows stay bounded by the
+  * guard, never by the corpus. Callers with continuous scores bin
+  * them first (quantile or fixed-width) — which is also what keeps
+  * the calibration statistically honest. */
+object Calibrate {
+
+  /** Isotonic calibration curve over score bins. Input: one row per
+    * observation with an orderable `scoreCol` (the bin key) and a 0/1
+    * `labelCol`. Output: one row per distinct score —
+    * (score, n, pos, rate) with rate nondecreasing in score, the
+    * PAV-pooled empirical positive rate. */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+      maxBins: Int = 1024): DataFrame = {
+    require(maxBins >= 1 && maxBins <= 4096,
+      s"maxBins=$maxBins out of range — the pair frame is O(maxBins²)")
+    val bins = df.select(col(scoreCol).as("score"),
+        col(labelCol).cast("long").as("__l"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("pos"))
+      .limit(maxBins + 1)
+      .localCheckpoint()
+    require(bins.count() <= maxBins,
+      s"more than maxBins=$maxBins distinct scores — isotonicFit runs " +
+        "over score BINS (a model-sized frame); bin continuous scores " +
+        "before calibrating")
+    // bounded-frame windows (post-guard — the waterFill precedent):
+    // bin index + cumulative counts in ascending score order
+    val ord = Window.orderBy(col("score"))
+    val cum = bins
+      .withColumn("__k", row_number().over(ord))
+      .withColumn("__cn", sum(col("n")).over(ord))
+      .withColumn("__cp", sum(col("pos")).over(ord))
+    val lo = cum.select(col("__k").as("__i"), col("__cn").as("__cni"),
+      col("__cp").as("__cpi"), col("n").as("__ni"),
+      col("pos").as("__pi"))
+    val hi = cum.select(col("__k").as("__j"), col("__cn").as("__cnj"),
+      col("__cp").as("__cpj"))
+    // interval means m(i, j) = (S_j - S_{i-1}) / (C_j - C_{i-1}) for
+    // i <= j — prefixes difference via (cum_j - cum_i + bin_i)
+    val means = lo.join(hi, col("__i") <= col("__j"))
+      .select(col("__i"), col("__j"),
+        ((col("__cpj") - col("__cpi") + col("__pi")).cast("double") /
+         (col("__cnj") - col("__cni") + col("__ni")).cast("double"))
+          .as("__m"))
+    // G(k, j) = max_{i<=k} m(i, j): running max over i within each j;
+    // rate_k = min_{j>=k} G(k, j): reverse running min within each k,
+    // read off at j = k
+    val g = means.withColumn("__g", max(col("__m")).over(
+      Window.partitionBy(col("__j")).orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__i").as("__k"), col("__j"), col("__g"))
+    val fit = g.withColumn("__r", min(col("__g")).over(
+      Window.partitionBy(col("__k")).orderBy(col("__j").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__j") === col("__k"))
+      .select(col("__k"), col("__r"))
+    cum.join(fit, Seq("__k"))
+      .select(col("score"), col("n"), col("pos"), col("__r").as("rate"))
+  }
+}

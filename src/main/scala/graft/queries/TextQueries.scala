@@ -3238,7 +3238,59 @@ object TextQueries {
          END AS simpson
        FROM a"""
 
+  /** q204: isotonic probability calibration
+    * ([[graft.operators.Calibrate.isotonicFit]] scaladoc — PAV via
+    * the Robertson-Wright-Dykstra minimax closed form, so a SQL
+    * oracle replays the whole fit with two running-extreme windows
+    * over the O(B²) interval-mean table). The fixture bins documents
+    * by length (n_chars div 50) and draws a salted-md5 label whose
+    * true rate RISES with length — empirical bin rates wiggle
+    * non-monotonically at both gate SFs (measured: three adjacent
+    * inversions at sf0.01), so the gate exercises real pooling, not a
+    * pass-through. Every interval mean is one correctly-rounded
+    * double division of exact longs (the q183 rule), so rate VALUES
+    * gate hash-exact. */
+  val q204_isotonic_calibration: Q = (s, d) => {
+    val labeled = Tables.documents(s, d).select(
+      expr("n_chars div 50").as("score"),
+      (conv(substring(md5(concat(lit("cal:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < col("n_chars") * lit(7158278L)).cast("int").as("label"))
+    graft.operators.Calibrate.isotonicFit(labeled, "score", "label")
+  }
+
+  val q204_oracle: String =
+    """WITH b AS (SELECT n_chars // 50 AS score,
+         CASE WHEN CAST(('0x' || substr(md5('cal:' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < n_chars * 7158278
+           THEN 1 ELSE 0 END AS label
+       FROM documents),
+     bins AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS pos
+       FROM b GROUP BY score),
+     cum AS (SELECT score, n, pos,
+         row_number() OVER (ORDER BY score) AS k,
+         sum(n) OVER (ORDER BY score) AS cn,
+         sum(pos) OVER (ORDER BY score) AS cp
+       FROM bins),
+     means AS (SELECT lo.k AS i, hi.k AS j,
+         CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+           / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS m
+       FROM cum lo JOIN cum hi ON lo.k <= hi.k),
+     g AS (SELECT i AS k, j,
+         max(m) OVER (PARTITION BY j ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       FROM means),
+     fit AS (SELECT k, g AS rate FROM (
+         SELECT k, j, min(g) OVER (PARTITION BY k ORDER BY j DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM g) WHERE j = k)
+     SELECT c.score, c.n, c.pos, f.rate
+     FROM cum c JOIN fit f ON f.k = c.k"""
+
   val all: Map[String, Q] = Map(
+    "q204_isotonic_calibration" -> q204_isotonic_calibration,
     "q200_dispersion" -> q200_dispersion,
     "q201_langid_kappa" -> q201_langid_kappa,
     "q202_lexical_diversity" -> q202_lexical_diversity,
@@ -3333,6 +3385,7 @@ object TextQueries {
     "q200_dispersion" -> q200_oracle,
     "q201_langid_kappa" -> q201_oracle,
     "q202_lexical_diversity" -> q202_oracle,
+    "q204_isotonic_calibration" -> q204_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CalibrateSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Reference sequential PAVA: the textbook pool-adjacent-violators
+    * stack loop the minimax closed form must reproduce. Violation test
+    * is exact integer cross-multiplication; block rates expand back to
+    * one value per input bin. */
+  private def pava(bins: Seq[(Long, Long, Long)]): Seq[Double] = {
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    bins.sortBy(_._1).foreach { case (_, n, pos) =>
+      stack += ((n, pos, 1))
+      while (stack.size >= 2 && {
+        val (n2, p2, _) = stack(stack.size - 2)
+        val (n1, p1, _) = stack.last
+        p2 * n1 >= p1 * n2 // prev mean >= last mean: pool
+      }) {
+        val (n1, p1, c1) = stack.remove(stack.size - 1)
+        val (n2, p2, c2) = stack.remove(stack.size - 1)
+        stack += ((n2 + n1, p2 + p1, c2 + c1))
+      }
+    }
+    stack.toSeq.flatMap { case (n, p, c) =>
+      Seq.fill(c)(p.toDouble / n.toDouble) }
+  }
+
+  private def fit(bins: Seq[(Long, Long, Long)]): Seq[(Long, Double)] = {
+    val rows = bins.flatMap { case (s, n, pos) =>
+      Seq.fill(pos.toInt)((s, 1)) ++ Seq.fill((n - pos).toInt)((s, 0)) }
+    Calibrate.isotonicFit(rows.toDF("score", "label"), "score", "label")
+      .select($"score", $"rate").as[(Long, Double)].collect()
+      .sortBy(_._1).toSeq
+  }
+
+  test("minimax closed form == sequential PAVA, bit-exact rates " +
+      "(non-monotone fixture with interior inversions and ties)") {
+    val bins = Seq[(Long, Long, Long)](
+      (1L, 10L, 1L), (2L, 5L, 3L), (3L, 8L, 2L),  // inversion 0.6 -> 0.25
+      (4L, 4L, 2L), (5L, 6L, 3L),                 // tie 0.5 == 0.5
+      (6L, 10L, 9L), (7L, 3L, 1L), (8L, 2L, 2L))  // inversion 0.9 -> 0.33
+    val got = fit(bins)
+    val exp = pava(bins)
+    assert(got.map(_._2) == exp,
+      s"got ${got.map(_._2)} vs pava $exp")
+  }
+
+  test("rates are nondecreasing in score and each pooled block's rate " +
+      "is the block's exact pooled mean") {
+    val bins = Seq[(Long, Long, Long)](
+      (1L, 7L, 6L), (2L, 9L, 2L), (3L, 4L, 3L), (4L, 11L, 4L),
+      (5L, 5L, 5L))
+    val got = fit(bins)
+    assert(got.map(_._2) == pava(bins))
+    assert(got.map(_._2) == got.map(_._2).sorted, s"not monotone: $got")
+  }
+
+  test("already-isotonic input passes through unpooled") {
+    val bins = Seq[(Long, Long, Long)](
+      (1L, 10L, 1L), (2L, 10L, 3L), (3L, 10L, 7L))
+    assert(fit(bins).map(_._2) == Seq(0.1, 0.3, 0.7))
+  }
+
+  test("maxBins guard refuses a corpus-sized score domain") {
+    val rows = (1L to 50L).map(i => (i, (i % 2).toInt))
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.isotonicFit(rows.toDF("score", "label"),
+        "score", "label", maxBins = 10).collect()
+    }
+    assert(e.getMessage.contains("maxBins"))
+  }
+}
