@@ -621,6 +621,36 @@ object Multimodal {
           x => x.getField("s")), ";")).as("fingerprint"),
         count(lit(1)).as("n_frames"))
 
+  /** Shot-boundary (scene-cut) detection over decoded frames — the
+    * standard cheap first tier of a video-curation pipeline (segment
+    * footage at cuts before sampling clips for training): a frame
+    * starts a new shot when its per-channel pixel-sum L1 delta against
+    * the PREVIOUS decoded frame exceeds `minDelta`. Channel-sum deltas
+    * are the classic fast detector (a global-histogram difference in
+    * its coarsest form); exact integer arithmetic end to end, so the
+    * decision column gates under a SQL oracle while Spark derives the
+    * sums from real codec output.
+    *
+    * Scale shape: one window keyed by media_id ordered by frame_idx —
+    * partitions are VIDEO-sized (a few thousand frames), never
+    * corpus-sized, and the decode upstream is a pure flatMap, so the
+    * only shuffle is the per-video repartition the window needs.
+    * Frame 0 has no predecessor and is not a transition row. */
+  def sceneCuts(frames: Dataset[FrameRow], minDelta: Long): DataFrame = {
+    require(minDelta >= 0, s"minDelta must be >= 0, got $minDelta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.toDF()
+      .withColumn("__delta",
+        abs(col("sum_r") - lag(col("sum_r"), 1).over(w)) +
+        abs(col("sum_g") - lag(col("sum_g"), 1).over(w)) +
+        abs(col("sum_b") - lag(col("sum_b"), 1).over(w)))
+      .filter(col("__delta").isNotNull)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("__delta").as("delta"),
+        (col("__delta") > minDelta).as("is_cut"))
+  }
+
   /** Per-row GIF frame decode against a partition-shared reader. */
   private def gifFrames(reader: javax.imageio.ImageReader, id: Long,
       payload: Array[Byte], stride: Int): Seq[FrameRow] = {

@@ -617,7 +617,45 @@ object MultimodalQueries {
          min(n_frames) AS n_frames
        FROM fp GROUP BY 1"""
 
+  /** q205: shot-boundary detection over REAL decoded video frames
+    * ([[Multimodal.sceneCuts]] scaladoc — channel-sum L1 delta vs the
+    * previous frame, the classic cheap cut detector). Spark decodes
+    * the actual GIF containers at stride 1 and diffs codec output;
+    * DuckDB recomputes every frame's channel sums ANALYTICALLY from
+    * the closed-form synthetic pixels (the q87 contract) and replays
+    * the lag + threshold. minDelta = 800 cuts through the fixture's
+    * delta distribution (192..1728, median 704 — measured 637 of
+    * 1500 transitions flagged at sf0.01), so both the delta
+    * arithmetic and the boolean decision are load-bearing. */
+  val q205_scene_cuts: Q = (s, d) =>
+    Multimodal.sceneCuts(
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideoTable(Tables.documents(s, d)),
+        stride = 1),
+      minDelta = 800L)
+
+  val q205_oracle: String =
+    """WITH f AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS nf
+         FROM documents),
+       fr AS (SELECT doc_id, CAST(t.i AS INT) AS fi
+         FROM f, unnest(range(0, nf)) AS t(i)),
+       px AS (SELECT doc_id, fi,
+           ((doc_id * 2654435761 + fi * 977 + x.i * 31 + y.i * 131)
+             & 255) AS idx
+         FROM fr, range(0, 8) AS x(i), range(0, 8) AS y(i)),
+       sums AS (SELECT doc_id, fi, sum(idx) AS sr,
+           sum(255 - idx) AS sg, sum((idx * 73) & 255) AS sb
+         FROM px GROUP BY 1, 2),
+       d AS (SELECT doc_id, fi,
+           abs(sr - lag(sr) OVER w) + abs(sg - lag(sg) OVER w)
+             + abs(sb - lag(sb) OVER w) AS delta
+         FROM sums WINDOW w AS (PARTITION BY doc_id ORDER BY fi))
+       SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+         CAST(delta AS BIGINT) AS delta, delta > 800 AS is_cut
+       FROM d WHERE delta IS NOT NULL"""
+
   val all: Map[String, Q] = Map(
+    "q205_scene_cuts" -> q205_scene_cuts,
     "q103_video_crossdedup" -> q103_video_crossdedup,
     "q102_audio_fingerprint" -> q102_audio_fingerprint,
     "q100_image_neardup" -> q100_image_neardup,
@@ -634,6 +672,7 @@ object MultimodalQueries {
     "q43_media_features" -> q43_media_features)
 
   val oracles: Map[String, String] = Map(
+    "q205_scene_cuts" -> q205_oracle,
     "q103_video_crossdedup" -> q103_oracle,
     "q102_audio_fingerprint" -> q102_oracle,
     "q100_image_neardup" -> q100_oracle,

@@ -305,4 +305,22 @@ class MultimodalSpec extends SparkSuite {
       .filter(_.meta.kind != "video")
     assert(Multimodal.decodeVideoFrames(nonVideo, stride = 1).isEmpty)
   }
+
+  test("sceneCuts: per-media lag deltas, threshold decision, and no " +
+      "transition row for frame 0 (hand-built frames, codec-free)") {
+    val frames = Seq(
+      // media 1: sums step 100 -> 150 -> 400 (deltas 150, 750)
+      Multimodal.FrameRow(1L, 0, 8, 8, 100L, 0L, 0L),
+      Multimodal.FrameRow(1L, 1, 8, 8, 200L, 50L, 0L),
+      Multimodal.FrameRow(1L, 2, 8, 8, 100L, 50L, 650L),
+      // media 2: single frame — no transitions at all
+      Multimodal.FrameRow(2L, 0, 8, 8, 7L, 7L, 7L)
+    ).toDS()
+    val got = Multimodal.sceneCuts(frames, minDelta = 500L)
+      .select($"media_id", $"frame_idx", $"delta", $"is_cut")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 150L, false),   // |200-100| + |50-0| + 0
+      (1L, 2L, 750L, true)))   // |100-200| + 0 + |650-0|
+  }
 }
