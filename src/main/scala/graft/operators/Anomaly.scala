@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-rate anomaly detection — the "did something spike?" monitor a
+  * pipeline owner runs over an ingest or crawl event log: per key
+  * (event type, source, host…), each hour's arrival count is compared
+  * against the trailing-window hourly average, and hours whose rate
+  * exceeds `factorNum/factorDen` times that baseline are flagged. The
+  * operational sibling of [[Drift.keynessTopK]] (content drift) and
+  * [[Curation.robustOutliers]] (static distribution outliers), on the
+  * time axis.
+  *
+  * Exactness: the decision is pure integer cross-multiplication —
+  * n · trailing · factorDen > factorNum · baseline — over exact hour
+  * buckets (`date_trunc` then epoch-hour integer division, identical
+  * in both engines), so the flag gates hash-exact. The trailing
+  * baseline is a RANGE window over the integer hour index, which
+  * makes empty hours contribute zero WITHOUT materializing them (a
+  * calendar scaffold join would manufacture corpus-independent rows;
+  * the range frame reads only rows that exist). Hours earlier than
+  * `trailing` hours after a key's first activity are withheld — their
+  * baseline window is not fully covered by observed history.
+  *
+  * Scale shape: one partial+final hash agg to (key, hour) — the only
+  * corpus-sized stage — then one window over the per-key hourly
+  * series (years of hours per key is ~10⁴ rows: executor-trivial,
+  * and keys partition independently). */
+object Anomaly {
+
+  /** Hourly burst census per key. Output: (key, bucket_hour
+    * (epoch-hours), n, baseline, is_burst) for every observed hour
+    * with a fully-covered trailing window; is_burst ⟺
+    * n · trailing · factorDen > factorNum · baseline. */
+  def burstBuckets(events: DataFrame, keyCol: String, tsCol: String,
+      trailing: Int, factorNum: Long, factorDen: Long): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    require(factorNum > 0 && factorDen > 0,
+      s"factor $factorNum/$factorDen must be positive")
+    val b = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(date_trunc('hour', `$tsCol`)) div 3600")
+          .as("h"))
+      .groupBy(col("key"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("key")).orderBy(col("h"))
+      .rangeBetween(-trailing, -1)
+    val perKey = Window.partitionBy(col("key"))
+    b.withColumn("baseline",
+        coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("__h0", min(col("h")).over(perKey))
+      .filter(col("h") >= col("__h0") + trailing)
+      .select(col("key"), col("h").as("bucket_hour"), col("n"),
+        col("baseline"),
+        (col("n") * trailing * factorDen >
+          lit(factorNum) * col("baseline")).as("is_burst"))
+  }
+}

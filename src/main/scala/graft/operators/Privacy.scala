@@ -29,6 +29,25 @@ object Privacy {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** l-diversity profile (Machanavajjhala et al., ICDE 2006) — the
+    * audit k-anonymity misses: a class can be large yet leak the
+    * sensitive attribute outright when every member SHARES it
+    * (homogeneity attack). One row per quasi-identifier equivalence
+    * class with its size, the number of DISTINCT sensitive values,
+    * and an `at_risk` flag (distinct sensitive < l). Same hash-agg
+    * shape as [[kAnonymityClasses]]; the distinct count is Spark's
+    * two-phase partial-distinct aggregate, so a mega-class combines
+    * upstream exactly like exact dedup. */
+  def lDiversityClasses(df: DataFrame, quasiIds: Seq[Column],
+      sensitive: Column, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Corpus-level k-anonymity summary: class census plus the headline
     * numbers a release review reads — how many records sit in
     * sub-k classes and what fraction of the corpus that is. */

@@ -480,7 +480,82 @@ object EventQueries {
          CAST(count(*) AS BIGINT) AS n_users
        FROM days JOIN c0 USING (u) GROUP BY 1, 2"""
 
+  /** q206: hourly burst detection ([[graft.operators.Anomaly
+    * .burstBuckets]] scaladoc — per-type hourly counts vs a
+    * trailing-24h RANGE-window baseline, empty hours contributing
+    * zero without a calendar scaffold). factor 3/1 cuts through the
+    * fixture's Poisson noise at both SFs (measured: 549/833 flagged
+    * at sf0.001, 21/3272 at sf0.01) and the decision is exact integer
+    * cross-multiplication, so the flag gates hash-exact. */
+  val q206_burst_hours: Q = (s, d) =>
+    graft.operators.Anomaly.burstBuckets(Tables.events(s, d),
+      "event_type", "ts", trailing = 24, factorNum = 3, factorDen = 1)
+
+  val q206_oracle: String =
+    """WITH b AS (SELECT event_type AS key,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       GROUP BY 1, 2),
+     w AS (SELECT key, h, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY key ORDER BY h
+           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS baseline,
+         min(h) OVER (PARTITION BY key) AS h0
+       FROM b)
+     SELECT key, h AS bucket_hour, n, baseline,
+       n * 24 * 1 > 3 * baseline AS is_burst
+     FROM w WHERE h >= h0 + 24"""
+
+  /** q208: multi-touch attribution ([[graft.operators.Attribution
+    * .touchCredits]] scaladoc — view/click touches credited to the
+    * purchase that closes their path; deliberately ALL-INTEGER
+    * surface per (channel, path_len): participations, first-touch
+    * closures, last-touch closures — linear credit reads off as
+    * Σ n_touches/path_len without ever gating a float sum). */
+  val q208_attribution: Q = (s, d) =>
+    graft.operators.Attribution.touchCredits(Tables.events(s, d),
+      "user_id", "event_type", Seq("ts", "event_id"),
+      touchTypes = Seq("view", "click"), convType = "purchase")
+
+  val q208_oracle: String =
+    """WITH e AS (SELECT user_id u, event_type t, ts, event_id,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pk
+       FROM events
+       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         AND event_id IS NOT NULL
+         AND event_type IN ('view', 'click', 'purchase')),
+     closed AS (SELECT u, pk FROM e WHERE t = 'purchase'),
+     t2 AS (SELECT e.u, e.pk, e.t AS channel, e.ts, e.event_id
+       FROM e JOIN closed USING (u, pk) WHERE e.t <> 'purchase'),
+     t3 AS (SELECT u, pk, channel,
+         CAST(count(*) OVER (PARTITION BY u, pk) AS BIGINT)
+           AS path_len,
+         row_number() OVER (PARTITION BY u, pk
+           ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY u, pk
+           ORDER BY ts DESC, event_id DESC) AS rl
+       FROM t2),
+     tc AS (SELECT channel, path_len,
+         CAST(count(*) AS BIGINT) AS n_touches
+       FROM t3 GROUP BY 1, 2),
+     fc AS (SELECT channel, path_len,
+         CAST(count(*) AS BIGINT) AS n_first
+       FROM t3 WHERE rf = 1 GROUP BY 1, 2),
+     lc AS (SELECT channel, path_len,
+         CAST(count(*) AS BIGINT) AS n_last
+       FROM t3 WHERE rl = 1 GROUP BY 1, 2)
+     SELECT tc.channel, tc.path_len, tc.n_touches,
+       CAST(coalesce(fc.n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(lc.n_last, 0) AS BIGINT) AS n_last
+     FROM tc LEFT JOIN fc USING (channel, path_len)
+     LEFT JOIN lc USING (channel, path_len)"""
+
   val all: Map[String, Q] = Map(
+    "q206_burst_hours" -> q206_burst_hours,
+    "q208_attribution" -> q208_attribution,
     "q203_retention_cohorts" -> q203_retention_cohorts,
     "q160_majority_label" -> q160_majority_label,
     "q169_markov_transitions" -> q169_markov_transitions,
@@ -502,6 +577,8 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q206_burst_hours" -> q206_oracle,
+    "q208_attribution" -> q208_oracle,
     "q203_retention_cohorts" -> q203_oracle,
     "q160_majority_label" -> q160_oracle,
     "q169_markov_transitions" -> q169_oracle,

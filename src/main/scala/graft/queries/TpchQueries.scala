@@ -926,7 +926,32 @@ object TpchQueries {
            AS verdict
        FROM scored WHERE score >= 13000"""
 
+  /** q207: l-diversity release audit
+    * ([[graft.operators.Privacy.lDiversityClasses]] scaladoc — the
+    * homogeneity-attack check k-anonymity misses). Quasi-identifiers
+    * (nation, floor(acctbal/2000)) against the market segment as the
+    * sensitive attribute at l=3: the ~150-class space over small-SF
+    * row counts leaves genuinely homogeneous classes (measured: 87 of
+    * 93 at sf0.001, 3 of 125 at sf0.01), so the flag is load-bearing.
+    * The bucket edge uses floor of one correctly-rounded double
+    * division — identical in both engines (a raw double→long CAST
+    * would round in DuckDB and truncate in Spark). */
+  val q207_l_diversity: Q = (s, d) =>
+    graft.operators.Privacy.lDiversityClasses(Tables.customer(s, d),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+      col("c_mktsegment"), l = 3)
+
+  val q207_oracle: String =
+    """SELECT c_nationkey,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+         count(DISTINCT c_mktsegment) < 3 AS at_risk
+       FROM customer GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q207_l_diversity" -> q207_l_diversity,
     "q193_linkage_capped" -> q193_linkage_capped,
     "q191_incremental_linkage" -> q191_incremental_linkage,
     "q187_record_linkage" -> q187_record_linkage,
@@ -968,6 +993,7 @@ object TpchQueries {
     "q187_record_linkage" -> q187_oracle,
     "q159_edit_join" -> q159_oracle,
     "q163_k_anonymity" -> q163_oracle,
+    "q207_l_diversity" -> q207_oracle,
     "q80_scd2_history" -> q80_oracle,
     "q61_outer_join" -> q61_oracle,
     "q62_window_nav" -> q62_oracle,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class AnomalySpec extends SparkSuite {
+  import spark.implicits._
+
+  // hand-built hourly log for key "a": hours 0..3 quiet (1 event each),
+  // hour 5 a spike of 9, hour 6 back to 1; key "b" never has enough
+  // history. Hour 4 is EMPTY — the range window must treat it as zero
+  // without a scaffold row.
+  private def ts(h: Int, m: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private lazy val log = (
+    Seq.tabulate(4)(h => ("a", ts(h))) ++
+    Seq.tabulate(9)(m => ("a", ts(5, m))) ++
+    Seq(("a", ts(6))) ++
+    Seq(("b", ts(0)), ("b", ts(1)))
+  ).toDF("key", "ts")
+
+  test("burstBuckets: trailing-3h range baseline skips the empty hour, " +
+      "withholds under-covered history, and the integer decision " +
+      "matches the hand calculation") {
+    val got = Anomaly.burstBuckets(log, "key", "ts",
+        trailing = 3, factorNum = 2, factorDen = 1)
+      .select($"key", $"bucket_hour", $"n", $"baseline", $"is_burst")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2 % 24, r._3, r._4, r._5)).sortBy(r => (r._1, r._2))
+    // hour 3: baseline = hours 0,1,2 = 3; 1*3*1 > 2*3 ? no
+    // hour 5: baseline = hours 2,3 (+ empty 4) = 2; 9*3 > 2*2 ? yes
+    // hour 6: baseline = hours 3,(4),5 = 1+9 = 10; 1*3 > 20 ? no
+    // key b: first hour 0, nothing at h >= 3 -> no rows
+    assert(got.toSeq == Seq(
+      ("a", 3L, 1L, 3L, false),
+      ("a", 5L, 9L, 2L, true),
+      ("a", 6L, 1L, 10L, false)))
+  }
+
+  test("burstBuckets: a quiet-history key's first activity after a gap " +
+      "flags against a zero baseline (any rate beats an empty window)") {
+    val sparse = Seq(("k", ts(0)), ("k", ts(10))).toDF("key", "ts")
+    val got = Anomaly.burstBuckets(sparse, "key", "ts",
+        trailing = 3, factorNum = 2, factorDen = 1)
+      .select($"bucket_hour" % 24, $"n", $"baseline", $"is_burst")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, 1L, 0L, true)))
+  }
+}

@@ -32,6 +32,26 @@ class PrivacySpec extends SparkSuite {
     assert(got == ((3L, 8L, 2L, 3L, 3.0 / 8)))
   }
 
+  test("lDiversityClasses: a LARGE but homogeneous class is flagged " +
+      "(the homogeneity attack k-anonymity misses), a small diverse " +
+      "one is not") {
+    val rows = Seq(
+      // class (us,1): 5 rows, all sensitive 'x' -> k-anonymous, NOT
+      // l-diverse at l=2
+      ("us", 1, "x"), ("us", 1, "x"), ("us", 1, "x"),
+      ("us", 1, "x"), ("us", 1, "x"),
+      // class (fr,1): 2 rows, 2 distinct -> diverse
+      ("fr", 1, "x"), ("fr", 1, "y")
+    ).toDF("country", "band", "diag")
+    val got = Privacy.lDiversityClasses(rows,
+        Seq(col("country"), col("band")), col("diag"), l = 2)
+      .select($"country", $"band", $"class_size", $"n_sensitive",
+        $"at_risk")
+      .as[(String, Int, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("us", 1, 5L, 1L, true), ("fr", 1, 2L, 2L, false)))
+  }
+
   test("quantileProfile: order statistics match a sorted-Seq " +
       "reference, including size-1 and size-2 groups") {
     val rows = Seq.tabulate(37)(i => ("big", (i * 7 + 3) % 100, i)) ++
