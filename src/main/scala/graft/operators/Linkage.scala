@@ -63,7 +63,13 @@ object Linkage {
     * never feeds an exchange (the q82/q150 incremental-operator
     * contract, plan-pinned in LinkageSpec). Use when
     * |delta| × row width fits a broadcast (the usual batch-ingest
-    * case); fall back to [[scorePairs]] for registry-vs-registry. */
+    * case); fall back to [[scorePairs]] for registry-vs-registry.
+    *
+    * This is also the STREAMING shape: pair scores are per-(registry
+    * row, delta row) and blocking is registry-side, so the operator
+    * is micro-batch decomposable — run it per batch under
+    * `foreachBatch` and the union of batch outputs equals one batch
+    * run over the whole delta (StreamingSpec pins the equality). */
   def scorePairsIncremental(registry: DataFrame, delta: DataFrame,
       idColA: String, idColB: String, blockCols: Seq[String],
       fields: Seq[FieldRule], minScore: Long, tMatch: Long,

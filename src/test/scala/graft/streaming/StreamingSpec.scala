@@ -623,4 +623,53 @@ class StreamingSpec extends SparkSuite {
         (2L, 2L, "hash join"), (2L, 3L, "spark")))
     } finally q.stop()
   }
+
+  test("streaming record linkage (link-on-ingest): foreachBatch over " +
+      "Linkage.scorePairsIncremental, union of micro-batch outputs == " +
+      "one batch run over the whole delta — pair scores are per-row " +
+      "and blocking is registry-side, so the kernel is micro-batch " +
+      "decomposable") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Linkage
+    val fields = Seq(Linkage.FieldRule("name", 10L, -5L),
+      Linkage.FieldRule("seg", 4L, -2L))
+    val registry = Seq(
+      (1L, "ann lee", "paris", "auto"),
+      (2L, "bo chen", "paris", "bike"),
+      (3L, "cy dole", "tokyo", "auto")
+    ).toDF("rid", "name", "city", "seg")
+    def link(delta: org.apache.spark.sql.DataFrame) =
+      Linkage.scorePairsIncremental(registry, delta, "rid", "did",
+        blockCols = Seq("city"), fields, minScore = 5L, tMatch = 14L)
+    val delta = Seq(
+      (10L, "ann lee", "paris", "auto"),   // exact: 14 -> match
+      (11L, "ann lee", "paris", "moto"),   // name only: 8 -> possible
+      (12L, "bo chen", "osaka", "bike"),   // wrong block: no candidate
+      (13L, "cy dole", "tokyo", "auto"))   // exact: 14 -> match
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = input.toDF().toDF("did", "name", "city", "seg")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = link(batch)
+          .as[(Long, Long, Long, Long, String)].collect()
+        out.synchronized { out ++= rows }; ()
+      }.start()
+    try {
+      input.addData(delta.take(2): _*)
+      q.processAllAvailable()
+      input.addData(delta.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchRun = link(delta.toDF("did", "name", "city", "seg"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(out.toSet == batchRun)
+    assert(out.toSet == Set(
+      (1L, 10L, 2L, 14L, "match"),
+      (1L, 11L, 1L, 8L, "possible"),
+      (3L, 13L, 2L, 14L, "match")))
+  }
 }
