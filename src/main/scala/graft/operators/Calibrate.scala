@@ -49,52 +49,74 @@ object Calibrate {
     * (score, n, pos, rate) with rate nondecreasing in score, the
     * PAV-pooled empirical positive rate. */
   def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+      maxBins: Int = 1024): DataFrame =
+    isotonicFitGrouped(
+      df.withColumn("__grp", lit(0)), "__grp", scoreCol, labelCol,
+      maxBins).drop("__grp")
+
+  /** Per-group isotonic calibration — one independent PAV curve per
+    * `groupCol` value (per language, per source, per classifier
+    * head…), which is the shape a real calibration pass takes: one
+    * global curve is wrong whenever the score distribution shifts
+    * across strata. A null group is a stratum like any other (the
+    * q183/temperatureMix contract): grouping keeps it and the
+    * pair join is null-safe. Output: (group, score, n, pos, rate),
+    * rate nondecreasing within each group.
+    *
+    * `maxBins` bounds the TOTAL bin frame across all groups, which
+    * also bounds the pair frame (Σ_g B_g² <= (Σ_g B_g)²). */
+  def isotonicFitGrouped(df: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String,
       maxBins: Int = 1024): DataFrame = {
     require(maxBins >= 1 && maxBins <= 4096,
       s"maxBins=$maxBins out of range — the pair frame is O(maxBins²)")
-    val bins = df.select(col(scoreCol).as("score"),
-        col(labelCol).cast("long").as("__l"))
+    val bins = df.select(col(groupCol).as("__g0"),
+        col(scoreCol).as("score"), col(labelCol).cast("long").as("__l"))
       .filter(col("score").isNotNull)
-      .groupBy(col("score"))
+      .groupBy(col("__g0"), col("score"))
       .agg(count(lit(1)).as("n"), sum(col("__l")).as("pos"))
       .limit(maxBins + 1)
       .localCheckpoint()
     require(bins.count() <= maxBins,
-      s"more than maxBins=$maxBins distinct scores — isotonicFit runs " +
-        "over score BINS (a model-sized frame); bin continuous scores " +
-        "before calibrating")
+      s"more than maxBins=$maxBins (group, score) bins — isotonicFit " +
+        "runs over score BINS (a model-sized frame); bin continuous " +
+        "scores before calibrating")
     // bounded-frame windows (post-guard — the waterFill precedent):
-    // bin index + cumulative counts in ascending score order
-    val ord = Window.orderBy(col("score"))
+    // bin index + cumulative counts in ascending score order per group
+    val ord = Window.partitionBy(col("__g0")).orderBy(col("score"))
     val cum = bins
       .withColumn("__k", row_number().over(ord))
       .withColumn("__cn", sum(col("n")).over(ord))
       .withColumn("__cp", sum(col("pos")).over(ord))
-    val lo = cum.select(col("__k").as("__i"), col("__cn").as("__cni"),
-      col("__cp").as("__cpi"), col("n").as("__ni"),
-      col("pos").as("__pi"))
-    val hi = cum.select(col("__k").as("__j"), col("__cn").as("__cnj"),
-      col("__cp").as("__cpj"))
+    val lo = cum.select(col("__g0").as("__ga"), col("__k").as("__i"),
+      col("__cn").as("__cni"), col("__cp").as("__cpi"),
+      col("n").as("__ni"), col("pos").as("__pi"))
+    val hi = cum.select(col("__g0").as("__gb"), col("__k").as("__j"),
+      col("__cn").as("__cnj"), col("__cp").as("__cpj"))
     // interval means m(i, j) = (S_j - S_{i-1}) / (C_j - C_{i-1}) for
     // i <= j — prefixes difference via (cum_j - cum_i + bin_i)
-    val means = lo.join(hi, col("__i") <= col("__j"))
-      .select(col("__i"), col("__j"),
+    val means = lo.join(hi,
+        col("__ga") <=> col("__gb") && col("__i") <= col("__j"))
+      .select(col("__ga").as("__g"), col("__i"), col("__j"),
         ((col("__cpj") - col("__cpi") + col("__pi")).cast("double") /
          (col("__cnj") - col("__cni") + col("__ni")).cast("double"))
           .as("__m"))
     // G(k, j) = max_{i<=k} m(i, j): running max over i within each j;
     // rate_k = min_{j>=k} G(k, j): reverse running min within each k,
     // read off at j = k
-    val g = means.withColumn("__g", max(col("__m")).over(
-      Window.partitionBy(col("__j")).orderBy(col("__i"))
+    val g = means.withColumn("__gmax", max(col("__m")).over(
+      Window.partitionBy(col("__g"), col("__j")).orderBy(col("__i"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("__i").as("__k"), col("__j"), col("__g"))
-    val fit = g.withColumn("__r", min(col("__g")).over(
-      Window.partitionBy(col("__k")).orderBy(col("__j").desc)
+      .select(col("__g"), col("__i").as("__k"), col("__j"),
+        col("__gmax"))
+    val fit = g.withColumn("__r", min(col("__gmax")).over(
+      Window.partitionBy(col("__g"), col("__k")).orderBy(col("__j").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__j") === col("__k"))
-      .select(col("__k"), col("__r"))
-    cum.join(fit, Seq("__k"))
-      .select(col("score"), col("n"), col("pos"), col("__r").as("rate"))
+      .select(col("__g"), col("__k"), col("__r"))
+    cum.join(fit,
+        cum("__g0") <=> fit("__g") && cum("__k") === fit("__k"))
+      .select(col("__g0").as(groupCol), col("score"), col("n"),
+        col("pos"), col("__r").as("rate"))
   }
 }

@@ -3289,7 +3289,60 @@ object TextQueries {
      SELECT c.score, c.n, c.pos, f.rate
      FROM cum c JOIN fit f ON f.k = c.k"""
 
+  /** q209: PER-LANGUAGE isotonic calibration
+    * ([[graft.operators.Calibrate.isotonicFitGrouped]] — one
+    * independent PAV curve per language, the shape a real calibration
+    * pass takes when score distributions shift across strata; q204's
+    * single-curve fixture, partitioned). Same minimax replay in the
+    * oracle with every window PARTITION BY lang and a null-safe group
+    * join (the q183 null-stratum contract). Wider bins (div 100) keep
+    * per-language frames small while still inverting at both SFs. */
+  val q209_grouped_calibration: Q = (s, d) => {
+    val labeled = Tables.documents(s, d).select(
+      col("lang"),
+      expr("n_chars div 100").as("score"),
+      (conv(substring(md5(concat(lit("cal:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < col("n_chars") * lit(7158278L)).cast("int").as("label"))
+    graft.operators.Calibrate.isotonicFitGrouped(labeled, "lang",
+      "score", "label")
+  }
+
+  val q209_oracle: String =
+    """WITH b AS (SELECT lang, n_chars // 100 AS score,
+         CASE WHEN CAST(('0x' || substr(md5('cal:' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < n_chars * 7158278
+           THEN 1 ELSE 0 END AS label
+       FROM documents),
+     bins AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS pos
+       FROM b GROUP BY lang, score),
+     cum AS (SELECT lang, score, n, pos,
+         row_number() OVER (PARTITION BY lang ORDER BY score) AS k,
+         sum(n) OVER (PARTITION BY lang ORDER BY score) AS cn,
+         sum(pos) OVER (PARTITION BY lang ORDER BY score) AS cp
+       FROM bins),
+     means AS (SELECT lo.lang, lo.k AS i, hi.k AS j,
+         CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+           / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS m
+       FROM cum lo JOIN cum hi
+         ON lo.lang IS NOT DISTINCT FROM hi.lang AND lo.k <= hi.k),
+     g AS (SELECT lang, i AS k, j,
+         max(m) OVER (PARTITION BY lang, j ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       FROM means),
+     fit AS (SELECT lang, k, g AS rate FROM (
+         SELECT lang, k, j, min(g) OVER (PARTITION BY lang, k
+           ORDER BY j DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM g) WHERE j = k)
+     SELECT c.lang, c.score, c.n, c.pos, f.rate
+     FROM cum c JOIN fit f
+       ON f.lang IS NOT DISTINCT FROM c.lang AND f.k = c.k"""
+
   val all: Map[String, Q] = Map(
+    "q209_grouped_calibration" -> q209_grouped_calibration,
     "q204_isotonic_calibration" -> q204_isotonic_calibration,
     "q200_dispersion" -> q200_dispersion,
     "q201_langid_kappa" -> q201_langid_kappa,
@@ -3386,6 +3439,7 @@ object TextQueries {
     "q201_langid_kappa" -> q201_oracle,
     "q202_lexical_diversity" -> q202_oracle,
     "q204_isotonic_calibration" -> q204_oracle,
+    "q209_grouped_calibration" -> q209_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -64,6 +64,26 @@ class CalibrateSpec extends SparkSuite {
     assert(fit(bins).map(_._2) == Seq(0.1, 0.3, 0.7))
   }
 
+  test("isotonicFitGrouped: each group gets its own independent PAVA " +
+      "curve, and a null group is a stratum like any other") {
+    val rows =
+      // group "a": inversion 0.8 -> 0.2 pools to 0.5
+      Seq.fill(4)(("a", 1L, 1)) ++ Seq.fill(1)(("a", 1L, 0)) ++
+      Seq.fill(1)(("a", 2L, 1)) ++ Seq.fill(4)(("a", 2L, 0)) ++
+      // group "b": already isotonic 0.0 -> 1.0
+      Seq.fill(2)(("b", 1L, 0)) ++ Seq.fill(2)(("b", 2L, 1)) ++
+      // null group: single bin
+      Seq.fill(2)((null: String, 1L, 1))
+    val got = Calibrate.isotonicFitGrouped(
+        rows.toDF("grp", "score", "label"), "grp", "score", "label")
+      .select($"grp", $"score", $"rate")
+      .as[(Option[String], Long, Double)].collect().toSet
+    assert(got == Set(
+      (Some("a"), 1L, 0.5), (Some("a"), 2L, 0.5),
+      (Some("b"), 1L, 0.0), (Some("b"), 2L, 1.0),
+      (None, 1L, 1.0)))
+  }
+
   test("maxBins guard refuses a corpus-sized score domain") {
     val rows = (1L to 50L).map(i => (i, (i % 2).toInt))
     val e = intercept[IllegalArgumentException] {
