@@ -950,7 +950,57 @@ object TpchQueries {
          count(DISTINCT c_mktsegment) < 3 AS at_risk
        FROM customer GROUP BY 1, 2"""
 
+  /** q210: A/B significance readout ([[graft.operators.Stats
+    * .chiSquare2x2]] scaladoc — per-group Pearson χ² over the 2×2
+    * variant×success table; the cross-product difference forms
+    * exactly in 128-bit integers, decimal(38) here / HUGEINT in the
+    * oracle, then one fixed double multiply/divide tree). Units are
+    * orders, variant = customer-key parity, success = urgent
+    * priority, grouped by order status. At the 90% critical value
+    * 2.7055 the flag fires for status F at sf0.001 (χ² = 3.03) and
+    * nowhere at sf0.01 — the decision varies with the data, and the
+    * χ² VALUE itself gates hash-exact at every SF. */
+  val q210_ab_chi2: Q = (s, d) =>
+    graft.operators.Stats.chiSquare2x2(Tables.orders(s, d),
+      "o_orderstatus",
+      (col("o_custkey") % 2).cast("long"),
+      (col("o_orderpriority") === "1-URGENT").cast("long"),
+      critical = 2.705543454095404)
+
+  val q210_oracle: String =
+    """WITH agg AS (SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_custkey % 2 = 0
+             AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN o_custkey % 2 = 0
+             AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN o_custkey % 2 = 1
+             AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN o_custkey % 2 = 1
+             AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n11
+       FROM orders GROUP BY 1),
+     st AS (SELECT *,
+         CAST(CAST(n11 AS HUGEINT) * n00
+           - CAST(n10 AS HUGEINT) * n01 AS DOUBLE) AS diff,
+         (CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE))
+           * (CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE))
+           AS den
+       FROM agg)
+     SELECT o_orderstatus, n00, n01, n10, n11,
+       CASE WHEN den > 0 THEN
+         CAST(n00 + n01 + n10 + n11 AS DOUBLE) * diff * diff / den
+       END AS chi2,
+       CASE WHEN den > 0 THEN
+         CAST(n00 + n01 + n10 + n11 AS DOUBLE) * diff * diff / den
+           > 2.705543454095404
+       END AS significant
+     FROM st"""
+
   val all: Map[String, Q] = Map(
+    "q210_ab_chi2" -> q210_ab_chi2,
     "q207_l_diversity" -> q207_l_diversity,
     "q193_linkage_capped" -> q193_linkage_capped,
     "q191_incremental_linkage" -> q191_incremental_linkage,
@@ -994,6 +1044,7 @@ object TpchQueries {
     "q159_edit_join" -> q159_oracle,
     "q163_k_anonymity" -> q163_oracle,
     "q207_l_diversity" -> q207_oracle,
+    "q210_ab_chi2" -> q210_oracle,
     "q80_scd2_history" -> q80_oracle,
     "q61_outer_join" -> q61_oracle,
     "q62_window_nav" -> q62_oracle,

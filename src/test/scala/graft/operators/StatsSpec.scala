@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def units(g: String, v: Int, s: Int, n: Int) =
+    Seq.fill(n)((g, v, s))
+
+  test("chiSquare2x2: statistic matches the closed-form hand " +
+      "calculation and the critical-value flag splits groups") {
+    // group "sig": 2x2 = [[30,10],[10,30]] -> chi2 = 80*(900-100)^2 /
+    // (40*40*40*40) = 20.0 ; group "null-ish": [[20,20],[20,20]] -> 0
+    val rows = (units("sig", 0, 0, 30) ++ units("sig", 0, 1, 10) ++
+      units("sig", 1, 0, 10) ++ units("sig", 1, 1, 30) ++
+      units("flat", 0, 0, 20) ++ units("flat", 0, 1, 20) ++
+      units("flat", 1, 0, 20) ++ units("flat", 1, 1, 20))
+      .toDF("g", "v", "s")
+    val got = Stats.chiSquare2x2(rows, "g",
+        col("v").cast("long"), col("s").cast("long"),
+        critical = 3.841458820694124)
+      .select($"g", $"n00", $"n01", $"n10", $"n11", $"chi2",
+        $"significant")
+      .as[(String, Long, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("sig") == (("sig", 30L, 10L, 10L, 30L, 20.0, true)))
+    assert(got("flat") == (("flat", 20L, 20L, 20L, 20L, 0.0, false)))
+  }
+
+  test("chiSquare2x2: a degenerate margin (nobody in variant 1) yields " +
+      "NULL statistic and NULL flag, never NaN") {
+    val rows = (units("g", 0, 0, 5) ++ units("g", 0, 1, 5))
+      .toDF("g", "v", "s")
+    val got = Stats.chiSquare2x2(rows, "g",
+        col("v").cast("long"), col("s").cast("long"), 3.84)
+      .select($"chi2".isNull, $"significant".isNull)
+      .as[(Boolean, Boolean)].collect().head
+    assert(got == ((true, true)))
+  }
+}
