@@ -52,4 +52,52 @@ object Stats {
       .withColumn("chi2", when(den > 0, num / den))
       .withColumn("significant", when(den > 0, col("chi2") > critical))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test — "did this numeric
+    * feature's DISTRIBUTION change?" between two corpora (doc lengths
+    * across snapshots, scores across sources): the numeric-feature
+    * sibling of [[Drift.keynessTopK]] (token drift) and
+    * [[Anomaly.burstBuckets]] (rate drift). D = sup |F_a − F_b| over
+    * the empirical CDFs.
+    *
+    * Exactness: at every distinct value, |F_a − F_b| = |cna·m − cnb·n|
+    * / (n·m) — the numerator is EXACT 128-bit integer arithmetic
+    * (decimal(38) here, HUGEINT in the oracle; cna·m reaches n·m,
+    * past long at 10⁹-row sides), and D_num = max of exact integers,
+    * so the statistic's numerator gates hash-exact. The reported D
+    * and the rejection (D > c·√((n+m)/(n·m)), c = 1.358 at α = 0.05)
+    * are fixed trees of correctly-rounded IEEE ops — sqrt, multiply,
+    * divide — identical in both engines (the q183 sqrt-chain rule).
+    *
+    * Scale shape: one count agg per side, a full-outer value join,
+    * totals derived from the per-value aggregates (never a second
+    * corpus scan — the keynessTopK lesson), and the running CDFs ride
+    * the distributed [[PrefixSum]] scan, never a single-partition
+    * window. Output is ONE row. */
+  def ksTest(a: DataFrame, b: DataFrame, valCol: String,
+      c: Double = 1.358): DataFrame = {
+    require(c > 0, s"critical factor must be > 0, got $c")
+    def cnt(df: DataFrame, as: String) =
+      df.select(col(valCol).as("v")).filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(as))
+    val merged = cnt(a, "na").join(cnt(b, "nb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val cum = PrefixSum.withRunningTotal(
+      PrefixSum.withRunningTotal(merged, Seq("v"), "na"),
+      Seq("v"), "nb")
+    val tot = merged.agg(coalesce(sum(col("na")), lit(0L)).as("n"),
+      coalesce(sum(col("nb")), lit(0L)).as("m"))
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val dbl = (x: Column) => x.cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("m"),
+        abs(d38(col("na_cum")) * d38(col("m"))
+          - d38(col("nb_cum")) * d38(col("n"))).as("__diff"))
+      .groupBy(col("n"), col("m"))
+      .agg(max(col("__diff")).cast("double").as("d_num"))
+      .withColumn("d", col("d_num") / (dbl(col("n")) * dbl(col("m"))))
+      .withColumn("reject", col("d") > lit(c) *
+        sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m")))))
+  }
 }

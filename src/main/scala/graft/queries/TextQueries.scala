@@ -3341,7 +3341,76 @@ object TextQueries {
      FROM cum c JOIN fit f
        ON f.lang IS NOT DISTINCT FROM c.lang AND f.k = c.k"""
 
+  /** q211: Kolmogorov–Smirnov numeric drift ([[graft.operators.Stats
+    * .ksTest]] scaladoc — exact 128-bit CDF-difference numerator, the
+    * rejection a sqrt-chain of correctly-rounded IEEE ops). Two
+    * comparisons of doc-length distributions between source halves:
+    * the NULL comparison (same generator → measured D = 0.048/0.056,
+    * no reject at either SF) and a PLANTED +60-char shift (D =
+    * 0.16/0.152 > crit 0.1215 → reject at both SFs) — so the
+    * rejection decision genuinely splits within one gate. */
+  val q211_ks_drift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val half = (lo: Boolean) => docs.filter(
+      if (lo) expr("cast(substring(source, 4) as int) < 10")
+      else expr("cast(substring(source, 4) as int) >= 10"))
+    val a = half(true).select(col("n_chars"))
+    val b = half(false).select(col("n_chars"))
+    val bShift = half(false).select((col("n_chars") + 60).as("n_chars"))
+    graft.operators.Stats.ksTest(a, b, "n_chars")
+      .withColumn("cmp", lit("null"))
+      .unionByName(graft.operators.Stats.ksTest(a, bShift, "n_chars")
+        .withColumn("cmp", lit("shift60")))
+      .select(col("cmp"), col("n"), col("m"), col("d_num"), col("d"),
+        col("reject"))
+  }
+
+  val q211_oracle: String =
+    """WITH src AS (SELECT CAST(substr(source, 4) AS INT) AS s,
+         n_chars FROM documents),
+     a AS (SELECT n_chars AS v FROM src WHERE s < 10),
+     b0 AS (SELECT n_chars AS v FROM src WHERE s >= 10),
+     b1 AS (SELECT n_chars + 60 AS v FROM src WHERE s >= 10),
+     ks0 AS (
+       SELECT 'null' AS cmp, * FROM (
+         WITH ca AS (SELECT v, count(*) c FROM a GROUP BY v),
+           cb AS (SELECT v, count(*) c FROM b0 GROUP BY v),
+           mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca.c, 0) na,
+               coalesce(cb.c, 0) nb
+             FROM ca FULL JOIN cb ON ca.v = cb.v),
+           tot AS (SELECT CAST(sum(na) AS BIGINT) n,
+               CAST(sum(nb) AS BIGINT) m FROM mg),
+           cm AS (SELECT sum(na) OVER (ORDER BY v) cna,
+               sum(nb) OVER (ORDER BY v) cnb FROM mg)
+         SELECT tot.n, tot.m,
+           CAST(max(abs(CAST(cna AS HUGEINT) * tot.m
+             - CAST(cnb AS HUGEINT) * tot.n)) AS DOUBLE) AS d_num
+         FROM cm CROSS JOIN tot GROUP BY tot.n, tot.m)),
+     ks1 AS (
+       SELECT 'shift60' AS cmp, * FROM (
+         WITH ca AS (SELECT v, count(*) c FROM a GROUP BY v),
+           cb AS (SELECT v, count(*) c FROM b1 GROUP BY v),
+           mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca.c, 0) na,
+               coalesce(cb.c, 0) nb
+             FROM ca FULL JOIN cb ON ca.v = cb.v),
+           tot AS (SELECT CAST(sum(na) AS BIGINT) n,
+               CAST(sum(nb) AS BIGINT) m FROM mg),
+           cm AS (SELECT sum(na) OVER (ORDER BY v) cna,
+               sum(nb) OVER (ORDER BY v) cnb FROM mg)
+         SELECT tot.n, tot.m,
+           CAST(max(abs(CAST(cna AS HUGEINT) * tot.m
+             - CAST(cnb AS HUGEINT) * tot.n)) AS DOUBLE) AS d_num
+         FROM cm CROSS JOIN tot GROUP BY tot.n, tot.m)),
+     u AS (SELECT * FROM ks0 UNION ALL SELECT * FROM ks1)
+     SELECT cmp, n, m, d_num,
+       d_num / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS d,
+       d_num / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) >
+         1.358 * sqrt(CAST(n + m AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS reject
+     FROM u"""
+
   val all: Map[String, Q] = Map(
+    "q211_ks_drift" -> q211_ks_drift,
     "q209_grouped_calibration" -> q209_grouped_calibration,
     "q204_isotonic_calibration" -> q204_isotonic_calibration,
     "q200_dispersion" -> q200_dispersion,
@@ -3440,6 +3509,7 @@ object TextQueries {
     "q202_lexical_diversity" -> q202_oracle,
     "q204_isotonic_calibration" -> q204_oracle,
     "q209_grouped_calibration" -> q209_oracle,
+    "q211_ks_drift" -> q211_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -29,6 +29,21 @@ class StatsSpec extends SparkSuite {
     assert(got("flat") == (("flat", 20L, 20L, 20L, 20L, 0.0, false)))
   }
 
+  test("ksTest: D matches the hand-computed ECDF sup-difference and " +
+      "the rejection flips with the critical factor") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    // values 1,2,3,4: cna=1,2,3,3 cnb=0,0,1,2 ->
+    // |cna*m - cnb*n| = 2,4,3,0 -> D_num=4, D=4/6
+    val got = Stats.ksTest(a, b, "v")
+      .select($"n", $"m", $"d_num", $"d", $"reject")
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(got == ((3L, 2L, 4.0, 4.0 / 6.0, false)))
+    val loose = Stats.ksTest(a, b, "v", c = 0.1)
+      .select($"reject").as[Boolean].collect().head
+    assert(loose)
+  }
+
   test("chiSquare2x2: a degenerate margin (nobody in variant 1) yields " +
       "NULL statistic and NULL flag, never NaN") {
     val rows = (units("g", 0, 0, 5) ++ units("g", 0, 1, 5))
