@@ -100,4 +100,40 @@ object Stats {
       .withColumn("reject", col("d") > lit(c) *
         sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m")))))
   }
+
+  /** Gini concentration of a weighted mix — "how concentrated is my
+    * training corpus across sources/domains/languages?", the headline
+    * inequality number a mixture report leads with (0 = perfectly
+    * even, →1 = one item dominates). Standard weighted form over
+    * items sorted ascending by weight:
+    * G = (2·Σᵢ i·wᵢ − (n+1)·Σw) / (n·Σw).
+    *
+    * Exactness: ranks ride the distributed [[PrefixSum]] scan (item
+    * tie-broken — millions of domains never funnel through one
+    * task), Σ i·wᵢ accumulates in decimal(38) (rank·weight reaches
+    * n·Σw — past long at web scale), and G is ONE correctly-rounded
+    * double division of two exact integers. Items are aggregated
+    * internally (duplicate keys sum), so callers can pass raw
+    * (item, weight) rows. Output is ONE row: (n_items, total, gini);
+    * gini is NULL when the total weight is zero. */
+  def giniConcentration(items: DataFrame, keyCol: String,
+      weightCol: String): DataFrame = {
+    val base = items
+      .select(col(keyCol).as("k"), col(weightCol).cast("long").as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("k")).agg(sum(col("w")).as("w"))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.withRunningTotal(base, Seq("w", "k"), "__one")
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val dbl = (x: Column) => x.cast("double")
+    ranked.agg(
+        count(lit(1)).as("n_items"),
+        coalesce(sum(col("w")), lit(0L)).as("total"),
+        sum(d38(col("__one_cum")) * d38(col("w"))).as("__sw"))
+      .select(col("n_items"), col("total"),
+        when(col("total") > 0,
+          dbl(lit(2) * col("__sw")
+            - d38(col("n_items") + 1) * d38(col("total")))
+          / dbl(d38(col("n_items")) * d38(col("total")))).as("gini"))
+  }
 }

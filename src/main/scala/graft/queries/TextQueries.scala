@@ -3409,7 +3409,55 @@ object TextQueries {
            / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS reject
      FROM u"""
 
+  /** q212: mix-concentration report ([[graft.operators.Stats
+    * .giniConcentration]] scaladoc — weighted Gini with PrefixSum
+    * ranks and a decimal(38) rank·weight sum, one correctly-rounded
+    * division at the end). Two axes in one gate: language
+    * concentration by document count (measured 0.20/0.25 across SFs —
+    * the corpus is genuinely skewed) and source concentration by
+    * character mass (0.05 — near-even by construction), so the
+    * statistic is exercised at both ends of its range. */
+  val q212_gini_mix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Stats.giniConcentration(
+        docs.select(col("lang").as("k"), lit(1L).as("w")), "k", "w")
+      .withColumn("axis", lit("lang_docs"))
+      .unionByName(graft.operators.Stats.giniConcentration(
+          docs.select(col("source").as("k"), col("n_chars").as("w")),
+          "k", "w")
+        .withColumn("axis", lit("source_chars")))
+      .select(col("axis"), col("n_items"), col("total"), col("gini"))
+  }
+
+  val q212_oracle: String =
+    """WITH lang_b AS (SELECT lang AS k, CAST(count(*) AS BIGINT) AS w
+         FROM documents GROUP BY 1),
+     src_b AS (SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS w
+         FROM documents GROUP BY 1),
+     lang_r AS (SELECT w, row_number() OVER (ORDER BY w, k) AS i
+       FROM lang_b),
+     src_r AS (SELECT w, row_number() OVER (ORDER BY w, k) AS i
+       FROM src_b),
+     lang_a AS (SELECT 'lang_docs' AS axis,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(w) AS BIGINT) AS total,
+         sum(CAST(i AS HUGEINT) * w) AS sw
+       FROM lang_r),
+     src_a AS (SELECT 'source_chars' AS axis,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(w) AS BIGINT) AS total,
+         sum(CAST(i AS HUGEINT) * w) AS sw
+       FROM src_r),
+     u AS (SELECT * FROM lang_a UNION ALL SELECT * FROM src_a)
+     SELECT axis, n_items, total,
+       CASE WHEN total > 0 THEN
+         CAST(2 * sw - CAST(n_items + 1 AS HUGEINT) * total AS DOUBLE)
+           / CAST(CAST(n_items AS HUGEINT) * total AS DOUBLE)
+       END AS gini
+     FROM u"""
+
   val all: Map[String, Q] = Map(
+    "q212_gini_mix" -> q212_gini_mix,
     "q211_ks_drift" -> q211_ks_drift,
     "q209_grouped_calibration" -> q209_grouped_calibration,
     "q204_isotonic_calibration" -> q204_isotonic_calibration,
@@ -3510,6 +3558,7 @@ object TextQueries {
     "q204_isotonic_calibration" -> q204_oracle,
     "q209_grouped_calibration" -> q209_oracle,
     "q211_ks_drift" -> q211_oracle,
+    "q212_gini_mix" -> q212_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

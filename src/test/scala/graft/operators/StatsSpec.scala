@@ -44,6 +44,21 @@ class StatsSpec extends SparkSuite {
     assert(loose)
   }
 
+  test("giniConcentration: 0 on an even mix, the closed form on a " +
+      "skewed one, duplicate keys aggregate, zero total yields NULL") {
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("k", "w")
+    assert(Stats.giniConcentration(even, "k", "w")
+      .select($"gini").as[Double].collect().head == 0.0)
+    // weights 1,2,3,4 ascending: G = (2*(1+4+9+16) - 5*10)/(4*10) = 0.25
+    val skew = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 2L),
+      ("d", 2L)).toDF("k", "w") // d aggregates to 4
+    assert(Stats.giniConcentration(skew, "k", "w")
+      .select($"gini").as[Double].collect().head == 0.25)
+    val zero = Seq(("a", 0L)).toDF("k", "w")
+    assert(Stats.giniConcentration(zero, "k", "w")
+      .select($"gini".isNull).as[Boolean].collect().head)
+  }
+
   test("chiSquare2x2: a degenerate margin (nobody in variant 1) yields " +
       "NULL statistic and NULL flag, never NaN") {
     val rows = (units("g", 0, 0, 5) ++ units("g", 0, 1, 5))
