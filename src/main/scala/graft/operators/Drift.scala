@@ -40,12 +40,19 @@ object Drift {
   def keynessTopK(a: DataFrame, b: DataFrame, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ca = counts(a, textCol).select(col("tok"), col("c").as("ca"))
-    val cb = counts(b, textCol).select(col("tok"), col("c").as("cb"))
     // corpus token totals ARE the sums of the per-token aggregates —
-    // deriving them from ca/cb (exchange-reused subtrees) instead of
-    // two extra explode+count corpus passes (ADVICE r12) drops two
-    // full corpus scans; coalesce keeps the empty-corpus total at 0
+    // deriving them from ca/cb instead of two extra explode+count
+    // corpus passes (ADVICE r12) drops two full corpus scans; the
+    // count frames are CHECKPOINTED because each feeds two consumers
+    // (the token join and its total) and self-referencing subtrees
+    // don't reuse exchanges (the r09 canonicalization lesson — without
+    // the barrier the corpus explode re-executes per consumer and the
+    // "saved" scans come straight back); coalesce keeps the
+    // empty-corpus total at 0
+    val ca = counts(a, textCol).select(col("tok"), col("c").as("ca"))
+      .localCheckpoint()
+    val cb = counts(b, textCol).select(col("tok"), col("c").as("cb"))
+      .localCheckpoint()
     val ta = ca.agg(coalesce(sum(col("ca")), lit(0L)).as("__ta"))
     val tb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("__tb"))
     val joined = ca.join(cb, Seq("tok"), "full_outer")
