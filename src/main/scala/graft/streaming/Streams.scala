@@ -306,4 +306,78 @@ object Streams {
         u => graft.functions.TextFunctions.canonicalizeUrl(u))
         .as("outlinks"))
   }
+
+  case class HourCount(key: String, h: Long, n: Long)
+  case class BurstFlag(key: String, bucket_hour: Long, n: Long,
+      baseline: Long, is_burst: Boolean)
+  case class BurstState(firstHour: Long, recent: Map[Long, Long])
+
+  /** Streaming burst detection — the stateful streaming twin of
+    * [[graft.operators.Anomaly.burstBuckets]]: per-key hourly arrival
+    * counts flagged against the trailing-`trailing`-hour baseline, AS
+    * THE STREAM RUNS. Two stages: a watermarked tumbling 1-hour count
+    * (append mode — an hour is scored exactly once, when the
+    * watermark finalizes it), then per-key trailing state in
+    * `flatMapGroupsWithState`.
+    *
+    * Batch parity (spec-pinned): hours finalize in watermark order —
+    * the watermark is monotone, so a key's hours arrive
+    * non-decreasing across micro-batches, and several hours
+    * finalizing in ONE batch are sorted before scoring (the
+    * nearDupFlags intra-batch rule). Baselines therefore read exactly
+    * the observed hours inside (h−trailing, h−1], empty hours
+    * contribute zero, and hours earlier than firstHour + trailing are
+    * withheld — the batch operator's contract, verbatim.
+    *
+    * Scale shape: state partitions by key (1000 executors each own a
+    * key range) and holds at most `trailing` (hour, count) longs plus
+    * a first-hour marker per key — bounded regardless of stream
+    * length, because scored hours are evicted once they leave every
+    * future baseline window. */
+  def burstFlags(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, trailing: Int, factorNum: Long,
+      factorDen: Long): org.apache.spark.sql.Dataset[BurstFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    require(factorNum > 0 && factorDen > 0,
+      s"factor $factorNum/$factorDen must be positive")
+    val hourly = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"),
+        expr("unix_timestamp(window.start) div 3600").as("h"), col("n"))
+      .as[HourCount]
+    hourly.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[HourCount],
+            state: GroupState[BurstState]) => {
+          // several hours can finalize in one micro-batch: score in
+          // event-time order (the nearDupFlags intra-batch rule)
+          val ordered = batch.toSeq.sortBy(_.h)
+          var st = state.getOption
+            .getOrElse(BurstState(Long.MaxValue, Map.empty))
+          val out = ordered.flatMap { hc =>
+            val first = math.min(st.firstHour, hc.h)
+            val baseline = st.recent.iterator
+              .filter { case (hh, _) =>
+                hh >= hc.h - trailing && hh <= hc.h - 1 }
+              .map(_._2).sum
+            val emit =
+              if (hc.h >= first + trailing)
+                Some(BurstFlag(key, hc.h, hc.n, baseline,
+                  hc.n * trailing * factorDen > factorNum * baseline))
+              else None
+            st = BurstState(first,
+              (st.recent + (hc.h -> hc.n))
+                .filter { case (hh, _) => hh >= hc.h - trailing + 1 })
+            emit
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

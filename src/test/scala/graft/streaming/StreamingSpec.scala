@@ -672,4 +672,39 @@ class StreamingSpec extends SparkSuite {
       (1L, 11L, 1L, 8L, "possible"),
       (3L, 13L, 2L, 14L, "match")))
   }
+
+  test("streaming burst detection matches the batch operator on the " +
+      "real event fixture: hours score exactly once as the watermark " +
+      "finalizes them, baselines skip empty hours, early history is " +
+      "withheld — Anomaly.burstBuckets' contract, stateful") {
+    val batch = graft.Tables.events(spark, sfDir)
+      .select($"event_type", $"ts")
+    val dir = tempDir("burst-in-")
+    // one far-future flush row finalizes every real hour; its key is
+    // excluded from the comparison (too early for its own window)
+    batch.unionByName(Seq(("__flush",
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .toDF("event_type", "ts"))
+      .coalesce(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema("event_type string, ts timestamp").parquet(dir)
+    val flags = Streams.burstFlags(streamed, "event_type", "ts",
+      watermark = "1 minute", trailing = 24, factorNum = 3,
+      factorDen = 1)
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("burst_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("burst_out")
+        .filter($"key" =!= "__flush")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      val expected = graft.operators.Anomaly.burstBuckets(
+          batch, "event_type", "ts",
+          trailing = 24, factorNum = 3, factorDen = 1)
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      assert(got == expected)
+      assert(got.exists(_._5) && got.exists(!_._5),
+        "fixture should produce both burst and quiet hours")
+    } finally q.stop()
+  }
 }
