@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment / cohort significance testing — the A/B readout next to
@@ -96,6 +97,51 @@ object Stats {
           - d38(col("nb_cum")) * d38(col("n"))).as("__diff"))
       .groupBy(col("n"), col("m"))
       .agg(max(col("__diff")).cast("double").as("d_num"))
+      .withColumn("d", col("d_num") / (dbl(col("n")) * dbl(col("m"))))
+      .withColumn("reject", col("d") > lit(c) *
+        sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m")))))
+  }
+
+  /** Per-group two-sample KS — the drift MATRIX: one [[ksTest]] per
+    * stratum (per language, per source) in a single pass, the report
+    * a crawl-over-crawl review actually reads ("which languages'
+    * length distributions moved?"). Same exact 128-bit numerator and
+    * sqrt-chain rejection as [[ksTest]]; the running CDFs here use a
+    * window PARTITIONED BY GROUP over the per-group distinct-value
+    * series (stratum-sized partitions — the burstBuckets executor-fit
+    * argument — so no global PrefixSum is needed), and a null group
+    * is a stratum like any other (null-safe joins, the temperatureMix
+    * contract). Output: one row per group present on either side. */
+  def ksTestGrouped(a: DataFrame, b: DataFrame, groupCol: String,
+      valCol: String, c: Double = 1.358): DataFrame = {
+    require(c > 0, s"critical factor must be > 0, got $c")
+    def cnt(df: DataFrame, as: String) =
+      df.select(col(groupCol).as("g"), col(valCol).as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as(as))
+    val ca = cnt(a, "na")
+    val cb = cnt(b, "nb")
+    val merged = ca.join(cb,
+        ca("g") <=> cb("g") && ca("v") === cb("v"), "full_outer")
+      .select(coalesce(ca("g"), cb("g")).as("g"),
+        coalesce(ca("v"), cb("v")).as("v"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wg = Window.partitionBy(col("g"))
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val dbl = (x: Column) => x.cast("double")
+    merged
+      .withColumn("__cna", sum(col("na")).over(w))
+      .withColumn("__cnb", sum(col("nb")).over(w))
+      .withColumn("__n", sum(col("na")).over(wg))
+      .withColumn("__m", sum(col("nb")).over(wg))
+      .withColumn("__diff", abs(d38(col("__cna")) * d38(col("__m"))
+        - d38(col("__cnb")) * d38(col("__n"))))
+      .groupBy(col("g"))
+      .agg(max(col("__n")).as("n"), max(col("__m")).as("m"),
+        max(col("__diff")).cast("double").as("d_num"))
+      .select(col("g").as(groupCol), col("n"), col("m"), col("d_num"))
       .withColumn("d", col("d_num") / (dbl(col("n")) * dbl(col("m"))))
       .withColumn("reject", col("d") > lit(c) *
         sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m")))))

@@ -3456,7 +3456,57 @@ object TextQueries {
        END AS gini
      FROM u"""
 
+  /** q213: per-language KS drift matrix ([[graft.operators.Stats
+    * .ksTestGrouped]] scaladoc — one KS test per stratum in a single
+    * pass, running CDFs on group-partitioned windows instead of the
+    * global PrefixSum). The fixture plants a +200-char shift in ONE
+    * language's second half (fr): fr rejects at both SFs (D = 0.62 /
+    * 0.56 over crit ≈ 0.31) and every other language does not — the
+    * per-group decision is load-bearing row by row. */
+  val q213_ks_by_lang: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val a = docs.filter(expr("cast(substring(source, 4) as int) < 10"))
+      .select(col("lang"), col("n_chars"))
+    val b = docs.filter(expr("cast(substring(source, 4) as int) >= 10"))
+      .select(col("lang"),
+        when(col("lang") === "fr", col("n_chars") + 200)
+          .otherwise(col("n_chars")).as("n_chars"))
+    graft.operators.Stats.ksTestGrouped(a, b, "lang", "n_chars")
+  }
+
+  val q213_oracle: String =
+    """WITH src AS (SELECT lang, CAST(substr(source, 4) AS INT) AS s,
+         n_chars FROM documents),
+     a AS (SELECT lang AS g, n_chars AS v FROM src WHERE s < 10),
+     b AS (SELECT lang AS g,
+         CASE WHEN lang = 'fr' THEN n_chars + 200 ELSE n_chars END AS v
+       FROM src WHERE s >= 10),
+     ca AS (SELECT g, v, count(*) c FROM a GROUP BY 1, 2),
+     cb AS (SELECT g, v, count(*) c FROM b GROUP BY 1, 2),
+     mg AS (SELECT coalesce(ca.g, cb.g) g, coalesce(ca.v, cb.v) v,
+         coalesce(ca.c, 0) na, coalesce(cb.c, 0) nb
+       FROM ca FULL JOIN cb
+         ON ca.g IS NOT DISTINCT FROM cb.g AND ca.v = cb.v),
+     st AS (SELECT g,
+         sum(na) OVER (PARTITION BY g ORDER BY v) cna,
+         sum(nb) OVER (PARTITION BY g ORDER BY v) cnb,
+         sum(na) OVER (PARTITION BY g) n,
+         sum(nb) OVER (PARTITION BY g) m
+       FROM mg),
+     agg AS (SELECT g AS lang, CAST(max(n) AS BIGINT) n,
+         CAST(max(m) AS BIGINT) m,
+         CAST(max(abs(CAST(cna AS HUGEINT) * m
+           - CAST(cnb AS HUGEINT) * n)) AS DOUBLE) AS d_num
+       FROM st GROUP BY g)
+     SELECT lang, n, m, d_num,
+       d_num / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS d,
+       d_num / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) >
+         1.358 * sqrt(CAST(n + m AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS reject
+     FROM agg"""
+
   val all: Map[String, Q] = Map(
+    "q213_ks_by_lang" -> q213_ks_by_lang,
     "q212_gini_mix" -> q212_gini_mix,
     "q211_ks_drift" -> q211_ks_drift,
     "q209_grouped_calibration" -> q209_grouped_calibration,
@@ -3559,6 +3609,7 @@ object TextQueries {
     "q209_grouped_calibration" -> q209_oracle,
     "q211_ks_drift" -> q211_oracle,
     "q212_gini_mix" -> q212_oracle,
+    "q213_ks_by_lang" -> q213_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -44,6 +44,31 @@ class StatsSpec extends SparkSuite {
     assert(loose)
   }
 
+  test("ksTestGrouped == per-group ksTest, including a null group as " +
+      "its own stratum") {
+    val a = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 5L), ("y", 6L),
+      (null.asInstanceOf[String], 1L)).toDF("g", "v")
+    val b = Seq(("x", 3L), ("x", 4L), ("y", 5L),
+      (null.asInstanceOf[String], 9L)).toDF("g", "v")
+    val got = Stats.ksTestGrouped(a, b, "g", "v")
+      .select($"g", $"n", $"m", $"d_num", $"d", $"reject")
+      .as[(Option[String], Long, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    for (g <- Seq(Some("x"), Some("y"), None)) {
+      val fa = a.filter(if (g.isEmpty) $"g".isNull else $"g" === g.get)
+        .select($"v")
+      val fb = b.filter(if (g.isEmpty) $"g".isNull else $"g" === g.get)
+        .select($"v")
+      val single = Stats.ksTest(fa, fb, "v")
+        .select($"n", $"m", $"d_num", $"d", $"reject")
+        .as[(Long, Long, Double, Double, Boolean)].collect().head
+      assert(got(g) == ((g, single._1, single._2, single._3, single._4,
+        single._5)), s"group $g")
+    }
+    // the null group fully separates: D = 1
+    assert(got(None)._5 == 1.0)
+  }
+
   test("giniConcentration: 0 on an even mix, the closed form on a " +
       "skewed one, duplicate keys aggregate, zero total yields NULL") {
     val even = Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("k", "w")
