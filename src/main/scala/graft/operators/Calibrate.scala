@@ -119,4 +119,36 @@ object Calibrate {
       .select(col("__g0").as(groupCol), col("score"), col("n"),
         col("pos"), col("__r").as("rate"))
   }
+
+  /** SERVE the fitted curve: attach a `calibrated` column to scored
+    * rows by step-function extension of an [[isotonicFit]] output —
+    * each row takes the rate of the LARGEST fitted bin ≤ its score
+    * (the standard isotonic-regression extension between training
+    * bins), clamped to the first bin's rate below the fitted range.
+    * The fit is MODEL-SIZED by isotonicFit's own maxBins contract, so
+    * it collects to the driver and inlines as a sorted array literal
+    * (the PQ-codebook pattern) — the scoring pass is a stateless
+    * projection doing one in-row array walk per row: zero joins, zero
+    * shuffles, streaming-safe. Scores must be castable to long. */
+  def applyFit(df: DataFrame, fit: DataFrame, scoreCol: String,
+      as: String = "calibrated"): DataFrame = {
+    val rows = fit.select(col("score").cast("long"), col("rate"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.nonEmpty, "empty calibration fit")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "duplicate scores in calibration fit")
+    val scores = typedLit(rows.map(_._1).toSeq)
+    val rates = typedLit(rows.map(_._2).toSeq)
+    // index of the largest fitted score <= s, via one aggregate walk;
+    // 0 (the first bin) when s is below the fitted range
+    val s = col(scoreCol).cast("long")
+    val idx =
+      if (rows.length == 1) lit(0) // Spark sequence(1, 0) descends
+      else aggregate(
+        sequence(lit(1), lit(rows.length - 1)),
+        lit(0),
+        (acc, i) => when(element_at(scores, i + 1) <= s, i)
+          .otherwise(acc))
+    df.withColumn(as, element_at(rates, idx + 1))
+  }
 }

@@ -3505,7 +3505,68 @@ object TextQueries {
            / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))) AS reject
      FROM agg"""
 
+  /** q214: calibration SERVING ([[graft.operators.Calibrate.applyFit]]
+    * scaladoc — the q204 fit collected as a model-sized array literal
+    * and applied as a stateless step-function projection: zero joins,
+    * zero shuffles). The applied scores use a DIFFERENT binning
+    * (div 37 vs the fit's div 50), so the gate exercises floor
+    * lookups between fitted bins and the upper clamp (applied scores
+    * reach 14 vs fit max 11); the oracle replays the whole q204
+    * minimax fit and an ORDER BY score DESC LIMIT 1 correlated
+    * lookup per document. */
+  val q214_calibration_apply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.select(
+      expr("n_chars div 50").as("score"),
+      (conv(substring(md5(concat(lit("cal:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < col("n_chars") * lit(7158278L)).cast("int").as("label"))
+    val fit = graft.operators.Calibrate.isotonicFit(labeled, "score",
+      "label")
+    graft.operators.Calibrate.applyFit(
+      docs.select(col("doc_id"), expr("n_chars div 37").as("score")),
+      fit, "score")
+  }
+
+  val q214_oracle: String =
+    """WITH b AS (SELECT n_chars // 50 AS score,
+         CASE WHEN CAST(('0x' || substr(md5('cal:' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < n_chars * 7158278
+           THEN 1 ELSE 0 END AS label
+       FROM documents),
+     bins AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS pos
+       FROM b GROUP BY score),
+     cum AS (SELECT score, n, pos,
+         row_number() OVER (ORDER BY score) AS k,
+         sum(n) OVER (ORDER BY score) AS cn,
+         sum(pos) OVER (ORDER BY score) AS cp
+       FROM bins),
+     means AS (SELECT lo.k AS i, hi.k AS j,
+         CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+           / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS m
+       FROM cum lo JOIN cum hi ON lo.k <= hi.k),
+     g AS (SELECT i AS k, j,
+         max(m) OVER (PARTITION BY j ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       FROM means),
+     ft AS (SELECT c.score, f.rate FROM cum c JOIN (
+         SELECT k, g AS rate FROM (
+           SELECT k, j, min(g) OVER (PARTITION BY k ORDER BY j DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+           FROM g) WHERE j = k) f ON f.k = c.k),
+     scored AS (SELECT doc_id, n_chars // 37 AS score FROM documents)
+     SELECT sc.doc_id, sc.score,
+       coalesce(
+         (SELECT f.rate FROM ft f WHERE f.score <= sc.score
+          ORDER BY f.score DESC LIMIT 1),
+         (SELECT f.rate FROM ft f ORDER BY f.score LIMIT 1))
+         AS calibrated
+     FROM scored sc"""
+
   val all: Map[String, Q] = Map(
+    "q214_calibration_apply" -> q214_calibration_apply,
     "q213_ks_by_lang" -> q213_ks_by_lang,
     "q212_gini_mix" -> q212_gini_mix,
     "q211_ks_drift" -> q211_ks_drift,
@@ -3610,6 +3671,7 @@ object TextQueries {
     "q211_ks_drift" -> q211_oracle,
     "q212_gini_mix" -> q212_oracle,
     "q213_ks_by_lang" -> q213_oracle,
+    "q214_calibration_apply" -> q214_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -84,6 +84,21 @@ class CalibrateSpec extends SparkSuite {
       (None, 1L, 1.0)))
   }
 
+  test("applyFit: step-function extension — exact bins, floor lookup " +
+      "between bins, clamps below and above the fitted range; " +
+      "single-bin fit applies everywhere") {
+    val fit = Seq((10L, 0L, 0L, 0.2), (20L, 0L, 0L, 0.5),
+      (40L, 0L, 0L, 0.9)).toDF("score", "n", "pos", "rate")
+    val scored = Seq(5L, 10L, 15L, 20L, 39L, 40L, 99L).toDF("s")
+    val got = Calibrate.applyFit(scored, fit, "s")
+      .select($"s", $"calibrated").as[(Long, Double)].collect().toMap
+    assert(got == Map(5L -> 0.2, 10L -> 0.2, 15L -> 0.2, 20L -> 0.5,
+      39L -> 0.5, 40L -> 0.9, 99L -> 0.9))
+    val one = Seq((7L, 0L, 0L, 0.4)).toDF("score", "n", "pos", "rate")
+    assert(Calibrate.applyFit(Seq(1L, 100L).toDF("s"), one, "s")
+      .select($"calibrated").as[Double].collect().toSeq == Seq(0.4, 0.4))
+  }
+
   test("maxBins guard refuses a corpus-sized score domain") {
     val rows = (1L to 50L).map(i => (i, (i % 2).toInt))
     val e = intercept[IllegalArgumentException] {
