@@ -58,4 +58,47 @@ object Anomaly {
         (col("n") * trailing * factorDen >
           lit(factorNum) * col("baseline")).as("is_burst"))
   }
+
+  /** SEASONAL burst census — [[burstBuckets]] with a diurnal-aware
+    * baseline: each (key, day, hour-of-day) count is compared against
+    * the SAME hour-of-day over the trailing `trailingDays` days, not
+    * the raw previous hours. The distinction matters on any traffic
+    * with a daily cycle: a flat trailing-24h average flags every
+    * morning peak and sleeps through a 3 a.m. spike; the seasonal
+    * window compares like with like. Mechanically it is ONE extra
+    * dimension in the range key — the window partitions by
+    * (key, hour-of-day) and ranges over the integer day index — so
+    * every exactness and scale argument of [[burstBuckets]] carries
+    * over verbatim (empty same-hour days contribute zero without a
+    * scaffold; under-covered early history per (key, hour-of-day) is
+    * withheld; the decision is exact integer cross-multiplication).
+    * Output: (key, bucket_day (epoch days), hour_of_day, n, baseline,
+    * is_burst). */
+  def seasonalBurstBuckets(events: DataFrame, keyCol: String,
+      tsCol: String, trailingDays: Int, factorNum: Long,
+      factorDen: Long): DataFrame = {
+    require(trailingDays >= 1,
+      s"trailingDays must be >= 1, got $trailingDays")
+    require(factorNum > 0 && factorDen > 0,
+      s"factor $factorNum/$factorDen must be positive")
+    val b = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(date_trunc('day', `$tsCol`)) div 86400")
+          .as("d"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .groupBy(col("key"), col("d"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("key"), col("hod"))
+      .orderBy(col("d")).rangeBetween(-trailingDays, -1)
+    val perSlot = Window.partitionBy(col("key"), col("hod"))
+    b.withColumn("baseline",
+        coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("__d0", min(col("d")).over(perSlot))
+      .filter(col("d") >= col("__d0") + trailingDays)
+      .select(col("key"), col("d").as("bucket_day"),
+        col("hod").as("hour_of_day"), col("n"), col("baseline"),
+        (col("n") * trailingDays * factorDen >
+          lit(factorNum) * col("baseline")).as("is_burst"))
+  }
 }

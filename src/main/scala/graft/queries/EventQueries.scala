@@ -553,7 +553,36 @@ object EventQueries {
      FROM tc LEFT JOIN fc USING (channel, path_len)
      LEFT JOIN lc USING (channel, path_len)"""
 
+  /** q215: SEASONAL burst detection ([[graft.operators.Anomaly
+    * .seasonalBurstBuckets]] scaladoc — the diurnal-aware baseline:
+    * each (type, day, hour-of-day) count vs the SAME hour-of-day over
+    * the trailing 7 days, one extra dimension in q206's range key).
+    * factor 3 flags 408/567 slots at sf0.001 and 35/2589 at sf0.01 —
+    * the decision varies at both SFs and stays exact integer
+    * cross-multiplication. */
+  val q215_seasonal_burst: Q = (s, d) =>
+    graft.operators.Anomaly.seasonalBurstBuckets(Tables.events(s, d),
+      "event_type", "ts", trailingDays = 7, factorNum = 3,
+      factorDen = 1)
+
+  val q215_oracle: String =
+    """WITH b AS (SELECT event_type AS key,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+         CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       GROUP BY 1, 2, 3),
+     w AS (SELECT key, d, hod, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY key, hod ORDER BY d
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS baseline,
+         min(d) OVER (PARTITION BY key, hod) AS d0
+       FROM b)
+     SELECT key, d AS bucket_day, hod AS hour_of_day, n, baseline,
+       n * 7 * 1 > 3 * baseline AS is_burst
+     FROM w WHERE d >= d0 + 7"""
+
   val all: Map[String, Q] = Map(
+    "q215_seasonal_burst" -> q215_seasonal_burst,
     "q206_burst_hours" -> q206_burst_hours,
     "q208_attribution" -> q208_attribution,
     "q203_retention_cohorts" -> q203_retention_cohorts,
@@ -577,6 +606,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q215_seasonal_burst" -> q215_oracle,
     "q206_burst_hours" -> q206_oracle,
     "q208_attribution" -> q208_oracle,
     "q203_retention_cohorts" -> q203_oracle,

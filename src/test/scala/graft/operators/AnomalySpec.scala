@@ -38,6 +38,27 @@ class AnomalySpec extends SparkSuite {
       ("a", 6L, 1L, 10L, false)))
   }
 
+  test("seasonalBurstBuckets: the baseline reads the SAME hour-of-day " +
+      "across days — a spike at a normally-quiet hour flags even when " +
+      "the flat-trailing view would absorb it into busier hours") {
+    def at(day: Int, h: Int, m: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d $h%02d:$m%02d:00")
+    // key "a": hour 9 is busy (3/day), hour 3 quiet (1/day), for days
+    // 0..2; on day 3 hour 3 spikes to 4 while hour 9 stays at 3
+    val rows = (for (d <- 0 to 2; i <- 0 until 3) yield ("a", at(d, 9, i))) ++
+      (for (d <- 0 to 2) yield ("a", at(d, 3))) ++
+      Seq.tabulate(4)(i => ("a", at(3, 3, i))) ++
+      Seq.tabulate(3)(i => ("a", at(3, 9, i)))
+    val got = Anomaly.seasonalBurstBuckets(rows.toDF("key", "ts"),
+        "key", "ts", trailingDays = 3, factorNum = 2, factorDen = 1)
+      .select($"hour_of_day", $"n", $"baseline", $"is_burst")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // day 3, hod 3: baseline = 3 (one per day); 4*3 > 2*3 -> burst
+    // day 3, hod 9: baseline = 9; 3*3 > 18 ? no
+    assert(got == Seq((3L, 4L, 3L, true), (9L, 3L, 9L, false)))
+  }
+
   test("burstBuckets: a quiet-history key's first activity after a gap " +
       "flags against a zero baseline (any rate beats an empty window)") {
     val sparse = Seq(("k", ts(0)), ("k", ts(10))).toDF("key", "ts")
