@@ -78,19 +78,39 @@ object PrefixJoin {
     // self-join read it, and the window+join above it is the plan's
     // most expensive stage — run it once.
     val pre = ranked.filter(col("__rn") <= col("__plen"))
-      .select(col("id"), col("nsh"), col("s"))
+      .select(col("id"), col("nsh"), col("__rn"), col("s"))
       .localCheckpoint()
-    // length filter (AllPairs): jac >= t forces t·max(|A|,|B|) <=
-    // min(|A|,|B|) — applied IN the candidate join, before the
-    // distinct shuffle, it kills the size-mismatched bulk of each
-    // posting bucket for free (two longs ride along, nothing else)
+    // two filters ride the candidate join, before the pair shuffle:
+    //  - LENGTH (AllPairs): jac >= t forces t·max(|A|,|B|) <=
+    //    min(|A|,|B|) — kills the size-mismatched bulk of each
+    //    posting bucket for free;
+    //  - POSITIONAL (PPJoin Lemma 2): a qualifying pair needs overlap
+    //    alpha = ceil(t·(|A|+|B|)/(1+t)), and its FIRST shared prefix
+    //    element at positions (pa, pb) admits at most
+    //    1 + min(|A|−pa, |B|−pb) total overlap (the global order puts
+    //    shared elements in the same relative order on both sides, so
+    //    nothing shared precedes the first shared element). Keeping a
+    //    pair iff ANY of its shared prefix elements passes the bound
+    //    is equivalent to testing the first one (the bound is maximal
+    //    there) — completeness is preserved, and the distinct shuffle
+    //    plus the rerank read fewer pairs. Exact integers throughout:
+    //    (tNum+tDen)·ub >= tNum·(na+nb) ⟺ ub >= alpha. Measured
+    //    NEUTRAL on the q145 fixture at sf0.1 (6.83s vs 6.87s —
+    //    candidate GENERATION dominates there); kept because the
+    //    filter bites exactly where a real corpus hurts: near-dup
+    //    families with long shared prefixes inflate the post-join
+    //    pair set, and this prunes it before the distinct shuffle.
+    val ub = lit(1) +
+      least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
     val cand = pre.select(col("id").as("id_a"), col("nsh").as("__na"),
-        col("s"))
+        col("__rn").as("__pa"), col("s"))
       .join(pre.select(col("id").as("id_b"), col("nsh").as("__nb"),
-        col("s")), Seq("s"))
+        col("__rn").as("__pb"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b") &&
         lit(tNum) * greatest(col("__na"), col("__nb")) <=
-          lit(tDen) * least(col("__na"), col("__nb")))
+          lit(tDen) * least(col("__na"), col("__nb")) &&
+        lit(tNum + tDen) * ub >=
+          lit(tNum) * (col("__na") + col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
