@@ -35,6 +35,13 @@ EXTRAP = FACTOR * FACTOR
 # left q124/q158/q106-tier multi-second queries on 2-point fits, where
 # noise in either endpoint lands entirely in the quadratic term.
 N_HEAVY = 20
+# r13 verdict item 7: the r12/r13 heavy additions always get the third
+# point (when they clear the >=1s fit threshold), even in rounds where
+# they fall outside the top-N cut — a 2-point fit on a freshly-added
+# multi-second query is exactly where endpoint noise hides a quadratic.
+FORCE_MID = {"q192_kn_fluency", "q198_kn3_fluency", "q208_attribution",
+             "q211_ks_drift", "q213_ks_by_lang",
+             "q197_margin_mining", "q216_margin_mining_lsh"}
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
 SFMID = "/tmp/graft-sfmid"
@@ -78,11 +85,34 @@ def bench(sf_dir, only=None):
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
     r = run('sbt -batch "runMain graft.Bench"', env)
-    if os.path.exists(out):
-        with open(out) as f:
-            return json.load(f)
-    raise SystemExit(f"no bench artifact for {sf_dir}:\n{r.stdout[-2000:]}\n"
-                     f"{r.stderr[-2000:]}")
+    if not os.path.exists(out):
+        raise SystemExit(f"no bench artifact for {sf_dir}:\n"
+                         f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+    with open(out) as f:
+        art = json.load(f)
+    # r13 verdict item 1: Bench deliberately writes the artifact even
+    # when a query crashed (errors collected, exit nonzero), so a run
+    # that only checks for the file records a crashed query's
+    # time-to-failure as its measurement — that is how q197's genuine
+    # superlinear flag got auto-cleared by an impossible 0.01s isolated
+    # "measurement". A failed run must fail the gate.
+    if r.returncode != 0 or art.get("errors"):
+        raise SystemExit(
+            f"bench FAILED for {sf_dir} (exit {r.returncode}, errors: "
+            f"{sorted(art.get('errors', {})) or 'none reported'}) — a "
+            "crashed query must fail the scale gate, not record its "
+            f"time-to-failure\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+    return art
+
+
+def discrepant(isolated_t, batch_t):
+    """True when an isolated re-measurement is implausibly BELOW the
+    batch measurement at the same SF. Concurrency noise only inflates
+    times — it cannot deflate one 3x — so such a rerun is evidence of a
+    short-circuit (crash, cached result, wrong dir), and must never
+    clear a superlinear flag (r13 verdict item 1: q197's 81s batch
+    measurement was "cleared" by a 0.01s isolated rerun)."""
+    return batch_t is not None and batch_t > 0 and isolated_t < batch_t / 3.0
 
 def bench_only(sf_dir, query):
     return bench(sf_dir, only=query)["queries"][query]
@@ -160,9 +190,11 @@ def main():
     # the quadratic term).
     mid_times = {}
     if FMID:
-        heavy = sorted(
-            (r_ for r_ in rows if r_["gated"] and r_["sf1_s"] >= 1.0),
-            key=lambda r_: -r_["sf1_s"])[:N_HEAVY]
+        eligible = [r_ for r_ in rows
+                    if r_["gated"] and r_["sf1_s"] >= 1.0]
+        heavy = sorted(eligible, key=lambda r_: -r_["sf1_s"])[:N_HEAVY]
+        heavy += [r_ for r_ in eligible
+                  if r_["query"] in FORCE_MID and r_ not in heavy]
         if heavy:
             gen_scaled(SFMID, FMID)
             names = ",".join(r_["query"] for r_ in heavy)
@@ -195,6 +227,23 @@ def main():
         print(f"re-measuring {q} isolated ...")
         t01 = bench_only(SF01, q)
         t1 = bench_only(SF1, q)
+        batch_t1 = b1["queries"].get(q)
+        if discrepant(t1, batch_t1):
+            # an isolated time <1/3 of the batch time is a measurement
+            # integrity problem, not noise: re-measure once, and if the
+            # discrepancy reproduces, KEEP the flag (r13 verdict item 1)
+            print(f"  {q}: isolated sf1 {t1:.2f}s vs batch "
+                  f"{batch_t1:.2f}s — implausible, re-measuring ...")
+            t1 = max(t1, bench_only(SF1, q))
+        if discrepant(t1, batch_t1):
+            print(f"  {q}: isolated sf1 {t1:.2f}s still <1/3 of batch "
+                  f"{batch_t1:.2f}s — keeping flag (suspect measurement)")
+            for r_ in rows:
+                if r_["query"] == q:
+                    r_["isolated_sf1_s"] = round(t1, 3)
+                    r_["isolated_suspect"] = True
+            confirmed.append(q)
+            continue
         ratio = t1 / (t01 * FACTOR) if t01 > 0 else 0.0
         # recompute the extrapolation from the isolated numbers too, so
         # a query flagged by the fit isn't auto-cleared by a clean

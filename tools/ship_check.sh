@@ -82,6 +82,10 @@ EOF
 
 if [[ "${1:-}" == "--fast" ]]; then
     registry_check
+    # r13 verdict item 1: the scale harness's integrity rules (crashed
+    # bench fails the gate; implausibly-low isolated reruns never clear
+    # a flag) are pinned by injection tests, <1s, no sbt.
+    python3 tools/test_scale_bench.py
     exit 0
 fi
 
