@@ -133,13 +133,25 @@ object Similarity {
     * / one shard of the smaller language) into the target scan — the
     * knnJoin contract; both rank windows and both stat aggs key on
     * vector ids, so nothing exceeds one exchange of the candidate
-    * table per direction. For corpus×corpus mining, generate
-    * candidates with [[lshTableCandidates]]/[[ivfProbe]] and feed
-    * them to [[marginFromSims]] — the margin tail is
-    * candidate-bounded either way, never all-pairs. */
+    * table per direction. For corpus×corpus mining, use
+    * [[marginMiningLsh]] (bucketed candidates), or generate candidates
+    * with [[lshTableCandidates]]/[[ivfProbe]] and feed them to
+    * [[marginFromSims]] — the margin tail is candidate-bounded either
+    * way, never all-pairs. `maxBuild` makes the probe-batch contract
+    * BINDING (the [[Mmr.rerank]] maxPool pattern, r13 verdict item 2):
+    * a corpus-sized left side fails fast instead of silently building
+    * an N² cross product. */
   def marginMining(left: DataFrame, right: DataFrame, lVec: String,
       lId: String, rVec: String, rId: String, k: Int,
-      n: Int): DataFrame = {
+      n: Int, maxBuild: Int = 10000): DataFrame = {
+    require(maxBuild >= 1, s"maxBuild must be >= 1, got $maxBuild")
+    val nLeft = left.select(col(lId)).limit(maxBuild + 1).count()
+    require(nLeft <= maxBuild,
+      s"marginMining broadcasts the left side into the corpus scan and " +
+        s"the left side exceeds maxBuild=$maxBuild rows — this form is " +
+        "for a probe batch / one shard of the smaller language. For " +
+        "corpus x corpus mining use marginMiningLsh, or feed LSH/IVF " +
+        "candidates to marginFromSims")
     val sims = right
       .select(col(rId).as("dst_id"), col(rVec).as("__rv"),
         norm(col(rVec)).as("__rn"))
@@ -149,6 +161,75 @@ object Similarity {
         (dot(col("__rv"), col("__lv")) / (col("__rn") * col("__ln")))
           .as("cos"))
     marginFromSims(sims, k, n)
+  }
+
+  /** Corpus×corpus margin mining through BUCKETED candidates — the
+    * scale form of [[marginMining]] (r13 verdict item 2: the cross-join
+    * form is quadratic and gated against corpus-sized builds). Candidate
+    * generation is sign-bit LSH ([[signBitCandidates]]): `numTables`
+    * hash tables, table t bucketing on the packed sign bits of
+    * coordinates [t·p, (t+1)·p) — axis-aligned random-hyperplane LSH,
+    * valid whenever the embedding is isotropic in its coordinate basis
+    * (pre-rotate with [[graft.functions.VectorFunctions.hadamardRotate]]
+    * when it is not, the q128 operator). A pair is a candidate when it
+    * shares ANY table's bucket; the margin tail ([[marginFromSims]])
+    * then runs candidate-bounded.
+    *
+    * Scale shape: per-table bucket join on (table, bucket) — an
+    * inverted-index equi-join, never all-pairs — with a BINDING
+    * per-bucket cap (`maxBucket` rows per side per (table, bucket),
+    * deterministic by id), so worst-case candidate volume is
+    * numTables · 2^planes · maxBucket² regardless of corpus size. In
+    * production `planesPerTable` grows with log(corpus) to hold
+    * per-bucket occupancy flat (the cap is the backstop, not the plan);
+    * the cap would key on a salt-hash rather than raw id for fairness
+    * when ids encode ingest order. Everything here — sign buckets, cap
+    * ranks, cosines, the fixed-point margin chain — is a deterministic
+    * chain both engines replay exactly, so the gate is hash-exact. */
+  def marginMiningLsh(left: DataFrame, right: DataFrame, lVec: String,
+      lId: String, rVec: String, rId: String, k: Int, n: Int,
+      numTables: Int = 4, planesPerTable: Int = 6, dim: Int = 64,
+      maxBucket: Int = 64): DataFrame =
+    marginFromSims(signBitCandidates(left, right, lVec, lId, rVec, rId,
+      numTables, planesPerTable, dim, maxBucket), k, n)
+
+  /** The candidate generator behind [[marginMiningLsh]]: sign-bit LSH
+    * buckets per table, per-bucket cap, bucket equi-join, exact cosine
+    * per distinct (src, dst) pair. Exposed for composition with other
+    * candidate-bounded tails (hard negatives, containment). */
+  private[graft] def signBitCandidates(left: DataFrame, right: DataFrame,
+      lVec: String, lId: String, rVec: String, rId: String,
+      numTables: Int, planesPerTable: Int, dim: Int,
+      maxBucket: Int): DataFrame = {
+    require(numTables >= 1 && planesPerTable >= 1,
+      s"need >=1 tables and planes, got $numTables x $planesPerTable")
+    require(numTables * planesPerTable <= dim,
+      s"$numTables tables x $planesPerTable planes needs " +
+        s"${numTables * planesPerTable} coordinates but dim=$dim")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    def buckets(df: DataFrame, vec: String, id: String, outId: String,
+        outVec: String): DataFrame = {
+      val bs = (0 until numTables).map { t =>
+        (0 until planesPerTable).map { j =>
+          when(element_at(col(vec), t * planesPerTable + j + 1)
+            .cast("double") >= lit(0.0), lit(1L << j)).otherwise(lit(0L))
+        }.reduceLeft(_ + _)
+      }
+      df.select(col(id).as(outId), col(vec).as(outVec),
+          posexplode(array(bs: _*)).as(Seq("__t", "__bucket")))
+        .withColumn("__r", row_number().over(Window
+          .partitionBy(col("__t"), col("__bucket")).orderBy(col(outId))))
+        .filter(col("__r") <= maxBucket)
+        .drop("__r")
+    }
+    buckets(left, lVec, lId, "src_id", "__lv")
+      .join(buckets(right, rVec, rId, "dst_id", "__rv"),
+        Seq("__t", "__bucket"))
+      .groupBy(col("src_id"), col("dst_id"))
+      // the pair may collide in several tables; cos is identical per
+      // pair, so max() is an exact dedup, not an approximation
+      .agg(max(dot(col("__lv"), col("__rv"))
+        / (norm(col("__lv")) * norm(col("__rv")))).as("cos"))
   }
 
   /** The margin tail over an arbitrary candidate table

@@ -75,21 +75,28 @@ object VectorQueries {
               * sqrt(list_dot_product(b.v, b.v))) >= 0.999
        ORDER BY cos DESC, id_a, id_b LIMIT 15"""
 
-  /** q197: margin-based parallel-pair mining
+  /** q197: margin-based parallel-pair mining, PROBE-BATCH form
     * ([[graft.operators.Similarity.marginMining]], Artetxe & Schwenk
-    * arXiv:1811.01136 — the CCMatrix/LASER bitext criterion): even
-    * vec_ids as the source language, odd as the target; for each
-    * source its best target BY MARGIN (cosine relative to both
-    * endpoints' k-NN neighborhoods, k=5), top-30 pairs corpus-wide.
-    * Cosines fold bit-identically; neighborhood sums are fixed-point
-    * longs (floor(cos·1e18), exact integer sums — a scaled-DECIMAL
-    * sum would cost a second rounding at the decimal→double cast in
-    * DuckDB); the margin is a fixed chain of correctly-rounded double
-    * ops the oracle replays in the same order — hash-exact gate. */
+    * arXiv:1811.01136 — the CCMatrix/LASER bitext criterion): a FIXED
+    * 40-probe batch (even vec_ids < 80 — ScaleUp shifts replica ids by
+    * 10M, so the batch stays 40 rows at every scale factor) against the
+    * odd-id corpus; for each probe its best target BY MARGIN (cosine
+    * relative to both endpoints' k-NN neighborhoods, k=5), top-30
+    * corpus-wide. This is the operator's documented contract — the
+    * broadcast side is a bounded batch, enforced by maxBuild — and the
+    * plan is one linear corpus scan. (r13 verdict item 2: the previous
+    * wiring fed half the corpus as the "batch", an N²/4 cross product
+    * measured superlinear at sf1; the corpus×corpus shape now gates as
+    * q216 through bucketed candidates.) Cosines fold bit-identically;
+    * neighborhood sums are fixed-point longs (floor(cos·1e18), exact
+    * integer sums — a scaled-DECIMAL sum would cost a second rounding
+    * at the decimal→double cast in DuckDB); the margin is a fixed chain
+    * of correctly-rounded double ops the oracle replays in the same
+    * order — hash-exact gate. */
   val q197_margin_mining: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     Similarity.marginMining(
-      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 80),
       e.filter(col("vec_id") % 2 === 1),
       "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30)
   }
@@ -103,7 +110,88 @@ object VectorQueries {
              / (sqrt(list_dot_product(r.v, r.v))
                 * sqrt(list_dot_product(l.v, l.v))) AS cos
          FROM e l JOIN e r
-           ON l.vec_id % 2 = 0 AND r.vec_id % 2 = 1),
+           ON l.vec_id % 2 = 0 AND l.vec_id < 80
+              AND r.vec_id % 2 = 1),
+       rk AS (SELECT src_id, dst_id, cos,
+           CAST(floor(cos * 1e18) AS BIGINT) AS cf,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY cos DESC, dst_id) AS rs,
+           row_number() OVER (PARTITION BY dst_id
+             ORDER BY cos DESC, src_id) AS rd
+         FROM sims),
+       sx AS (SELECT src_id, sum(cf) AS sx,
+           CAST(count(*) AS BIGINT) AS cx
+         FROM rk WHERE rs <= 5 GROUP BY src_id),
+       sy AS (SELECT dst_id, sum(cf) AS sy,
+           CAST(count(*) AS BIGINT) AS cy
+         FROM rk WHERE rd <= 5 GROUP BY dst_id),
+       m AS (SELECT rk.src_id, rk.dst_id, rk.cos,
+           rk.cos / ((CAST(sx.sx AS DOUBLE) / 1e18
+               / CAST(sx.cx AS DOUBLE)
+             + CAST(sy.sy AS DOUBLE) / 1e18
+               / CAST(sy.cy AS DOUBLE))
+             / 2.0) AS margin
+         FROM rk JOIN sx USING (src_id) JOIN sy USING (dst_id)
+         WHERE rk.rs <= 5),
+       best AS (SELECT src_id, dst_id, cos, margin,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY margin DESC, dst_id) AS b
+         FROM m)
+       SELECT src_id, dst_id, cos, margin,
+         CAST(row_number() OVER (ORDER BY margin DESC, src_id)
+           AS BIGINT) AS rk
+       FROM best WHERE b = 1 ORDER BY margin DESC, src_id LIMIT 30"""
+
+  /** q216: corpus×corpus margin mining through the BUCKETED scale path
+    * ([[graft.operators.Similarity.marginMiningLsh]]) — the r13 verdict
+    * item 2 successor gate. Even vec_ids as the source language, odd as
+    * the target, candidates from 4 sign-bit LSH tables (6 planes each,
+    * 64 buckets; per-bucket cap 64 per side, BINDING and deterministic
+    * by id), then the identical margin tail as q197 over the candidate
+    * set. The oracle replays the whole chain — sign buckets, cap ranks,
+    * bucket equi-join, distinct pairs, fixed-point margin — so the gate
+    * is hash-exact, not rows-only; and the plan has NO cross join:
+    * candidate generation is an inverted-index equi-join on
+    * (table, bucket) whose worst case is numTables·2^planes·cap²
+    * pairs regardless of corpus size. */
+  val q216_margin_mining_lsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.marginMiningLsh(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30,
+      numTables = 4, planesPerTable = 6, dim = 64, maxBucket = 64)
+  }
+
+  val q216_oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                  FROM embeddings),
+       b AS (SELECT vec_id, v, t,
+             (CASE WHEN v[t*6+1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[t*6+2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[t*6+3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[t*6+4] >= 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN v[t*6+5] >= 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN v[t*6+6] >= 0 THEN 32 ELSE 0 END) AS bucket
+         FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) tb(t)),
+       bl AS (SELECT * FROM (
+           SELECT vec_id, v, t, bucket,
+             row_number() OVER (PARTITION BY t, bucket
+               ORDER BY vec_id) AS r
+           FROM b WHERE vec_id % 2 = 0) WHERE r <= 64),
+       br AS (SELECT * FROM (
+           SELECT vec_id, v, t, bucket,
+             row_number() OVER (PARTITION BY t, bucket
+               ORDER BY vec_id) AS r
+           FROM b WHERE vec_id % 2 = 1) WHERE r <= 64),
+       sims AS (
+         SELECT le.vec_id AS src_id, ri.vec_id AS dst_id,
+           max(list_dot_product(le.v, ri.v)
+             / (sqrt(list_dot_product(le.v, le.v))
+                * sqrt(list_dot_product(ri.v, ri.v)))) AS cos
+         FROM bl le JOIN br ri
+           ON le.t = ri.t AND le.bucket = ri.bucket
+         GROUP BY le.vec_id, ri.vec_id),
        rk AS (SELECT src_id, dst_id, cos,
            CAST(floor(cos * 1e18) AS BIGINT) AS cf,
            row_number() OVER (PARTITION BY src_id
@@ -1406,10 +1494,12 @@ object VectorQueries {
     "q38_embedding_stats" -> q38_embedding_stats,
     "q39_knn_labels" -> q39_knn_labels,
     "q40_ann_lsh_topk" -> q40_ann_lsh_topk,
-    "q197_margin_mining" -> q197_margin_mining)
+    "q197_margin_mining" -> q197_margin_mining,
+    "q216_margin_mining_lsh" -> q216_margin_mining_lsh)
 
   val oracles: Map[String, String] = Map(
     "q197_margin_mining" -> q197_oracle,
+    "q216_margin_mining_lsh" -> q216_oracle,
     "q177_sq8_topk" -> q177_oracle,
     "q179_label_noise" -> q179_oracle,
     "q175_opq_learned_encode" -> q175_oracle,

@@ -82,6 +82,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("q216 corpus x corpus margin mining has NO cross join: candidate " +
+      "generation is an inverted-index equi-join on (table, bucket) " +
+      "(r13 item 2 — the quadratic shape lives only in the oracle)") {
+    val p = planOf(
+      queries.VectorQueries.q216_margin_mining_lsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q21 positional scan pushes the stream-key predicate into the scan") {
     val s = formatted(queries.EventQueries.q21_positional_scan(spark, sfDir))
     assert(s.contains("PushedFilters:") && s.contains("EqualTo(user_id,13)"), s)

@@ -101,6 +101,84 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("marginMining maxBuild guard: a corpus-sized left side fails " +
+      "fast instead of building the N^2 cross product (r13 item 2)") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.marginMining(
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30,
+        maxBuild = 3)
+    }
+    assert(err.getMessage.contains("maxBuild"), err.getMessage)
+    // a bounded probe batch passes the same guard
+    assert(Similarity.marginMining(
+      emb.filter($"vec_id" < 6 && $"vec_id" % 2 === 0),
+      emb.filter($"vec_id" % 2 === 1),
+      "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30,
+      maxBuild = 3).count() > 0)
+  }
+
+  test("signBitCandidates == driver replay of sign buckets + per-bucket " +
+      "cap + table-union pairs + exact cosine, and is a strict subset " +
+      "of all pairs; marginMiningLsh over it matches marginFromSims on " +
+      "the replayed candidates (bit-exact)") {
+    val tables = 4; val planes = 6; val cap = 8 // small cap so it BINDS
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val left = rows.filter(_._1 % 2 == 0).sortBy(_._1)
+    val right = rows.filter(_._1 % 2 == 1).sortBy(_._1)
+    def bucket(v: Array[Float], t: Int): Long =
+      (0 until planes).map(j =>
+        if (v(t * planes + j).toDouble >= 0) 1L << j else 0L).sum
+    // per (table, bucket, side) keep the first `cap` by id
+    def capped(side: Array[(Long, Array[Float])]) =
+      (0 until tables).flatMap { t =>
+        side.map { case (id, v) => (t, bucket(v, t), id, v) }
+          .groupBy(x => (x._1, x._2)).toSeq
+          .flatMap { case (_, g) => g.sortBy(_._3).take(cap) }
+      }
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expectPairs = (for {
+      (t, b, lid, lv) <- capped(left)
+      (t2, b2, rid, rv) <- capped(right)
+      if t == t2 && b == b2
+    } yield ((lid, rid),
+        dotD(lv, rv) / (math.sqrt(dotD(lv, lv)) * math.sqrt(dotD(rv, rv)))))
+      .toMap // table collisions dedup to one (identical) cos
+    val got = Similarity.signBitCandidates(
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id", "embedding", "vec_id",
+        tables, planes, 64, cap)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expectPairs,
+      s"sizes ${got.size} vs ${expectPairs.size}; first diff: " +
+        s"${got.toSeq.sortBy(_._1).zip(expectPairs.toSeq.sortBy(_._1))
+          .find(p => p._1 != p._2)}")
+    assert(got.size < left.length.toLong * right.length,
+      "candidates must be a strict subset of all pairs")
+    // the cap binds on this fixture (some bucket exceeds `cap` rows)
+    val occ = (0 until tables).flatMap(t =>
+      left.groupBy(x => bucket(x._2, t)).values.map(_.length))
+    assert(occ.max > cap, s"cap $cap never binds (max occupancy ${occ.max})")
+    // end-to-end: marginMiningLsh == marginFromSims over the candidates
+    val viaOp = Similarity.marginMiningLsh(
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30,
+        numTables = tables, planesPerTable = planes, dim = 64,
+        maxBucket = cap)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    val viaSims = Similarity.marginFromSims(
+        expectPairs.toSeq.map { case ((s0, d0), c) => (s0, d0, c) }
+          .toDF("src_id", "dst_id", "cos"), k = 5, n = 30)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(viaOp == viaSims)
+  }
+
   test("VecMean typed Aggregator equals the long-form centroid query") {
     import graft.functions.VecMean
     val byAgg = emb.as[(Long, Array[Float], Int)]
