@@ -129,7 +129,10 @@ object Calibrate {
     * it collects to the driver and inlines as a sorted array literal
     * (the PQ-codebook pattern) — the scoring pass is a stateless
     * projection doing one in-row array walk per row: zero joins, zero
-    * shuffles, streaming-safe. Scores must be castable to long. */
+    * shuffles, streaming-safe. Scores must be castable to long; a NULL
+    * (or non-castable) score calibrates to NULL, never to a bin's rate
+    * (ADVICE r13: silently emitting a confident probability for
+    * missing input is a labeling bug waiting to happen). */
   def applyFit(df: DataFrame, fit: DataFrame, scoreCol: String,
       as: String = "calibrated"): DataFrame = {
     val rows = fit.select(col("score").cast("long"), col("rate"))
@@ -140,8 +143,10 @@ object Calibrate {
     val scores = typedLit(rows.map(_._1).toSeq)
     val rates = typedLit(rows.map(_._2).toSeq)
     // index of the largest fitted score <= s, via one aggregate walk;
-    // 0 (the first bin) when s is below the fitted range
-    val s = col(scoreCol).cast("long")
+    // 0 (the first bin) when s is below the fitted range. try_cast:
+    // a malformed score is missing input (NULL output below), not an
+    // ANSI runtime error killing the scoring job
+    val s = col(scoreCol).try_cast("long")
     val idx =
       if (rows.length == 1) lit(0) // Spark sequence(1, 0) descends
       else aggregate(
@@ -149,6 +154,6 @@ object Calibrate {
         lit(0),
         (acc, i) => when(element_at(scores, i + 1) <= s, i)
           .otherwise(acc))
-    df.withColumn(as, element_at(rates, idx + 1))
+    df.withColumn(as, when(s.isNotNull, element_at(rates, idx + 1)))
   }
 }

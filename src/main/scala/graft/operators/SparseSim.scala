@@ -36,13 +36,15 @@ object SparseSim {
   /** All pairs with n-gram count-vector cosine >= tNum/tDen.
     * Output: (id_a, id_b, dot, na2, nb2, cos).
     *
-    * Plan: gram-count postings (one (id, gram) hash agg) → bucketed
-    * pair expansion (gram-keyed hash agg, arrays bounded by maxDf,
-    * a<b pairs unrolled in-plan) → ids-distinct candidates →
-    * exact rerank joining both posting sides → integer threshold. */
+    * Plan: gram-count postings (one (id, gram) hash agg) → df
+    * pre-filter (count agg + semi-join, constant space per gram) →
+    * bucketed pair expansion (gram-keyed hash agg, arrays bounded by
+    * maxDf, a<b pairs streamed through chained generators) →
+    * ids-distinct candidates → exact rerank joining both posting
+    * sides → integer threshold. */
   def countCosinePairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tNum: Int = 9, tDen: Int = 10,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 1000): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen must be in (0, 1]")
     // localCheckpoint: the posting frame feeds FIVE consumers (norms,
@@ -63,21 +65,29 @@ object SparseSim {
         struct(col("gram"), col("cnt")))).as("m"),
         sum(col("cnt") * col("cnt")).as("n2"))
       .localCheckpoint()
-    // candidate generation as BUCKETED pair expansion: one hash agg on
-    // gram collects each rare gram's posting ids (bounded by maxDf, so
-    // the per-bucket array is provably small), and the a<b pairs unroll
-    // in-plan from the sorted array — no df-filter join, no posting
-    // self-join, one shuffle instead of three (the Σ df² candidate
-    // row count is unchanged; what disappears is re-scanning and
-    // re-shuffling the posting frame per join side)
-    val cand = p.groupBy(col("gram"))
+    // candidate generation as BUCKETED pair expansion. The df filter
+    // runs BEFORE any collection (constant-space count agg + semi-join,
+    // ADVICE r13): collecting first and filtering after would build an
+    // O(df) aggregation buffer for every hot gram — corpus-sized for
+    // boilerplate trigrams at 100 TB — just to throw it away. After the
+    // semi-join each gram's posting array is bounded by maxDf, and the
+    // a<b pairs unroll through two CHAINED generators so no single row
+    // ever materializes the O(df²) pair array (the previous
+    // flatten-transform built all pairs of a gram in one row before
+    // exploding): per-row state is one O(maxDf) array, and codegen
+    // streams the second explode off the first.
+    val eligible = p.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2L, maxDf.toLong))
+      .select(col("gram"))
+    val cand = p.join(eligible, Seq("gram"), "left_semi")
+      .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-               struct(x AS id_a, y AS id_b))))""")).as("pr"))
-      .select(col("pr.id_a"), col("pr.id_b")).distinct()
+      .select(col("ids"), posexplode(col("ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .distinct()
     cand
       .join(pmap.select(col("id").as("id_a"), col("m").as("ma"),
         col("n2").as("na2")), Seq("id_a"))

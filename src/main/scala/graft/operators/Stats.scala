@@ -74,7 +74,9 @@ object Stats {
     * totals derived from the per-value aggregates (never a second
     * corpus scan — the keynessTopK lesson), and the running CDFs ride
     * the distributed [[PrefixSum]] scan, never a single-partition
-    * window. Output is ONE row. */
+    * window. Output is ONE row; with an empty side the test is
+    * undefined and d/reject are NULL (the [[chiSquare2x2]]
+    * degenerate-margin convention). */
   def ksTest(a: DataFrame, b: DataFrame, valCol: String,
       c: Double = 1.358): DataFrame = {
     require(c > 0, s"critical factor must be > 0, got $c")
@@ -91,15 +93,23 @@ object Stats {
       coalesce(sum(col("nb")), lit(0L)).as("m"))
     val d38 = (x: Column) => x.cast("decimal(38,0)")
     val dbl = (x: Column) => x.cast("double")
-    cum.crossJoin(broadcast(tot))
-      .select(col("n"), col("m"),
-        abs(d38(col("na_cum")) * d38(col("m"))
-          - d38(col("nb_cum")) * d38(col("n"))).as("__diff"))
-      .groupBy(col("n"), col("m"))
+    // the max-diff agg runs WITHOUT a group key so an empty input still
+    // yields its one row (ADVICE r13: the groupBy(n,m) form returned
+    // ZERO rows with both sides empty, against the documented "output
+    // is ONE row"), and the degenerate guard follows the chiSquare2x2
+    // convention: one empty side -> NULL d/reject, never a silent
+    // NaN > x = false
+    val dnum = cum.crossJoin(broadcast(tot))
+      .select(abs(d38(col("na_cum")) * d38(col("m"))
+        - d38(col("nb_cum")) * d38(col("n"))).as("__diff"))
       .agg(max(col("__diff")).cast("double").as("d_num"))
-      .withColumn("d", col("d_num") / (dbl(col("n")) * dbl(col("m"))))
-      .withColumn("reject", col("d") > lit(c) *
-        sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m")))))
+    val defined = col("n") > 0 && col("m") > 0
+    tot.crossJoin(broadcast(dnum))
+      .withColumn("d",
+        when(defined, col("d_num") / (dbl(col("n")) * dbl(col("m")))))
+      .withColumn("reject", when(defined, col("d") > lit(c) *
+        sqrt(dbl(col("n") + col("m")) / (dbl(col("n")) * dbl(col("m"))))))
+      .select(col("n"), col("m"), col("d_num"), col("d"), col("reject"))
   }
 
   /** Per-group two-sample KS — the drift MATRIX: one [[ksTest]] per
@@ -161,7 +171,11 @@ object Stats {
     * double division of two exact integers. Items are aggregated
     * internally (duplicate keys sum), so callers can pass raw
     * (item, weight) rows. Output is ONE row: (n_items, total, gini);
-    * gini is NULL when the total weight is zero. */
+    * gini is NULL when the total weight is zero. Rank order is
+    * (w, k) ascending with a NULL key FIRST — Spark's ascending
+    * default, pinned as NULLS FIRST in the q212 oracle because
+    * DuckDB's default is NULLS LAST (ADVICE r13: a null stratum is
+    * first-class here, as in q183/q209/q213). */
   def giniConcentration(items: DataFrame, keyCol: String,
       weightCol: String): DataFrame = {
     val base = items

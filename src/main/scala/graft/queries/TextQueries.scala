@@ -3434,9 +3434,11 @@ object TextQueries {
          FROM documents GROUP BY 1),
      src_b AS (SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS w
          FROM documents GROUP BY 1),
-     lang_r AS (SELECT w, row_number() OVER (ORDER BY w, k) AS i
+     lang_r AS (SELECT w, row_number()
+         OVER (ORDER BY w, k NULLS FIRST) AS i
        FROM lang_b),
-     src_r AS (SELECT w, row_number() OVER (ORDER BY w, k) AS i
+     src_r AS (SELECT w, row_number()
+         OVER (ORDER BY w, k NULLS FIRST) AS i
        FROM src_b),
      lang_a AS (SELECT 'lang_docs' AS axis,
          CAST(count(*) AS BIGINT) AS n_items,
@@ -3558,11 +3560,11 @@ object TextQueries {
            FROM g) WHERE j = k) f ON f.k = c.k),
      scored AS (SELECT doc_id, n_chars // 37 AS score FROM documents)
      SELECT sc.doc_id, sc.score,
-       coalesce(
+       CASE WHEN sc.score IS NULL THEN NULL ELSE coalesce(
          (SELECT f.rate FROM ft f WHERE f.score <= sc.score
           ORDER BY f.score DESC LIMIT 1),
          (SELECT f.rate FROM ft f ORDER BY f.score LIMIT 1))
-         AS calibrated
+       END AS calibrated
      FROM scored sc"""
 
   val all: Map[String, Q] = Map(

@@ -99,6 +99,24 @@ class CalibrateSpec extends SparkSuite {
       .select($"calibrated").as[Double].collect().toSeq == Seq(0.4, 0.4))
   }
 
+  test("applyFit: a NULL (or non-castable) score calibrates to NULL, " +
+      "never to the first bin's rate (ADVICE r13)") {
+    val fit = Seq((10L, 0L, 0L, 0.2), (20L, 0L, 0L, 0.5))
+      .toDF("score", "n", "pos", "rate")
+    val scored = Seq(Some(15L), None, Some(25L)).toDF("s")
+    val got = Calibrate.applyFit(scored, fit, "s")
+      .select($"s", $"calibrated").as[(Option[Long], Option[Double])]
+      .collect().toMap
+    assert(got == Map(Some(15L) -> Some(0.2), None -> None,
+      Some(25L) -> Some(0.5)))
+    // a string score that fails the long cast is missing input too
+    val junk = Seq("42", "not-a-number").toDF("s")
+    val got2 = Calibrate.applyFit(junk, fit, "s")
+      .select($"s", $"calibrated").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got2 == Map("42" -> Some(0.5), "not-a-number" -> None))
+  }
+
   test("maxBins guard refuses a corpus-sized score domain") {
     val rows = (1L to 50L).map(i => (i, (i % 2).toInt))
     val e = intercept[IllegalArgumentException] {

@@ -99,7 +99,7 @@ class PrefixJoinSpec extends SparkSuite {
       "on this corpus equals the UNCAPPED join (rerank is exact)") {
     val un = bruteCosine(corpus, 9, 10, Int.MaxValue)
     val gotUncapped = SparseSim.countCosinePairs(corpus, "text",
-        "doc_id", n = 3, tNum = 9, tDen = 10)
+        "doc_id", n = 3, tNum = 9, tDen = 10, maxDf = Int.MaxValue)
       .select($"id_a", $"id_b", $"dot").as[(Long, Long, Long)]
       .collect().toSet
     assert(gotUncapped == un)

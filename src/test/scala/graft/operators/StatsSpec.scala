@@ -84,6 +84,40 @@ class StatsSpec extends SparkSuite {
       .select($"gini".isNull).as[Boolean].collect().head)
   }
 
+  test("ksTest degenerate inputs (ADVICE r13): one empty side yields " +
+      "ONE row with NULL d/reject (never a NaN comparing false), and " +
+      "both sides empty still yield the documented ONE row") {
+    val a = Seq(1L, 2L, 3L).toDF("x")
+    val none = Seq.empty[Long].toDF("x")
+    val oneEmpty = Stats.ksTest(a, none, "x").collect()
+    assert(oneEmpty.length == 1)
+    assert(oneEmpty.head.getAs[Long]("n") == 3L)
+    assert(oneEmpty.head.getAs[Long]("m") == 0L)
+    assert(oneEmpty.head.isNullAt(oneEmpty.head.fieldIndex("d")))
+    assert(oneEmpty.head.isNullAt(oneEmpty.head.fieldIndex("reject")))
+    val bothEmpty = Stats.ksTest(none, none, "x").collect()
+    assert(bothEmpty.length == 1)
+    assert(bothEmpty.head.getAs[Long]("n") == 0L)
+    assert(bothEmpty.head.isNullAt(bothEmpty.head.fieldIndex("d")))
+    // non-degenerate output shape unchanged by the guard
+    val ok = Stats.ksTest(a, Seq(5L, 6L).toDF("x"), "x").collect()
+    assert(ok.length == 1 && ok.head.getAs[Double]("d") == 1.0)
+    assert(ok.head.getAs[Boolean]("reject") == false)
+  }
+
+  test("giniConcentration with a NULL key: the null stratum ranks " +
+      "FIRST among equal weights on both engines (ADVICE r13 — Spark " +
+      "NULLS FIRST vs DuckDB NULLS LAST would shift every rank)") {
+    // null key ties weight 2 with "b": nulls-first rank order is
+    // (null,2)=1, (b,2)=2, (c,3)=3 -> sw = 2 + 4 + 9 = 15
+    // G = (2*15 - 4*7)/(3*7) = 2/21
+    val mixed = Seq((Option.empty[String], 2L), (Some("b"), 2L),
+      (Some("c"), 3L)).toDF("k", "w")
+    val got = Stats.giniConcentration(mixed, "k", "w")
+      .select($"gini").as[Double].collect().head
+    assert(got == 2.0 / 21.0, s"got $got")
+  }
+
   test("chiSquare2x2: a degenerate margin (nobody in variant 1) yields " +
       "NULL statistic and NULL flag, never NaN") {
     val rows = (units("g", 0, 0, 5) ++ units("g", 0, 1, 5))
