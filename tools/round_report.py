@@ -29,6 +29,14 @@ QUALITY_FLOORS = {
     "ivf_recall_at_20": 0.6,
     "ivfpq_recall_at_20": 0.45,
     "pq_recall_at_20": 0.3,
+    # rotated/learned/fitted sit at 0.375-0.381 vs flat PQ's 0.4125 on
+    # the gate fixture: the fixture is near-isotropic (rotation's null
+    # case — OPQ's wins come from anisotropy, PqSpec's anisotropic
+    # fixture measures flat 0.21 vs fitted 0.775), so parity-with-noise
+    # is the expected reading; the floors below catch a rotation BUG
+    # (query rotated with a different matrix than the corpus), not a
+    # missing win (r13 verdict item 3).
+    "pq_rotated_recall_at_20": 0.3,  # Hadamard; measured 0.3813
     "pq_learned_recall_at_20": 0.3,
     "pq_fitted_recall_at_20": 0.3,  # data-fitted R; measured 0.375
     "sq8_recall_at_20": 0.9,  # rounding-only error; measured 0.9875
@@ -37,6 +45,18 @@ QUALITY_FLOORS = {
 # run's wall passes disagree by more than this, per-query deltas are
 # queue/noise-inflated — label them inconclusive, don't rank movers.
 NOISE_LIMIT = 1.5
+
+
+def check_quality_floors(quality):
+    """Every floored metric present in the QUALITY dict must clear its
+    floor or the round report fails (exit 3). Factored out so the
+    injection test (tools/test_round_report.py) can pin the rule."""
+    for metric, floor in QUALITY_FLOORS.items():
+        if metric in quality and float(quality[metric]) < floor:
+            print(f"QUALITY FAILURE: {metric}={quality[metric]} below "
+                  f"pinned floor {floor} — approximate-search "
+                  f"quality regressed", file=sys.stderr)
+            sys.exit(3)
 
 
 def parse_bench(path):
@@ -163,17 +183,13 @@ def main():
         lines += [f"QUALITY.json: recall_at_20={d['recall_at_20']}, "
                   f"hll_max_rel_err={d['hll_max_rel_err']}", ""]
         # Hard floors (r09 verdict item 5; widened to the PQ/IVF-PQ
-        # points in r11 per the r10 verdict item 6): the quality
-        # numbers used to be diff-only — a probe-ordering or codebook
-        # regression would print a delta and still ship. Every floored
-        # metric present in QUALITY.json must clear its floor or the
-        # round report itself fails (exit 3).
-        for metric, floor in QUALITY_FLOORS.items():
-            if metric in d and float(d[metric]) < floor:
-                print(f"QUALITY FAILURE: {metric}={d[metric]} below "
-                      f"pinned floor {floor} — approximate-search "
-                      f"quality regressed", file=sys.stderr)
-                sys.exit(3)
+        # points in r11 per the r10 verdict item 6; pq_rotated added in
+        # r14 per the r13 verdict item 3): the quality numbers used to
+        # be diff-only — a probe-ordering or codebook regression would
+        # print a delta and still ship. Every floored metric present in
+        # QUALITY.json must clear its floor or the round report itself
+        # fails (exit 3).
+        check_quality_floors(d)
         # recall-vs-budget curve, diffed against the last committed
         # QUALITY.json (r08 verdict item 6: a probe-ordering regression
         # must show up as a number, and the low-budget end of the curve

@@ -86,6 +86,9 @@ if [[ "${1:-}" == "--fast" ]]; then
     # bench fails the gate; implausibly-low isolated reruns never clear
     # a flag) are pinned by injection tests, <1s, no sbt.
     python3 tools/test_scale_bench.py
+    # r13 verdict item 3: every pinned quality floor (incl. pq_rotated)
+    # fails the round report when injected below it.
+    python3 tools/test_round_report.py
     exit 0
 fi
 
