@@ -609,7 +609,10 @@ class EventStore(val spark: SparkSession, rootDir: String,
         }
         val m = Manifest(baseVersion + 1, last + 1,
           prevFiles :+ dataName, prevKeys :+ keysName)
-        if (tryCommitManifest(dir, m)) return n
+        if (tryCommitManifest(dir, m)) {
+          if (baseVersion == 0L) catalogOp(CatalogAdd, u, s)
+          return n
+        }
         // lost the claim: restore the staged file so the fallback below
         // can re-read it, and drop the never-referenced sidecar (the
         // fallback derives its own keys from the re-read events)
@@ -652,6 +655,9 @@ class EventStore(val spark: SparkSession, rootDir: String,
       head.map(_.files).getOrElse(Nil) :+ dataName,
       head.map(_.keyFiles).getOrElse(Nil) :+ keysName)
     if (tryCommitManifest(dir, m)) {
+      // stream creation (first manifest) registers in the catalog table;
+      // the dir guard keeps the catalog's own commits from recursing
+      if (m.version == 1L && dir != catalogDir) catalogOp(CatalogAdd, u, s)
       // the digest cache is now one version behind; digestFor catches up
       // incrementally by reading just the sidecar this commit wrote
       Some(last + 1)
@@ -857,43 +863,50 @@ class EventStore(val spark: SparkSession, rootDir: String,
     lockFor(u, s).synchronized {
       // negative grace = defer to the store's configured policy
       val grace = if (graceMs < 0) options.gcGraceMs else graceMs
-      val dir = streamPath(u, s)
-      val head = readHead(dir).getOrElse(return 0)
-      if (head.files.size <= 1) { gcStream(dir, grace); return 0 }
-      val last = head.revision - 1
-      val uuid = java.util.UUID.randomUUID().toString
-      val dataName = s"batch-0-$last-$uuid.parquet"
-      val keysName = s"keys-0-$last-$uuid.keys"
-      // rewrite via executors (never collect a whole stream to the
-      // driver), sorted by revision for row-group stat locality
-      val tmp = Files.createTempDirectory(root, ".compact-")
-      try {
-        spark.read.parquet(head.files.map(f => dir.resolve(f).toString): _*)
-          .as[StoredEvent].orderBy($"revision").coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
-        val part = listDir(tmp.resolve("out"))
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no compacted file"))
-        Files.move(part, dir.resolve(dataName), StandardCopyOption.ATOMIC_MOVE)
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
-      // merge the key sidecars 1:1 (compaction preserves every event)
-      val merged = head.keyFiles.flatMap(kf => readKeyFile(dir.resolve(kf)))
-      writeKeyFile(dir.resolve(keysName), merged)
-      val m = Manifest(head.version + 1, head.revision,
-        List(dataName), List(keysName))
-      if (!tryCommitManifest(dir, m)) {
-        // a concurrent writer committed first — drop our files, report
-        // nothing compacted; the caller can retry
-        Files.deleteIfExists(dir.resolve(dataName))
-        Files.deleteIfExists(dir.resolve(keysName))
-        return 0
-      }
-      digests.remove(key(u, s)) // rebuilt lazily from the merged sidecar
-      gcStream(dir, grace)
-      head.files.size
+      val n = compactDir(streamPath(u, s), grace)
+      if (n > 0) digests.remove(key(u, s)) // rebuilt from merged sidecar
+      n
     }
+
+  /** The lock-free core of [[compactStream]], shared with the catalog
+    * table's own compaction ([[recoverCatalog]]) — the caller holds
+    * whatever lock guards `dir`. */
+  private def compactDir(dir: Path, grace: Long): Int = {
+    val head = readHead(dir).getOrElse(return 0)
+    if (head.files.size <= 1) { gcStream(dir, grace); return 0 }
+    val last = head.revision - 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataName = s"batch-0-$last-$uuid.parquet"
+    val keysName = s"keys-0-$last-$uuid.keys"
+    // rewrite via executors (never collect a whole stream to the
+    // driver), sorted by revision for row-group stat locality
+    val tmp = Files.createTempDirectory(root, ".compact-")
+    try {
+      spark.read.parquet(head.files.map(f => dir.resolve(f).toString): _*)
+        .as[StoredEvent].orderBy($"revision").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("out").toString)
+      val part = listDir(tmp.resolve("out"))
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no compacted file"))
+      Files.move(part, dir.resolve(dataName), StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // merge the key sidecars 1:1 (compaction preserves every event)
+    val merged = head.keyFiles.flatMap(kf => readKeyFile(dir.resolve(kf)))
+    writeKeyFile(dir.resolve(keysName), merged)
+    val m = Manifest(head.version + 1, head.revision,
+      List(dataName), List(keysName))
+    if (!tryCommitManifest(dir, m)) {
+      // a concurrent writer committed first — drop our files, report
+      // nothing compacted; the caller can retry
+      Files.deleteIfExists(dir.resolve(dataName))
+      Files.deleteIfExists(dir.resolve(keysName))
+      return 0
+    }
+    gcStream(dir, grace)
+    head.files.size
+  }
 
   /** Compact every stream of a user (store maintenance sweep — the
     * batch form of the `compact_stream` SQL verb). Streams compact
@@ -969,13 +982,117 @@ class EventStore(val spark: SparkSession, rootDir: String,
       if (existed) org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
       digests.remove(key(u, s))
       heads.remove(dir)
+      if (existed) catalogOp(CatalogRemove, u, s)
       existed
     }
 
-  /** Startup catalog recovery — reference src/server.rs:72-121: walk the
-    * directory tree, base32-decode names. Returns (user, stream) pairs
-    * for streams with at least one committed manifest. */
-  def recoverCatalog(): Seq[(String, String)] = {
+  // ------------------------------------------------------------ catalog
+  //
+  // The maintained stream-catalog table (r13 verdict item 5): the
+  // reference's startup walk (server.rs:72-121) — and this store's
+  // previous recoverCatalog — reads every stream directory's head
+  // manifest, an O(streams) driver scan that is fine at 10^3 streams
+  // and a boot bottleneck at 10^6. The catalog is itself a
+  // manifest-committed parquet log at root/.catalog (a dot-dir, so the
+  // walk never mistakes it for a user): every FIRST commit of a stream
+  // appends one `add` row, every delete appends one `remove`, both
+  // through the exact same commitAttempt/tryCommitManifest arbitration
+  // as data commits (multi-process safe), and the log auto-compacts
+  // through compactDir once it accumulates files. Recovery then reads
+  // ONE head manifest + a handful of parquet files and folds
+  // last-op-wins per (user, stream) — independent of stream count on
+  // the driver (the fold is a Spark job).
+  //
+  // The catalog is an INDEX, not the arbiter: per-stream truth stays
+  // the stream's own head manifest. A crash between a stream's first
+  // manifest link and its catalog append hides that one stream from
+  // the fast path until reconciliation — walkCatalog() remains the
+  // audit/fallback and seeds the catalog on first use (which is also
+  // the one-time migration path for a pre-catalog store: the first
+  // catalog write snapshots the walk, so the fast path never serves a
+  // subset).
+
+  private val catalogDir = root.resolve(".catalog")
+  private def catalogLock: Object = lockFor(" ", ".catalog")
+
+  /** Append one catalog op, seeding the catalog from the walk on its
+    * very first write (migration: a pre-catalog store's existing
+    * streams must be in the table before any incremental row, or the
+    * fast path would serve a subset). Caller context: data-commit
+    * hooks hold the stream's write lock; lock order is always
+    * stream -> catalog, and catalog ops take no stream locks. */
+  private def catalogOp(op: String, u: String, s: String): Unit =
+    catalogLock.synchronized {
+      if (readHead(catalogDir).isEmpty)
+        catalogCommit(walkCatalog().map { case (wu, ws) =>
+          (CatalogAdd, wu, ws) })
+      catalogCommit(Seq((op, u, s)))
+      // bound the log: recovery reads head.files, so fold the log into
+      // one file before it accumulates a directory's worth
+      readHead(catalogDir).foreach { h =>
+        if (h.files.size >= CatalogCompactAt)
+          compactDir(catalogDir, options.gcGraceMs)
+      }
+    }
+
+  /** One manifest-arbitrated commit of catalog rows (caller holds the
+    * catalog lock; the retry loop is for OTHER PROCESSES racing). */
+  private def catalogCommit(ops: Seq[(String, String, String)]): Unit = {
+    if (ops.isEmpty) return
+    val events = ops.map { case (op, u, s) =>
+      CloudEvent(id = java.util.UUID.randomUUID().toString,
+        source = u, `type` = op, subject = Some(s))
+    }
+    var attempt = 0
+    while (attempt <= 10) {
+      val head = readHead(catalogDir)
+      if (commitAttempt(" ", ".catalog", catalogDir, head,
+          events).nonEmpty) return
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "catalog: lost the commit race 10+ times")
+  }
+
+  /** Fold the catalog table to the live (user, stream) set — last op
+    * per pair wins (a deleted-then-recreated stream is one `add` again).
+    * None when no catalog has ever been committed. */
+  private def readCatalogStreams(): Option[Seq[(String, String)]] =
+    readHead(catalogDir).map { m =>
+      if (m.files.isEmpty) Seq.empty
+      else spark.read
+        .parquet(m.files.map(f => catalogDir.resolve(f).toString): _*)
+        .groupBy($"source", $"subject")
+        .agg(max_by($"type", $"revision").as("__op"))
+        .filter($"__op" === CatalogAdd && $"subject".isNotNull)
+        .select($"source", $"subject")
+        .as[(String, String)].collect().toSeq
+    }
+
+  /** Startup catalog recovery. Fast path: fold the maintained catalog
+    * table — one head-manifest read + its few (auto-compacted) parquet
+    * files, with the fold distributed as a Spark job, so driver work
+    * is independent of stream count (CatalogScaleSpec pins it via the
+    * dirListCount seam: recovery over 10^4 streams lists O(1)
+    * directories where the walk lists every one). Fallback — and the
+    * per-directory TRUTH, reference server.rs:72-121 — is
+    * [[walkCatalog]], used when no catalog exists yet; it seeds the
+    * table so the next recovery takes the fast path. */
+  def recoverCatalog(): Seq[(String, String)] =
+    readCatalogStreams().getOrElse {
+      val walked = walkCatalog()
+      if (walked.nonEmpty) catalogLock.synchronized {
+        if (readHead(catalogDir).isEmpty)
+          catalogCommit(walked.map { case (u, s) => (CatalogAdd, u, s) })
+      }
+      walked
+    }
+
+  /** The reference-style directory walk (server.rs:72-121: walk the
+    * tree, base32-decode names) — O(streams) head-manifest reads on
+    * the driver. The audit path and the catalog's seed; per-stream
+    * truth when the catalog index is suspected stale. */
+  def walkCatalog(): Seq[(String, String)] = {
     (for {
       u <- listDir(root)
       if Files.isDirectory(u) && !u.getFileName.toString.startsWith(".") &&
@@ -983,6 +1100,22 @@ class EventStore(val spark: SparkSession, rootDir: String,
       s <- listDir(u) if Files.isDirectory(s) && readHead(s).nonEmpty
     } yield (Base32.decodeString(u.getFileName.toString),
       Base32.decodeString(s.getFileName.toString)))
+  }
+
+  /** Audit + repair: diff the catalog against the walk and commit the
+    * fix-ups (adds for streams the index missed — e.g. a crash between
+    * first manifest link and catalog append — removes for entries whose
+    * directories are gone). Returns the number of repaired rows. */
+  def reconcileCatalog(): Int = catalogLock.synchronized {
+    val truth = walkCatalog().toSet
+    val indexed = readCatalogStreams().getOrElse(Seq.empty).toSet
+    val fixes =
+      (truth -- indexed).toSeq.sorted.map { case (u, s) =>
+        (CatalogAdd, u, s) } ++
+      (indexed -- truth).toSeq.sorted.map { case (u, s) =>
+        (CatalogRemove, u, s) }
+    catalogCommit(fixes)
+    fixes.size
   }
 }
 
@@ -1000,6 +1133,11 @@ object EventStore {
   /** Batches at or under this size are written driver-locally without a
     * Spark job (see writeBatchFile). */
   val LocalWriteMax = 256
+  /** Catalog-table op types (rows in root/.catalog) + the log-length
+    * trigger for folding the catalog into one file. */
+  private[eventstore] val CatalogAdd = "graft.catalog.add"
+  private[eventstore] val CatalogRemove = "graft.catalog.remove"
+  private[eventstore] val CatalogCompactAt = 64
   /** Positional reads at or under this limit skip Spark and read the
     * manifest-listed files driver-locally (covers every API read — the
     * page clamp is 1000). */

@@ -1,6 +1,7 @@
 package graft.eventstore
 
 import graft.SparkSuite
+import graft.functions.Base32
 
 /** Mirrors the reference's storage-engine unit tests (src/db.rs:269-396:
   * roundtrip, empty read, the CAS matrix, 199-append positional read)
@@ -189,19 +190,78 @@ class EventStoreSpec extends SparkSuite {
   }
 
   test("catalog recovery after restart (server.rs:72-121) — revisions " +
-      "recovered from committed files, unicode ids roundtrip base32") {
+      "recovered from committed files, unicode ids roundtrip base32, " +
+      "and the CATALOG-TABLE fast path agrees with the walk") {
     val dir = tempDir("es-recover-")
     val es1 = new EventStore(spark, dir)
     es1.append("user/with/slashes", "stream säö", Seq(ev("e1"), ev("e2")))
     es1.append("user/with/slashes", "s2", Seq(ev("e1")))
     // fresh instance over the same directory = process restart
     val es2 = new EventStore(spark, dir)
+    // the first appends registered both streams in the catalog table,
+    // so this recovery takes the table path — and it must equal the
+    // reference walk (the per-directory truth) exactly
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, ".catalog")),
+      "stream creation must have committed the catalog table")
     assert(es2.recoverCatalog().toSet ==
       Set(("user/with/slashes", "stream säö"), ("user/with/slashes", "s2")))
+    assert(es2.recoverCatalog().toSet == es2.walkCatalog().toSet)
     assert(es2.revision("user/with/slashes", "stream säö") == 2)
     // appends continue with dense revisions after recovery
     assert(es2.append("user/with/slashes", "stream säö",
       Seq(ev("e3"))) == 3)
+  }
+
+  test("catalog table tracks delete and re-create; reconcile repairs " +
+      "an index made stale by an out-of-band directory change") {
+    val dir = tempDir("es-cat-")
+    val es = new EventStore(spark, dir)
+    es.append("u1", "keep", Seq(ev("e1")))
+    es.append("u1", "gone", Seq(ev("e1")))
+    assert(es.recoverCatalog().toSet ==
+      Set(("u1", "keep"), ("u1", "gone")))
+    es.deleteStream("u1", "gone")
+    assert(es.recoverCatalog().toSet == Set(("u1", "keep")))
+    // re-creation is a fresh version-1 commit -> add again
+    es.append("u1", "gone", Seq(ev("e2")))
+    assert(es.recoverCatalog().toSet ==
+      Set(("u1", "keep"), ("u1", "gone")))
+    assert(es.recoverCatalog().toSet == es.walkCatalog().toSet)
+    // out-of-band removal (crash, external cleanup): the index is
+    // stale until reconcile diffs it against the walk
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir, Base32.encodeString("u1"),
+        Base32.encodeString("gone")).toFile)
+    assert(es.reconcileCatalog() == 1)
+    assert(es.recoverCatalog().toSet == Set(("u1", "keep")))
+    assert(es.reconcileCatalog() == 0) // idempotent once repaired
+  }
+
+  test("pre-catalog store migration: the first catalog write seeds the " +
+      "FULL walk, so the table path never serves a subset") {
+    val dir = tempDir("es-migrate-")
+    val es1 = new EventStore(spark, dir)
+    es1.append("u1", "old1", Seq(ev("e1")))
+    es1.append("u1", "old2", Seq(ev("e1")))
+    // simulate a store written before the catalog existed
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir, ".catalog").toFile)
+    val es2 = new EventStore(spark, dir)
+    // a NEW stream's first commit must seed old1/old2 before its own row
+    es2.append("u1", "new1", Seq(ev("e1")))
+    val es3 = new EventStore(spark, dir)
+    assert(es3.recoverCatalog().toSet ==
+      Set(("u1", "old1"), ("u1", "old2"), ("u1", "new1")))
+    // and a bare recovery on a legacy store walks once, then seeds
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir, ".catalog").toFile)
+    val es4 = new EventStore(spark, dir)
+    val walked = es4.recoverCatalog()
+    assert(walked.toSet == es4.walkCatalog().toSet)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, ".catalog")),
+      "fallback recovery must seed the catalog table")
   }
 
   test("CAS race: two writers with the same Exact expectation — exactly " +

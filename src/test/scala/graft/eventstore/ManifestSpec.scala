@@ -644,8 +644,10 @@ class ManifestSpec extends SparkSuite {
   }
 
   private def onlyStreamDir(root: String): Path = {
+    // skip dot-dirs: the store's own catalog table lives at .catalog
     val user = Files.list(Paths.get(root)).iterator().asScala
-      .filter(Files.isDirectory(_)).toList match {
+      .filter(p => Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith(".")).toList match {
       case one :: Nil => one
       case other => fail(s"expected one user dir, got $other")
     }
