@@ -334,6 +334,80 @@ object Streams {
     * a first-hour marker per key — bounded regardless of stream
     * length, because scored hours are evicted once they leave every
     * future baseline window. */
+  case class SlotCount(key: String, d: Long, hod: Long, n: Long)
+  case class SeasonalBurstFlag(key: String, bucket_day: Long,
+      hour_of_day: Long, n: Long, baseline: Long, is_burst: Boolean)
+  case class SeasonalState(firstDay: Long, recent: Map[Long, Long])
+
+  /** Streaming SEASONAL burst detection — the stateful streaming twin
+    * of [[graft.operators.Anomaly.seasonalBurstBuckets]], exactly as
+    * [[burstFlags]] twins `burstBuckets`: per (key, hour-of-day) slot,
+    * each day's count is flagged against the same-hour-of-day trailing
+    * `trailingDays` baseline AS THE STREAM RUNS. The state key gains
+    * the hour-of-day dimension and the trailing index moves from hours
+    * to days; everything else — watermark-finalized tumbling hours,
+    * event-time-ordered intra-batch scoring, zero-contribution for
+    * empty same-hour days, withheld under-covered early history — is
+    * the batch operator's contract verbatim (spec-pinned row-for-row
+    * across a 3-micro-batch replay).
+    *
+    * Scale shape: state partitions by (key, hour-of-day) — 24× more,
+    * 24× smaller groups than [[burstFlags]] — and holds at most
+    * `trailingDays` (day, count) longs plus a first-day marker per
+    * slot: bounded regardless of stream length. */
+  def seasonalBurstFlags(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, trailingDays: Int, factorNum: Long,
+      factorDen: Long): org.apache.spark.sql.Dataset[SeasonalBurstFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(trailingDays >= 1,
+      s"trailingDays must be >= 1, got $trailingDays")
+    require(factorNum > 0 && factorDen > 0,
+      s"factor $factorNum/$factorDen must be positive")
+    val hourly = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      // day index + hour-of-day via the batch operator's exact
+      // expressions, applied to the (single-hour) window start
+      .select(col("key"),
+        expr("unix_timestamp(date_trunc('day', window.start)) div 86400")
+          .as("d"),
+        hour(col("window.start")).cast("long").as("hod"), col("n"))
+      .as[SlotCount]
+    hourly.groupByKey(hc => (hc.key, hc.hod))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (slot: (String, Long), batch: Iterator[SlotCount],
+            state: GroupState[SeasonalState]) => {
+          val (key, hod) = slot
+          // several days can finalize in one micro-batch: score in
+          // event-time order (the burstFlags intra-batch rule)
+          val ordered = batch.toSeq.sortBy(_.d)
+          var st = state.getOption
+            .getOrElse(SeasonalState(Long.MaxValue, Map.empty))
+          val out = ordered.flatMap { hc =>
+            val first = math.min(st.firstDay, hc.d)
+            val baseline = st.recent.iterator
+              .filter { case (dd, _) =>
+                dd >= hc.d - trailingDays && dd <= hc.d - 1 }
+              .map(_._2).sum
+            val emit =
+              if (hc.d >= first + trailingDays)
+                Some(SeasonalBurstFlag(key, hc.d, hod, hc.n, baseline,
+                  hc.n * trailingDays * factorDen > factorNum * baseline))
+              else None
+            st = SeasonalState(first,
+              (st.recent + (hc.d -> hc.n))
+                .filter { case (dd, _) => dd >= hc.d - trailingDays + 1 })
+            emit
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   def burstFlags(events: DataFrame, keyCol: String, tsCol: String,
       watermark: String, trailing: Int, factorNum: Long,
       factorDen: Long): org.apache.spark.sql.Dataset[BurstFlag] = {

@@ -673,6 +673,52 @@ class StreamingSpec extends SparkSuite {
       (3L, 13L, 2L, 14L, "match")))
   }
 
+  test("streaming SEASONAL burst detection matches the batch operator " +
+      "row-for-row across a 3-micro-batch replay of the real event " +
+      "fixture (r13 verdict item 8): same-hour-of-day baselines, empty " +
+      "days contribute zero, under-covered early history withheld") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, sfDir)
+      .select($"event_type", $"ts")
+      .as[(String, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+    assert(rows.length > 100, "fixture too small for a 3-batch replay")
+    val third = rows.length / 3
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val flags = Streams.seasonalBurstFlags(
+      input.toDF().toDF("event_type", "ts"), "event_type", "ts",
+      watermark = "1 minute", trailingDays = 2, factorNum = 3,
+      factorDen = 1)
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("seasonal_burst_out").start()
+    try {
+      // three event-time-ordered micro-batches, then a far-future flush
+      // row that finalizes every real hour (its own key is excluded —
+      // too early for its own window)
+      input.addData(rows.take(third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(("__flush",
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("seasonal_burst_out")
+        .filter($"key" =!= "__flush")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val expected = graft.operators.Anomaly.seasonalBurstBuckets(
+          rows.toSeq.toDF("event_type", "ts"), "event_type", "ts",
+          trailingDays = 2, factorNum = 3, factorDen = 1)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(got == expected,
+        s"stream-batch diff: ${(got diff expected).take(3)} / " +
+          s"${(expected diff got).take(3)}")
+      assert(got.exists(_._6) && got.exists(!_._6),
+        "fixture should produce both burst and quiet slots")
+    } finally q.stop()
+  }
+
   test("streaming burst detection matches the batch operator on the " +
       "real event fixture: hours score exactly once as the watermark " +
       "finalizes them, baselines skip empty hours, early history is " +
