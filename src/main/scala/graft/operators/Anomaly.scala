@@ -59,6 +59,76 @@ object Anomaly {
           lit(factorNum) * col("baseline")).as("is_burst"))
   }
 
+  /** One-sided upper CUSUM drift census per key (Page, Biometrika
+    * 1954 — the classic sequential change-point detector):
+    * S_t = max(0, S_{t−1} + (n_t − k)) over EVERY hour t from the
+    * key's first activity (empty hours contribute −k, draining the
+    * statistic), alarm when S_t > threshold. Where [[burstBuckets]]
+    * flags single loud hours against a trailing average, CUSUM
+    * integrates a SUSTAINED shift: a rate creeping to 1.5× baseline
+    * never trips a 3× spot check but accumulates here — the
+    * slow-leak monitor next to the spike monitor. The allowance k is
+    * self-scaling per key: k = (factorNum·N) div (factorDen·span) + 1
+    * (strictly above factorNum/factorDen × the key's own mean hourly
+    * rate, so a stationary Poisson stream drains to 0 and only a
+    * sustained shift beyond the factor accumulates).
+    *
+    * Exactness + the no-scaffold discipline: the recurrence is NOT
+    * computed row by row — with P_t = Σ_{j≤t}(n_j − k) (the
+    * unclamped drift), the classic identity S_t = P_t − min(0,
+    * min_{j<t} P_j) holds, and because P falls LINEARLY through a gap
+    * of empty hours, the minimum inside the run after observed hour j
+    * is attained just before the next observed hour — so the running
+    * minimum over all (including empty) hours is the running minimum
+    * of R_j = min(P_j, P_j − gapAfter_j·k) over observed rows only.
+    * Empty hours contribute exactly −k each WITHOUT being
+    * materialized (the [[burstBuckets]] range-frame argument, carried
+    * to a prefix-scan identity), and every quantity is exact long
+    * arithmetic — the statistic and the flag gate hash-exact.
+    *
+    * Scale shape: one partial+final hash agg to (key, hour), then
+    * windows over the per-key hourly series (executor-trivial — the
+    * burstBuckets argument). Output: (key, bucket_hour, n, allowance,
+    * cusum, is_alarm) for every OBSERVED hour (S can only cross the
+    * threshold upward at an observed hour; it only decays in gaps). */
+  def cusumFlags(events: DataFrame, keyCol: String, tsCol: String,
+      factorNum: Long, factorDen: Long, threshold: Long): DataFrame = {
+    require(factorNum > 0 && factorDen > 0,
+      s"factor $factorNum/$factorDen must be positive")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val b = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(date_trunc('hour', `$tsCol`)) div 3600")
+          .as("h"))
+      .groupBy(col("key"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("h"))
+    val wAll = Window.partitionBy(col("key"))
+    b.withColumn("__cn", sum(col("n")).over(wOrd))
+      .withColumn("__h0", min(col("h")).over(wAll))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__span",
+        max(col("h")).over(wAll) - col("__h0") + lit(1L))
+      .withColumn("__k",
+        expr(s"(${factorNum}L * __tot) div (${factorDen}L * __span)")
+          + lit(1L))
+      .withColumn("__hn", lead(col("h"), 1).over(wOrd))
+      .withColumn("__pt",
+        col("__cn") - (col("h") - col("__h0") + lit(1L)) * col("__k"))
+      .withColumn("__rj", when(col("__hn").isNull, col("__pt"))
+        .otherwise(col("__cn")
+          - (col("__hn") - col("__h0")) * col("__k")))
+      .withColumn("__mprev", coalesce(
+        min(least(col("__pt"), col("__rj"))).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("key"), col("h").as("bucket_hour"), col("n"),
+        col("__k").as("allowance"),
+        (col("__pt") - least(lit(0L), col("__mprev"), col("__pt")))
+          .as("cusum"))
+      .withColumn("is_alarm", col("cusum") > threshold)
+  }
+
   /** SEASONAL burst census — [[burstBuckets]] with a diurnal-aware
     * baseline: each (key, day, hour-of-day) count is compared against
     * the SAME hour-of-day over the trailing `trailingDays` days, not

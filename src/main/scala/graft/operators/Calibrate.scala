@@ -156,4 +156,48 @@ object Calibrate {
           .otherwise(acc))
     df.withColumn(as, when(s.isNotNull, element_at(rates, idx + 1)))
   }
+
+  /** Split-conformal quantile threshold per group (Vovk's conformal
+    * prediction, in the split form of Papadopoulos et al. ECML 2002 /
+    * Lei et al. JASA 2018): over a calibration set of nonconformity
+    * scores, qhat = the r-th smallest score with
+    * r = ⌈(n+1)·(1−α)⌉ — then, for exchangeable data, a FRESH point's
+    * score exceeds qhat with probability ≤ α, distribution-free. The
+    * uncertainty-quantification sibling of [[isotonicFit]]: isotonic
+    * recalibrates probabilities, conformal turns any score into a
+    * guaranteed-coverage accept/flag rule (the screen a filtering
+    * pipeline wants before trusting a quality score's tail).
+    *
+    * Exactness: r is pure integer arithmetic
+    * ((n+1)·(αDen−αNum) + αDen−1) div αDen, and qhat is an ORDER
+    * STATISTIC — an actual row value selected at rank r under a
+    * (score, tiebreak) sort — so it is exact in any engine (the
+    * [[Privacy.quantileProfile]] rule: order statistics, never
+    * interpolated percentiles). Groups too small for the guarantee
+    * (r > n, i.e. n < (αDen−αNum)/αNum roughly 1/α − 1) yield a NULL
+    * qhat rather than a threshold that cannot hold its coverage.
+    *
+    * Scale shape: one row_number window per group (group-sized
+    * partitions — the quantileProfile executor-fit argument) and one
+    * group agg. Output: (group, n, qhat). */
+  def conformalThreshold(df: DataFrame, groupCol: String,
+      scoreCol: String, tieCol: String, alphaNum: Long,
+      alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"alpha $alphaNum/$alphaDen must be in (0, 1)")
+    val keep = alphaDen - alphaNum
+    df.select(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("v"), col(tieCol).as("tb"))
+      .filter(col("v").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("tb"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("__r",
+        expr(s"((__n + 1) * ${keep}L + ${alphaDen - 1}L) " +
+          s"div ${alphaDen}L"))
+      .groupBy(col("grp"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__rn") === col("__r"), col("v"))).as("qhat"))
+  }
 }

@@ -167,4 +167,74 @@ object Labeling {
       .select(col("__n").as("n_items"), col("__agree").as("n_agree"),
         po.as("po"), pe.as("pe"), kappa.as("kappa"))
   }
+
+  /** Fleiss' kappa (Fleiss, Psych. Bull. 1971) — chance-corrected
+    * agreement for MANY raters per item, where [[cohenKappa]] compares
+    * exactly two: with m_ic = raters assigning category c to item i,
+    * r raters per item and n items,
+    *
+    *   P̄  = (Σ_i Σ_c m_ic² − n·r) / (n·r·(r−1))
+    *   P_e = Σ_c (Σ_i m_ic)² / (n·r)²
+    *   κ   = (P̄ − P_e) / (1 − P_e)
+    *
+    * The multi-annotator QA number for crowdsourced label audits
+    * (3-way heuristic ensembles, rater pools).
+    *
+    * Exactness: κ is computed as ONE division of two exact integers —
+    * with A = Σ m_ic² − n·r, B = n·r(r−1), C = Σ T_c², D = (n·r)²,
+    * κ = (A·D − C·B)/(B·D − C·B), every product in decimal(38)
+    * (A·D reaches n³r⁴ — 10³⁶ at 10¹² ratings, inside both
+    * decimal(38) and HUGEINT) — so κ, P̄, P_e all gate hash-exact.
+    * NULL κ when P_e = 1 (the denominator is exactly zero — every
+    * rating one category).
+    *
+    * Fleiss requires the SAME rating count per item; the operator
+    * verifies it with one bounded driver action (the distinct
+    * per-item counts — a handful of values by contract, like the
+    * Mmr.maxPool check) and fails fast on ragged panels rather than
+    * returning a silently-undefined statistic.
+    *
+    * Scale shape: one (item, category) hash agg off the votes (the
+    * only corpus-sized stage), then item- and category-keyed aggs of
+    * the cell frame, three 1-row frames broadcast-crossed. Output 1
+    * row: (n_items, n_raters, pbar, pe, kappa). */
+  def fleissKappa(votes: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val m = votes
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint() // feeds per-item, per-category, and totals
+    val perItem = m.groupBy(col("__i"))
+      .agg(sum(col("__m")).as("__r"),
+        sum(col("__m") * col("__m")).as("__m2"))
+      .localCheckpoint() // feeds the ragged-panel check + the totals
+    val rs = perItem.select(col("__r")).distinct()
+      .limit(3).collect().map(_.getLong(0))
+    require(rs.length == 1,
+      s"Fleiss' kappa requires the same number of ratings per item; " +
+        s"got rating counts ${rs.sorted.mkString(", ")}" +
+        (if (rs.length == 3) ", ..." else ""))
+    val r = rs.head
+    require(r >= 2, s"need >= 2 raters per item, got $r")
+    val items = perItem.agg(count(lit(1)).as("__ni"),
+      sum(col("__m2")).as("__sm2"))
+    val catSq = m.groupBy(col("__c")).agg(sum(col("__m")).as("__tc"))
+      .agg(sum(d38(col("__tc")) * d38(col("__tc"))).as("__c2"))
+    val a = d38(col("__sm2") - col("__ni") * lit(r))
+    val b = d38(col("__ni") * lit(r * (r - 1)))
+    val dd = d38(col("__ni") * lit(r)) * d38(col("__ni") * lit(r))
+    val c2 = col("__c2")
+    val denom = b * dd - c2 * b
+    val kappa = when(denom === lit(0).cast("decimal(38,0)"),
+        lit(null).cast("double"))
+      .otherwise(d(a * dd - c2 * b) / d(denom))
+    items.crossJoin(broadcast(catSq))
+      .select(col("__ni").as("n_items"), lit(r).as("n_raters"),
+        (d(a) / d(b)).as("pbar"), (d(c2) / d(dd)).as("pe"),
+        kappa.as("kappa"))
+  }
 }

@@ -63,6 +63,71 @@ object Privacy {
       .withColumn("risk_fraction",
         col("risk_records").cast("double") / col("n_records"))
 
+  /** t-closeness profile (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the audit l-diversity misses: a class can carry l distinct
+    * sensitive values and STILL leak when its distribution is skewed
+    * far from the table's (skewness attack: "90% of this class has
+    * condition X" is a disclosure even with 3 distinct conditions).
+    * For a categorical sensitive attribute the paper's Earth Mover's
+    * Distance under uniform ground distance reduces to total
+    * variation: EMD(class, table) = ½·Σ_s |p_class(s) − p_table(s)|.
+    *
+    * Exactness: with class counts c_gs, class size n_g, table counts
+    * c_s, table size n, the distance is Σ_s|c_gs·n − c_s·n_g| /
+    * (2·n_g·n) — the numerator is EXACT decimal(38) integer
+    * arithmetic (c_gs·n reaches n², past long at 10¹⁰ rows) and the
+    * at_risk decision cross-multiplies (emd_num·tDen > 2·n_g·n·tNum),
+    * so the flag gates hash-exact; the reported emd is one fixed
+    * divide chain. Categories ABSENT from a class contribute their
+    * full c_s·n_g term, so the sum runs over a class × category
+    * scaffold — bounded by (#classes · #categories), both
+    * catalog-sized, never corpus-sized.
+    *
+    * Scale shape: one (QI, sensitive) hash agg off the corpus (the
+    * only corpus-sized stage, map-side combined), then broadcast-sized
+    * joins over the class/category frames. Computed quasi-identifiers
+    * must be aliased (`expr("...").as("name")`) — the class columns
+    * pass through to the output by name. */
+  def tClosenessClasses(df: DataFrame, quasiIds: Seq[Column],
+      sensitive: Column, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"t $tNum/$tDen must be in (0, 1]")
+    val proj = df.select((quasiIds :+ sensitive.as("__s")): _*)
+    val qi = proj.columns.dropRight(1).toSeq
+    val cells = proj
+      .groupBy((qi.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds class totals, category totals, n, join
+    val classes = cells.groupBy(qi.map(col): _*)
+      .agg(sum(col("__c")).as("class_size"))
+    val cats = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__cs"))
+    val total = cells.agg(sum(col("__c")).as("__n"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val term = abs(d38(coalesce(col("__c"), lit(0L))) * d38(col("__n"))
+      - d38(col("__cs")) * d38(col("class_size")))
+    // null-safe join keys: a null quasi-identifier or sensitive value
+    // is a stratum like any other (the q183/q209/q213 contract) — a
+    // null-unsafe join would zero its cell and break Σ_s p_class = 1
+    val cellsR = cells.select((qi.map(c => col(c).as(s"__q_$c")) :+
+      col("__s").as("__s2") :+ col("__c")): _*)
+    val joinCond = (qi.map(c => col(c) <=> col(s"__q_$c")) :+
+      (col("__s") <=> col("__s2"))).reduce(_ && _)
+    classes
+      .crossJoin(broadcast(cats))
+      .crossJoin(broadcast(total))
+      .join(cellsR, joinCond, "left")
+      .groupBy((qi.map(col) :+ col("class_size") :+ col("__n")): _*)
+      .agg(sum(term).as("__emd_num"))
+      .select((qi.map(col) :+ col("class_size") :+
+        (d(col("__emd_num")) / (lit(2.0) * d(col("class_size"))
+          * d(col("__n")))).as("emd") :+
+        (col("__emd_num") * lit(tDen) >
+          d38(lit(2L) * col("class_size")) * d38(col("__n")) * lit(tNum))
+          .as("at_risk")): _*)
+  }
+
   /** Exact ORDER-STATISTIC quantile profile per group — p25/p50/p75/p90
     * of a numeric column as the value at row ceil(p·n) of the
     * (value, tiebreak) sort order. Deliberately NOT an interpolated

@@ -507,6 +507,67 @@ object EventQueries {
        n * 24 * 1 > 3 * baseline AS is_burst
      FROM w WHERE h >= h0 + 24"""
 
+  /** q217: CUSUM sustained-drift census ([[graft.operators.Anomaly
+    * .cusumFlags]] scaladoc — Page's sequential detector computed via
+    * the prefix-scan identity S_t = P_t − min(0, min_{j<t} P_j), with
+    * empty hours contributing −k each WITHOUT a calendar scaffold).
+    * The fixture's traffic is stationary Poisson (nothing sustains —
+    * q206's spot bursts are single loud hours), so the gate PLANTS a
+    * sustained shift, the q146/q213 discipline: every event in
+    * Jan 15–17 is replicated ×3 more (a 4× rate for 48 hours). With
+    * the self-scaling allowance at 2× each key's mean rate and
+    * threshold 10, alarms concentrate in and just after the planted
+    * window (measured 55–80 alarm hours of ~680 per key at sf0.01)
+    * and the statistic drains back to 0 after — both alarm states
+    * load-bearing. All-integer surface: hash-exact. */
+  val q217_cusum_drift: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("ts"))
+    val planted = e.filter(
+        col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-17 00:00:00")))
+      .withColumn("__r", explode(array(lit(1), lit(2), lit(3))))
+      .drop("__r")
+    graft.operators.Anomaly.cusumFlags(e.unionByName(planted),
+      "event_type", "ts", factorNum = 2, factorDen = 1, threshold = 10)
+  }
+
+  val q217_oracle: String =
+    """WITH ev AS (
+         SELECT event_type, ts FROM events
+         UNION ALL
+         SELECT event_type, ts FROM events, (VALUES (1),(2),(3)) rep(i)
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+           AND ts < TIMESTAMP '2024-01-17 00:00:00'),
+       b AS (SELECT event_type AS key,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+           CAST(count(*) AS BIGINT) AS n
+         FROM ev WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1, 2),
+       w AS (SELECT key, h, n,
+           CAST(sum(n) OVER (PARTITION BY key ORDER BY h) AS BIGINT)
+             AS cn,
+           min(h) OVER (PARTITION BY key) AS h0,
+           CAST(sum(n) OVER (PARTITION BY key) AS BIGINT) AS tot,
+           max(h) OVER (PARTITION BY key)
+             - min(h) OVER (PARTITION BY key) + 1 AS span,
+           lead(h) OVER (PARTITION BY key ORDER BY h) AS hn
+         FROM b),
+       p AS (SELECT key, h, n, (2 * tot) // (1 * span) + 1 AS k,
+           cn, h0, hn FROM w),
+       q AS (SELECT key, h, n, k,
+           cn - (h - h0 + 1) * k AS pt,
+           CASE WHEN hn IS NULL THEN cn - (h - h0 + 1) * k
+                ELSE cn - (hn - h0) * k END AS rj
+         FROM p),
+       m AS (SELECT key, h, n, k,
+           pt - least(0, coalesce(
+             min(least(pt, rj)) OVER (PARTITION BY key ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             pt) AS s
+         FROM q)
+       SELECT key, h AS bucket_hour, n, k AS allowance, s AS cusum,
+         s > 10 AS is_alarm FROM m"""
+
   /** q208: multi-touch attribution ([[graft.operators.Attribution
     * .touchCredits]] scaladoc — view/click touches credited to the
     * purchase that closes their path; deliberately ALL-INTEGER
@@ -584,6 +645,7 @@ object EventQueries {
   val all: Map[String, Q] = Map(
     "q215_seasonal_burst" -> q215_seasonal_burst,
     "q206_burst_hours" -> q206_burst_hours,
+    "q217_cusum_drift" -> q217_cusum_drift,
     "q208_attribution" -> q208_attribution,
     "q203_retention_cohorts" -> q203_retention_cohorts,
     "q160_majority_label" -> q160_majority_label,
@@ -608,6 +670,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q215_seasonal_burst" -> q215_oracle,
     "q206_burst_hours" -> q206_oracle,
+    "q217_cusum_drift" -> q217_oracle,
     "q208_attribution" -> q208_oracle,
     "q203_retention_cohorts" -> q203_oracle,
     "q160_majority_label" -> q160_oracle,

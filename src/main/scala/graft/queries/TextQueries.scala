@@ -3567,8 +3567,95 @@ object TextQueries {
        END AS calibrated
      FROM scored sc"""
 
+  /** q219: split-conformal threshold per language
+    * ([[graft.operators.Calibrate.conformalThreshold]] scaladoc — the
+    * distribution-free ≤α exceedance guarantee): per lang, the
+    * calibration quantile of n_chars at α = 1/5, i.e. the
+    * ⌈(n+1)·4/5⌉-th smallest length. qhat is an ORDER STATISTIC (an
+    * actual row value under a (score, doc_id) sort), so the gate is
+    * exact in any engine — the quantileProfile rule. */
+  val q219_conformal_threshold: Q = (s, d) =>
+    graft.operators.Calibrate.conformalThreshold(Tables.documents(s, d),
+      "lang", "n_chars", "doc_id", alphaNum = 1, alphaDen = 5)
+
+  val q219_oracle: String =
+    """WITH r AS (SELECT lang AS grp, n_chars AS v,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+       FROM documents WHERE n_chars IS NOT NULL)
+       SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rn = ((n + 1) * 4 + 4) // 5 THEN v END) AS qhat
+       FROM r GROUP BY grp"""
+
+  /** q220: Fleiss' kappa over a 3-rater panel
+    * ([[graft.operators.Labeling.fleissKappa]] scaladoc — κ as ONE
+    * division of two exact 128-bit integers). The panel is the q201
+    * synthesized-rater discipline taken to three raters: the labeled
+    * lang column ("gold") plus two md5-corrupted heuristic raters
+    * (15% / 25% deterministic error to distinct junk categories), so
+    * agreement is high but imperfect and every κ input is
+    * SQL-replayable. pbar/pe/kappa all gate hash-exact. */
+  val q220_fleiss_kappa: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def h(salt: String) =
+      conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val votes = docs.select(col("doc_id"), lit("gold").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.select(col("doc_id"), lit("h1").as("rater"),
+        when(h("r1:") % 20 < 3, lit("zz")).otherwise(col("lang"))
+          .as("label")))
+      .unionByName(docs.select(col("doc_id"), lit("h2").as("rater"),
+        when(h("r2:") % 20 < 5, lit("yy")).otherwise(col("lang"))
+          .as("label")))
+    graft.operators.Labeling.fleissKappa(votes, "doc_id", "rater",
+      "label")
+  }
+
+  val q220_oracle: String =
+    """WITH votes AS (
+         SELECT doc_id, 'gold' AS rater, lang AS label FROM documents
+         UNION ALL
+         SELECT doc_id, 'h1',
+           CASE WHEN CAST(('0x' || substr(md5('r1:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 20 < 3
+             THEN 'zz' ELSE lang END
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'h2',
+           CASE WHEN CAST(('0x' || substr(md5('r2:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 20 < 5
+             THEN 'yy' ELSE lang END
+         FROM documents),
+       m AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS m
+         FROM votes GROUP BY 1, 2),
+       pi AS (SELECT doc_id, CAST(sum(m * m) AS BIGINT) AS m2
+         FROM m GROUP BY 1),
+       it AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+           CAST(sum(m2) AS BIGINT) AS sm2 FROM pi),
+       ct AS (SELECT sum(CAST(tc AS HUGEINT) * tc) AS c2 FROM (
+           SELECT CAST(sum(m) AS BIGINT) AS tc FROM m GROUP BY label)),
+       k0 AS (SELECT ni,
+           CAST(sm2 - ni * 3 AS HUGEINT) AS a,
+           CAST(ni * 6 AS HUGEINT) AS b,
+           CAST(ni * 3 AS HUGEINT) * CAST(ni * 3 AS HUGEINT) AS dd,
+           c2
+         FROM it CROSS JOIN ct)
+       SELECT ni AS n_items, CAST(3 AS BIGINT) AS n_raters,
+         CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS pbar,
+         CAST(c2 AS DOUBLE) / CAST(dd AS DOUBLE) AS pe,
+         CASE WHEN b * dd - c2 * b = 0 THEN NULL
+           ELSE CAST(a * dd - c2 * b AS DOUBLE)
+             / CAST(b * dd - c2 * b AS DOUBLE) END AS kappa
+       FROM k0"""
+
   val all: Map[String, Q] = Map(
     "q214_calibration_apply" -> q214_calibration_apply,
+    "q219_conformal_threshold" -> q219_conformal_threshold,
+    "q220_fleiss_kappa" -> q220_fleiss_kappa,
     "q213_ks_by_lang" -> q213_ks_by_lang,
     "q212_gini_mix" -> q212_gini_mix,
     "q211_ks_drift" -> q211_ks_drift,
@@ -3674,6 +3761,8 @@ object TextQueries {
     "q212_gini_mix" -> q212_oracle,
     "q213_ks_by_lang" -> q213_oracle,
     "q214_calibration_apply" -> q214_oracle,
+    "q219_conformal_threshold" -> q219_oracle,
+    "q220_fleiss_kappa" -> q220_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -764,6 +764,44 @@ object TpchQueries {
          count(*) < 5 AS at_risk
        FROM customer GROUP BY 1, 2"""
 
+  /** q218: t-closeness release audit ([[graft.operators.Privacy
+    * .tClosenessClasses]] scaladoc — the skewness-attack audit
+    * l-diversity misses: EMD-as-total-variation between each class's
+    * sensitive distribution and the table's). Nation classes, market
+    * segment sensitive, t = 1/10: measured emd spans 0.02–0.20 at
+    * sf0.01 with the threshold inside the range, so both at_risk
+    * states are load-bearing. The flag cross-multiplies exact
+    * 128-bit integers; the reported emd is one fixed divide chain —
+    * hash-exact. */
+  val q218_t_closeness: Q = (s, d) =>
+    graft.operators.Privacy.tClosenessClasses(Tables.customer(s, d),
+      Seq(col("c_nationkey")), col("c_mktsegment"), tNum = 1, tDen = 10)
+
+  val q218_oracle: String =
+    """WITH cells AS (SELECT c_nationkey, c_mktsegment AS s,
+           CAST(count(*) AS BIGINT) AS c
+         FROM customer GROUP BY 1, 2),
+       cls AS (SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS class_size
+         FROM cells GROUP BY 1),
+       cat AS (SELECT s, CAST(sum(c) AS BIGINT) AS cs
+         FROM cells GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       sc AS (SELECT cls.c_nationkey, cls.class_size, cat.s, cat.cs,
+           tot.n, coalesce(cells.c, 0) AS c
+         FROM cls CROSS JOIN cat CROSS JOIN tot
+         LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+           AND cells.s = cat.s),
+       e AS (SELECT c_nationkey, class_size, n,
+           sum(abs(CAST(c AS HUGEINT) * n
+             - CAST(cs AS HUGEINT) * class_size)) AS num
+         FROM sc GROUP BY 1, 2, 3)
+       SELECT c_nationkey, class_size,
+         CAST(num AS DOUBLE)
+           / (2.0 * CAST(class_size AS DOUBLE) * CAST(n AS DOUBLE))
+           AS emd,
+         num * 10 > 2 * CAST(class_size AS HUGEINT) * n * 1 AS at_risk
+       FROM e"""
+
   /** The q187/q191/q193 fixture: a "dirty" registry of the same
     * entities — each customer re-keyed +1000000 with name / acctbal /
     * mktsegment independently corrupted by md5 parity (the q108
@@ -1002,6 +1040,7 @@ object TpchQueries {
   val all: Map[String, Q] = Map(
     "q210_ab_chi2" -> q210_ab_chi2,
     "q207_l_diversity" -> q207_l_diversity,
+    "q218_t_closeness" -> q218_t_closeness,
     "q193_linkage_capped" -> q193_linkage_capped,
     "q191_incremental_linkage" -> q191_incremental_linkage,
     "q187_record_linkage" -> q187_record_linkage,
@@ -1044,6 +1083,7 @@ object TpchQueries {
     "q159_edit_join" -> q159_oracle,
     "q163_k_anonymity" -> q163_oracle,
     "q207_l_diversity" -> q207_oracle,
+    "q218_t_closeness" -> q218_oracle,
     "q210_ab_chi2" -> q210_oracle,
     "q80_scd2_history" -> q80_oracle,
     "q61_outer_join" -> q61_oracle,

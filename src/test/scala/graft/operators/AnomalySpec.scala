@@ -38,6 +38,55 @@ class AnomalySpec extends SparkSuite {
       ("a", 6L, 1L, 10L, false)))
   }
 
+  test("cusumFlags == a driver replay of the literal Page recurrence " +
+      "S_t = max(0, S_{t-1} + n_t - k) over EVERY hour including the " +
+      "unmaterialized empty ones (the prefix-scan identity is exact), " +
+      "and a sustained shift alarms where a single spike cannot") {
+    // key "a": 12 quiet hours at 1/hr with one empty hour, then a
+    // sustained 8/hr for 6 hours, then quiet again — the mean rate
+    // puts the self-scaling allowance at k=6, so the shift accumulates
+    // +2/hr and the quiet tail drains at -5/hr. Also a singleton key
+    // (degenerate span).
+    val rows =
+      (0 until 12).filter(_ != 7).map(h => ("a", ts(h), 1)) ++
+      (12 until 18).map(h => ("a", ts(h), 8)) ++
+      (18 until 24).map(h => ("a", ts(h), 1)) :+ (("b", ts(3), 2))
+    val log = rows.flatMap { case (k, t, n) =>
+      Seq.fill(n)((k, t)) }.toDF("key", "ts")
+    val got = Anomaly.cusumFlags(log, "key", "ts",
+        factorNum = 2, factorDen = 1, threshold = 5)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // driver replay: literal recurrence over the dense hour range
+    def replay(counts: Map[Long, Long]): Map[Long, (Long, Long)] = {
+      val h0 = counts.keys.min; val h1 = counts.keys.max
+      val tot = counts.values.sum
+      val k = (2 * tot) / (h1 - h0 + 1) + 1
+      var s = 0L
+      (h0 to h1).flatMap { h =>
+        s = math.max(0L, s + counts.getOrElse(h, 0L) - k)
+        if (counts.contains(h)) Some(h -> ((k, s))) else None
+      }.toMap
+    }
+    for (key <- Seq("a", "b")) {
+      val counts = rows.filter(_._1 == key).map { case (_, t, n) =>
+        (t.getTime / 3600000L) -> n.toLong }.toMap
+      val exp = replay(counts)
+      exp.foreach { case (h, (k, s)) =>
+        val (n, ka, cus, alarm) = got((key, h))
+        assert(n == counts(h) && ka == k && cus == s &&
+          alarm == (s > 5), s"$key@$h: got ($n,$ka,$cus,$alarm) " +
+            s"want (${counts(h)},$k,$s,${s > 5})")
+      }
+    }
+    // the shift alarms; the quiet head never does; the tail drains
+    val aAlarms = got.collect { case ((k, h), (_, _, _, true)) if k == "a"
+      => h - ts(0).getTime / 3600000L }
+    assert(aAlarms.nonEmpty && aAlarms.forall(_ >= 12), s"$aAlarms")
+    assert(got(("a", ts(23).getTime / 3600000L))._4 == false,
+      "CUSUM must drain back below threshold after the shift ends")
+  }
+
   test("seasonalBurstBuckets: the baseline reads the SAME hour-of-day " +
       "across days — a spike at a normally-quiet hour flags even when " +
       "the flat-trailing view would absorb it into busier hours") {

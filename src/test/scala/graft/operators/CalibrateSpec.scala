@@ -117,6 +117,35 @@ class CalibrateSpec extends SparkSuite {
     assert(got2 == Map("42" -> Some(0.5), "not-a-number" -> None))
   }
 
+  test("conformalThreshold: qhat is the ceil((n+1)(1-alpha)/1)-th order " +
+      "statistic per group, a too-small group yields NULL (no coverage " +
+      "guarantee), and the split-conformal bound holds exactly") {
+    // group g1: scores 10..90 step 10 (n=9); alpha=1/5 ->
+    // r = ceil(10*4/5) = 8 -> qhat = 80
+    val g1 = (1 to 9).map(i => ("g1", i * 10L, i.toLong))
+    // group g2: n=2, alpha=1/5 -> r = ceil(3*4/5) = 3 > 2 -> NULL
+    val g2 = Seq(("g2", 5L, 1L), ("g2", 7L, 2L))
+    val got = Calibrate.conformalThreshold(
+        (g1 ++ g2).toDF("grp", "v", "tb"), "grp", "v", "tb",
+        alphaNum = 1, alphaDen = 5)
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("g1") == ((9L, Some(80L))))
+    assert(got("g2") == ((2L, None)))
+    // the guarantee's finite-sample form: #calibration scores > qhat
+    // = n - r <= alpha*(n+1) - 1 < alpha*(n+1)
+    assert(g1.count(_._2 > 80L) == 1)
+    assert(1 < (9 + 1) / 5.0)
+    // ties on the score: the tiebreak column makes the rank (and
+    // therefore qhat) deterministic
+    val ties = Seq(("t", 5L, 2L), ("t", 5L, 1L), ("t", 9L, 3L))
+    val qt = Calibrate.conformalThreshold(ties.toDF("grp", "v", "tb"),
+        "grp", "v", "tb", alphaNum = 1, alphaDen = 4)
+      .as[(String, Long, Option[Long])].collect().head
+    // r = ceil(4*3/4) = 3 -> the 3rd of (5,tb1),(5,tb2),(9,tb3) = 9
+    assert(qt == (("t", 3L, Some(9L))))
+  }
+
   test("maxBins guard refuses a corpus-sized score domain") {
     val rows = (1L to 50L).map(i => (i, (i % 2).toInt))
     val e = intercept[IllegalArgumentException] {

@@ -93,4 +93,54 @@ class LabelingSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(got("a") == got("b"))
   }
+
+  test("fleissKappa matches the textbook worked example and a " +
+      "pure-Scala replay; perfect agreement gives kappa 1, " +
+      "all-one-category gives NULL (pe = 1), ragged panels refuse") {
+    // Wikipedia's standard Fleiss example (n=10 items, r=14 raters,
+    // 5 categories) — published kappa 0.209930...
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val votes = table.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.flatMap { case (m, c) =>
+        (0 until m).map(j => (i.toLong, s"r${c}_$j", s"cat$c")) }
+    }.toDF("item", "rater", "label")
+    val got = Labeling.fleissKappa(votes, "item", "rater", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 10L && got._2 == 14L)
+    // exact-rational replay: A = sum m^2 - n*r, B = n*r*(r-1),
+    // C = sum T_c^2, D = (n*r)^2; kappa = (A*D - C*B)/(B*D - C*B)
+    val a = BigInt(table.flatten.map(m => m * m).sum - 10 * 14)
+    val b = BigInt(10 * 14 * 13)
+    val c = (0 until 5).map(cc =>
+      BigInt(table.map(_(cc)).sum).pow(2)).sum
+    val dd = BigInt(10 * 14).pow(2)
+    assert(math.abs(got._3 -
+      (BigDecimal(a) / BigDecimal(b)).toDouble) < 1e-15)
+    val kExact = (BigDecimal(a * dd - c * b)
+      / BigDecimal(b * dd - c * b)).toDouble
+    assert(math.abs(got._5 - kExact) < 1e-12, s"${got._5} vs $kExact")
+    assert(math.abs(got._5 - 0.2099) < 5e-4, "textbook value ~0.210")
+    // perfect agreement across 3 raters -> kappa exactly 1
+    val perfect = (0 until 4).flatMap(i => Seq("a", "b", "c").map(r =>
+      (i.toLong, r, s"cat${i % 2}"))).toDF("item", "rater", "label")
+    assert(Labeling.fleissKappa(perfect, "item", "rater", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5 == 1.0)
+    // every rating one category: pe = 1 -> NULL kappa
+    val mono = (0 until 4).flatMap(i => Seq("a", "b").map(r =>
+      (i.toLong, r, "only"))).toDF("item", "rater", "label")
+    val kNull = Labeling.fleissKappa(mono, "item", "rater", "label")
+      .select(col("kappa").isNull).as[Boolean].collect().head
+    assert(kNull)
+    // ragged panel refused
+    val ragged = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"))
+      .toDF("item", "rater", "label")
+    val err = intercept[IllegalArgumentException] {
+      Labeling.fleissKappa(ragged, "item", "rater", "label")
+    }
+    assert(err.getMessage.contains("same number of ratings"))
+  }
 }
