@@ -83,9 +83,14 @@ object Stats {
     def cnt(df: DataFrame, as: String) =
       df.select(col(valCol).as("v")).filter(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as(as))
+    // localCheckpoint: merged feeds the CDF scan, the totals agg, AND
+    // (since the r13-advice degenerate guard) the output row's totals —
+    // without the barrier the full-outer join subtree re-executes per
+    // consumer (the r14 plan dump showed shuffles 8 -> 14)
     val merged = cnt(a, "na").join(cnt(b, "nb"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint()
     val cum = PrefixSum.withRunningTotal(
       PrefixSum.withRunningTotal(merged, Seq("v"), "na"),
       Seq("v"), "nb")
