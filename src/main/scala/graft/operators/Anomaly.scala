@@ -96,23 +96,51 @@ object Anomaly {
     require(factorNum > 0 && factorDen > 0,
       s"factor $factorNum/$factorDen must be positive")
     require(threshold > 0, s"threshold must be > 0, got $threshold")
-    val b = events
+    val wAll = Window.partitionBy(col("key"))
+    cusumTail(hourCounts(events, keyCol, tsCol)
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__span",
+        max(col("h")).over(wAll) - min(col("h")).over(wAll) + lit(1L))
+      .withColumn("__k",
+        expr(s"(${factorNum}L * __tot) div (${factorDen}L * __span)")
+          + lit(1L))
+      .drop("__tot", "__span"), threshold)
+  }
+
+  /** [[cusumFlags]] with an EXPLICIT per-hour allowance — the deployed
+    * monitor's form (the allowance was chosen when the alarm was
+    * configured, not re-derived from whatever window of data is at
+    * hand), and the form the stateful streaming twin
+    * ([[graft.streaming.Streams.cusumFlags]]) replays: a stream
+    * cannot know its future total, so the self-scaling variant is
+    * batch-only by construction. Same prefix-scan identity, same
+    * exact-long surface. */
+  def cusumFlagsFixed(events: DataFrame, keyCol: String, tsCol: String,
+      allowance: Long, threshold: Long): DataFrame = {
+    require(allowance > 0, s"allowance must be > 0, got $allowance")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    cusumTail(hourCounts(events, keyCol, tsCol)
+      .withColumn("__k", lit(allowance)), threshold)
+  }
+
+  private def hourCounts(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("key"),
         expr(s"unix_timestamp(date_trunc('hour', `$tsCol`)) div 3600")
           .as("h"))
       .groupBy(col("key"), col("h"))
       .agg(count(lit(1)).as("n"))
+
+  /** The prefix-scan CUSUM tail over an hourly count frame carrying a
+    * per-row `__k` allowance column — the identity and its empty-hour
+    * argument live in [[cusumFlags]]'s scaladoc. */
+  private def cusumTail(b: DataFrame, threshold: Long): DataFrame = {
     val wOrd = Window.partitionBy(col("key")).orderBy(col("h"))
     val wAll = Window.partitionBy(col("key"))
     b.withColumn("__cn", sum(col("n")).over(wOrd))
       .withColumn("__h0", min(col("h")).over(wAll))
-      .withColumn("__tot", sum(col("n")).over(wAll))
-      .withColumn("__span",
-        max(col("h")).over(wAll) - col("__h0") + lit(1L))
-      .withColumn("__k",
-        expr(s"(${factorNum}L * __tot) div (${factorDen}L * __span)")
-          + lit(1L))
       .withColumn("__hn", lead(col("h"), 1).over(wOrd))
       .withColumn("__pt",
         col("__cn") - (col("h") - col("__h0") + lit(1L)) * col("__k"))

@@ -44,4 +44,76 @@ object Fusion {
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("fused").desc, col("id"))).cast("long"))
   }
+
+  /** Rank-biased overlap of two top-k rankings (Webber, Moffat &
+    * Zobel, TOIS 2010) — "how much do two retrieval runs / quality
+    * signals agree, weighted toward the top?": RBO@k =
+    * Σ_{d=1..k} (1−p)·p^{d−1}·|A_{1:d} ∩ B_{1:d}|/d, the truncated
+    * prefix of the RBO series (the unseen tail mass p^k is a known
+    * constant, reported by the caller if needed). Top-weightedness is
+    * the point: Kendall/Spearman over a top-k treat a swap at rank 1
+    * and rank 10 the same; RBO discounts geometrically.
+    *
+    * Exactness: a pair present in both runs with m = max(rank_a,
+    * rank_b) contributes W(m) = Σ_{d=m..k} (1−p)p^{d−1}/d — a k-entry
+    * rational table the operator materializes EXACTLY over the common
+    * denominator den = lcm of the term denominators (BigInt-built,
+    * required to fit a long; at p=9/10, k=10: den = 7·10¹¹, max
+    * numerator 38 bits). rbo_num = Σ W-numerators is an exact long
+    * sum; rbo = one double division rbo_num/den. Hash-exact.
+    *
+    * Scale shape: the runs are top-k by contract (rank ≤ depth
+    * enforced by filter), so the join is k-bounded per group — one
+    * (group, item) equi-join plus one group agg over ≤ k rows per
+    * group, map-side combined. Items in only one run contribute 0
+    * (inner join).
+    */
+  def rboTopK(runA: DataFrame, runB: DataFrame, groupCol: String,
+      idCol: String, rankCol: String, pNum: Long = 9, pDen: Long = 10,
+      depth: Int = 10): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum < pDen,
+      s"p $pNum/$pDen must be in (0, 1)")
+    require(depth >= 1 && depth <= 32,
+      s"depth $depth out of [1, 32] (the weight table is exact longs)")
+    val (den, nums) = rboWeights(pNum, pDen, depth)
+    def side(df: DataFrame, as: String) =
+      df.select(col(groupCol).as("grp"), col(idCol).as("__item"),
+          col(rankCol).cast("long").as(as))
+        .filter(col(as).between(1L, depth.toLong))
+    val w = (1 to depth).foldRight(lit(0L)) { (m, acc) =>
+      when(greatest(col("__ra"), col("__rb")) === m,
+        lit(nums(m - 1))).otherwise(acc)
+    }
+    side(runA, "__ra")
+      .join(side(runB, "__rb"), Seq("grp", "__item"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_common"), sum(w).as("rbo_num"))
+      .withColumn("rbo",
+        col("rbo_num").cast("double") / lit(den.toDouble))
+  }
+
+  /** The exact weight table behind [[rboTopK]]: W(m)·den for
+    * m = 1..depth plus the common denominator den =
+    * lcm over d of (pDen^depth · d); BigInt arithmetic, then checked
+    * into longs. */
+  private[graft] def rboWeights(pNum: Long, pDen: Long,
+      depth: Int): (Long, Array[Long]) = {
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    // term_d = (pDen-pNum) * pNum^(d-1) / (pDen^d * d), REDUCED — the
+    // common denominator must be the canonical (smallest) one so
+    // rbo_num is a well-defined exact surface any replay agrees on
+    val terms = (1 to depth).map { d =>
+      val n = BigInt(pDen - pNum) * BigInt(pNum).pow(d - 1)
+      val dd = BigInt(pDen).pow(d) * d
+      val g = gcd(n, dd)
+      (n / g, dd / g)
+    }
+    val den = terms.map(_._2).reduce((a, b) => a / gcd(a, b) * b)
+    val termNums = terms.map { case (n, d) => n * (den / d) }
+    val nums = (1 to depth).map(m =>
+      termNums.drop(m - 1).sum).toArray
+    require(den.isValidLong && nums.forall(_.isValidLong),
+      s"RBO weight table overflows long at p=$pNum/$pDen depth=$depth")
+    (den.toLong, nums.map(_.toLong))
+  }
 }

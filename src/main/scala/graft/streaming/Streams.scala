@@ -334,6 +334,64 @@ object Streams {
     * a first-hour marker per key — bounded regardless of stream
     * length, because scored hours are evicted once they leave every
     * future baseline window. */
+  case class CusumState(lastHour: Long, s: Long)
+  case class CusumFlag(key: String, bucket_hour: Long, n: Long,
+      allowance: Long, cusum: Long, is_alarm: Boolean)
+
+  /** Streaming CUSUM drift detection — the stateful streaming twin of
+    * [[graft.operators.Anomaly.cusumFlagsFixed]]: per key, Page's
+    * recurrence S_t = max(0, S_{t−1} + n_t − k) maintained AS THE
+    * STREAM RUNS over watermark-finalized tumbling hours. The batch
+    * operator's prefix-scan identity exists to avoid a sequential
+    * pass; a stream IS a sequential pass, so the state is simply
+    * (lastScoredHour, S) — two longs per key, bounded forever — and a
+    * gap of g empty hours drains max(0, S − k·g) before the next
+    * observed hour scores (exactly the −k-per-empty-hour semantics
+    * the batch identity encodes). Fixed allowance by construction: a
+    * stream cannot know its future total, so the batch operator's
+    * self-scaling k is meaningless here — take the deployed monitor's
+    * configured k. Batch parity is spec-pinned row-for-row across a
+    * 3-micro-batch replay (the [[seasonalBurstFlags]] discipline). */
+  def cusumFlags(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, allowance: Long, threshold: Long)
+      : org.apache.spark.sql.Dataset[CusumFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(allowance > 0, s"allowance must be > 0, got $allowance")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val hourly = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"),
+        expr("unix_timestamp(window.start) div 3600").as("h"), col("n"))
+      .as[HourCount]
+    hourly.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[HourCount],
+            state: GroupState[CusumState]) => {
+          // several hours can finalize in one micro-batch: score in
+          // event-time order (the burstFlags intra-batch rule)
+          val ordered = batch.toSeq.sortBy(_.h)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L))
+          val out = ordered.map { hc =>
+            val drained =
+              if (st.lastHour == Long.MinValue) 0L
+              else {
+                val gap = hc.h - st.lastHour - 1
+                math.max(0L, st.s - allowance * gap)
+              }
+            val s = math.max(0L, drained + hc.n - allowance)
+            st = CusumState(hc.h, s)
+            CusumFlag(key, hc.h, hc.n, allowance, s, s > threshold)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   case class SlotCount(key: String, d: Long, hod: Long, n: Long)
   case class SeasonalBurstFlag(key: String, bucket_day: Long,
       hour_of_day: Long, n: Long, baseline: Long, is_burst: Boolean)

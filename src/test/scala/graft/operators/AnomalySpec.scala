@@ -87,6 +87,31 @@ class AnomalySpec extends SparkSuite {
       "CUSUM must drain back below threshold after the shift ends")
   }
 
+  test("cusumFlagsFixed: explicit allowance == the same replay with " +
+      "that k (the deployed-monitor form the streaming twin mirrors)") {
+    val rows =
+      (0 until 12).filter(_ != 7).map(h => ("a", ts(h), 1)) ++
+      (12 until 18).map(h => ("a", ts(h), 8)) ++
+      (18 until 24).map(h => ("a", ts(h), 1))
+    val log = rows.flatMap { case (k, t, n) =>
+      Seq.fill(n)((k, t)) }.toDF("key", "ts")
+    val got = Anomaly.cusumFlagsFixed(log, "key", "ts",
+        allowance = 3, threshold = 10)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    val counts = rows.map { case (_, t, n) =>
+      (t.getTime / 3600000L) -> n.toLong }.toMap
+    val h0 = counts.keys.min
+    var s = 0L
+    (h0 to counts.keys.max).foreach { h =>
+      s = math.max(0L, s + counts.getOrElse(h, 0L) - 3L)
+      if (counts.contains(h))
+        assert(got(h) == ((3L, s, s > 10L)), s"h=${h - h0}: ${got(h)} " +
+          s"want (3,$s,${s > 10L})")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("seasonalBurstBuckets: the baseline reads the SAME hour-of-day " +
       "across days — a spike at a normally-quiet hour flags even when " +
       "the flat-trailing view would absorb it into busier hours") {

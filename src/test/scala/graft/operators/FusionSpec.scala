@@ -36,4 +36,46 @@ class FusionSpec extends SparkSuite {
     // 3 appears at ranks 3 and 1 -> strongest fused score
     assert(got.head == 3L)
   }
+
+  test("rboTopK: the exact weight table matches the rational closed " +
+      "form, identical rankings score exactly 1 - p^k, zero-overlap " +
+      "groups are absent, and the table refuses long overflow") {
+    // Fraction-derived pinned table at p=9/10, depth 10 (den 7e11)
+    val (den, nums) = Fusion.rboWeights(9, 10, 10)
+    assert(den == 700000000000L)
+    assert(nums.toSeq == Seq(164791479598L, 94791479598L, 63291479598L,
+      44391479598L, 31633979598L, 22448579598L, 15559529598L,
+      10245119598L, 6060021723L, 2711943423L))
+    // identical top-10s: X_d = d for every d -> RBO = 1 - p^10 exactly
+    val run = (1L to 10L).map(i => ("g", i * 100L, i)).toDF("grp", "it", "rk")
+    val ident = Fusion.rboTopK(run, run, "grp", "it", "rk")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(ident._2 == 10L)
+    assert(ident._3 == nums.sum)
+    // 1 - (9/10)^10 = (10^10 - 9^10) * 70 / 7e11
+    assert(ident._3 == (BigInt(10).pow(10) - BigInt(9).pow(10)) * 70)
+    assert(ident._4 == nums.sum.toDouble / 700000000000.0)
+    // a reversed ranking agrees less than an identical one but shares
+    // every item: X_d = max(0, 2d - 10)
+    val rev = (1L to 10L).map(i => ("g", i * 100L, 11L - i))
+      .toDF("grp", "it", "rk")
+    val rr = Fusion.rboTopK(run, rev, "grp", "it", "rk")
+      .as[(String, Long, Long, Double)].collect().head
+    val expectRev = (1 to 10).map(i => nums(math.max(i, 11 - i) - 1)).sum
+    assert(rr._3 == expectRev && rr._3 < ident._3)
+    // zero overlap -> the group is absent (inner-join semantics)
+    val other = (1L to 10L).map(i => ("g", i * 7L + 3L, i))
+      .toDF("grp", "it", "rk")
+    assert(Fusion.rboTopK(run, other, "grp", "it", "rk").count() == 0)
+    // ranks beyond depth are ignored on BOTH sides
+    val deep = run.unionByName(
+      Seq(("g", 9999L, 11L)).toDF("grp", "it", "rk"))
+    assert(Fusion.rboTopK(deep, deep, "grp", "it", "rk")
+      .as[(String, Long, Long, Double)].collect().head._2 == 10L)
+    // a table that cannot fit longs is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Fusion.rboWeights(99, 100, 32)
+    }
+    assert(err.getMessage.contains("overflow"))
+  }
 }

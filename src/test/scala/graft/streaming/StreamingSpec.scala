@@ -673,6 +673,55 @@ class StreamingSpec extends SparkSuite {
       (3L, 13L, 2L, 14L, "match")))
   }
 
+  test("streaming CUSUM drift detection matches the fixed-allowance " +
+      "batch operator row-for-row across a 3-micro-batch replay: the " +
+      "sequential recurrence, gap draining, and the batch prefix-scan " +
+      "identity are the same function") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.Tables.events(spark, sfDir)
+      .select($"event_type", $"ts")
+      .as[(String, java.sql.Timestamp)].collect()
+    // plant a sustained shift (the q217 gate's discipline — the
+    // fixture's Poisson traffic never sustains): events in one 2-day
+    // window replicated x3 more, in BOTH the stream and the batch side
+    val lo = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-17 00:00:00")
+    val rows = (base ++ base.filter(r =>
+        !r._2.before(lo) && r._2.before(hi))
+      .flatMap(r => Seq(r, r, r))).sortBy(_._2.getTime)
+    val third = rows.length / 3
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val flags = Streams.cusumFlags(
+      input.toDF().toDF("event_type", "ts"), "event_type", "ts",
+      watermark = "1 minute", allowance = 3, threshold = 3)
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      input.addData(rows.take(third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(("__flush",
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("cusum_out")
+        .filter($"key" =!= "__flush")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val expected = graft.operators.Anomaly.cusumFlagsFixed(
+          rows.toSeq.toDF("event_type", "ts"), "event_type", "ts",
+          allowance = 3, threshold = 3)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(got == expected,
+        s"stream-batch diff: ${(got diff expected).take(3)} / " +
+          s"${(expected diff got).take(3)}")
+      assert(got.exists(_._6) && got.exists(!_._6),
+        "planted shift should alarm and quiet hours should not")
+    } finally q.stop()
+  }
+
   test("streaming SEASONAL burst detection matches the batch operator " +
       "row-for-row across a 3-micro-batch replay of the real event " +
       "fixture (r13 verdict item 8): same-hour-of-day baselines, empty " +
