@@ -48,6 +48,59 @@ object Allocate {
   /** Water-fill `budget` over `avail` rows (domainCol, availCol,
     * weightCol; weights >= 1). Returns (domainCol, avail, weight,
     * capped, allocation). */
+  /** Hamilton largest-remainder apportionment (Hamilton 1792; the
+    * quota method, Balinski & Young 1982) — turn stratum weights into
+    * EXACT integer sample quotas summing to `total`: each stratum gets
+    * base_i = floor(total·w_i / W) slots, and the `total − Σ base`
+    * leftover slots go to the largest remainders total·w_i mod W
+    * (ties by stratum keys). The companion planning step to
+    * [[waterFill]] (capped proportional budget) and
+    * [[Sample.matchComposition]] (resample to a target profile):
+    * waterFill caps at availability, apportion rounds a proportional
+    * plan to whole slots with ZERO drift — Σ slots == total exactly,
+    * and no stratum deviates from its real-valued quota by ≥ 1 (the
+    * quota property; largest-remainder is the method that satisfies
+    * it, which divisor roundings don't).
+    *
+    * Exactness: products run in decimal(38) (total·w_i reaches 10²¹
+    * at a 10⁹-slot plan over 10¹²-row strata — past long), the floor
+    * division is integral `div` (identical to DuckDB `//` on
+    * non-negatives), remainders derive as total·w − base·W, and the
+    * remainder rank is a row_number with full key tie-break —
+    * everything integer, hash-exact.
+    *
+    * Scale shape: one corpus-sized hash agg to (keys, w); everything
+    * after runs on the strata frame — catalog-sized by definition (a
+    * mixing plan with 10⁶ strata is a 10⁶-row frame), so the global
+    * remainder-rank window's single partition is a non-issue, exactly
+    * like the 1-row-per-group frames in [[waterFill]]. Output:
+    * (keys..., w, slots). */
+  def apportion(df: DataFrame, keyCols: Seq[String], weightCol: String,
+      total: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one stratum key")
+    require(total >= 0, s"total must be >= 0, got $total")
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .filter(col("w") > 0)
+    val t = w.agg(sum(col("w")).as("__tot"))
+    val wOrd = Window.orderBy(
+      (col("__rem").desc +: keyCols.map(col(_).asc)): _*)
+    val wAll = Window.partitionBy()
+    w.crossJoin(broadcast(t))
+      .withColumn("__base",
+        expr(s"(CAST($total AS DECIMAL(38,0)) * w) div __tot"))
+      .withColumn("__rem",
+        (d38(lit(total)) * d38(col("w"))
+          - d38(col("__base")) * d38(col("__tot"))).cast("long"))
+      .withColumn("__rr", row_number().over(wOrd))
+      .withColumn("__leftover", lit(total) - sum(col("__base")).over(wAll))
+      .select((keyCols.map(col) :+ col("w") :+
+        (col("__base") + when(col("__rr") <= col("__leftover"), lit(1L))
+          .otherwise(lit(0L))).as("slots")): _*)
+  }
+
   def waterFill(avail: DataFrame, domainCol: String, availCol: String,
       weightCol: String, budget: Long, maxDomains: Int = 100000)
       : DataFrame = {

@@ -3705,7 +3705,37 @@ object TextQueries {
            END) AS BIGINT) / 700000000000.0 AS rbo
        FROM j GROUP BY grp"""
 
+  /** q222: sampling-quota apportionment
+    * ([[graft.operators.Allocate.apportion]] — Hamilton largest
+    * remainder): a 1000-slot sampling plan across (lang, source)
+    * strata proportional to character mass, rounded to whole slots
+    * with zero drift (Σ slots == 1000 exactly, no stratum off its
+    * real-valued quota by ≥ 1). decimal(38) products, integral div,
+    * full-key remainder tie-break — all integer, hash-exact. */
+  val q222_sample_quotas: Q = (s, d) =>
+    graft.operators.Allocate.apportion(Tables.documents(s, d),
+      Seq("lang", "source"), "n_chars", total = 1000L)
+
+  val q222_oracle: String =
+    """WITH w AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+         FROM documents GROUP BY 1, 2 HAVING sum(n_chars) > 0),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+       b AS (SELECT lang, source, w,
+           CAST((1000 * CAST(w AS HUGEINT)) // tot AS BIGINT) AS base,
+           CAST(1000 * CAST(w AS HUGEINT)
+             - ((1000 * CAST(w AS HUGEINT)) // tot) * tot AS BIGINT)
+             AS rem
+         FROM w CROSS JOIN t),
+       r AS (SELECT *,
+           row_number() OVER (ORDER BY rem DESC, lang, source) AS rr,
+           CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
+         FROM b)
+       SELECT lang, source, w,
+         base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS slots
+       FROM r"""
+
   val all: Map[String, Q] = Map(
+    "q222_sample_quotas" -> q222_sample_quotas,
     "q214_calibration_apply" -> q214_calibration_apply,
     "q219_conformal_threshold" -> q219_conformal_threshold,
     "q220_fleiss_kappa" -> q220_fleiss_kappa,
@@ -3818,6 +3848,7 @@ object TextQueries {
     "q219_conformal_threshold" -> q219_oracle,
     "q220_fleiss_kappa" -> q220_oracle,
     "q221_rbo_signals" -> q221_oracle,
+    "q222_sample_quotas" -> q222_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

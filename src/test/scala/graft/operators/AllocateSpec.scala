@@ -85,4 +85,38 @@ class AllocateSpec extends SparkSuite {
       Allocate.waterFill(big, "d", "n", "w", -1L)
     }
   }
+
+  test("apportion: exact proportions pass through untouched, the quota " +
+      "property holds (|slots - total*w/W| < 1, sum == total), ties " +
+      "break by key, duplicates aggregate, zero weights drop") {
+    import spark.implicits._
+    // exactly proportional: (5,3,2) over total 10 -> (5,3,2), no
+    // remainder slots at all
+    val exact = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "n")
+    assert(Allocate.apportion(exact, Seq("k"), "n", 10L)
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 5L, 5L), ("b", 3L, 3L), ("c", 2L, 2L)))
+    // equal remainders: 10 over (1,1,1) -> base 3 each, 1 leftover to
+    // the smallest key
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "n")
+    assert(Allocate.apportion(tie, Seq("k"), "n", 10L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap ==
+      Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    // quota property on awkward weights; duplicates sum; zeros drop
+    val rows = Seq(("a", 7L), ("a", 6L), ("b", 29L), ("c", 1L),
+      ("d", 57L), ("e", 0L)).toDF("k", "n")
+    val got = Allocate.apportion(rows, Seq("k"), "n", 101L)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._3).sum == 101L)
+    assert(!got.map(_._1).contains("e"))
+    val totW = got.map(_._2).sum.toDouble
+    got.foreach { case (k, w, slots) =>
+      val quota = 101L * w / totW
+      assert(math.abs(slots - quota) < 1.0, s"$k: $slots vs $quota")
+    }
+    // total 0 allocates nothing
+    assert(Allocate.apportion(exact, Seq("k"), "n", 0L)
+      .as[(String, Long, Long)].collect().forall(_._3 == 0L))
+  }
 }
