@@ -237,4 +237,88 @@ object Labeling {
         (d(a) / d(b)).as("pbar"), (d(c2) / d(dd)).as("pe"),
         kappa.as("kappa"))
   }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff, "Content
+    * Analysis" / the 2011 computing note) — the agreement statistic
+    * for RAGGED panels: [[fleissKappa]] refuses items whose rating
+    * counts differ, alpha is DEFINED for them (missing ratings are
+    * the norm in real annotation: raters time out, items get
+    * re-queued). Items with fewer than 2 ratings cannot witness
+    * (dis)agreement and drop; with o_ic = ratings of category c on
+    * item i and m_i = Σ_c o_ic:
+    *
+    *   D_o = (1/n) Σ_i Σ_c o_ic·(m_i − o_ic)/(m_i − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n·(n−1)),  n = Σ m_i, n_c = Σ_i o_ic
+    *   α   = 1 − D_o/D_e
+    *
+    * Exactness: the only non-integer ingredient is the per-item
+    * 1/(m_i − 1); multiplying through by L = lcm of the DISTINCT
+    * (m_i − 1) values (a panel-sized set — rating counts per item
+    * range over the panel size; one bounded driver action collects
+    * them, the [[fleissKappa]] check's shape, refused past 64
+    * distinct values) makes U = Σ_i L/(m_i−1)·Σ_c o_ic(m_i − o_ic)
+    * an exact integer, and
+    *
+    *   α = (L·(n² − Σn_c²) − U·(n−1)) / (L·(n² − Σn_c²))
+    *
+    * is ONE division of two exact decimal(38) integers (≤ n²·L ~
+    * 2.5·10²⁷ at a trillion ratings — inside 128 bits). D_o and D_e
+    * are each a single exact-integer division too. NULL α when
+    * D_e = 0 (every rating one category).
+    *
+    * Scale shape: one (item, category) hash agg off the vote log is
+    * the only corpus-sized stage; per-item and per-category
+    * reductions collapse to 1-row frames that broadcast-cross.
+    * Output 1 row: (n_ratings, n_items, do, de, alpha). */
+  def krippendorffAlpha(votes: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val o = votes
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+      .withColumn("__m", sum(col("__o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))))
+      .filter(col("__m") >= 2) // unpairable items witness nothing
+      .localCheckpoint() // feeds the lcm probe + per-item + marginals
+    val ms = o.select((col("__m") - 1).as("__d")).distinct()
+      .limit(65).collect().map(_.getLong(0))
+    require(ms.length <= 64,
+      "krippendorffAlpha: more than 64 distinct per-item rating " +
+        "counts — rating counts are panel-sized by contract")
+    if (ms.isEmpty)
+      return votes.sparkSession.range(1).select(
+        lit(0L).as("n_ratings"), lit(0L).as("n_items"),
+        lit(null).cast("double").as("do"),
+        lit(null).cast("double").as("de"),
+        lit(null).cast("double").as("alpha"))
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val lBig = ms.map(BigInt(_)).reduce((a, b) => a / gcd(a, b) * b)
+    require(lBig.isValidLong && lBig.toLong <= 1000000L,
+      s"krippendorffAlpha: lcm of per-item (ratings-1) is $lBig — " +
+        "panel sizes this ragged are not a statistic, audit the log")
+    val lcmL = lBig.toLong
+    // U = sum_i L/(m_i-1) * sum_c o_ic*(m_i - o_ic), exact
+    val perItem = o.groupBy(col("__i"), col("__m"))
+      .agg(sum(col("__o") * (col("__m") - col("__o"))).as("__u0"))
+      .agg(count(lit(1)).as("__ni"), sum(col("__m")).as("__n"),
+        sum(d38(expr(s"${lcmL}L div (__m - 1)") * col("__u0")))
+          .as("__uu"))
+    val marg = o.groupBy(col("__c")).agg(sum(col("__o")).as("__nc"))
+      .agg(sum(d38(col("__nc")) * d38(col("__nc"))).as("__s2"))
+    val n = col("__n")
+    val deNum = d38(n) * d38(n) - col("__s2") // n^2 - sum nc^2
+    val denom = d38(lit(lcmL)) * deNum
+    val num = denom - col("__uu") * d38(n - 1)
+    val alpha = when(deNum === lit(0).cast("decimal(38,0)"),
+        lit(null).cast("double"))
+      .otherwise(d(num) / d(denom))
+    perItem.crossJoin(broadcast(marg))
+      .select(col("__n").as("n_ratings"), col("__ni").as("n_items"),
+        (d(col("__uu")) / d(lit(lcmL) * n)).as("do"),
+        (d(deNum) / d(d38(n) * d38(n - 1))).as("de"),
+        alpha.as("alpha"))
+  }
 }

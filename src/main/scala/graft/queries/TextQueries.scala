@@ -3734,8 +3734,88 @@ object TextQueries {
          base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS slots
        FROM r"""
 
+  /** q223: Krippendorff's alpha over a RAGGED 3-rater panel
+    * ([[graft.operators.Labeling.krippendorffAlpha]] — the agreement
+    * statistic for exactly the missing-ratings panels q220's Fleiss
+    * refuses): the q220 raters with a deterministic ~20% per-vote
+    * md5 dropout, so items carry 0–3 ratings (sub-2 items drop as
+    * unpairable; the observed per-item counts make L = lcm{1,2} = 2,
+    * which the oracle replays). α is ONE division of two exact
+    * 128-bit integers; do/de are single exact-integer divisions —
+    * all three gate hash-exact. */
+  val q223_krippendorff_alpha: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def h(salt: String) =
+      conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    def keep(salt: String) = h(salt) % 10 >= 2
+    val votes = docs.filter(keep("dg:"))
+      .select(col("doc_id"), lit("gold").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.filter(keep("d1:"))
+        .select(col("doc_id"), lit("h1").as("rater"),
+          when(h("r1:") % 20 < 3, lit("zz")).otherwise(col("lang"))
+            .as("label")))
+      .unionByName(docs.filter(keep("d2:"))
+        .select(col("doc_id"), lit("h2").as("rater"),
+          when(h("r2:") % 20 < 5, lit("yy")).otherwise(col("lang"))
+            .as("label")))
+    graft.operators.Labeling.krippendorffAlpha(votes, "doc_id",
+      "rater", "label")
+  }
+
+  val q223_oracle: String =
+    """WITH votes AS (
+         SELECT doc_id, 'gold' AS rater, lang AS label FROM documents
+         WHERE CAST(('0x' || substr(md5('dg:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2
+         UNION ALL
+         SELECT doc_id, 'h1',
+           CASE WHEN CAST(('0x' || substr(md5('r1:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 20 < 3
+             THEN 'zz' ELSE lang END
+         FROM documents
+         WHERE CAST(('0x' || substr(md5('d1:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2
+         UNION ALL
+         SELECT doc_id, 'h2',
+           CASE WHEN CAST(('0x' || substr(md5('r2:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 20 < 5
+             THEN 'yy' ELSE lang END
+         FROM documents
+         WHERE CAST(('0x' || substr(md5('d2:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2),
+       o AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS o
+         FROM votes GROUP BY 1, 2),
+       om AS (SELECT doc_id, label, o,
+           CAST(sum(o) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+         FROM o),
+       p AS (SELECT * FROM om WHERE m >= 2),
+       pi AS (SELECT doc_id, m,
+           CAST(sum(o * (m - o)) AS BIGINT) AS u0
+         FROM p GROUP BY 1, 2),
+       it AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+           CAST(sum(m) AS BIGINT) AS n,
+           sum(CAST(2 // (m - 1) AS HUGEINT) * u0) AS uu FROM pi),
+       mg AS (SELECT sum(CAST(nc AS HUGEINT) * nc) AS s2 FROM (
+           SELECT CAST(sum(o) AS BIGINT) AS nc FROM p GROUP BY label)),
+       k0 AS (SELECT ni, n, uu,
+           CAST(n AS HUGEINT) * n - s2 AS de_num
+         FROM it CROSS JOIN mg)
+       SELECT n AS n_ratings, ni AS n_items,
+         CAST(uu AS DOUBLE) / CAST(2 * n AS DOUBLE) AS "do",
+         CAST(de_num AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS de,
+         CASE WHEN de_num = 0 THEN NULL
+           ELSE CAST(2 * de_num - uu * (n - 1) AS DOUBLE)
+             / CAST(2 * de_num AS DOUBLE) END AS alpha
+       FROM k0"""
+
   val all: Map[String, Q] = Map(
     "q222_sample_quotas" -> q222_sample_quotas,
+    "q223_krippendorff_alpha" -> q223_krippendorff_alpha,
     "q214_calibration_apply" -> q214_calibration_apply,
     "q219_conformal_threshold" -> q219_conformal_threshold,
     "q220_fleiss_kappa" -> q220_fleiss_kappa,
@@ -3849,6 +3929,7 @@ object TextQueries {
     "q220_fleiss_kappa" -> q220_oracle,
     "q221_rbo_signals" -> q221_oracle,
     "q222_sample_quotas" -> q222_oracle,
+    "q223_krippendorff_alpha" -> q223_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,
     "q196_pmi_collocations" -> q196_oracle,

@@ -143,4 +143,58 @@ class LabelingSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("same number of ratings"))
   }
+
+  test("krippendorffAlpha: hand-computed nominal cases, a BigInt " +
+      "rational replay on the ragged panel Fleiss refuses, NULL on a " +
+      "single-category panel, unpairable items dropped") {
+    import org.apache.spark.sql.functions.col
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("item", "rater", "label")
+    // (a,a) + (a,b): Do = 2/4, De = (16-10)/(4*3) = 1/2 -> alpha = 0
+    val mixed = df(Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b")))
+    val m = Labeling.krippendorffAlpha(mixed, "item", "rater", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(m == ((4L, 2L, 0.5, 0.5, 0.0)))
+    // perfect agreement on two distinct labels -> alpha exactly 1
+    val perfect = df(Seq((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b")))
+    assert(Labeling.krippendorffAlpha(perfect, "item", "rater", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5 == 1.0)
+    // the RAGGED panel fleissKappa refuses: item 1 has 3 ratings,
+    // item 2 has 2, item 3 has 1 (dropped as unpairable)
+    val ragged = df(Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "b"),
+      (2L, "r1", "a"), (2L, "r2", "a"),
+      (3L, "r1", "b")))
+    intercept[IllegalArgumentException] {
+      Labeling.fleissKappa(ragged, "item", "rater", "label")
+    }
+    val got = Labeling.krippendorffAlpha(ragged, "item", "rater",
+        "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 5L && got._2 == 2L) // item 3 dropped
+    // BigInt rational replay: L = lcm(2, 1) = 2
+    // item1: o=(a:2,b:1), m=3 -> u0 = 2*1 + 1*2 = 4, weight 2/2=1
+    // item2: o=(a:2), m=2 -> u0 = 0, weight 2/1=2
+    val uu = BigInt(1 * 4 + 2 * 0)
+    val n = BigInt(5); val s2 = BigInt(4 * 4 + 1 * 1)
+    val deNum = n * n - s2
+    val alpha = (BigDecimal(BigInt(2) * deNum - uu * (n - 1))
+      / BigDecimal(BigInt(2) * deNum)).toDouble
+    assert(got._3 == (BigDecimal(uu) / BigDecimal(2 * 5)).toDouble)
+    assert(math.abs(got._5 - alpha) < 1e-15, s"${got._5} vs $alpha")
+    // every rating one category: De = 0 -> NULL alpha
+    val mono = df(Seq((1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "x"), (2L, "r2", "x")))
+    assert(Labeling.krippendorffAlpha(mono, "item", "rater", "label")
+      .select(col("alpha").isNull).as[Boolean].collect().head)
+    // nothing pairable: one NULL row, zero counts
+    val lonely = df(Seq((1L, "r1", "a"), (2L, "r2", "b")))
+    val l0 = Labeling.krippendorffAlpha(lonely, "item", "rater",
+        "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(l0 == ((0L, 0L, None, None, None)))
+  }
 }
