@@ -228,6 +228,40 @@ object QualityProbe {
     }
     val ivfPqMeanRecall = ivfPqPerQuery.map(_._2).sum / ivfPqPerQuery.size
 
+    // --- corpus×corpus margin-mining recall (r14 family): q216's
+    // sign-bit-LSH candidate path vs EXACT all-pairs margin mining at
+    // the same (k, n). The gate is hash-exact against its own
+    // candidate-bounded semantics; this number records how much of
+    // the TRUE margin top-30 those candidates retain — the honest
+    // approximation-quality trend every other approximate family
+    // already carries. Exact side runs the guarded cross form at
+    // probe scale only (250×250 pairs — eval harness, not a plan).
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("src_id"), col("dst_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactMargin = pairSet(operators.Similarity.marginMining(
+      even, odd, "embedding", "vec_id", "embedding", "vec_id",
+      k = 5, n = 30))
+    def lshMarginRecall(tables: Int, planes: Int): Double = {
+      val got = pairSet(operators.Similarity.marginMiningLsh(
+        even, odd, "embedding", "vec_id", "embedding", "vec_id",
+        k = 5, n = 30, numTables = tables, planesPerTable = planes,
+        dim = 64, maxBucket = 64))
+      (got & exactMargin).size.toDouble / exactMargin.size
+    }
+    // the q216 gate budget (16x4 — the measured quality point) plus
+    // two lower-budget points, so the budget-vs-recall knob is a
+    // recorded curve, not one number: margin normalization needs
+    // wider neighborhoods than plain near-dup detection, and the
+    // OR-construction's table count is where that budget lives
+    // (measured 4x6: 0.17, 8x6: 0.43, 16x4: 0.93 — all three configs
+    // share the identical tables·2^planes·cap² = 1M worst-case bound)
+    val marginRecall4 = lshMarginRecall(4, 6)
+    val marginRecall8 = lshMarginRecall(8, 6)
+    val marginRecall = lshMarginRecall(16, 4)
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -260,6 +294,10 @@ object QualityProbe {
         s""""pq_learned_recall_at_20":${s3(lrnMeanRecall)},""" +
         s""""pq_fitted_recall_at_20":${s3(fitMeanRecall)},""" +
         s""""sq8_recall_at_20":${s3(sq8MeanRecall)},""" +
+        s""""margin_recall_at_30":${s3(marginRecall)},""" +
+        s""""margin_recall_curve":{"4x6":${s3(marginRecall4)},""" +
+        s""""8x6":${s3(marginRecall8)},"16x4":${s3(marginRecall)}},""" +
+        s""""margin_cap":64,""" +
         s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
         s""""ivfpq_lists":64,"ivfpq_probes":16,""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +

@@ -145,35 +145,39 @@ object VectorQueries {
   /** q216: corpus×corpus margin mining through the BUCKETED scale path
     * ([[graft.operators.Similarity.marginMiningLsh]]) — the r13 verdict
     * item 2 successor gate. Even vec_ids as the source language, odd as
-    * the target, candidates from 4 sign-bit LSH tables (6 planes each,
-    * 64 buckets; per-bucket cap 64 per side, BINDING and deterministic
+    * the target, candidates from 16 sign-bit LSH tables (4 planes each,
+    * 16 buckets; per-bucket cap 64 per side, BINDING and deterministic
     * by id), then the identical margin tail as q197 over the candidate
-    * set. The oracle replays the whole chain — sign buckets, cap ranks,
+    * set. The 16×4 budget is the measured quality point
+    * (margin_recall_at_30 = 0.93 vs exact all-pairs mining in
+    * QUALITY.json; 4×6 measured 0.17 — margin normalization needs wider
+    * neighborhoods than plain near-dup detection, so the OR-construction
+    * carries the budget; the worst-case candidate bound
+    * numTables·2^planes·cap² = 1M pairs is IDENTICAL for both configs).
+    * The oracle replays the whole chain — sign buckets, cap ranks,
     * bucket equi-join, distinct pairs, fixed-point margin — so the gate
     * is hash-exact, not rows-only; and the plan has NO cross join:
     * candidate generation is an inverted-index equi-join on
-    * (table, bucket) whose worst case is numTables·2^planes·cap²
-    * pairs regardless of corpus size. */
+    * (table, bucket) bounded regardless of corpus size. */
   val q216_margin_mining_lsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     Similarity.marginMiningLsh(
       e.filter(col("vec_id") % 2 === 0),
       e.filter(col("vec_id") % 2 === 1),
       "embedding", "vec_id", "embedding", "vec_id", k = 5, n = 30,
-      numTables = 4, planesPerTable = 6, dim = 64, maxBucket = 64)
+      numTables = 16, planesPerTable = 4, dim = 64, maxBucket = 64)
   }
 
   val q216_oracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                   FROM embeddings),
        b AS (SELECT vec_id, v, t,
-             (CASE WHEN v[t*6+1] >= 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN v[t*6+2] >= 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN v[t*6+3] >= 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN v[t*6+4] >= 0 THEN 8 ELSE 0 END)
-           + (CASE WHEN v[t*6+5] >= 0 THEN 16 ELSE 0 END)
-           + (CASE WHEN v[t*6+6] >= 0 THEN 32 ELSE 0 END) AS bucket
-         FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) tb(t)),
+             (CASE WHEN v[t*4+1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[t*4+2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[t*4+3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[t*4+4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         FROM e CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+           (8),(9),(10),(11),(12),(13),(14),(15)) tb(t)),
        bl AS (SELECT * FROM (
            SELECT vec_id, v, t, bucket,
              row_number() OVER (PARTITION BY t, bucket

@@ -40,6 +40,11 @@ QUALITY_FLOORS = {
     "pq_learned_recall_at_20": 0.3,
     "pq_fitted_recall_at_20": 0.3,  # data-fitted R; measured 0.375
     "sq8_recall_at_20": 0.9,  # rounding-only error; measured 0.9875
+    # q216's gated 16x4 margin-mining budget vs exact all-pairs mining;
+    # measured 0.9333 (the curve in QUALITY.json shows 4x6 at 0.17 —
+    # margin normalization needs wider neighborhoods than plain
+    # near-dup detection, so the OR-construction carries the budget)
+    "margin_recall_at_30": 0.6,
 }
 # Driver-artifact noise honesty (r10 verdict item 7): when the bench
 # run's wall passes disagree by more than this, per-query deltas are
