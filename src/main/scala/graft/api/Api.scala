@@ -181,9 +181,21 @@ object Api {
 
   // ------------------------------------------------------------- routing
 
-  /** Handle one request against a store. `baseUrl` feeds Content-Location
-    * (api.rs:501 hardcodes its own). */
+  /** Handle one request against a store with a FIXED key set. `baseUrl`
+    * feeds Content-Location (api.rs:501 hardcodes its own). */
   def handle(store: EventStore, auth: AuthConfig, req: Request,
+      baseUrl: String = "http://localhost:8080"): Response =
+    handleWith(store,
+      t => Jwt.authorize(t, auth.keys, auth.issuer, auth.audience),
+      req, baseUrl)
+
+  /** Handle one request with a PLUGGABLE token authorizer — the seam
+    * that lets the serving layer wire OIDC-discovered, rotating keys
+    * ([[Oidc.OpenIdClient.authorize]], the reference's live path
+    * openid.rs:130-152) without the pure handler knowing about
+    * discovery. [[handle]] is this with a static-JWKS authorizer. */
+  def handleWith(store: EventStore,
+      authorize: String => Either[String, Jwt.Claims], req: Request,
       baseUrl: String = "http://localhost:8080"): Response = {
     // auth middleware first (api.rs:154-231)
     val token = req.headers.get("Authorization")
@@ -194,7 +206,7 @@ object Api {
           Some("A Bearer token is required to access this API."),
           Some("header" -> "Authorization")) // api.rs:158-176
       case Some(t) =>
-        Jwt.authorize(t, auth.keys, auth.issuer, auth.audience) match {
+        authorize(t) match {
           case Left(_) =>
             return errorResponse(401, "Not authenticated",
               Some("Bearer token is invalid."),

@@ -48,6 +48,40 @@ object ApiServer {
   def start(store: EventStore, auth: Api.AuthConfig, port: Int = 0,
       host: String = "127.0.0.1", threads: Int = 8,
       maxBodyBytes: Int = DefaultMaxBodyBytes,
+      onError: Throwable => Unit = logError): Handle =
+    startWith(store,
+      t => Jwt.authorize(t, auth.keys, auth.issuer, auth.audience),
+      port, host, threads, maxBodyBytes, onError)
+
+  /** [[start]] with live OIDC discovery — the reference's production
+    * auth bootstrap (main.rs wires OpenIdClient from OPENID_BASE_URL;
+    * discovery openid.rs:49-74, JWKS fetch openid.rs:137-141, rotation
+    * retry openid.rs:130-152). Keys are resolved lazily from
+    * `issuerBaseUrl/.well-known/openid-configuration` over the wire,
+    * cached, refresh-throttled, and rotation-retried by
+    * [[Oidc.OpenIdClient]]; pass a custom `fetcher` for air-gapped or
+    * test wiring. An IdP outage at startup serves 401s (with one
+    * throttled re-attempt per interval), not a crash — the store stays
+    * reachable the moment the IdP recovers. */
+  def startOidc(store: EventStore, issuerBaseUrl: String,
+      audience: String, fetcher: Oidc.Fetcher = new Oidc.HttpFetcher(),
+      port: Int = 0, host: String = "127.0.0.1", threads: Int = 8,
+      maxBodyBytes: Int = DefaultMaxBodyBytes,
+      onError: Throwable => Unit = logError,
+      minRefreshIntervalMs: Long = 60000L): Handle = {
+    val client = new Oidc.OpenIdClient(issuerBaseUrl, fetcher, audience,
+      minRefreshIntervalMs)
+    startWith(store, t => client.authorize(t), port, host, threads,
+      maxBodyBytes, onError)
+  }
+
+  /** The transport loop under both [[start]] (static JWKS) and
+    * [[startOidc]] (discovered, rotating JWKS): bind and serve
+    * [[Api.handleWith]] with the given token authorizer. */
+  def startWith(store: EventStore,
+      authorize: String => Either[String, Jwt.Claims], port: Int = 0,
+      host: String = "127.0.0.1", threads: Int = 8,
+      maxBodyBytes: Int = DefaultMaxBodyBytes,
       onError: Throwable => Unit = logError): Handle = {
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -55,7 +89,8 @@ object ApiServer {
     val handle = new Handle(server, pool)
     server.createContext("/", (exchange: HttpExchange) =>
       try respond(exchange,
-        route(store, auth, exchange, handle.baseUrl, maxBodyBytes, onError))
+        route(store, authorize, exchange, handle.baseUrl, maxBodyBytes,
+          onError))
       finally exchange.close())
     server.start()
     handle
@@ -64,7 +99,8 @@ object ApiServer {
   private def logError(e: Throwable): Unit =
     System.err.println(s"[apiserver] handler error: $e")
 
-  private def route(store: EventStore, auth: Api.AuthConfig,
+  private def route(store: EventStore,
+      authorize: String => Either[String, Jwt.Claims],
       exchange: HttpExchange, baseUrl: String, maxBodyBytes: Int,
       onError: Throwable => Unit): Api.Response = {
     try {
@@ -86,7 +122,7 @@ object ApiServer {
       }
       val req = Api.Request(exchange.getRequestMethod,
         uri.getRawPath, parseQuery(uri.getRawQuery), headers, body)
-      Api.handle(store, auth, req, baseUrl)
+      Api.handleWith(store, authorize, req, baseUrl)
     } catch {
       // a handler bug must produce a 500, not a dropped connection —
       // but never an INVISIBLE 500 (observe it first)

@@ -610,7 +610,12 @@ class EventStore(val spark: SparkSession, rootDir: String,
         val m = Manifest(baseVersion + 1, last + 1,
           prevFiles :+ dataName, prevKeys :+ keysName)
         if (tryCommitManifest(dir, m)) {
-          if (baseVersion == 0L) catalogOp(CatalogAdd, u, s)
+          // same first-manifest recursion guard as commitAttempt: staged
+          // commits never target the catalog today, but the hooks must
+          // stay symmetric so a future caller cannot recurse (ADVICE r14)
+          if (baseVersion == 0L && dir != catalogDir) {
+            catalogOp(CatalogAdd, u, s)
+          }
           return n
         }
         // lost the claim: restore the staged file so the fallback below

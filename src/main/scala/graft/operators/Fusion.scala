@@ -67,6 +67,14 @@ object Fusion {
     * (group, item) equi-join plus one group agg over ≤ k rows per
     * group, map-side combined. Items in only one run contribute 0
     * (inner join).
+    *
+    * Dup hardening (ADVICE r14): an input violating the top-k contract
+    * with duplicate (group, item) rows would multiply through the
+    * inner join and silently yield rbo > 1, so each side collapses to
+    * its BEST (minimum) rank per (group, item) before joining — a
+    * deterministic resolution that is the identity on contract-clean
+    * input. Duplicate RANKS (two items at the same rank) remain the
+    * caller's contract; they cannot be detected without an action.
     */
   def rboTopK(runA: DataFrame, runB: DataFrame, groupCol: String,
       idCol: String, rankCol: String, pNum: Long = 9, pDen: Long = 10,
@@ -80,6 +88,10 @@ object Fusion {
       df.select(col(groupCol).as("grp"), col(idCol).as("__item"),
           col(rankCol).cast("long").as(as))
         .filter(col(as).between(1L, depth.toLong))
+        // collapse contract-violating duplicate (grp, item) rows to
+        // their best rank so the join below cannot multiply (see doc)
+        .groupBy(col("grp"), col("__item"))
+        .agg(min(col(as)).as(as))
     val w = (1 to depth).foldRight(lit(0L)) { (m, acc) =>
       when(greatest(col("__ra"), col("__rb")) === m,
         lit(nums(m - 1))).otherwise(acc)

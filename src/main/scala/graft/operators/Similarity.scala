@@ -140,7 +140,14 @@ object Similarity {
     * way, never all-pairs. `maxBuild` makes the probe-batch contract
     * BINDING (the [[Mmr.rerank]] maxPool pattern, r13 verdict item 2):
     * a corpus-sized left side fails fast instead of silently building
-    * an N² cross product. */
+    * an N² cross product.
+    *
+    * '''Eager guard (ADVICE r14):''' enforcing `maxBuild` runs a
+    * `limit(maxBuild+1).count()` Spark job AT PLAN-CONSTRUCTION TIME,
+    * so calling this method triggers an action and evaluates the left
+    * subtree once for the guard and again in the returned plan. Cache
+    * or checkpoint an expensive left side first, and do not construct
+    * this plan in latency-sensitive or deliberately-lazy contexts. */
   def marginMining(left: DataFrame, right: DataFrame, lVec: String,
       lId: String, rVec: String, rId: String, k: Int,
       n: Int, maxBuild: Int = 10000): DataFrame = {

@@ -36,6 +36,14 @@ object SparseSim {
   /** All pairs with n-gram count-vector cosine >= tNum/tDen.
     * Output: (id_a, id_b, dot, na2, nb2, cos).
     *
+    * '''The default `maxDf = 1000` makes candidate generation
+    * APPROXIMATE''' (ADVICE r14): a qualifying pair whose every shared
+    * gram has document frequency > maxDf is silently dropped. Pass
+    * `maxDf = Int.MaxValue` for the exact all-pairs join (quadratic in
+    * the hottest gram's df — only safe on small/pre-chunked corpora),
+    * or size maxDf above the corpus's boilerplate df; scores of
+    * SURVIVING pairs are always exact regardless of the cap.
+    *
     * Plan: gram-count postings (one (id, gram) hash agg) → df
     * pre-filter (count agg + semi-join, constant space per gram) →
     * bucketed pair expansion (gram-keyed hash agg, arrays bounded by

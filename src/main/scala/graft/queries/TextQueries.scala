@@ -3679,11 +3679,12 @@ object TextQueries {
   val q221_oracle: String =
     """WITH ra AS (SELECT lang AS grp, doc_id AS item,
          row_number() OVER (PARTITION BY lang
-           ORDER BY n_chars, doc_id) AS r
+           ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST) AS r
        FROM documents),
        rb AS (SELECT lang AS grp, doc_id AS item,
          row_number() OVER (PARTITION BY lang
-           ORDER BY len(string_split(text, ' ')), doc_id) AS r
+           ORDER BY len(string_split(text, ' ')) NULLS FIRST,
+             doc_id NULLS FIRST) AS r
        FROM documents),
        j AS (SELECT ra.grp, greatest(ra.r, rb.r) AS m
          FROM ra JOIN rb ON ra.grp = rb.grp AND ra.item = rb.item
@@ -3727,7 +3728,8 @@ object TextQueries {
              AS rem
          FROM w CROSS JOIN t),
        r AS (SELECT *,
-           row_number() OVER (ORDER BY rem DESC, lang, source) AS rr,
+           row_number() OVER (ORDER BY rem DESC,
+             lang NULLS FIRST, source NULLS FIRST) AS rr,
            CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
          FROM b)
        SELECT lang, source, w,
