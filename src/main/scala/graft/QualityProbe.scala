@@ -262,6 +262,80 @@ object QualityProbe {
     val marginRecall8 = lshMarginRecall(8, 6)
     val marginRecall = lshMarginRecall(16, 4)
 
+    // --- PQ recall on an ANISOTROPIC fixture (r14 verdict item 3) ----
+    // The gate fixture is near-isotropic — rotation's NULL case — so
+    // the headline pq_*_recall_at_20 numbers (0.375-0.41) understate
+    // the operator. This replays PqSpec's deterministic anisotropic
+    // fixture (dims 0..7 carry ~300x the std of dims 8..63: flat PQ's
+    // subspace 0 must quantize nearly all the energy) so QUALITY.json
+    // carries the number that demonstrates OPQ works, with a floor in
+    // round_report guarding the right regression.
+    val (anisoFlat, anisoFit) = {
+      def sm(x: Long): Long = {
+        var z = x + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def u(x: Long): Double = ((sm(x) >>> 11).toDouble / (1L << 52)) - 1.0
+      val d = 64; val n = 512; val m = 8; val kk = 16; val topK = 10
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(d) { j =>
+          val amp = if (j < 8) 3.0 else 0.01
+          (amp * u(i.toLong * d + j)).toFloat
+        })
+      }
+      import spark.implicits._
+      val df = rows.toDF("vec_id", "embedding")
+      val vecs = rows.toMap
+      def exactTop(qid: Long): Set[Long] = {
+        val qv = vecs(qid)
+        rows.filter(_._1 != qid).map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) =>
+            val x = a.toDouble - b.toDouble; x * x }.sum
+        }.sortBy { case (id, d2) => (d2, id) }.take(topK).map(_._1).toSet
+      }
+      def recall(top: Long => Set[Long]): Double =
+        queryIds.map(q => (top(q) & exactTop(q)).size.toDouble / topK)
+          .sum / queryIds.size
+      val (encA, bA) = operators.Pq.encode(df, "vec_id", "embedding",
+        m, kk)
+      val encAc = encA.localCheckpoint()
+      val flat = recall(q => operators.Pq.adcTopN(encAc, "vec_id", bA,
+        vecs(q), topK).collect().map(_.getAs[Long]("vec_id")).toSet)
+      val rFit = operators.Pq.fitRotationPca(
+        rows.take(256).map(_._2.map(_.toDouble)).toArray, m)
+      val (encB, bB) = operators.Pq.encodeMatrixRotated(df, "vec_id",
+        "embedding", rFit, m, kk)
+      val encBc = encB.localCheckpoint()
+      val fit = recall(q => operators.Pq.adcTopNMatrixRotated(encBc,
+          "vec_id", bB, rFit, vecs(q), topK)
+        .collect().map(_.getAs[Long]("vec_id")).toSet)
+      (flat, fit)
+    }
+
+    // --- theta-sketch intersection error vs the exact twin ----------
+    // q224 (k=512 KMV, direct intersection estimator) against q225
+    // (exact shared-vocabulary counts). The error is recorded SPLIT by
+    // intersection size — the NEXT.md caveat is that small
+    // intersections are where relative error inflates, so the band
+    // must show that regime explicitly rather than average over it.
+    val thetaPairs = queries.TextQueries.q224_theta_intersect(spark, sfDir)
+      .select(col("source_a"), col("source_b"), col("est_inter"))
+      .join(queries.TextQueries.q225_exact_intersect(spark, sfDir)
+        .select(col("source_a"), col("source_b"), col("n_inter")),
+        Seq("source_a", "source_b"))
+      .collect().map { r =>
+        val exact = r.getAs[Long]("n_inter").toDouble
+        val est = r.getAs[Long]("est_inter").toDouble
+        (exact, math.abs(est - exact) / math.max(1.0, exact))
+      }
+    val thetaMeanErr = thetaPairs.map(_._2).sum / thetaPairs.length
+    val thetaMaxErr = thetaPairs.map(_._2).max
+    val thetaSmall = thetaPairs.filter(_._1 < 100.0)
+    val thetaMaxErrSmall =
+      if (thetaSmall.isEmpty) 0.0 else thetaSmall.map(_._2).max
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -300,6 +374,12 @@ object QualityProbe {
         s""""margin_cap":64,""" +
         s""""ivfpq_recall_at_20":${s3(ivfPqMeanRecall)},""" +
         s""""ivfpq_lists":64,"ivfpq_probes":16,""" +
+        s""""pq_flat_recall_anisotropic":${s3(anisoFlat)},""" +
+        s""""pq_fitted_recall_anisotropic":${s3(anisoFit)},""" +
+        s""""theta_k":512,"theta_pairs":${thetaPairs.length},""" +
+        s""""theta_inter_mean_rel_err":${s3(thetaMeanErr)},""" +
+        s""""theta_inter_max_rel_err":${s3(thetaMaxErr)},""" +
+        s""""theta_inter_max_rel_err_small":${s3(thetaMaxErrSmall)},""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
         s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>
           s"\"$g\":${s3(e)}" }.mkString(",")}}}"""
@@ -316,6 +396,17 @@ object QualityProbe {
       System.err.println(
         f"[quality] FAIL: hll_max_rel_err $maxErr%.4f breaches the 5%% "
           + "band vs the exact twin")
+      sys.exit(1)
+    }
+    // Theta ceilings are GATES too: at k=512 the deterministic chain
+    // measured mean 0.130 / max 0.41 vs the exact twin; the ceilings
+    // below leave ~2x headroom, so a breach means the sketch, the
+    // hash, or the twin drifted — fail loudly, don't trend it.
+    if (thetaMeanErr > 0.25 || thetaMaxErr > 0.7) {
+      System.err.println(
+        f"[quality] FAIL: theta intersection error (mean " +
+          f"$thetaMeanErr%.4f, max $thetaMaxErr%.4f) breaches the " +
+          "0.25/0.7 ceilings vs the exact twin")
       sys.exit(1)
     }
   }

@@ -69,4 +69,122 @@ object Sketch {
       .groupBy(col("key"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  // ---- Theta / KMV distinct sketch ---------------------------------
+  //
+  // The k-minimum-values sketch (Bar-Yossef et al., RANDOM'02) under
+  // the theta-sketch set-operation framing (Dasgupta, Lang, Rhodes &
+  // Thaler, "The Theta-Sketch Framework", 2016): retain the k smallest
+  // distinct hash values per group; theta = the k-th smallest (or the
+  // hash-space max M while unsaturated), and any set expression is
+  // evaluated over the retained samples below theta. INTERSECTION is
+  // estimated DIRECTLY — |S_A ∩ S_B below min(theta)| · M / theta —
+  // not by inclusion-exclusion over three cardinality estimates, whose
+  // subtraction inflates relative error exactly when the intersection
+  // is small (the NEXT.md caveat; the direct estimator's error scales
+  // with the retained-common count instead, and the quality band in
+  // QUALITY.json records it on the small-intersection pairs
+  // explicitly).
+  //
+  // Like count-min above (and unlike q45's HLL), the sketch is fully
+  // DETERMINISTIC: hashes are md5-derived, so retained sets, thetas,
+  // and estimates are pure functions of the input that a DuckDB oracle
+  // replays exactly — the gate hash-matches estimates INCLUDING their
+  // sampling error. Estimates are exact integer surfaces: est =
+  // (k-1)·M div theta (one integral division, identical cross-engine).
+  //
+  // Scale shape: building costs one (grp, h) distinct (map-side
+  // combined) plus a per-group sort for the k smallest — disk-backed
+  // sort-merge, no unbounded buffers. The 100 TB property is MERGE
+  // (thetaMerge): shard/day partitions sketch independently to ≤ k
+  // rows per group, and union-then-rank over sketches — k·shards rows,
+  // not data — reproduces the whole corpus's sketch exactly
+  // (SketchSpec pins merge(sketch(A), sketch(B)) == sketch(A ∪ B)),
+  // so distinct/overlap dashboards never re-scan history.
+
+  /** Hash-space size: hashes land in [1, 2^48] (12 md5 hex digits + 1,
+    * portable to any engine with a 64-bit integer). */
+  val ThetaM: Long = 1L << 48
+
+  /** Portable theta hash of a key — uniform on [1, 2^48]. */
+  def thetaHash(key: Column): Column =
+    conv(substring(md5(concat(lit("th:"), key.cast("string"))), 1, 12),
+      16, 10).cast("long") + 1
+
+  /** Per-group KMV sketch: the k smallest DISTINCT hashes per group,
+    * as (grp, h) rows (≤ k per group). Key collisions collapse by
+    * construction (distinct is on the hash — at 2^48 the collision
+    * rate is negligible and the oracle replays it either way). */
+  def thetaSketch(items: DataFrame, grpCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val dedup = items.select(col(grpCol).as("grp"),
+      thetaHash(col(keyCol)).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    dedup.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Merge sketches (same k, same hash) into the sketch of the union:
+    * union the retained sets, keep the k smallest per group. Input is
+    * sketch-sized (≤ k rows per group per shard), so this never
+    * touches data — the streaming/partitioned-build property. */
+  def thetaMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val u = sketches.reduce(_ unionByName _).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    u.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Per-group distinct estimate: (grp, n_retained, theta_h, est).
+    * Unsaturated groups (< k retained) report their EXACT distinct
+    * count; saturated ones est = (k-1)·M div theta (the unbiased KMV
+    * estimator, floored to an exact integer surface). */
+  def thetaEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_retained"), max(col("h")).as("__max_h"))
+      .withColumn("theta_h",
+        when(col("n_retained") < k, lit(ThetaM)).otherwise(col("__max_h")))
+      .withColumn("est", when(col("n_retained") < k, col("n_retained"))
+        .otherwise(expr(s"${(k - 1).toLong}L * ${ThetaM}L DIV __max_h")))
+      .drop("__max_h")
+
+  /** Theta-intersection estimate for every unordered pair of groups in
+    * one sketch: (grp_a, grp_b, n_common, theta_h, est_inter) with
+    * theta_h = min of the two groups' thetas, n_common = retained
+    * hashes present in BOTH groups at or below theta_h, and est_inter
+    * = n_common·M div theta_h (exact n_common when both groups are
+    * unsaturated — the sketch IS the set then).
+    *
+    * Scale shape: the common-hash self-join is an equi-join on h over
+    * ≤ k rows per group; the per-group summary table (one row per
+    * group) pairs through a broadcast — group summaries are
+    * model-sized, the [[countMinEstimates]] broadcast argument. */
+  def thetaIntersectPairs(sketch: DataFrame, k: Int): DataFrame = {
+    val est = thetaEstimate(sketch, k).localCheckpoint()
+    val pairs = est.select(col("grp").as("grp_a"),
+        col("n_retained").as("__na"), col("theta_h").as("__ta"))
+      .join(est.select(col("grp").as("grp_b"),
+        col("n_retained").as("__nb"), col("theta_h").as("__tb")),
+        col("grp_a") < col("grp_b"))
+      .withColumn("theta_h", least(col("__ta"), col("__tb")))
+    val common = sketch.select(col("grp").as("grp_a"), col("h"))
+      .join(sketch.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .join(broadcast(pairs.select(col("grp_a"), col("grp_b"),
+        col("theta_h"))), Seq("grp_a", "grp_b"))
+      .filter(col("h") <= col("theta_h"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("grp_a", "grp_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("est_inter",
+        when(col("__na") < k && col("__nb") < k, col("n_common"))
+          .otherwise(expr(s"n_common * ${ThetaM}L DIV theta_h")))
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        col("theta_h"), col("est_inter"))
+  }
 }

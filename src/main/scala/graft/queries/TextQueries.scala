@@ -3815,7 +3815,122 @@ object TextQueries {
              / CAST(2 * de_num AS DOUBLE) END AS alpha
        FROM k0"""
 
+  /** q224: theta-sketch distinct INTERSECTION across sources
+    * ([[graft.operators.Sketch.thetaSketch]]/[[graft.operators.Sketch.thetaIntersectPairs]],
+    * the KMV/theta framework — Bar-Yossef et al. RANDOM'02; Dasgupta
+    * et al. 2016): per source, sketch its word-trigram vocabulary with
+    * the k=512 smallest md5 hashes; for every source pair, estimate
+    * the shared-vocabulary size DIRECTLY from retained hashes below
+    * min(theta) — never by inclusion-exclusion, whose subtraction
+    * blows up relative error exactly on small intersections (the
+    * NEXT.md caveat). Deterministic hashing makes the whole chain —
+    * retained sets, thetas, integral-division estimates — a pure
+    * function both engines replay, so the gate is hash-EXACT on the
+    * estimates (stronger than the rows-only q45 HLL pattern); the
+    * estimate-vs-exact error rides QUALITY.json against the q225
+    * twin. At sf0.001 the vocabularies undersaturate k (the sketch IS
+    * the set; estimates exact by construction), at sf0.01 they
+    * saturate — both regimes gated. */
+  val q224_theta_intersect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("source"),
+      explode(shingles(col("text"), 3)).as("tok"))
+    val sk = graft.operators.Sketch.thetaSketch(grams, "source", "tok",
+      k = 512)
+    graft.operators.Sketch.thetaIntersectPairs(sk, k = 512)
+      .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+        col("n_common"), col("theta_h"), col("est_inter"))
+  }
+
+  val q224_oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') toks
+         FROM documents),
+       g AS (SELECT source,
+           array_to_string(toks[i:i+2], ' ') AS tok
+         FROM t, unnest(range(1, len(toks) - 1)) AS gs(i)
+         WHERE len(toks) >= 3),
+       hh AS (SELECT DISTINCT source AS grp,
+           CAST(('0x' || substr(md5('th:' || tok), 1, 12)) AS BIGINT)
+             + 1 AS h
+         FROM g),
+       sk AS (SELECT grp, h FROM (
+           SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM hh) WHERE rk <= 512),
+       e AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_ret,
+           max(h) AS max_h
+         FROM sk GROUP BY 1),
+       p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+           a.n_ret AS na, b.n_ret AS nb,
+           least(
+             CASE WHEN a.n_ret < 512 THEN 281474976710656
+                  ELSE a.max_h END,
+             CASE WHEN b.n_ret < 512 THEN 281474976710656
+                  ELSE b.max_h END) AS theta_h
+         FROM e a JOIN e b ON a.grp < b.grp),
+       c AS (SELECT x.grp AS grp_a, y.grp AS grp_b,
+           CAST(count(*) AS BIGINT) AS ncnt
+         FROM sk x JOIN sk y ON x.h = y.h AND x.grp < y.grp
+         JOIN p ON p.grp_a = x.grp AND p.grp_b = y.grp
+         WHERE x.h <= p.theta_h
+         GROUP BY 1, 2)
+       SELECT p.grp_a AS source_a, p.grp_b AS source_b,
+         CAST(coalesce(c.ncnt, 0) AS BIGINT) AS n_common,
+         p.theta_h,
+         CAST(CASE WHEN p.na < 512 AND p.nb < 512
+             THEN coalesce(c.ncnt, 0)
+             ELSE (coalesce(c.ncnt, 0) * 281474976710656) // p.theta_h
+           END AS BIGINT) AS est_inter
+       FROM p LEFT JOIN c
+         ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b"""
+
+  /** q225: the EXACT twin of q224 — true shared-trigram-vocabulary
+    * size per source pair plus both vocabulary sizes (the q64-vs-q45
+    * split applied to intersections: the exact path is hash-verified
+    * here while q224 keeps exercising the sketch; QualityProbe diffs
+    * the two into QUALITY.json theta bands). */
+  val q225_exact_intersect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val u = docs.select(col("source"),
+        explode(shingles(col("text"), 3)).as("tok")).distinct()
+      .localCheckpoint()
+    val sizes = u.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    u.select(col("source").as("source_a"), col("tok"))
+      .join(u.select(col("source").as("source_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("nv").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("nv").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        col("n_a"), col("n_b"))
+  }
+
+  val q225_oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') toks
+         FROM documents),
+       g AS (SELECT source,
+           array_to_string(toks[i:i+2], ' ') AS tok
+         FROM t, unnest(range(1, len(toks) - 1)) AS gs(i)
+         WHERE len(toks) >= 3),
+       u AS (SELECT DISTINCT source, tok FROM g),
+       sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+         FROM u GROUP BY 1)
+       SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter,
+         CAST(any_value(sa.nv) AS BIGINT) AS n_a,
+         CAST(any_value(sb.nv) AS BIGINT) AS n_b
+       FROM u a JOIN u b ON a.tok = b.tok AND a.source < b.source
+       JOIN sz sa ON sa.source = a.source
+       JOIN sz sb ON sb.source = b.source
+       GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q224_theta_intersect" -> q224_theta_intersect,
+    "q225_exact_intersect" -> q225_exact_intersect,
     "q222_sample_quotas" -> q222_sample_quotas,
     "q223_krippendorff_alpha" -> q223_krippendorff_alpha,
     "q214_calibration_apply" -> q214_calibration_apply,
@@ -3931,6 +4046,8 @@ object TextQueries {
     "q220_fleiss_kappa" -> q220_oracle,
     "q221_rbo_signals" -> q221_oracle,
     "q222_sample_quotas" -> q222_oracle,
+    "q224_theta_intersect" -> q224_oracle,
+    "q225_exact_intersect" -> q225_oracle,
     "q223_krippendorff_alpha" -> q223_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,

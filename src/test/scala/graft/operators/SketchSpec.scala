@@ -68,4 +68,67 @@ class SketchSpec extends SparkSuite {
       .select($"est").as[Long].collect()
     assert(got.toSeq == Seq(0L, 0L))
   }
+
+  // ---- theta / KMV ---------------------------------------------------
+
+  private def thetaItems = {
+    // two groups over a synthetic universe with a KNOWN overlap:
+    // ga = keys 0..599, gb = keys 400..999 → |∩| = 200, |ga| = 600
+    val rows = (0 until 600).map(i => ("ga", s"key-$i")) ++
+      (400 until 1000).map(i => ("gb", s"key-$i"))
+    rows.toDF("grp0", "key")
+  }
+
+  test("thetaEstimate is EXACT below saturation (the sketch IS the " +
+      "set) and within the KMV error envelope above it") {
+    val items = thetaItems
+    // k larger than both sets: exact distinct counts
+    val exact = Sketch.thetaEstimate(
+        Sketch.thetaSketch(items, "grp0", "key", k = 1024), k = 1024)
+      .select($"grp", $"est").as[(String, Long)].collect().toMap
+    assert(exact == Map("ga" -> 600L, "gb" -> 600L))
+    // k = 64 on 600 distinct: rel err should sit within ~4/sqrt(k)
+    val est = Sketch.thetaEstimate(
+        Sketch.thetaSketch(items, "grp0", "key", k = 64), k = 64)
+      .select($"grp", $"est").as[(String, Long)].collect().toMap
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - 600.0) / 600.0 < 4.0 / math.sqrt(64.0),
+        s"$g estimated $e for 600 — outside the KMV envelope")
+    }
+  }
+
+  test("thetaMerge(sketch(A), sketch(B)) == thetaSketch(A ∪ B) " +
+      "bit-exactly — the 100 TB partitioned-build property") {
+    val items = thetaItems
+    val k = 64
+    val full = Sketch.thetaSketch(items, "grp0", "key", k)
+      .as[(String, Long)].collect().toSet
+    val merged = Sketch.thetaMerge(Seq(
+        Sketch.thetaSketch(items.filter(length($"key") % 2 === 0),
+          "grp0", "key", k),
+        Sketch.thetaSketch(items.filter(length($"key") % 2 === 1),
+          "grp0", "key", k)), k)
+      .as[(String, Long)].collect().toSet
+    assert(merged == full)
+  }
+
+  test("thetaIntersectPairs: exact when both groups are unsaturated; " +
+      "inside the sampling envelope when saturated; the direct " +
+      "estimator (no inclusion-exclusion) stays sane on a small " +
+      "intersection") {
+    val items = thetaItems
+    // unsaturated: the retained sets ARE the sets → exact 200
+    val exactRow = Sketch.thetaIntersectPairs(
+        Sketch.thetaSketch(items, "grp0", "key", k = 1024), k = 1024)
+      .select($"grp_a", $"grp_b", $"n_common", $"est_inter")
+      .as[(String, String, Long, Long)].collect()
+    assert(exactRow.toSeq == Seq(("ga", "gb", 200L, 200L)))
+    // saturated at k = 128 of 600: |∩|/|set| = 1/3, so the retained
+    // common count is ~k/3 ≈ 43 → σ ≈ 15%; assert a generous 4σ
+    val est = Sketch.thetaIntersectPairs(
+        Sketch.thetaSketch(items, "grp0", "key", k = 128), k = 128)
+      .select($"est_inter").as[Long].head()
+    assert(math.abs(est - 200.0) / 200.0 < 0.6,
+      s"saturated intersection estimated $est for 200")
+  }
 }

@@ -45,7 +45,28 @@ QUALITY_FLOORS = {
     # margin normalization needs wider neighborhoods than plain
     # near-dup detection, so the OR-construction carries the budget)
     "margin_recall_at_30": 0.6,
+    # the ANISOTROPIC-fixture OPQ numbers (r14 verdict item 3: the
+    # headline used to carry only the isotropic null). QualityProbe
+    # replays PqSpec's deterministic fixture: flat 0.2125, PCA-fitted
+    # 0.775 — the fitted floor guards the regression that MATTERS
+    # (a broken rotation fit), which the isotropic floors cannot see.
+    "pq_fitted_recall_anisotropic": 0.5,
 }
+# Error CEILINGS (lower is better — the mirror of QUALITY_FLOORS) for
+# the theta-sketch intersection bands vs the q225 exact twin: k=512
+# measured mean 0.130 / max 0.41; ~2x headroom. QualityProbe enforces
+# the same ceilings at generation time; this re-check makes a
+# hand-edited or stale QUALITY.json fail the report too.
+QUALITY_CEILINGS = {
+    "theta_inter_mean_rel_err": 0.25,
+    "theta_inter_max_rel_err": 0.7,
+}
+# Keys that MUST be present in QUALITY.json from r15 on (r14 verdict
+# item 3: "round report fails if absent") — the absent-key skip above
+# exists for pre-floor artifacts, and these are too load-bearing to
+# silently drop out of the artifact.
+REQUIRED_QUALITY_KEYS = ("pq_fitted_recall_anisotropic",
+                         "theta_inter_mean_rel_err")
 # Driver-artifact noise honesty (r10 verdict item 7): when the bench
 # run's wall passes disagree by more than this, per-query deltas are
 # queue/noise-inflated — label them inconclusive, don't rank movers.
@@ -61,6 +82,18 @@ def check_quality_floors(quality):
             print(f"QUALITY FAILURE: {metric}={quality[metric]} below "
                   f"pinned floor {floor} — approximate-search "
                   f"quality regressed", file=sys.stderr)
+            sys.exit(3)
+    for metric, ceiling in QUALITY_CEILINGS.items():
+        if metric in quality and float(quality[metric]) > ceiling:
+            print(f"QUALITY FAILURE: {metric}={quality[metric]} above "
+                  f"pinned ceiling {ceiling} — sketch error band "
+                  f"regressed", file=sys.stderr)
+            sys.exit(3)
+    for metric in REQUIRED_QUALITY_KEYS:
+        if metric not in quality:
+            print(f"QUALITY FAILURE: required metric {metric} absent "
+                  f"from QUALITY.json — the probe or artifact is stale",
+                  file=sys.stderr)
             sys.exit(3)
 
 

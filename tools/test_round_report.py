@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
-"""Injection test for the round report's pinned quality floors (r13
+"""Injection test for the round report's pinned quality gates (r13
 verdict item 3: pq_rotated_recall_at_20 had no floor, so the one family
 member whose quality was anomalous was the one that could regress
-silently). Asserts every floored metric — including the rotated point —
-fails the report (exit 3) when injected below its floor, and that
-at-floor values pass. <1s, no sbt; wired into ship_check --fast."""
+silently; widened r15 with error CEILINGS for the theta-sketch bands
+and REQUIRED keys — r14 verdict item 3: the report must fail when the
+anisotropic PQ number is absent, not just when it is low). Asserts
+every floored metric fails the report (exit 3) when injected below its
+floor, every ceilinged metric fails when injected above its ceiling,
+required keys fail when absent, and healthy values pass. <1s, no sbt;
+wired into ship_check --fast."""
 import os
 import sys
 
@@ -19,28 +23,44 @@ def expect_exit3(quality, what):
         assert e.code == 3, f"FAIL {what}: exit {e.code}, wanted 3"
         print(f"PASS {what}")
         return
-    raise AssertionError(f"FAIL {what}: no exit on a breached floor")
+    raise AssertionError(f"FAIL {what}: no exit on a breached gate")
 
 
 def main():
     healthy = {m: f + 0.01 for m, f in rr.QUALITY_FLOORS.items()}
+    healthy.update({m: c - 0.01 for m, c in rr.QUALITY_CEILINGS.items()})
+    for k in rr.REQUIRED_QUALITY_KEYS:
+        assert k in healthy, \
+            f"FAIL: required key {k} has neither floor nor ceiling — " \
+            "add it to one so a regression is actually gated"
     rr.check_quality_floors(healthy)  # must not exit
     rr.check_quality_floors(dict(healthy, unrelated_metric=0.0))
-    rr.check_quality_floors({})  # absent metrics are skipped
-    print("PASS healthy values clear every floor")
+    print("PASS healthy values clear every floor and ceiling")
 
     assert "pq_rotated_recall_at_20" in rr.QUALITY_FLOORS, \
         "FAIL: the rotated-PQ point lost its floor (r13 item 3)"
+    assert "pq_fitted_recall_anisotropic" in rr.QUALITY_FLOORS, \
+        "FAIL: the anisotropic fitted-PQ point lost its floor (r14 item 3)"
     for metric, floor in rr.QUALITY_FLOORS.items():
         expect_exit3(dict(healthy, **{metric: floor - 0.001}),
                      f"injected {metric} below floor {floor} fails")
+    for metric, ceiling in rr.QUALITY_CEILINGS.items():
+        expect_exit3(dict(healthy, **{metric: ceiling + 0.001}),
+                     f"injected {metric} above ceiling {ceiling} fails")
+    for metric in rr.REQUIRED_QUALITY_KEYS:
+        gone = dict(healthy)
+        del gone[metric]
+        expect_exit3(gone, f"absent required key {metric} fails")
 
-    # exactly at the floor passes (floor is a >= bar)
+    # exactly at the floor/ceiling passes (>= / <= bars)
     rr.check_quality_floors(
-        dict(healthy, pq_rotated_recall_at_20=
-             rr.QUALITY_FLOORS["pq_rotated_recall_at_20"]))
-    print("PASS at-floor value passes")
-    print("\nall round_report floor tests pass")
+        dict(healthy,
+             pq_rotated_recall_at_20=
+             rr.QUALITY_FLOORS["pq_rotated_recall_at_20"],
+             theta_inter_mean_rel_err=
+             rr.QUALITY_CEILINGS["theta_inter_mean_rel_err"]))
+    print("PASS at-floor/at-ceiling values pass")
+    print("\nall round_report gate tests pass")
 
 
 if __name__ == "__main__":
