@@ -321,4 +321,136 @@ object Labeling {
         (d(deNum) / d(d38(n) * d38(n - 1))).as("de"),
         alpha.as("alpha"))
   }
+
+  /** Krippendorff's alpha, INTERVAL metric — δ(c, c') = (v_c − v_c')²
+    * over an INTEGER-VALUED scale (multiply a fixed-point scale
+    * through before calling): the agreement statistic when distances
+    * between ratings matter, not just identity (a 1-vs-5 disagreement
+    * is worse than 1-vs-2). Same ragged-panel semantics as
+    * [[krippendorffAlpha]] (items with < 2 ratings drop; missing
+    * ratings are first-class).
+    *
+    * Exactness (the lcm-rational machinery generalized): the ordered-
+    * pair disagreement of item i collapses to exact integer moments —
+    * Σ_{c,c'} o_ic·o_ic'·(v_c−v_c')² = 2·(m_i·Σ_c o_ic·v_c² −
+    * (Σ_c o_ic·v_c)²) — so U = Σ_i L/(m_i−1)·diss_i and E =
+    * 2·(n·Σ_c n_c·v_c² − (Σ_c n_c·v_c)²) are exact decimal(38)
+    * integers and α = (L·E − U·(n−1)) / (L·E) is ONE division, as are
+    * do = U/(L·n) and de = E/(n·(n−1)). Bound: products stay inside
+    * 128 bits through ~10¹⁰ ratings on a |v| ≤ 10⁴ scale.
+    *
+    * Scale shape: one (item, value) hash agg is the only corpus-sized
+    * stage — identical to the nominal form. Output 1 row:
+    * (n_ratings, n_items, do, de, alpha). */
+  def krippendorffAlphaInterval(votes: DataFrame, itemCol: String,
+      raterCol: String, valueCol: String): DataFrame =
+    alphaFromValues(pairableValues(votes, itemCol, raterCol, valueCol),
+      votes.sparkSession)
+
+  /** Krippendorff's alpha, ORDINAL metric — δ(c, c') =
+    * (Σ_{g=c..c'} n_g − (n_c + n_c')/2)², distances measured in
+    * MARGINAL MASS between ranks rather than in scale units (the
+    * metric for ordered categories whose spacing is not meaningful:
+    * severity grades, Likert points). `valueCol` supplies the category
+    * ORDER (integer-valued); the marginals n_c come from the pairable
+    * panel itself.
+    *
+    * Reduction to the interval machinery: with W_c = cum_c − n_c/2
+    * (cumulative marginal mass to the middle of category c), the
+    * ordinal δ is exactly (W_c − W_c')² — so this maps each category
+    * to the INTEGER W'_c = 2·cum_c − n_c and reuses
+    * [[krippendorffAlphaInterval]]'s exact core. The ×4 metric scale
+    * from doubling cancels in α (scale-invariant); the reported
+    * do/de are in the W' metric — document that when comparing to a
+    * textbook replay (LabelingSpec pins both α and the W'-scaled
+    * do/de against an independent hand computation). Bound: W' ≤ 2n,
+    * so 128-bit exactness holds through ~10⁷ ratings — panels, not
+    * corpora, which is what alpha is for. */
+  def krippendorffAlphaOrdinal(votes: DataFrame, itemCol: String,
+      raterCol: String, valueCol: String): DataFrame = {
+    val o = pairableValues(votes, itemCol, raterCol, valueCol)
+    // W' per category over the pairable panel, in category order — a
+    // label-space-sized frame (the single-partition window is over
+    // #categories rows, not ratings)
+    val margW = o.groupBy(col("__v")).agg(sum(col("__o")).as("__nc"))
+      .withColumn("__cum", sum(col("__nc")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__v"))))
+      .select(col("__v"), (lit(2L) * col("__cum") - col("__nc")).as("__w"))
+    val oW = o.join(broadcast(margW), Seq("__v"))
+      .select(col("__i"), col("__w").as("__v"), col("__o"), col("__m"))
+      .localCheckpoint()
+    alphaFromValues(oW, votes.sparkSession)
+  }
+
+  /** Shared input stage of the value-metric alphas: one (item, value)
+    * hash agg with per-item totals, unpairable items dropped, barrier
+    * for the multi-consumer reads (lcm probe + per-item + marginals). */
+  private def pairableValues(votes: DataFrame, itemCol: String,
+      raterCol: String, valueCol: String): DataFrame =
+    votes
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__o"))
+      .withColumn("__m", sum(col("__o")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))))
+      .filter(col("__m") >= 2)
+      .localCheckpoint()
+
+  /** The exact interval-metric core over (__i, __v, __o, __m) rows:
+    * the [[krippendorffAlpha]] lcm-rational chain with the nominal
+    * per-item kernel swapped for the moment-collapsed quadratic one. */
+  private def alphaFromValues(oV: DataFrame,
+      session: org.apache.spark.sql.SparkSession): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val ms = oV.select((col("__m") - 1).as("__d")).distinct()
+      .limit(65).collect().map(_.getLong(0))
+    require(ms.length <= 64,
+      "krippendorffAlpha(Interval|Ordinal): more than 64 distinct " +
+        "per-item rating counts — rating counts are panel-sized by " +
+        "contract")
+    if (ms.isEmpty)
+      return session.range(1).select(
+        lit(0L).as("n_ratings"), lit(0L).as("n_items"),
+        lit(null).cast("double").as("do"),
+        lit(null).cast("double").as("de"),
+        lit(null).cast("double").as("alpha"))
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val lBig = ms.map(BigInt(_)).reduce((a, b) => a / gcd(a, b) * b)
+    require(lBig.isValidLong && lBig.toLong <= 1000000L,
+      s"krippendorffAlpha(Interval|Ordinal): lcm of per-item " +
+        s"(ratings-1) is $lBig — panel sizes this ragged are not a " +
+        "statistic, audit the log")
+    val lcmL = lBig.toLong
+    // diss_i = 2*(m_i * Σ o v² − (Σ o v)²); U = Σ_i L/(m_i−1)·diss_i
+    val perItem = oV.groupBy(col("__i"), col("__m"))
+      .agg(sum(d38(col("__o")) * d38(col("__v")) * d38(col("__v")))
+          .as("__q2"),
+        sum(d38(col("__o")) * d38(col("__v"))).as("__q1"))
+      .withColumn("__diss", lit(2).cast("decimal(38,0)") *
+        (d38(col("__m")) * col("__q2") - col("__q1") * col("__q1")))
+      .agg(count(lit(1)).as("__ni"), sum(col("__m")).as("__n"),
+        sum(d38(expr(s"${lcmL}L div (__m - 1)")) * col("__diss"))
+          .as("__uu"))
+    // E = 2*(n * Σ n_c v² − (Σ n_c v)²) over the marginals
+    val marg = oV.groupBy(col("__v")).agg(sum(col("__o")).as("__nc"))
+      .agg(sum(d38(col("__nc")) * d38(col("__v")) * d38(col("__v")))
+          .as("__e2"),
+        sum(d38(col("__nc")) * d38(col("__v"))).as("__e1"))
+    val n = col("__n")
+    val eNum = lit(2).cast("decimal(38,0)") *
+      (d38(n) * col("__e2") - col("__e1") * col("__e1"))
+    val denom = d38(lit(lcmL)) * eNum
+    val num = denom - col("__uu") * d38(n - 1)
+    val alpha = when(eNum === lit(0).cast("decimal(38,0)"),
+        lit(null).cast("double"))
+      .otherwise(d(num) / d(denom))
+    perItem.crossJoin(broadcast(marg))
+      .select(col("__n").as("n_ratings"), col("__ni").as("n_items"),
+        (d(col("__uu")) / d(lit(lcmL) * n)).as("do"),
+        (d(eNum) / d(d38(n) * d38(n - 1))).as("de"),
+        alpha.as("alpha"))
+  }
 }

@@ -3928,7 +3928,140 @@ object TextQueries {
        JOIN sz sb ON sb.source = b.source
        GROUP BY 1, 2"""
 
+  /** Shared vote synthesis for q226/q227: three raters score each doc
+    * on a 1..5 scale — a deterministic md5 base score, rater h1
+    * nudged +1 (mod 5) on ~25% of votes, rater h2 nudged −1 on ~35%,
+    * with the q223 per-vote dropout making the panel RAGGED (items
+    * carry 0–3 ratings; sub-2 items drop as unpairable, so the
+    * observed counts make L = lcm{1,2} = 2, which the oracles
+    * replay). */
+  private def weightedVotes(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    def h(salt: String) =
+      conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    def keep(salt: String) = h(salt) % 10 >= 2
+    val base = h("ks:") % 5 // 0..4
+    docs.filter(keep("kd0:"))
+      .select(col("doc_id"), lit("gold").as("rater"),
+        (base + 1L).as("score"))
+      .unionByName(docs.filter(keep("kd1:"))
+        .select(col("doc_id"), lit("h1").as("rater"),
+          ((base + when(h("k1:") % 20 < 5, 1L).otherwise(0L)) % 5 + 1L)
+            .as("score")))
+      .unionByName(docs.filter(keep("kd2:"))
+        .select(col("doc_id"), lit("h2").as("rater"),
+          ((base + when(h("k2:") % 20 < 7, 4L).otherwise(0L)) % 5 + 1L)
+            .as("score")))
+  }
+
+  /** The q226/q227 oracle's replay of [[weightedVotes]]. */
+  private val weightedVotesSql: String =
+    """votes AS (
+         SELECT doc_id, 'gold' AS rater,
+           1 + CAST(('0x' || substr(md5('ks:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS v
+         FROM documents
+         WHERE CAST(('0x' || substr(md5('kd0:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2
+         UNION ALL
+         SELECT doc_id, 'h1',
+           1 + (CAST(('0x' || substr(md5('ks:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+              + CASE WHEN CAST(('0x' || substr(md5('k1:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 20 < 5 THEN 1 ELSE 0 END) % 5
+         FROM documents
+         WHERE CAST(('0x' || substr(md5('kd1:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2
+         UNION ALL
+         SELECT doc_id, 'h2',
+           1 + (CAST(('0x' || substr(md5('ks:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+              + CASE WHEN CAST(('0x' || substr(md5('k2:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 20 < 7 THEN 4 ELSE 0 END) % 5
+         FROM documents
+         WHERE CAST(('0x' || substr(md5('kd2:'
+             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 2),
+       o AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS o
+         FROM votes GROUP BY 1, 2),
+       om AS (SELECT doc_id, v, o,
+           CAST(sum(o) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+         FROM o),
+       p AS (SELECT * FROM om WHERE m >= 2)"""
+
+  /** The shared exact interval-metric alpha tail of the q226/q227
+    * oracles over rows (doc_id, v, o, m): L = 2 hard-coded (the
+    * fixture's observed m ∈ {2,3}), diss_i = 2(m·Σov² − (Σov)²),
+    * E = 2(n·Σn_c v² − (Σn_c v)²), one HUGEINT division each. */
+  private def alphaTailSql(rows: String): String =
+    s"""pi AS (SELECT doc_id, m,
+         CAST(sum(o * v * v) AS HUGEINT) AS q2,
+         CAST(sum(o * v) AS HUGEINT) AS q1
+       FROM $rows GROUP BY 1, 2),
+       it AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+           CAST(sum(m) AS BIGINT) AS n,
+           sum(CAST(2 // (m - 1) AS HUGEINT)
+             * (2 * (m * q2 - q1 * q1))) AS uu
+         FROM pi),
+       mg AS (SELECT CAST(sum(nc * v * v) AS HUGEINT) AS e2,
+           CAST(sum(nc * v) AS HUGEINT) AS e1
+         FROM (SELECT v, CAST(sum(o) AS BIGINT) AS nc
+               FROM $rows GROUP BY v)),
+       k0 AS (SELECT ni, n, uu,
+           2 * (CAST(n AS HUGEINT) * e2 - e1 * e1) AS e
+         FROM it CROSS JOIN mg)
+       SELECT n AS n_ratings, ni AS n_items,
+         CAST(uu AS DOUBLE) / CAST(2 * n AS DOUBLE) AS "do",
+         CAST(e AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS de,
+         CASE WHEN e = 0 THEN NULL
+           ELSE CAST(2 * e - uu * (n - 1) AS DOUBLE)
+             / CAST(2 * e AS DOUBLE) END AS alpha
+       FROM k0"""
+
+  /** q226: Krippendorff's alpha, INTERVAL metric, over the ragged
+    * 1..5 quality panel
+    * ([[graft.operators.Labeling.krippendorffAlphaInterval]] — the
+    * NEXT.md weighted-agreement seam): δ(c,c') = (c−c')², so a 1-vs-5
+    * clash costs 16× a 1-vs-2 nudge where q223's nominal metric
+    * charges both the same. The lcm-rational exactness survives the
+    * kernel swap (per-item disagreement collapses to two exact
+    * moments), so do/de/alpha all gate hash-exact. */
+  val q226_krippendorff_interval: Q = (s, d) =>
+    graft.operators.Labeling.krippendorffAlphaInterval(
+      weightedVotes(s, d), "doc_id", "rater", "score")
+
+  val q226_oracle: String =
+    s"""WITH $weightedVotesSql,
+       ${alphaTailSql("p")}"""
+
+  /** q227: Krippendorff's alpha, ORDINAL metric, same panel
+    * ([[graft.operators.Labeling.krippendorffAlphaOrdinal]]):
+    * distances measured in marginal mass between ranks — the metric
+    * for ordered categories whose spacing is not meaningful. Reduces
+    * exactly to the interval machinery over the integer category
+    * values W'_c = 2·cum_c − n_c (the ×4 metric scale cancels in α;
+    * do/de are reported in the W' metric, which the oracle replays). */
+  val q227_krippendorff_ordinal: Q = (s, d) =>
+    graft.operators.Labeling.krippendorffAlphaOrdinal(
+      weightedVotes(s, d), "doc_id", "rater", "score")
+
+  val q227_oracle: String =
+    s"""WITH $weightedVotesSql,
+       w AS (SELECT v,
+           2 * CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) - nc AS wv
+         FROM (SELECT v, CAST(sum(o) AS BIGINT) AS nc
+               FROM p GROUP BY v)),
+       pw AS (SELECT p.doc_id, w.wv AS v, p.o, p.m
+         FROM p JOIN w ON p.v = w.v),
+       ${alphaTailSql("pw")}"""
+
   val all: Map[String, Q] = Map(
+    "q226_krippendorff_interval" -> q226_krippendorff_interval,
+    "q227_krippendorff_ordinal" -> q227_krippendorff_ordinal,
     "q224_theta_intersect" -> q224_theta_intersect,
     "q225_exact_intersect" -> q225_exact_intersect,
     "q222_sample_quotas" -> q222_sample_quotas,
@@ -4048,6 +4181,8 @@ object TextQueries {
     "q222_sample_quotas" -> q222_oracle,
     "q224_theta_intersect" -> q224_oracle,
     "q225_exact_intersect" -> q225_oracle,
+    "q226_krippendorff_interval" -> q226_oracle,
+    "q227_krippendorff_ordinal" -> q227_oracle,
     "q223_krippendorff_alpha" -> q223_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,

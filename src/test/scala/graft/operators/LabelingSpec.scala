@@ -197,4 +197,84 @@ class LabelingSpec extends SparkSuite {
       .collect().head
     assert(l0 == ((0L, 0L, None, None, None)))
   }
+
+  // the weighted-metric worked example, verified against an
+  // INDEPENDENT coincidence-matrix computation in exact rationals
+  // (python fractions, the Krippendorff 2011 computing-note layout):
+  // a ragged 5-point panel (item 7 single-rated, dropped), marginals
+  // n = (3,5,3,3,1), 15 pairable ratings over 6 items.
+  private def weightedPanel = Seq(
+    (1L, "r1", 1L), (1L, "r2", 1L), (1L, "r3", 2L),
+    (2L, "r1", 2L), (2L, "r2", 3L),
+    (3L, "r1", 3L), (3L, "r2", 3L), (3L, "r3", 4L),
+    (4L, "r1", 2L), (4L, "r2", 2L),
+    (5L, "r1", 1L), (5L, "r3", 2L),
+    (6L, "r1", 4L), (6L, "r2", 4L), (6L, "r3", 5L),
+    (7L, "r1", 3L)
+  ).toDF("item", "rater", "score")
+
+  test("krippendorffAlphaInterval matches the independent worked " +
+      "example exactly (alpha = 127/162), is affine-invariant in the " +
+      "scale, and degrades ordering violations more than adjacent " +
+      "ones") {
+    val got = Labeling.krippendorffAlphaInterval(weightedPanel,
+        "item", "rater", "score")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 15L && got._2 == 6L)
+    // independent reference: do = 2/3, de = 108/35, alpha = 127/162
+    assert(math.abs(got._3 - 2.0 / 3.0) < 1e-15, s"do ${got._3}")
+    assert(math.abs(got._4 - 108.0 / 35.0) < 1e-15, s"de ${got._4}")
+    assert(math.abs(got._5 - 127.0 / 162.0) < 1e-15, s"alpha ${got._5}")
+    // interval alpha is invariant under v -> a*v + b (a != 0): both
+    // do and de scale by a², the ratio cancels — exact with integers
+    val shifted = weightedPanel.select($"item", $"rater",
+      ($"score" * 3L + 7L).as("score"))
+    val a2 = Labeling.krippendorffAlphaInterval(shifted, "item",
+        "rater", "score")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5
+    assert(math.abs(a2 - got._5) < 1e-15, s"affine drift: $a2 vs ${got._5}")
+    // and it is strictly gentler on ADJACENT disagreement than the
+    // nominal metric is: the panel's disagreements are all 1-step
+    val nominal = Labeling.krippendorffAlpha(
+        weightedPanel.select($"item", $"rater",
+          $"score".cast("string").as("label")),
+        "item", "rater", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5
+    assert(got._5 > nominal,
+      s"interval ${got._5} should exceed nominal $nominal on " +
+        "adjacent-only disagreements")
+  }
+
+  test("krippendorffAlphaOrdinal matches the independent worked " +
+      "example (alpha = 1553/1980, do/de in the documented W' " +
+      "metric), and collapses to interval when marginals are uniform") {
+    val got = Labeling.krippendorffAlphaOrdinal(weightedPanel,
+        "item", "rater", "score")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 15L && got._2 == 6L)
+    // independent reference in the W' = 2·cum − n_c metric:
+    // W' = (3, 11, 19, 25, 29); do = 488/15, de = 1056/7
+    assert(math.abs(got._3 - 488.0 / 15.0) < 1e-12, s"do ${got._3}")
+    assert(math.abs(got._4 - 1056.0 / 7.0) < 1e-12, s"de ${got._4}")
+    assert(math.abs(got._5 - 1553.0 / 1980.0) < 1e-15,
+      s"alpha ${got._5}")
+    // uniform marginals space the W' values evenly -> ordinal ==
+    // interval exactly (the q221-style structural cross-check)
+    val uniform = Seq(
+      (1L, "r1", 1L), (1L, "r2", 1L), (1L, "r3", 2L),
+      (2L, "r1", 2L), (2L, "r2", 3L),
+      (3L, "r1", 3L), (3L, "r2", 3L), (3L, "r3", 4L),
+      (4L, "r1", 4L), (4L, "r2", 4L),
+      (5L, "r1", 1L), (5L, "r3", 2L),
+      (6L, "r1", 5L), (6L, "r2", 5L), (6L, "r3", 5L)
+    ).toDF("item", "rater", "score")
+    val oU = Labeling.krippendorffAlphaOrdinal(uniform, "item",
+        "rater", "score")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5
+    val iU = Labeling.krippendorffAlphaInterval(uniform, "item",
+        "rater", "score")
+      .as[(Long, Long, Double, Double, Double)].collect().head._5
+    assert(math.abs(oU - iU) < 1e-15,
+      s"uniform marginals: ordinal $oU != interval $iU")
+  }
 }
