@@ -68,6 +68,20 @@ try:
 except (OSError, json.JSONDecodeError, KeyError) as e:
     errs.append(f"BENCH_LOCAL.json missing/unparsable ({e})")
 
+# COVERAGE.md (split out of SURVEY §8 in r15) must mention every
+# registry gate query — the map the judge reads line by line cannot
+# silently go stale (r14 verdict item 8).
+try:
+    # \bq\d+ without a trailing \b: the map may cite bare ids ("q22")
+    # or full gate names ("q200_dispersion"), where "_" would defeat a
+    # trailing word boundary
+    cq = set(re.findall(r"\bq\d+", open("COVERAGE.md").read()))
+    if not reg <= cq:
+        errs.append(f"COVERAGE.md is missing registry queries: "
+                    f"{sorted(reg - cq)}")
+except OSError as e:
+    errs.append(f"COVERAGE.md missing ({e})")
+
 if errs:
     for e in errs:
         print(f"COVERAGE FAILURE: {e}", file=sys.stderr)
