@@ -60,7 +60,11 @@ SKEW_DUP_EVERY = 10
 # keys from short to full names, and short-name lookups here raised
 # KeyError the first time the skew fit ran after it (r12). The output
 # rows keep the short form for artifact continuity.
-SKEW_QUERIES = ["q90_repeated_spans", "q91_span_scrub"]
+SKEW_QUERIES = ["q90_repeated_spans", "q91_span_scrub",
+                # r14 verdict item 4: the two slowest suite queries are
+                # exactly where duplicate-heavy prefix-token / gram
+                # posting lists would hide a quadratic
+                "q145_ppjoin_pairs", "q146_sparse_cosine"]
 # r06: empty — q37 (the one O(n^2)-by-design exclusion) now runs the
 # LSH-candidates + rerank plan and is gated like everything else.
 EXCLUDE = set()
