@@ -10,13 +10,15 @@ object Bench {
   private[graft] def burstSuspect(walls: Seq[Double]): Boolean =
     walls.nonEmpty && walls.max > 2.0 * math.max(walls.min, 1e-9)
 
-  /** Representative wall: min of the passes while they agree (two
-    * clean passes), median once a disagreement forced a tie-break
-    * third pass — the median ignores the one burst-inflated outlier
-    * instead of averaging it in. */
+  /** Representative wall: MEDIAN once three or more passes exist (r14
+    * verdict item 1: the min-of-2 headline swung 39.2s → 94.9s on
+    * harness variance alone and could not prove "no regression" — the
+    * canonical run now takes 3 passes and publishes their median, with
+    * every wall recorded in the artifact); min of two clean passes
+    * when only two ran (subset/synthetic-dir runs). */
   private[graft] def representativeWall(walls: Seq[Double]): Double =
     if (walls.isEmpty) 0.0
-    else if (walls.size < 3 || !burstSuspect(walls)) walls.min
+    else if (walls.size < 3) walls.min
     else walls.sorted.apply(walls.size / 2)
 
   /** Wall-run disagreement max/min — 1.0 for clean agreement. Emitted
@@ -342,7 +344,20 @@ object Bench {
     // queries scratch fresh TempDirs — and later passes ride warm
     // codegen. Every wall is recorded in the artifact so the variance
     // is evidence, not something discarded.
-    var passes = Seq(runSuite(), runSuite())
+    // Pass count: the CANONICAL artifact run (full suite at sf0.1)
+    // takes 3 passes so the headline is a median, not a min-of-2
+    // sample (r14 verdict item 1); subset and synthetic-dir runs
+    // (scale_bench's sf1/sfmid/skew) keep 2 — their per-query numbers
+    // are min-of-passes either way and a third full pass at sf1 costs
+    // minutes. SPARK_GRAFT_BENCH_PASSES overrides.
+    val defaultPasses =
+      if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") 3
+      else 2
+    val nPasses = math.max(2,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+        .getOrElse(defaultPasses))
+    var passes: Seq[(Map[String, Double], Double)] =
+      (1 to nPasses).map(_ => runSuite())
     if (burstSuspect(passes.map(_._2))) passes :+= runSuite()
     val allR = passes.map(_._1)
     val concurrent = allR.flatMap(_.keySet).distinct.map { k =>

@@ -20,15 +20,17 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.burstSuspect(Seq(0.0, 1.0)))      // degenerate floor
   }
 
-  test("representativeWall: min while passes agree, median once a " +
-      "tie-break third pass ran") {
+  test("representativeWall: min of two passes, MEDIAN of three or " +
+      "more (r14 verdict item 1: the min-of-2 headline was harness-" +
+      "variance-bound and could not prove no-regression)") {
     assert(Bench.representativeWall(Seq(5.6, 7.5)) == 5.6)
     // one burst outlier among three: the median ignores it
     assert(Bench.representativeWall(Seq(5.6, 47.6, 5.9)) == 5.9)
     // two inflated, tie-break clean: median still 2x-honest vs clean
     assert(Bench.representativeWall(Seq(102.5, 47.6, 5.6)) == 47.6)
-    // a third pass that brought agreement (<=2x spread) reports min
-    assert(Bench.representativeWall(Seq(5.6, 6.1, 5.8)) == 5.6)
+    // three AGREEING passes also report the median — the canonical
+    // 3-pass run's headline is a median by convention, not a min
+    assert(Bench.representativeWall(Seq(5.6, 6.1, 5.8)) == 5.8)
     assert(Bench.representativeWall(Nil) == 0.0)
   }
 

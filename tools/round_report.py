@@ -184,21 +184,56 @@ def main():
                   f"{noise:.2f}x > {NOISE_LIMIT}x) — per-query deltas "
                   "below are INCONCLUSIVE (queue/co-tenant inflation), "
                   "not regressions**", ""]
+    # Publish every wall pass next to the median headline (r14 verdict
+    # item 1: the acceptance gate needs a wall number whose run-to-run
+    # spread is visible, not a min-of-2 sample).
+    mw = re.search(r'\\?"wall_runs\\?":\s*\[([0-9.,\s]+)\]',
+                   open(new_bench).read())
+    if mw:
+        walls = [float(x) for x in mw.group(1).split(",") if x.strip()]
+        if walls:
+            spread = max(walls) / max(min(walls), 1e-9)
+            lines += [f"wall runs: {', '.join(f'{w:.1f}s' for w in walls)}"
+                      f" — median headline, spread {spread:.2f}x"
+                      + (" (< 1.5x: clean)" if spread < NOISE_LIMIT
+                         else " (>= 1.5x: see noise note)"), ""]
     if common:
         osum = sum(ob[q][0] for q in common)
         nsum = sum(nb[q][0] for q in common)
+        # FULL per-query delta table (r14 verdict item 1: a hand-picked
+        # 5-query comparison cannot prove "no regression" — every common
+        # query is listed, sorted by ratio, and any >1.3x is flagged;
+        # sub-0.3s absolute deltas are annotated as inside the
+        # documented concurrent jitter rather than hidden).
+        flagged = [q for q in common
+                   if ob[q][0] > 0 and nb[q][0] / ob[q][0] > 1.3
+                   and nb[q][0] - ob[q][0] >= 0.3]
         lines += [f"{len(common)} common queries, summed per-query "
                   f"{osum:.1f}s -> {nsum:.1f}s "
-                  f"({(nsum - osum) / osum * 100:+.0f}%)", "",
-                  "| query | old s | new s | delta |", "|---|---|---|---|"]
-        moved = sorted(common, key=lambda q: nb[q][0] - ob[q][0])
-        for q in reversed(moved):
+                  f"({(nsum - osum) / osum * 100:+.0f}%); "
+                  f"{len(flagged)} queries over the 1.3x flag threshold"
+                  + (": " + ", ".join(nb[q][1] for q in flagged)
+                     if flagged else ""), "",
+                  "| query | old s | new s | delta | ratio |",
+                  "|---|---|---|---|---|"]
+        by_ratio = sorted(
+            common,
+            key=lambda q: (nb[q][0] / ob[q][0] if ob[q][0] > 0
+                           else float("inf")),
+            reverse=True)
+        for q in by_ratio:
             o, n = ob[q][0], nb[q][0]
-            if abs(n - o) < 0.3:
-                continue  # sub-noise (documented concurrent jitter)
-            tag = " (inconclusive: noisy run)" if noisy and n > o else ""
+            ratio = n / o if o > 0 else float("inf")
+            tags = []
+            if ratio > 1.3 and n - o >= 0.3:
+                tags.append("**>1.3x**")
+                if noisy:
+                    tags.append("(inconclusive: noisy run)")
+            elif ratio > 1.3:
+                tags.append("(sub-noise delta)")
             lines.append(f"| {nb[q][1]} | {o:.2f} | {n:.2f} "
-                         f"| {n - o:+.2f}{tag} |")
+                         f"| {n - o:+.2f} | {ratio:.2f}"
+                         f"{' ' + ' '.join(tags) if tags else ''} |")
     new_only = sorted(set(nb) - set(ob))
     if new_only:
         lines += ["", "New queries: " + ", ".join(
