@@ -147,7 +147,20 @@ object ApiServer {
     }
   }
 
+  /** The reference's secure-header middleware (main.rs:44-53:
+    * apply_secure_headers on every response) — browser hardening for
+    * the day a response is ever rendered: no MIME sniffing, no
+    * framing, no legacy-XSS auto-execution. */
+  private val SecureHeaders = Seq(
+    "X-Content-Type-Options" -> "nosniff",
+    "X-Frame-Options" -> "DENY",
+    "X-XSS-Protection" -> "1; mode=block",
+    "Content-Security-Policy" -> "frame-ancestors 'none'")
+
   private def respond(exchange: HttpExchange, res: Api.Response): Unit = {
+    SecureHeaders.foreach { case (k, v) =>
+      exchange.getResponseHeaders.set(k, v)
+    }
     res.headers.foreach { case (k, v) =>
       exchange.getResponseHeaders.set(k, v)
     }
