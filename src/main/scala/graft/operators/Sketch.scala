@@ -164,15 +164,24 @@ object Sketch {
     * group) pairs through a broadcast — group summaries are
     * model-sized, the [[countMinEstimates]] broadcast argument. */
   def thetaIntersectPairs(sketch: DataFrame, k: Int): DataFrame = {
-    val est = thetaEstimate(sketch, k).localCheckpoint()
+    // The CHECKPOINT sits on the sketch (≤ k rows per group): the
+    // corpus-sized build runs once and all four consumers below read
+    // the materialization. The per-group summary stays a LIVE
+    // aggregate over it — recomputing a groupBy of k·groups rows per
+    // consumer is free, and the group-pair inequality join below then
+    // broadcasts a subtree whose bound (the aggregate: one row per
+    // group) is VISIBLE to the PlanShape audit, not erased behind a
+    // checkpoint scan.
+    val sk = sketch.localCheckpoint()
+    val est = thetaEstimate(sk, k)
     val pairs = est.select(col("grp").as("grp_a"),
         col("n_retained").as("__na"), col("theta_h").as("__ta"))
       .join(est.select(col("grp").as("grp_b"),
         col("n_retained").as("__nb"), col("theta_h").as("__tb")),
         col("grp_a") < col("grp_b"))
       .withColumn("theta_h", least(col("__ta"), col("__tb")))
-    val common = sketch.select(col("grp").as("grp_a"), col("h"))
-      .join(sketch.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+    val common = sk.select(col("grp").as("grp_a"), col("h"))
+      .join(sk.select(col("grp").as("grp_b"), col("h")), Seq("h"))
       .filter(col("grp_a") < col("grp_b"))
       .join(broadcast(pairs.select(col("grp_a"), col("grp_b"),
         col("theta_h"))), Seq("grp_a", "grp_b"))
