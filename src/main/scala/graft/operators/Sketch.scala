@@ -196,4 +196,69 @@ object Sketch {
       .select(col("grp_a"), col("grp_b"), col("n_common"),
         col("theta_h"), col("est_inter"))
   }
+
+  /** The full theta set algebra for every unordered pair of groups:
+    * union, intersection, and BOTH differences, from one sketch.
+    * Below min(theta) the retained sets are uniform samples of the
+    * true sets, so every count is a below-theta count and every
+    * estimate the same `cnt·M div theta` scale-up:
+    *
+    *   n_union  = |A≤θ| + |B≤θ| − |A∩B≤θ|   (inclusion-exclusion on
+    *              EXACT retained counts — integer bookkeeping, NOT
+    *              the error-inflating estimate subtraction)
+    *   n_only_a = |A≤θ| − |A∩B≤θ|, n_only_b symmetric
+    *
+    * Output: (grp_a, grp_b, theta_h, n_common, est_inter, n_union,
+    * est_union, n_only_a, est_only_a, n_only_b, est_only_b); all
+    * counts/estimates exact integers (unsaturated pairs report exact
+    * set sizes), so gates hash-match. Scale shape: two group-pair
+    * broadcasts + one hash equi-join over ≤ k rows per group — the
+    * [[thetaIntersectPairs]] shape with two extra k-bounded counts. */
+  def thetaSetOpPairs(sketch: DataFrame, k: Int): DataFrame = {
+    val sk = sketch.localCheckpoint()
+    val est = thetaEstimate(sk, k)
+    val pairs = est.select(col("grp").as("grp_a"),
+        col("n_retained").as("__na"), col("theta_h").as("__ta"))
+      .join(est.select(col("grp").as("grp_b"),
+        col("n_retained").as("__nb"), col("theta_h").as("__tb")),
+        col("grp_a") < col("grp_b"))
+      .withColumn("theta_h", least(col("__ta"), col("__tb")))
+    val pKeys = broadcast(pairs.select(col("grp_a"), col("grp_b"),
+      col("theta_h")))
+    def below(side: String, as: String) =
+      sk.select(col("grp").as(side), col("h"))
+        .join(pKeys, Seq(side))
+        .filter(col("h") <= col("theta_h"))
+        .groupBy(col("grp_a"), col("grp_b"))
+        .agg(count(lit(1)).as(as))
+    val common = sk.select(col("grp").as("grp_a"), col("h"))
+      .join(sk.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .join(pKeys, Seq("grp_a", "grp_b"))
+      .filter(col("h") <= col("theta_h"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // est = cnt·M DIV theta — the SAME multiply-then-floor order as
+    // [[thetaIntersectPairs]] (floor(M/θ)·cnt would round differently);
+    // cnt ≤ 2k so cnt·2^48 stays far inside a long
+    def scaled(cntName: String) =
+      when(col("__na") < k && col("__nb") < k, col(cntName))
+        .otherwise(expr(s"$cntName * ${ThetaM}L DIV theta_h"))
+    pairs
+      .join(below("grp_a", "__nab"), Seq("grp_a", "grp_b"), "left")
+      .join(below("grp_b", "__nbb"), Seq("grp_a", "grp_b"), "left")
+      .join(common, Seq("grp_a", "grp_b"), "left")
+      .withColumn("__nab", coalesce(col("__nab"), lit(0L)))
+      .withColumn("__nbb", coalesce(col("__nbb"), lit(0L)))
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("n_union",
+        col("__nab") + col("__nbb") - col("n_common"))
+      .withColumn("n_only_a", col("__nab") - col("n_common"))
+      .withColumn("n_only_b", col("__nbb") - col("n_common"))
+      .select(col("grp_a"), col("grp_b"), col("theta_h"),
+        col("n_common"), scaled("n_common").as("est_inter"),
+        col("n_union"), scaled("n_union").as("est_union"),
+        col("n_only_a"), scaled("n_only_a").as("est_only_a"),
+        col("n_only_b"), scaled("n_only_b").as("est_only_b"))
+  }
 }

@@ -4059,7 +4059,147 @@ object TextQueries {
          FROM p JOIN w ON p.v = w.v),
        ${alphaTailSql("pw")}"""
 
+  /** q228: the full theta set algebra
+    * ([[graft.operators.Sketch.thetaSetOpPairs]]) over the q224
+    * fixture — per source pair, union / intersection / BOTH
+    * differences of trigram vocabularies from ONE sketch. The union
+    * and difference counts are inclusion-exclusion on EXACT retained
+    * below-theta counts (integer bookkeeping), never on estimates —
+    * the error-inflation the direct framework exists to avoid. Same
+    * determinism argument as q224, so every count AND estimate gates
+    * hash-exact. */
+  val q228_theta_setops: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("source"),
+      explode(shingles(col("text"), 3)).as("tok"))
+    val sk = graft.operators.Sketch.thetaSketch(grams, "source", "tok",
+      k = 512)
+    graft.operators.Sketch.thetaSetOpPairs(sk, k = 512)
+      .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+        col("theta_h"), col("n_common"), col("est_inter"),
+        col("n_union"), col("est_union"),
+        col("n_only_a"), col("est_only_a"),
+        col("n_only_b"), col("est_only_b"))
+  }
+
+  val q228_oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') toks
+         FROM documents),
+       g AS (SELECT source,
+           array_to_string(toks[i:i+2], ' ') AS tok
+         FROM t, unnest(range(1, len(toks) - 1)) AS gs(i)
+         WHERE len(toks) >= 3),
+       hh AS (SELECT DISTINCT source AS grp,
+           CAST(('0x' || substr(md5('th:' || tok), 1, 12)) AS BIGINT)
+             + 1 AS h
+         FROM g),
+       sk AS (SELECT grp, h FROM (
+           SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM hh) WHERE rk <= 512),
+       e AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_ret,
+           max(h) AS max_h
+         FROM sk GROUP BY 1),
+       p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+           a.n_ret AS na, b.n_ret AS nb,
+           least(
+             CASE WHEN a.n_ret < 512 THEN 281474976710656
+                  ELSE a.max_h END,
+             CASE WHEN b.n_ret < 512 THEN 281474976710656
+                  ELSE b.max_h END) AS theta_h
+         FROM e a JOIN e b ON a.grp < b.grp),
+       ba AS (SELECT p.grp_a, p.grp_b,
+           CAST(count(*) AS BIGINT) AS nab
+         FROM sk x JOIN p ON p.grp_a = x.grp
+         WHERE x.h <= p.theta_h GROUP BY 1, 2),
+       bb AS (SELECT p.grp_a, p.grp_b,
+           CAST(count(*) AS BIGINT) AS nbb
+         FROM sk x JOIN p ON p.grp_b = x.grp
+         WHERE x.h <= p.theta_h GROUP BY 1, 2),
+       c AS (SELECT x.grp AS grp_a, y.grp AS grp_b,
+           CAST(count(*) AS BIGINT) AS ncnt
+         FROM sk x JOIN sk y ON x.h = y.h AND x.grp < y.grp
+         JOIN p ON p.grp_a = x.grp AND p.grp_b = y.grp
+         WHERE x.h <= p.theta_h
+         GROUP BY 1, 2),
+       f AS (SELECT p.grp_a, p.grp_b, p.na, p.nb, p.theta_h,
+           coalesce(ba.nab, 0) AS nab, coalesce(bb.nbb, 0) AS nbb,
+           coalesce(c.ncnt, 0) AS ncnt
+         FROM p LEFT JOIN ba ON ba.grp_a = p.grp_a AND ba.grp_b = p.grp_b
+         LEFT JOIN bb ON bb.grp_a = p.grp_a AND bb.grp_b = p.grp_b
+         LEFT JOIN c ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b)
+       SELECT grp_a AS source_a, grp_b AS source_b, theta_h,
+         CAST(ncnt AS BIGINT) AS n_common,
+         CAST(CASE WHEN na < 512 AND nb < 512 THEN ncnt
+           ELSE (ncnt * 281474976710656) // theta_h END AS BIGINT)
+           AS est_inter,
+         CAST(nab + nbb - ncnt AS BIGINT) AS n_union,
+         CAST(CASE WHEN na < 512 AND nb < 512 THEN nab + nbb - ncnt
+           ELSE ((nab + nbb - ncnt) * 281474976710656) // theta_h
+           END AS BIGINT) AS est_union,
+         CAST(nab - ncnt AS BIGINT) AS n_only_a,
+         CAST(CASE WHEN na < 512 AND nb < 512 THEN nab - ncnt
+           ELSE ((nab - ncnt) * 281474976710656) // theta_h
+           END AS BIGINT) AS est_only_a,
+         CAST(nbb - ncnt AS BIGINT) AS n_only_b,
+         CAST(CASE WHEN na < 512 AND nb < 512 THEN nbb - ncnt
+           ELSE ((nbb - ncnt) * 281474976710656) // theta_h
+           END AS BIGINT) AS est_only_b
+       FROM f"""
+
+  /** q229: MERGED-shards theta estimate
+    * ([[graft.operators.Sketch.thetaMerge]] as a GATE, not just a
+    * spec): per-language trigram-vocabulary estimates built by
+    * sketching each (lang, source) SHARD independently and merging the
+    * shard sketches — the 100 TB build shape, where day/shard
+    * partitions sketch once and history never re-scans. The oracle
+    * computes the DIRECT per-language sketch, so the gate proves
+    * merge-of-shards == direct-sketch end to end against DuckDB (the
+    * k smallest of a union are reachable from the per-shard k
+    * smallest — the KMV mergeability theorem — and both engines agree
+    * hash-exactly). */
+  val q229_theta_merged: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(
+      concat_ws("/", col("lang"), col("source")).as("shard"),
+      col("lang"), explode(shingles(col("text"), 3)).as("tok"))
+    val shardSk = graft.operators.Sketch.thetaSketch(grams, "shard",
+      "tok", k = 512)
+    // re-key shard sketches to their language and merge
+    val relabeled = shardSk
+      .select(substring_index(col("grp"), "/", 1).as("grp"), col("h"))
+    val merged = graft.operators.Sketch.thetaMerge(Seq(relabeled),
+      k = 512)
+    graft.operators.Sketch.thetaEstimate(merged, k = 512)
+      .select(col("grp").as("lang"), col("n_retained"),
+        col("theta_h"), col("est"))
+  }
+
+  val q229_oracle: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') toks
+         FROM documents),
+       g AS (SELECT lang,
+           array_to_string(toks[i:i+2], ' ') AS tok
+         FROM t, unnest(range(1, len(toks) - 1)) AS gs(i)
+         WHERE len(toks) >= 3),
+       hh AS (SELECT DISTINCT lang AS grp,
+           CAST(('0x' || substr(md5('th:' || tok), 1, 12)) AS BIGINT)
+             + 1 AS h
+         FROM g),
+       sk AS (SELECT grp, h FROM (
+           SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+           FROM hh) WHERE rk <= 512)
+       SELECT grp AS lang, CAST(count(*) AS BIGINT) AS n_retained,
+         CASE WHEN count(*) < 512 THEN 281474976710656
+              ELSE max(h) END AS theta_h,
+         CAST(CASE WHEN count(*) < 512 THEN count(*)
+           ELSE (511 * 281474976710656) // max(h) END AS BIGINT) AS est
+       FROM sk GROUP BY grp"""
+
   val all: Map[String, Q] = Map(
+    "q228_theta_setops" -> q228_theta_setops,
+    "q229_theta_merged" -> q229_theta_merged,
     "q226_krippendorff_interval" -> q226_krippendorff_interval,
     "q227_krippendorff_ordinal" -> q227_krippendorff_ordinal,
     "q224_theta_intersect" -> q224_theta_intersect,
@@ -4183,6 +4323,8 @@ object TextQueries {
     "q225_exact_intersect" -> q225_oracle,
     "q226_krippendorff_interval" -> q226_oracle,
     "q227_krippendorff_ordinal" -> q227_oracle,
+    "q228_theta_setops" -> q228_oracle,
+    "q229_theta_merged" -> q229_oracle,
     "q223_krippendorff_alpha" -> q223_oracle,
     "q199_vocab_growth" -> q199_oracle,
     "q198_kn3_fluency" -> q198_oracle,

@@ -512,4 +512,55 @@ object Streams {
           out.iterator
         })
   }
+
+  case class ThetaRow(grp: String, h: Long)
+  case class ThetaEstimateRow(grp: String, n_retained: Long,
+      theta_h: Long, est: Long)
+  case class ThetaState(hashes: Array[Long])
+
+  /** Streaming theta/KMV distinct estimation — the stateful streaming
+    * twin of [[graft.operators.Sketch.thetaSketch]] +
+    * [[graft.operators.Sketch.thetaEstimate]]: per group, the k
+    * smallest distinct hashes maintained AS THE STREAM RUNS, emitting
+    * the group's updated (n_retained, theta_h, est) after every
+    * micro-batch that touches it (Update mode — a distinct count has
+    * no watermark-finalization moment; the estimate is always "as of
+    * the data seen"). The merge step per micro-batch IS
+    * [[graft.operators.Sketch.thetaMerge]]'s union-then-rank, applied
+    * to (state, batch), so stream == batch holds bit-exactly at every
+    * prefix of the stream — spec-pinned across a 3-micro-batch replay
+    * (the [[cusumFlags]] discipline).
+    *
+    * Scale shape: state is at most k longs per group, FOREVER — the
+    * reason theta sketches are the streaming distinct-count structure:
+    * a billion new keys change at most which k hashes are retained.
+    * Hashing rides the same md5 chain as the batch operator, so a
+    * batch replay of the stream's input reproduces every emission. */
+  def thetaDistinct(rows: DataFrame, grpCol: String, keyCol: String,
+      k: Int): org.apache.spark.sql.Dataset[ThetaEstimateRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val hashed = rows
+      .filter(col(grpCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        graft.operators.Sketch.thetaHash(col(keyCol)).as("h"))
+      .as[ThetaRow]
+    hashed.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[ThetaRow],
+            state: GroupState[ThetaState]) => {
+          val cur = state.getOption.map(_.hashes)
+            .getOrElse(Array.empty[Long])
+          val merged = (cur ++ batch.map(_.h)).distinct.sorted.take(k)
+          state.update(ThetaState(merged))
+          val n = merged.length
+          val (thetaH, est) =
+            if (n < k) (graft.operators.Sketch.ThetaM, n.toLong)
+            else (merged.last,
+              (k - 1).toLong * graft.operators.Sketch.ThetaM / merged.last)
+          Iterator.single(ThetaEstimateRow(grp, n.toLong, thetaH, est))
+        })
+  }
 }

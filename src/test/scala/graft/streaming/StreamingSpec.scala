@@ -722,6 +722,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming theta/KMV distinct estimation matches the batch " +
+      "sketch at EVERY micro-batch prefix (the thetaMerge mergeability " +
+      "property applied to (state, batch)): same hashes, same theta, " +
+      "same integral-division estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select($"lang", explode(
+        graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .as[(String, String)].collect().toSeq
+    val third = rows.length / 3
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val k = 16 // small k so saturation happens inside the replay
+    val input = MemoryStream[(String, String)]
+    val est = Streams.thetaDistinct(
+      input.toDF().toDF("lang", "tok"), "lang", "tok", k)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("theta_out").start()
+    try {
+      var seen = 0L
+      var prefix = Seq.empty[(String, String)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        // emissions of THIS batch = rows appended to the update sink
+        val all = spark.table("theta_out")
+          .as[(String, Long, Long, Long)].collect()
+        val emitted = all.drop(seen.toInt).map(r => r._1 -> r).toMap
+        seen = all.length.toLong
+        val expected = graft.operators.Sketch.thetaEstimate(
+            graft.operators.Sketch.thetaSketch(
+              prefix.toDF("lang", "tok"), "lang", "tok", k), k)
+          .select($"grp", $"n_retained", $"theta_h", $"est")
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+        // every group touched by the batch re-emitted, and every
+        // emission equals the batch sketch over the stream's prefix
+        val touched = b.map(_._1).toSet
+        assert(touched.subsetOf(emitted.keySet),
+          s"groups $touched expected emissions, got ${emitted.keySet}")
+        emitted.foreach { case (g, got) =>
+          assert(got == expected(g),
+            s"prefix mismatch for $g: stream $got vs batch ${expected(g)}")
+        }
+      }
+      // saturation actually exercised: the vocabulary exceeds k
+      val fin = spark.table("theta_out")
+        .as[(String, Long, Long, Long)].collect().last
+      assert(fin._2 == k.toLong, s"fixture never saturated k=$k: $fin")
+    } finally q.stop()
+  }
+
   test("streaming SEASONAL burst detection matches the batch operator " +
       "row-for-row across a 3-micro-batch replay of the real event " +
       "fixture (r13 verdict item 8): same-hour-of-day baselines, empty " +
