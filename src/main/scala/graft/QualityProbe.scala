@@ -336,6 +336,27 @@ object QualityProbe {
     val thetaMaxErrSmall =
       if (thetaSmall.isEmpty) 0.0 else thetaSmall.map(_._2).max
 
+    // --- HDR quantile-bracket band vs the exact twin ----------------
+    // q230 (b=5 HDR histogram brackets) against q231 (exact order
+    // statistics at the same integer ranks). Two facts recorded: the
+    // bracket CONTAINS the truth on every (lang, permille) row (a
+    // correctness property — its violation is a bug, so it hard-fails
+    // here), and the worst lower-bound relative error, whose 2^-5
+    // theoretical ceiling the gate re-measures instead of trusting.
+    val hdrRows = queries.TextQueries.q230_hdr_quantiles(spark, sfDir)
+      .select(col("lang"), col("permille"), col("est_lb"), col("est_ub"))
+      .join(queries.TextQueries.q231_exact_quantiles(spark, sfDir)
+        .select(col("lang"), col("permille"), col("exact_v")),
+        Seq("lang", "permille"))
+      .collect().map { r =>
+        val lo = r.getAs[Long]("est_lb").toDouble
+        val hi = r.getAs[Long]("est_ub").toDouble
+        val ex = r.getAs[Long]("exact_v").toDouble
+        (lo <= ex && ex <= hi, (ex - lo) / math.max(1.0, ex))
+      }
+    val hdrContained = hdrRows.forall(_._1)
+    val hdrMaxErr = if (hdrRows.isEmpty) 0.0 else hdrRows.map(_._2).max
+
     // --- HLL error band of q45 vs its exact twin --------------------
     val bands = queries.EventQueries.q45_approx_distinct(spark, sfDir)
       .select(col("event_type"), col("exact_users"), col("approx_users"))
@@ -380,6 +401,9 @@ object QualityProbe {
         s""""theta_inter_mean_rel_err":${s3(thetaMeanErr)},""" +
         s""""theta_inter_max_rel_err":${s3(thetaMaxErr)},""" +
         s""""theta_inter_max_rel_err_small":${s3(thetaMaxErrSmall)},""" +
+        s""""hdr_b":5,"hdr_rows":${hdrRows.length},""" +
+        s""""hdr_bracket_contained":$hdrContained,""" +
+        s""""hdr_max_rel_err":${s3(hdrMaxErr)},""" +
         s""""hll_rsd":0.02,"hll_max_rel_err":${s3(maxErr)},""" +
         s""""hll_groups":{${bands.sortBy(_._1).map { case (g, e) =>
           s"\"$g\":${s3(e)}" }.mkString(",")}}}"""
@@ -407,6 +431,17 @@ object QualityProbe {
         f"[quality] FAIL: theta intersection error (mean " +
           f"$thetaMeanErr%.4f, max $thetaMaxErr%.4f) breaches the " +
           "0.25/0.7 ceilings vs the exact twin")
+      sys.exit(1)
+    }
+    // HDR gates: containment is a THEOREM of the bucketing (violation
+    // = bug, not noise), and the b=5 bracket bounds the lower-edge
+    // error by 2^-5; both re-measured every round, zero headroom on
+    // containment, the exact theoretical ceiling on the error.
+    if (!hdrContained || hdrRows.isEmpty || hdrMaxErr > 0.03125) {
+      System.err.println(
+        f"[quality] FAIL: hdr brackets (contained=$hdrContained, " +
+          f"rows=${hdrRows.length}, max_rel_err=$hdrMaxErr%.4f) " +
+          "breach the containment/2^-5 guarantee vs the exact twin")
       sys.exit(1)
     }
   }

@@ -104,6 +104,82 @@ object Fusion {
         col("rbo_num").cast("double") / lit(den.toDouble))
   }
 
+  /** Retrieval evaluation — precision@k, recall@k, reciprocal rank,
+    * and average precision (MAP's per-query term) for a ranked run
+    * against a relevance-truth table: the metrics every retrieval /
+    * hard-negative / RAG-corpus pipeline reports (TREC definitions;
+    * Manning, Raghavan & Schütze, IR book §8.4).
+    *
+    * Exactness (the q220/q223 discipline): every metric is ONE IEEE
+    * division of two exact integers, so values are bit-identical
+    * cross-engine. AP's rational terms P@i = hits_≤i / i are carried
+    * over the canonical denominator L = lcm(1..k): each hit at rank i
+    * contributes hits_≤i · (L div i) — exact, since i | L — and
+    * ap = ap_num / (L · min(R, k)). Reciprocal rank is rr_num = L div
+    * first_rel_rank over the same L. k ≤ 42 keeps L = lcm(1..k) a
+    * long.
+    *
+    * Contract: `run` carries 1-based ranks, one item per (group,
+    * rank); duplicate (group, item) rows collapse to their best rank
+    * (the [[rboTopK]] dup hardening). `truth` lists relevant (group,
+    * item) pairs — its per-group count R is the recall denominator,
+    * INCLUDING relevant items the run never retrieved. Groups with
+    * R = 0 report NULL recall/AP (undefined, not zero — the
+    * ksTest/applyFit NULL discipline); groups with no hit report
+    * rr = 0 and first_rel_rank NULL.
+    *
+    * Scale shape: runs are top-k by contract, so everything after the
+    * run-truth equi-join is ≤ k rows per group; the truth-count agg is
+    * one map-side-combined hash-agg over the truth table. Nothing
+    * scans a corpus; a 10⁹-query eval is 10⁹·k rows through one
+    * equi-join + two group aggs. */
+  def retrievalMetrics(run: DataFrame, truth: DataFrame,
+      groupCol: String, idCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 42,
+      s"k $k out of [1, 42] (lcm(1..k) must stay a long)")
+    val L = (1 to k).map(BigInt(_))
+      .reduce((a, b) => a / a.gcd(b) * b)
+    require(L.isValidLong, s"lcm(1..$k) overflows long")
+    val lcmL = L.toLong
+    val runSide = run
+      .select(col(groupCol).as("grp"), col(idCol).as("__item"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r").between(1L, k.toLong))
+      .groupBy(col("grp"), col("__item"))
+      .agg(min(col("__r")).as("__r"))
+    val rel = truth.select(col(groupCol).as("grp"),
+      col(idCol).as("__item")).distinct()
+    val nRel = rel.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hitW = Window.partitionBy(col("grp")).orderBy(col("__r"))
+    val perGrp = runSide.join(rel, Seq("grp", "__item"))
+      .withColumn("__hidx", row_number().over(hitW).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        min(col("__r")).as("first_rel_rank"),
+        sum(col("__hidx") * expr(s"${lcmL}L DIV __r")).as("ap_num"))
+    runSide.select(col("grp")).distinct()
+      .join(nRel, Seq("grp"), "left")
+      .join(perGrp, Seq("grp"), "left")
+      .select(col("grp"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("first_rel_rank"),
+        coalesce(when(col("first_rel_rank").isNotNull,
+          expr(s"${lcmL}L DIV first_rel_rank")), lit(0L)).as("rr_num"),
+        coalesce(col("ap_num"), lit(0L)).as("ap_num"))
+      .withColumn("p_at_k",
+        col("hits_at_k").cast("double") / lit(k.toDouble))
+      .withColumn("r_at_k", when(col("n_rel") > 0,
+        col("hits_at_k").cast("double") / col("n_rel").cast("double")))
+      .withColumn("rr",
+        col("rr_num").cast("double") / lit(lcmL.toDouble))
+      .withColumn("ap", when(col("n_rel") > 0,
+        col("ap_num").cast("double") /
+          (lit(lcmL) * least(col("n_rel"), lit(k.toLong))).cast("double")))
+  }
+
   /** The exact weight table behind [[rboTopK]]: W(m)·den for
     * m = 1..depth plus the common denominator den =
     * lcm over d of (pDen^depth · d); BigInt arithmetic, then checked

@@ -197,6 +197,110 @@ object Sketch {
         col("theta_h"), col("est_inter"))
   }
 
+  // ---- HDR quantile histogram --------------------------------------
+  //
+  // A base-2 significant-bits histogram for quantile estimation — the
+  // HdrHistogram bucketing (Gil Tene, public domain spec) with the
+  // relative-error guarantee framing of DDSketch (Masson, Rim & Lee,
+  // VLDB 2019): a nonnegative value v with highest set bit e keeps its
+  // top b+1 bits (bucket width 2^(e-b) once e > b; exact below 2^b),
+  // so every bucket's span is a ≤ 2^-b relative slice of its value.
+  // Any rank-r order statistic is then bracketed by the bucket where
+  // the cumulative count crosses r: est_lb ≤ true ≤ est_ub with
+  // (est_ub − est_lb + 1) / est_lb ≤ 2^-b.
+  //
+  // Unlike KLL/t-digest, whose compaction schedules depend on arrival
+  // order (not reproducible across engines or shuffles), this sketch
+  // is a pure per-value function: buckets are integer arithmetic both
+  // engines share (bin()/shift), so sketches, cumulative ranks, and
+  // bracket estimates gate hash-EXACT against a DuckDB replay — the
+  // count-min/theta determinism discipline applied to quantiles.
+  //
+  // Scale shape: building is ONE hash-agg over (grp, bucket) — at most
+  // (64−b)·2^b cells per group (b=5 → ≤ ~1.9k) regardless of corpus
+  // size, map-side combined. Merge is cell-wise sum (shards/days/
+  // micro-batches sketch independently; history never re-scans — the
+  // count-min mergeMatrices property). The quantile step runs on
+  // sketch-sized frames only. The exact twin (q231) needs a per-group
+  // sort of the DATA — exactly the cost the sketch amortizes away.
+
+  /** Bucket width at value v (v ≥ 0): 1 while v < 2^(b+1), else
+    * 2^(e−b) for e = floor(log2 v) — integer-exact via bin()+shift,
+    * the two primitives Spark and DuckDB compute identically. */
+  def hdrWidth(v: Column, b: Int): Column = {
+    val e = (length(bin(v)) - lit(1)).cast("int")
+    when(e <= b, lit(1L)).otherwise(
+      call_function("shiftleft", lit(1L), (e - lit(b)).cast("int")))
+  }
+
+  /** Bucket LOWER BOUND of v: v rounded down to a multiple of its
+    * width. bin-length is preserved by the rounding (lb ≥ 2^e), so
+    * the width is recomputable from lb alone — buckets need no
+    * side-channel schema. */
+  def hdrBucketLb(v: Column, b: Int): Column =
+    v - v % hdrWidth(v, b)
+
+  /** Per-group HDR sketch: (grp, lb, cnt) — cnt is a row count, or a
+    * weight MASS when `weightCol` is given (token-budget quantiles:
+    * "the doc-length p99 by token mass"). Domain is NONNEGATIVE
+    * values; null groups, null/negative values, and null weights are
+    * out of contract and excluded (documented, not silent: the
+    * filter is the contract). */
+  def hdrSketch(items: DataFrame, grpCol: String, valCol: String,
+      b: Int, weightCol: Option[String] = None): DataFrame = {
+    require(b >= 1 && b <= 20, s"hdr sketch needs 1 <= b <= 20, got $b")
+    val v = col(valCol).cast("long")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    items.filter(col(grpCol).isNotNull && v.isNotNull && v >= 0 &&
+        w.isNotNull && w >= 0)
+      .select(col(grpCol).as("grp"), hdrBucketLb(v, b).as("lb"),
+        w.as("__w"))
+      .groupBy(col("grp"), col("lb"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Merge HDR sketches by cell-wise sum — merge(sketch(A),
+    * sketch(B)) == sketch(A ∪ B) bit-exactly, because buckets are a
+    * pure per-value function and cells are plain counts (SketchSpec
+    * pins the identity; the q232 gate proves merged-shards == the
+    * oracle's direct sketch end to end). Input is sketch-sized. */
+  def hdrMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("lb"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Bracketed quantile estimates per group: for each permille p, the
+    * bucket where the cumulative count first reaches rank
+    * r = max(1, ceil(p·n/1000)) (the q164 order-statistic rank
+    * arithmetic, exact in integers — permilles, not double quantiles,
+    * so the rank never depends on float rounding). Output (grp,
+    * permille, n, est_lb, est_ub): est_lb ≤ the true r-th order
+    * statistic ≤ est_ub, rel. bracket width ≤ 2^-b. Runs entirely on
+    * the sketch: one window cumsum + a |permilles|-way explode over
+    * ≤ ~2k rows per group. */
+  def hdrQuantiles(sketch: DataFrame, permilles: Seq[Int],
+      b: Int): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    val byLb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("lb"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    sketch
+      .withColumn("cum", sum(col("cnt")).over(byLb))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .select(col("grp"), col("lb"), col("cum"), col("n"),
+        explode(array(permilles.map(lit(_)): _*)).as("permille"))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr("(CAST(permille AS BIGINT) * n + 999) DIV 1000")))
+      .groupBy(col("grp"), col("permille"))
+      .agg(min(col("lb")).as("est_lb"), first(col("n")).as("n"))
+      .select(col("grp"), col("permille"), col("n"), col("est_lb"),
+        (col("est_lb") + hdrWidth(col("est_lb"), b) - 1).as("est_ub"))
+  }
+
   /** The full theta set algebra for every unordered pair of groups:
     * union, intersection, and BOTH differences, from one sketch.
     * Below min(theta) the retained sets are uniform samples of the

@@ -4197,7 +4197,258 @@ object TextQueries {
            ELSE (511 * 281474976710656) // max(h) END AS BIGINT) AS est
        FROM sk GROUP BY grp"""
 
+  /** q230: HDR-histogram quantile brackets per language
+    * ([[graft.operators.Sketch.hdrSketch]]/[[graft.operators.Sketch.hdrQuantiles]]
+    * — HdrHistogram bucketing under the DDSketch relative-error
+    * framing, Masson et al. VLDB 2019): p50/p90/p99 of document
+    * length from a ≤ ~1.9k-cell-per-group histogram instead of a
+    * per-group sort of the data. b = 5 significant bits → every
+    * bracket [est_lb, est_ub] contains the true order statistic with
+    * ≤ 2^-5 relative width. Buckets are bin()+shift integer
+    * arithmetic both engines share, so sketch, cumulative ranks, and
+    * brackets gate hash-EXACT (the q167/q224 determinism discipline
+    * applied to quantiles — KLL/t-digest could not gate this way,
+    * their compaction depends on arrival order); the bracket-vs-exact
+    * error rides QUALITY.json against the q231 twin. */
+  val q230_hdr_quantiles: Q = (s, d) => {
+    val sk = graft.operators.Sketch.hdrSketch(Tables.documents(s, d),
+      "lang", "n_chars", b = 5)
+    graft.operators.Sketch.hdrQuantiles(sk, Seq(500, 900, 990), b = 5)
+      .select(col("grp").as("lang"), col("permille"), col("n"),
+        col("est_lb"), col("est_ub"))
+  }
+
+  private val hdrWidthSql: String =
+    """(CASE WHEN length(bin(%s)) - 1 <= 5 THEN 1
+      ELSE 1::BIGINT << (length(bin(%s)) - 6) END)"""
+
+  val q230_oracle: String =
+    s"""WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+       bkt AS (SELECT lang,
+           v - v % ${hdrWidthSql.format("v", "v")} AS lb,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM v GROUP BY 1, 2),
+       c AS (SELECT lang, lb,
+           CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         FROM bkt),
+       p AS (SELECT c.*, q.permille FROM c
+         CROSS JOIN (VALUES (500), (900), (990)) AS q(permille)),
+       hit AS (SELECT lang, permille, n, min(lb) AS est_lb
+         FROM p
+         WHERE cum >= greatest(1,
+           (CAST(permille AS BIGINT) * n + 999) // 1000)
+         GROUP BY 1, 2, 3)
+       SELECT lang, CAST(permille AS INT) AS permille, n, est_lb,
+         est_lb + ${hdrWidthSql.format("est_lb", "est_lb")} - 1 AS est_ub
+       FROM hit"""
+
+  /** q231: the EXACT twin of q230 — true order-statistic p50/p90/p99
+    * per language at the same integer ranks (the q64-vs-q45 split
+    * applied to quantiles: the exact path is hash-verified here while
+    * q230 keeps exercising the sketch; QualityProbe diffs the two
+    * into QUALITY.json hdr bands and asserts the bracket guarantee on
+    * every row). Costs the per-group DATA sort the sketch exists to
+    * avoid — which is the point of gating both. */
+  val q231_exact_quantiles: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("v"), col("doc_id"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+        col("n_chars") >= 0)
+      .select(col("lang"), col("n_chars").cast("long").as("v"),
+        col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .select(col("lang"), col("rn"), col("v"), col("n"),
+        explode(array(lit(500), lit(900), lit(990))).as("permille"))
+      .filter(col("rn") === greatest(lit(1L),
+        expr("(CAST(permille AS BIGINT) * n + 999) DIV 1000")))
+      .select(col("lang"), col("permille"), col("n"),
+        col("v").as("exact_v"))
+  }
+
+  val q231_oracle: String =
+    """WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+       FROM documents
+       WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+       p AS (SELECT r.*, q.permille FROM r
+         CROSS JOIN (VALUES (500), (900), (990)) AS q(permille))
+       SELECT lang, CAST(permille AS INT) AS permille, n, v AS exact_v
+       FROM p
+       WHERE rn = greatest(1,
+         (CAST(permille AS BIGINT) * n + 999) // 1000)"""
+
+  /** q232: MERGED-shards HDR quantiles
+    * ([[graft.operators.Sketch.hdrMerge]] as a GATE): each
+    * (lang, source) shard histograms its doc lengths independently;
+    * shard sketches re-key to their language and merge by cell-wise
+    * sum — the 100 TB build shape (day/shard partitions sketch once,
+    * dashboards read merged cells, history never re-scans). The
+    * oracle computes the DIRECT per-language sketch, so the gate
+    * proves merge-of-shards == direct end to end against DuckDB. */
+  val q232_hdr_merged: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val shardSk = graft.operators.Sketch.hdrSketch(
+      docs.select(concat_ws("/", col("lang"), col("source"))
+        .as("shard"), col("n_chars")),
+      "shard", "n_chars", b = 5)
+    val relabeled = shardSk.select(
+      substring_index(col("grp"), "/", 1).as("grp"), col("lb"),
+      col("cnt"))
+    val merged = graft.operators.Sketch.hdrMerge(Seq(relabeled))
+    graft.operators.Sketch.hdrQuantiles(merged, Seq(500, 900, 990),
+        b = 5)
+      .select(col("grp").as("lang"), col("permille"), col("n"),
+        col("est_lb"), col("est_ub"))
+  }
+
+  val q232_oracle: String = q230_oracle
+
+  /** q233: WEIGHTED HDR quantiles — document-length percentiles by
+    * TOKEN MASS per source (`weightCol`): "half the training tokens
+    * live in docs shorter than X" is the packing/budget question, and
+    * it is a weighted quantile, not a row quantile (one 100k-token
+    * doc outweighs a thousand 100-token docs). Same bracket guarantee
+    * and hash-exact determinism; ranks use the exact integer weight
+    * totals (permille · Σw arithmetic stays far inside a long). */
+  val q233_hdr_weighted: Q = (s, d) => {
+    val items = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val sk = graft.operators.Sketch.hdrSketch(items, "source",
+      "n_chars", b = 5, weightCol = Some("w"))
+    graft.operators.Sketch.hdrQuantiles(sk, Seq(500, 900, 990), b = 5)
+      .select(col("grp").as("source"), col("permille"),
+        col("n").as("token_mass"), col("est_lb"), col("est_ub"))
+  }
+
+  val q233_oracle: String =
+    s"""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+         FROM documents
+         WHERE source IS NOT NULL AND n_chars IS NOT NULL
+           AND n_chars >= 0),
+       bkt AS (SELECT source,
+           v - v % ${hdrWidthSql.format("v", "v")} AS lb,
+           CAST(sum(w) AS BIGINT) AS cnt
+         FROM v GROUP BY 1, 2),
+       c AS (SELECT source, lb,
+           CAST(sum(cnt) OVER (PARTITION BY source ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         FROM bkt),
+       p AS (SELECT c.*, q.permille FROM c
+         CROSS JOIN (VALUES (500), (900), (990)) AS q(permille)),
+       hit AS (SELECT source, permille, n, min(lb) AS est_lb
+         FROM p
+         WHERE cum >= greatest(1,
+           (CAST(permille AS BIGINT) * n + 999) // 1000)
+         GROUP BY 1, 2, 3)
+       SELECT source, CAST(permille AS INT) AS permille,
+         n AS token_mass, est_lb,
+         est_lb + ${hdrWidthSql.format("est_lb", "est_lb")} - 1 AS est_ub
+       FROM hit"""
+
+  /** q235: JOINT-key and CONDITIONAL theta distinct estimates (the
+    * NEXT.md tuple-distinct seam) — per language, from three sketches
+    * over one gram scan: (1) distinct trigram vocabulary, (2) the
+    * vocabulary of LONG documents only (n_chars ≥ 500 — "how much of
+    * the language's vocabulary do the long docs cover" as an exact
+    * integral-division permille of two estimates), (3) distinct
+    * (source, trigram) TUPLES — the joint key, hashed as one
+    * chr(1)-joined string so a tuple is one theta key (provenance
+    * cardinality: how many source×gram combinations exist). Same
+    * determinism argument as q224: every estimate gates hash-exact
+    * including sampling error. Scale shape: ONE corpus scan dedupes
+    * the gram stream to (lang, source, is_long, tok) — map-side
+    * combined, vocab×sources-sized — and THAT frame checkpoints for
+    * the three sketch consumers (the thetaIntersectPairs lesson:
+    * materialize the small multi-consumer frame, never the
+    * corpus-sized exploded grams); each sketch is then ≤ k rows per
+    * group out. */
+  val q235_theta_joint: Q = (s, d) => {
+    val k = 512
+    val grams = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        (col("n_chars") >= 500).as("is_long"),
+        explode(shingles(col("text"), 3)).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    def est(items: org.apache.spark.sql.DataFrame,
+        keyCol: org.apache.spark.sql.Column,
+        as: String) =
+      graft.operators.Sketch.thetaEstimate(
+        graft.operators.Sketch.thetaSketch(
+          items.select(col("lang"), keyCol.as("__k")), "lang", "__k", k),
+        k).select(col("grp").as("lang"), col("est").as(as))
+    est(grams, col("tok"), "est_vocab")
+      .join(est(grams.filter(col("is_long")), col("tok"),
+        "est_long_vocab"), Seq("lang"))
+      .join(est(grams, concat_ws("\u0001", col("source"), col("tok")),
+        "est_joint"), Seq("lang"))
+      .withColumn("long_permille",
+        expr("est_long_vocab * 1000L DIV est_vocab"))
+      .select(col("lang"), col("est_vocab"), col("est_long_vocab"),
+        col("long_permille"), col("est_joint"))
+  }
+
+  val q235_oracle: String =
+    """WITH t AS (SELECT lang, source, n_chars,
+           string_split(text, ' ') toks
+         FROM documents),
+       g AS (SELECT lang, source, n_chars,
+           array_to_string(toks[i:i+2], ' ') AS tok
+         FROM t, unnest(range(1, len(toks) - 1)) AS gs(i)
+         WHERE len(toks) >= 3),
+       sk1 AS (SELECT grp, h, row_number() OVER (
+             PARTITION BY grp ORDER BY h) AS rk
+         FROM (SELECT DISTINCT lang AS grp,
+             CAST(('0x' || substr(md5('th:' || tok), 1, 12)) AS BIGINT)
+               + 1 AS h FROM g)),
+       e1 AS (SELECT grp, CAST(CASE WHEN count(*) < 512 THEN count(*)
+             ELSE (511 * 281474976710656) // max(h) END AS BIGINT)
+             AS est_vocab
+         FROM sk1 WHERE rk <= 512 GROUP BY grp),
+       sk2 AS (SELECT grp, h, row_number() OVER (
+             PARTITION BY grp ORDER BY h) AS rk
+         FROM (SELECT DISTINCT lang AS grp,
+             CAST(('0x' || substr(md5('th:' || tok), 1, 12)) AS BIGINT)
+               + 1 AS h FROM g WHERE n_chars >= 500)),
+       e2 AS (SELECT grp, CAST(CASE WHEN count(*) < 512 THEN count(*)
+             ELSE (511 * 281474976710656) // max(h) END AS BIGINT)
+             AS est_long_vocab
+         FROM sk2 WHERE rk <= 512 GROUP BY grp),
+       sk3 AS (SELECT grp, h, row_number() OVER (
+             PARTITION BY grp ORDER BY h) AS rk
+         FROM (SELECT DISTINCT lang AS grp,
+             CAST(('0x' || substr(md5('th:' || source || chr(1) || tok),
+               1, 12)) AS BIGINT) + 1 AS h FROM g)),
+       e3 AS (SELECT grp, CAST(CASE WHEN count(*) < 512 THEN count(*)
+             ELSE (511 * 281474976710656) // max(h) END AS BIGINT)
+             AS est_joint
+         FROM sk3 WHERE rk <= 512 GROUP BY grp)
+       SELECT e1.grp AS lang, e1.est_vocab, e2.est_long_vocab,
+         CAST(e2.est_long_vocab * 1000 // e1.est_vocab AS BIGINT)
+           AS long_permille,
+         e3.est_joint
+       FROM e1 JOIN e2 ON e1.grp = e2.grp
+       JOIN e3 ON e1.grp = e3.grp"""
+
   val all: Map[String, Q] = Map(
+    "q235_theta_joint" -> q235_theta_joint,
+    "q230_hdr_quantiles" -> q230_hdr_quantiles,
+    "q231_exact_quantiles" -> q231_exact_quantiles,
+    "q232_hdr_merged" -> q232_hdr_merged,
+    "q233_hdr_weighted" -> q233_hdr_weighted,
     "q228_theta_setops" -> q228_theta_setops,
     "q229_theta_merged" -> q229_theta_merged,
     "q226_krippendorff_interval" -> q226_krippendorff_interval,
@@ -4306,6 +4557,11 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q235_theta_joint" -> q235_oracle,
+    "q230_hdr_quantiles" -> q230_oracle,
+    "q231_exact_quantiles" -> q231_oracle,
+    "q232_hdr_merged" -> q232_oracle,
+    "q233_hdr_weighted" -> q233_oracle,
     "q200_dispersion" -> q200_oracle,
     "q201_langid_kappa" -> q201_oracle,
     "q202_lexical_diversity" -> q202_oracle,

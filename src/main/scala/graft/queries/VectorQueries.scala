@@ -1460,7 +1460,80 @@ object VectorQueries {
        FROM mj JOIN embeddings e ON e.vec_id = mj.query_id
        GROUP BY e.label"""
 
+  /** q234: retrieval evaluation — precision@10 / recall@10 /
+    * reciprocal rank / average precision per probe
+    * ([[graft.operators.Fusion.retrievalMetrics]], TREC definitions):
+    * the 8-probe batch ranks the corpus by exact cosine
+    * ([[graft.operators.Similarity.knnJoin]] — the q36 bit-identical
+    * dot-product fold), relevance truth = same-label vectors
+    * (retrieved or not — recall's denominator counts the misses). The
+    * metric arithmetic is exact-rational over L = lcm(1..10) = 2520
+    * (each is ONE IEEE division of two exact integers — the q220/q223
+    * discipline), so every metric gates hash-exact, not band-checked.
+    * Scale shape: after the probe-broadcast rank, everything is ≤ k
+    * rows per probe through one equi-join + two hash-aggs. */
+  val q234_retrieval_eval: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+    val run = Similarity.knnJoin(probes, e, "embedding", "vec_id",
+      "embedding", "vec_id", k = 10)
+    val truth = probes.select(col("vec_id").as("query_id"),
+        col("label"))
+      .join(e.select(col("vec_id").as("item_id"), col("label")),
+        Seq("label"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"))
+    graft.operators.Fusion.retrievalMetrics(run, truth, "query_id",
+        "item_id", "rank", k = 10)
+      .withColumnRenamed("grp", "probe_id")
+  }
+
+  val q234_oracle: String =
+    """WITH p AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv,
+           label AS qlab
+         FROM embeddings WHERE vec_id < 8),
+       s AS (SELECT p.qid, e.vec_id AS iid, e.label AS ilab, p.qlab,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p.qv, p.qv))) AS sim
+         FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.qid),
+       run AS (SELECT qid, iid, ilab, qlab, rk FROM (
+           SELECT qid, iid, ilab, qlab, row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, iid) AS rk
+           FROM s) WHERE rk <= 10),
+       nrel AS (SELECT p.qid, CAST(count(*) AS BIGINT) AS n_rel
+         FROM p JOIN embeddings e
+           ON e.label = p.qlab AND e.vec_id <> p.qid
+         GROUP BY 1),
+       hits AS (SELECT qid, rk,
+           row_number() OVER (PARTITION BY qid ORDER BY rk) AS hidx
+         FROM run WHERE ilab = qlab),
+       agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS hits_at_k,
+           CAST(min(rk) AS BIGINT) AS first_rel_rank,
+           CAST(sum(hidx * (2520 // rk)) AS BIGINT) AS ap_num
+         FROM hits GROUP BY 1)
+       SELECT p.qid AS probe_id,
+         coalesce(nrel.n_rel, 0) AS n_rel,
+         coalesce(agg.hits_at_k, 0) AS hits_at_k,
+         agg.first_rel_rank,
+         CAST(coalesce(2520 // agg.first_rel_rank, 0) AS BIGINT)
+           AS rr_num,
+         coalesce(agg.ap_num, 0) AS ap_num,
+         CAST(coalesce(agg.hits_at_k, 0) AS DOUBLE) / 10.0 AS p_at_k,
+         CASE WHEN coalesce(nrel.n_rel, 0) > 0 THEN
+           CAST(coalesce(agg.hits_at_k, 0) AS DOUBLE)
+             / CAST(nrel.n_rel AS DOUBLE) END AS r_at_k,
+         CAST(coalesce(2520 // agg.first_rel_rank, 0) AS DOUBLE)
+           / 2520.0 AS rr,
+         CASE WHEN coalesce(nrel.n_rel, 0) > 0 THEN
+           CAST(coalesce(agg.ap_num, 0) AS DOUBLE)
+             / CAST(2520 * least(nrel.n_rel, 10) AS DOUBLE) END AS ap
+       FROM p LEFT JOIN nrel ON nrel.qid = p.qid
+       LEFT JOIN agg ON agg.qid = p.qid"""
+
   val all: Map[String, Q] = Map(
+    "q234_retrieval_eval" -> q234_retrieval_eval,
     "q177_sq8_topk" -> q177_sq8_topk,
     "q179_label_noise" -> q179_label_noise,
     "q175_opq_learned_encode" -> q175_opq_learned_encode,
@@ -1502,6 +1575,7 @@ object VectorQueries {
     "q216_margin_mining_lsh" -> q216_margin_mining_lsh)
 
   val oracles: Map[String, String] = Map(
+    "q234_retrieval_eval" -> q234_oracle,
     "q197_margin_mining" -> q197_oracle,
     "q216_margin_mining_lsh" -> q216_oracle,
     "q177_sq8_topk" -> q177_oracle,

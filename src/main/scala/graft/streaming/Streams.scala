@@ -563,4 +563,76 @@ object Streams {
           Iterator.single(ThetaEstimateRow(grp, n.toLong, thetaH, est))
         })
   }
+
+  case class HdrRow(grp: String, lb: Long, w: Long)
+  case class HdrQuantileRow(grp: String, permille: Int, n: Long,
+      est_lb: Long, est_ub: Long)
+  case class HdrState(lbs: Array[Long], cnts: Array[Long])
+
+  /** JVM twin of [[graft.operators.Sketch.hdrWidth]] — identical by
+    * construction (floor(log2 v) via numberOfLeadingZeros == bin-length
+    * arithmetic); the stream==batch spec pins the equality. */
+  private def hdrWidthJvm(v: Long, b: Int): Long = {
+    val e = if (v <= 0L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(v)
+    if (e <= b) 1L else 1L << (e - b)
+  }
+
+  /** Streaming HDR quantile brackets — the stateful streaming twin of
+    * [[graft.operators.Sketch.hdrSketch]] +
+    * [[graft.operators.Sketch.hdrQuantiles]]: per group, the bucket
+    * histogram maintained AS THE STREAM RUNS, emitting every
+    * permille's updated (n, est_lb, est_ub) after each micro-batch
+    * that touches the group (Update mode — a running quantile has no
+    * watermark-finalization moment; the bracket is always "as of the
+    * data seen"). The per-batch step is [[graft.operators.Sketch.hdrMerge]]'s
+    * cell-wise sum applied to (state, batch), so stream == batch holds
+    * bit-exactly at every prefix — spec-pinned across a 3-micro-batch
+    * replay (the [[thetaDistinct]] discipline).
+    *
+    * Scale shape: state is at most (64−b)·2^b (cnt, lb) pairs per
+    * group FOREVER (b=5 → ≤ ~1.9k longs) — the latency-dashboard
+    * structure: a billion new observations change bucket counts, never
+    * the state's size. Buckets ride the same integer arithmetic as the
+    * batch operator, so a batch replay of the stream's input
+    * reproduces every emission. */
+  def hdrQuantiles(rows: DataFrame, grpCol: String, valCol: String,
+      b: Int, permilles: Seq[Int], weightCol: Option[String] = None)
+      : org.apache.spark.sql.Dataset[HdrQuantileRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(b >= 1 && b <= 20, s"hdr sketch needs 1 <= b <= 20, got $b")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    val v = col(valCol).cast("long")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val bucketed = rows
+      .filter(col(grpCol).isNotNull && v.isNotNull && v >= 0 &&
+        w.isNotNull && w >= 0)
+      .select(col(grpCol).cast("string").as("grp"),
+        graft.operators.Sketch.hdrBucketLb(v, b).as("lb"), w.as("w"))
+      .as[HdrRow]
+    bucketed.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[HdrRow],
+            state: GroupState[HdrState]) => {
+          val cur = state.getOption
+            .map(s => s.lbs.zip(s.cnts).toMap)
+            .getOrElse(Map.empty[Long, Long])
+          val upd = batch.foldLeft(cur) { (m, r) =>
+            m.updated(r.lb, m.getOrElse(r.lb, 0L) + r.w) }
+          val sorted = upd.toArray.sortBy(_._1)
+          state.update(HdrState(sorted.map(_._1), sorted.map(_._2)))
+          val n = sorted.iterator.map(_._2).sum
+          if (n == 0L) Iterator.empty
+          else permilles.iterator.map { p =>
+            val rk = math.max(1L, (p.toLong * n + 999L) / 1000L)
+            var cum = 0L
+            var i = 0
+            while (cum < rk) { cum += sorted(i)._2; i += 1 }
+            val lbv = sorted(i - 1)._1
+            HdrQuantileRow(grp, p, n, lbv, lbv + hdrWidthJvm(lbv, b) - 1)
+          }
+        })
+  }
 }

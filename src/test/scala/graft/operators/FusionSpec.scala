@@ -78,4 +78,35 @@ class FusionSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("overflow"))
   }
+
+  test("retrievalMetrics: textbook worked example at k=5 (L=60) — " +
+      "P@k/R@k/RR/AP exact; R=0 reports NULL recall/AP; unretrieved " +
+      "relevant items count in recall; dup run rows collapse") {
+    // A: items a..e at ranks 1..5; relevant {b, d, z} (z never
+    // retrieved). B: no relevant items at all. C: one relevant, hit
+    // at rank 1. A dup (A, b) at rank 5 must collapse to rank 2.
+    val run = Seq(
+      ("A", "a", 1L), ("A", "b", 2L), ("A", "c", 3L), ("A", "d", 4L),
+      ("A", "e", 5L), ("A", "b", 5L),
+      ("B", "a", 1L), ("B", "b", 2L),
+      ("C", "x", 1L), ("C", "y", 2L)).toDF("q", "it", "rk")
+    val truth = Seq(("A", "b"), ("A", "d"), ("A", "z"), ("C", "x"))
+      .toDF("q", "it")
+    val got = Fusion.retrievalMetrics(run, truth, "q", "it", "rk", k = 5)
+      .select($"grp", $"n_rel", $"hits_at_k", $"first_rel_rank",
+        $"rr_num", $"ap_num", $"p_at_k", $"r_at_k", $"rr", $"ap")
+      .as[(String, Long, Long, Option[Long], Long, Long, Double,
+        Option[Double], Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // A: hits b@2 (hidx 1), d@4 (hidx 2); ap_num = 1*(60/2) + 2*(60/4)
+    //    = 60; ap = 60/(60*min(3,5)) = 1/3; rr = 1/2
+    assert(got("A") == ("A", 3L, 2L, Some(2L), 30L, 60L, 2.0 / 5.0,
+      Some(2.0 / 3.0), 30.0 / 60.0, Some(60.0 / 180.0)))
+    // B: R=0 -> recall/AP NULL (undefined), rr = 0
+    assert(got("B") == ("B", 0L, 0L, None, 0L, 0L, 0.0, None, 0.0,
+      None))
+    // C: perfect first hit -> rr = 1, ap = 1
+    assert(got("C") == ("C", 1L, 1L, Some(1L), 60L, 60L, 1.0 / 5.0,
+      Some(1.0), 1.0, Some(1.0)))
+  }
 }

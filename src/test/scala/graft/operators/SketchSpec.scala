@@ -112,6 +112,82 @@ class SketchSpec extends SparkSuite {
     assert(merged == full)
   }
 
+  // ---- HDR quantile histogram -----------------------------------------
+
+  /** Deterministic values spanning 6 decades plus the exact region. */
+  private def hdrItems = {
+    val vals = (0 until 3000).map(i => (i.toLong * i * 31 + i) % 900001L)
+    vals.zipWithIndex.map { case (v, i) =>
+      (if (i % 2 == 0) "ga" else "gb", v) }.toDF("g", "v")
+  }
+
+  test("hdr buckets: exact below 2^b, and bracket width obeys the " +
+      "2^-b relative-error law at every magnitude") {
+    val b = 5
+    val probe = (0L until 64L) ++ Seq(63L, 64L, 65L, 1000L, 12345L,
+      999999L, (1L << 40) + 12345L)
+    val got = probe.toDF("v").select($"v",
+        Sketch.hdrBucketLb($"v", b).as("lb"),
+        Sketch.hdrWidth($"v", b).as("w"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (v, lb, w) =>
+      assert(lb <= v && v < lb + w, s"v=$v outside [$lb, ${lb + w})")
+      if (v < (1L << (b + 1))) assert(w == 1L, s"v=$v not exact")
+      else assert(w.toDouble / lb <= math.pow(2.0, -b) * 1.0001,
+        s"v=$v width $w at lb=$lb breaches 2^-$b")
+    }
+  }
+
+  test("hdrQuantiles brackets the TRUE order statistic for every " +
+      "group and permille, at sketch sizes bounded by (64-b)*2^b") {
+    val b = 5
+    val items = hdrItems
+    val sk = Sketch.hdrSketch(items, "g", "v", b)
+    val cells = sk.groupBy($"grp").agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect()
+    assert(cells.forall(_ <= (64 - b).toLong * (1L << b) + (1L << b)),
+      s"sketch cells ${cells.toSeq} exceed the bound")
+    val est = Sketch.hdrQuantiles(sk, Seq(250, 500, 900, 990, 1000), b)
+      .select($"grp", $"permille", $"n", $"est_lb", $"est_ub")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(est.length == 10)
+    val byGrp = items.as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+    est.foreach { case (g, p, n, lo, hi) =>
+      val sorted = byGrp(g)
+      assert(n == sorted.length)
+      val r = math.max(1, (p.toLong * n + 999) / 1000).toInt
+      val truth = sorted(r - 1)
+      assert(lo <= truth && truth <= hi,
+        s"$g p$p: true $truth outside bracket [$lo, $hi]")
+      assert(hi - lo + 1 <= math.max(1.0, lo * math.pow(2.0, -b) * 1.0001),
+        s"$g p$p: bracket [$lo, $hi] wider than the guarantee")
+    }
+  }
+
+  test("hdrMerge(shards) == hdrSketch(union) bit-exactly, and " +
+      "integer weights == row replication") {
+    val b = 5
+    val items = hdrItems
+    val full = Sketch.hdrSketch(items, "g", "v", b)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = Sketch.hdrMerge(Seq(
+        Sketch.hdrSketch(items.filter($"v" % 2 === 0), "g", "v", b),
+        Sketch.hdrSketch(items.filter($"v" % 2 === 1), "g", "v", b)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == full)
+    // weight w == the row repeated w times (w = 0 contributes nothing)
+    val weighted = items.withColumn("w", ($"v" % 4).cast("long"))
+    val viaWeights = Sketch.hdrSketch(weighted, "g", "v", b,
+        weightCol = Some("w"))
+      .filter($"cnt" > 0).as[(String, Long, Long)].collect().toSet
+    val viaRepeat = Sketch.hdrSketch(
+        weighted.select($"g", explode(array_repeat($"v",
+          ($"v" % 4).cast("int"))).as("v")), "g", "v", b)
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaWeights == viaRepeat)
+  }
+
   test("thetaIntersectPairs: exact when both groups are unsaturated; " +
       "inside the sampling envelope when saturated; the direct " +
       "estimator (no inclusion-exclusion) stays sane on a small " +

@@ -776,6 +776,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming HDR quantile brackets match the batch sketch at " +
+      "EVERY micro-batch prefix (hdrMerge's cell-wise sum applied to " +
+      "(state, batch)): same n, same bracket, for every permille") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars")
+      .as[(String, Long)].collect().toSeq
+    val third = rows.length / 3
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val b = 5
+    val pms = Seq(500, 900, 990)
+    val input = MemoryStream[(String, Long)]
+    val est = Streams.hdrQuantiles(
+      input.toDF().toDF("lang", "n_chars"), "lang", "n_chars", b, pms)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("hdr_out").start()
+    try {
+      var seen = 0L
+      var prefix = Seq.empty[(String, Long)]
+      for (bt <- batches) {
+        input.addData(bt: _*)
+        q.processAllAvailable()
+        prefix ++= bt
+        val all = spark.table("hdr_out")
+          .as[(String, Int, Long, Long, Long)].collect()
+        val emitted = all.drop(seen.toInt)
+          .map(r => (r._1, r._2) -> r).toMap
+        seen = all.length.toLong
+        val expected = graft.operators.Sketch.hdrQuantiles(
+            graft.operators.Sketch.hdrSketch(
+              prefix.toDF("lang", "n_chars"), "lang", "n_chars", b),
+            pms, b)
+          .select($"grp", $"permille", $"n", $"est_lb", $"est_ub")
+          .as[(String, Int, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r).toMap
+        val touched = bt.map(_._1).toSet
+        assert(touched.forall(g => pms.forall(p =>
+            emitted.contains((g, p)))),
+          s"groups $touched expected emissions for every permille, " +
+            s"got ${emitted.keySet}")
+        emitted.foreach { case (k, got) =>
+          assert(got == expected(k),
+            s"prefix mismatch for $k: stream $got vs batch ${expected(k)}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming SEASONAL burst detection matches the batch operator " +
       "row-for-row across a 3-micro-batch replay of the real event " +
       "fixture (r13 verdict item 8): same-hour-of-day baselines, empty " +

@@ -60,13 +60,21 @@ QUALITY_FLOORS = {
 QUALITY_CEILINGS = {
     "theta_inter_mean_rel_err": 0.25,
     "theta_inter_max_rel_err": 0.7,
+    # HDR quantile brackets (q230 vs the q231 exact twin): the b=5
+    # bucketing bounds the lower-edge relative error by 2^-5 as a
+    # THEOREM, so the ceiling is the exact theoretical bound with zero
+    # headroom — any excess is a bucketing bug, not noise. QualityProbe
+    # additionally hard-fails if any bracket fails to CONTAIN its
+    # exact order statistic.
+    "hdr_max_rel_err": 0.03125,
 }
 # Keys that MUST be present in QUALITY.json from r15 on (r14 verdict
 # item 3: "round report fails if absent") — the absent-key skip above
 # exists for pre-floor artifacts, and these are too load-bearing to
 # silently drop out of the artifact.
 REQUIRED_QUALITY_KEYS = ("pq_fitted_recall_anisotropic",
-                         "theta_inter_mean_rel_err")
+                         "theta_inter_mean_rel_err",
+                         "hdr_max_rel_err")
 # Driver-artifact noise honesty (r10 verdict item 7): when the bench
 # run's wall passes disagree by more than this, per-query deltas are
 # queue/noise-inflated — label them inconclusive, don't rank movers.
