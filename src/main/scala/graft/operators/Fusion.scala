@@ -132,7 +132,13 @@ object Fusion {
     * run-truth equi-join is ≤ k rows per group; the truth-count agg is
     * one map-side-combined hash-agg over the truth table. Nothing
     * scans a corpus; a 10⁹-query eval is 10⁹·k rows through one
-    * equi-join + two group aggs. */
+    * equi-join + two group aggs.
+    *
+    * NDCG is deliberately NOT offered: its 1/log2(i+1) discount is
+    * irrational, so no exact cross-engine surface exists — a double
+    * NDCG would be the one band-checked metric in an otherwise
+    * hash-exact family (RBO's geometric weights cover the
+    * top-weighted-agreement need exactly instead). */
   def retrievalMetrics(run: DataFrame, truth: DataFrame,
       groupCol: String, idCol: String, rankCol: String,
       k: Int): DataFrame = {
