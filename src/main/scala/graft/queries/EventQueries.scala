@@ -642,7 +642,146 @@ object EventQueries {
        n * 7 * 1 > 3 * baseline AS is_burst
      FROM w WHERE d >= d0 + 7"""
 
+  /** q236: SLIDING-WINDOW theta distinct users — per event type, the
+    * distinct-user estimate for every 24h window sliding by 6h
+    * ([[graft.operators.Sketch.thetaSketch]] keyed by
+    * (type, window-start)), WITH the exact count beside it in the
+    * same surface (both SQL-expressible, so one gate hash-checks the
+    * estimator against its own truth — the event-time version of the
+    * q224-vs-q225 split). Window assignment is pure integer
+    * arithmetic on epoch micros (j = 0..3 slide replicas, keep
+    * win_start ≤ t < win_start + 24h), so both engines agree exactly.
+    * k = 64 against ~150 users/type: busy windows SATURATE (the
+    * estimator path), partial head/tail windows stay exact — both
+    * regimes in one gate. Scale shape: the 4× sliding replication
+    * dedupes to (type, window, user) FIRST — map-side combined,
+    * bounded by windows×users — and that deduped frame checkpoints
+    * for the sketch + exact twin (the q235 lesson); this is the
+    * dashboard shape that replaces exact distinct at 100 TB. */
+  val q236_theta_windows: Q = (s, d) => {
+    val S = 6L * 3600 * 1000000L
+    val W = 24L * 3600 * 1000000L
+    val k = 64
+    val u = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      .withColumn("win_start",
+        expr(s"(us DIV ${S}L) * ${S}L - j * ${S}L"))
+      .filter(col("us") < col("win_start") + lit(W))
+      .select(col("event_type"), col("win_start"), col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val sk = graft.operators.Sketch.thetaSketch(
+      u.select(concat_ws("/", col("event_type"), col("win_start"))
+        .as("g"), col("user_id")), "g", "user_id", k)
+    val exact = u.groupBy(col("event_type"), col("win_start"))
+      .agg(count(lit(1)).as("exact_users"))
+    graft.operators.Sketch.thetaEstimate(sk, k)
+      .select(substring_index(col("grp"), "/", 1).as("event_type"),
+        substring_index(col("grp"), "/", -1).cast("long")
+          .as("win_start"),
+        col("n_retained"), col("theta_h"), col("est"))
+      .join(exact, Seq("event_type", "win_start"))
+  }
+
+  val q236_oracle: String =
+    """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           AND user_id IS NOT NULL),
+       a AS (SELECT DISTINCT event_type,
+           (us // 21600000000) * 21600000000 - j * 21600000000
+             AS win_start, user_id
+         FROM e CROSS JOIN range(4) AS r(j)
+         WHERE us < (us // 21600000000) * 21600000000
+           - j * 21600000000 + 86400000000),
+       hh AS (SELECT DISTINCT event_type, win_start,
+           CAST(('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)),
+             1, 12)) AS BIGINT) + 1 AS h
+         FROM a),
+       sk AS (SELECT event_type, win_start, h FROM (
+           SELECT event_type, win_start, h, row_number() OVER (
+             PARTITION BY event_type, win_start ORDER BY h) AS rk
+           FROM hh) WHERE rk <= 64),
+       est AS (SELECT event_type, win_start,
+           CAST(count(*) AS BIGINT) AS n_retained,
+           CASE WHEN count(*) < 64 THEN 281474976710656
+                ELSE max(h) END AS theta_h,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+             ELSE (63 * 281474976710656) // max(h) END AS BIGINT) AS est
+         FROM sk GROUP BY 1, 2),
+       ex AS (SELECT event_type, win_start,
+           CAST(count(*) AS BIGINT) AS exact_users
+         FROM a GROUP BY 1, 2)
+       SELECT est.event_type, est.win_start, est.n_retained,
+         est.theta_h, est.est, ex.exact_users
+       FROM est JOIN ex USING (event_type, win_start)"""
+
+  /** q237: TUMBLING-WINDOW HDR value percentiles — per event type and
+    * hour, the p50/p99 bracket of the event value in fixed-point
+    * millis (floor(value·1000), exact on both engines)
+    * ([[graft.operators.Sketch.hdrSketch]] keyed by (type, hour)) —
+    * the latency/metric dashboard query: per-hour p99 at 100 TB
+    * without a per-window sort, state bounded by ~1.9k cells per
+    * (type, hour), and hour cells MERGE into day/week rollups by
+    * cell-wise sum (hdrMerge) without re-reading events. Same 2^-5
+    * bracket guarantee and bin()+shift determinism as q230. */
+  val q237_hdr_windows: Q = (s, d) => {
+    val H = 3600L * 1000000L
+    val items = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .select(concat_ws("/", col("event_type"),
+          expr(s"(us DIV ${H}L) * ${H}L")).as("g"),
+        floor(col("value") * 1000).cast("long").as("v"))
+    val sk = graft.operators.Sketch.hdrSketch(items, "g", "v", b = 5)
+    graft.operators.Sketch.hdrQuantiles(sk, Seq(500, 990), b = 5)
+      .select(substring_index(col("grp"), "/", 1).as("event_type"),
+        substring_index(col("grp"), "/", -1).cast("long")
+          .as("win_start"),
+        col("permille"), col("n"), col("est_lb"), col("est_ub"))
+  }
+
+  val q237_oracle: String =
+    """WITH e AS (SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS win_start,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+       FROM events
+       WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         AND value IS NOT NULL AND floor(value * 1000) >= 0),
+       bkt AS (SELECT event_type, win_start,
+           v - v % (CASE WHEN length(bin(v)) - 1 <= 5 THEN 1
+             ELSE 1::BIGINT << (length(bin(v)) - 6) END) AS lb,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM e GROUP BY 1, 2, 3),
+       c AS (SELECT event_type, win_start, lb,
+           CAST(sum(cnt) OVER (PARTITION BY event_type, win_start
+             ORDER BY lb) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY event_type, win_start)
+             AS BIGINT) AS n
+         FROM bkt),
+       p AS (SELECT c.*, q.permille FROM c
+         CROSS JOIN (VALUES (500), (990)) AS q(permille)),
+       hit AS (SELECT event_type, win_start, permille, n,
+           min(lb) AS est_lb
+         FROM p
+         WHERE cum >= greatest(1,
+           (CAST(permille AS BIGINT) * n + 999) // 1000)
+         GROUP BY 1, 2, 3, 4)
+       SELECT event_type, win_start, CAST(permille AS INT) AS permille,
+         n, est_lb,
+         est_lb + (CASE WHEN length(bin(est_lb)) - 1 <= 5 THEN 1
+           ELSE 1::BIGINT << (length(bin(est_lb)) - 6) END) - 1
+           AS est_ub
+       FROM hit"""
+
   val all: Map[String, Q] = Map(
+    "q236_theta_windows" -> q236_theta_windows,
+    "q237_hdr_windows" -> q237_hdr_windows,
     "q215_seasonal_burst" -> q215_seasonal_burst,
     "q206_burst_hours" -> q206_burst_hours,
     "q217_cusum_drift" -> q217_cusum_drift,
@@ -668,6 +807,8 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q236_theta_windows" -> q236_oracle,
+    "q237_hdr_windows" -> q237_oracle,
     "q215_seasonal_burst" -> q215_oracle,
     "q206_burst_hours" -> q206_oracle,
     "q217_cusum_drift" -> q217_oracle,

@@ -564,6 +564,77 @@ object Streams {
         })
   }
 
+  case class ThetaSideRow(grp: String, side: String, h: Long)
+  case class ThetaSetOpsRow(grp: String, theta_h: Long, n_common: Long,
+      est_inter: Long, n_union: Long, est_union: Long,
+      n_only_a: Long, est_only_a: Long, n_only_b: Long,
+      est_only_b: Long)
+  case class ThetaPairState(a: Array[Long], b: Array[Long])
+
+  /** Streaming theta SET OPS over TWO keyed streams — the stateful
+    * streaming twin of [[graft.operators.Sketch.thetaSetOpPairs]] for
+    * the A-vs-B shape (today's crawl vs the lake, experiment vs
+    * control, two regions' key spaces): per group, each stream's k
+    * smallest distinct hashes maintained independently as the streams
+    * run, emitting the group's updated
+    * union/intersection/both-differences estimates after every
+    * micro-batch that touches it (Update mode). The per-batch step per
+    * side IS [[graft.operators.Sketch.thetaMerge]]'s union-then-rank on
+    * (state, batch), and the set algebra evaluates EXACTLY as the batch
+    * operator — below-min(theta) counts, inclusion-exclusion on exact
+    * retained counts (never estimate subtraction), identical
+    * multiply-then-floor scaling — so stream == batch holds bit-exactly
+    * at every prefix of the two streams (spec-pinned across a
+    * 3-micro-batch replay, the [[thetaDistinct]] discipline).
+    *
+    * Scale shape: state is at most 2k longs per group FOREVER; a
+    * billion new keys on either stream change only which hashes are
+    * retained. */
+  def thetaSetOps(rowsA: DataFrame, rowsB: DataFrame, grpCol: String,
+      keyCol: String, k: Int)
+      : org.apache.spark.sql.Dataset[ThetaSetOpsRow] = {
+    import rowsA.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val M = graft.operators.Sketch.ThetaM
+    def tagged(rows: DataFrame, side: String) = rows
+      .filter(col(grpCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        lit(side).as("side"),
+        graft.operators.Sketch.thetaHash(col(keyCol)).as("h"))
+    val hashed = tagged(rowsA, "a").unionByName(tagged(rowsB, "b"))
+      .as[ThetaSideRow]
+    hashed.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[ThetaSideRow],
+            state: GroupState[ThetaPairState]) => {
+          val st = state.getOption
+            .getOrElse(ThetaPairState(Array.empty, Array.empty))
+          val (ba, bb) = batch.toArray.partition(_.side == "a")
+          def merge(cur: Array[Long], add: Array[ThetaSideRow]) =
+            (cur ++ add.map(_.h)).distinct.sorted.take(k)
+          val a = merge(st.a, ba)
+          val b = merge(st.b, bb)
+          state.update(ThetaPairState(a, b))
+          val thetaA = if (a.length < k) M else a.last
+          val thetaB = if (b.length < k) M else b.last
+          val theta = math.min(thetaA, thetaB)
+          val nab = a.count(_ <= theta).toLong
+          val nbb = b.count(_ <= theta).toLong
+          val bSet = b.toSet
+          val nCommon = a.count(h => h <= theta && bSet(h)).toLong
+          def scaled(cnt: Long): Long =
+            if (a.length < k && b.length < k) cnt
+            else cnt * M / theta
+          val nUnion = nab + nbb - nCommon
+          Iterator.single(ThetaSetOpsRow(grp, theta,
+            nCommon, scaled(nCommon), nUnion, scaled(nUnion),
+            nab - nCommon, scaled(nab - nCommon),
+            nbb - nCommon, scaled(nbb - nCommon)))
+        })
+  }
+
   case class HdrRow(grp: String, lb: Long, w: Long)
   case class HdrQuantileRow(grp: String, permille: Int, n: Long,
       est_lb: Long, est_ub: Long)

@@ -776,6 +776,79 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming theta SET OPS over two keyed streams match the " +
+      "batch thetaSetOpPairs at EVERY prefix: same theta, same " +
+      "below-theta counts, same inclusion-exclusion estimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 16
+    // two groups, known overlap, shuffled deterministically so batches
+    // interleave the key space; every batch touches both streams
+    def keys(g: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (g, s"k-${(i * 37) % 1000}-$i"))
+    val aRows = keys("g1", 0, 90) ++ keys("g2", 0, 45)
+    val bRows = keys("g1", 60, 150) ++ keys("g2", 30, 75)
+    // round-robin split so EVERY batch touches both groups on both
+    // streams (grouped() would make batch 0 all-g1)
+    def split3(rows: Seq[(String, String)]) = (0 until 3).map(i =>
+      rows.zipWithIndex.filter(_._2 % 3 == i).map(_._1))
+    val aBatches = split3(aRows)
+    val bBatches = split3(bRows)
+    val inA = MemoryStream[(String, String)]
+    val inB = MemoryStream[(String, String)]
+    val est = Streams.thetaSetOps(inA.toDF().toDF("g", "key"),
+      inB.toDF().toDF("g", "key"), "g", "key", k)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("theta_setops_out").start()
+    try {
+      var seen = 0L
+      var prefA = Seq.empty[(String, String)]
+      var prefB = Seq.empty[(String, String)]
+      for (i <- 0 until 3) {
+        inA.addData(aBatches(i): _*)
+        inB.addData(bBatches(i): _*)
+        q.processAllAvailable()
+        prefA ++= aBatches(i)
+        prefB ++= bBatches(i)
+        val all = spark.table("theta_setops_out")
+          .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+            Long)].collect()
+        val emitted = all.drop(seen.toInt).map(r => r._1 -> r).toMap
+        seen = all.length.toLong
+        // batch twin: one sketch with side-tagged groups, pairs
+        // restricted to (g#a, g#b) of the same logical group
+        val tagged = prefA.map { case (g, kk) => (s"$g#a", kk) } ++
+          prefB.map { case (g, kk) => (s"$g#b", kk) }
+        val expected = graft.operators.Sketch.thetaSetOpPairs(
+            graft.operators.Sketch.thetaSketch(
+              tagged.toDF("g", "key"), "g", "key", k), k)
+          .filter(expr("substring(grp_a, 1, length(grp_a) - 2) = " +
+            "substring(grp_b, 1, length(grp_b) - 2)") &&
+            col("grp_a").endsWith("#a") && col("grp_b").endsWith("#b"))
+          .select(expr("substring(grp_a, 1, length(grp_a) - 2)")
+              .as("g"), col("theta_h"), col("n_common"),
+            col("est_inter"), col("n_union"), col("est_union"),
+            col("n_only_a"), col("est_only_a"), col("n_only_b"),
+            col("est_only_b"))
+          .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+            Long)].collect().map(r => r._1 -> r).toMap
+        assert(emitted.keySet == Set("g1", "g2"),
+          s"both groups touched every batch, got ${emitted.keySet}")
+        emitted.foreach { case (g, got) =>
+          assert(got == expected(g),
+            s"prefix $i mismatch for $g: stream $got vs batch " +
+              s"${expected(g)}")
+        }
+      }
+      // saturation actually exercised on g1 (150 + 90 keys >> k = 16)
+      val fin = spark.table("theta_setops_out")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+          Long)].collect().filter(_._1 == "g1").last
+      assert(fin._2 < graft.operators.Sketch.ThetaM,
+        s"g1 never saturated k=$k: $fin")
+    } finally q.stop()
+  }
+
   test("streaming HDR quantile brackets match the batch sketch at " +
       "EVERY micro-batch prefix (hdrMerge's cell-wise sum applied to " +
       "(state, batch)): same n, same bracket, for every permille") {
