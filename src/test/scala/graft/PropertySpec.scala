@@ -341,6 +341,102 @@ class PropertySpec extends SparkSuite {
     assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
   }
 
+  test("HDR bucket law holds over the FULL nonneg long domain and the " +
+      "Spark bin()-arithmetic bucket equals the JVM " +
+      "numberOfLeadingZeros bucket (the streaming-twin equivalence, " +
+      "pinned beyond the gate fixture's small values)") {
+    import graft.operators.Sketch
+    val b = 5
+    def jvmWidth(v: Long): Long = {
+      val e = if (v <= 0L) 0
+        else 63 - java.lang.Long.numberOfLeadingZeros(v)
+      if (e <= b) 1L else 1L << (e - b)
+    }
+    val edges = (0 to 61).flatMap(e => Seq((1L << e) - 1, 1L << e,
+      (1L << e) + 1)).filter(_ >= 0)
+    val rand = samples(Gen.choose(0L, 1L << 62), 300)
+    val probe = (edges ++ rand).distinct
+    val got = probe.toDF("v").select($"v",
+        Sketch.hdrBucketLb($"v", b).as("lb"),
+        Sketch.hdrWidth($"v", b).as("w"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == probe.length)
+    got.foreach { case (v, lb, w) =>
+      val jw = jvmWidth(v)
+      assert(w == jw && lb == v - v % jw,
+        s"v=$v: spark (lb=$lb, w=$w) vs jvm (lb=${v - v % jw}, w=$jw)")
+      assert(lb <= v && v < lb + w)
+      if (v >= (1L << (b + 1)))
+        assert(w.toDouble / lb <= math.pow(2.0, -b) * 1.0001)
+    }
+  }
+
+  test("retrievalMetrics equals a brute-force exact-rational reference " +
+      "on random runs/truths (dup rows, missing truth, R=0 groups all " +
+      "exercised)") {
+    import graft.operators.Fusion
+    val k = 10
+    val L = 2520L // lcm(1..10)
+    val genCase = for {
+      nItems <- Gen.choose(5, 30)
+      relFrac <- Gen.choose(0, 10)
+      dups <- Gen.choose(0, 3)
+    } yield (nItems, relFrac, dups)
+    samples(genCase, 12).zipWithIndex.foreach {
+      case ((nItems, relFrac, dups), ci) =>
+        val grps = Seq("g1", "g2", "g3")
+        val rng = new scala.util.Random(1000 + ci)
+        val run = grps.flatMap { g =>
+          val items = rng.shuffle((0 until nItems).toList).take(k)
+          items.zipWithIndex.map { case (it, i) =>
+            (g, s"it$it", (i + 1).toLong) } ++
+            // contract-violating dup rows at a worse rank
+            items.take(dups).map(it => (g, s"it$it", k.toLong))
+        }
+        val truth = grps.flatMap { g =>
+          (0 until nItems).filter(_ => rng.nextInt(10) < relFrac)
+            .map(it => (g, s"it$it"))
+        }
+        // brute force over collapsed best ranks, exact integers only
+        val collapsed = run.groupBy(r => (r._1, r._2))
+          .map { case ((g, it), rs) => (g, it, rs.map(_._3).min) }
+        val expected = grps.map { g =>
+          val rel = truth.filter(_._1 == g).map(_._2).toSet
+          val hits = collapsed.filter(r => r._1 == g && rel(r._2))
+            .map(_._3).toSeq.sorted
+          val apNum = hits.zipWithIndex
+            .map { case (r, i) => (i + 1) * (L / r) }.sum
+          val rrNum = hits.headOption.map(L / _).getOrElse(0L)
+          (g, (rel.size.toLong, hits.size.toLong, hits.headOption,
+            rrNum, apNum))
+        }.toMap
+        val got = Fusion.retrievalMetrics(run.toDF("g", "it", "rk"),
+            truth.toDF("g", "it"), "g", "it", "rk", k)
+          .select($"grp", $"n_rel", $"hits_at_k", $"first_rel_rank",
+            $"rr_num", $"ap_num", $"p_at_k", $"r_at_k", $"rr", $"ap")
+          .as[(String, Long, Long, Option[Long], Long, Long, Double,
+            Option[Double], Double, Option[Double])].collect()
+        assert(got.length == grps.length)
+        got.foreach { case (g, nRel, hits, first, rrNum, apNum, p, r,
+            rr, ap) =>
+          val (eRel, eHits, eFirst, eRr, eAp) = expected(g)
+          assert((nRel, hits, first, rrNum, apNum) ==
+            (eRel, eHits, eFirst, eRr, eAp),
+            s"case $ci $g: got ($nRel,$hits,$first,$rrNum,$apNum) vs " +
+              s"brute ($eRel,$eHits,$eFirst,$eRr,$eAp)")
+          // derived doubles: single exact-integer divisions
+          assert(p == hits.toDouble / k && rr == rrNum.toDouble / L)
+          assert(r == (if (nRel > 0) Some(hits.toDouble / nRel) else None))
+          assert(ap == (if (nRel > 0)
+            Some(apNum.toDouble / (L * math.min(nRel, k.toLong)))
+          else None))
+          assert(p >= 0 && p <= 1 && rr >= 0 && rr <= 1)
+          r.foreach(x => assert(x >= 0 && x <= 1))
+          ap.foreach(x => assert(x >= 0 && x <= 1))
+        }
+    }
+  }
+
   test("JWS ES384 raw<->DER signature conversion roundtrips arbitrary " +
       "(r, s) values including high-bit and short ones") {
     import graft.api.Jwt.{derToRaw, rawToDer}
