@@ -250,6 +250,119 @@ object Graph {
         coalesce(col("recip_edges"), lit(0L)).as("recip_edges"))
   }
 
+  /** Bounded-depth BFS distances from a seed set over the DIRECTED
+    * deduplicated edge list — "crawl depth": how many link hops a
+    * host sits from the seed whitelist (the frontier-scheduling /
+    * trust-decay signal TrustRank integrates; this is the raw
+    * distance). dist(v) = min hops from any seed, computed by
+    * `maxDepth` Bellman-Ford-style relaxation rounds:
+    *
+    *   d_k(v) = min(d_{k-1}(v), 1 + min_{u→v} d_{k-1}(u))
+    *
+    * which after k rounds equals the true BFS distance for every node
+    * within k hops — a well-defined graph property, so the oracle may
+    * unroll the same recurrence in SQL and must agree exactly. Nodes
+    * beyond `maxDepth` are ABSENT (unknown ≠ infinite). Exact integer
+    * arithmetic throughout.
+    *
+    * Scale shape: `maxDepth` Pregel supersteps — each one
+    * (reached ⋈ edges) equi-join + a node-keyed min (map-side
+    * combined), the [[pageRank]] shuffle; the reached set only grows
+    * and stays node-bounded. Edges dedupe once and localCheckpoint
+    * for the k join consumers. */
+  def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], maxDepth: Int): DataFrame = {
+    require(seeds.nonEmpty, "bfsDepth needs at least one seed")
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"maxDepth $maxDepth out of [1, 12] (each level is a superstep)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.distinct.toDF("node")
+      .withColumn("dist", lit(0L))
+    for (i <- 1 to maxDepth) {
+      val next = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** Triangle counts and local clustering coefficients over the
+    * UNDIRECTED simple graph of an edge list (self-loops dropped,
+    * direction and multiplicity collapsed) — the community-structure
+    * signal of the family: a host whose neighbours link each other is
+    * a topical cluster; one whose neighbours never do is a hub or a
+    * spam farm (degreeProfile's reciprocity sees mutual PAIRS, this
+    * sees closed TRIPLES).
+    *
+    * Algorithm: degree orientation + wedge join (Schank & Wagner's
+    * forward algorithm, WEA 2005; the MapReduce form in Suri &
+    * Vassilvitskii, WWW 2011): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, join oriented edges
+    * on the source to enumerate each wedge once (pair ordered by the
+    * SAME (degree, id) total order), close against the oriented edge
+    * set. Every triangle is produced exactly once, and the wedge
+    * count is Σ_v outdeg(v)² under degree orientation — O(E^1.5)
+    * worst case and arboricity-bounded in practice, which is why this
+    * is THE distributed triangle algorithm: a star host of degree 10⁶
+    * contributes ZERO wedges (all its edges point inward).
+    *
+    * Output: (node, deg, tri, lcc) per node of the undirected graph —
+    * deg = distinct-neighbour degree, tri = triangles through the
+    * node, lcc = 2·tri / (deg·(deg−1)) as ONE IEEE division of exact
+    * integers (NULL when deg < 2: undefined, not zero). Everything
+    * else is integer counting, so the gate hash-matches.
+    *
+    * Scale shape: dedupe (map-side combined) → degree agg → two
+    * |E|-keyed equi-joins (wedge + closure) → one explode(3) + count.
+    * The deduped edge set localCheckpoints once for its four
+    * consumers (degree, both wedge sides, closure). */
+  def triangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient low -> high in the (deg, id) total order; a < b already,
+    // so ties in degree keep (a -> b)
+    val keepAb = col("da") < col("db") || col("da") === col("db")
+    val o = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(keepAb, col("a")).otherwise(col("b")).as("u"),
+        when(keepAb, col("b")).otherwise(col("a")).as("w"),
+        when(keepAb, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint()
+    val wedgeOrder = col("e1.dw") < col("e2.dw") ||
+      (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))
+    val tris = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && wedgeOrder)
+      .select(col("e1.u").as("x"), col("e1.w").as("y"),
+        col("e2.w").as("z"))
+      .join(o.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc", when(col("deg") >= 2,
+        (lit(2L) * col("tri")).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")))
+  }
+
   /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
     * Hyperlinked Environment", JACM 46(5), 1999) with a FIXED
     * iteration count in exact integer arithmetic — the third rank

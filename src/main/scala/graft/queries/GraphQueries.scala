@@ -433,7 +433,77 @@ object GraphQueries {
        ${lpaIterSql(2)}
        SELECT v AS node, l AS label FROM l2"""
 
+  /** q238: triangle counts + local clustering coefficients over the
+    * undirected host graph ([[graft.operators.Graph.triangles]] —
+    * degree-oriented wedge join, the forward algorithm): the
+    * community-structure signal degreeProfile's pairwise reciprocity
+    * cannot see. The fixture's residue graph carries 45 genuine
+    * triangles at sf0.001 (site0's hub edges close against the 3s+1 /
+    * 7s+5 cycle chords), with degrees 2..40+, so lcc spreads across
+    * (0, 1). tri/deg gate as exact integers; lcc is ONE IEEE division
+    * of two exact integers (NULL below deg 2); the oracle counts the
+    * same triples by lexicographic closure — orientation-invariant,
+    * so the two methods must agree exactly. */
+  val q238_host_triangles: Q = (s, d) =>
+    Graph.triangles(hostEdges(s, d), "src", "dst")
+
+  val q238_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       und AS (SELECT DISTINCT least(src, dst) AS a,
+           greatest(src, dst) AS b
+         FROM inst
+         WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         GROUP BY v),
+       t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM und e1 JOIN und e2 ON e2.a = e1.b
+         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       pn AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
+           SELECT x AS v FROM t UNION ALL SELECT y FROM t
+           UNION ALL SELECT z FROM t) GROUP BY v)
+       SELECT deg.v AS node, deg.deg,
+         CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri,
+         CASE WHEN deg.deg >= 2 THEN
+           CAST(2 * coalesce(pn.tri, 0) AS DOUBLE)
+             / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
+       FROM deg LEFT JOIN pn ON pn.v = deg.v"""
+
+  /** q239: crawl depth — BFS distance of every host from the seed
+    * whitelist (site0, the fixture's hub) over the directed host
+    * graph, capped at 4 hops ([[graft.operators.Graph.bfsDepth]] —
+    * the raw distance signal TrustRank integrates; frontier
+    * scheduling reads it directly). The residue graph's frontier
+    * grows 1/2/4/7/13 across the levels at sf0.001, so every
+    * relaxation round changes the answer; unreached hosts are ABSENT
+    * (unknown ≠ infinite). Exact integers; the oracle unrolls the
+    * identical Bellman-Ford recurrence. */
+  val q239_crawl_depth: Q = (s, d) =>
+    Graph.bfsDepth(hostEdges(s, d), "src", "dst",
+      Seq("site0.example.org"), maxDepth = 4)
+
+  private def bfsIterSql(k: Int): String =
+    s"""d$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         SELECT node, dist FROM d${k - 1}
+         UNION ALL
+         SELECT e.dst, d${k - 1}.dist + 1 FROM e
+         JOIN d${k - 1} ON d${k - 1}.node = e.src) GROUP BY node)"""
+
+  val q239_oracle: String =
+    s"""WITH inst AS ($edgeSql),
+       e AS (SELECT DISTINCT src, dst FROM inst
+         WHERE src IS NOT NULL AND dst IS NOT NULL),
+       d0 AS (SELECT 'site0.example.org' AS node, CAST(0 AS BIGINT)
+           AS dist),
+       ${bfsIterSql(1)},
+       ${bfsIterSql(2)},
+       ${bfsIterSql(3)},
+       ${bfsIterSql(4)}
+       SELECT node, dist FROM d4"""
+
   val all: Map[String, Q] = Map(
+    "q239_crawl_depth" -> q239_crawl_depth,
+    "q238_host_triangles" -> q238_host_triangles,
     "q156_label_propagation" -> q156_label_propagation,
     "q152_hits" -> q152_hits,
     "q115_host_pagerank" -> q115_host_pagerank,
@@ -445,6 +515,8 @@ object GraphQueries {
     "q144_rank_refresh" -> q144_rank_refresh)
 
   val oracles: Map[String, String] = Map(
+    "q239_crawl_depth" -> q239_oracle,
+    "q238_host_triangles" -> q238_oracle,
     "q156_label_propagation" -> q156_oracle,
     "q152_hits" -> q152_oracle,
     "q115_host_pagerank" -> q115_oracle,

@@ -221,4 +221,93 @@ class GraphSpec extends SparkSuite {
     assert(p(4L) == ((0L, 0L, 1L, 1L, 0L))) // pure sink, zero-filled out
     assert(p.size == 4)
   }
+
+  test("bfsDepth: exact hop distances on a known graph (min over " +
+      "multiple paths, multi-seed min, depth cap leaves far nodes " +
+      "ABSENT) and equals brute-force BFS on a random graph") {
+    // chain 0->1->2->3->4->5 with shortcut 0->3: dist(3)=1, dist(4)=2
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (0L, 1L)) // dup edge collapses
+    val d = Graph.bfsDepth(g.toDF("s", "d"), "s", "d", Seq("0"),
+        maxDepth = 3)
+      .as[(String, Long)].collect().toMap
+    assert(d == Map("0" -> 0L, "1" -> 1L, "2" -> 2L, "3" -> 1L,
+      "4" -> 2L, "5" -> 3L))
+    // cap: depth 1 sees only the frontier; node 5 absent
+    val d1 = Graph.bfsDepth(g.toDF("s", "d"), "s", "d", Seq("0"),
+        maxDepth = 1).as[(String, Long)].collect().toMap
+    assert(d1 == Map("0" -> 0L, "1" -> 1L, "3" -> 1L))
+    // two seeds: min over both
+    val d2 = Graph.bfsDepth(g.toDF("s", "d"), "s", "d",
+        Seq("0", "4"), maxDepth = 2).as[(String, Long)].collect().toMap
+    assert(d2("5") == 1L && d2("4") == 0L && d2("2") == 2L)
+    // random directed graph vs brute-force BFS
+    val rng = new scala.util.Random(11)
+    val rand = (0 until 80).map(_ =>
+      (rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+    val adj = rand.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var level = Set(0L)
+    var seen = Map(0L -> 0L)
+    for (i <- 1 to 4) {
+      level = level.flatMap(v => adj.getOrElse(v, Nil))
+        .filterNot(seen.contains)
+      seen ++= level.map(_ -> i.toLong)
+    }
+    val got = Graph.bfsDepth(rand.toDF("s", "d"), "s", "d", Seq("0"),
+        maxDepth = 4).as[(String, Long)].collect()
+      .map { case (n, dd) => n.toLong -> dd }.toMap
+    assert(got == seen, s"bfs mismatch: $got vs $seen")
+  }
+
+  test("triangles: equals a brute-force per-node count on a random " +
+      "graph (direction/multiplicity/self-loops collapsed), K4 and a " +
+      "star hit the closed forms, lcc NULL below degree 2") {
+    // K4: every node deg 3, tri 3, lcc = 1; pendant node 9 off node 0:
+    // deg 1, tri 0, lcc NULL. Direction + dup + self-loop noise added.
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b }
+      yield (a.toLong, b.toLong)
+    val noisy = k4 ++ Seq((2L, 1L), (3L, 3L), (0L, 9L), (0L, 9L))
+    val p1 = Graph.triangles(noisy.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    (0L to 3L).foreach { v =>
+      val (_, deg, tri, lcc) = p1(v)
+      val expDeg = if (v == 0L) 4L else 3L
+      assert(deg == expDeg && tri == 3L,
+        s"K4 node $v: deg=$deg tri=$tri")
+      if (v != 0L) assert(lcc.contains(1.0))
+    }
+    assert(p1(9L) == ((9L, 1L, 0L, None))) // pendant: undefined lcc
+    // star: hub of degree 12, zero triangles anywhere
+    val star = (1L to 12L).map(i => (0L, i))
+    val hub = Graph.triangles(star.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(hub.forall(_._3 == 0L) &&
+      hub.find(_._1 == 0L).get._4.contains(0.0))
+    // random graph vs brute force over all unordered triples
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 120).map(_ =>
+      (rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+    val und = rand.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = (und.map(_._1) ++ und.map(_._2)).toSeq.sorted
+    val brute = nodes.map { v =>
+      val nbrs = und.collect { case (a, b) if a == v => b
+                               case (a, b) if b == v => a }
+      val tri = nbrs.toSeq.combinations(2).count { case Seq(x, y) =>
+        und((math.min(x, y), math.max(x, y))) }
+      v -> ((nbrs.size.toLong, tri.toLong))
+    }.toMap
+    val got = Graph.triangles(rand.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.length == nodes.length)
+    got.foreach { case (v, deg, tri, lcc) =>
+      assert((deg, tri) == brute(v), s"node $v: ($deg, $tri) vs brute")
+      if (deg >= 2)
+        assert(lcc.contains(2.0 * tri / (deg * (deg - 1.0))))
+      else assert(lcc.isEmpty)
+    }
+    // the fixture genuinely has triangles (sum is 3x the count)
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum % 3 == 0)
+  }
 }
