@@ -27,6 +27,100 @@ import org.apache.spark.sql.functions._
   * group-count-sized frame. Nothing global, nothing driver-side. */
 object Stats {
 
+  /** Poisson(1) inverse-CDF thresholds over the [1, 2^48] md5-hash
+    * space — the SINGLE source of truth for [[poissonBootstrapCi]]'s
+    * weight expression AND its oracle SQL (the gate interpolates these
+    * literals into both engines, so no cross-engine float evaluation
+    * ever happens: e^-1 is computed once, HERE). u ≤ thresholds(k) ⇒
+    * weight k; u beyond the last threshold (CDF ≥ 1 − 1.1e-7) ⇒ the
+    * capped weight 9. StatsSpec re-derives the table and pins it. */
+  val PoissonThresholds: Array[Long] = {
+    var pmf = math.exp(-1.0)
+    var cdf = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) pmf /= k
+      cdf += pmf
+      (cdf * graft.operators.Sketch.ThetaM.toDouble).toLong
+    }.toArray
+  }
+
+  /** Per-group mean with a Poisson-bootstrap confidence interval
+    * (Chamandy, Muralidharan, Najmi & Naidu, "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012; Kleiner et al.'s BLB is
+    * the heavier cousin) — THE distributed bootstrap: instead of
+    * resampling n rows with replacement B times (a shuffle per
+    * replicate), every row draws an independent Poisson(1) weight per
+    * replicate, and replicate statistics are one weighted hash-agg.
+    * Here the draws are DETERMINISTIC — u = md5("bs:r:id") mapped
+    * through the precomputed [[PoissonThresholds]] — so weights,
+    * replicate means, and both interval endpoints are pure functions
+    * of the input that a DuckDB oracle replays exactly: a
+    * hash-exact-gateable bootstrap (a seeded RNG bootstrap never
+    * crosses engines).
+    *
+    * Output per group: (grp, n, b_eff, mean, ci_lo, ci_hi) — mean =
+    * Σv/n as ONE IEEE division of exact longs; ci bounds are the
+    * loPermille/hiPermille ORDER STATISTICS (the q164 integer rank
+    * arithmetic) of the B replicate means, each itself one division
+    * of two exact longs; ties in replicate means break by replicate
+    * id. Replicates whose total weight is 0 are undefined and drop —
+    * b_eff records how many survived (P(drop) = e^-n: only microscopic
+    * groups ever lose one).
+    *
+    * Scale shape: the B-way explode is the only expansion (B·rows,
+    * map-side combined immediately into B·groups cells); no
+    * resample-shuffle of data ever happens — the reason this bootstrap
+    * is the 100 TB one. Rank selection runs on the B-rows-per-group
+    * frame. */
+  def poissonBootstrapCi(items: DataFrame, grpCol: String,
+      valCol: String, idCol: String, b: Int = 32,
+      loPermille: Int = 25, hiPermille: Int = 975): DataFrame = {
+    require(b >= 2 && b <= 256, s"replicates $b out of [2, 256]")
+    require(loPermille >= 1 && loPermille < hiPermille &&
+      hiPermille <= 1000,
+      s"bad interval permilles ($loPermille, $hiPermille)")
+    val v = col(valCol).cast("long")
+    val base = items
+      .filter(col(grpCol).isNotNull && v.isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"), v.as("v"), col(idCol).as("id"))
+    val overall = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("__sx"))
+    val u = conv(substring(md5(concat_ws(":", lit("bs"), col("r"),
+      col("id").cast("string"))), 1, 12), 16, 10).cast("long") + 1
+    val w = PoissonThresholds.zipWithIndex
+      .foldRight(lit(9L): Column) { case ((t, k), acc) =>
+        when(u <= t, lit(k.toLong)).otherwise(acc) }
+    val perRep = base
+      .select(col("grp"), col("v"), col("id"),
+        explode(array((0 until b).map(lit(_)): _*)).as("r"))
+      .select(col("grp"), col("r"), w.as("__w"), col("v"))
+      .groupBy(col("grp"), col("r"))
+      .agg(sum(col("__w") * col("v")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("grp"), col("r"),
+        (col("__swx").cast("double") / col("__sw").cast("double"))
+          .as("m"))
+    val byM = Window.partitionBy(col("grp"))
+      .orderBy(col("m"), col("r"))
+    val whole = Window.partitionBy(col("grp"))
+    val ranked = perRep
+      .withColumn("rk", row_number().over(byM))
+      .withColumn("b_eff", count(lit(1)).over(whole))
+    def at(permille: Int, as: String) = ranked
+      .filter(col("rk") === greatest(lit(1L),
+        expr(s"(${permille}L * b_eff + 999) DIV 1000")))
+      .select(col("grp"), col("b_eff"), col("m").as(as))
+    overall
+      .join(at(loPermille, "ci_lo").drop("b_eff"), Seq("grp"))
+      .join(at(hiPermille, "ci_hi"), Seq("grp"))
+      .select(col("grp"), col("n"), col("b_eff"),
+        (col("__sx").cast("double") / col("n").cast("double"))
+          .as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

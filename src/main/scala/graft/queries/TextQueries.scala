@@ -4443,7 +4443,64 @@ object TextQueries {
        FROM e1 JOIN e2 ON e1.grp = e2.grp
        JOIN e3 ON e1.grp = e3.grp"""
 
+  /** q240: Poisson-bootstrap confidence interval for mean document
+    * length per language ([[graft.operators.Stats.poissonBootstrapCi]]
+    * — the Chamandy et al. streaming bootstrap): every row draws a
+    * deterministic md5-derived Poisson(1) weight per replicate, so 32
+    * bootstrap replicate means cost ONE weighted hash-agg (no
+    * resample shuffle — the 100 TB uncertainty method), and because
+    * the draws are a pure function of (replicate, doc_id), the
+    * interval endpoints gate hash-EXACT: a bootstrap whose "random"
+    * resamples the oracle replays. The inverse-CDF thresholds are
+    * computed ONCE in Scala ([[graft.operators.Stats.PoissonThresholds]])
+    * and interpolated into BOTH engines as integer literals — e^-1
+    * never evaluates cross-engine. */
+  val q240_bootstrap_ci: Q = (s, d) =>
+    graft.operators.Stats.poissonBootstrapCi(Tables.documents(s, d),
+        "lang", "n_chars", "doc_id", b = 32)
+      .select(col("grp").as("lang"), col("n"), col("b_eff"),
+        col("mean"), col("ci_lo"), col("ci_hi"))
+
+  private val bootCaseSql: String =
+    graft.operators.Stats.PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u <= $t THEN $k" }
+      .mkString("(CASE ", " ", " ELSE 9 END)")
+
+  val q240_oracle: String =
+    s"""WITH base AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
+           doc_id AS id
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       ov AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sx
+         FROM base GROUP BY 1),
+       uu AS (SELECT grp, v, r,
+           CAST(('0x' || substr(md5('bs:' || r || ':'
+             || CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u
+         FROM base CROSS JOIN range(32) AS t(r)),
+       pr AS (SELECT grp, r,
+           CAST(sum($bootCaseSql * v) AS BIGINT) AS swx,
+           CAST(sum($bootCaseSql) AS BIGINT) AS sw
+         FROM uu GROUP BY 1, 2),
+       m AS (SELECT grp, r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+           AS m
+         FROM pr WHERE sw > 0),
+       rk AS (SELECT grp, r, m,
+           row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS b_eff
+         FROM m),
+       lo AS (SELECT grp, b_eff, m AS ci_lo FROM rk
+         WHERE rk = greatest(1, (25 * b_eff + 999) // 1000)),
+       hi AS (SELECT grp, m AS ci_hi FROM rk
+         WHERE rk = greatest(1, (975 * b_eff + 999) // 1000))
+       SELECT ov.grp AS lang, ov.n, lo.b_eff,
+         CAST(ov.sx AS DOUBLE) / CAST(ov.n AS DOUBLE) AS mean,
+         lo.ci_lo, hi.ci_hi
+       FROM ov JOIN lo ON lo.grp = ov.grp JOIN hi ON hi.grp = ov.grp"""
+
   val all: Map[String, Q] = Map(
+    "q240_bootstrap_ci" -> q240_bootstrap_ci,
     "q235_theta_joint" -> q235_theta_joint,
     "q230_hdr_quantiles" -> q230_hdr_quantiles,
     "q231_exact_quantiles" -> q231_exact_quantiles,
@@ -4557,6 +4614,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q240_bootstrap_ci" -> q240_oracle,
     "q235_theta_joint" -> q235_oracle,
     "q230_hdr_quantiles" -> q230_oracle,
     "q231_exact_quantiles" -> q231_oracle,

@@ -128,4 +128,54 @@ class StatsSpec extends SparkSuite {
       .as[(Boolean, Boolean)].collect().head
     assert(got == ((true, true)))
   }
+
+  test("PoissonThresholds pin: re-derived CDF table matches, is " +
+      "strictly monotone, and the induced weights are genuinely " +
+      "Poisson(1) (mean ~1, P(0) ~ e^-1) over many deterministic ids") {
+    var pmf = math.exp(-1.0)
+    var cdf = 0.0
+    val expect = (0 to 8).map { k =>
+      if (k > 0) pmf /= k
+      cdf += pmf
+      (cdf * graft.operators.Sketch.ThetaM.toDouble).toLong
+    }
+    assert(Stats.PoissonThresholds.toSeq == expect)
+    assert(Stats.PoissonThresholds.sliding(2).forall(p => p(0) < p(1)))
+    assert(Stats.PoissonThresholds.last < graft.operators.Sketch.ThetaM)
+    // weight distribution over 20k (replicate, id) draws
+    val u = conv(substring(md5(concat_ws(":", lit("bs"), $"r",
+      $"id".cast("string"))), 1, 12), 16, 10).cast("long") + 1
+    val w = Stats.PoissonThresholds.zipWithIndex
+      .foldRight(lit(9L): org.apache.spark.sql.Column) {
+        case ((t, k), acc) => when(u <= t, lit(k.toLong)).otherwise(acc) }
+    val ws = (0 until 20000).map(i => (i % 4, i.toLong)).toDF("r", "id")
+      .select(w.as("w")).as[Long].collect()
+    val mean = ws.sum.toDouble / ws.length
+    val p0 = ws.count(_ == 0L).toDouble / ws.length
+    assert(math.abs(mean - 1.0) < 0.03, s"weight mean $mean")
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.02, s"P(w=0) $p0")
+  }
+
+  test("poissonBootstrapCi: exact point mean, lo < hi, b_eff = B, the " +
+      "interval brackets the truth on a well-behaved group, interval " +
+      "width shrinks ~sqrt(n), and reruns are bit-identical") {
+    val rows = (0 until 2000).map(i => ("big", (i % 100).toLong, i.toLong)) ++
+      (0 until 120).map(i => ("small", (i % 100).toLong, (10000 + i).toLong))
+    val df = rows.toDF("g", "v", "id")
+    def run() = Stats.poissonBootstrapCi(df, "g", "v", "id", b = 32)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val got = run()
+    assert(got == run(), "bootstrap must be deterministic")
+    val (_, n, beff, mean, lo, hi) = got("big")
+    assert(n == 2000L && beff == 32L)
+    assert(mean == rows.filter(_._1 == "big").map(_._2).sum.toDouble / 2000)
+    assert(lo < hi && lo <= mean && mean <= hi,
+      s"big: [$lo, $hi] vs $mean") // true mean 49.5, n=2000: safe
+    val (_, _, _, mS, loS, hiS) = got("small")
+    assert(loS < hiS && loS <= mS && mS <= hiS)
+    // relative width shrinks with n (sqrt(2000/120) ~ 4x; assert > 2x)
+    assert((hiS - loS) > 2.0 * (hi - lo),
+      s"small width ${hiS - loS} vs big ${hi - lo}")
+  }
 }
