@@ -44,6 +44,81 @@ object Stats {
     }.toArray
   }
 
+  /** The deterministic Poisson(1) draw shared by the bootstrap
+    * operators: u = md5("bs:replicate:id") uniform on [1, 2^48],
+    * mapped through [[PoissonThresholds]]. */
+  private def bootstrapWeight(r: Column, id: Column): Column = {
+    val u = conv(substring(md5(concat_ws(":", lit("bs"), r,
+      id.cast("string"))), 1, 12), 16, 10).cast("long") + 1
+    PoissonThresholds.zipWithIndex
+      .foldRight(lit(9L): Column) { case ((t, k), acc) =>
+        when(u <= t, lit(k.toLong)).otherwise(acc) }
+  }
+
+  /** Per-group RATIO of sums with a Poisson-bootstrap confidence
+    * interval — the companion of [[poissonBootstrapCi]] for the
+    * metrics that are ratios of totals (CTR = clicks/impressions,
+    * tokens-per-char, revenue-per-order): the ratio estimator whose
+    * row-level covariance a naive per-row-mean CI gets WRONG, which
+    * is exactly what the bootstrap handles for free — each replicate
+    * reweights numerator and denominator with the SAME Poisson draw,
+    * so the replicate ratio (Σw·x)/(Σw·y) carries the joint
+    * variation. Same determinism argument as the mean form: every
+    * endpoint is a pure function of the input that the oracle
+    * replays. Replicates with zero denominator drop (undefined, not
+    * zero); b_eff records survivors. Output: (grp, n, b_eff, ratio,
+    * ci_lo, ci_hi) — ratio = Σx/Σy, one IEEE division of exact longs.
+    * Scale shape: identical to [[poissonBootstrapCi]] — one B-way
+    * explode into a map-side-combined hash-agg; no resample shuffle. */
+  def poissonBootstrapRatioCi(items: DataFrame, grpCol: String,
+      numCol: String, denCol: String, idCol: String, b: Int = 32,
+      loPermille: Int = 25, hiPermille: Int = 975): DataFrame = {
+    require(b >= 2 && b <= 256, s"replicates $b out of [2, 256]")
+    require(loPermille >= 1 && loPermille < hiPermille &&
+      hiPermille <= 1000,
+      s"bad interval permilles ($loPermille, $hiPermille)")
+    val x = col(numCol).cast("long")
+    val y = col(denCol).cast("long")
+    val base = items
+      .filter(col(grpCol).isNotNull && x.isNotNull && y.isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"), x.as("x"), y.as("y"),
+        col(idCol).as("id"))
+    val overall = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"))
+      .filter(col("__sy") > 0)
+    val w = bootstrapWeight(col("r"), col("id"))
+    val perRep = base
+      .select(col("grp"), col("x"), col("y"), col("id"),
+        explode(array((0 until b).map(lit(_)): _*)).as("r"))
+      .select(col("grp"), col("r"), w.as("__w"), col("x"), col("y"))
+      .groupBy(col("grp"), col("r"))
+      .agg(sum(col("__w") * col("x")).as("__swx"),
+        sum(col("__w") * col("y")).as("__swy"))
+      .filter(col("__swy") > 0)
+      .select(col("grp"), col("r"),
+        (col("__swx").cast("double") / col("__swy").cast("double"))
+          .as("m"))
+    val byM = Window.partitionBy(col("grp"))
+      .orderBy(col("m"), col("r"))
+    val whole = Window.partitionBy(col("grp"))
+    val ranked = perRep
+      .withColumn("rk", row_number().over(byM))
+      .withColumn("b_eff", count(lit(1)).over(whole))
+    def at(permille: Int, as: String) = ranked
+      .filter(col("rk") === greatest(lit(1L),
+        expr(s"(${permille}L * b_eff + 999) DIV 1000")))
+      .select(col("grp"), col("b_eff"), col("m").as(as))
+    overall
+      .join(at(loPermille, "ci_lo").drop("b_eff"), Seq("grp"))
+      .join(at(hiPermille, "ci_hi"), Seq("grp"))
+      .select(col("grp"), col("n"), col("b_eff"),
+        (col("__sx").cast("double") / col("__sy").cast("double"))
+          .as("ratio"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Per-group mean with a Poisson-bootstrap confidence interval
     * (Chamandy, Muralidharan, Najmi & Naidu, "Estimating Uncertainty
     * for Massive Data Streams", Google 2012; Kleiner et al.'s BLB is
@@ -86,11 +161,7 @@ object Stats {
       .select(col(grpCol).as("grp"), v.as("v"), col(idCol).as("id"))
     val overall = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("__sx"))
-    val u = conv(substring(md5(concat_ws(":", lit("bs"), col("r"),
-      col("id").cast("string"))), 1, 12), 16, 10).cast("long") + 1
-    val w = PoissonThresholds.zipWithIndex
-      .foldRight(lit(9L): Column) { case ((t, k), acc) =>
-        when(u <= t, lit(k.toLong)).otherwise(acc) }
+    val w = bootstrapWeight(col("r"), col("id"))
     val perRep = base
       .select(col("grp"), col("v"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))

@@ -501,7 +501,65 @@ object GraphQueries {
        ${bfsIterSql(4)}
        SELECT node, dist FROM d4"""
 
+  /** q241: butterfly counts on the BIPARTITE doc→host link graph
+    * ([[graft.operators.Graph.butterflies]] — Sanei-Mehri et al.'s
+    * 2×2-biclique census, KDD 2018): hosts repeatedly co-cited by the
+    * SAME documents (boilerplate link blocks, mirror farms) light up
+    * here while plain degree profiles see nothing. The fixture's
+    * residue classes make every same-residue doc emit an identical
+    * host pair, so shared-pair counts are ~docs/101 and butterfly
+    * counts reach C(n,2) ≈ thousands — all exact integers. Wedges
+    * enumerate on the DOC side (outlinks bounded by the page, the
+    * published low-degree-side trick), so no host's popularity can
+    * explode the join. */
+  val q241_host_butterflies: Q = (s, d) => {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % 101,
+      lit(".EXAMPLE.ORG:443/p"), id, lit("?utm_source=x\">a</A>"),
+      lit("<a href='https://site"), (id * 7 + 5) % 101,
+      lit(".example.org/q"), id, lit("'>b</a>"),
+      when((id % 101) % 5 === 0,
+        concat(lit("<a href=\"https://site0.example.org/h"), id,
+          lit("\">c</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    val edges = Tables.documents(s, d)
+      .select(id, explode(extractLinks(page)).as("raw"))
+      .select(col("doc_id"),
+        parse_url(canonicalizeUrl(col("raw")), lit("HOST")).as("host"))
+    Graph.butterflies(edges, "doc_id", "host")
+      .select(col("node").as("host"), col("n_left").as("n_docs"),
+        col("butterflies"))
+  }
+
+  val q241_oracle: String =
+    """WITH e AS (
+         SELECT DISTINCT doc_id AS d,
+           'site' || ((3 * (doc_id % 101) + 1) % 101)
+             || '.example.org' AS h
+         FROM documents
+         UNION
+         SELECT doc_id,
+           'site' || ((7 * (doc_id % 101) + 5) % 101) || '.example.org'
+         FROM documents
+         UNION
+         SELECT doc_id, 'site0.example.org'
+         FROM documents WHERE (doc_id % 101) % 5 = 0),
+       deg AS (SELECT h AS node, CAST(count(*) AS BIGINT) AS n_docs
+         FROM e GROUP BY 1),
+       p AS (SELECT x.h AS h1, y.h AS h2, count(*) AS n
+         FROM e x JOIN e y ON x.d = y.d AND x.h < y.h GROUP BY 1, 2),
+       bf AS (SELECT h1, h2, CAST(n * (n - 1) // 2 AS BIGINT) AS bf
+         FROM p WHERE n >= 2),
+       pn AS (SELECT node, CAST(sum(bf) AS BIGINT) AS butterflies
+         FROM (SELECT h1 AS node, bf FROM bf
+               UNION ALL SELECT h2, bf FROM bf) GROUP BY 1)
+       SELECT deg.node AS host, deg.n_docs,
+         CAST(coalesce(pn.butterflies, 0) AS BIGINT) AS butterflies
+       FROM deg LEFT JOIN pn ON pn.node = deg.node"""
+
   val all: Map[String, Q] = Map(
+    "q241_host_butterflies" -> q241_host_butterflies,
     "q239_crawl_depth" -> q239_crawl_depth,
     "q238_host_triangles" -> q238_host_triangles,
     "q156_label_propagation" -> q156_label_propagation,
@@ -515,6 +573,7 @@ object GraphQueries {
     "q144_rank_refresh" -> q144_rank_refresh)
 
   val oracles: Map[String, String] = Map(
+    "q241_host_butterflies" -> q241_oracle,
     "q239_crawl_depth" -> q239_oracle,
     "q238_host_triangles" -> q238_oracle,
     "q156_label_propagation" -> q156_oracle,

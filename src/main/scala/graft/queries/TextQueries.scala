@@ -4499,7 +4499,59 @@ object TextQueries {
          lo.ci_lo, hi.ci_hi
        FROM ov JOIN lo ON lo.grp = ov.grp JOIN hi ON hi.grp = ov.grp"""
 
+  /** q242: Poisson-bootstrap CI for a RATIO metric — tokens-per-char
+    * per language ([[graft.operators.Stats.poissonBootstrapRatioCi]]):
+    * the ratio-of-totals estimator whose row-level covariance a
+    * per-row-mean CI gets wrong; each replicate reweights numerator
+    * and denominator with the SAME deterministic Poisson draw, so the
+    * replicate ratios carry the joint variation and every endpoint
+    * still gates hash-exact (the q240 determinism argument, same
+    * threshold literals in both engines). */
+  val q242_bootstrap_ratio: Q = (s, d) =>
+    graft.operators.Stats.poissonBootstrapRatioCi(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars")),
+        "lang", "toks", "n_chars", "doc_id", b = 32)
+      .select(col("grp").as("lang"), col("n"), col("b_eff"),
+        col("ratio"), col("ci_lo"), col("ci_hi"))
+
+  val q242_oracle: String =
+    s"""WITH base AS (SELECT lang AS grp,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+           CAST(n_chars AS BIGINT) AS y, doc_id AS id
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       ov AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+         FROM base GROUP BY 1 HAVING sum(y) > 0),
+       uu AS (SELECT grp, x, y, r,
+           CAST(('0x' || substr(md5('bs:' || r || ':'
+             || CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u
+         FROM base CROSS JOIN range(32) AS t(r)),
+       pr AS (SELECT grp, r,
+           CAST(sum($bootCaseSql * x) AS BIGINT) AS swx,
+           CAST(sum($bootCaseSql * y) AS BIGINT) AS swy
+         FROM uu GROUP BY 1, 2),
+       m AS (SELECT grp, r, CAST(swx AS DOUBLE) / CAST(swy AS DOUBLE)
+           AS m
+         FROM pr WHERE swy > 0),
+       rk AS (SELECT grp, r, m,
+           row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS b_eff
+         FROM m),
+       lo AS (SELECT grp, b_eff, m AS ci_lo FROM rk
+         WHERE rk = greatest(1, (25 * b_eff + 999) // 1000)),
+       hi AS (SELECT grp, m AS ci_hi FROM rk
+         WHERE rk = greatest(1, (975 * b_eff + 999) // 1000))
+       SELECT ov.grp AS lang, ov.n, lo.b_eff,
+         CAST(ov.sx AS DOUBLE) / CAST(ov.sy AS DOUBLE) AS ratio,
+         lo.ci_lo, hi.ci_hi
+       FROM ov JOIN lo ON lo.grp = ov.grp JOIN hi ON hi.grp = ov.grp"""
+
   val all: Map[String, Q] = Map(
+    "q242_bootstrap_ratio" -> q242_bootstrap_ratio,
     "q240_bootstrap_ci" -> q240_bootstrap_ci,
     "q235_theta_joint" -> q235_theta_joint,
     "q230_hdr_quantiles" -> q230_hdr_quantiles,
@@ -4614,6 +4666,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q242_bootstrap_ratio" -> q242_oracle,
     "q240_bootstrap_ci" -> q240_oracle,
     "q235_theta_joint" -> q235_oracle,
     "q230_hdr_quantiles" -> q230_oracle,

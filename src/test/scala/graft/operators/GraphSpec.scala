@@ -222,6 +222,47 @@ class GraphSpec extends SparkSuite {
     assert(p.size == 4)
   }
 
+  test("butterflies: K(2,2) and K(3,3) closed forms, a star has zero, " +
+      "duplicate edges collapse, and a random bipartite graph matches " +
+      "the brute-force pair census") {
+    // K(2,2): 1 butterfly, both right nodes carry it
+    val k22 = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (1L, "a"))
+    val g22 = Graph.butterflies(k22.toDF("l", "r"), "l", "r")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(g22("a") == (("a", 2L, 1L)) && g22("b") == (("b", 2L, 1L)))
+    // K(3,3): each right pair shares 3 docs -> C(3,2)=3 butterflies
+    // per pair; each right node sits in 2 of the 3 pairs -> 6
+    val k33 = for { l <- 1L to 3L; r <- Seq("a", "b", "c") } yield (l, r)
+    val g33 = Graph.butterflies(k33.toDF("l", "r"), "l", "r")
+      .as[(String, Long, Long)].collect()
+    assert(g33.forall(x => x._2 == 3L && x._3 == 6L))
+    // star (one doc, many hosts): wedges but no closure partner
+    val star = (1 to 10).map(i => (1L, s"h$i"))
+    assert(Graph.butterflies(star.toDF("l", "r"), "l", "r")
+      .as[(String, Long, Long)].collect().forall(_._3 == 0L))
+    // random bipartite vs brute force over right pairs
+    val rng = new scala.util.Random(13)
+    val rand = (0 until 150).map(_ =>
+      (rng.nextInt(12).toLong, s"h${rng.nextInt(8)}"))
+    val e = rand.distinct
+    val hosts = e.map(_._2).distinct.sorted
+    val docsOf = e.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val brute = hosts.map { h =>
+      val bf = hosts.filter(_ != h).map { h2 =>
+        val n = (docsOf(h) & docsOf(h2)).size.toLong
+        n * (n - 1) / 2
+      }.sum
+      h -> ((docsOf(h).size.toLong, bf))
+    }.toMap
+    val got = Graph.butterflies(rand.toDF("l", "r"), "l", "r")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == hosts.length)
+    got.foreach { case (h, deg, bf) =>
+      assert((deg, bf) == brute(h), s"host $h: ($deg, $bf) vs brute")
+    }
+    assert(got.map(_._3).sum > 0, "fixture should contain butterflies")
+  }
+
   test("bfsDepth: exact hop distances on a known graph (min over " +
       "multiple paths, multi-seed min, depth cap leaves far nodes " +
       "ABSENT) and equals brute-force BFS on a random graph") {
