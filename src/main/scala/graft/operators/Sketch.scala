@@ -301,6 +301,76 @@ object Sketch {
         (col("est_lb") + hdrWidth(col("est_lb"), b) - 1).as("est_ub"))
   }
 
+  // ---- Paned sliding-window theta ----------------------------------
+  //
+  // The pane decomposition for sliding windows (Li, Maier, Tufte,
+  // Papadimos & Tucker, "No pane, no gain", SIGMOD Record 2005)
+  // applied to the KMV sketch: when slide ≪ size, assigning DATA rows
+  // to windows replicates the corpus size/slide times (q236's 4× — the
+  // right call there, wrong at 8× or 48×). Panes cut that to one pass:
+  // each row belongs to exactly ONE pane (the slide-width tumbling
+  // grain), each pane keeps its own k-smallest sketch, and a window's
+  // sketch is the MERGE of the size/slide panes it covers — replication
+  // happens on SKETCH rows (≤ k per pane), never on data.
+  //
+  // The merge is EXACT, not an approximation of the direct sliding
+  // sketch: any of the k smallest hashes of a union is among its own
+  // pane's k smallest (the [[thetaMerge]] identity), so
+  // windows-from-panes ≡ sketch-the-window-directly, hash for hash —
+  // SketchSpec pins the equivalence against the q236 replicate-data
+  // shape. Estimates then carry the usual theta guarantees.
+
+  /** Per-(group, pane) KMV sketch: the k smallest distinct key hashes
+    * within each (grp, pane) cell, as (grp, pane, h) rows. `paneCol`
+    * is the pane START (a long — epoch micros floored to the slide
+    * width upstream: pure integer arithmetic both engines share).
+    * One (grp, pane, h) distinct (map-side combined) + a per-pane
+    * rank; data is touched ONCE regardless of the window/slide
+    * ratio. */
+  def thetaPaneSketch(items: DataFrame, grpCol: String, keyCol: String,
+      paneCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val dedup = items.select(col(grpCol).as("grp"),
+        col(paneCol).cast("long").as("pane"),
+        thetaHash(col(keyCol)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("pane")).orderBy(col("h"))
+    dedup.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Sliding windows from pane sketches: every window of
+    * `panesPerWindow` consecutive panes (win_start = pane −
+    * j·slideMicros, j = 0..panesPerWindow−1 — the q236 window-
+    * assignment arithmetic at pane grain), merged per window to the k
+    * smallest DISTINCT hashes (a key seen in two panes of one window
+    * has the same hash twice — the distinct collapses it, exactly as
+    * the direct window sketch would). Output: (grp, win_start, h).
+    *
+    * Scale shape: the size/slide-way explode runs over pane-SKETCH
+    * rows (≤ k per pane) — at slide ≪ size this is the whole point:
+    * a 24h/30min dashboard replicates ≤ 48·k sketch rows per pane,
+    * not 48× the event stream. */
+  def thetaPaneWindows(paneSketch: DataFrame, slideMicros: Long,
+      panesPerWindow: Int, k: Int): DataFrame = {
+    require(slideMicros > 0, s"slide must be > 0, got $slideMicros")
+    require(panesPerWindow >= 1,
+      s"panesPerWindow must be >= 1, got $panesPerWindow")
+    val u = paneSketch
+      .select(col("grp"), col("pane"), col("h"),
+        explode(sequence(lit(0L), lit((panesPerWindow - 1).toLong)))
+          .as("j"))
+      .select(col("grp"),
+        (col("pane") - col("j") * lit(slideMicros)).as("win_start"),
+        col("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("win_start")).orderBy(col("h"))
+    u.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** The full theta set algebra for every unordered pair of groups:
     * union, intersection, and BOTH differences, from one sketch.
     * Below min(theta) the retained sets are uniform samples of the

@@ -779,7 +779,71 @@ object EventQueries {
            AS est_ub
        FROM hit"""
 
+  /** q243: PANED sliding-window theta distinct users — the q236
+    * dashboard at slide ≪ size, computed the "No pane, no gain" way
+    * ([[graft.operators.Sketch.thetaPaneSketch]] +
+    * [[graft.operators.Sketch.thetaPaneWindows]], Li et al. SIGMOD
+    * Record 2005): 24h windows sliding by 3h (8 panes per window —
+    * q236's replicate-the-data shape would scan events 8×; here data
+    * is touched ONCE to build per-pane sketches, and the 8× explode
+    * runs over ≤ k sketch rows per pane). The pane merge is EXACT —
+    * windows-from-panes ≡ the direct window sketch hash-for-hash
+    * (SketchSpec pins it) — so the gate surface is the same estimator
+    * q236 checks, at half the slide and an eighth of the data
+    * replication. k = 64 vs ~150 users/type: busy windows saturate,
+    * partial head/tail windows stay exact. */
+  val q243_theta_panes: Q = (s, d) => {
+    val S = 3L * 3600 * 1000000L
+    val k = 64
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("pane", expr(s"(us DIV ${S}L) * ${S}L"))
+    val panes = graft.operators.Sketch.thetaPaneSketch(
+      ev, "event_type", "user_id", "pane", k)
+    val win = graft.operators.Sketch.thetaPaneWindows(panes, S, 8, k)
+    graft.operators.Sketch.thetaEstimate(
+        win.select(concat_ws("/", col("grp"), col("win_start"))
+          .as("grp"), col("h")), k)
+      .select(substring_index(col("grp"), "/", 1).as("event_type"),
+        substring_index(col("grp"), "/", -1).cast("long")
+          .as("win_start"),
+        col("n_retained"), col("theta_h"), col("est"))
+  }
+
+  val q243_oracle: String =
+    """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           AND user_id IS NOT NULL),
+       p AS (SELECT DISTINCT event_type,
+           (us // 10800000000) * 10800000000 AS pane,
+           CAST(('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)),
+             1, 12)) AS BIGINT) + 1 AS h
+         FROM e),
+       ps AS (SELECT event_type, pane, h FROM (
+           SELECT event_type, pane, h, row_number() OVER (
+             PARTITION BY event_type, pane ORDER BY h) AS rk
+           FROM p) WHERE rk <= 64),
+       wu AS (SELECT DISTINCT event_type,
+           pane - j * 10800000000 AS win_start, h
+         FROM ps CROSS JOIN range(8) AS r(j)),
+       ws AS (SELECT event_type, win_start, h FROM (
+           SELECT event_type, win_start, h, row_number() OVER (
+             PARTITION BY event_type, win_start ORDER BY h) AS rk
+           FROM wu) WHERE rk <= 64)
+       SELECT event_type, win_start,
+         CAST(count(*) AS BIGINT) AS n_retained,
+         CASE WHEN count(*) < 64 THEN 281474976710656
+              ELSE max(h) END AS theta_h,
+         CAST(CASE WHEN count(*) < 64 THEN count(*)
+           ELSE (63 * 281474976710656) // max(h) END AS BIGINT) AS est
+       FROM ws GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q243_theta_panes" -> q243_theta_panes,
     "q236_theta_windows" -> q236_theta_windows,
     "q237_hdr_windows" -> q237_hdr_windows,
     "q215_seasonal_burst" -> q215_seasonal_burst,
@@ -807,6 +871,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q243_theta_panes" -> q243_oracle,
     "q236_theta_windows" -> q236_oracle,
     "q237_hdr_windows" -> q237_oracle,
     "q215_seasonal_burst" -> q215_oracle,

@@ -112,6 +112,34 @@ class SketchSpec extends SparkSuite {
     assert(merged == full)
   }
 
+  test("thetaPaneWindows(thetaPaneSketch(data)) == the direct " +
+      "sliding-window sketch hash-for-hash — the 'no pane, no gain' " +
+      "identity that makes the one-pass pane build exact") {
+    val S = 100L // slide width
+    val m = 4 // panes per window (window size = 400)
+    val k = 8
+    val rows = (0 until 500).map { i =>
+      (if (i % 2 == 0) "ga" else "gb", s"k${i % 97}",
+        (i.toLong * 37) % 1000)
+    }.toDF("g", "key", "t")
+      .withColumn("pane", expr(s"(t DIV ${S}L) * ${S}L"))
+    val paned = Sketch.thetaPaneWindows(
+        Sketch.thetaPaneSketch(rows, "g", "key", "pane", k), S, m, k)
+      .as[(String, Long, Long)].collect().toSet
+    // the q236 shape: replicate DATA rows to their windows, then
+    // sketch each (group, window) directly
+    val direct = Sketch.thetaSketch(
+        rows.select($"g", $"key", $"pane",
+            explode(sequence(lit(0L), lit((m - 1).toLong))).as("j"))
+          .select(concat_ws("/", $"g", $"pane" - $"j" * lit(S))
+            .as("gw"), $"key"),
+        "gw", "key", k)
+      .select(substring_index($"grp", "/", 1),
+        substring_index($"grp", "/", -1).cast("long"), $"h")
+      .as[(String, Long, Long)].collect().toSet
+    assert(paned == direct)
+  }
+
   // ---- HDR quantile histogram -----------------------------------------
 
   /** Deterministic values spanning 6 decades plus the exact region. */
