@@ -192,6 +192,95 @@ object Stats {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Per-group QUANTILE with a Poisson-bootstrap confidence interval,
+    * riding the HDR sketch ([[Sketch.hdrSketch]]'s bucketing) — the
+    * uncertainty companion of [[poissonBootstrapCi]] for medians/p99s,
+    * where the plain bootstrap is useless at scale (B resamples = B
+    * per-group sorts). Here each replicate is a WEIGHTED HDR sketch:
+    * rows draw the same deterministic md5 Poisson(1) weights as the
+    * mean form, per-replicate bucket masses are ONE hash-agg
+    * (b·buckets cells per group — never a resample, never a sort),
+    * and each replicate's quantile is bracketed by its weighted
+    * cumulative bucket walk.
+    *
+    * The whole surface is LONGS — bucket lower bounds and counts —
+    * so point estimate AND interval endpoints gate hash-exact (the
+    * q240 determinism argument with zero IEEE ops at all): est_lb ≤
+    * the true permille-th order statistic ≤ est_ub (the 2^-hdrB HDR
+    * bracket law), and ci_lo_lb/ci_hi_lb are the loPermille/hiPermille
+    * order statistics (q164 integer rank arithmetic, ties by
+    * replicate id) of the B replicate quantile brackets — a CI of
+    * brackets, with each endpoint carrying the same 2^-hdrB relative
+    * quantization as the point estimate. Replicates with zero total
+    * weight drop (undefined, not zero); b_eff records survivors.
+    * Domain is the HDR contract: nonnegative values; null
+    * group/value/id rows are excluded (the filter is the contract).
+    *
+    * Output: (grp, n, b_eff, est_lb, est_ub, ci_lo_lb, ci_hi_lb).
+    *
+    * Scale shape: the B-way explode is the only expansion, map-side
+    * combined into b·buckets cells per group (≤ ~1.9k buckets at
+    * hdrB = 5); the cumulative walks and rank selection run on
+    * sketch-sized frames only. */
+  def poissonBootstrapQuantileCi(items: DataFrame, grpCol: String,
+      valCol: String, idCol: String, b: Int = 32, permille: Int = 500,
+      hdrB: Int = 5, loPermille: Int = 25,
+      hiPermille: Int = 975): DataFrame = {
+    require(b >= 2 && b <= 256, s"replicates $b out of [2, 256]")
+    require(permille >= 1 && permille <= 1000,
+      s"permille $permille out of [1, 1000]")
+    require(loPermille >= 1 && loPermille < hiPermille &&
+      hiPermille <= 1000,
+      s"bad interval permilles ($loPermille, $hiPermille)")
+    val v = col(valCol).cast("long")
+    val base = items
+      .filter(col(grpCol).isNotNull && v.isNotNull && v >= 0 &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        Sketch.hdrBucketLb(v, hdrB).as("lb"), col(idCol).as("id"))
+    val byLb = Window.partitionBy(col("grp")).orderBy(col("lb"))
+    val whole = Window.partitionBy(col("grp"))
+    val pt = base.groupBy(col("grp"), col("lb"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byLb))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr(s"(${permille}L * n + 999) DIV 1000")))
+      .groupBy(col("grp"))
+      .agg(min(col("lb")).as("est_lb"), first(col("n")).as("n"))
+    val w = bootstrapWeight(col("r"), col("id"))
+    val byLbR = Window.partitionBy(col("grp"), col("r"))
+      .orderBy(col("lb"))
+    val wholeR = Window.partitionBy(col("grp"), col("r"))
+    val repMed = base
+      .select(col("grp"), col("lb"), col("id"),
+        explode(array((0 until b).map(lit(_)): _*)).as("r"))
+      .select(col("grp"), col("r"), col("lb"), w.as("__w"))
+      .groupBy(col("grp"), col("r"), col("lb"))
+      .agg(sum(col("__w")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byLbR))
+      .withColumn("nr", sum(col("cnt")).over(wholeR))
+      .filter(col("nr") > 0 && col("cum") >= greatest(lit(1L),
+        expr(s"(${permille}L * nr + 999) DIV 1000")))
+      .groupBy(col("grp"), col("r"))
+      .agg(min(col("lb")).as("m"))
+    val byM = Window.partitionBy(col("grp"))
+      .orderBy(col("m"), col("r"))
+    val ranked = repMed
+      .withColumn("rk", row_number().over(byM))
+      .withColumn("b_eff", count(lit(1)).over(whole))
+    def at(p: Int, as: String) = ranked
+      .filter(col("rk") === greatest(lit(1L),
+        expr(s"(${p}L * b_eff + 999) DIV 1000")))
+      .select(col("grp"), col("b_eff"), col("m").as(as))
+    pt.join(at(loPermille, "ci_lo_lb").drop("b_eff"), Seq("grp"))
+      .join(at(hiPermille, "ci_hi_lb"), Seq("grp"))
+      .select(col("grp"), col("n"), col("b_eff"), col("est_lb"),
+        (col("est_lb") + Sketch.hdrWidth(col("est_lb"), hdrB) - 1)
+          .as("est_ub"),
+        col("ci_lo_lb"), col("ci_hi_lb"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

@@ -4550,7 +4550,76 @@ object TextQueries {
          lo.ci_lo, hi.ci_hi
        FROM ov JOIN lo ON lo.grp = ov.grp JOIN hi ON hi.grp = ov.grp"""
 
+  /** q244: Poisson-bootstrap confidence interval for the MEDIAN
+    * document length per language
+    * ([[graft.operators.Stats.poissonBootstrapQuantileCi]]): the
+    * quantile uncertainty surface — each of the 32 replicates is a
+    * weighted HDR sketch (one hash-agg of b·buckets cells, never a
+    * resample or a per-group sort), its median bracketed by the
+    * weighted cumulative bucket walk, and the CI is the order
+    * statistics of those brackets. The whole surface is LONGS (HDR
+    * bucket lower bounds), so the point estimate AND both interval
+    * endpoints gate hash-exact — zero IEEE ops anywhere; same
+    * single-source-of-truth Poisson thresholds as q240. */
+  val q244_bootstrap_median: Q = (s, d) =>
+    graft.operators.Stats.poissonBootstrapQuantileCi(
+        Tables.documents(s, d), "lang", "n_chars", "doc_id",
+        b = 32, permille = 500, hdrB = 5)
+      .select(col("grp").as("lang"), col("n"), col("b_eff"),
+        col("est_lb"), col("est_ub"), col("ci_lo_lb"), col("ci_hi_lb"))
+
+  val q244_oracle: String =
+    s"""WITH base AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
+           doc_id AS id
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND n_chars >= 0 AND doc_id IS NOT NULL),
+       bb AS (SELECT grp,
+           v - v % (CASE WHEN length(bin(v)) - 1 <= 5 THEN 1
+             ELSE 1::BIGINT << (length(bin(v)) - 6) END) AS lb, id
+         FROM base),
+       sk AS (SELECT grp, lb, CAST(count(*) AS BIGINT) AS cnt
+         FROM bb GROUP BY 1, 2),
+       c AS (SELECT grp, lb,
+           CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+         FROM sk),
+       pt AS (SELECT grp, n, min(lb) AS est_lb FROM c
+         WHERE cum >= greatest(1, (500 * n + 999) // 1000)
+         GROUP BY 1, 2),
+       uu AS (SELECT grp, lb, r,
+           CAST(('0x' || substr(md5('bs:' || r || ':'
+             || CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u
+         FROM bb CROSS JOIN range(32) AS t(r)),
+       rs AS (SELECT grp, r, lb, CAST(sum($bootCaseSql) AS BIGINT)
+           AS cnt
+         FROM uu GROUP BY 1, 2, 3),
+       rc AS (SELECT grp, r, lb,
+           CAST(sum(cnt) OVER (PARTITION BY grp, r ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY grp, r) AS BIGINT) AS nr
+         FROM rs),
+       rm AS (SELECT grp, r, min(lb) AS m FROM rc
+         WHERE nr > 0 AND cum >= greatest(1, (500 * nr + 999) // 1000)
+         GROUP BY 1, 2),
+       rk AS (SELECT grp, r, m,
+           row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS b_eff
+         FROM rm),
+       lo AS (SELECT grp, b_eff, m AS ci_lo_lb FROM rk
+         WHERE rk = greatest(1, (25 * b_eff + 999) // 1000)),
+       hi AS (SELECT grp, m AS ci_hi_lb FROM rk
+         WHERE rk = greatest(1, (975 * b_eff + 999) // 1000))
+       SELECT pt.grp AS lang, pt.n, lo.b_eff, pt.est_lb,
+         pt.est_lb + (CASE WHEN length(bin(pt.est_lb)) - 1 <= 5 THEN 1
+           ELSE 1::BIGINT << (length(bin(pt.est_lb)) - 6) END) - 1
+           AS est_ub,
+         lo.ci_lo_lb, hi.ci_hi_lb
+       FROM pt JOIN lo ON lo.grp = pt.grp JOIN hi ON hi.grp = pt.grp"""
+
   val all: Map[String, Q] = Map(
+    "q244_bootstrap_median" -> q244_bootstrap_median,
     "q242_bootstrap_ratio" -> q242_bootstrap_ratio,
     "q240_bootstrap_ci" -> q240_bootstrap_ci,
     "q235_theta_joint" -> q235_theta_joint,
@@ -4666,6 +4735,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q244_bootstrap_median" -> q244_oracle,
     "q242_bootstrap_ratio" -> q242_oracle,
     "q240_bootstrap_ci" -> q240_oracle,
     "q235_theta_joint" -> q235_oracle,

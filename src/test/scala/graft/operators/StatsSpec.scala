@@ -178,4 +178,33 @@ class StatsSpec extends SparkSuite {
     assert((hiS - loS) > 2.0 * (hi - lo),
       s"small width ${hiS - loS} vs big ${hi - lo}")
   }
+
+  test("poissonBootstrapQuantileCi: median bracket contains the true " +
+      "median, a constant group collapses its CI to one bucket, the " +
+      "CI endpoints are ordered, and reruns are bit-identical") {
+    // "big": 2000 rows over values 0..99 (true median ~ 49/50);
+    // "const": every row the same value -> every replicate median is
+    // that value's bucket, so ci_lo_lb == ci_hi_lb == est_lb
+    val rows = (0 until 2000).map(i =>
+      ("big", (i % 100).toLong, i.toLong)) ++
+      (0 until 150).map(i => ("const", 77L, (10000 + i).toLong))
+    val df = rows.toDF("g", "v", "id")
+    def run() = Stats.poissonBootstrapQuantileCi(df, "g", "v", "id",
+        b = 32, permille = 500, hdrB = 5)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val got = run()
+    assert(got == run(), "bootstrap must be deterministic")
+    val (_, n, beff, lb, ub, ciLo, ciHi) = got("big")
+    assert(n == 2000L && beff == 32L)
+    // true median of 0..99 repeated: rank 1000 -> value 49
+    assert(lb <= 49L && 49L <= ub, s"bracket [$lb, $ub] misses 49")
+    assert(ciLo <= ciHi && ciLo <= lb && ub >= lb)
+    val (_, nC, beffC, lbC, _, ciLoC, ciHiC) = got("const")
+    assert(nC == 150L && beffC == 32L)
+    // 77 has e = 6 > b = 5 -> bucket width 2^(6-5) = 2, lb = 76
+    assert(lbC == 76L, s"expected lb 76 for value 77 at b=5, got $lbC")
+    assert(ciLoC == lbC && ciHiC == lbC,
+      s"constant group CI [$ciLoC, $ciHiC] != $lbC")
+  }
 }
