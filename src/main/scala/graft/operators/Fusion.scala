@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,11 +134,11 @@ object Fusion {
     * scans a corpus; a 10⁹-query eval is 10⁹·k rows through one
     * equi-join + two group aggs.
     *
-    * NDCG is deliberately NOT offered: its 1/log2(i+1) discount is
-    * irrational, so no exact cross-engine surface exists — a double
-    * NDCG would be the one band-checked metric in an otherwise
-    * hash-exact family (RBO's geometric weights cover the
-    * top-weighted-agreement need exactly instead). */
+    * NDCG lives in [[ndcgAtK]]: its 1/log2(i+1) discount is
+    * irrational, so the exact surface there is a FIXED-POINT discount
+    * table ([[ndcgDiscounts]]) computed once in Scala and interpolated
+    * into both engines — the PoissonThresholds single-source-of-truth
+    * rule applied to ranking discounts. */
   def retrievalMetrics(run: DataFrame, truth: DataFrame,
       groupCol: String, idCol: String, rankCol: String,
       k: Int): DataFrame = {
@@ -184,6 +184,90 @@ object Fusion {
       .withColumn("ap", when(col("n_rel") > 0,
         col("ap_num").cast("double") /
           (lit(lcmL) * least(col("n_rel"), lit(k.toLong))).cast("double")))
+  }
+
+  /** Fixed-point NDCG discount table: disc(i) = round(2^32 /
+    * log2(i+1)) for ranks i = 1..k — the SINGLE source of truth for
+    * [[ndcgAtK]]'s Spark expression AND its oracle SQL (both engines
+    * get these integer literals interpolated; log2 never evaluates
+    * cross-engine — the [[graft.operators.Stats.PoissonThresholds]]
+    * rule). Each entry quantizes its irrational discount to ≤ 2^-32
+    * relative error — eleven orders below any gain's resolution —
+    * while making DCG sums exact integer arithmetic. disc(1) = 2^32
+    * exactly (log2(2) = 1). */
+  def ndcgDiscounts(k: Int): Array[Long] = {
+    require(k >= 1 && k <= 64, s"k $k out of [1, 64]")
+    (1 to k).map { i =>
+      math.round(4294967296.0 / (math.log(i + 1.0) / math.log(2.0)))
+    }.toArray
+  }
+
+  /** NDCG@k with GRADED relevance over the fixed-point discount table
+    * (Järvelin & Kekäläinen, TOIS 2002; linear gain) — the
+    * top-weighted retrieval metric [[retrievalMetrics]] omits, made
+    * hash-exact: DCG_num = Σ_hits rel·disc(rank) and IDCG_num =
+    * Σ_{i≤min(R,k)} rel_(i)·disc(i) (grades sorted descending — ties
+    * in grade are sum-invariant, so the item tie-break only totalizes
+    * the window order) are exact integers (decimal(38,0) sums —
+    * HUGEINT in the oracle — checked into longs at output), and
+    * ndcg = dcg_num / idcg_num is ONE IEEE division of two exact
+    * longs, bit-identical cross-engine.
+    *
+    * Contract: `run` carries 1-based ranks; duplicate (group, item)
+    * rows collapse to best rank, duplicate truth rows to max grade
+    * (the [[rboTopK]] dup hardening). `truth` grades are positive
+    * integers (rows with rel ≤ 0 are non-relevant and drop);
+    * rel·2^32 must fit the decimal product — any real grading scale
+    * does. Groups with NO relevant items report NULL idcg_num/ndcg
+    * (undefined, not zero — the ksTest NULL discipline); groups whose
+    * run retrieved no relevant item report dcg_num = 0, ndcg = 0.
+    * Output: (grp, n_rel, dcg_num, idcg_num, ndcg).
+    *
+    * Scale shape: the [[retrievalMetrics]] argument — runs are top-k
+    * by contract, so the run-truth equi-join and the DCG agg touch
+    * ≤ k rows per group; the ideal side ranks only each group's truth
+    * rows (window + filter i ≤ k). Nothing scans a corpus. */
+  def ndcgAtK(run: DataFrame, truth: DataFrame, groupCol: String,
+      idCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    val discArr = array(ndcgDiscounts(k).map(lit(_)): _*)
+    def discAt(pos: Column) =
+      element_at(discArr, pos.cast("int")).cast("decimal(38,0)")
+    val runSide = run
+      .select(col(groupCol).as("grp"), col(idCol).as("__item"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r").between(1L, k.toLong))
+      .groupBy(col("grp"), col("__item"))
+      .agg(min(col("__r")).as("__r"))
+    val rel = truth
+      .select(col(groupCol).as("grp"), col(idCol).as("__item"),
+        col(relCol).cast("long").as("__rel"))
+      .filter(col("__rel") > 0)
+      .groupBy(col("grp"), col("__item"))
+      .agg(max(col("__rel")).as("__rel"))
+    val nRel = rel.groupBy(col("grp")).agg(count(lit(1)).as("n_rel"))
+    val dcg = runSide.join(rel, Seq("grp", "__item"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__rel").cast("decimal(38,0)") * discAt(col("__r")))
+        .as("__dcg"))
+    val idealW = Window.partitionBy(col("grp"))
+      .orderBy(col("__rel").desc, col("__item"))
+    val idcg = rel
+      .withColumn("__i", row_number().over(idealW).cast("long"))
+      .filter(col("__i") <= k.toLong)
+      .groupBy(col("grp"))
+      .agg(sum(col("__rel").cast("decimal(38,0)") * discAt(col("__i")))
+        .as("__idcg"))
+    runSide.select(col("grp")).distinct()
+      .join(nRel, Seq("grp"), "left")
+      .join(dcg, Seq("grp"), "left")
+      .join(idcg, Seq("grp"), "left")
+      .select(col("grp"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__dcg").cast("long"), lit(0L)).as("dcg_num"),
+        col("__idcg").cast("long").as("idcg_num"))
+      .withColumn("ndcg", when(col("idcg_num").isNotNull,
+        col("dcg_num").cast("double") / col("idcg_num").cast("double")))
   }
 
   /** The exact weight table behind [[rboTopK]]: W(m)·den for

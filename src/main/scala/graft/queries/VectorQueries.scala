@@ -1532,7 +1532,88 @@ object VectorQueries {
        FROM p LEFT JOIN nrel ON nrel.qid = p.qid
        LEFT JOIN agg ON agg.qid = p.qid"""
 
+  /** q245: NDCG@10 with graded relevance
+    * ([[graft.operators.Fusion.ndcgAtK]], Järvelin & Kekäläinen TOIS
+    * 2002): the q234 probe-batch exact-cosine run, judged against a
+    * GRADED truth — rel 2 for same-label items, rel 1 for the coarse
+    * class (label mod 5) — so the metric rewards ranking exact
+    * matches above near-matches, which binary P@k/AP cannot see. The
+    * 1/log2(i+1) discounts are a fixed-point table computed once in
+    * Scala and interpolated into BOTH engines as integer literals
+    * (≤ 2^-32 quantization; log2 never evaluates cross-engine), so
+    * DCG/IDCG are exact integers and ndcg is ONE IEEE division —
+    * the metric NEXT.md called "non-exact by nature" gates
+    * hash-exact. */
+  val q245_ndcg_eval: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+    val run = Similarity.knnJoin(probes, e, "embedding", "vec_id",
+      "embedding", "vec_id", k = 10)
+    val truth = probes.select(col("vec_id").as("query_id"),
+        col("label").as("__qlab"))
+      .join(e.select(col("vec_id").as("item_id"),
+          col("label").as("__ilab")),
+        col("__qlab") % 5 === col("__ilab") % 5)
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        when(col("__ilab") === col("__qlab"), lit(2L)).otherwise(lit(1L))
+          .as("rel"))
+    graft.operators.Fusion.ndcgAtK(run, truth, "query_id", "item_id",
+        "rank", "rel", k = 10)
+      .withColumnRenamed("grp", "probe_id")
+  }
+
+  /** The q245 discount CASE, interpolated from the SAME
+    * [[graft.operators.Fusion.ndcgDiscounts]] table the Spark side
+    * uses. */
+  private def ndcgCase(v: String): String =
+    graft.operators.Fusion.ndcgDiscounts(10).zipWithIndex
+      .map { case (dv, i) => s"WHEN ${i + 1} THEN $dv" }
+      .mkString(s"(CASE $v ", " ", " END)")
+
+  val q245_oracle: String =
+    s"""WITH p AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv,
+           label AS qlab
+         FROM embeddings WHERE vec_id < 8),
+       s AS (SELECT p.qid, e.vec_id AS iid,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p.qv, p.qv))) AS sim
+         FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.qid),
+       run AS (SELECT qid, iid, rk FROM (
+           SELECT qid, iid, row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, iid) AS rk
+           FROM s) WHERE rk <= 10),
+       tr AS (SELECT p.qid, e.vec_id AS iid,
+           CAST(CASE WHEN e.label = p.qlab THEN 2 ELSE 1 END AS BIGINT)
+             AS rel
+         FROM p JOIN embeddings e
+           ON e.label % 5 = p.qlab % 5 AND e.vec_id <> p.qid),
+       nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+         FROM tr GROUP BY 1),
+       dcg AS (SELECT run.qid,
+           CAST(sum(tr.rel * ${ndcgCase("run.rk")}) AS BIGINT)
+             AS dcg_num
+         FROM run JOIN tr ON tr.qid = run.qid AND tr.iid = run.iid
+         GROUP BY 1),
+       ideal AS (SELECT qid, rel, row_number() OVER (
+           PARTITION BY qid ORDER BY rel DESC, iid) AS i
+         FROM tr),
+       idcg AS (SELECT qid,
+           CAST(sum(rel * ${ndcgCase("i")}) AS BIGINT) AS idcg_num
+         FROM ideal WHERE i <= 10 GROUP BY 1)
+       SELECT p.qid AS probe_id, coalesce(nrel.n_rel, 0) AS n_rel,
+         coalesce(dcg.dcg_num, 0) AS dcg_num, idcg.idcg_num,
+         CASE WHEN idcg.idcg_num IS NOT NULL THEN
+           CAST(coalesce(dcg.dcg_num, 0) AS DOUBLE)
+             / CAST(idcg.idcg_num AS DOUBLE) END AS ndcg
+       FROM p LEFT JOIN nrel ON nrel.qid = p.qid
+       LEFT JOIN dcg ON dcg.qid = p.qid
+       LEFT JOIN idcg ON idcg.qid = p.qid"""
+
   val all: Map[String, Q] = Map(
+    "q245_ndcg_eval" -> q245_ndcg_eval,
     "q234_retrieval_eval" -> q234_retrieval_eval,
     "q177_sq8_topk" -> q177_sq8_topk,
     "q179_label_noise" -> q179_label_noise,
@@ -1575,6 +1656,7 @@ object VectorQueries {
     "q216_margin_mining_lsh" -> q216_margin_mining_lsh)
 
   val oracles: Map[String, String] = Map(
+    "q245_ndcg_eval" -> q245_oracle,
     "q234_retrieval_eval" -> q234_oracle,
     "q197_margin_mining" -> q197_oracle,
     "q216_margin_mining_lsh" -> q216_oracle,

@@ -109,4 +109,32 @@ class FusionSpec extends SparkSuite {
     assert(got("C") == ("C", 1L, 1L, Some(1L), 60L, 60L, 1.0 / 5.0,
       Some(1.0), 1.0, Some(1.0)))
   }
+
+  test("ndcgAtK: hand-computed fixed-point DCG/IDCG, perfect ranking " +
+      "scores exactly 1.0, no-relevant group is NULL (undefined)") {
+    val d = Fusion.ndcgDiscounts(3)
+    assert(d(0) == 4294967296L, "disc(1) must be exactly 2^32")
+    assert(d(2) == 2147483648L, "disc(3) = 2^32/log2(4) = 2^31 exactly")
+    // g: truth a=2, b=1, c=1 (d rel=0 drops); run = b@1, x@2, a@3
+    // p: same truth, run = a@1, b@2, c@3 (the ideal order) -> ndcg 1
+    // h: run only, no truth -> NULL idcg/ndcg
+    val run = Seq(
+      ("g", "b", 1L), ("g", "x", 2L), ("g", "a", 3L),
+      ("p", "a", 1L), ("p", "b", 2L), ("p", "c", 3L),
+      ("h", "a", 1L)).toDF("grp", "item", "rank")
+    val truth = Seq(
+      ("g", "a", 2L), ("g", "b", 1L), ("g", "c", 1L), ("g", "d", 0L),
+      ("p", "a", 2L), ("p", "b", 1L), ("p", "c", 1L))
+      .toDF("grp", "item", "rel")
+    val got = Fusion.ndcgAtK(run, truth, "grp", "item", "rank", "rel",
+        k = 3)
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val idcg = 2L * d(0) + d(1) + d(2)
+    val dcgG = d(0) + 2L * d(2) // b@1 (rel 1), a@3 (rel 2)
+    assert(got("g") == ("g", 3L, dcgG, Some(idcg),
+      Some(dcgG.toDouble / idcg.toDouble)))
+    assert(got("p") == ("p", 3L, idcg, Some(idcg), Some(1.0)))
+    assert(got("h") == ("h", 0L, 0L, None, None))
+  }
 }
