@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** fastText-style hashed linear text classifier (Joulin et al. 2016,
@@ -85,6 +86,64 @@ object Classifier {
         col("tp").cast("double") / (col("tp") + col("fp"))))
       .withColumn("recall", when(col("tp") + col("fn") > 0,
         col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
+  /** Per-group ROC AUC, exactly, via the Mann–Whitney U equivalence
+    * (Hanley & McNeil, Radiology 1982: AUC = U⁺/(n⁺·n⁻)) with MIDRANK
+    * tie handling — tied (pos, neg) score pairs count ½, i.e. the
+    * trapezoid the ROC curve draws across a tie block. The companion
+    * of [[thresholdSweep]]: the sweep reads one cutoff, AUC summarizes
+    * the whole ranking.
+    *
+    * Exactness (the q183 discipline): ranks never materialize
+    * per-row — for a tie block of c_tot rows starting after C
+    * cumulative rows, every row's DOUBLED midrank is 2C + c_tot + 1
+    * (an integer: this is why the statistic is carried ×2), so
+    * 2·Σ_pos midrank = Σ blocks c_pos·(2C + c_tot + 1) in exact
+    * 128-bit arithmetic (decimal(38,0) / HUGEINT), u2_num =
+    * that − n⁺(n⁺+1), and auc = u2_num / (2·n⁺·n⁻) is ONE IEEE
+    * division of two exactly-rounded integer casts. u2_num is checked
+    * into a long at output (n⁺·n⁻ < 2^62 — every real eval fits).
+    * A group with an empty class reports NULL auc (undefined, not
+    * 0.5 — the chiSquare2x2 degenerate-margin convention).
+    *
+    * Contract: `scoreCol` is integer-valued (the engine's score
+    * surfaces are exact longs — [[scoreHashedLinear]], Curation
+    * signals, fixed-point decimals upstream); `goldCol` casts to
+    * boolean; null group/score/gold rows drop (the filter is the
+    * contract).
+    *
+    * Scale shape: ONE hash-agg to (grp, score) cells (map-side
+    * combined — the corpus never sorts), then the cumulative walk and
+    * the U sum run on the score-distinct frame, bounded by distinct
+    * scores per group, not rows. Output: (grp, n_pos, n_neg, u2_num,
+    * auc). */
+  def aucRoc(scored: DataFrame, groupCol: String, scoreCol: String,
+      goldCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = scored
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(goldCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(scoreCol).cast("long").as("s"),
+        col(goldCol).cast("boolean").as("g"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c_pos"),
+        count(lit(1)).as("c_tot"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+    cells
+      .withColumn("cum", sum(col("c_tot")).over(w) - col("c_tot"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c_pos")).as("n_pos"),
+        sum(col("c_tot") - col("c_pos")).as("n_neg"),
+        sum(d38(col("c_pos")) *
+          d38(lit(2L) * col("cum") + col("c_tot") + 1)).as("__r2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        (col("__r2") - d38(col("n_pos")) * d38(col("n_pos") + 1))
+          .cast("long").as("u2_num"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("u2_num").cast("double") /
+          (d38(lit(2L)) * d38(col("n_pos")) * d38(col("n_neg")))
+            .cast("double")))
   }
 
   def scoreHashedLinear(docs: DataFrame, idCol: String, textCol: String,

@@ -4618,7 +4618,54 @@ object TextQueries {
          lo.ci_lo_lb, hi.ci_hi_lb
        FROM pt JOIN lo ON lo.grp = pt.grp JOIN hi ON hi.grp = pt.grp"""
 
+  /** q246: exact ROC AUC per language
+    * ([[graft.operators.Classifier.aucRoc]] — Mann–Whitney U with
+    * midrank ties, Hanley & McNeil 1982): how well document LENGTH
+    * ranks "contains the token 'the'" — the does-this-signal-
+    * discriminate readout a curation pipeline runs before promoting a
+    * score to a filter (the companion of q163's threshold sweep: the
+    * sweep reads one cutoff, AUC grades the whole ranking). Ranks
+    * never materialize: one hash-agg to (lang, n_chars) cells, the
+    * doubled-midrank identity 2C + c_tot + 1 over the cumulative
+    * walk, exact 128-bit sums — auc is ONE IEEE division and gates
+    * hash-exact, ties and all. */
+  val q246_auc_signal: Q = (s, d) =>
+    graft.operators.Classifier.aucRoc(
+        Tables.documents(s, d).select(col("lang"), col("n_chars"),
+          col("text").contains("the").as("gold")),
+        "lang", "n_chars", "gold")
+      .select(col("grp").as("lang"), col("n_pos"), col("n_neg"),
+        col("u2_num"), col("auc"))
+
+  val q246_oracle: String =
+    """WITH b AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS s,
+           contains(text, 'the') AS g
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND text IS NOT NULL),
+       cs AS (SELECT grp, s,
+           CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+           CAST(count(*) AS BIGINT) AS c_tot
+         FROM b GROUP BY 1, 2),
+       cc AS (SELECT grp, s, c_pos, c_tot,
+           CAST(sum(c_tot) OVER (PARTITION BY grp ORDER BY s)
+             AS BIGINT) - c_tot AS cum
+         FROM cs),
+       a AS (SELECT grp, CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_tot - c_pos) AS BIGINT) AS n_neg,
+           sum(CAST(c_pos AS HUGEINT) * (2 * cum + c_tot + 1)) AS r2
+         FROM cc GROUP BY 1)
+       SELECT grp AS lang, n_pos, n_neg,
+         CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+           AS u2_num,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE) END
+           AS auc
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q246_auc_signal" -> q246_auc_signal,
     "q244_bootstrap_median" -> q244_bootstrap_median,
     "q242_bootstrap_ratio" -> q242_bootstrap_ratio,
     "q240_bootstrap_ci" -> q240_bootstrap_ci,
@@ -4735,6 +4782,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q246_auc_signal" -> q246_oracle,
     "q244_bootstrap_median" -> q244_oracle,
     "q242_bootstrap_ratio" -> q242_oracle,
     "q240_bootstrap_ci" -> q240_oracle,

@@ -70,4 +70,27 @@ class ClassifierSpec extends SparkSuite {
       weights, C, B).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("aucRoc: hand-computed U with midrank ties, perfect = 1, " +
+      "reversed = 0, one-class group is NULL (undefined)") {
+    // t: pos {3,3,2}, neg {1,3} -> pairs won 3 (vs neg 1) + ties 2*0.5
+    //    = U 4 -> u2 8, auc 8/(2*3*2) = 2/3
+    // perf: pos {5,6} > neg {1,2} -> U 4, auc 1; rev: pos {1} < both
+    // onec: positives only -> auc NULL
+    val rows = Seq(
+      ("t", 3L, true), ("t", 3L, true), ("t", 2L, true),
+      ("t", 1L, false), ("t", 3L, false),
+      ("perf", 5L, true), ("perf", 6L, true),
+      ("perf", 1L, false), ("perf", 2L, false),
+      ("rev", 1L, true), ("rev", 2L, false), ("rev", 3L, false),
+      ("onec", 7L, true), ("onec", 8L, true))
+      .toDF("g", "s", "gold")
+    val got = Classifier.aucRoc(rows, "g", "s", "gold")
+      .as[(String, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("t") == (("t", 3L, 2L, 8L, Some(2.0 / 3.0))))
+    assert(got("perf") == (("perf", 2L, 2L, 8L, Some(1.0))))
+    assert(got("rev") == (("rev", 1L, 2L, 0L, Some(0.0))))
+    assert(got("onec") == (("onec", 2L, 0L, 0L, None)))
+  }
 }
