@@ -305,4 +305,62 @@ object Sample {
       .filter(col("rank") <= maxLim && col("rank") <= lim)
       .select(col(stratumCol), col(idCol), col("rank"))
   }
+
+  /** WEIGHTED sampling without replacement, fixed size k per group —
+    * priority sampling (Duffield, Lund & Thorup, JACM 2007): each row
+    * draws priority q = w/u for a uniform u, the k highest-priority
+    * rows are the sample, and τ = the (k+1)-th priority makes
+    * ŵ = max(w, τ) an (near-)unbiased estimator of any subset sum —
+    * THE way to keep a 10k-doc sample that still answers "how many
+    * bytes does source X hold" without rescanning 100 TB. DLT prove
+    * its variance is within a factor 1 + O(1/k) of the optimal
+    * scheme.
+    *
+    * Determinism (the [[stratified]] rule, extended to weights): u is
+    * the md5("pri:" + id) 32-bit variate, and the priority is the
+    * FIXED-POINT quotient q_fp = w·2^32 div u — exact integer
+    * arithmetic both engines share (decimal/HUGEINT product, integral
+    * divide), so sample membership, τ, and every ŵ gate hash-exact.
+    * The floor quantizes each priority by ≤ 2^-32 relative — far
+    * below the sampling noise it perturbs. Ties (same q_fp) break by
+    * id. Contract: weights are positive longs below 2^31 (the
+    * quotient must fit a long — any byte/token/char weight does);
+    * w ≤ 0 or null rows drop (zero-weight items carry no mass).
+    *
+    * Unsaturated groups (≤ k rows) return ALL rows with τ = 0 and
+    * ŵ = w — the estimator is exact there, the theta-sketch
+    * unsaturated convention. Output: (grp, id, w, q_fp, tau, w_est),
+    * k rows per saturated group.
+    *
+    * Scale shape: one projection computes priorities, one per-group
+    * top-(k+1) (WindowGroupLimit prunes map-side — no global sort),
+    * and the τ join runs on the one-row-per-group rk = k+1 frame,
+    * which broadcasts. The checkpoint bounds the window subtree to
+    * ONE run for its two consumers (sample + τ). */
+  def prioritySample(df: DataFrame, grpCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val w = col(weightCol).cast("long")
+    val base = df
+      .filter(col(grpCol).isNotNull && col(idCol).isNotNull &&
+        w.isNotNull && w > 0)
+      .select(col(grpCol).as("grp"), col(idCol).as("id"), w.as("w"))
+      .withColumn("__u", conv(substring(md5(concat(lit("pri:"),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
+      .withColumn("q_fp",
+        expr("CAST(w AS DECIMAL(38,0)) * 4294967296 DIV __u"))
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(col("q_fp").desc, col("id"))
+    val ranked = base
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k + 1)
+      .localCheckpoint()
+    val tau = ranked.filter(col("__rk") === k + 1)
+      .select(col("grp"), col("q_fp").as("tau"))
+    ranked.filter(col("__rk") <= k)
+      .join(tau, Seq("grp"), "left")
+      .withColumn("tau", coalesce(col("tau"), lit(0L)))
+      .select(col("grp"), col("id"), col("w"), col("q_fp"), col("tau"),
+        greatest(col("w"), col("tau")).as("w_est"))
+  }
 }

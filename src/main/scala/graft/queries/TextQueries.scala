@@ -4664,7 +4664,97 @@ object TextQueries {
            AS auc
        FROM a"""
 
+  /** q247: priority sample of documents per source, weighted by
+    * n_chars ([[graft.operators.Sample.prioritySample]] — Duffield,
+    * Lund & Thorup JACM 2007): the k = 8 highest w/u priorities per
+    * source with the (k+1)-th priority as threshold τ and
+    * ŵ = max(w, τ) per kept row — the weighted sample whose subset
+    * sums stay answerable after the corpus is gone. Priorities are
+    * fixed-point quotients w·2^32 div u of the md5 variate (exact
+    * integer arithmetic both engines share), so membership, τ, and
+    * every ŵ gate hash-exact; at sf0.001 most sources are
+    * unsaturated (τ = 0, estimator exact), at sf0.01 they saturate —
+    * both regimes across the two gate SFs. */
+  val q247_priority_sample: Q = (s, d) =>
+    graft.operators.Sample.prioritySample(Tables.documents(s, d),
+        "source", "doc_id", "n_chars", k = 8)
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("w"), col("q_fp"), col("tau"), col("w_est"))
+
+  val q247_oracle: String =
+    """WITH b AS (SELECT source AS grp, doc_id AS id,
+           CAST(n_chars AS BIGINT) AS w
+         FROM documents
+         WHERE source IS NOT NULL AND doc_id IS NOT NULL
+           AND n_chars IS NOT NULL AND n_chars > 0),
+       q AS (SELECT grp, id, w,
+           CAST((CAST(w AS HUGEINT) * 4294967296) //
+             (CAST(('0x' || substr(md5('pri:' || CAST(id AS VARCHAR)),
+               1, 8)) AS BIGINT) + 1) AS BIGINT) AS q_fp
+         FROM b),
+       r AS (SELECT grp, id, w, q_fp, row_number() OVER (
+           PARTITION BY grp ORDER BY q_fp DESC, id) AS rk
+         FROM q),
+       t AS (SELECT grp, q_fp AS tau FROM r WHERE rk = 9)
+       SELECT r.grp AS source, r.id AS doc_id, r.w, r.q_fp,
+         coalesce(t.tau, 0) AS tau,
+         greatest(r.w, coalesce(t.tau, 0)) AS w_est
+       FROM r LEFT JOIN t ON t.grp = r.grp WHERE r.rk <= 8"""
+
+  /** q248: the priority-sample ESTIMATOR readout — per source, the
+    * exact corpus char mass beside the mass estimated from ONLY the
+    * q247 sample's ŵ = max(w, τ) values (the q224-vs-q225 split:
+    * estimator and truth in one hash-checked surface). Unsaturated
+    * sources match exactly; saturated ones carry the DLT sampling
+    * error, which the gate pins hash-exactly rather than
+    * band-checks — the determinism makes even the error replayable. */
+  val q248_priority_estimate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sample = graft.operators.Sample.prioritySample(docs, "source",
+      "doc_id", "n_chars", k = 8)
+    val exact = docs
+      .filter(col("source").isNotNull && col("doc_id").isNotNull &&
+        col("n_chars").isNotNull && col("n_chars") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("total_w"))
+    exact.join(
+        sample.groupBy(col("grp").as("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("w_est")).as("est_w")),
+        Seq("source"))
+  }
+
+  val q248_oracle: String =
+    """WITH b AS (SELECT source AS grp, doc_id AS id,
+           CAST(n_chars AS BIGINT) AS w
+         FROM documents
+         WHERE source IS NOT NULL AND doc_id IS NOT NULL
+           AND n_chars IS NOT NULL AND n_chars > 0),
+       q AS (SELECT grp, id, w,
+           CAST((CAST(w AS HUGEINT) * 4294967296) //
+             (CAST(('0x' || substr(md5('pri:' || CAST(id AS VARCHAR)),
+               1, 8)) AS BIGINT) + 1) AS BIGINT) AS q_fp
+         FROM b),
+       r AS (SELECT grp, id, w, q_fp, row_number() OVER (
+           PARTITION BY grp ORDER BY q_fp DESC, id) AS rk
+         FROM q),
+       t AS (SELECT grp, q_fp AS tau FROM r WHERE rk = 9),
+       smp AS (SELECT r.grp, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(greatest(r.w, coalesce(t.tau, 0))) AS BIGINT)
+             AS est_w
+         FROM r LEFT JOIN t ON t.grp = r.grp WHERE r.rk <= 8
+         GROUP BY 1),
+       ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS total_w
+         FROM b GROUP BY 1)
+       SELECT ex.grp AS source, ex.n, ex.total_w, smp.n_sampled,
+         smp.est_w
+       FROM ex JOIN smp ON smp.grp = ex.grp"""
+
   val all: Map[String, Q] = Map(
+    "q247_priority_sample" -> q247_priority_sample,
+    "q248_priority_estimate" -> q248_priority_estimate,
     "q246_auc_signal" -> q246_auc_signal,
     "q244_bootstrap_median" -> q244_bootstrap_median,
     "q242_bootstrap_ratio" -> q242_bootstrap_ratio,
@@ -4782,6 +4872,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q247_priority_sample" -> q247_oracle,
+    "q248_priority_estimate" -> q248_oracle,
     "q246_auc_signal" -> q246_oracle,
     "q244_bootstrap_median" -> q244_oracle,
     "q242_bootstrap_ratio" -> q242_oracle,

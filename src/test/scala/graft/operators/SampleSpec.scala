@@ -304,4 +304,34 @@ class SampleSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
+
+  test("prioritySample: unsaturated group returns everything exactly " +
+      "(tau 0, w_est = w); saturated group keeps k rows with tau > 0 " +
+      "and w_est >= w; zero/negative weights drop; deterministic") {
+    val rows = (0 until 400).map(i =>
+      ("big", i.toLong, (i % 50 + 1).toLong)) ++
+      (0 until 5).map(i => ("small", (1000 + i).toLong, 10L)) ++
+      Seq(("small", 2000L, 0L), ("small", 2001L, -3L)) // dropped
+    val df = rows.toDF("g", "id", "w")
+    def run() = Sample.prioritySample(df, "g", "id", "w", k = 64)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run()
+    assert(got == run(), "priority sample must be deterministic")
+    val small = got.filter(_._1 == "small")
+    assert(small.map(_._2) == Set(1000L, 1001L, 1002L, 1003L, 1004L))
+    assert(small.forall(r => r._5 == 0L && r._6 == r._3),
+      "unsaturated: tau 0, w_est = w")
+    val big = got.filter(_._1 == "big")
+    assert(big.size == 64)
+    assert(big.forall(_._5 > 0L), "saturated group must carry tau > 0")
+    assert(big.forall(r => r._6 == math.max(r._3, r._5)))
+    // every kept priority beats tau (they are the top k by q_fp)
+    assert(big.forall(r => r._4 >= big.head._5))
+    // the estimator lands near the true mass on this fixture (one
+    // deterministic draw; the bound is loose but pinned)
+    val est = big.toSeq.map(_._6).sum.toDouble
+    val truth = (0 until 400).map(i => (i % 50 + 1).toLong).sum.toDouble
+    assert(math.abs(est - truth) / truth < 0.3,
+      s"estimate $est vs truth $truth")
+  }
 }
