@@ -281,6 +281,70 @@ object Stats {
         col("ci_lo_lb"), col("ci_hi_lb"))
   }
 
+  /** Per-group distribution-SHAPE census — mean, sample variance,
+    * population skewness g1, and population excess kurtosis g2 — the
+    * "did the length/score distribution change shape, not just
+    * location?" readout next to [[ksTest]] (which answers yes/no;
+    * this says HOW: tail direction, peakedness).
+    *
+    * Exactness (the q183 discipline): the power sums S1..S4 are exact
+    * 128-bit integers (decimal(38,0) / HUGEINT), the scaled central
+    * moments are exact integer combinations —
+    *   M2 = n·S2 − S1²            (= n²·m2)
+    *   M3 = n²·S3 − 3n·S1·S2 + 2S1³    (= n³·m3)
+    *   M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴  (= n⁴·m4)
+    * — and the n-powers cancel in the ratios, so each statistic is a
+    * FIXED tree of correctly-rounded IEEE ops over exact integers:
+    *   variance = M2 / (n(n−1))        (sample, n ≥ 2)
+    *   g1 = M3 / (M2·√M2)              (= m3/m2^1.5; √ is exact IEEE)
+    *   g2 = M4 / (M2·M2) − 3
+    * g1/g2 are NULL when M2 = 0 (constant group — undefined, not 0;
+    * the chiSquare2x2 degenerate convention), variance NULL when
+    * n < 2.
+    *
+    * Envelope: every product must fit 38 digits — S1⁴ is the binding
+    * term. Central moments are SHIFT-INVARIANT, so when n·v̄⁴ products
+    * approach 10³⁸ the caller pre-centers with any constant anchor
+    * (one projection: v − anchor) and only the mean moves; values
+    * like chars/tokens/scores at 10⁹ rows fit without shifting.
+    *
+    * Scale shape: ONE map-side-combined hash-agg to five cells per
+    * group; the statistics are a stateless projection over the
+    * group-count-sized frame. */
+  def momentCensus(items: DataFrame, grpCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val agg = items
+      .filter(col(grpCol).isNotNull && v.isNotNull)
+      .select(col(grpCol).as("grp"), d38(v).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val n = d38(col("n"))
+    val s1 = col("s1"); val s2 = col("s2")
+    val s3 = col("s3"); val s4 = col("s4")
+    val m2 = n * s2 - s1 * s1
+    val m3 = n * n * s3 - lit(3) * n * s1 * s2 + lit(2) * s1 * s1 * s1
+    val m4 = n * n * n * s4 - lit(4) * n * n * s1 * s3 +
+      lit(6) * n * s1 * s1 * s2 - lit(3) * s1 * s1 * s1 * s1
+    val dbl = (c: Column) => c.cast("double")
+    agg
+      .withColumn("__m2", m2).withColumn("__m3", m3)
+      .withColumn("__m4", m4)
+      .select(col("grp"), col("n"),
+        (dbl(s1) / dbl(col("n"))).as("mean"),
+        when(col("n") >= 2, dbl(col("__m2")) /
+          dbl(d38(col("n")) * d38(col("n") - 1))).as("variance"),
+        when(col("__m2") > 0, dbl(col("__m3")) /
+          (dbl(col("__m2")) * sqrt(dbl(col("__m2"))))).as("g1_skew"),
+        when(col("__m2") > 0, dbl(col("__m4")) /
+          (dbl(col("__m2")) * dbl(col("__m2"))) - lit(3.0d))
+          .as("g2_kurt"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

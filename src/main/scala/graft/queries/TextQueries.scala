@@ -4752,7 +4752,53 @@ object TextQueries {
          smp.est_w
        FROM ex JOIN smp ON smp.grp = ex.grp"""
 
+  /** q249: distribution-shape census of document length per language
+    * ([[graft.operators.Stats.momentCensus]]): mean, sample variance,
+    * population skewness g1, excess kurtosis g2 — the HOW companion
+    * of the q-series KS drift gates (KS says the distribution moved;
+    * the census says which tail and how peaked). Power sums are exact
+    * 128-bit integers, the n-powers cancel in the moment ratios, and
+    * every statistic is a fixed tree of correctly-rounded IEEE ops
+    * (g1 = M3/(M2·√M2) — the x^1.5 expressed as multiply + sqrt,
+    * both exactly rounded), so four float statistics gate
+    * hash-exact. */
+  val q249_moment_census: Q = (s, d) =>
+    graft.operators.Stats.momentCensus(Tables.documents(s, d),
+        "lang", "n_chars")
+      .select(col("grp").as("lang"), col("n"), col("mean"),
+        col("variance"), col("g1_skew"), col("g2_kurt"))
+
+  val q249_oracle: String =
+    """WITH b AS (SELECT lang AS grp, CAST(n_chars AS HUGEINT) AS v
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+       a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           sum(v) AS s1, sum(v*v) AS s2, sum(v*v*v) AS s3,
+           sum(v*v*v*v) AS s4
+         FROM b GROUP BY 1),
+       m AS (SELECT grp, n, CAST(n AS HUGEINT) AS nh, s1,
+           CAST(n AS HUGEINT)*s2 - s1*s1 AS m2,
+           CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s3
+             - 3*CAST(n AS HUGEINT)*s1*s2 + 2*s1*s1*s1 AS m3,
+           CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s4
+             - 4*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s1*s3
+             + 6*CAST(n AS HUGEINT)*s1*s1*s2 - 3*s1*s1*s1*s1 AS m4
+         FROM a)
+       SELECT grp AS lang, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CASE WHEN n >= 2 THEN
+           CAST(m2 AS DOUBLE) / CAST(nh*(nh-1) AS DOUBLE) END
+           AS variance,
+         CASE WHEN m2 > 0 THEN CAST(m3 AS DOUBLE)
+           / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) END
+           AS g1_skew,
+         CASE WHEN m2 > 0 THEN CAST(m4 AS DOUBLE)
+           / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 END
+           AS g2_kurt
+       FROM m"""
+
   val all: Map[String, Q] = Map(
+    "q249_moment_census" -> q249_moment_census,
     "q247_priority_sample" -> q247_priority_sample,
     "q248_priority_estimate" -> q248_priority_estimate,
     "q246_auc_signal" -> q246_auc_signal,
@@ -4872,6 +4918,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q249_moment_census" -> q249_oracle,
     "q247_priority_sample" -> q247_oracle,
     "q248_priority_estimate" -> q248_oracle,
     "q246_auc_signal" -> q246_oracle,

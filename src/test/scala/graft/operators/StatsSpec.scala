@@ -207,4 +207,21 @@ class StatsSpec extends SparkSuite {
     assert(ciLoC == lbC && ciHiC == lbC,
       s"constant group CI [$ciLoC, $ciHiC] != $lbC")
   }
+
+  test("momentCensus: hand-computed moments on {1,2,3,4}, constant " +
+      "group has variance 0 and NULL shape, singleton all-NULL") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(("c", 7L), ("c", 7L), ("c", 7L)) ++ Seq(("s", 5L)))
+      .toDF("g", "v")
+    val got = Stats.momentCensus(df, "g", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // {1,2,3,4}: M2=20, M3=0, M4=656; var=20/12, g1=0,
+    // g2 = 656/400 - 3 = -1.36
+    assert(got("a") == (("a", 4L, 2.5, Some(20.0 / 12.0), Some(0.0),
+      Some(656.0 / 400.0 - 3.0))))
+    assert(got("c") == (("c", 3L, 7.0, Some(0.0), None, None)))
+    assert(got("s") == (("s", 1L, 5.0, None, None, None)))
+  }
 }
