@@ -345,6 +345,67 @@ object Stats {
           .as("g2_kurt"))
   }
 
+  /** Per-group TRIMMED and WINSORIZED means — the robust location
+    * estimates a curation dashboard wants when means are dragged by
+    * outlier documents (one 100 MB page moves a source's mean length;
+    * it cannot move the 5%-trimmed mean): drop (trimmed) or clamp
+    * (winsorized) the t = ⌊trim‰·n/1000⌋ most extreme rows per end.
+    *
+    * Exactness: ranks never materialize — per distinct value v with
+    * count c starting after C cumulative rows, the kept mass is the
+    * interval overlap min(C+c, n−t) − max(C, t) clamped at 0 (exact
+    * integer arithmetic; the [[Classifier.aucRoc]] walk), the
+    * trim-boundary order statistics q_lo (rank t+1) and q_hi (rank
+    * n−t) fall out of the same cumulative frame, the winsorized sum
+    * adds t·q_lo + t·q_hi to the trimmed sum, and each mean is ONE
+    * IEEE division of exact 128-bit integers — every column gates
+    * hash-exact. trim‰ = 0 degrades to the plain mean.
+    *
+    * Output: (grp, n, n_kept, q_lo, q_hi, trimmed_sum, trimmed_mean,
+    * winsor_mean); n_kept = n − 2t ≥ 1 always (trim‰ < 500).
+    *
+    * Scale shape: one map-side-combined hash-agg to (grp, v) cells,
+    * then the cumulative walk and the sums run on the value-distinct
+    * frame — bounded by distinct values per group, not rows. */
+  def trimmedMeanCensus(items: DataFrame, grpCol: String,
+      valCol: String, trimPermille: Int): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trim permille $trimPermille out of [0, 500)")
+    val v = col(valCol).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = items
+      .filter(col(grpCol).isNotNull && v.isNotNull)
+      .select(col(grpCol).as("grp"), v.as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("grp"))
+    val walk = cells
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("cum", sum(col("c")).over(byV) - col("c"))
+      .withColumn("t", expr(s"(${trimPermille}L * n) DIV 1000"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum") + col("c"), col("n") - col("t")) -
+          greatest(col("cum"), col("t"))))
+    walk.groupBy(col("grp"))
+      .agg(first(col("n")).as("n"), first(col("t")).as("__t"),
+        min(when(col("cum") + col("c") >= col("t") + 1, col("v")))
+          .as("q_lo"),
+        min(when(col("cum") + col("c") >= col("n") - col("t"),
+          col("v"))).as("q_hi"),
+        sum(d38(col("v")) * d38(col("kept"))).as("__tsum"))
+      .select(col("grp"), col("n"),
+        (col("n") - lit(2L) * col("__t")).as("n_kept"),
+        col("q_lo"), col("q_hi"),
+        col("__tsum").cast("long").as("trimmed_sum"),
+        (col("__tsum").cast("double") /
+          (col("n") - lit(2L) * col("__t")).cast("double"))
+          .as("trimmed_mean"),
+        ((col("__tsum") + d38(col("__t")) * d38(col("q_lo")) +
+          d38(col("__t")) * d38(col("q_hi"))).cast("double") /
+          col("n").cast("double")).as("winsor_mean"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

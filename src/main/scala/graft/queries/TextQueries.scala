@@ -4797,7 +4797,52 @@ object TextQueries {
            AS g2_kurt
        FROM m"""
 
+  /** q250: 5%-trimmed and winsorized mean document length per source
+    * ([[graft.operators.Stats.trimmedMeanCensus]]): the robust
+    * location readout — one pathological document cannot move either
+    * statistic, unlike the plain mean beside them in q240's CI. Ranks
+    * never materialize: the kept mass per distinct value is an
+    * integer interval overlap on the cumulative walk (the q246 AUC
+    * frame), boundary order statistics fall out of the same frame,
+    * and both means are ONE IEEE division of exact 128-bit sums —
+    * hash-exact, duplicates straddling the cut included. */
+  val q250_trimmed_mean: Q = (s, d) =>
+    graft.operators.Stats.trimmedMeanCensus(Tables.documents(s, d),
+        "source", "n_chars", trimPermille = 50)
+      .select(col("grp").as("source"), col("n"), col("n_kept"),
+        col("q_lo"), col("q_hi"), col("trimmed_sum"),
+        col("trimmed_mean"), col("winsor_mean"))
+
+  val q250_oracle: String =
+    """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+         FROM documents
+         WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+       cs AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+         FROM b GROUP BY 1, 2),
+       w AS (SELECT grp, v, c,
+           CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+           CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+             - c AS cum
+         FROM cs),
+       k AS (SELECT grp, v, c, n, cum, (50 * n) // 1000 AS t,
+           greatest(0, least(cum + c, n - (50 * n) // 1000)
+             - greatest(cum, (50 * n) // 1000)) AS kept
+         FROM w),
+       a AS (SELECT grp, min(n) AS n, min(t) AS t,
+           min(CASE WHEN cum + c >= t + 1 THEN v END) AS q_lo,
+           min(CASE WHEN cum + c >= n - t THEN v END) AS q_hi,
+           sum(CAST(v AS HUGEINT) * kept) AS tsum
+         FROM k GROUP BY 1)
+       SELECT grp AS source, n, n - 2*t AS n_kept, q_lo, q_hi,
+         CAST(tsum AS BIGINT) AS trimmed_sum,
+         CAST(tsum AS DOUBLE) / CAST(n - 2*t AS DOUBLE)
+           AS trimmed_mean,
+         CAST(tsum + CAST(t AS HUGEINT)*q_lo + CAST(t AS HUGEINT)*q_hi
+           AS DOUBLE) / CAST(n AS DOUBLE) AS winsor_mean
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q250_trimmed_mean" -> q250_trimmed_mean,
     "q249_moment_census" -> q249_moment_census,
     "q247_priority_sample" -> q247_priority_sample,
     "q248_priority_estimate" -> q248_priority_estimate,
@@ -4918,6 +4963,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q250_trimmed_mean" -> q250_oracle,
     "q249_moment_census" -> q249_oracle,
     "q247_priority_sample" -> q247_oracle,
     "q248_priority_estimate" -> q248_oracle,

@@ -224,4 +224,30 @@ class StatsSpec extends SparkSuite {
     assert(got("c") == (("c", 3L, 7.0, Some(0.0), None, None)))
     assert(got("s") == (("s", 1L, 5.0, None, None, None)))
   }
+
+  test("trimmedMeanCensus: outlier drops (trimmed) or clamps " +
+      "(winsorized) by hand-computed amounts; duplicates straddling " +
+      "the cut keep exactly the overlap; trim 0 = plain mean") {
+    // a: {1..10, 1000}, trim 100 permille -> t=1: drop 1 and 1000,
+    //    keep 2..10 (sum 54, mean 6); winsor: 54 + 2 + 10 = 66 -> 6.0
+    // d: {1,5,5,5,9}, trim 200 permille -> t=1: kept mass is the 5s
+    val rows = ((1L to 10L) :+ 1000L).map(("a", _)) ++
+      Seq(1L, 5L, 5L, 5L, 9L).map(("d", _))
+    val df = rows.toDF("g", "v")
+    val got = Stats.trimmedMeanCensus(df, "g", "v", 100)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 11L, 9L, 2L, 10L, 54L, 6.0, 6.0)))
+    val gotD = Stats.trimmedMeanCensus(df.filter($"g" === "d"),
+        "g", "v", 200)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(gotD == (("d", 5L, 3L, 5L, 5L, 15L, 5.0, 5.0)))
+    val plain = Stats.trimmedMeanCensus(df.filter($"g" === "a"),
+        "g", "v", 0)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(plain._3 == 11L && plain._6 == 1055L &&
+      plain._7 == 1055.0 / 11.0 && plain._8 == 1055.0 / 11.0)
+  }
 }
