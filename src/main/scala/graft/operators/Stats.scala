@@ -433,6 +433,103 @@ object Stats {
       .withColumn("significant", when(den > 0, col("chi2") > critical))
   }
 
+  /** Acklam's rational approximation to the standard normal quantile
+    * Φ⁻¹(p) (public-domain algorithm, |relative error| < 1.15e-9) —
+    * used ONLY to precompute [[chiSquareBhFdr]]'s critical-value
+    * literals in Scala; it never evaluates inside either engine. */
+  private def normInv(p: Double): Double = {
+    require(p > 0 && p < 1, s"normInv domain (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val plow = 0.02425
+    if (p < plow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - plow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+        a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** χ²₁ upper-tail critical value at tail probability p:
+    * Φ⁻¹(1 − p/2)² — exposed package-private for the spec's pins. */
+  private[graft] def chi2InvUpper(p: Double): Double = {
+    val z = normInv(1 - p / 2); z * z
+  }
+
+  /** Benjamini–Hochberg FDR control over per-group 2×2 χ² tests
+    * (Benjamini & Hochberg, JRSS-B 1995) — the multiple-testing
+    * correction [[chiSquare2x2]] needs the moment you run it on
+    * 10 000 slices at once: at α = 0.05, five hundred null slices
+    * "fire" by chance; BH rejects the largest prefix of the
+    * χ²-descending ranking whose statistics clear crit(i·α/m), and
+    * bounds the expected false-discovery RATE at α.
+    *
+    * Determinism: the critical values crit_i = Φ⁻¹(1 − (α·i/m)/2)²
+    * are precomputed HERE (Acklam's [[normInv]], ~1e-9 — they are
+    * approximate as statistics but LITERALS to the gate: both engines
+    * receive the same doubles, so decisions replay exactly); the
+    * ranking orders by the hash-exact χ² descending (crit_i decreases
+    * in i, so equal-χ² ties land on the same side of i* regardless of
+    * their tie-break order — decisions are tie-safe). `m` is the
+    * caller's hypothesis count: the denominator of the BH line, NOT
+    * inferred from the data, because absent/degenerate slices still
+    * count as tested hypotheses (untestable groups — NULL χ² — drop
+    * from the ranking but not from m). Ranks beyond m fail closed
+    * (no crit → no rejection).
+    *
+    * Output: one row per testable group — (grp, n00..n11, chi2, rank,
+    * crit, reject).
+    *
+    * Scale shape: [[chiSquare2x2]]'s one corpus hash-agg, then
+    * ranking/decision on the HYPOTHESIS-count frame (≤ m rows — the
+    * one place a whole-frame window is the right call, and the reason
+    * m is capped at 10^5). */
+  def chiSquareBhFdr(units: DataFrame, groupCol: String,
+      variant01: Column, success01: Column, m: Int,
+      alphaPermille: Int = 50): DataFrame = {
+    require(m >= 1 && m <= 100000, s"hypothesis count $m out of [1, 1e5]")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val crits = (1 to m).map(i =>
+      chi2InvUpper(alphaPermille.toDouble / 1000.0 * i / m))
+    val critArr = array(crits.map(lit(_)): _*)
+    val base = chiSquare2x2(units, groupCol, variant01, success01, 1.0)
+      .drop("significant")
+      .filter(col("chi2").isNotNull)
+    val byChi = Window.orderBy(col("chi2").desc, col(groupCol))
+    val whole = Window.partitionBy()
+    base
+      .withColumn("rank", row_number().over(byChi).cast("long"))
+      .withColumn("crit", when(col("rank") <= m,
+        element_at(critArr, col("rank").cast("int"))))
+      .withColumn("__pass",
+        col("crit").isNotNull && col("chi2") >= col("crit"))
+      .withColumn("__istar",
+        max(when(col("__pass"), col("rank"))).over(whole))
+      .withColumn("reject",
+        col("__istar").isNotNull && col("rank") <= col("__istar"))
+      .drop("__pass", "__istar")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test — "did this numeric
     * feature's DISTRIBUTION change?" between two corpora (doc lengths
     * across snapshots, scores across sources): the numeric-feature

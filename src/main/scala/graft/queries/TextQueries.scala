@@ -4841,7 +4841,85 @@ object TextQueries {
            AS DOUBLE) / CAST(n AS DOUBLE) AS winsor_mean
        FROM a"""
 
+  /** q251: Benjamini–Hochberg FDR over twenty per-source A/B χ² tests
+    * ([[graft.operators.Stats.chiSquareBhFdr]], Benjamini & Hochberg
+    * 1995): does length (> 300 chars) associate with containing
+    * "the", per source — with the multiple-testing correction that
+    * q210's single-threshold flag lacks: at α = 0.05 over 20 slices
+    * one null slice fires by chance; BH rejects the largest
+    * χ²-descending prefix clearing crit(i·α/m) and bounds the false
+    * discovery RATE. The critical values are Acklam-quantile literals
+    * computed once in Scala and interpolated into BOTH engines (the
+    * q245 discount-table rule), so ranking, line crossing, and every
+    * reject decision replay hash-exact. */
+  val q251_bh_fdr: Q = (s, d) =>
+    graft.operators.Stats.chiSquareBhFdr(
+        Tables.documents(s, d).filter(col("source").isNotNull &&
+          col("text").isNotNull && col("n_chars").isNotNull),
+        "source",
+        (col("n_chars") > 300).cast("long"),
+        col("text").contains("the").cast("long"),
+        m = 20, alphaPermille = 50)
+      .select(col("source"), col("n00"), col("n01"),
+        col("n10"), col("n11"), col("chi2"), col("rank"), col("crit"),
+        col("reject"))
+
+  /** The q251 critical-value CASE, interpolated from the SAME
+    * Acklam-quantile computation the Spark side uses. The literals
+    * go through CAST('…' AS DOUBLE): a bare decimal literal is a
+    * DECIMAL in DuckDB, and its decimal→double conversion lands one
+    * ulp off Scala's shortest-round-trip double — the string cast
+    * parses straight to the identical IEEE value. */
+  private def bhCritCase(v: String): String =
+    (1 to 20).map { i =>
+      val c = graft.operators.Stats.chi2InvUpper(0.05 * i / 20)
+      s"WHEN $i THEN CAST('$c' AS DOUBLE)"
+    }.mkString(s"(CASE $v ", " ", " END)")
+
+  val q251_oracle: String =
+    s"""WITH u AS (SELECT source AS grp,
+           CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS va,
+           CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS su
+         FROM documents
+         WHERE source IS NOT NULL AND text IS NOT NULL
+           AND n_chars IS NOT NULL),
+       agg AS (SELECT grp,
+           CAST(sum(CASE WHEN va = 0 AND su = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+           CAST(sum(CASE WHEN va = 0 AND su = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+           CAST(sum(CASE WHEN va = 1 AND su = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+           CAST(sum(CASE WHEN va = 1 AND su = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11
+         FROM u GROUP BY 1),
+       st AS (SELECT *,
+           CAST(CAST(n11 AS HUGEINT) * n00
+             - CAST(n10 AS HUGEINT) * n01 AS DOUBLE) AS diff,
+           (CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE))
+             * (CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE))
+             AS den
+         FROM agg),
+       t AS (SELECT grp, n00, n01, n10, n11,
+           CAST(n00 + n01 + n10 + n11 AS DOUBLE) * diff * diff / den
+             AS chi2
+         FROM st WHERE den > 0),
+       r AS (SELECT *, CAST(row_number() OVER (
+           ORDER BY chi2 DESC, grp) AS BIGINT) AS rank
+         FROM t),
+       c AS (SELECT *, CASE WHEN rank <= 20
+           THEN ${bhCritCase("rank")} END AS crit
+         FROM r),
+       i AS (SELECT max(CASE WHEN crit IS NOT NULL AND chi2 >= crit
+           THEN rank END) AS istar
+         FROM c)
+       SELECT c.grp AS source, c.n00, c.n01, c.n10, c.n11, c.chi2,
+         c.rank, c.crit,
+         (i.istar IS NOT NULL AND c.rank <= i.istar) AS reject
+       FROM c CROSS JOIN i"""
+
   val all: Map[String, Q] = Map(
+    "q251_bh_fdr" -> q251_bh_fdr,
     "q250_trimmed_mean" -> q250_trimmed_mean,
     "q249_moment_census" -> q249_moment_census,
     "q247_priority_sample" -> q247_priority_sample,
@@ -4963,6 +5041,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q251_bh_fdr" -> q251_oracle,
     "q250_trimmed_mean" -> q250_oracle,
     "q249_moment_census" -> q249_oracle,
     "q247_priority_sample" -> q247_oracle,

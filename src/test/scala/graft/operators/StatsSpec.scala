@@ -250,4 +250,37 @@ class StatsSpec extends SparkSuite {
     assert(plain._3 == 11L && plain._6 == 1055L &&
       plain._7 == 1055.0 / 11.0 && plain._8 == 1055.0 / 11.0)
   }
+
+  test("chi2InvUpper matches the canonical chi2(1) critical values " +
+      "to 1e-6 (Acklam quantile)") {
+    assert(math.abs(Stats.chi2InvUpper(0.05) - 3.841458820694124) < 1e-6)
+    assert(math.abs(Stats.chi2InvUpper(0.01) - 6.634896601021215) < 1e-6)
+    assert(math.abs(Stats.chi2InvUpper(0.10) - 2.705543454095404) < 1e-6)
+  }
+
+  test("chiSquareBhFdr: only the perfect-association slice clears its " +
+      "BH line; ranks beyond m fail closed; decisions deterministic") {
+    def block(g: String, n00: Int, n01: Int, n10: Int, n11: Int) =
+      Seq.fill(n00)((g, 0L, 0L)) ++ Seq.fill(n01)((g, 0L, 1L)) ++
+        Seq.fill(n10)((g, 1L, 0L)) ++ Seq.fill(n11)((g, 1L, 1L))
+    // g1 chi2 = 40 (perfect), g3 chi2 = 0.4, g2 chi2 = 0
+    val units = (block("g1", 20, 0, 0, 20) ++ block("g2", 10, 10, 10, 10)
+      ++ block("g3", 11, 9, 9, 11)).toDF("g", "va", "su")
+    val got = Stats.chiSquareBhFdr(units, "g", col("va"), col("su"),
+        m = 3, alphaPermille = 50)
+      .select($"g", $"chi2", $"rank", $"reject")
+      .as[(String, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g1") == (("g1", 40.0, 1L, true)))
+    assert(got("g3") == (("g3", 0.4, 2L, false)))
+    assert(got("g2") == (("g2", 0.0, 3L, false)))
+    // m = 2 with 3 testable groups: rank 3 has no crit, fails closed
+    val m2 = Stats.chiSquareBhFdr(units, "g", col("va"), col("su"),
+        m = 2, alphaPermille = 50)
+      .select($"g", $"rank", $"crit".isNull, $"reject")
+      .as[(String, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m2("g2") == (("g2", 3L, true, false)))
+    assert(m2("g1")._4 == true)
+  }
 }
