@@ -530,6 +530,73 @@ object Stats {
       .drop("__pass", "__istar")
   }
 
+  /** Per-group Spearman rank correlation with midrank ties — the
+    * robust "do these two signals move together?" readout (doc length
+    * vs token count, quality score vs dedup survival): Pearson on
+    * ranks, so one pathological document bends it by one rank step,
+    * not by its magnitude.
+    *
+    * Exactness: each value's DOUBLED midrank is the integer
+    * 2C + c + 1 of its cumulative walk (the [[Classifier.aucRoc]]
+    * identity), rows pick their midranks up by value equi-join (never
+    * a per-row rank window), and the rank power sums are exact
+    * 128-bit integers. The ×2 cancels in the correlation, so
+    *   rho = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))
+    * is a fixed tree of correctly-rounded IEEE ops (two sqrts, one
+    * divide — the [[momentCensus]] g1 discipline) and gates
+    * hash-exact, ties included. A group where either column is
+    * constant reports NULL rho (zero rank variance — undefined, not
+    * 0). Null group/value rows drop.
+    *
+    * Envelope: Σ(2r)² ≤ 4n³ must fit 38 digits — n ≤ ~10¹² rows per
+    * group, far past any real slice.
+    *
+    * Scale shape: two (grp, value)-cell walks (each bounded by
+    * distinct values per group), two value equi-joins back to rows,
+    * one map-side-combined hash-agg to six cells per group. Output:
+    * (grp, n, rho). */
+  def spearmanCorr(items: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = items
+      .filter(col(grpCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    def midranks(valName: String, as: String) = {
+      val byV = Window.partitionBy(col("grp")).orderBy(col(valName))
+      base.groupBy(col("grp"), col(valName))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(byV) - col("c"))
+        .select(col("grp"), col(valName),
+          (lit(2L) * col("cum") + col("c") + 1).as(as))
+    }
+    val joined = base
+      .join(midranks("x", "rx2"), Seq("grp", "x"))
+      .join(midranks("y", "ry2"), Seq("grp", "y"))
+    val agg = joined.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
+        sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
+        sum(d38(col("ry2")) * d38(col("ry2"))).as("syy"),
+        sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"))
+    val n = d38(col("n"))
+    val dbl = (c: Column) => c.cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    agg
+      .withColumn("__vx", vx).withColumn("__vy", vy)
+      .select(col("grp"), col("n"),
+        // clamp: √vx·√vx can land 1 ulp past vx, pushing a perfect
+        // correlation to 1+2^-52 — [−1, 1] is the mathematical range,
+        // and both engines clamp the same pre-clamp double
+        when(col("__vx") > 0 && col("__vy") > 0,
+          least(lit(1.0d), greatest(lit(-1.0d),
+            dbl(n * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(dbl(col("__vx"))) * sqrt(dbl(col("__vy")))))))
+          .as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test — "did this numeric
     * feature's DISTRIBUTION change?" between two corpora (doc lengths
     * across snapshots, scores across sources): the numeric-feature

@@ -4918,7 +4918,60 @@ object TextQueries {
          (i.istar IS NOT NULL AND c.rank <= i.istar) AS reject
        FROM c CROSS JOIN i"""
 
+  /** q252: Spearman rank correlation of document length vs token
+    * count per language ([[graft.operators.Stats.spearmanCorr]]):
+    * the robust co-movement readout — Pearson on midranks, so one
+    * pathological document bends the correlation by one rank step,
+    * not its magnitude. Doubled midranks are integers off the
+    * cumulative walk (the q246 identity), rows pick them up by value
+    * equi-join, the ×2 cancels, and rho = one fixed
+    * sqrt·sqrt·divide tree over exact 128-bit rank sums — hash-exact
+    * with ties. */
+  val q252_spearman: Q = (s, d) =>
+    graft.operators.Stats.spearmanCorr(
+        Tables.documents(s, d).select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "lang", "n_chars", "toks")
+      .select(col("grp").as("lang"), col("n"), col("rho"))
+
+  val q252_oracle: String =
+    """WITH b AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS x,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND text IS NOT NULL),
+       xr AS (SELECT grp, x,
+           2*(CAST(sum(c) OVER (PARTITION BY grp ORDER BY x)
+             AS BIGINT) - c) + c + 1 AS rx2
+         FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2)),
+       yr AS (SELECT grp, y,
+           2*(CAST(sum(c) OVER (PARTITION BY grp ORDER BY y)
+             AS BIGINT) - c) + c + 1 AS ry2
+         FROM (SELECT grp, y, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2)),
+       j AS (SELECT b.grp, rx2, ry2 FROM b
+         JOIN xr ON xr.grp = b.grp AND xr.x = b.x
+         JOIN yr ON yr.grp = b.grp AND yr.y = b.y),
+       a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(rx2 AS HUGEINT)) AS sx,
+           sum(CAST(ry2 AS HUGEINT)) AS sy,
+           sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+           sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+           sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+         FROM j GROUP BY 1)
+       SELECT grp AS lang, n,
+         CASE WHEN (CAST(n AS HUGEINT)*sxx - sx*sx) > 0
+             AND (CAST(n AS HUGEINT)*syy - sy*sy) > 0 THEN
+           least(CAST(1 AS DOUBLE), greatest(CAST(-1 AS DOUBLE),
+             CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT)*syy - sy*sy
+                    AS DOUBLE))))) END AS rho
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q252_spearman" -> q252_spearman,
     "q251_bh_fdr" -> q251_bh_fdr,
     "q250_trimmed_mean" -> q250_trimmed_mean,
     "q249_moment_census" -> q249_moment_census,
@@ -5041,6 +5094,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q252_spearman" -> q252_oracle,
     "q251_bh_fdr" -> q251_oracle,
     "q250_trimmed_mean" -> q250_oracle,
     "q249_moment_census" -> q249_oracle,

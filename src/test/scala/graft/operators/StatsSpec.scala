@@ -283,4 +283,24 @@ class StatsSpec extends SparkSuite {
     assert(m2("g2") == (("g2", 3L, true, false)))
     assert(m2("g1")._4 == true)
   }
+
+  test("spearmanCorr: monotone = 1 (ties included), reversed = -1, " +
+      "constant column = NULL, independent-ish known value") {
+    val rows = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 2L, 20L),
+      ("up", 3L, 30L),
+      ("dn", 1L, 9L), ("dn", 2L, 5L), ("dn", 3L, 1L),
+      ("cn", 1L, 7L), ("cn", 2L, 7L), ("cn", 3L, 7L),
+      // mix: x = 1,2,3,4; y = 2,1,4,3 -> rho = 1 - 6*4/(4*15) = 0.6
+      ("mx", 1L, 2L), ("mx", 2L, 1L), ("mx", 3L, 4L), ("mx", 4L, 3L))
+      .toDF("g", "x", "y")
+    val got = Stats.spearmanCorr(rows, "g", "x", "y")
+      .as[(String, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("up") == (("up", 4L, Some(1.0))))
+    assert(got("dn") == (("dn", 3L, Some(-1.0))))
+    assert(got("cn") == (("cn", 3L, None)))
+    val rho = got("mx")._3.get
+    assert(math.abs(rho - 0.6) < 1e-12, s"mx rho $rho")
+  }
 }
