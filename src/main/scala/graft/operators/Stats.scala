@@ -597,6 +597,69 @@ object Stats {
           .as("rho"))
   }
 
+  /** Two-sample Mann–Whitney U test (Mann & Whitney 1947; the
+    * Wilcoxon rank-sum) — the LOCATION companion of [[ksTest]]: KS
+    * fires on any distributional difference, this asks specifically
+    * "does corpus A rank higher than corpus B?", robustly (a 100 MB
+    * outlier document moves U by one rank, not its magnitude). The
+    * normal approximation with the standard tie-corrected variance:
+    *   z = (U − n_a·n_b/2) / σ,
+    *   σ² = n_a·n_b·[(n+1)·n(n−1) − Σ(t³−t)] / (12·n(n−1))
+    * (t = tie-block sizes over the pooled values).
+    *
+    * Exactness: doubled midranks are the integers 2C + c + 1 of the
+    * pooled cumulative walk (the [[Classifier.aucRoc]] identity), so
+    * 2U − n_a·n_b, the tie sum Σ(t³−t), and both variance factors are
+    * exact 128-bit integers, and z is a fixed tree — one division
+    * inside the sqrt, one sqrt, one outer division — of
+    * correctly-rounded IEEE ops: the z VALUE gates hash-exact, and
+    * the rejection is a literal comparison. No continuity correction
+    * (documented choice: at corpus n the 0.5 shift is noise, and
+    * omitting it keeps the tree minimal). z is NULL when either side
+    * is empty or ALL pooled values tie (σ = 0) — the chiSquare2x2
+    * degenerate convention.
+    *
+    * Scale shape: one count-agg per side, a full-outer value join,
+    * and the cumulative walk rides the distributed [[PrefixSum]]
+    * scan (the ksTest shape — never a single-partition window).
+    * Output is ONE row: (n_a, n_b, u2_num, z, reject). */
+  def mannWhitneyTest(a: DataFrame, b: DataFrame, valCol: String,
+      zCritical: Double = 1.959963984540054): DataFrame = {
+    require(zCritical > 0, s"z critical must be > 0, got $zCritical")
+    def cnt(df: DataFrame, as: String) =
+      df.select(col(valCol).cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(as))
+    val merged = cnt(a, "ca").join(cnt(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("ct", col("ca") + col("cb"))
+    val cum = PrefixSum.withRunningTotal(merged, Seq("v"), "ct")
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val dbl = (x: Column) => x.cast("double")
+    val s = cum.agg(
+      sum(d38(col("ca")) * d38(lit(2L) * (col("ct_cum") - col("ct")) +
+        col("ct") + 1)).as("__ra2"),
+      sum(d38(col("ct")) * d38(col("ct")) * d38(col("ct")) -
+        d38(col("ct"))).as("__tcorr"),
+      coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    val na = d38(col("n_a")); val nb = d38(col("n_b"))
+    val n = d38(col("n_a") + col("n_b"))
+    val u2c = col("__ra2") - na * (na + 1) - na * nb
+    val vnum = na * nb * ((n + 1) * n * (n - 1) - col("__tcorr"))
+    val den = d38(lit(12L)) * n * (n - 1)
+    s.withColumn("__u2c", u2c).withColumn("__vnum", vnum)
+      .withColumn("__den", den)
+      .select(col("n_a"), col("n_b"),
+        col("__u2c").cast("long").as("u2_num"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__vnum") > 0,
+          dbl(col("__u2c")) / (lit(2.0d) *
+            sqrt(dbl(col("__vnum")) / dbl(col("__den"))))).as("z"))
+      .withColumn("reject",
+        when(col("z").isNotNull, abs(col("z")) > lit(zCritical)))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test — "did this numeric
     * feature's DISTRIBUTION change?" between two corpora (doc lengths
     * across snapshots, scores across sources): the numeric-feature

@@ -4970,7 +4970,67 @@ object TextQueries {
                     AS DOUBLE))))) END AS rho
        FROM a"""
 
+  /** q253: Mann–Whitney rank-sum test — do English documents run
+    * LONGER than German ones? ([[graft.operators.Stats
+    * .mannWhitneyTest]]): the location companion of the KS drift
+    * gates — KS fires on any shape difference, this one asks the
+    * directional ranking question, robust to outlier magnitudes. The
+    * tie-corrected z is a fixed divide–sqrt–divide tree over exact
+    * 128-bit midrank/tie sums off the pooled PrefixSum walk, so the
+    * statistic itself gates hash-exact and the 5% two-sided decision
+    * is a literal comparison. */
+  val q253_mann_whitney: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Stats.mannWhitneyTest(
+      docs.filter(col("lang") === "en").select(col("n_chars")),
+      docs.filter(col("lang") === "de").select(col("n_chars")),
+      "n_chars")
+  }
+
+  val q253_oracle: String =
+    """WITH ca AS (SELECT CAST(n_chars AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+         FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+         GROUP BY 1),
+       cb AS (SELECT CAST(n_chars AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+         FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+         GROUP BY 1),
+       m AS (SELECT coalesce(ca.v, cb.v) AS v,
+           coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+         FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+       w AS (SELECT *, ca + cb AS ct,
+           CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS ctc
+         FROM m),
+       s AS (SELECT
+           sum(CAST(ca AS HUGEINT) * (2*(ctc - ct) + ct + 1)) AS ra2,
+           sum(CAST(ct AS HUGEINT)*ct*ct - ct) AS tcorr,
+           CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+           CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb
+         FROM w),
+       f AS (SELECT na, nb,
+           ra2 - CAST(na AS HUGEINT)*(na+1)
+             - CAST(na AS HUGEINT)*nb AS u2c,
+           CAST(na AS HUGEINT)*nb*
+             ((CAST(na AS HUGEINT)+nb+1)
+               *(CAST(na AS HUGEINT)+nb)
+               *(CAST(na AS HUGEINT)+nb-1) - tcorr) AS vnum,
+           12*(CAST(na AS HUGEINT)+nb)*(CAST(na AS HUGEINT)+nb-1)
+             AS den
+         FROM s)
+       SELECT na AS n_a, nb AS n_b, CAST(u2c AS BIGINT) AS u2_num,
+         CASE WHEN na > 0 AND nb > 0 AND vnum > 0 THEN
+           CAST(u2c AS DOUBLE) / (CAST(2 AS DOUBLE) *
+             sqrt(CAST(vnum AS DOUBLE) / CAST(den AS DOUBLE))) END
+           AS z,
+         CASE WHEN na > 0 AND nb > 0 AND vnum > 0 THEN
+           abs(CAST(u2c AS DOUBLE) / (CAST(2 AS DOUBLE) *
+             sqrt(CAST(vnum AS DOUBLE) / CAST(den AS DOUBLE))))
+             > CAST('1.959963984540054' AS DOUBLE) END AS reject
+       FROM f"""
+
   val all: Map[String, Q] = Map(
+    "q253_mann_whitney" -> q253_mann_whitney,
     "q252_spearman" -> q252_spearman,
     "q251_bh_fdr" -> q251_bh_fdr,
     "q250_trimmed_mean" -> q250_trimmed_mean,
@@ -5094,6 +5154,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q253_mann_whitney" -> q253_oracle,
     "q252_spearman" -> q252_oracle,
     "q251_bh_fdr" -> q251_oracle,
     "q250_trimmed_mean" -> q250_oracle,

@@ -303,4 +303,25 @@ class StatsSpec extends SparkSuite {
     val rho = got("mx")._3.get
     assert(math.abs(rho - 0.6) < 1e-12, s"mx rho $rho")
   }
+
+  test("mannWhitneyTest: hand-computed z on separated samples " +
+      "(rejects at the 5% line by a hair), all-tied pool NULL, " +
+      "empty side NULL") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(4L, 5L, 6L).toDF("v")
+    val r = Stats.mannWhitneyTest(a, b, "v").as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    // U = 0, u2c = -9; vnum = 9*(7*6*5) = 1890, den = 360
+    assert(r._1 == 3L && r._2 == 3L && r._3 == -9L)
+    assert(r._4.get == -9.0 / (2.0 * math.sqrt(1890.0 / 360.0)))
+    assert(r._5.get, "z = -1.964 clears 1.95996 two-sided")
+    val tied = Stats.mannWhitneyTest(Seq(1L, 1L).toDF("v"),
+      Seq(1L, 1L).toDF("v"), "v").as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    assert(tied == ((2L, 2L, 0L, None, None)))
+    val empt = Stats.mannWhitneyTest(a, a.filter($"v" > 100), "v")
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    assert(empt._2 == 0L && empt._4.isEmpty && empt._5.isEmpty)
+  }
 }
