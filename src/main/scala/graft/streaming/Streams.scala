@@ -564,6 +564,83 @@ object Streams {
         })
   }
 
+  case class PaneThetaInRow(grp: String, pane: Long, h: Long)
+  case class PaneWindowRow(grp: String, win_start: Long,
+      n_retained: Long, theta_h: Long, est: Long)
+  case class PaneThetaState(panes: Array[Long],
+      sketches: Array[Array[Long]])
+
+  /** Streaming PANED sliding-window theta distinct with per-window
+    * pane RETIREMENT — the stateful streaming twin of
+    * [[graft.operators.Sketch.thetaPaneSketch]] +
+    * [[graft.operators.Sketch.thetaPaneWindows]] (Li et al.'s "No
+    * pane, no gain" panes as streaming state): per group, one
+    * k-smallest sketch per slide-width pane, retired the moment the
+    * pane falls out of the latest window — so state is AT MOST
+    * panesPerWindow·k longs per group FOREVER, the bounded-state
+    * sliding distinct that q236's replicate-data shape cannot give a
+    * stream. After every micro-batch each touched group emits the
+    * LATEST complete window (win_start = maxPane −
+    * (panesPerWindow−1)·slide): its pane-merged (n_retained, theta_h,
+    * est), which equals the batch pane path — and therefore the
+    * direct window sketch — bit-exactly at every stream prefix
+    * (spec-pinned across a 3-micro-batch chronological replay, the
+    * [[thetaDistinct]] discipline).
+    *
+    * Late data beyond the retained horizon (pane < the latest
+    * window's start) is DROPPED — the watermark analogue, documented
+    * rather than silent: a pane that has retired cannot un-retire
+    * without unbounded state. `paneCol` is the pane start (epoch
+    * micros floored to the slide upstream, multiples of
+    * slideMicros). */
+  def thetaPaneDistinct(rows: DataFrame, grpCol: String,
+      keyCol: String, paneCol: String, slideMicros: Long,
+      panesPerWindow: Int, k: Int)
+      : org.apache.spark.sql.Dataset[PaneWindowRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    require(slideMicros > 0, s"slide must be > 0, got $slideMicros")
+    require(panesPerWindow >= 1,
+      s"panesPerWindow must be >= 1, got $panesPerWindow")
+    val M = graft.operators.Sketch.ThetaM
+    val hashed = rows
+      .filter(col(grpCol).isNotNull && col(keyCol).isNotNull &&
+        col(paneCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(paneCol).cast("long").as("pane"),
+        graft.operators.Sketch.thetaHash(col(keyCol)).as("h"))
+      .as[PaneThetaInRow]
+    hashed.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[PaneThetaInRow],
+            state: GroupState[PaneThetaState]) => {
+          val st = state.getOption
+            .getOrElse(PaneThetaState(Array.empty, Array.empty))
+          val cur = st.panes.zip(st.sketches).toMap
+          val add = batch.toArray.groupBy(_.pane)
+          val maxPane = (cur.keySet ++ add.keySet).max
+          val minKeep =
+            maxPane - (panesPerWindow - 1).toLong * slideMicros
+          val merged = (cur.keySet ++ add.keySet)
+            .filter(_ >= minKeep).toArray.sorted.map { p =>
+              p -> (cur.getOrElse(p, Array.empty[Long]) ++
+                add.getOrElse(p, Array.empty[PaneThetaInRow]).map(_.h))
+                .distinct.sorted.take(k)
+            }
+          state.update(PaneThetaState(merged.map(_._1),
+            merged.map(_._2)))
+          val win = merged.flatMap(_._2).distinct.sorted.take(k)
+          val n = win.length
+          val (thetaH, est) =
+            if (n < k) (M, n.toLong)
+            else (win.last, (k - 1).toLong * M / win.last)
+          Iterator.single(PaneWindowRow(grp, minKeep, n.toLong,
+            thetaH, est))
+        })
+  }
+
   case class ThetaSideRow(grp: String, side: String, h: Long)
   case class ThetaSetOpsRow(grp: String, theta_h: Long, n_common: Long,
       est_inter: Long, n_union: Long, est_union: Long,

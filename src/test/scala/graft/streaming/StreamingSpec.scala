@@ -979,4 +979,60 @@ class StreamingSpec extends SparkSuite {
         "fixture should produce both burst and quiet hours")
     } finally q.stop()
   }
+
+  test("streaming paned sliding theta: panes beyond the latest window " +
+      "retire from state, and every emission equals the batch pane " +
+      "path (hence the direct window sketch) at that prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = 100L; val m = 4; val k = 8
+    def rowsFor(p: Int): Seq[(String, Long, String)] =
+      for (g <- Seq("ga", "gb"); i <- 0 until 12)
+        yield (g, p * S, s"k-$g-${(p * 7 + i * 3) % 29}")
+    // 10 panes chronologically -> retirement (horizon m = 4) is
+    // genuinely exercised across the replay
+    val batches = Seq(0 to 3, 4 to 6, 7 to 9)
+      .map(_.flatMap(rowsFor).toSeq)
+    val input = MemoryStream[(String, Long, String)]
+    val est = Streams.thetaPaneDistinct(
+      input.toDF().toDF("g", "pane", "key"), "g", "key", "pane",
+      S, m, k)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("pane_theta_out").start()
+    try {
+      var seen = 0
+      var prefix = Seq.empty[(String, Long, String)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val all = spark.table("pane_theta_out")
+          .as[(String, Long, Long, Long, Long)].collect()
+        val emitted = all.drop(seen).map(r => r._1 -> r).toMap
+        seen = all.length
+        val winStart = prefix.map(_._2).max - (m - 1) * S
+        val paneSk = graft.operators.Sketch.thetaPaneSketch(
+          prefix.toDF("g", "pane", "key"), "g", "key", "pane", k)
+        val expected = graft.operators.Sketch.thetaEstimate(
+            graft.operators.Sketch.thetaPaneWindows(paneSk, S, m, k)
+              .filter($"win_start" === winStart)
+              .select(concat_ws("/", $"grp", $"win_start").as("grp"),
+                $"h"), k)
+          .select(substring_index($"grp", "/", 1),
+            substring_index($"grp", "/", -1).cast("long"),
+            $"n_retained", $"theta_h", $"est")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+        assert(emitted.keySet == Set("ga", "gb"))
+        emitted.foreach { case (g, got) =>
+          assert(got == expected(g),
+            s"prefix mismatch $g: $got vs ${expected(g)}")
+        }
+      }
+      // saturation exercised: the final windows retain exactly k
+      val fin = spark.table("pane_theta_out")
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(fin.last._3 == k.toLong, s"never saturated: ${fin.last}")
+    } finally q.stop()
+  }
 }
