@@ -597,6 +597,56 @@ object Stats {
           .as("rho"))
   }
 
+  /** Benford's-law expected first-digit proportions p_d =
+    * log10(1 + 1/d), d = 1..9 — computed ONCE here and interpolated
+    * into both engines as double literals (the PoissonThresholds /
+    * ndcgDiscounts single-source-of-truth rule; log10 never evaluates
+    * cross-engine). */
+  val BenfordP: Array[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).toArray
+
+  /** Per-group Benford first-digit conformity test (Benford 1938;
+    * Nigrini's forensic-accounting usage) — the data-quality forensic
+    * for "naturally grown" magnitude columns: fabricated, truncated,
+    * or unit-mangled numbers break the log-uniform first-digit law
+    * long before they break a range check. Pearson χ² over the nine
+    * digit cells against [[BenfordP]], df = 8.
+    *
+    * Exactness: digit counts are one hash-agg pivoted to NINE fixed
+    * columns, and χ² is a FIXED nine-term chain
+    * Σ_d (o_d − n·p_d)²/(n·p_d) built left-to-right as one expression
+    * — no float aggregation order exists to diverge, every term is
+    * correctly-rounded IEEE over exact counts and shared literals, so
+    * the statistic gates hash-exact. `critical` is the caller's χ²₈
+    * value (15.50731305586545 for 95%); conforms = chi2 ≤ critical,
+    * NULL for empty groups. Domain: v > 0 (zero/negative magnitudes
+    * have no Benford first digit; the filter is the contract).
+    *
+    * Scale shape: one map-side-combined hash-agg to ten cells per
+    * group; the statistic is a stateless projection. */
+  def benfordTest(items: DataFrame, grpCol: String, valCol: String,
+      critical: Double = 15.50731305586545): DataFrame = {
+    require(critical > 0, s"critical must be > 0, got $critical")
+    val v = col(valCol).cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val agg = items
+      .filter(col(grpCol).isNotNull && v.isNotNull && v > 0)
+      .select(col(grpCol).as("grp"), digit.as("__d"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (1 to 9).map(d => sum(when(col("__d") === d, 1L).otherwise(0L))
+          .as(s"o$d")): _*)
+    val dbl = (c: Column) => c.cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val exp = dbl(col("n")) * lit(BenfordP(d - 1))
+      val diff = dbl(col(s"o$d")) - exp
+      diff * diff / exp
+    }.reduce(_ + _)
+    agg.withColumn("chi2", when(col("n") > 0, chi2))
+      .withColumn("conforms",
+        when(col("n") > 0, col("chi2") <= lit(critical)))
+  }
+
   /** Two-sample Mann–Whitney U test (Mann & Whitney 1947; the
     * Wilcoxon rank-sum) — the LOCATION companion of [[ksTest]]: KS
     * fires on any distributional difference, this asks specifically

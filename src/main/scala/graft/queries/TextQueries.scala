@@ -5029,7 +5029,54 @@ object TextQueries {
              > CAST('1.959963984540054' AS DOUBLE) END AS reject
        FROM f"""
 
+  /** q254: Benford first-digit conformity of document length per
+    * language ([[graft.operators.Stats.benfordTest]], Nigrini's
+    * forensic screen): fabricated or unit-mangled magnitude columns
+    * break the log-uniform first-digit law before they break any
+    * range check. The expected proportions log10(1+1/d) are literals
+    * computed once in Scala (log10 never evaluates cross-engine), the
+    * digit census is one pivoted hash-agg, and χ² is a FIXED
+    * nine-term chain — no float agg order exists — so the statistic
+    * and the df=8 decision gate hash-exact. (The synthetic lengths
+    * here are range-bounded, so non-conformity is the expected
+    * honest answer — the gate checks the measurement, not the law.) */
+  val q254_benford: Q = (s, d) =>
+    graft.operators.Stats.benfordTest(Tables.documents(s, d),
+        "lang", "n_chars")
+      .select(col("grp").as("lang") +: col("n") +:
+        (1 to 9).map(i => col(s"o$i")) :+ col("chi2") :+
+        col("conforms"): _*)
+
+  private val benfordChiSql: String =
+    (1 to 9).map { i =>
+      val p = s"CAST('${graft.operators.Stats.BenfordP(i - 1)}' AS DOUBLE)"
+      val e = s"(CAST(n AS DOUBLE) * $p)"
+      val diff = s"(CAST(o$i AS DOUBLE) - $e)"
+      s"($diff * $diff / $e)"
+    }.mkString(" + ")
+
+  val q254_oracle: String = {
+    val sums = (1 to 9).map(i =>
+      s"CAST(sum(CASE WHEN d = $i THEN 1 ELSE 0 END) AS BIGINT) AS o$i")
+      .mkString(",\n           ")
+    s"""WITH b AS (SELECT lang AS grp,
+           CAST(substr(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS d
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND n_chars > 0),
+       a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           $sums
+         FROM b GROUP BY 1)
+       SELECT grp AS lang, n, o1, o2, o3, o4, o5, o6, o7, o8, o9,
+         CASE WHEN n > 0 THEN $benfordChiSql END AS chi2,
+         CASE WHEN n > 0 THEN ($benfordChiSql)
+           <= CAST('15.50731305586545' AS DOUBLE) END AS conforms
+       FROM a"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q254_benford" -> q254_benford,
     "q253_mann_whitney" -> q253_mann_whitney,
     "q252_spearman" -> q252_spearman,
     "q251_bh_fdr" -> q251_bh_fdr,
@@ -5154,6 +5201,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q254_benford" -> q254_oracle,
     "q253_mann_whitney" -> q253_oracle,
     "q252_spearman" -> q252_oracle,
     "q251_bh_fdr" -> q251_oracle,

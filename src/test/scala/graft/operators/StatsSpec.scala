@@ -324,4 +324,30 @@ class StatsSpec extends SparkSuite {
       .collect().head
     assert(empt._2 == 0L && empt._4.isEmpty && empt._5.isEmpty)
   }
+
+  test("benfordTest: powers of 2 conform (the classic Benford " +
+      "sequence), a digit-uniform fixture is rejected, counts exact, " +
+      "zero/negative values drop") {
+    val p2 = (0 until 64).map(i => ("pow2", BigInt(2).pow(i) match {
+      // keep magnitudes in long range by taking the leading digits
+      case b if b > Long.MaxValue / 2 =>
+        b.toString.take(15).toLong
+      case b => b.toLong
+    }))
+    val unif = (1 to 9).flatMap(d => Seq.fill(20)(("unif", d * 111L)))
+    val junk = Seq(("unif", 0L), ("unif", -5L)) // dropped
+    val df = (p2 ++ unif ++ junk).toDF("g", "v")
+    val got = Stats.benfordTest(df, "g", "v")
+    val rows = got.collect().map(r => r.getString(0) -> r).toMap
+    val pow2 = rows("pow2")
+    assert(pow2.getLong(1) == 64L)
+    // known first-digit census of 2^0..2^63: d=1 appears 19 times
+    assert(pow2.getLong(2) == 19L, s"o1 = ${pow2.getLong(2)}")
+    assert(pow2.getAs[Boolean]("conforms"),
+      s"powers of 2 must conform: chi2 = ${pow2.getAs[Double]("chi2")}")
+    val u = rows("unif")
+    assert(u.getLong(1) == 180L, "zero/negative rows must drop")
+    assert(!u.getAs[Boolean]("conforms"),
+      s"uniform digits must fail: chi2 = ${u.getAs[Double]("chi2")}")
+  }
 }
