@@ -406,6 +406,58 @@ object Stats {
           col("n").cast("double")).as("winsor_mean"))
   }
 
+  /** Per-group standardized EFFECT SIZE between two samples — Cohen's
+    * d with the pooled SD, plus Hedges' small-sample correction g =
+    * d·(1 − 3/(4n−9)) (Hedges 1981) — the magnitude companion of
+    * [[mannWhitneyTest]]/[[chiSquare2x2]]: at corpus n everything is
+    * "significant"; d says whether the difference is worth acting on
+    * (0.2 small / 0.5 medium / 0.8 large, Cohen's benchmarks).
+    *
+    * Exactness (the [[momentCensus]] discipline): per side, n and the
+    * exact 128-bit M2 = n·Σv² − (Σv)²; then
+    *   s_p² = (M2a/n_a + M2b/n_b) / (n_a + n_b − 2)
+    * (using (n−1)·s² = M2/n — each term ONE division of exact ints),
+    * and d = (mean_a − mean_b)/√s_p² — a fixed divide/subtract/sqrt
+    * tree, so d and g gate hash-exact. NULL when either side has
+    * n < 2 or the pooled variance is 0 (the degenerate convention).
+    *
+    * Scale shape: one map-side-combined hash-agg per side to three
+    * cells per group, a group equi-join of group-count-sized frames,
+    * stateless projection. Output: (grp, n_a, n_b, mean_a, mean_b,
+    * cohen_d, hedges_g). */
+  def effectSize(a: DataFrame, b: DataFrame, grpCol: String,
+      valCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    def side(df: DataFrame, sfx: String) = {
+      val v = col(valCol).cast("long")
+      df.filter(col(grpCol).isNotNull && v.isNotNull)
+        .select(col(grpCol).as("grp"), d38(v).as("v"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as(s"n_$sfx"), sum(col("v")).as(s"__s$sfx"),
+          sum(col("v") * col("v")).as(s"__q$sfx"))
+        .withColumn(s"__m2$sfx", d38(col(s"n_$sfx")) * col(s"__q$sfx")
+          - col(s"__s$sfx") * col(s"__s$sfx"))
+    }
+    val joined = side(a, "a").join(side(b, "b"), Seq("grp"))
+    val meanA = dbl(col("__sa")) / dbl(col("n_a"))
+    val meanB = dbl(col("__sb")) / dbl(col("n_b"))
+    val sp2 = (dbl(col("__m2a")) / dbl(col("n_a")) +
+      dbl(col("__m2b")) / dbl(col("n_b"))) /
+      dbl(col("n_a") + col("n_b") - 2)
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 &&
+      (col("__m2a") > 0 || col("__m2b") > 0)
+    joined
+      .withColumn("mean_a", meanA).withColumn("mean_b", meanB)
+      .withColumn("cohen_d", when(defined,
+        (col("mean_a") - col("mean_b")) / sqrt(sp2)))
+      .withColumn("hedges_g", when(defined, col("cohen_d") *
+        (lit(1.0d) - lit(3.0d) /
+          dbl(lit(4L) * (col("n_a") + col("n_b")) - 9))))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("cohen_d"), col("hedges_g"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

@@ -5075,7 +5075,63 @@ object TextQueries {
        FROM a"""
   }
 
+  /** q255: standardized effect size (Cohen's d, Hedges' g) of
+    * English-vs-German document length per source
+    * ([[graft.operators.Stats.effectSize]]): the magnitude companion
+    * of q253's rank-sum significance — at corpus n everything is
+    * "significant"; d says whether the gap is worth acting on. Each
+    * side is one hash-agg to exact 128-bit (n, Σv, Σv²) cells,
+    * (n−1)s² = M2/n makes the pooled variance two exact-int
+    * divisions, and d/g are fixed divide–subtract–sqrt trees —
+    * hash-exact, with sources too small on either side (n < 2)
+    * reporting NULL (the degenerate convention). */
+  val q255_effect_size: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Stats.effectSize(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"),
+        "source", "n_chars")
+      .select(col("grp").as("source"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("cohen_d"), col("hedges_g"))
+  }
+
+  val q255_oracle: String =
+    """WITH sa AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_a,
+           sum(CAST(n_chars AS HUGEINT)) AS s_a,
+           sum(CAST(n_chars AS HUGEINT) * n_chars) AS q_a
+         FROM documents
+         WHERE lang = 'en' AND source IS NOT NULL
+           AND n_chars IS NOT NULL
+         GROUP BY 1),
+       sb AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_b,
+           sum(CAST(n_chars AS HUGEINT)) AS s_b,
+           sum(CAST(n_chars AS HUGEINT) * n_chars) AS q_b
+         FROM documents
+         WHERE lang = 'de' AND source IS NOT NULL
+           AND n_chars IS NOT NULL
+         GROUP BY 1),
+       j AS (SELECT sa.grp, n_a, n_b, s_a, s_b,
+           CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS m2a,
+           CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS m2b
+         FROM sa JOIN sb ON sa.grp = sb.grp),
+       f AS (SELECT grp, n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2
+               AND (m2a > 0 OR m2b > 0) THEN
+             (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(m2a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 + CAST(m2b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / CAST(n_a + n_b - 2 AS DOUBLE)) END AS cohen_d
+         FROM j)
+       SELECT grp AS source, n_a, n_b, mean_a, mean_b, cohen_d,
+         cohen_d * (CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE)
+           / CAST(4 * (n_a + n_b) - 9 AS DOUBLE)) AS hedges_g
+       FROM f"""
+
   val all: Map[String, Q] = Map(
+    "q255_effect_size" -> q255_effect_size,
     "q254_benford" -> q254_benford,
     "q253_mann_whitney" -> q253_mann_whitney,
     "q252_spearman" -> q252_spearman,
@@ -5201,6 +5257,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q255_effect_size" -> q255_oracle,
     "q254_benford" -> q254_oracle,
     "q253_mann_whitney" -> q253_oracle,
     "q252_spearman" -> q252_oracle,

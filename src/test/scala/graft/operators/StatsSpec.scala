@@ -350,4 +350,27 @@ class StatsSpec extends SparkSuite {
     assert(!u.getAs[Boolean]("conforms"),
       s"uniform digits must fail: chi2 = ${u.getAs[Double]("chi2")}")
   }
+
+  test("effectSize: hand-computed Cohen's d and Hedges' g; a side " +
+      "with n < 2 or zero pooled variance is NULL; missing sides " +
+      "drop (inner join)") {
+    // g: a = {2,4}, b = {1,1,1} -> means 3, 1; M2a = 4, M2b = 0;
+    //    sp2 = (4/2 + 0/3)/3 = 2/3; d = 2/sqrt(2/3); g = d*(1-3/11)
+    // tiny: a has one row -> NULL; flat: both constant -> NULL
+    val a = Seq(("g", 2L), ("g", 4L), ("tiny", 5L),
+      ("flat", 7L), ("flat", 7L)).toDF("grp", "v")
+    val b = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("tiny", 1L),
+      ("tiny", 2L), ("flat", 7L), ("flat", 7L), ("only_b", 1L))
+      .toDF("grp", "v")
+    val got = Stats.effectSize(a, b, "grp", "v")
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains("only_b"), "sides missing a group drop")
+    val d = (3.0 - 1.0) / math.sqrt((4.0 / 2.0 + 0.0 / 3.0) / 3.0)
+    assert(got("g") == (("g", 2L, 3L, 3.0, 1.0, Some(d),
+      Some(d * (1.0 - 3.0 / 11.0)))))
+    assert(got("tiny")._6.isEmpty, "n_a = 1 is undefined")
+    assert(got("flat")._6.isEmpty, "zero pooled variance is undefined")
+  }
 }
