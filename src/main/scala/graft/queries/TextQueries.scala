@@ -5130,7 +5130,61 @@ object TextQueries {
            / CAST(4 * (n_a + n_b) - 9 AS DOUBLE)) AS hedges_g
        FROM f"""
 
+  /** q256: CUPED variance reduction per language
+    * ([[graft.operators.Stats.cuped]], Deng et al. WSDM 2013): token
+    * count as the metric, character count as the pre-experiment
+    * covariate, doc-id parity as the variant — the A/B sharpener that
+    * cuts metric variance by ρ² (here ρ is high: chars predict
+    * tokens), i.e. the same power from a fraction of the traffic.
+    * θ = cov/var is ONE division of exact 128-bit sums, each adjusted
+    * mean a fixed tree — θ, ρ², and both means gate hash-exact. */
+  val q256_cuped: Q = (s, d) =>
+    graft.operators.Stats.cuped(
+        Tables.documents(s, d).select(col("lang"),
+          (col("doc_id") % 2).as("variant"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars")),
+        "lang", "variant", "toks", "n_chars")
+      .select(col("grp").as("lang"), col("variant"), col("n"),
+        col("mean_raw"), col("mean_adj"), col("theta"), col("rho2"))
+
+  val q256_oracle: String =
+    """WITH b AS (SELECT lang AS grp, doc_id % 2 AS variant,
+           CAST(len(string_split(text, ' ')) AS HUGEINT) AS y,
+           CAST(n_chars AS HUGEINT) AS x
+         FROM documents
+         WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+           AND text IS NOT NULL AND n_chars IS NOT NULL),
+       p AS (SELECT grp, CAST(count(*) AS BIGINT) AS np,
+           sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+           sum(y*y) AS syy, sum(x*y) AS sxy
+         FROM b GROUP BY 1),
+       t AS (SELECT grp, np, sx,
+           CAST(np AS HUGEINT)*sxy - sx*sy AS c,
+           CAST(np AS HUGEINT)*sxx - sx*sx AS vx,
+           CAST(np AS HUGEINT)*syy - sy*sy AS vy
+         FROM p),
+       th AS (SELECT grp, np, sx,
+           CASE WHEN vx > 0 THEN CAST(c AS DOUBLE) / CAST(vx AS DOUBLE)
+             END AS theta,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+             (CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+               / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS rho2
+         FROM t),
+       v AS (SELECT grp, variant, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sxv, sum(y) AS syv
+         FROM b GROUP BY 1, 2)
+       SELECT v.grp AS lang, v.variant, v.n,
+         CAST(syv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_raw,
+         CAST(syv AS DOUBLE) / CAST(n AS DOUBLE) - th.theta *
+           (CAST(sxv AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(th.sx AS DOUBLE) / CAST(th.np AS DOUBLE))
+           AS mean_adj,
+         th.theta, th.rho2
+       FROM v JOIN th ON th.grp = v.grp"""
+
   val all: Map[String, Q] = Map(
+    "q256_cuped" -> q256_cuped,
     "q255_effect_size" -> q255_effect_size,
     "q254_benford" -> q254_benford,
     "q253_mann_whitney" -> q253_mann_whitney,
@@ -5257,6 +5311,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q256_cuped" -> q256_oracle,
     "q255_effect_size" -> q255_oracle,
     "q254_benford" -> q254_oracle,
     "q253_mann_whitney" -> q253_oracle,

@@ -373,4 +373,25 @@ class StatsSpec extends SparkSuite {
     assert(got("tiny")._6.isEmpty, "n_a = 1 is undefined")
     assert(got("flat")._6.isEmpty, "zero pooled variance is undefined")
   }
+
+  test("cuped: a perfect covariate (y = x) gives theta = 1, rho2 = 1, " +
+      "and collapses both variants' adjusted means to the global " +
+      "mean; a zero-variance covariate adjusts nothing (NULLs)") {
+    val rows = Seq(
+      ("g", 0L, 1L, 1L), ("g", 0L, 3L, 3L),
+      ("g", 1L, 2L, 2L), ("g", 1L, 6L, 6L),
+      ("z", 0L, 4L, 5L), ("z", 1L, 9L, 5L)) // x constant in z
+      .toDF("grp", "variant", "y", "x")
+    val got = Stats.cuped(rows, "grp", "variant", "y", "x")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("g", 0L)) == (("g", 0L, 2L, 2.0, Some(3.0), Some(1.0),
+      Some(1.0))))
+    assert(got(("g", 1L)) == (("g", 1L, 2L, 4.0, Some(3.0), Some(1.0),
+      Some(1.0))))
+    val z0 = got(("z", 0L))
+    assert(z0._4 == 4.0 && z0._5.isEmpty && z0._6.isEmpty &&
+      z0._7.isEmpty, s"zero-variance covariate: $z0")
+  }
 }
