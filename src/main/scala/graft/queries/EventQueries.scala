@@ -842,7 +842,83 @@ object EventQueries {
            ELSE (63 * 281474976710656) // max(h) END AS BIGINT) AS est
        FROM ws GROUP BY 1, 2"""
 
+  /** q257: Poisson-bootstrap CI for the p99 event value per event
+    * type ([[graft.operators.Stats.poissonBootstrapQuantileCi]] at
+    * permille = 990): the TAIL regime of the q244 machinery — p99
+    * ranks sit in the top bucket shelf where replicate reweighting
+    * moves the bracket between adjacent HDR buckets, the case a
+    * median gate never exercises. Values are fixed-point millis
+    * (floor(value·1000) — exact on both engines); the whole surface
+    * stays longs, hash-exact, zero IEEE ops. */
+  val q257_p99_bootstrap: Q = (s, d) =>
+    graft.operators.Stats.poissonBootstrapQuantileCi(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v_ms"),
+            col("event_id")),
+        "event_type", "v_ms", "event_id", b = 32, permille = 990,
+        hdrB = 5)
+      .select(col("grp").as("event_type"), col("n"), col("b_eff"),
+        col("est_lb"), col("est_ub"), col("ci_lo_lb"), col("ci_hi_lb"))
+
+  private val bootCaseSqlEv: String =
+    graft.operators.Stats.PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u <= $t THEN $k" }
+      .mkString("(CASE ", " ", " ELSE 9 END)")
+
+  val q257_oracle: String =
+    s"""WITH base AS (SELECT event_type AS grp,
+           CAST(floor(value * 1000) AS BIGINT) AS v, event_id AS id
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL
+           AND floor(value * 1000) >= 0 AND event_id IS NOT NULL),
+       bb AS (SELECT grp,
+           v - v % (CASE WHEN length(bin(v)) - 1 <= 5 THEN 1
+             ELSE 1::BIGINT << (length(bin(v)) - 6) END) AS lb, id
+         FROM base),
+       sk AS (SELECT grp, lb, CAST(count(*) AS BIGINT) AS cnt
+         FROM bb GROUP BY 1, 2),
+       c AS (SELECT grp, lb,
+           CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+         FROM sk),
+       pt AS (SELECT grp, n, min(lb) AS est_lb FROM c
+         WHERE cum >= greatest(1, (990 * n + 999) // 1000)
+         GROUP BY 1, 2),
+       uu AS (SELECT grp, lb, r,
+           CAST(('0x' || substr(md5('bs:' || r || ':'
+             || CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u
+         FROM bb CROSS JOIN range(32) AS t(r)),
+       rs AS (SELECT grp, r, lb, CAST(sum($bootCaseSqlEv) AS BIGINT)
+           AS cnt
+         FROM uu GROUP BY 1, 2, 3),
+       rc AS (SELECT grp, r, lb,
+           CAST(sum(cnt) OVER (PARTITION BY grp, r ORDER BY lb)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY grp, r) AS BIGINT) AS nr
+         FROM rs),
+       rm AS (SELECT grp, r, min(lb) AS m FROM rc
+         WHERE nr > 0 AND cum >= greatest(1, (990 * nr + 999) // 1000)
+         GROUP BY 1, 2),
+       rk AS (SELECT grp, r, m,
+           row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS b_eff
+         FROM rm),
+       lo AS (SELECT grp, b_eff, m AS ci_lo_lb FROM rk
+         WHERE rk = greatest(1, (25 * b_eff + 999) // 1000)),
+       hi AS (SELECT grp, m AS ci_hi_lb FROM rk
+         WHERE rk = greatest(1, (975 * b_eff + 999) // 1000))
+       SELECT pt.grp AS event_type, pt.n, lo.b_eff, pt.est_lb,
+         pt.est_lb + (CASE WHEN length(bin(pt.est_lb)) - 1 <= 5 THEN 1
+           ELSE 1::BIGINT << (length(bin(pt.est_lb)) - 6) END) - 1
+           AS est_ub,
+         lo.ci_lo_lb, hi.ci_hi_lb
+       FROM pt JOIN lo ON lo.grp = pt.grp JOIN hi ON hi.grp = pt.grp"""
+
   val all: Map[String, Q] = Map(
+    "q257_p99_bootstrap" -> q257_p99_bootstrap,
     "q243_theta_panes" -> q243_theta_panes,
     "q236_theta_windows" -> q236_theta_windows,
     "q237_hdr_windows" -> q237_hdr_windows,
@@ -871,6 +947,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q257_p99_bootstrap" -> q257_oracle,
     "q243_theta_panes" -> q243_oracle,
     "q236_theta_windows" -> q236_oracle,
     "q237_hdr_windows" -> q237_oracle,

@@ -5183,7 +5183,32 @@ object TextQueries {
          th.theta, th.rho2
        FROM v JOIN th ON th.grp = v.grp"""
 
+  /** q258: one-pass column census of the documents table
+    * ([[graft.operators.Profile.tableCensus]]): per column, row/null/
+    * exact-distinct counts and min/max rendered as strings — the
+    * first question asked of any new delivery, answered
+    * schema-agnostically in one pass (the multi-column exact distinct
+    * rides Spark's expand; the documented profiling price). Counts
+    * are exact longs; min/max stringify after the TYPED aggregation
+    * so numerics order numerically; the fixture is ASCII so string
+    * collation cannot diverge (the operator documents the BMP
+    * caveat). */
+  val q258_table_profile: Q = (s, d) =>
+    graft.operators.Profile.tableCensus(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  val q258_oracle: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         CAST(min($c) AS VARCHAR) AS min_s,
+         CAST(max($c) AS VARCHAR) AS max_s
+       FROM documents"""
+    }.mkString("\n       UNION ALL\n       ")
+
   val all: Map[String, Q] = Map(
+    "q258_table_profile" -> q258_table_profile,
     "q256_cuped" -> q256_cuped,
     "q255_effect_size" -> q255_effect_size,
     "q254_benford" -> q254_benford,
@@ -5311,6 +5336,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q258_table_profile" -> q258_oracle,
     "q256_cuped" -> q256_oracle,
     "q255_effect_size" -> q255_oracle,
     "q254_benford" -> q254_oracle,
