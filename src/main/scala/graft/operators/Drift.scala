@@ -239,4 +239,47 @@ object Drift {
       (d(col("__tv")) / d(col("__nt"))).as("ttr"),
       simpson.as("simpson"))
   }
+
+  /** Vocabulary RICHNESS estimation — "how many distinct types exist
+    * in the population this sample came from?": Chao1 (Chao 1984),
+    * the lower-bound estimator ecology and corpus linguistics share,
+    * plus Good–Turing sample coverage (Good 1953) — the probability
+    * mass the NEXT token will be an already-seen type. The planning
+    * numbers behind [[vocabGrowth]]'s empirical curve: chao1 says
+    * where the curve is heading, coverage says how far along it the
+    * sample is.
+    *
+    * Exactness: N (token instances), D (types), f1 (singletons), f2
+    * (doubletons) are exact integers off one type-frequency agg;
+    *   chao1 = D + f1²/(2·f2)            (f2 > 0)
+    *         = D + f1(f1−1)/2            (f2 = 0, the bias-corrected
+    *                                      fallback — exact integers)
+    *   coverage = 1 − f1/N
+    * are fixed trees of correctly-rounded IEEE ops — hash-exact. An
+    * empty group cannot occur (groups exist only with ≥ 1 token).
+    *
+    * Scale shape: one (grp, token) hash-agg (map-side combined), one
+    * agg over the type frame with conditional sums — the
+    * [[lexicalDiversity]] shape plus two cells. */
+  def vocabRichness(docs: DataFrame, partCol: String,
+      textCol: String): DataFrame = {
+    val d = (x: Column) => x.cast("double")
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val tp = docs.select(col(partCol).as("part"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("part"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val agg = tp.groupBy(col("part"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+    agg.select(col("part"), col("n_tokens"), col("n_types"),
+      col("f1"), col("f2"),
+      when(col("f2") > 0, d(col("n_types")) +
+          d(d38(col("f1")) * d38(col("f1"))) /
+            (lit(2.0d) * d(col("f2"))))
+        .otherwise(d(col("n_types")) +
+          d(d38(col("f1")) * (d38(col("f1")) - lit(1))) / lit(2.0d))
+        .as("chao1"),
+      (lit(1.0d) - d(col("f1")) / d(col("n_tokens"))).as("coverage"))
+  }
 }

@@ -520,6 +520,49 @@ object Stats {
         col("theta"), col("rho2"))
   }
 
+  /** Per-group Wilson score interval for a proportion (Wilson, JASA
+    * 1927) — the rate CI that behaves at the edges where the naive
+    * Wald interval collapses (k = 0 or k = n give zero Wald width;
+    * Wilson stays honest), the recommended default (Brown, Cai &
+    * DasGupta 2001). The per-slice "keep-rate with error bars"
+    * readout of a curation dashboard.
+    *
+    * Exactness: n and k are exact longs from one hash-agg, z and z²
+    * are LITERALS (z² is computed once in Scala, not squared
+    * in-plan — one fewer op to mirror), and center/half-width are
+    * fixed trees of correctly-rounded IEEE ops:
+    *   denom  = 1 + z²/n
+    *   center = (p̂ + z²/2n) / denom
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / denom
+    * so p_hat, ci_lo, and ci_hi all gate hash-exact.
+    *
+    * Scale shape: one map-side-combined hash-agg to two cells per
+    * group; the interval is a stateless projection. Output: (grp, n,
+    * k, p_hat, ci_lo, ci_hi). */
+  def wilsonCi(items: DataFrame, grpCol: String, successCol: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val dbl = (c: Column) => c.cast("double")
+    val agg = items
+      .filter(col(grpCol).isNotNull && col(successCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        col(successCol).cast("boolean").as("__s"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("k"))
+    val nD = dbl(col("n"))
+    val ph = dbl(col("k")) / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0d) + z2 / nD
+    val center = (ph + z2 / (lit(2.0d) * nD)) / denom
+    val half = lit(z) * sqrt(ph * (lit(1.0d) - ph) / nD +
+      z2 / (lit(4.0d) * nD * nD)) / denom
+    agg
+      .withColumn("p_hat", ph)
+      .withColumn("ci_lo", center - half)
+      .withColumn("ci_hi", center + half)
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

@@ -5207,7 +5207,92 @@ object TextQueries {
        FROM documents"""
     }.mkString("\n       UNION ALL\n       ")
 
+  /** q259: Wilson score interval for the per-source "contains 'the'"
+    * rate ([[graft.operators.Stats.wilsonCi]], Brown–Cai–DasGupta's
+    * recommended default): the rate-with-error-bars readout whose
+    * naive Wald cousin collapses to zero width at k = 0 or k = n —
+    * exactly the edge sources a curation dashboard most needs bars
+    * on. z and z² enter both engines as shared literals, the
+    * center/half-width trees mirror op-for-op, so p_hat and both
+    * endpoints gate hash-exact. */
+  val q259_wilson_ci: Q = (s, d) =>
+    graft.operators.Stats.wilsonCi(
+        Tables.documents(s, d).select(col("source"),
+          col("text").contains("the").as("hit")),
+        "source", "hit")
+      .select(col("grp").as("source"), col("n"), col("k"),
+        col("p_hat"), col("ci_lo"), col("ci_hi"))
+
+  val q259_oracle: String = {
+    val z = 1.959963984540054
+    val zS = s"CAST('$z' AS DOUBLE)"
+    val z2S = s"CAST('${z * z}' AS DOUBLE)"
+    s"""WITH a AS (SELECT source AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END)
+             AS BIGINT) AS k
+         FROM documents
+         WHERE source IS NOT NULL AND text IS NOT NULL
+         GROUP BY 1),
+       f AS (SELECT grp, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+           CAST(1 AS DOUBLE) + $z2S / CAST(n AS DOUBLE) AS denom
+         FROM a)
+       SELECT grp AS source, n, k, ph AS p_hat,
+         (ph + $z2S / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))) / denom
+           - $zS * sqrt(ph * (CAST(1 AS DOUBLE) - ph)
+               / CAST(n AS DOUBLE)
+             + $z2S / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE))) / denom AS ci_lo,
+         (ph + $z2S / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))) / denom
+           + $zS * sqrt(ph * (CAST(1 AS DOUBLE) - ph)
+               / CAST(n AS DOUBLE)
+             + $z2S / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE))) / denom AS ci_hi
+       FROM f"""
+  }
+
+  /** q260: vocabulary richness per language
+    * ([[graft.operators.Drift.vocabRichness]]): Chao1's "how many
+    * types exist in the population?" lower bound and Good–Turing
+    * sample coverage — the planning numbers behind q199's empirical
+    * vocab-growth curve (chao1 says where the curve is heading,
+    * coverage how far along it the sample is). N/D/f1/f2 are exact
+    * integers off one type-frequency agg; chao1 and coverage are
+    * fixed IEEE trees — hash-exact, including the f2 = 0
+    * bias-corrected fallback if a slice ever loses its doubletons. */
+  val q260_vocab_richness: Q = (s, d) =>
+    graft.operators.Drift.vocabRichness(Tables.documents(s, d),
+        "lang", "text")
+      .select(col("part").as("lang"), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"), col("chao1"), col("coverage"))
+
+  val q260_oracle: String =
+    """WITH tp AS (SELECT lang AS part,
+         unnest(string_split(text, ' ')) AS tok FROM documents),
+       c AS (SELECT part, tok, CAST(count(*) AS BIGINT) AS c
+         FROM tp GROUP BY 1, 2),
+       a AS (SELECT part, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS f2
+         FROM c GROUP BY 1)
+       SELECT part AS lang, n_tokens, n_types, f1, f2,
+         CASE WHEN f2 > 0 THEN CAST(n_types AS DOUBLE)
+             + CAST(CAST(f1 AS HUGEINT) * f1 AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(f2 AS DOUBLE))
+           ELSE CAST(n_types AS DOUBLE)
+             + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+               / CAST(2 AS DOUBLE) END AS chao1,
+         CAST(1 AS DOUBLE) - CAST(f1 AS DOUBLE)
+           / CAST(n_tokens AS DOUBLE) AS coverage
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q259_wilson_ci" -> q259_wilson_ci,
+    "q260_vocab_richness" -> q260_vocab_richness,
     "q258_table_profile" -> q258_table_profile,
     "q256_cuped" -> q256_cuped,
     "q255_effect_size" -> q255_effect_size,
@@ -5336,6 +5421,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q259_wilson_ci" -> q259_oracle,
+    "q260_vocab_richness" -> q260_oracle,
     "q258_table_profile" -> q258_oracle,
     "q256_cuped" -> q256_oracle,
     "q255_effect_size" -> q255_oracle,

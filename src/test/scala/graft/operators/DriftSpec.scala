@@ -117,4 +117,18 @@ class DriftSpec extends SparkSuite {
       Drift.vocabGrowth(docs, "doc_id", "text", (1L to 1001L))
     }
   }
+
+  test("vocabRichness: hand-computed Chao1 and Good-Turing coverage, " +
+      "including the f2 = 0 bias-corrected fallback") {
+    // g: tokens a a b c -> N=4 D=3 f1=2 f2=1: chao1 = 3 + 4/2 = 5,
+    //    coverage = 1 - 2/4 = 0.5
+    // h: tokens a a a b -> f1=1 f2=0: fallback chao1 = 2 + 0/2 = 2
+    val docs = Seq(("g", "a a"), ("g", "b c"), ("h", "a a a b"))
+      .toDF("part", "text")
+    val got = Drift.vocabRichness(docs, "part", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 4L, 3L, 2L, 1L, 5.0, 0.5)))
+    assert(got("h") == (("h", 4L, 2L, 1L, 0L, 2.0, 0.75)))
+  }
 }

@@ -394,4 +394,34 @@ class StatsSpec extends SparkSuite {
     assert(z0._4 == 4.0 && z0._5.isEmpty && z0._6.isEmpty &&
       z0._7.isEmpty, s"zero-variance covariate: $z0")
   }
+
+  test("wilsonCi: matches a from-first-principles recompute at " +
+      "k = 5/10, stays honest at the k = 0 and k = n edges where " +
+      "Wald collapses to zero width") {
+    val rows = (0 until 10).map(i => ("mid", i < 5)) ++
+      (0 until 8).map(_ => ("none", false)) ++
+      (0 until 8).map(_ => ("all", true))
+    val got = Stats.wilsonCi(rows.toDF("g", "s"), "g", "s")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val z = 1.959963984540054; val z2 = z * z
+    def wilson(k: Long, n: Long): (Double, Double) = {
+      val nD = n.toDouble; val ph = k.toDouble / nD
+      val denom = 1.0 + z2 / nD
+      val center = (ph + z2 / (2.0 * nD)) / denom
+      val half = z * math.sqrt(ph * (1.0 - ph) / nD +
+        z2 / (4.0 * nD * nD)) / denom
+      (center - half, center + half)
+    }
+    val (lo, hi) = wilson(5, 10)
+    assert(got("mid") == (("mid", 10L, 5L, 0.5, lo, hi)))
+    val none = got("none")
+    assert(none._4 == 0.0 && math.abs(none._5) < 1e-15 &&
+      none._6 > 0.2 && none._6 < 0.5,
+      s"k=0 must keep a real upper bar: $none")
+    val all8 = got("all")
+    assert(all8._4 == 1.0 && all8._5 > 0.5 && all8._5 < 0.8 &&
+      all8._6 <= 1.0 + 1e-15,
+      s"k=n must keep a real lower bar: $all8")
+  }
 }
