@@ -563,6 +563,50 @@ object Stats {
       .withColumn("ci_hi", center + half)
   }
 
+  /** Per-group capture–recapture population estimate — Chapman's
+    * bias-corrected Lincoln–Petersen (Chapman 1951):
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from two independent "catches" of
+    * the same population (two samples' vocabularies, two dedup
+    * methods' pair catches, two crawlers' URL frontiers): the
+    * two-sample companion of [[Drift.vocabRichness]]'s within-sample
+    * Chao1 — same question, answered from catch OVERLAP instead of
+    * the frequency spectrum. Chapman's +1s keep the estimator defined
+    * at m = 0 (a disjoint pair of catches estimates n₁·n₂-ish, large
+    * — honest about how little overlap proves) and remove the
+    * classical estimator's small-m bias.
+    *
+    * Exactness: n₁, n₂, m are exact distinct counts; the estimate is
+    * ONE division of an exact 128-bit product by an exact long,
+    * minus 1 — hash-exact. Groups present in only one catch report
+    * the degenerate N̂ = n₁ (the other factor collapses to 1/(0+1)).
+    *
+    * Scale shape: two distinct-aggs + one equi-join on (grp, key),
+    * all map-side combined; the per-group frames then merge
+    * full-outer so a group caught by one side still reports. */
+  def captureRecapture(a: DataFrame, b: DataFrame, grpCol: String,
+      keyCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    def catchOf(df: DataFrame) = df
+      .filter(col(grpCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(keyCol).as("key"))
+      .distinct()
+    val ca = catchOf(a); val cb = catchOf(b)
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as(as))
+    val overlap = ca.join(cb, Seq("grp", "key"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("m"))
+    cnt(ca, "n1").join(cnt(cb, "n2"), Seq("grp"), "full_outer")
+      .join(overlap, Seq("grp"), "left")
+      .select(col("grp"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("m"), lit(0L)).as("m"))
+      .withColumn("est_total",
+        dbl(d38(col("n1") + 1) * d38(col("n2") + 1)) /
+          dbl(col("m") + 1) - lit(1.0d))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

@@ -5290,7 +5290,58 @@ object TextQueries {
            / CAST(n_tokens AS DOUBLE) AS coverage
        FROM a"""
 
+  /** q261: capture–recapture vocabulary estimate per language
+    * ([[graft.operators.Stats.captureRecapture]], Chapman's
+    * bias-corrected Lincoln–Petersen): catch A = the token vocabulary
+    * of even doc_ids, catch B = odd doc_ids; the overlap estimates
+    * the TOTAL vocabulary — the two-sample cross-check of q260's
+    * within-sample Chao1 (two independent routes to the same
+    * population answer, both in the gate). n₁/n₂/m are exact distinct
+    * counts and the estimate is one division of an exact 128-bit
+    * product — hash-exact. */
+  val q261_capture_recapture: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def half(parity: Int) = docs
+      .filter(col("doc_id") % 2 === parity)
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+    graft.operators.Stats.captureRecapture(half(0), half(1),
+        "lang", "tok")
+      .select(col("grp").as("lang"), col("n1"), col("n2"), col("m"),
+        col("est_total"))
+  }
+
+  val q261_oracle: String =
+    """WITH ca AS (SELECT DISTINCT lang AS grp,
+           unnest(string_split(text, ' ')) AS key
+         FROM documents
+         WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+           AND text IS NOT NULL),
+       cb AS (SELECT DISTINCT lang AS grp,
+           unnest(string_split(text, ' ')) AS key
+         FROM documents
+         WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+           AND text IS NOT NULL),
+       na AS (SELECT grp, CAST(count(*) AS BIGINT) AS n1
+         FROM ca GROUP BY 1),
+       nb AS (SELECT grp, CAST(count(*) AS BIGINT) AS n2
+         FROM cb GROUP BY 1),
+       ov AS (SELECT ca.grp, CAST(count(*) AS BIGINT) AS m
+         FROM ca JOIN cb ON ca.grp = cb.grp AND ca.key = cb.key
+         GROUP BY 1)
+       SELECT coalesce(na.grp, nb.grp) AS lang,
+         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+         coalesce(m, 0) AS m,
+         CAST(CAST(coalesce(n1, 0) + 1 AS HUGEINT)
+             * (coalesce(n2, 0) + 1) AS DOUBLE)
+           / CAST(coalesce(m, 0) + 1 AS DOUBLE)
+           - CAST(1 AS DOUBLE) AS est_total
+       FROM na FULL OUTER JOIN nb ON na.grp = nb.grp
+       LEFT JOIN ov ON ov.grp = coalesce(na.grp, nb.grp)"""
+
   val all: Map[String, Q] = Map(
+    "q261_capture_recapture" -> q261_capture_recapture,
     "q259_wilson_ci" -> q259_wilson_ci,
     "q260_vocab_richness" -> q260_vocab_richness,
     "q258_table_profile" -> q258_table_profile,
@@ -5421,6 +5472,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q261_capture_recapture" -> q261_oracle,
     "q259_wilson_ci" -> q259_oracle,
     "q260_vocab_richness" -> q260_oracle,
     "q258_table_profile" -> q258_oracle,

@@ -424,4 +424,21 @@ class StatsSpec extends SparkSuite {
       all8._6 <= 1.0 + 1e-15,
       s"k=n must keep a real lower bar: $all8")
   }
+
+  test("captureRecapture: Chapman estimate on a known population, " +
+      "defined at zero overlap, one-sided groups degenerate to n1") {
+    // g: A = {1..6}, B = {4..9}: n1=6 n2=6 m=3 -> (7*7/4)-1 = 11.25
+    //    (true population 9 - the estimator lands nearby)
+    // dj: disjoint catches {1,2} vs {3} -> (3*2/1)-1 = 5
+    // solo: only in A -> n1
+    val a = ((1 to 6).map(("g", _)) ++ Seq(("dj", 1), ("dj", 2),
+      ("solo", 7), ("solo", 8))).toDF("grp", "key")
+    val b = ((4 to 9).map(("g", _)) ++ Seq(("dj", 3))).toDF("grp", "key")
+    val got = Stats.captureRecapture(a, b, "grp", "key")
+      .as[(String, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 6L, 6L, 3L, 7.0 * 7.0 / 4.0 - 1.0)))
+    assert(got("dj") == (("dj", 2L, 1L, 0L, 5.0)))
+    assert(got("solo") == (("solo", 2L, 0L, 0L, 2.0)))
+  }
 }
