@@ -199,4 +199,51 @@ object Anomaly {
         (col("n") * trailingDays * factorDen >
           lit(factorNum) * col("baseline")).as("is_burst"))
   }
+
+  /** Exponentially-decayed event counts — the "what is hot RIGHT NOW"
+    * trending score: each event contributes weight 2^(−age) with age
+    * in halflife buckets, so yesterday's burst fades while this
+    * hour's ramp ranks first — the recency signal [[burstBuckets]]'s
+    * fixed trailing window cannot express.
+    *
+    * Exactness: the decay base is DYADIC — weights are
+    * 2^(maxBuckets − b) as exact longs (a per-bucket halflife is the
+    * natural parameterization anyway, and it is the one decay family
+    * with an exact integer surface; an e-folding decay never gates
+    * cross-engine). Ages are integer bucket arithmetic off epoch
+    * micros relative to the corpus max event time ("now" = the data's
+    * own horizon, so replays are deterministic); events older than
+    * maxBuckets halflives weigh 0 (< 2^-40 of a fresh event — already
+    * sub-ulp). decayed_fp = Σ weights in 128-bit; decayed =
+    * decayed_fp / 2^maxBuckets, ONE IEEE division — everything gates
+    * hash-exact.
+    *
+    * Scale shape: one scalar max-ts agg broadcast into one
+    * map-side-combined hash-agg per key; no windows, no state.
+    * Output: (key, n_events, decayed_fp, decayed). */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMicros: Long, maxBuckets: Int = 40): DataFrame = {
+    require(bucketMicros > 0, s"bucket must be > 0, got $bucketMicros")
+    require(maxBuckets >= 1 && maxBuckets <= 62,
+      s"maxBuckets $maxBuckets out of [1, 62]")
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("__us"))
+    val now = base.agg(max(col("__us")).as("__now"))
+    base.crossJoin(broadcast(now))
+      .withColumn("__b",
+        expr(s"(__now - __us) DIV ${bucketMicros}L"))
+      .withColumn("__w", when(col("__b") <= maxBuckets,
+        call_function("shiftleft", lit(1L),
+          (lit(maxBuckets) - col("__b")).cast("int")))
+        .otherwise(lit(0L)))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w").cast("decimal(38,0)")).as("__fp"))
+      .select(col("key"), col("n_events"),
+        col("__fp").cast("long").as("decayed_fp"),
+        (col("__fp").cast("double") /
+          lit(math.pow(2.0, maxBuckets))).as("decayed"))
+  }
 }

@@ -607,6 +607,56 @@ object Stats {
           dbl(col("m") + 1) - lit(1.0d))
   }
 
+  /** Per-group TOP-SHARE concentration — the mass fraction held by
+    * the top p‰ of rows by value (the Lorenz-curve point behind
+    * "the top 1% of documents hold 38% of the bytes"): the
+    * interpretable companion of [[giniConcentration]]'s single
+    * index, and the number a storage/budget planner actually uses.
+    *
+    * Exactness: the [[trimmedMeanCensus]] walk with a one-sided cut —
+    * the top-t kept mass per distinct value is the integer interval
+    * overlap min(C+c, n) − max(C, n−t) on the cumulative frame
+    * (t = ⌈p‰·n/1000⌉ rows, ties broken by the walk's value order:
+    * a tie block straddling the cut contributes exactly its
+    * overlap), sums are exact 128-bit, and share = top_sum/total is
+    * ONE IEEE division — hash-exact. Domain: v ≥ 0 (mass); share
+    * NULL when total = 0 (all-zero mass — undefined).
+    *
+    * Scale shape: one (grp, v) hash-agg + the value-distinct walk —
+    * never a row sort. Output: (grp, n, n_top, top_sum, total_sum,
+    * share). */
+  def topShare(items: DataFrame, grpCol: String, valCol: String,
+      topPermille: Int): DataFrame = {
+    require(topPermille >= 1 && topPermille <= 1000,
+      s"top permille $topPermille out of [1, 1000]")
+    val v = col(valCol).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val cells = items
+      .filter(col(grpCol).isNotNull && v.isNotNull && v >= 0)
+      .select(col(grpCol).as("grp"), v.as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("grp"))
+    cells
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("cum", sum(col("c")).over(byV) - col("c"))
+      .withColumn("t", expr(s"(${topPermille}L * n + 999) DIV 1000"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum") + col("c"), col("n")) -
+          greatest(col("cum"), col("n") - col("t"))))
+      .groupBy(col("grp"))
+      .agg(first(col("n")).as("n"), first(col("t")).as("n_top"),
+        sum(d38(col("v")) * d38(col("kept"))).as("__top"),
+        sum(d38(col("v")) * d38(col("c"))).as("__tot"))
+      .select(col("grp"), col("n"), col("n_top"),
+        col("__top").cast("long").as("top_sum"),
+        col("__tot").cast("long").as("total_sum"),
+        when(col("__tot") > 0, dbl(col("__top")) / dbl(col("__tot")))
+          .as("share"))
+  }
+
   /** Per-group 2×2 chi-squared census. `variant01`/`success01` must
     * evaluate to 0/1 longs per unit row. Output: (group, n00, n01,
     * n10, n11, chi2, significant) — cell nXY = units with variant X

@@ -917,7 +917,40 @@ object EventQueries {
          lo.ci_lo_lb, hi.ci_hi_lb
        FROM pt JOIN lo ON lo.grp = pt.grp JOIN hi ON hi.grp = pt.grp"""
 
+  /** q262: exponentially-decayed trending counts per event type
+    * ([[graft.operators.Anomaly.decayedCounts]], 6h halflife): the
+    * "what is hot right now" score — each event weighs 2^(−age in
+    * halflives), so yesterday's burst fades under this hour's ramp,
+    * the recency signal q206's fixed trailing window cannot express.
+    * Dyadic decay is the ONE decay family with an exact integer
+    * surface: weights are 2^(40−b) longs, the sum is 128-bit, and the
+    * score is one IEEE division by 2^40 — hash-exact; "now" is the
+    * corpus max event time, so replays are deterministic. */
+  val q262_decayed_trend: Q = (s, d) =>
+    graft.operators.Anomaly.decayedCounts(Tables.events(s, d),
+        "event_type", "ts", bucketMicros = 6L * 3600 * 1000000L)
+      .select(col("key").as("event_type"), col("n_events"),
+        col("decayed_fp"), col("decayed"))
+
+  val q262_oracle: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS us
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       nn AS (SELECT max(us) AS now FROM e),
+       w AS (SELECT key,
+           CASE WHEN (now - us) // 21600000000 <= 40
+             THEN 1::BIGINT << CAST(40 - (now - us) // 21600000000
+               AS INT)
+             ELSE 0 END AS w
+         FROM e CROSS JOIN nn)
+       SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS decayed_fp,
+         CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE)
+           / CAST(1099511627776 AS DOUBLE) AS decayed
+       FROM w GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q262_decayed_trend" -> q262_decayed_trend,
     "q257_p99_bootstrap" -> q257_p99_bootstrap,
     "q243_theta_panes" -> q243_theta_panes,
     "q236_theta_windows" -> q236_theta_windows,
@@ -947,6 +980,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q262_decayed_trend" -> q262_oracle,
     "q257_p99_bootstrap" -> q257_oracle,
     "q243_theta_panes" -> q243_oracle,
     "q236_theta_windows" -> q236_oracle,

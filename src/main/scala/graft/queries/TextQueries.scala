@@ -5340,7 +5340,50 @@ object TextQueries {
        FROM na FULL OUTER JOIN nb ON na.grp = nb.grp
        LEFT JOIN ov ON ov.grp = coalesce(na.grp, nb.grp)"""
 
+  /** q263: top-decile mass concentration per source
+    * ([[graft.operators.Stats.topShare]]): the Lorenz-curve point a
+    * storage planner actually reads — "the top 10% of documents hold
+    * X% of this source's bytes" — the interpretable companion of
+    * q212's Gini index. The q250 one-sided walk: the top-t kept mass
+    * per distinct length is an integer interval overlap, sums are
+    * exact 128-bit, share is one IEEE division — hash-exact, tie
+    * blocks straddling the cut included. */
+  val q263_top_share: Q = (s, d) =>
+    graft.operators.Stats.topShare(Tables.documents(s, d),
+        "source", "n_chars", topPermille = 100)
+      .select(col("grp").as("source"), col("n"), col("n_top"),
+        col("top_sum"), col("total_sum"), col("share"))
+
+  val q263_oracle: String =
+    """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+         FROM documents
+         WHERE source IS NOT NULL AND n_chars IS NOT NULL
+           AND n_chars >= 0),
+       cs AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+         FROM b GROUP BY 1, 2),
+       w AS (SELECT grp, v, c,
+           CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+           CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+             - c AS cum
+         FROM cs),
+       k AS (SELECT grp, v, c, n, cum,
+           (100 * n + 999) // 1000 AS t,
+           greatest(0, least(cum + c, n)
+             - greatest(cum, n - (100 * n + 999) // 1000)) AS kept
+         FROM w),
+       a AS (SELECT grp, min(n) AS n, min(t) AS n_top,
+           sum(CAST(v AS HUGEINT) * kept) AS top_sum,
+           sum(CAST(v AS HUGEINT) * c) AS total_sum
+         FROM k GROUP BY 1)
+       SELECT grp AS source, n, n_top,
+         CAST(top_sum AS BIGINT) AS top_sum,
+         CAST(total_sum AS BIGINT) AS total_sum,
+         CASE WHEN total_sum > 0 THEN CAST(top_sum AS DOUBLE)
+           / CAST(total_sum AS DOUBLE) END AS share
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q263_top_share" -> q263_top_share,
     "q261_capture_recapture" -> q261_capture_recapture,
     "q259_wilson_ci" -> q259_wilson_ci,
     "q260_vocab_richness" -> q260_vocab_richness,
@@ -5472,6 +5515,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q263_top_share" -> q263_oracle,
     "q261_capture_recapture" -> q261_oracle,
     "q259_wilson_ci" -> q259_oracle,
     "q260_vocab_richness" -> q260_oracle,

@@ -142,4 +142,25 @@ class AnomalySpec extends SparkSuite {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(got == Seq((10L, 1L, 0L, true)))
   }
+
+  test("decayedCounts: dyadic weights halve per bucket exactly, " +
+      "events beyond maxBuckets weigh zero, recency outranks raw " +
+      "count") {
+    // bucket = 100us, now = 1000: ages in buckets = (1000 - us) DIV 100
+    // hot: us 1000 (2^5) + 900 (2^4); cold: us 800 (2^3) + five at
+    // us 400 (b=6 > maxBuckets=5 -> 0)
+    val rows = Seq(("hot", 1000L), ("hot", 900L), ("cold", 800L),
+      ("cold", 400L), ("cold", 400L), ("cold", 400L), ("cold", 400L),
+      ("cold", 400L)).toDF("k", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val got = Anomaly.decayedCounts(rows, "k", "ts",
+        bucketMicros = 100L, maxBuckets = 5)
+      .as[(String, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("hot") == (("hot", 2L, 32L + 16L, 48.0 / 32.0)))
+    assert(got("cold") == (("cold", 6L, 8L, 8.0 / 32.0)),
+      "five stale events must weigh zero")
+    assert(got("hot")._4 > got("cold")._4,
+      "2 fresh events must outrank 6 stale ones")
+  }
 }

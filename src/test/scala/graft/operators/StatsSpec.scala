@@ -441,4 +441,21 @@ class StatsSpec extends SparkSuite {
     assert(got("dj") == (("dj", 2L, 1L, 0L, 5.0)))
     assert(got("solo") == (("solo", 2L, 0L, 0L, 2.0)))
   }
+
+  test("topShare: top decile of 1..10 is the max row, a tie block " +
+      "straddling the cut keeps exactly its overlap, all-zero mass " +
+      "is NULL") {
+    val rows = (1L to 10L).map(("g", _)) ++ Seq.fill(4)(("t", 5L)) ++
+      Seq(("z", 0L), ("z", 0L))
+    val got = Stats.topShare(rows.toDF("grp", "v"), "grp", "v", 100)
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 10L, 1L, 10L, 55L, Some(10.0 / 55.0))))
+    assert(got("z") == (("z", 2L, 1L, 0L, 0L, None)))
+    val half = Stats.topShare(rows.toDF("grp", "v")
+        .filter($"grp" === "t"), "grp", "v", 500)
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().head
+    assert(half == (("t", 4L, 2L, 10L, 20L, Some(0.5))))
+  }
 }
