@@ -451,4 +451,72 @@ class PropertySpec extends SparkSuite {
     java.util.Arrays.fill(edge, 48, 96, 0xff.toByte) // s = 2^384-1
     assert(derToRaw(rawToDer(edge)).sameElements(edge))
   }
+
+  test("aucRoc equals the brute-force pairwise count (ties = 1/2) on " +
+      "randomized score/label fixtures — the Mann-Whitney identity " +
+      "over the distinct-score walk, seeded and replayable") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 5) {
+      val n = 60 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        // few distinct scores so ties are dense
+        ("g", (rnd.nextInt(9)).toLong, rnd.nextBoolean())
+      }
+      val got = graft.operators.Classifier.aucRoc(
+          rows.toDF("g", "s", "gold"), "g", "s", "gold")
+        .select(col("n_pos"), col("n_neg"), col("u2_num"))
+        .as[(Long, Long, Long)].collect().head
+      val pos = rows.filter(_._3).map(_._2)
+      val neg = rows.filterNot(_._3).map(_._2)
+      // 2U = 2*(wins) + ties over all (pos, neg) pairs
+      val u2 = pos.map(p => neg.map(q =>
+        if (p > q) 2L else if (p == q) 1L else 0L).sum).sum
+      assert((got._1, got._2) == ((pos.size.toLong, neg.size.toLong)),
+        s"trial $trial class counts")
+      assert(got._3 == u2, s"trial $trial: walk ${got._3} vs brute $u2")
+    }
+  }
+
+  test("trimmedMeanCensus equals the sort-based brute force for " +
+      "randomized values and trim levels — the interval-overlap walk " +
+      "never drops or double-counts a straddling tie block") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(70)
+      val trim = Seq(0, 50, 100, 200, 450)(trial)
+      val vals = (0 until n).map(_ => rnd.nextInt(12).toLong)
+      val got = graft.operators.Stats.trimmedMeanCensus(
+          vals.map(("g", _)).toDF("g", "v"), "g", "v", trim)
+        .select(col("n"), col("n_kept"), col("q_lo"), col("q_hi"),
+          col("trimmed_sum"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val sorted = vals.sorted
+      val t = (trim.toLong * n) / 1000
+      val kept = sorted.slice(t.toInt, n - t.toInt)
+      assert(got == ((n.toLong, n - 2 * t, sorted(t.toInt),
+        sorted(n - t.toInt - 1), kept.sum)),
+        s"trial $trial trim $trim: $got")
+    }
+  }
+
+  test("topShare equals the sort-based brute force for randomized " +
+      "values and top fractions") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(70)
+      val p = Seq(1, 100, 250, 500, 1000)(trial)
+      val vals = (0 until n).map(_ => rnd.nextInt(15).toLong)
+      val got = graft.operators.Stats.topShare(
+          vals.map(("g", _)).toDF("g", "v"), "g", "v", p)
+        .select(col("n_top"), col("top_sum"), col("total_sum"))
+        .as[(Long, Long, Long)].collect().head
+      val t = ((p.toLong * n) + 999) / 1000
+      val sorted = vals.sorted
+      assert(got == ((t, sorted.takeRight(t.toInt).sum, vals.sum)),
+        s"trial $trial p $p: $got")
+    }
+  }
 }
