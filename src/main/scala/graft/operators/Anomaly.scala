@@ -218,14 +218,23 @@ object Anomaly {
     * decayed_fp / 2^maxBuckets, ONE IEEE division — everything gates
     * hash-exact.
     *
+    * Envelope, ENFORCED: decayed_fp must fit a long, so a key may
+    * carry at most 2^(63−maxBuckets) fresh-bucket events (~8.4M at
+    * the default 40 — a per-key-per-halflife rate no trending
+    * dashboard approaches; shrink maxBuckets to widen it). A key
+    * whose sum exceeds 2^63−1 raises at runtime — matching the
+    * oracle's CAST(HUGEINT AS BIGINT) error — rather than Spark's
+    * silent NULL under the non-ANSI narrowing cast. maxBuckets is
+    * capped at 40 so at least ~8.4M fresh events per key always fit.
+    *
     * Scale shape: one scalar max-ts agg broadcast into one
     * map-side-combined hash-agg per key; no windows, no state.
     * Output: (key, n_events, decayed_fp, decayed). */
   def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
       bucketMicros: Long, maxBuckets: Int = 40): DataFrame = {
     require(bucketMicros > 0, s"bucket must be > 0, got $bucketMicros")
-    require(maxBuckets >= 1 && maxBuckets <= 62,
-      s"maxBuckets $maxBuckets out of [1, 62]")
+    require(maxBuckets >= 1 && maxBuckets <= 40,
+      s"maxBuckets $maxBuckets out of [1, 40]")
     val base = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("key"),
@@ -242,7 +251,12 @@ object Anomaly {
       .agg(count(lit(1)).as("n_events"),
         sum(col("__w").cast("decimal(38,0)")).as("__fp"))
       .select(col("key"), col("n_events"),
-        col("__fp").cast("long").as("decayed_fp"),
+        when(col("__fp") <= lit(Long.MaxValue),
+          col("__fp").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("decayedCounts: decayed_fp overflows long for key "),
+            col("key").cast("string"))))
+          .as("decayed_fp"),
         (col("__fp").cast("double") /
           lit(math.pow(2.0, maxBuckets))).as("decayed"))
   }

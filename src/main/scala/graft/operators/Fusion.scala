@@ -165,7 +165,11 @@ object Fusion {
       .agg(count(lit(1)).as("hits_at_k"),
         min(col("__r")).as("first_rel_rank"),
         sum(col("__hidx") * expr(s"${lcmL}L DIV __r")).as("ap_num"))
-    runSide.select(col("grp")).distinct()
+    // domain = run ∪ truth groups (the ndcgAtK convention): a group
+    // whose run retrieved nothing inside top-k still reports
+    // p@k = recall = rr = ap = 0 instead of vanishing from the mean
+    runSide.select(col("grp"))
+      .union(rel.select(col("grp"))).distinct()
       .join(nRel, Seq("grp"), "left")
       .join(perGrp, Seq("grp"), "left")
       .select(col("grp"),
@@ -218,9 +222,11 @@ object Fusion {
     * (the [[rboTopK]] dup hardening). `truth` grades are positive
     * integers (rows with rel ≤ 0 are non-relevant and drop);
     * rel·2^32 must fit the decimal product — any real grading scale
-    * does. Groups with NO relevant items report NULL idcg_num/ndcg
-    * (undefined, not zero — the ksTest NULL discipline); groups whose
-    * run retrieved no relevant item report dcg_num = 0, ndcg = 0.
+    * does. The output domain is run ∪ truth groups: groups with NO
+    * relevant items report NULL idcg_num/ndcg (undefined, not zero —
+    * the ksTest NULL discipline); groups whose run retrieved no
+    * relevant item — including groups absent from the run entirely —
+    * report dcg_num = 0, ndcg = 0.
     * Output: (grp, n_rel, dcg_num, idcg_num, ndcg).
     *
     * Scale shape: the [[retrievalMetrics]] argument — runs are top-k
@@ -258,7 +264,12 @@ object Fusion {
       .groupBy(col("grp"))
       .agg(sum(col("__rel").cast("decimal(38,0)") * discAt(col("__i")))
         .as("__idcg"))
-    runSide.select(col("grp")).distinct()
+    // domain = run ∪ truth groups: a group present only in truth
+    // (its run retrieved nothing inside top-k) must still report
+    // dcg_num = 0 / ndcg = 0 — dropping it would silently exclude
+    // exactly the worst queries from any mean-NDCG over the result
+    runSide.select(col("grp"))
+      .union(rel.select(col("grp"))).distinct()
       .join(nRel, Seq("grp"), "left")
       .join(dcg, Seq("grp"), "left")
       .join(idcg, Seq("grp"), "left")

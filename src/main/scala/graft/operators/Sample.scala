@@ -324,8 +324,12 @@ object Sample {
     * The floor quantizes each priority by ≤ 2^-32 relative — far
     * below the sampling noise it perturbs. Ties (same q_fp) break by
     * id. Contract: weights are positive longs below 2^31 (the
-    * quotient must fit a long — any byte/token/char weight does);
-    * w ≤ 0 or null rows drop (zero-weight items carry no mass).
+    * quotient must fit a long — any byte/token/char weight does),
+    * ENFORCED: a row with w ≥ 2^31 raises at runtime rather than
+    * silently overflowing its priority to NULL (which would sort the
+    * heaviest rows LAST — exactly the rows a weighted sample must
+    * keep); w ≤ 0 or null rows drop (zero-weight items carry no
+    * mass).
     *
     * Unsaturated groups (≤ k rows) return ALL rows with τ = 0 and
     * ŵ = w — the estimator is exact there, the theta-sketch
@@ -347,8 +351,11 @@ object Sample {
       .select(col(grpCol).as("grp"), col(idCol).as("id"), w.as("w"))
       .withColumn("__u", conv(substring(md5(concat(lit("pri:"),
         col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
-      .withColumn("q_fp",
+      .withColumn("q_fp", when(col("w") < lit(2147483648L),
         expr("CAST(w AS DECIMAL(38,0)) * 4294967296 DIV __u"))
+        .otherwise(raise_error(concat(lit("prioritySample: weight "),
+          col("w").cast("string"),
+          lit(" >= 2^31 overflows the fixed-point priority")))))
     val win = Window.partitionBy(col("grp"))
       .orderBy(col("q_fp").desc, col("id"))
     val ranked = base

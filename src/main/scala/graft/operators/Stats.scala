@@ -100,23 +100,37 @@ object Stats {
       .select(col("grp"), col("r"),
         (col("__swx").cast("double") / col("__swy").cast("double"))
           .as("m"))
-    val byM = Window.partitionBy(col("grp"))
-      .orderBy(col("m"), col("r"))
-    val whole = Window.partitionBy(col("grp"))
-    val ranked = perRep
-      .withColumn("rk", row_number().over(byM))
-      .withColumn("b_eff", count(lit(1)).over(whole))
-    def at(permille: Int, as: String) = ranked
-      .filter(col("rk") === greatest(lit(1L),
-        expr(s"(${permille}L * b_eff + 999) DIV 1000")))
-      .select(col("grp"), col("b_eff"), col("m").as(as))
     overall
-      .join(at(loPermille, "ci_lo").drop("b_eff"), Seq("grp"))
-      .join(at(hiPermille, "ci_hi"), Seq("grp"))
+      .join(intervalEndpoints(perRep, loPermille, hiPermille),
+        Seq("grp"))
       .select(col("grp"), col("n"), col("b_eff"),
         (col("__sx").cast("double") / col("__sy").cast("double"))
           .as("ratio"),
         col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Both interval endpoints of the B replicate statistics in ONE
+    * aggregation over the (grp, r, m) replicate frame — the shared
+    * tail of the three bootstrap operators. Replaces the old
+    * rank-window + double-filter shape (which made Spark evaluate the
+    * whole replicate subtree once PER endpoint — no CSE across join
+    * branches): sort_array(collect_list(struct(m, r))) totally orders
+    * the ≤ 256 replicates per group (ties in m break by replicate id
+    * — the exact row_number order the windows used), and both order
+    * statistics are element_at lookups on the same array. One
+    * consumer → the explode/agg pipeline runs ONCE; the two window
+    * exchanges disappear. B ≤ 256 bounds the array. */
+  private def intervalEndpoints(perRep: DataFrame, loPermille: Int,
+      hiPermille: Int, loAs: String = "ci_lo",
+      hiAs: String = "ci_hi"): DataFrame = {
+    def at(p: Int) = element_at(col("__ms"), greatest(lit(1L),
+      expr(s"(${p}L * size(__ms) + 999) DIV 1000")).cast("int"))
+      .getField("m")
+    perRep.groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("m"), col("r"))))
+        .as("__ms"))
+      .select(col("grp"), size(col("__ms")).cast("long").as("b_eff"),
+        at(loPermille).as(loAs), at(hiPermille).as(hiAs))
   }
 
   /** Per-group mean with a Poisson-bootstrap confidence interval
@@ -173,19 +187,9 @@ object Stats {
       .select(col("grp"), col("r"),
         (col("__swx").cast("double") / col("__sw").cast("double"))
           .as("m"))
-    val byM = Window.partitionBy(col("grp"))
-      .orderBy(col("m"), col("r"))
-    val whole = Window.partitionBy(col("grp"))
-    val ranked = perRep
-      .withColumn("rk", row_number().over(byM))
-      .withColumn("b_eff", count(lit(1)).over(whole))
-    def at(permille: Int, as: String) = ranked
-      .filter(col("rk") === greatest(lit(1L),
-        expr(s"(${permille}L * b_eff + 999) DIV 1000")))
-      .select(col("grp"), col("b_eff"), col("m").as(as))
     overall
-      .join(at(loPermille, "ci_lo").drop("b_eff"), Seq("grp"))
-      .join(at(hiPermille, "ci_hi"), Seq("grp"))
+      .join(intervalEndpoints(perRep, loPermille, hiPermille),
+        Seq("grp"))
       .select(col("grp"), col("n"), col("b_eff"),
         (col("__sx").cast("double") / col("n").cast("double"))
           .as("mean"),
@@ -264,17 +268,8 @@ object Stats {
         expr(s"(${permille}L * nr + 999) DIV 1000")))
       .groupBy(col("grp"), col("r"))
       .agg(min(col("lb")).as("m"))
-    val byM = Window.partitionBy(col("grp"))
-      .orderBy(col("m"), col("r"))
-    val ranked = repMed
-      .withColumn("rk", row_number().over(byM))
-      .withColumn("b_eff", count(lit(1)).over(whole))
-    def at(p: Int, as: String) = ranked
-      .filter(col("rk") === greatest(lit(1L),
-        expr(s"(${p}L * b_eff + 999) DIV 1000")))
-      .select(col("grp"), col("b_eff"), col("m").as(as))
-    pt.join(at(loPermille, "ci_lo_lb").drop("b_eff"), Seq("grp"))
-      .join(at(hiPermille, "ci_hi_lb"), Seq("grp"))
+    pt.join(intervalEndpoints(repMed, loPermille, hiPermille,
+        "ci_lo_lb", "ci_hi_lb"), Seq("grp"))
       .select(col("grp"), col("n"), col("b_eff"), col("est_lb"),
         (col("est_lb") + Sketch.hdrWidth(col("est_lb"), hdrB) - 1)
           .as("est_ub"),
@@ -753,7 +748,11 @@ object Stats {
     * Scale shape: [[chiSquare2x2]]'s one corpus hash-agg, then
     * ranking/decision on the HYPOTHESIS-count frame (≤ m rows — the
     * one place a whole-frame window is the right call, and the reason
-    * m is capped at 10^5). */
+    * m is capped at 10^5). The crit table ships as in-plan literals
+    * only while m ≤ 1024; past that it becomes a broadcast rank→crit
+    * lookup joined on the ≤ m-row frame, so no plan ever carries a
+    * 10^5-element literal array (and the driver-side Acklam cost is
+    * a one-time m-length table build either way). */
   def chiSquareBhFdr(units: DataFrame, groupCol: String,
       variant01: Column, success01: Column, m: Int,
       alphaPermille: Int = 50): DataFrame = {
@@ -762,16 +761,31 @@ object Stats {
       s"alpha permille $alphaPermille out of [1, 500]")
     val crits = (1 to m).map(i =>
       chi2InvUpper(alphaPermille.toDouble / 1000.0 * i / m))
-    val critArr = array(crits.map(lit(_)): _*)
     val base = chiSquare2x2(units, groupCol, variant01, success01, 1.0)
       .drop("significant")
       .filter(col("chi2").isNotNull)
     val byChi = Window.orderBy(col("chi2").desc, col(groupCol))
     val whole = Window.partitionBy()
-    base
+    val ranked = base
       .withColumn("rank", row_number().over(byChi).cast("long"))
-      .withColumn("crit", when(col("rank") <= m,
-        element_at(critArr, col("rank").cast("int"))))
+    // the crit table: a small-m literal array stays a pure projection;
+    // past 1024 entries a 10^5-double literal would bloat every plan
+    // copy, so ship it as a broadcast rank->crit lookup instead (same
+    // driver-computed doubles either way — decisions are identical)
+    val withCrit =
+      if (m <= 1024) {
+        val critArr = array(crits.map(lit(_)): _*)
+        ranked.withColumn("crit", when(col("rank") <= m,
+          element_at(critArr, col("rank").cast("int"))))
+      } else {
+        import units.sparkSession.implicits._
+        val critDf = broadcast(crits.zipWithIndex
+          .map { case (c, i) => (i + 1L, c) }
+          .toDF("rank", "crit"))
+        ranked.join(critDf, Seq("rank"), "left")
+          .select(ranked.columns.map(col) :+ col("crit"): _*)
+      }
+    withCrit
       .withColumn("__pass",
         col("crit").isNotNull && col("chi2") >= col("crit"))
       .withColumn("__istar",

@@ -109,6 +109,32 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("bootstrap CI family is single-pass (VERDICT r15): ONE " +
+      "Generate (the B-way replicate explode) and at most 2 scans — " +
+      "the interval endpoints come from one sort_array aggregation, " +
+      "never a per-endpoint re-run of the replicate subtree") {
+    Seq(
+      "q240" -> queries.TextQueries.q240_bootstrap_ci(spark, sfDir),
+      "q242" -> queries.TextQueries.q242_bootstrap_ratio(spark, sfDir),
+      "q244" -> queries.TextQueries.q244_bootstrap_median(spark, sfDir),
+      "q257" -> queries.EventQueries.q257_p99_bootstrap(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val p = planOf(df)
+      val gens = "Generate explode".r.findAllIn(p).size
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(gens == 1, s"$name: $gens Generates (want 1)\n$p")
+      assert(scans <= 2, s"$name: $scans scans (want <= 2)\n$p")
+    }
+  }
+
+  test("q258 table profile is physically ONE scan (VERDICT r15): the " +
+      "wide aggregate has a single stack() consumer, not one select " +
+      "branch per profiled column") {
+    val p = planOf(queries.TextQueries.q258_table_profile(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"$scans scans (want 1)\n$p")
+  }
+
   test("a bare IsNotNull filter does NOT whitewash a full-table " +
       "broadcast (ADVICE r06), while a selective filter still bounds") {
     import org.apache.spark.sql.functions._

@@ -163,4 +163,26 @@ class AnomalySpec extends SparkSuite {
     assert(got("hot")._4 > got("cold")._4,
       "2 fresh events must outrank 6 stale ones")
   }
+
+  test("decayedCounts: decayed_fp overflow raises loudly (matching " +
+      "the oracle's HUGEINT->BIGINT cast error) instead of Spark's " +
+      "silent NULL; maxBuckets capped at 40") {
+    intercept[IllegalArgumentException] {
+      Anomaly.decayedCounts(Seq(("k", 0L)).toDF("k", "us")
+        .withColumn("ts", expr("timestamp_micros(us)")),
+        "k", "ts", bucketMicros = 100L, maxBuckets = 41)
+    }
+    // 2^23 + 1 fresh events at maxBuckets = 40 push the weighted sum
+    // one past Long.MaxValue — the guard must raise, never NULL
+    val many = spark.range((1L << 23) + 1)
+      .select(lit("k").as("k"), expr("timestamp_micros(0)").as("ts"))
+    val e = intercept[Exception] {
+      Anomaly.decayedCounts(many, "k", "ts",
+        bucketMicros = 100L, maxBuckets = 40).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("overflows long"))), e.toString)
+  }
 }

@@ -137,4 +137,30 @@ class FusionSpec extends SparkSuite {
     assert(got("p") == ("p", 3L, idcg, Some(idcg), Some(1.0)))
     assert(got("h") == ("h", 0L, 0L, None, None))
   }
+
+  test("ndcgAtK + retrievalMetrics domain is run UNION truth: a " +
+      "group whose run retrieved nothing still reports zeros instead " +
+      "of vanishing from the mean") {
+    val run = Seq(("g", "a", 1L)).toDF("grp", "item", "rank")
+    // t exists only in truth: its run found nothing inside top-k
+    val truth = Seq(("g", "a", 1L), ("t", "x", 2L), ("t", "y", 1L))
+      .toDF("grp", "item", "rel")
+    val d = Fusion.ndcgDiscounts(3)
+    val ndcg = Fusion.ndcgAtK(run, truth, "grp", "item", "rank",
+        "rel", k = 3)
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ndcg.keySet == Set("g", "t"))
+    assert(ndcg("t") == ("t", 2L, 0L, Some(2L * d(0) + d(1)),
+      Some(0.0)))
+    val rm = Fusion.retrievalMetrics(run,
+        truth.select($"grp", $"item"), "grp", "item", "rank",
+        k = 3)
+      .select($"grp", $"n_rel", $"hits_at_k",
+        $"rr_num", $"ap_num")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rm.keySet == Set("g", "t"))
+    assert(rm("t") == ("t", 2L, 0L, 0L, 0L))
+  }
 }

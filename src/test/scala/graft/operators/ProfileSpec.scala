@@ -24,4 +24,31 @@ class ProfileSpec extends SparkSuite {
       Profile.tableCensus(df, Seq("missing"))
     }
   }
+
+  test("tableCensus: duplicate profile list rejected loudly; a " +
+      "dotted column name profiles the top-level column (quoted " +
+      "reference, never a struct path)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "a.b")
+    intercept[IllegalArgumentException] {
+      Profile.tableCensus(df, Seq("id", "id"))
+    }
+    val got = Profile.tableCensus(df, Seq("a.b"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect()
+    assert(got.toSeq == Seq(("a.b", 2L, 0L, 2L, Some("x"), Some("y"))))
+  }
+
+  test("tableCensus plan is physically one-pass: a single scan of " +
+      "the input feeds the stack() unpivot, not one scan per column") {
+    val dir = graft.TempDirs.scratch("profile-onepass")
+    val p = s"$dir/t.parquet"
+    Seq((1L, "a", 2L), (2L, "b", 3L)).toDF("x", "y", "z")
+      .write.mode("overwrite").parquet(p)
+    val census = Profile.tableCensus(spark.read.parquet(p),
+      Seq("x", "y", "z"))
+    val physical = census.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(physical).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$physical")
+    assert(census.count() == 3L)
+  }
 }

@@ -334,4 +334,18 @@ class SampleSpec extends SparkSuite {
     assert(math.abs(est - truth) / truth < 0.3,
       s"estimate $est vs truth $truth")
   }
+
+  test("prioritySample: a weight >= 2^31 raises loudly instead of " +
+      "silently overflowing its priority to NULL (which would sort " +
+      "the heaviest row LAST)") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 2147483648L))
+      .toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Sample.prioritySample(df, "g", "id", "w", k = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("2^31"))), e.toString)
+  }
 }

@@ -284,6 +284,31 @@ class StatsSpec extends SparkSuite {
     assert(m2("g1")._4 == true)
   }
 
+  test("chiSquareBhFdr large-m broadcast crit path: identical " +
+      "columns, crit values, and decisions as the driver-side table " +
+      "(no 10^5-element literal array in the plan)") {
+    def block(g: String, n00: Int, n01: Int, n10: Int, n11: Int) =
+      Seq.fill(n00)((g, 0L, 0L)) ++ Seq.fill(n01)((g, 0L, 1L)) ++
+        Seq.fill(n10)((g, 1L, 0L)) ++ Seq.fill(n11)((g, 1L, 1L))
+    val units = (block("g1", 20, 0, 0, 20) ++ block("g2", 10, 10, 10, 10)
+      ++ block("g3", 11, 9, 9, 11)).toDF("g", "va", "su")
+    val m = 2000
+    val got = Stats.chiSquareBhFdr(units, "g", col("va"), col("su"),
+      m = m, alphaPermille = 50)
+    assert(got.columns.toSeq ==
+      Seq("g", "n00", "n01", "n10", "n11", "chi2", "rank", "crit",
+        "reject"))
+    val rows = got.select($"g", $"rank", $"crit", $"reject")
+      .as[(String, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // crit_i = chi2InvUpper(alpha * i / m), same doubles either path
+    (1 to 3).foreach { i =>
+      val g = rows.values.find(_._2 == i.toLong).get
+      assert(g._3 == Stats.chi2InvUpper(0.05 * i / m))
+    }
+    assert(rows("g1")._4 == true && rows("g2")._4 == false)
+  }
+
   test("spearmanCorr: monotone = 1 (ties included), reversed = -1, " +
       "constant column = NULL, independent-ish known value") {
     val rows = Seq(
