@@ -196,24 +196,39 @@ object Api {
     * discovery. [[handle]] is this with a static-JWKS authorizer. */
   def handleWith(store: EventStore,
       authorize: String => Either[String, Jwt.Claims], req: Request,
-      baseUrl: String = "http://localhost:8080"): Response = {
+      baseUrl: String = "http://localhost:8080"): Response =
+    handleTraced(store, authorize, req, baseUrl)._1
+
+  /** [[handleWith]] plus the authenticated tenant (None on auth
+    * failure) — the seam the serving layer's per-request log line
+    * reads its `tenant=` field from (the reference logs requests via
+    * its tracing subscriber, main.rs:11-17). */
+  def handleTraced(store: EventStore,
+      authorize: String => Either[String, Jwt.Claims], req: Request,
+      baseUrl: String = "http://localhost:8080")
+      : (Response, Option[String]) = {
     // auth middleware first (api.rs:154-231)
     val token = req.headers.get("Authorization")
       .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
     val user = token match {
       case None =>
-        return errorResponse(401, "Not authenticated",
+        return (errorResponse(401, "Not authenticated",
           Some("A Bearer token is required to access this API."),
-          Some("header" -> "Authorization")) // api.rs:158-176
+          Some("header" -> "Authorization")), None) // api.rs:158-176
       case Some(t) =>
         authorize(t) match {
           case Left(_) =>
-            return errorResponse(401, "Not authenticated",
+            return (errorResponse(401, "Not authenticated",
               Some("Bearer token is invalid."),
-              Some("header" -> "Authorization")) // api.rs:192-211
+              Some("header" -> "Authorization")), None) // api.rs:192-211
           case Right(claims) => claims.sub // api.rs:187: User { id: sub }
         }
     }
+    (dispatch(store, user, req, baseUrl), Some(user))
+  }
+
+  private def dispatch(store: EventStore, user: String, req: Request,
+      baseUrl: String): Response = {
     val segments = req.path.stripPrefix("/").stripSuffix("/").split('/')
       .toList.filter(_.nonEmpty)
     (req.method.toUpperCase, segments) match {

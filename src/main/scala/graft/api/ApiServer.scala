@@ -82,11 +82,13 @@ object ApiServer {
       port: Int = 0, host: String = "127.0.0.1", threads: Int = 8,
       maxBodyBytes: Int = DefaultMaxBodyBytes,
       onError: Throwable => Unit = logError,
-      minRefreshIntervalMs: Long = 60000L): Handle = {
+      minRefreshIntervalMs: Long = 60000L,
+      logLevel: String = "warn",
+      logSink: String => Unit = System.err.println): Handle = {
     val client = new Oidc.OpenIdClient(issuerBaseUrl, fetcher, audience,
       minRefreshIntervalMs)
     startWith(store, t => client.authorize(t), port, host, threads,
-      maxBodyBytes, onError)
+      maxBodyBytes, onError, logLevel, logSink)
   }
 
   /** The transport loop under both [[start]] (static JWKS) and
@@ -96,16 +98,35 @@ object ApiServer {
       authorize: String => Either[String, Jwt.Claims], port: Int = 0,
       host: String = "127.0.0.1", threads: Int = 8,
       maxBodyBytes: Int = DefaultMaxBodyBytes,
-      onError: Throwable => Unit = logError): Handle = {
+      onError: Throwable => Unit = logError,
+      logLevel: String = "warn",
+      logSink: String => Unit = System.err.println): Handle = {
+    require(Set("info", "warn").contains(logLevel),
+      s"logLevel must be info|warn, got '$logLevel'")
+    val logRequests = logLevel == "info"
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     server.setExecutor(pool)
     val handle = new Handle(server, pool)
     server.createContext("/", (exchange: HttpExchange) =>
-      try respond(exchange,
-        route(store, authorize, exchange, handle.baseUrl, maxBodyBytes,
-          onError))
-      finally exchange.close())
+      try {
+        val t0 = System.nanoTime()
+        val (res, user) = route(store, authorize, exchange,
+          handle.baseUrl, maxBodyBytes, onError)
+        // one structured line per request at INFO (the reference's
+        // env-filtered tracing subscriber, main.rs:11-17); WARN keeps
+        // only handler-error lines (onError) — quiet by default
+        if (logRequests) {
+          val ms = (System.nanoTime() - t0) / 1000000L
+          try logSink(s"[graft-server] INFO request " +
+            s"method=${exchange.getRequestMethod} " +
+            s"path=${exchange.getRequestURI.getRawPath} " +
+            s"status=${res.status} ms=$ms " +
+            s"tenant=${user.getOrElse("-")}")
+          catch { case _: Throwable => () }
+        }
+        respond(exchange, res)
+      } finally exchange.close())
     server.start()
     handle
   }
@@ -116,7 +137,7 @@ object ApiServer {
   private def route(store: EventStore,
       authorize: String => Either[String, Jwt.Claims],
       exchange: HttpExchange, baseUrl: String, maxBodyBytes: Int,
-      onError: Throwable => Unit): Api.Response = {
+      onError: Throwable => Unit): (Api.Response, Option[String]) = {
     try {
       val uri = exchange.getRequestURI
       val headers = exchange.getRequestHeaders.asScala.map {
@@ -126,24 +147,25 @@ object ApiServer {
       // the cap" from "over it" without buffering an unbounded body.
       val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
       if (raw.length > maxBodyBytes)
-        return Api.Response(413,
+        return (Api.Response(413,
           Map("Content-Type" -> "application/json"),
           Some(s"""{"errors":[{"status":"413",""" +
-            s""""title":"Payload Too Large"}]}"""))
+            s""""title":"Payload Too Large"}]}""")), None)
       val body = new String(raw, UTF_8) match {
         case "" => None
         case s => Some(s)
       }
       val req = Api.Request(exchange.getRequestMethod,
         uri.getRawPath, parseQuery(uri.getRawQuery), headers, body)
-      Api.handleWith(store, authorize, req, baseUrl)
+      Api.handleTraced(store, authorize, req, baseUrl)
     } catch {
       // a handler bug must produce a 500, not a dropped connection —
       // but never an INVISIBLE 500 (observe it first)
       case e: Exception =>
         try onError(e) catch { case _: Throwable => () }
-        Api.Response(500, Map("Content-Type" -> "application/json"),
-          Some(s"""{"errors":[{"status":"500","title":"Internal"}]}"""))
+        (Api.Response(500, Map("Content-Type" -> "application/json"),
+          Some(s"""{"errors":[{"status":"500","title":"Internal"}]}""")),
+          None)
     }
   }
 

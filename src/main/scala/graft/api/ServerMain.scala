@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   *   - GRAFT_BIND_HOST    (default 0.0.0.0 — main.rs:36's bind; set
   *     127.0.0.1 behind a reverse proxy)
   *   - GRAFT_PORT         (default 8080)
+  *   - GRAFT_LOG          (default info) — request-log level, the
+  *     analogue of the reference's env-filtered tracing subscriber
+  *     (main.rs:11-17): `info` emits one structured line per request
+  *     (method, path, status, ms, tenant); `warn` keeps only
+  *     handler-error lines
   *   - GRAFT_SPARK_MASTER (default local[*]) — the store's scan/agg
   *     engine; point at a cluster master to serve reads from one
   *
@@ -36,7 +41,8 @@ object ServerMain {
     * variable's name — fail fast at boot like the reference's
     * .expect/.context chain, not on first request. */
   def boot(env: Map[String, String], spark: SparkSession,
-      fetcher: Oidc.Fetcher = new Oidc.HttpFetcher())
+      fetcher: Oidc.Fetcher = new Oidc.HttpFetcher(),
+      logSink: String => Unit = System.err.println)
       : ApiServer.Handle = {
     def required(k: String): String = env.getOrElse(k,
       throw new IllegalArgumentException(s"Env var $k is required"))
@@ -45,11 +51,12 @@ object ServerMain {
     val audience = required("GRAFT_JWT_AUD")
     val host = env.getOrElse("GRAFT_BIND_HOST", "0.0.0.0")
     val port = env.getOrElse("GRAFT_PORT", "8080").toInt
+    val logLevel = env.getOrElse("GRAFT_LOG", "info")
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(streamsDir))
     val store = new EventStore(spark, streamsDir)
     ApiServer.startOidc(store, oidcUrl, audience, fetcher = fetcher,
-      port = port, host = host)
+      port = port, host = host, logLevel = logLevel, logSink = logSink)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1018,7 +1018,7 @@ class EventStore(val spark: SparkSession, rootDir: String,
   // subset).
 
   private val catalogDir = root.resolve(".catalog")
-  private def catalogLock: Object = lockFor(" ", ".catalog")
+  private def catalogLock: Object = lockFor("\u0000", ".catalog")
 
   /** Append one catalog op, seeding the catalog from the walk on its
     * very first write (migration: a pre-catalog store's existing
@@ -1051,7 +1051,7 @@ class EventStore(val spark: SparkSession, rootDir: String,
     var attempt = 0
     while (attempt <= 10) {
       val head = readHead(catalogDir)
-      if (commitAttempt(" ", ".catalog", catalogDir, head,
+      if (commitAttempt("\u0000", ".catalog", catalogDir, head,
           events).nonEmpty) return
       attempt += 1
     }

@@ -89,4 +89,53 @@ class ServerMainSpec extends SparkSuite {
       assert(unauth.statusCode() == 401)
     } finally handle.stop()
   }
+
+  test("request log (main.rs:11-17 tracing analogue): one structured " +
+      "line per request at GRAFT_LOG=info with method/path/status/ms/" +
+      "tenant — including tenant=- on auth failure — and NO request " +
+      "lines at GRAFT_LOG=warn") {
+    val issuerBase = "https://idp.boot"
+    val fetcher = new Oidc.MapFetcher(Map(
+      s"$issuerBase/.well-known/openid-configuration" ->
+        s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}""",
+      s"$issuerBase/jwks" ->
+        s"""{"keys":[{"kid":"boot-key","kty":"EC","crv":"P-384",
+            "x":"${jwk.x}","y":"${jwk.y}"}]}"""))
+    val env = Map(
+      "GRAFT_STREAMS_DIR" -> (tempDir("server-log-") + "/streams"),
+      "GRAFT_OIDC_URL" -> issuerBase,
+      "GRAFT_JWT_AUD" -> "graft-api",
+      "GRAFT_BIND_HOST" -> "127.0.0.1",
+      "GRAFT_PORT" -> "0")
+    val token = Jwt.sign(keyPair.getPrivate, "boot-key",
+      Map("sub" -> "deployer", "iss" -> issuerBase,
+        "aud" -> "graft-api",
+        "exp" -> (System.currentTimeMillis() / 1000 + 3600)))
+    val client = HttpClient.newHttpClient()
+    def drive(level: String): Seq[String] = {
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val handle = ServerMain.boot(env + ("GRAFT_LOG" -> level), spark,
+        fetcher, logSink = lines.add(_))
+      try {
+        client.send(
+          HttpRequest.newBuilder(URI.create(handle.baseUrl + "/health"))
+            .header("Authorization", s"Bearer $token").GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        client.send( // unauthenticated: logs with tenant=-
+          HttpRequest.newBuilder(URI.create(handle.baseUrl + "/nope"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+      } finally handle.stop()
+      import scala.jdk.CollectionConverters._
+      lines.asScala.toSeq
+    }
+    val info = drive("info")
+    assert(info.size == 2, info.mkString("\n"))
+    assert(info.head.matches("\\[graft-server\\] INFO request " +
+      "method=GET path=/health status=200 ms=\\d+ tenant=deployer"),
+      info.head)
+    assert(info(1).matches("\\[graft-server\\] INFO request " +
+      "method=GET path=/nope status=401 ms=\\d+ tenant=-"), info(1))
+    assert(drive("warn").isEmpty,
+      "warn level must emit no request lines")
+  }
 }
