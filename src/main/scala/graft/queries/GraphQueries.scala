@@ -14,56 +14,83 @@ import org.apache.spark.sql.functions._
   * are closed-form in doc_id, so the DuckDB oracles recompute the whole
   * graph (and, for PageRank, the whole fixpoint) from first principles.
   *
-  * Page grammar per doc (residue s = doc_id % 101 over a single shared
-  * host namespace, so the graph has real cycles, confluences, one
-  * self-loop at s=50 and one collapsed double-edge at s=100):
-  *   link 1: HTTPS://SITE{(3s+1)%101}.EXAMPLE.ORG:443/p{id}?utm_source=x
+  * Page grammar per doc (residue s = doc_id % M over a single shared
+  * host namespace, so the graph has real cycles, confluences, a
+  * self-loop and collapsed double-edges where the residue maps
+  * coincide):
+  *   link 1: HTTPS://SITE{(3s+1)%M}.EXAMPLE.ORG:443/p{id}?utm_source=x
   *           (mangled — only canonicalization yields the true host)
-  *   link 2: https://site{(7s+5)%101}.example.org/q{id}
+  *   link 2: https://site{(7s+5)%M}.example.org/q{id}
   *   link 3: https://site0.example.org/h{id}  — only when s % 5 == 0,
-  *           making site0 a mega-hub (~21 in-neighbours) so the
-  *           PageRank surface has real spread (93 distinct values,
-  *           site0 ≈ 10× the median) instead of a flat permutation.
+  *           making site0 a mega-hub so the PageRank surface has real
+  *           spread instead of a flat permutation.
   * Source host: site{s}.example.org (the doc's own q114-style host).
+  *
+  * The modulus M is SCALE-COUPLED (r15 verdict item 3): M =
+  * greatest(101, n DIV 50) over the corpus row count n, the single
+  * closed form both the Spark builders and the DuckDB oracles
+  * evaluate. At the correctness fixtures (500 docs) M = 101 — the
+  * documented residue structure, incl. the self-loop at s=50 (2s ≡ −1
+  * mod 101) — while the synthetic scale corpora grow the host set
+  * with the data (sf0.1's 5000 docs still 101; the ×10 sf1 replica's
+  * 50000 docs → 1000 hosts), so SCALEBENCH's graph fits actually see
+  * node growth instead of a fixed 101-node universe at every sf.
   */
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The scale-coupled modulus attached as a `__m` column: ONE
+    * single-row count aggregate broadcast to the corpus (the
+    * decayedCounts scalar-attach shape — a bounded BNL join, never a
+    * second pass). */
+  private def withM(docs: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(
+      docs.agg(greatest(lit(101L),
+        expr("count(1) DIV 50")).as("__m"))))
+
+  /** The oracle's spelling of the same scalar. */
+  private val mSql =
+    "(SELECT greatest(101, count(*) // 50) FROM documents)"
+
   /** Host-level edge INSTANCES via the real extraction chain — one row
     * per (doc, link); multiplicity preserved (q116 counts it, q115's
     * PageRank dedupes internally). Per-row extract + explode +
-    * canonicalize: no shuffle at all in this stage. */
+    * canonicalize: no shuffle in this stage beyond the one-row
+    * modulus broadcast. */
   private def hostEdges(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
+    val m = col("__m")
     val page = concat(
-      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % 101,
+      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % m,
       lit(".EXAMPLE.ORG:443/p"), id, lit("?utm_source=x\">a</A>"),
-      lit("<a href='https://site"), (id * 7 + 5) % 101,
+      lit("<a href='https://site"), (id * 7 + 5) % m,
       lit(".example.org/q"), id, lit("'>b</a>"),
-      when((id % 101) % 5 === 0,
+      when((id % m) % 5 === 0,
         concat(lit("<a href=\"https://site0.example.org/h"), id,
           lit("\">c</a>"))).otherwise(lit("")),
       lit("</body></html>"))
-    Tables.documents(s, d)
-      .select(id, explode(extractLinks(page)).as("raw"))
+    withM(Tables.documents(s, d))
+      .select(id, m, explode(extractLinks(page)).as("raw"))
       .select(
-        concat(lit("site"), id % 101, lit(".example.org")).as("src"),
+        concat(lit("site"), id % m, lit(".example.org")).as("src"),
         parse_url(canonicalizeUrl(col("raw")), lit("HOST")).as("dst"))
   }
 
   /** Closed-form SQL for the same edge instances. */
   private val edgeSql: String =
-    """SELECT 'site' || (doc_id % 101) || '.example.org' AS src,
-         'site' || ((3 * (doc_id % 101) + 1) % 101) || '.example.org' AS dst
+    s"""SELECT 'site' || (doc_id % $mSql) || '.example.org' AS src,
+         'site' || ((3 * (doc_id % $mSql) + 1) % $mSql)
+           || '.example.org' AS dst
        FROM documents
        UNION ALL
-       SELECT 'site' || (doc_id % 101) || '.example.org',
-         'site' || ((7 * (doc_id % 101) + 5) % 101) || '.example.org'
+       SELECT 'site' || (doc_id % $mSql) || '.example.org',
+         'site' || ((7 * (doc_id % $mSql) + 5) % $mSql)
+           || '.example.org'
        FROM documents
        UNION ALL
-       SELECT 'site' || (doc_id % 101) || '.example.org',
+       SELECT 'site' || (doc_id % $mSql) || '.example.org',
          'site0.example.org'
-       FROM documents WHERE (doc_id % 101) % 5 = 0"""
+       FROM documents WHERE (doc_id % $mSql) % 5 = 0"""
 
   /** q115: host PageRank — 4 fixed power-iteration rounds in scaled
     * integer arithmetic (Graph.pageRank scaladoc has the exact update
@@ -140,9 +167,9 @@ object GraphQueries {
     * are all load-bearing. Scale shape: pageRank's 4 node-keyed
     * supersteps plus one broadcast of the seed list. */
   val q125_trustrank: Q = (s, d) => {
-    val seeds = Tables.documents(s, d)
-      .filter((col("doc_id") % 101) % 10 === 0)
-      .select(concat(lit("site"), col("doc_id") % 101,
+    val seeds = withM(Tables.documents(s, d))
+      .filter((col("doc_id") % col("__m")) % 10 === 0)
+      .select(concat(lit("site"), col("doc_id") % col("__m"),
         lit(".example.org")).as("node"))
       .distinct()
     Graph.personalizedPageRank(hostEdges(s, d), "src", "dst",
@@ -166,8 +193,8 @@ object GraphQueries {
        e AS (SELECT DISTINCT src, dst FROM inst),
        nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
        seeds AS (SELECT DISTINCT
-           'site' || (doc_id % 101) || '.example.org' AS v
-         FROM documents WHERE (doc_id % 101) % 10 = 0),
+           'site' || (doc_id % $mSql) || '.example.org' AS v
+         FROM documents WHERE (doc_id % $mSql) % 10 = 0),
        sn AS (SELECT nodes.v AS v, (seeds.v IS NOT NULL) AS s
               FROM nodes LEFT JOIN seeds ON nodes.v = seeds.v),
        ns AS (SELECT count(*) AS c FROM sn WHERE s),
@@ -514,17 +541,18 @@ object GraphQueries {
     * explode the join. */
   val q241_host_butterflies: Q = (s, d) => {
     val id = col("doc_id")
+    val m = col("__m")
     val page = concat(
-      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % 101,
+      lit("<html><body><p>t</p><A HREF=\"HTTPS://SITE"), (id * 3 + 1) % m,
       lit(".EXAMPLE.ORG:443/p"), id, lit("?utm_source=x\">a</A>"),
-      lit("<a href='https://site"), (id * 7 + 5) % 101,
+      lit("<a href='https://site"), (id * 7 + 5) % m,
       lit(".example.org/q"), id, lit("'>b</a>"),
-      when((id % 101) % 5 === 0,
+      when((id % m) % 5 === 0,
         concat(lit("<a href=\"https://site0.example.org/h"), id,
           lit("\">c</a>"))).otherwise(lit("")),
       lit("</body></html>"))
-    val edges = Tables.documents(s, d)
-      .select(id, explode(extractLinks(page)).as("raw"))
+    val edges = withM(Tables.documents(s, d))
+      .select(id, m, explode(extractLinks(page)).as("raw"))
       .select(col("doc_id"),
         parse_url(canonicalizeUrl(col("raw")), lit("HOST")).as("host"))
     Graph.butterflies(edges, "doc_id", "host")
@@ -533,18 +561,19 @@ object GraphQueries {
   }
 
   val q241_oracle: String =
-    """WITH e AS (
+    s"""WITH e AS (
          SELECT DISTINCT doc_id AS d,
-           'site' || ((3 * (doc_id % 101) + 1) % 101)
+           'site' || ((3 * (doc_id % $mSql) + 1) % $mSql)
              || '.example.org' AS h
          FROM documents
          UNION
          SELECT doc_id,
-           'site' || ((7 * (doc_id % 101) + 5) % 101) || '.example.org'
+           'site' || ((7 * (doc_id % $mSql) + 5) % $mSql)
+             || '.example.org'
          FROM documents
          UNION
          SELECT doc_id, 'site0.example.org'
-         FROM documents WHERE (doc_id % 101) % 5 = 0),
+         FROM documents WHERE (doc_id % $mSql) % 5 = 0),
        deg AS (SELECT h AS node, CAST(count(*) AS BIGINT) AS n_docs
          FROM e GROUP BY 1),
        p AS (SELECT x.h AS h1, y.h AS h2, count(*) AS n

@@ -41,7 +41,16 @@ N_HEAVY = 20
 # multi-second query is exactly where endpoint noise hides a quadratic.
 FORCE_MID = {"q192_kn_fluency", "q198_kn3_fluency", "q208_attribution",
              "q211_ks_drift", "q213_ks_by_lang",
-             "q197_margin_mining", "q216_margin_mining_lsh"}
+             "q197_margin_mining", "q216_margin_mining_lsh",
+             # r15 verdict item 3: the graph family's node count now
+             # scales with the corpus (modulus greatest(101, n//50)),
+             # so give every graph-rank/triad/distance gate the third
+             # measured point — graph growth is exactly where 2-point
+             # fits hide superlinear wedge/frontier behavior.
+             "q115_host_pagerank", "q125_trustrank", "q144_rank_refresh",
+             "q152_hits", "q156_label_propagation",
+             "q238_host_triangles", "q239_crawl_depth",
+             "q241_host_butterflies"}
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/graft-sf1"
 SFMID = "/tmp/graft-sfmid"
