@@ -260,4 +260,57 @@ object Anomaly {
         (col("__fp").cast("double") /
           lit(math.pow(2.0, maxBuckets))).as("decayed"))
   }
+
+  /** Bucket-ALIGNED, per-key-horizon decayed counts — the batch form
+    * whose streaming twin is exact
+    * ([[graft.streaming.Streams.decayedTrend]] pins stream == batch
+    * at every prefix against THIS operator): ages are differences of
+    * ABSOLUTE bucket indexes (idx = epoch_micros DIV bucket — the
+    * q237 window-assignment alignment), so a bounded per-bucket-count
+    * state can reproduce every emission, which [[decayedCounts]]'s
+    * exact-max-timestamp relative ages cannot (two events in one
+    * absolute bucket can differ in relative age). The horizon is
+    * PER KEY (the key's own latest bucket): a key's score is a pure
+    * function of its own history — replay-deterministic, and the
+    * form a per-key streaming state can emit without global
+    * coordination. Same dyadic weights, same 128-bit sum, same loud
+    * overflow guard, same envelope as [[decayedCounts]].
+    *
+    * Scale shape: one (key, bucket) hash-agg over the corpus, a
+    * per-key max window + the weighted fold on the CELL frame
+    * (≤ distinct buckets per key), nothing corpus-wide after the
+    * first agg. Output: (key, n_events, decayed_fp, decayed). */
+  def decayedCountsAligned(events: DataFrame, keyCol: String,
+      tsCol: String, bucketMicros: Long,
+      maxBuckets: Int = 40): DataFrame = {
+    require(bucketMicros > 0, s"bucket must be > 0, got $bucketMicros")
+    require(maxBuckets >= 1 && maxBuckets <= 40,
+      s"maxBuckets $maxBuckets out of [1, 40]")
+    val cells = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros(`$tsCol`) DIV ${bucketMicros}L").as("idx"))
+      .groupBy(col("key"), col("idx"))
+      .agg(count(lit(1)).as("n"))
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+    val age = max(col("idx")).over(perKey) - col("idx")
+    cells
+      .withColumn("__w", when(age <= maxBuckets,
+        call_function("shiftleft", lit(1L),
+          (lit(maxBuckets) - age).cast("int"))).otherwise(lit(0L)))
+      .groupBy(col("key"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("__w").cast("decimal(38,0)") *
+          col("n").cast("decimal(38,0)")).as("__fp"))
+      .select(col("key"), col("n_events"),
+        when(col("__fp") <= lit(Long.MaxValue),
+          col("__fp").cast("long"))
+          .otherwise(raise_error(concat(lit(
+            "decayedCountsAligned: decayed_fp overflows long for key "),
+            col("key").cast("string"))))
+          .as("decayed_fp"),
+        (col("__fp").cast("double") /
+          lit(math.pow(2.0, maxBuckets))).as("decayed"))
+  }
 }

@@ -1122,4 +1122,148 @@ object Stats {
             - d38(col("n_items") + 1) * d38(col("total")))
           / dbl(d38(col("n_items")) * d38(col("total")))).as("gini"))
   }
+
+  /** The always-valid p-value ladder [[msprtCuped]] quantizes to, in
+    * permille: the standard reporting grid (0.01 .. 0.5). */
+  val MsprtLadder: Seq[Int] = Seq(10, 25, 50, 100, 250, 500)
+
+  /** mSPRT rejection threshold on the SQUARED sum-difference surface:
+    * the minimal integer Δ² (Δ = Σ_treat v − Σ_ctrl v at a balanced
+    * look of n units per arm) for which the mixture likelihood ratio
+    *   Λ_n = √(2σ²/(2σ²+nτ²)) · exp(n²τ²·D̄²/(4σ²(2σ²+nτ²)))
+    * (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests",
+    * KDD 2017 — normal mixture N(0, τ²) over the effect, per-unit
+    * variance σ²) clears 1/α. Since n²D̄² = Δ², the test is
+    *   Δ² ≥ C(n, α) = ⌈(4σ²(2σ²+nτ²)/τ²)·(ln(1/α) + ½ln(1 + nτ²/2σ²))⌉
+    * — computed HERE once (the Acklam / PoissonThresholds single-
+    * source-of-truth rule: ln/exp of data-dependent values can never
+    * gate cross-engine, so the boundary is a LITERAL both engines
+    * compare the exact integer Δ² against). */
+  def msprtThreshold(n: Long, sigma2: Double, tau2: Double,
+      alphaPermille: Int): BigInt = {
+    require(n >= 1 && sigma2 > 0 && tau2 > 0)
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val v2 = 2.0 * sigma2
+    val g = v2 + n.toDouble * tau2
+    val c = (4.0 * sigma2 * g / tau2) *
+      (math.log(1000.0 / alphaPermille) + 0.5 * math.log(g / v2))
+    BigDecimal(c).setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+  }
+
+  /** Sequential A/B testing with always-valid p-values — the mSPRT
+    * over the CUPED-adjusted metric: the streaming-experimentation
+    * readout that lets a pipeline owner PEEK at every look without
+    * inflating false positives (the fixed-horizon χ²/t test is only
+    * valid once; Λ_n is a martingale under H0, so by Ville's
+    * inequality P(∃n: Λ_n ≥ 1/α) ≤ α — rejection at ANY look controls
+    * α, and p_n = min_{m≤n} 1/Λ_m only ever decreases).
+    *
+    * The metric is the CUPED composite v = θDen·y − θNum·x with the
+    * adjustment coefficient FROZEN as the rational θ = θNum/θDen
+    * (fitted on pre-period data, the deployed pattern — [[cuped]]
+    * fits θ in-experiment for the fixed-horizon readout; freezing it
+    * keeps v exact integer arithmetic and the adjustment unbiased).
+    * The −θ·X̄ centering constant cancels in the balanced difference,
+    * so Δ = Σ_t v − Σ_c v needs no mean at all. σ² is the caller's
+    * pre-period variance OF v, τ² the mixture scale (both literals —
+    * they parameterize the boundary table, never touch the data).
+    *
+    * Looks are BALANCED: look n compares the first n units of EACH
+    * arm in (orderCol, idCol) arrival order, and emits only when both
+    * arms have reached n (a look you could not yet take does not
+    * exist — no partial looks, so the boundary C(n, α) depends only
+    * on the literal n). Output per (group, complete look):
+    * (grp, look, delta, rejected, rejected_any, av_p_permille) —
+    * rejected tests the caller's α at THIS look, rejected_any is the
+    * always-valid running decision (monotone: once crossed, stays),
+    * av_p_permille the running-min always-valid p quantized to
+    * [[MsprtLadder]] (1000 = not significant at any ladder level).
+    * Every emitted value is exact integer arithmetic against literal
+    * boundaries — hash-exact cross-engine, despite the test being
+    * built from exp/ln mixtures.
+    *
+    * Envelope: |v| sums must fit decimal(38,0) (they do for any real
+    * metric); delta is checked into a long LOUDLY.
+    *
+    * Scale shape: one (grp, arm)-keyed rank window (pruned map-side
+    * to looks.max by WindowGroupLimit — the corpus beyond the last
+    * look is never sorted), ONE hash-agg straight to group grain
+    * (4·L conditional sums), a stack() unpivot of the L looks, and
+    * the running-decision window on the ≤L-rows-per-group frame. */
+  def msprtCuped(units: DataFrame, grpCol: String, variant01: Column,
+      yCol: String, xCol: String, orderCol: String, idCol: String,
+      looks: Seq[Long], thetaNum: Long, thetaDen: Long,
+      sigma2: Double, tau2: Double, alphaPermille: Int = 50)
+      : DataFrame = {
+    require(looks.nonEmpty && looks.size <= 32 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 32 strictly increasing positives, got $looks")
+    require(thetaDen > 0, s"thetaDen must be > 0, got $thetaDen")
+    require(sigma2 > 0 && tau2 > 0, "sigma2/tau2 must be > 0")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val y = col(yCol).cast("long"); val x = col(xCol).cast("long")
+    val arm = variant01.cast("int")
+    val base = units
+      .filter(col(grpCol).isNotNull && y.isNotNull && x.isNotNull &&
+        arm.isin(0, 1) && col(orderCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"), arm.as("arm"),
+        (d38(y) * thetaDen - d38(x) * thetaNum).as("v"),
+        col(orderCol).as("ord"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("grp"), col("arm"))
+      .orderBy(col("ord"), col("id"))
+    val ranked = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= looks.max) // literal bound: map-side prune
+    val aggs = looks.zipWithIndex.flatMap { case (nl, i) =>
+      def side(a: Int, nm: String) = Seq(
+        sum(when(col("arm") === a && col("rk") <= nl, col("v")))
+          .as(s"__s${nm}_$i"),
+        count(when(col("arm") === a && col("rk") <= nl, lit(1)))
+          .as(s"__c${nm}_$i"))
+      side(1, "t") ++ side(0, "c")
+    }
+    val wide = ranked.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = looks.indices.map(i =>
+      s"${looks(i)}L, $i, __st_$i, __ct_$i, __sc_$i, __cc_$i")
+      .mkString(", ")
+    val perLook = wide
+      .select(col("grp"), expr(s"stack(${looks.size}, $stackArgs) AS " +
+        "(look, __li, __st, __ct, __sc, __cc)"))
+      .filter(col("__ct") === col("look") && col("__cc") === col("look"))
+      .withColumn("__dd", col("__st") - col("__sc"))
+      // check into long BEFORE squaring: long² ≤ 8.5e37 always fits
+      // decimal(38,0), so __d2 can never silently overflow-NULL
+      .withColumn("delta", when(col("__dd").between(
+          lit(Long.MinValue), lit(Long.MaxValue)),
+          col("__dd").cast("long"))
+        .otherwise(raise_error(lit(
+          "msprtCuped: delta overflows long — rescale theta"))))
+      .withColumn("__d2", d38(col("delta")) * d38(col("delta")))
+    def critArr(alpha: Int) = array(looks.map(n =>
+      lit(new java.math.BigDecimal(
+        msprtThreshold(n, sigma2, tau2, alpha).bigInteger))): _*)
+    val rejectNow = col("__d2") >=
+      element_at(critArr(alphaPermille), col("__li") + 1)
+    // smallest ladder alpha cleared at THIS look (C(α) shrinks as α
+    // grows, so the first hit in ascending ladder order is minimal)
+    val pNow = MsprtLadder.map(a =>
+      when(col("__d2") >= element_at(critArr(a), col("__li") + 1),
+        lit(a.toLong)): Column)
+      .reduceRight(_ otherwise _)
+    val byLook = Window.partitionBy(col("grp")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLook
+      .withColumn("rejected", rejectNow)
+      .withColumn("__p_now", coalesce(pNow, lit(1000L)))
+      .withColumn("rejected_any",
+        max(rejectNow.cast("int")).over(byLook) === 1)
+      .withColumn("av_p_permille", min(col("__p_now")).over(byLook))
+      .select(col("grp"), col("look"), col("delta"), col("rejected"),
+        col("rejected_any"), col("av_p_permille"))
+  }
 }

@@ -949,7 +949,41 @@ object EventQueries {
            / CAST(1099511627776 AS DOUBLE) AS decayed
        FROM w GROUP BY 1"""
 
+  /** q265: bucket-aligned, per-key-horizon decayed trending counts
+    * ([[graft.operators.Anomaly.decayedCountsAligned]], 6h buckets) —
+    * q262's streaming-exact sibling: ages are absolute-bucket-index
+    * differences from the KEY'S OWN latest bucket, the form whose
+    * per-key bounded state gives a live dashboard the identical
+    * number ([[graft.streaming.Streams.decayedTrend]] pins
+    * stream == this batch fold at every prefix). Same dyadic exact
+    * surface: integer weights 2^(40−age), 128-bit sum, one IEEE
+    * division — hash-exact. */
+  val q265_decayed_aligned: Q = (s, d) =>
+    graft.operators.Anomaly.decayedCountsAligned(Tables.events(s, d),
+        "event_type", "ts", bucketMicros = 6L * 3600 * 1000000L)
+      .select(col("key").as("event_type"), col("n_events"),
+        col("decayed_fp"), col("decayed"))
+
+  val q265_oracle: String =
+    """WITH e AS (SELECT event_type AS key,
+           epoch_us(ts) // 21600000000 AS idx
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       c AS (SELECT key, idx, count(*) AS n FROM e GROUP BY 1, 2),
+       w AS (SELECT key, n,
+           CASE WHEN max(idx) OVER (PARTITION BY key) - idx <= 40
+             THEN 1::BIGINT << CAST(
+               40 - (max(idx) OVER (PARTITION BY key) - idx) AS INT)
+             ELSE 0 END AS w
+         FROM c)
+       SELECT key AS event_type, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(CAST(w AS HUGEINT) * n) AS BIGINT) AS decayed_fp,
+         CAST(sum(CAST(w AS HUGEINT) * n) AS DOUBLE)
+           / CAST(1099511627776 AS DOUBLE) AS decayed
+       FROM w GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q265_decayed_aligned" -> q265_decayed_aligned,
     "q262_decayed_trend" -> q262_decayed_trend,
     "q257_p99_bootstrap" -> q257_p99_bootstrap,
     "q243_theta_panes" -> q243_theta_panes,
@@ -980,6 +1014,7 @@ object EventQueries {
     "q25_tumbling_hourly" -> q25_tumbling_hourly)
 
   val oracles: Map[String, String] = Map(
+    "q265_decayed_aligned" -> q265_oracle,
     "q262_decayed_trend" -> q262_oracle,
     "q257_p99_bootstrap" -> q257_oracle,
     "q243_theta_panes" -> q243_oracle,

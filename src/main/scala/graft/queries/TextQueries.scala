@@ -5382,7 +5382,81 @@ object TextQueries {
            / CAST(total_sum AS DOUBLE) END AS share
        FROM a"""
 
+  /** q264: sequential A/B testing with always-valid p-values
+    * ([[graft.operators.Stats.msprtCuped]], Johari-Koomen-Pekelis-
+    * Walsh mSPRT, KDD 2017) — per lang, the CUPED composite
+    * v = 2·n_chars − 3·(doc_id % 101) under the frozen θ = 3/2, arms
+    * split on residue < 50 (the residue covariate doubles as the
+    * fixture's treatment signal, so arms genuinely differ), balanced
+    * looks at 8/16/32/64/100 units per arm in doc_id arrival order.
+    * Both engines compare the exact integer Δ² against the SAME
+    * interpolated mixture-boundary literals
+    * ([[graft.operators.Stats.msprtThreshold]] — the Acklam rule:
+    * ln/exp evaluate once in Scala, never in-engine), so per-look
+    * rejections, the monotone always-valid decision, and the
+    * ladder-quantized always-valid p all gate hash-exact. Small
+    * groups simply stop emitting looks they never complete — the
+    * balanced-look contract — so the emitted row set itself is
+    * load-bearing across SFs. */
+  val q264_msprt: Q = (s, d) =>
+    graft.operators.Stats.msprtCuped(
+      Tables.documents(s, d).withColumn("res", col("doc_id") % 101),
+      "lang", (col("doc_id") % 101 < 50).cast("int"),
+      "n_chars", "res", "doc_id", "doc_id",
+      looks = msprtLooks, thetaNum = 3, thetaDen = 2,
+      sigma2 = MsprtSigma2, tau2 = MsprtTau2, alphaPermille = 50)
+      .select(col("grp").as("lang"), col("look"), col("delta"),
+        col("rejected"), col("rejected_any"), col("av_p_permille"))
+
+  private val msprtLooks = Seq(8L, 16L, 32L, 64L, 100L)
+  private val MsprtSigma2 = 90000.0
+  private val MsprtTau2 = 10000.0
+
+  val q264_oracle: String = {
+    import graft.operators.Stats
+    def c(n: Long, a: Int): String =
+      Stats.msprtThreshold(n, MsprtSigma2, MsprtTau2, a).toString
+    val wCols = msprtLooks.indices.map { i =>
+      val n = msprtLooks(i)
+      s"""sum(CASE WHEN arm = 1 AND rk <= $n THEN v END) AS st_$i,
+         count(CASE WHEN arm = 1 AND rk <= $n THEN 1 END) AS ct_$i,
+         sum(CASE WHEN arm = 0 AND rk <= $n THEN v END) AS sc_$i,
+         count(CASE WHEN arm = 0 AND rk <= $n THEN 1 END) AS cc_$i"""
+    }.mkString(",\n         ")
+    val branches = msprtLooks.indices.map { i =>
+      val n = msprtLooks(i)
+      val ladder = Stats.MsprtLadder.map(a =>
+        s"WHEN (st_$i - sc_$i) * (st_$i - sc_$i) >= ${c(n, a)} " +
+          s"THEN $a").mkString(" ")
+      s"""SELECT grp, CAST($n AS BIGINT) AS look,
+           CAST(st_$i - sc_$i AS BIGINT) AS delta,
+           ((st_$i - sc_$i) * (st_$i - sc_$i) >= ${c(n, 50)})
+             AS rejected,
+           CASE $ladder ELSE 1000 END AS p_now
+         FROM w WHERE ct_$i = $n AND cc_$i = $n"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH b AS (SELECT lang AS grp,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm,
+           2 * n_chars - 3 * (doc_id % 101) AS v, doc_id AS i
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       r AS (SELECT grp, arm, v, row_number() OVER (
+           PARTITION BY grp, arm ORDER BY i, i) AS rk FROM b),
+       w AS (SELECT grp,
+         $wCols
+         FROM r GROUP BY grp),
+       d AS ($branches)
+       SELECT grp AS lang, look, delta, rejected,
+         (max(CASE WHEN rejected THEN 1 ELSE 0 END) OVER (
+            PARTITION BY grp ORDER BY look) = 1) AS rejected_any,
+         CAST(min(p_now) OVER (PARTITION BY grp ORDER BY look)
+           AS BIGINT) AS av_p_permille
+       FROM d"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q264_msprt" -> q264_msprt,
     "q263_top_share" -> q263_top_share,
     "q261_capture_recapture" -> q261_capture_recapture,
     "q259_wilson_ci" -> q259_wilson_ci,
@@ -5515,6 +5589,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q264_msprt" -> q264_oracle,
     "q263_top_share" -> q263_oracle,
     "q261_capture_recapture" -> q261_oracle,
     "q259_wilson_ci" -> q259_oracle,

@@ -783,4 +783,78 @@ object Streams {
           }
         })
   }
+
+  case class DecayInRow(key: String, idx: Long)
+  case class DecayTrendRow(key: String, n_events: Long,
+      decayed_fp: Long, decayed: Double)
+  case class DecayState(total: Long, idxs: Array[Long],
+      counts: Array[Long])
+
+  /** Streaming exponentially-decayed trending counts — the stateful
+    * streaming twin of
+    * [[graft.operators.Anomaly.decayedCountsAligned]]: per key, the
+    * dyadic "what is hot RIGHT NOW" score maintained as the stream
+    * runs, emitting the key's updated (n_events, decayed_fp, decayed)
+    * after every micro-batch that touches it (Update mode — the
+    * score's horizon is the key's own latest bucket, so it only
+    * changes when the key does).
+    *
+    * State per key: the total event count plus one count per absolute
+    * bucket index within maxBuckets of the key's max bucket — at most
+    * maxBuckets + 2 longs per key FOREVER. Buckets that fall out of
+    * the horizon retire (their weight is 0 from then on — the horizon
+    * only advances); late events landing beyond it still count in
+    * n_events but carry zero weight, exactly as the batch fold
+    * weighs them. Because the batch form's ages are absolute-bucket
+    * differences, every emission equals
+    * decayedCountsAligned(prefix-of-stream) bit-exactly — the
+    * [[thetaDistinct]] stream==batch discipline, spec-pinned across a
+    * chronological 3-micro-batch replay WITH a late-data batch.
+    *
+    * Same envelope as the batch operator: a decayed_fp past 2^63−1
+    * throws (loudly) rather than wrapping. */
+  def decayedTrend(rows: DataFrame, keyCol: String, tsCol: String,
+      bucketMicros: Long, maxBuckets: Int = 40)
+      : org.apache.spark.sql.Dataset[DecayTrendRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucketMicros > 0, s"bucket must be > 0, got $bucketMicros")
+    require(maxBuckets >= 1 && maxBuckets <= 40,
+      s"maxBuckets $maxBuckets out of [1, 40]")
+    val base = rows
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        expr(s"unix_micros(`$tsCol`) DIV ${bucketMicros}L").as("idx"))
+      .as[DecayInRow]
+    base.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[DecayInRow],
+            state: GroupState[DecayState]) => {
+          val st = state.getOption
+            .getOrElse(DecayState(0L, Array.empty, Array.empty))
+          var total = st.total
+          val m = scala.collection.mutable.LongMap[Long]()
+          st.idxs.indices.foreach(i => m(st.idxs(i)) = st.counts(i))
+          var maxIdx =
+            if (st.idxs.isEmpty) Long.MinValue else st.idxs.max
+          batch.foreach { r =>
+            total += 1L
+            if (r.idx > maxIdx) maxIdx = r.idx
+            m(r.idx) = m.getOrElse(r.idx, 0L) + 1L
+          }
+          val kept = m.toArray
+            .filter { case (i, _) => i >= maxIdx - maxBuckets }
+            .sortBy(_._1)
+          state.update(DecayState(total, kept.map(_._1),
+            kept.map(_._2)))
+          var fp = BigInt(0)
+          kept.foreach { case (i, c) =>
+            fp += BigInt(c) << (maxBuckets - (maxIdx - i)).toInt }
+          if (!fp.isValidLong) throw new ArithmeticException(
+            s"decayedTrend: decayed_fp overflows long for key $key")
+          Iterator.single(DecayTrendRow(key, total, fp.toLong,
+            fp.toLong.toDouble / math.pow(2.0, maxBuckets)))
+        })
+  }
 }

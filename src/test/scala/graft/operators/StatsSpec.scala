@@ -309,6 +309,83 @@ class StatsSpec extends SparkSuite {
     assert(rows("g1")._4 == true && rows("g2")._4 == false)
   }
 
+  test("msprtThreshold: closed-form recompute, monotone in n, " +
+      "DEcreasing in alpha; a rejection at alpha=10 implies one at " +
+      "alpha=50") {
+    val c = Stats.msprtThreshold(100, 90000.0, 10000.0, 50)
+    val v2 = 180000.0; val g = v2 + 100 * 10000.0
+    val exp = (4.0 * 90000.0 * g / 10000.0) *
+      (math.log(20.0) + 0.5 * math.log(g / v2))
+    assert((BigDecimal(c) - BigDecimal(exp)).abs <= 1)
+    val ns = Seq(10L, 100L, 1000L)
+    assert(ns.map(Stats.msprtThreshold(_, 90000.0, 10000.0, 50))
+      == ns.map(Stats.msprtThreshold(_, 90000.0, 10000.0, 50)).sorted)
+    for (n <- ns)
+      assert(Stats.msprtThreshold(n, 9e4, 1e4, 10) >
+        Stats.msprtThreshold(n, 9e4, 1e4, 50))
+  }
+
+  test("msprtCuped == a brute-force sequential replay: balanced looks " +
+      "only, exact deltas, per-look and always-valid decisions, " +
+      "monotone quantized always-valid p; a real effect rejects and " +
+      "STAYS rejected, a null group never does") {
+    val looks = Seq(4L, 8L, 16L)
+    val sigma2 = 25.0; val tau2 = 25.0; val alphaPm = 50
+    // grp "eff": treatment (arm 1) runs ~12 above control from unit 5
+    // on; grp "nil": identical arms. covariate x = id % 7, theta = 1/2
+    // (v = 2y - x). 20 units per arm per group, ordered by id.
+    val rows = (0 until 40).flatMap { i =>
+      val arm = i % 2
+      val yEff = 50L + (if (arm == 1 && i >= 10) 12L else 0L) +
+        (i % 5).toLong
+      val yNil = 50L + (i % 5).toLong
+      Seq(("eff", arm, yEff, i.toLong), ("nil", arm, yNil, i.toLong))
+    }
+    val df = rows.toDF("g", "arm", "y", "id")
+      .withColumn("x", col("id") % 7)
+    val got = Stats.msprtCuped(df, "g", col("arm"), "y", "x", "id",
+        "id", looks, thetaNum = 1, thetaDen = 2, sigma2 = sigma2,
+        tau2 = tau2, alphaPermille = alphaPm)
+      .as[(String, Long, Long, Boolean, Boolean, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // brute force replay
+    val byArm = rows.map { case (g, a, y, id) =>
+      (g, a, 2L * y - (id % 7), id) }
+      .groupBy(t => (t._1, t._2))
+      .view.mapValues(_.sortBy(_._4).map(_._3)).toMap
+    for (g <- Seq("eff", "nil")) {
+      var rejAny = false; var avP = 1000L
+      for (n <- looks) {
+        val t = byArm((g, 1)); val c = byArm((g, 0))
+        assert(t.size >= n && c.size >= n) // all looks complete here
+        val delta = t.take(n.toInt).sum - c.take(n.toInt).sum
+        val d2 = BigInt(delta) * BigInt(delta)
+        val rej = d2 >= Stats.msprtThreshold(n, sigma2, tau2, alphaPm)
+        rejAny ||= rej
+        val pNow = Stats.MsprtLadder.find(a =>
+          d2 >= Stats.msprtThreshold(n, sigma2, tau2, a))
+          .map(_.toLong).getOrElse(1000L)
+        avP = math.min(avP, pNow)
+        assert(got((g, n)) == ((g, n, delta, rej, rejAny, avP)),
+          s"mismatch at ($g, $n): got ${got((g, n))}")
+      }
+    }
+    assert(got(("eff", 16L))._5, "the real effect must reject")
+    assert(got(("eff", 16L))._6 < 1000L)
+    assert(!got(("nil", 16L))._5, "the null group must not reject")
+    assert(got(("nil", 16L))._6 == 1000L)
+    // unbalanced looks vanish: drop control units so only look 4
+    // completes
+    val trimmed = df.filter(!(col("g") === "eff" && col("arm") === 0 &&
+      col("id") >= 10))
+    val looksLeft = Stats.msprtCuped(trimmed, "g", col("arm"), "y",
+        "x", "id", "id", looks, 1, 2, sigma2, tau2, alphaPm)
+      .filter(col("grp") === "eff").select(col("look"))
+      .as[Long].collect().toSet
+    assert(looksLeft == Set(4L),
+      s"only the balanced look must emit, got $looksLeft")
+  }
+
   test("spearmanCorr: monotone = 1 (ties included), reversed = -1, " +
       "constant column = NULL, independent-ish known value") {
     val rows = Seq(

@@ -1035,4 +1035,61 @@ class StreamingSpec extends SparkSuite {
       assert(fin.last._3 == k.toLong, s"never saturated: ${fin.last}")
     } finally q.stop()
   }
+
+  test("streaming decayed trending counts match the aligned batch " +
+      "fold at EVERY micro-batch prefix, including a LATE batch whose " +
+      "events land beyond the retained horizon (zero weight, still " +
+      "counted); bucket retirement keeps state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val B = 1000000L // 1s buckets
+    val mb = 5
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // hot: a ramp then silence; cold: old burst. batch 3 is LATE data
+    // (sec 0 events arriving after the horizon moved to sec 9).
+    val batches = Seq(
+      Seq(("hot", ts(0)), ("hot", ts(1)), ("cold", ts(0)),
+        ("cold", ts(0)), ("cold", ts(0))),
+      Seq(("hot", ts(8)), ("hot", ts(9)), ("hot", ts(9)),
+        ("cold", ts(2))),
+      Seq(("hot", ts(0)), ("cold", ts(1))))
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val est = Streams.decayedTrend(
+      input.toDF().toDF("k", "ts"), "k", "ts",
+      bucketMicros = B, maxBuckets = mb)
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("decay_out").start()
+    try {
+      var seen = 0
+      var prefix = Seq.empty[(String, java.sql.Timestamp)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val all = spark.table("decay_out")
+          .as[(String, Long, Long, Double)].collect()
+        val emitted = all.drop(seen).map(r => r._1 -> r).toMap
+        seen = all.length
+        val expected = graft.operators.Anomaly.decayedCountsAligned(
+            prefix.toDF("k", "ts"), "k", "ts", B, mb)
+          .as[(String, Long, Long, Double)].collect()
+          .map(r => r._1 -> r).toMap
+        assert(emitted.keySet == b.map(_._1).toSet)
+        emitted.foreach { case (g, got) =>
+          assert(got == expected(g),
+            s"prefix mismatch $g: stream $got vs batch ${expected(g)}")
+        }
+      }
+      // hand-pinned final state: hot horizon = sec 9; buckets 8 (age
+      // 1) and 9 (age 0, x2) weigh 2^4 + 2*2^5 = 80; sec-0/1 events
+      // (ages 9/8 > 5) weigh 0 but count. cold horizon = sec 2:
+      // 3 at age 2 (2^3 each) + late 1 at age 1 (2^4) + 1 at age 0
+      // (2^5) = 24 + 16 + 32 = 72.
+      val fin = spark.table("decay_out")
+        .as[(String, Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.last }
+      assert(fin("hot") == (("hot", 6L, 80L, 80.0 / 32.0)))
+      assert(fin("cold") == (("cold", 5L, 72L, 72.0 / 32.0)))
+    } finally q.stop()
+  }
 }
