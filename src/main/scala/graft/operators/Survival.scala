@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis — the Kaplan-Meier product-limit estimator
+  * (Kaplan & Meier, JASA 1958) over right-censored durations: the
+  * "how long until churn / failure / removal?" readout next to the
+  * retention cohorts (q203), with censoring done RIGHT — a user still
+  * alive at the observation horizon is at-risk until their censor
+  * time, never an event, never silently dropped.
+  *
+  * The exactness wall, and how it is crossed: S(t) = Π_{t_i ≤ t}
+  * (1 − d_i/n_i) is an ORDER-DEPENDENT float product — the one shape
+  * the q183 fixed-IEEE-tree discipline cannot gate (NEXT r15). The
+  * life table itself (event counts d_i, censor counts c_i, at-risk
+  * n_i) is exact integer arithmetic and gates hash-exact; for the
+  * product, the engine's fixed-point treatment (the HDR / NDCG
+  * discount move): survival is computed as the multiply-then-floor
+  * fold  fp_0 = 2^40,  fp_i = ⌊fp_{i−1}·(n_i − d_i) / n_i⌋  over
+  * event times ascending — pure integer ops with a well-defined
+  * order, so BOTH engines replay it bit-exactly (Spark: one
+  * aggregate() higher-order fold per group; DuckDB: a recursive CTE
+  * with the same recurrence). Each step floors away < 2^-40 relative,
+  * so after k distinct event times fp/2^40 ∈ [S·(1−k·2^-40), S] —
+  * at k = 4096 that is < 2^-28 relative, eleven orders below any
+  * confidence band. `surv` = fp/2^40 is ONE exact IEEE division.
+  *
+  * Envelope, ENFORCED: n_at_risk < 2^23 per group (fp·n_i must fit a
+  * long) and ≤ 4096 distinct durations per group (the fold's array
+  * grain — a life-table resolution, not a corpus bound; bucket
+  * durations upstream for finer-grained data). Violations raise.
+  *
+  * Scale shape: one (grp, t) hash-agg builds the life table, the
+  * at-risk walk and the fold run on the life-table frame (≤ 4096
+  * rows per group), one posexplode back out. Nothing corpus-wide
+  * after the first agg. */
+object Survival {
+
+  /** Fixed-point scale of the survival fold: 2^40. */
+  val KmFpOne: Long = 1L << 40
+
+  /** Kaplan-Meier life table + fixed-point survival per (group,
+    * distinct duration): (grp, t, n_at_risk, d, c, surv_fp, surv).
+    * `eventCol` is 1 for an observed event, 0 for right-censoring
+    * (rows with other values are rejected loudly); durations are
+    * nonnegative longs; null group/duration/event rows drop.
+    * surv_fp is S(t)·2^40 under the documented floor fold —
+    * monotone nonincreasing in t; censor-only times keep the
+    * previous survival (d = 0 steps multiply by exactly 1). */
+  def kaplanMeier(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String): DataFrame = {
+    val t = col(durCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val base = df
+      .filter(col(grpCol).isNotNull && t.isNotNull && e.isNotNull)
+      .select(col(grpCol).as("grp"), t.as("t"),
+        when(e.isin(0L, 1L) && t >= 0L, e)
+          .otherwise(raise_error(lit("kaplanMeier: event must be " +
+            "0/1 and duration >= 0"))).as("e"))
+    val lt = base.groupBy(col("grp"), col("t"))
+      .agg(sum(col("e")).as("d"),
+        sum(lit(1L) - col("e")).as("c"),
+        count(lit(1)).as("__m"))
+    val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val whole = Window.partitionBy(col("grp"))
+    val risky = lt
+      .withColumn("__tot", sum(col("__m")).over(whole))
+      .withColumn("n_at_risk",
+        col("__tot") - coalesce(sum(col("__m")).over(byT), lit(0L)))
+      .withColumn("n_at_risk",
+        when(col("__tot") < lit(1L << 23), col("n_at_risk"))
+          .otherwise(raise_error(lit("kaplanMeier: group exceeds " +
+            "2^23 at-risk rows — the fixed-point fold would overflow"))))
+    val folded = risky
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("t"), col("d"),
+        col("c"), col("n_at_risk")))).as("__rows"))
+      .withColumn("__rows", when(size(col("__rows")) <= 4096,
+        col("__rows"))
+        .otherwise(raise_error(lit("kaplanMeier: more than 4096 " +
+          "distinct durations in a group — bucket durations upstream"))))
+      // fps(i+1) = survival AFTER the i-th distinct time; fps(0) = 2^40
+      .withColumn("__fps", expr(
+        s"""aggregate(__rows, array(${KmFpOne}L), (acc, x) ->
+            concat(acc, array((element_at(acc, -1) *
+              (x.n_at_risk - x.d)) DIV x.n_at_risk)))"""))
+      .select(col("grp"),
+        posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__fps"))
+    folded.select(col("grp"), col("__r.t").as("t"),
+      col("__r.n_at_risk").as("n_at_risk"), col("__r.d").as("d"),
+      col("__r.c").as("c"),
+      element_at(col("__fps"), col("__i") + 2).as("surv_fp"))
+      .withColumn("surv",
+        col("surv_fp").cast("double") / lit(KmFpOne.toDouble))
+  }
+}

@@ -5455,7 +5455,59 @@ object TextQueries {
        FROM d"""
   }
 
+  /** q266: Kaplan-Meier survival ([[graft.operators.Survival
+    * .kaplanMeier]]) — per lang, time-to-event over right-censored
+    * durations (duration = n_chars/10, event for doc_id % 4 > 0 — a
+    * quarter of the corpus censors, so the at-risk walk and the
+    * flat-survival censor steps are load-bearing). The order-dependent
+    * float product — the one surface the fixed-IEEE-tree discipline
+    * cannot gate — is replaced by the 2^-40 multiply-then-floor fold,
+    * which the oracle replays with a RECURSIVE CTE running the
+    * identical integer recurrence: life table AND survival both gate
+    * hash-exact. */
+  val q266_kaplan_meier: Q = (s, d) =>
+    graft.operators.Survival.kaplanMeier(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("n_chars DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e")),
+      "lang", "t", "e")
+      .select(col("grp").as("lang"), col("t"), col("n_at_risk"),
+        col("d"), col("c"), col("surv_fp"), col("surv"))
+
+  val q266_oracle: String =
+    """WITH RECURSIVE
+       b AS (SELECT lang AS grp, n_chars // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       lt AS (SELECT grp, t, CAST(sum(e) AS BIGINT) AS d,
+           CAST(sum(1 - e) AS BIGINT) AS c, count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d, c,
+           CAST(sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_at_risk,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM lt),
+       s AS (
+         SELECT grp, 0 AS i, CAST(1099511627776 AS BIGINT) AS fp
+         FROM (SELECT DISTINCT grp FROM rk)
+         UNION ALL
+         SELECT rk.grp, rk.i,
+           (s.fp * (rk.n_at_risk - rk.d)) // rk.n_at_risk
+         FROM s JOIN rk ON rk.grp = s.grp AND rk.i = s.i + 1)
+       SELECT rk.grp AS lang, rk.t, rk.n_at_risk, rk.d, rk.c,
+         CAST(s.fp AS BIGINT) AS surv_fp,
+         CAST(s.fp AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS surv
+       FROM rk JOIN s ON s.grp = rk.grp AND s.i = rk.i"""
+
   val all: Map[String, Q] = Map(
+    "q266_kaplan_meier" -> q266_kaplan_meier,
     "q264_msprt" -> q264_msprt,
     "q263_top_share" -> q263_top_share,
     "q261_capture_recapture" -> q261_capture_recapture,
@@ -5589,6 +5641,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q266_kaplan_meier" -> q266_oracle,
     "q264_msprt" -> q264_oracle,
     "q263_top_share" -> q263_oracle,
     "q261_capture_recapture" -> q261_oracle,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SurvivalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fpFold(steps: Seq[(Long, Long)]): Seq[Long] =
+    steps.scanLeft(Survival.KmFpOne) { case (fp, (risk, d)) =>
+      fp * (risk - d) / risk
+    }.tail
+
+  test("kaplanMeier: the classic textbook life table — at-risk walk, " +
+      "censoring keeps survival flat, fp fold == driver replay, and " +
+      "fp/2^40 bands the true product within k*2^-40") {
+    // durations (event=1/censor=0): 6 subjects
+    //   t=1 event, t=2 censor, t=3 event x2, t=5 censor, t=7 event
+    val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (5L, 0L),
+      (7L, 1L)).map { case (t, e) => ("g", t, e) }
+    val got = Survival.kaplanMeier(rows.toDF("g", "t", "e"),
+        "g", "t", "e")
+      .orderBy($"t")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // life table: t=1 n=6 d=1; t=2 n=5 c=1; t=3 n=4 d=2; t=5 n=2 c=1;
+    // t=7 n=1 d=1
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((1L, 6L, 1L, 0L), (2L, 5L, 0L, 1L), (3L, 4L, 2L, 0L),
+        (5L, 2L, 0L, 1L), (7L, 1L, 1L, 0L)))
+    val expFp = fpFold(Seq((6L, 1L), (5L, 0L), (4L, 2L), (2L, 0L),
+      (1L, 1L)))
+    assert(got.map(_._6) == expFp, "fp fold must equal the replay")
+    // censor-only steps are exact no-ops
+    assert(got(1)._6 == got(0)._6 && got(3)._6 == got(2)._6)
+    // true product S: 5/6, 5/6, 5/12, 5/12, 0
+    val truth = Seq(5.0 / 6, 5.0 / 6, 5.0 / 12, 5.0 / 12, 0.0)
+    got.map(_._7).zip(truth).zipWithIndex.foreach { case ((s, tr), k) =>
+      assert(s <= tr + 1e-15 && s >= tr * (1 - (k + 1) * math.pow(2, -40)),
+        s"band violated at step $k: $s vs $tr")
+    }
+    assert(got.last._6 == 0L, "everyone dead -> survival exactly 0")
+  }
+
+  test("kaplanMeier: per-group independence, monotone survival on a " +
+      "bigger deterministic fixture, loud rejection of bad event " +
+      "flags") {
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", (i * 7 % 50).toLong, (i % 4 > 0).compare(false).toLong)
+    }
+    val df = rows.toDF("g", "t", "e")
+    val got = Survival.kaplanMeier(df, "g", "t", "e")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val byT = rs.sortBy(_._2)
+      assert(byT.map(_._6) == byT.map(_._6).sorted.reverse,
+        s"survival not monotone for $g")
+      // at-risk at the first time = group size
+      val n = rows.count(_._1 == g)
+      assert(byT.head._3 == n.toLong)
+      // replay the fold from the emitted life table
+      val exp = fpFold(byT.map(r => (r._3, r._4)))
+      assert(byT.map(_._6) == exp)
+    }
+    val bad = Seq(("g", 1L, 2L)).toDF("g", "t", "e")
+    val err = intercept[Exception] {
+      Survival.kaplanMeier(bad, "g", "t", "e").collect()
+    }
+    def causes(th: Throwable): Seq[Throwable] =
+      if (th == null) Nil else th +: causes(th.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("event must be"))), err.toString)
+  }
+}
