@@ -89,8 +89,9 @@ object Bench {
     * it is a file, not a tail capture. */
   private[graft] def localLine(wall: Double, results: Map[String, Double],
       errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
-      isolated: Set[String], sfDir: String): String = {
-    val dict = results.toSeq.sortBy(_._1)
+      isolated: Set[String], sfDir: String,
+      medians: Map[String, Double] = Map.empty): String = {
+    def qdict(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val errDict = errs.toSeq.sortBy(_._1)
@@ -99,7 +100,9 @@ object Bench {
     val isoList = isolated.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     s"""{"metric":"total","value":${s3(wall)},"unit":"sec","n_queries":${
-      results.size},"queries":$dict${
+      results.size},"queries":${qdict(results)}${
+      if (medians.nonEmpty)
+        s""","queries_median":${qdict(medians)}""" else ""}${
       if (errs.nonEmpty) s""","errors":$errDict""" else ""},"noise_ratio":${
       s3(noiseRatio(wallRuns))},"wall_runs":[${
       wallRuns.map(s3).mkString(",")}]${
@@ -363,6 +366,15 @@ object Bench {
     val concurrent = allR.flatMap(_.keySet).distinct.map { k =>
       k -> allR.flatMap(_.get(k)).min
     }.toMap
+    // Per-query MEDIAN across the passes (r15 verdict item 8): the
+    // "queries" map keeps min-of-passes (the scheduling seed and the
+    // optimistic cost), but cross-ROUND deltas compare medians — one
+    // co-tenant burst window inflating a single pass stops reading as
+    // a 2x mover (the r15 phantom q197 2.27x).
+    val concurrentMed = allR.flatMap(_.keySet).distinct.map { k =>
+      val vs = allR.flatMap(_.get(k)).sorted
+      k -> vs(vs.size / 2)
+    }.toMap
     val wallRuns = passes.map(_._2)
     val wall = representativeWall(wallRuns)
     val burst = burstSuspect(wallRuns)
@@ -417,6 +429,11 @@ object Bench {
     val results = concurrent ++ isolated.map { case (k, v) =>
       k -> math.min(v, concurrent(k))
     }
+    // medians get the same isolated-basis correction: queue time is
+    // not noise to average in, it is a different measurement basis
+    val resultsMed = concurrentMed ++ isolated.map { case (k, v) =>
+      k -> math.min(v, concurrentMed(k))
+    }
     // Only the canonical full-suite sf0.1 run owns the artifact —
     // subset runs (BENCH_ONLY) and scale_bench's synthetic-sf1 pass
     // must not clobber it. Match the directory NAME, not a hardcoded
@@ -432,7 +449,8 @@ object Bench {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (localLine(wall, results, errs.toMap, wallRuns, burst,
-          isolated.keySet.toSet, sfDir) + "\n").getBytes("UTF-8"))
+          isolated.keySet.toSet, sfDir, resultsMed) + "\n")
+          .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     // Full-fidelity out-of-band channel for tooling (scale_bench reads
     // per-query times for the synthetic sf1/sfmid dirs, which never own
@@ -441,7 +459,8 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (localLine(wall, results, errs.toMap, wallRuns, burst,
-          isolated.keySet.toSet, sfDir) + "\n").getBytes("UTF-8"))
+          isolated.keySet.toSet, sfDir, resultsMed) + "\n")
+          .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
     // Stop Spark BEFORE printing the metric: the driver parses the last

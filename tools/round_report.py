@@ -105,14 +105,30 @@ def check_quality_floors(quality):
             sys.exit(3)
 
 
-def parse_bench(path):
+def has_medians(path):
+    """True when the artifact carries per-query medians
+    ("queries_median", written by Bench since r16)."""
+    try:
+        return bool(json.loads(open(path).read()).get("queries_median"))
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def parse_bench(path, use_median=False):
     text = open(path).read()
     # driver wrapper: escaped quotes inside a "tail" string
     times = {k: float(v) for k, v in
              re.findall(r'\\"(q\d+[a-z_0-9]*)\\":([0-9.]+)', text)}
     if not times:  # clean JSON line (BENCH_LOCAL.json)
         try:
-            times = json.loads(text)["queries"]
+            doc = json.loads(text)
+            # r15 verdict item 8: cross-round deltas compare per-query
+            # MEDIANS across the wall passes when BOTH artifacts carry
+            # them (main() decides — comparing old min vs new median
+            # would manufacture movers) — one burst window inflating a
+            # single pass stops reading as a 2x regression.
+            times = (doc.get("queries_median") if use_median else None) \
+                or doc["queries"]
         except (json.JSONDecodeError, KeyError):
             times = {k: float(v) for k, v in
                      re.findall(r'"(q\d+[a-z_0-9]*)":([0-9.]+)', text)}
@@ -177,11 +193,16 @@ def check_coverage(new_plans, nb):
 def main():
     old_plans, new_plans, old_bench, new_bench = sys.argv[1:5]
     out = sys.argv[5] if len(sys.argv) > 5 else "ROUND_REPORT.md"
-    ob, nb = parse_bench(old_bench), parse_bench(new_bench)
+    use_median = has_medians(old_bench) and has_medians(new_bench)
+    ob = parse_bench(old_bench, use_median)
+    nb = parse_bench(new_bench, use_median)
     check_coverage(new_plans, nb)
     common = sorted(set(ob) & set(nb))
     lines = ["# Round report", "",
-             f"Bench: {old_bench} -> {new_bench}", ""]
+             f"Bench: {old_bench} -> {new_bench}"
+             + (" (per-query MEDIANS across wall passes)" if use_median
+                else " (min-of-passes: an artifact predates medians)"),
+             ""]
     if re.search(r'\\?"burst\\?":\s*true', open(new_bench).read()):
         lines += ["**WARNING: bench artifact is burst-suspect (pass "
                   "walls disagree >2x) — timings unreliable**", ""]

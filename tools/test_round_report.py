@@ -60,6 +60,24 @@ def main():
              theta_inter_mean_rel_err=
              rr.QUALITY_CEILINGS["theta_inter_mean_rel_err"]))
     print("PASS at-floor/at-ceiling values pass")
+
+    # r15 verdict item 8: medians drive deltas only when BOTH
+    # artifacts carry them; a min-vs-median comparison would
+    # manufacture movers.
+    import json as _json
+    import tempfile
+    with_med = {"queries": {"q1_x": 1.0}, "queries_median": {"q1_x": 2.0}}
+    without = {"queries": {"q1_x": 1.0}}
+    def _tmp(doc):
+        f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        f.write(_json.dumps(doc)); f.close(); return f.name
+    pm, po = _tmp(with_med), _tmp(without)
+    assert rr.has_medians(pm) and not rr.has_medians(po)
+    assert rr.parse_bench(pm, use_median=True)["q1"][0] == 2.0
+    assert rr.parse_bench(pm, use_median=False)["q1"][0] == 1.0
+    assert rr.parse_bench(po, use_median=True)["q1"][0] == 1.0, \
+        "median-less artifact must fall back to queries"
+    print("PASS median selection is like-for-like only")
     print("\nall round_report gate tests pass")
 
 
