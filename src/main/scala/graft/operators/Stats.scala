@@ -1266,4 +1266,85 @@ object Stats {
       .select(col("grp"), col("look"), col("delta"), col("rejected"),
         col("rejected_any"), col("av_p_permille"))
   }
+
+  /** Cochran–Mantel–Haenszel pooled χ² (Mantel & Haenszel, JNCI 1959;
+    * Cochran 1954) — the STRATIFIED A/B test: pool the per-stratum
+    * 2×2 tables (per country, per device, per day) into one
+    * common-odds-ratio test instead of testing each slice alone
+    * ([[chiSquareBhFdr]]'s problem) or collapsing the strata and
+    * getting Simpson's-paradox'd ([[chiSquare2x2]] on the pooled
+    * table). χ²_CMH = (Σᵢ (aᵢ − Eᵢ))² / Σᵢ Vᵢ with Eᵢ = n1ᵢm1ᵢ/nᵢ and
+    * Vᵢ = n1ᵢn0ᵢm1ᵢm0ᵢ/(nᵢ²(nᵢ−1)); uncorrected (R's mantelhaen.test
+    * correct=FALSE — a literal-boundary decision needs no continuity
+    * fudge).
+    *
+    * Crossing the float-sum-order wall (NEXT r15 called this family
+    * blocked): each stratum's num/var term is a fixed IEEE tree over
+    * exact 128-bit integers (one cast, one division — the
+    * chiSquare2x2 discipline), and the cross-stratum sums run as an
+    * ORDERED fold over strata sorted by stratum key — the
+    * [[Survival.kaplanMeier]] construction: Spark folds the sorted
+    * list with aggregate(), the oracle replays the identical
+    * recurrence in a RECURSIVE CTE, and an ordered chain of
+    * correctly-rounded additions is bit-exact cross-engine. χ² and
+    * the literal-critical decision gate hash-exact.
+    *
+    * Strata with n < 2 carry no information (V undefined) and drop,
+    * as do strata with a degenerate variant margin (E and a both
+    * collapse); a group whose pooled V = 0 reports NULL (the
+    * chiSquare2x2 degenerate convention). Envelope, documented: per
+    * stratum n < 10^9 (the 4-factor V numerator must fit 38 digits);
+    * ≤ 4096 strata per group (the fold grain), ENFORCED loudly.
+    *
+    * Output: (grp, n_strata, num, var, chi2, significant).
+    * Scale shape: one corpus hash-agg to (grp, stratum) cells, the
+    * fold on the strata frame. */
+  def cmhTest(units: DataFrame, groupCol: String, stratumCol: String,
+      variant01: Column, success01: Column,
+      critical: Double): DataFrame = {
+    require(critical > 0, s"critical value must be > 0, got $critical")
+    def cell(v: Int, sv: Int) =
+      sum(when(variant01 === v && success01 === sv, lit(1L))
+        .otherwise(lit(0L)))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val agg = units
+      .filter(col(groupCol).isNotNull && col(stratumCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(stratumCol).as("s"))
+      .agg(cell(0, 0).as("n00"), cell(0, 1).as("n01"),
+        cell(1, 0).as("n10"), cell(1, 1).as("n11"))
+    val n = col("n00") + col("n01") + col("n10") + col("n11")
+    val n1 = col("n10") + col("n11") // variant-1 row margin
+    val n0 = col("n00") + col("n01")
+    val m1 = col("n01") + col("n11") // success column margin
+    val m0 = col("n00") + col("n10")
+    // tn = a − E = (a·n − n1·m1)/n; tv = n1·n0·m1·m0 / (n²(n−1)) —
+    // each ONE division of two exactly-formed 128-bit integers
+    val terms = agg
+      .filter(n >= 2 && n1 > 0 && n0 > 0)
+      .select(col("grp"), col("s"),
+        (dbl(d38(col("n11")) * d38(n) - d38(n1) * d38(m1)) /
+          dbl(n)).as("tn"),
+        (dbl(d38(n1) * d38(n0) * d38(m1) * d38(m0)) /
+          dbl(d38(n) * d38(n) * d38(n - 1))).as("tv"))
+    terms
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("s"), col("tn"),
+        col("tv")))).as("__rows"))
+      .withColumn("__rows", when(size(col("__rows")) <= 4096,
+        col("__rows"))
+        .otherwise(raise_error(lit(
+          "cmhTest: more than 4096 strata in a group"))))
+      .withColumn("__f", expr(
+        """aggregate(__rows, named_struct('n', 0.0D, 'v', 0.0D),
+           (acc, x) -> named_struct('n', acc.n + x.tn,
+                                    'v', acc.v + x.tv))"""))
+      .select(col("grp"), size(col("__rows")).cast("long")
+          .as("n_strata"),
+        col("__f.n").as("num"), col("__f.v").as("var"))
+      .withColumn("chi2", when(col("var") > 0,
+        (col("num") * col("num")) / col("var")))
+      .withColumn("significant",
+        when(col("var") > 0, col("chi2") > critical))
+  }
 }

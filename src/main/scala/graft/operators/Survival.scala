@@ -97,4 +97,87 @@ object Survival {
       .withColumn("surv",
         col("surv_fp").cast("double") / lit(KmFpOne.toDouble))
   }
+
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972) — "do these two
+    * survival curves differ?", the hypothesis test next to
+    * [[kaplanMeier]]'s estimate: at every pooled event time, compare
+    * arm 1's observed events d1ₜ against the hypergeometric
+    * expectation dₜ·n1ₜ/nₜ under H0, pool, and χ²₁ = (Σ(O−E))²/ΣV.
+    * Structurally the [[Stats.cmhTest]] statistic with event times as
+    * the strata — and it gates hash-exact by the same two moves:
+    * each time's tn = (d1ₜ·nₜ − dₜ·n1ₜ)/nₜ and
+    * tv = dₜ·n1ₜ(nₜ−n1ₜ)(nₜ−dₜ)/(nₜ²(nₜ−1)) are ONE division of
+    * exactly-formed 128-bit integers, and the cross-time sums run as
+    * the ordered fold (time ascending) both engines replay
+    * identically.
+    *
+    * Times with no events contribute nothing and drop; times with
+    * nₜ < 2 are undefined (single subject left) and drop; a group
+    * with pooled V = 0 reports NULL. Censoring enters through the
+    * at-risk walks only — exactly the Kaplan-Meier discipline.
+    * Envelope: per-group rows < 10^9 (tv's 4-factor numerator), ≤
+    * 4096 distinct event times (the fold grain, ENFORCED loudly).
+    *
+    * Output: (grp, n_times, num, var, chi2, significant).
+    * Scale shape: one (grp, t, arm) hash-agg, two at-risk window
+    * walks on the time frame, the fold on ≤ 4096 rows per group. */
+  def logRank(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String, arm01: Column, critical: Double): DataFrame = {
+    require(critical > 0, s"critical value must be > 0, got $critical")
+    val t = col(durCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val arm = arm01.cast("int")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val base = df
+      .filter(col(grpCol).isNotNull && t.isNotNull && e.isNotNull &&
+        arm.isin(0, 1))
+      .select(col(grpCol).as("grp"), t.as("t"),
+        when(e.isin(0L, 1L) && t >= 0L, e)
+          .otherwise(raise_error(lit("logRank: event must be 0/1 " +
+            "and duration >= 0"))).as("e"),
+        arm.as("arm"))
+    val cells = base.groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("arm") === 1, col("e")).otherwise(lit(0L)))
+          .as("d1"),
+        sum(col("e")).as("dt"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("m1"),
+        count(lit(1)).as("m"))
+    val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val whole = Window.partitionBy(col("grp"))
+    val risky = cells
+      .withColumn("n1t", sum(col("m1")).over(whole)
+        - coalesce(sum(col("m1")).over(byT), lit(0L)))
+      .withColumn("nt", sum(col("m")).over(whole)
+        - coalesce(sum(col("m")).over(byT), lit(0L)))
+      .filter(col("dt") > 0 && col("nt") >= 2)
+    val terms = risky.select(col("grp"), col("t"),
+      (dbl(d38(col("d1")) * d38(col("nt"))
+        - d38(col("dt")) * d38(col("n1t"))) / dbl(col("nt"))).as("tn"),
+      (dbl(d38(col("dt")) * d38(col("n1t"))
+          * d38(col("nt") - col("n1t")) * d38(col("nt") - col("dt"))) /
+        dbl(d38(col("nt")) * d38(col("nt")) * d38(col("nt") - 1)))
+        .as("tv"))
+    terms
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("t"), col("tn"),
+        col("tv")))).as("__rows"))
+      .withColumn("__rows", when(size(col("__rows")) <= 4096,
+        col("__rows"))
+        .otherwise(raise_error(lit(
+          "logRank: more than 4096 distinct event times in a group"))))
+      .withColumn("__f", expr(
+        """aggregate(__rows, named_struct('n', 0.0D, 'v', 0.0D),
+           (acc, x) -> named_struct('n', acc.n + x.tn,
+                                    'v', acc.v + x.tv))"""))
+      .select(col("grp"), size(col("__rows")).cast("long")
+          .as("n_times"),
+        col("__f.n").as("num"), col("__f.v").as("var"))
+      .withColumn("chi2", when(col("var") > 0,
+        (col("num") * col("num")) / col("var")))
+      .withColumn("significant",
+        when(col("var") > 0, col("chi2") > critical))
+  }
 }

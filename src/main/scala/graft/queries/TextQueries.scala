@@ -5506,7 +5506,140 @@ object TextQueries {
          CAST(s.fp AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS surv
        FROM rk JOIN s ON s.grp = rk.grp AND s.i = rk.i"""
 
+  /** q267: Cochran–Mantel–Haenszel pooled χ²
+    * ([[graft.operators.Stats.cmhTest]]) — per cohort (doc_id % 3
+    * split), does length associate with containing "the", POOLED
+    * across language strata instead of per-slice (q251) or collapsed
+    * (q210, where language mix Simpson-confounds the pooled table).
+    * The cross-stratum sums are the ordered double fold both engines
+    * replay identically (the Kaplan-Meier recursive-CTE move applied
+    * to the float-sum-order wall NEXT r15 declared blocking) — χ² and
+    * the decision gate hash-exact. */
+  val q267_cmh: Q = (s, d) =>
+    graft.operators.Stats.cmhTest(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull && col("doc_id").isNotNull)
+        .select(
+          when(col("doc_id") % 3 === 0, lit("cohort_a"))
+            .otherwise(lit("cohort_b")).as("cohort"),
+          col("lang"), col("n_chars"), col("text")),
+      "cohort", "lang",
+      (col("n_chars") > 300).cast("long"),
+      col("text").contains("the").cast("long"),
+      critical = 3.8415)
+      .select(col("grp").as("cohort"), col("n_strata"), col("num"),
+        col("var"), col("chi2"), col("significant"))
+
+  val q267_oracle: String =
+    """WITH RECURSIVE
+       u AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'cohort_a'
+             ELSE 'cohort_b' END AS grp, lang AS s,
+           CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS va,
+           CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS su
+         FROM documents
+         WHERE lang IS NOT NULL AND text IS NOT NULL
+           AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       a AS (SELECT grp, s,
+           sum(CASE WHEN va = 0 AND su = 0 THEN 1 ELSE 0 END) AS n00,
+           sum(CASE WHEN va = 0 AND su = 1 THEN 1 ELSE 0 END) AS n01,
+           sum(CASE WHEN va = 1 AND su = 0 THEN 1 ELSE 0 END) AS n10,
+           sum(CASE WHEN va = 1 AND su = 1 THEN 1 ELSE 0 END) AS n11
+         FROM u GROUP BY 1, 2),
+       t AS (SELECT grp, s, n11, n00 + n01 + n10 + n11 AS n,
+           n10 + n11 AS n1, n00 + n01 AS n0,
+           n01 + n11 AS m1, n00 + n10 AS m0
+         FROM a),
+       f AS (SELECT grp, s,
+           CAST(CAST(n11 AS HUGEINT) * n - CAST(n1 AS HUGEINT) * m1
+             AS DOUBLE) / CAST(n AS DOUBLE) AS tn,
+           CAST(CAST(n1 AS HUGEINT) * n0 * m1 * m0 AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE) AS tv,
+           row_number() OVER (PARTITION BY grp ORDER BY s) AS i
+         FROM t WHERE n >= 2 AND n1 > 0 AND n0 > 0),
+       cnt AS (SELECT grp, count(*) AS c FROM f GROUP BY 1),
+       r AS (SELECT grp, 0 AS i, CAST(0 AS DOUBLE) AS n,
+             CAST(0 AS DOUBLE) AS v
+           FROM cnt
+         UNION ALL
+         SELECT f.grp, f.i, r.n + f.tn, r.v + f.tv
+         FROM r JOIN f ON f.grp = r.grp AND f.i = r.i + 1)
+       SELECT r.grp AS cohort, CAST(cnt.c AS BIGINT) AS n_strata,
+         r.n AS num, r.v AS var,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v END AS chi2,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v > 3.8415 END
+           AS significant
+       FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.c"""
+
+  /** q268: log-rank test ([[graft.operators.Survival.logRank]]) —
+    * per lang, do the two residue arms' survival curves (q266's
+    * durations and censoring) differ? The hypergeometric O−E and
+    * variance terms are one-division-exact per pooled event time, and
+    * the cross-time sums are the same ordered fold as q267 — the
+    * whole test gates hash-exact. */
+  val q268_logrank: Q = (s, d) =>
+    graft.operators.Survival.logRank(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("n_chars DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), critical = 3.8415)
+      .select(col("grp").as("lang"), col("n_times"), col("num"),
+        col("var"), col("chi2"), col("significant"))
+
+  val q268_oracle: String =
+    """WITH RECURSIVE
+       b AS (SELECT lang AS grp, n_chars // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, t,
+           CAST(CAST(d1 AS HUGEINT) * nt - CAST(dt AS HUGEINT) * n1t
+             AS DOUBLE) / CAST(nt AS DOUBLE) AS tn,
+           CAST(CAST(dt AS HUGEINT) * n1t * (nt - n1t) * (nt - dt)
+             AS DOUBLE)
+             / CAST(CAST(nt AS HUGEINT) * nt * (nt - 1) AS DOUBLE)
+             AS tv,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       cnt AS (SELECT grp, count(*) AS c FROM f GROUP BY 1),
+       r AS (SELECT grp, 0 AS i, CAST(0 AS DOUBLE) AS n,
+             CAST(0 AS DOUBLE) AS v
+           FROM cnt
+         UNION ALL
+         SELECT f.grp, f.i, r.n + f.tn, r.v + f.tv
+         FROM r JOIN f ON f.grp = r.grp AND f.i = r.i + 1)
+       SELECT r.grp AS lang, CAST(cnt.c AS BIGINT) AS n_times,
+         r.n AS num, r.v AS var,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v END AS chi2,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v > 3.8415 END
+           AS significant
+       FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.c"""
+
   val all: Map[String, Q] = Map(
+    "q268_logrank" -> q268_logrank,
+    "q267_cmh" -> q267_cmh,
     "q266_kaplan_meier" -> q266_kaplan_meier,
     "q264_msprt" -> q264_msprt,
     "q263_top_share" -> q263_top_share,
@@ -5641,6 +5774,8 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q268_logrank" -> q268_oracle,
+    "q267_cmh" -> q267_oracle,
     "q266_kaplan_meier" -> q266_oracle,
     "q264_msprt" -> q264_oracle,
     "q263_top_share" -> q263_oracle,

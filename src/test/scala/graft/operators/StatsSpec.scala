@@ -386,6 +386,50 @@ class StatsSpec extends SparkSuite {
       s"only the balanced look must emit, got $looksLeft")
   }
 
+  test("cmhTest: single stratum equals Pearson chi2 * (n-1)/n (the " +
+      "textbook identity); pooled strata == an ordered driver replay; " +
+      "Simpson-style strata pool correctly; degenerate strata drop") {
+    def block(g: String, s: String, n00: Int, n01: Int, n10: Int,
+        n11: Int) =
+      Seq.fill(n00)((g, s, 0L, 0L)) ++ Seq.fill(n01)((g, s, 0L, 1L)) ++
+        Seq.fill(n10)((g, s, 1L, 0L)) ++ Seq.fill(n11)((g, s, 1L, 1L))
+    // one-stratum group: CMH = Pearson * (n-1)/n
+    val one = block("one", "s0", 20, 10, 8, 22)
+    // pooled group: two strata with the same direction of effect
+    val pooled = block("pool", "sa", 12, 4, 6, 10) ++
+      block("pool", "sb", 30, 10, 15, 25)
+    // degenerate strata: n<2 and one-armed — must drop, not NaN
+    val degen = block("pool", "sc", 1, 0, 0, 0) ++
+      block("pool", "sd", 3, 2, 0, 0)
+    val units = (one ++ pooled ++ degen).toDF("g", "s", "va", "su")
+    val got = Stats.cmhTest(units, "g", "s", col("va"), col("su"),
+        critical = 3.8415)
+      .as[(String, Long, Double, Double, Option[Double],
+        Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    val pearson = Stats.chiSquare2x2(
+        one.toDF("g", "s", "va", "su"), "g", col("va"), col("su"), 3.8415)
+      .select($"chi2").as[Double].collect().head
+    val n = 60.0
+    assert(math.abs(got("one")._5.get - pearson * (n - 1) / n) < 1e-12,
+      s"single-stratum identity: ${got("one")._5.get} vs " +
+        s"${pearson * (n - 1) / n}")
+    // ordered driver replay of the pooled group (strata sorted by key)
+    def term(n00: Int, n01: Int, n10: Int, n11: Int) = {
+      val nn = (n00 + n01 + n10 + n11).toDouble
+      val n1 = (n10 + n11).toDouble; val n0 = (n00 + n01).toDouble
+      val m1 = (n01 + n11).toDouble; val m0 = (n00 + n10).toDouble
+      ((n11 * nn - n1 * m1) / nn,
+        (n1 * n0 * m1 * m0) / (nn * nn * (nn - 1)))
+    }
+    val ts = Seq(term(12, 4, 6, 10), term(30, 10, 15, 25))
+    val (en, ev) = ts.foldLeft((0.0, 0.0)) { case ((a, b), (x, y)) =>
+      (a + x, b + y) }
+    assert(got("pool")._2 == 2L, "degenerate strata must drop")
+    assert(got("pool")._3 == en && got("pool")._4 == ev)
+    assert(got("pool")._5.get == en * en / ev)
+  }
+
   test("spearmanCorr: monotone = 1 (ties included), reversed = -1, " +
       "constant column = NULL, independent-ish known value") {
     val rows = Seq(

@@ -72,4 +72,48 @@ class SurvivalSpec extends SparkSuite {
     assert(causes(err).exists(c => Option(c.getMessage)
       .exists(_.contains("event must be"))), err.toString)
   }
+
+  test("logRank: identical arms score exactly 0; a separated fixture " +
+      "rejects; statistic == an ordered driver replay of the " +
+      "hypergeometric terms; censoring enters via at-risk only") {
+    // identical arms: every (t, e) appears once per arm
+    val same = Seq((1L, 1L), (2L, 0L), (3L, 1L), (5L, 1L), (8L, 0L))
+      .flatMap { case (t, e) => Seq(("eq", t, e, 0), ("eq", t, e, 1)) }
+    // separated: arm 0 dies early, arm 1 late; some censoring
+    val sep = (Seq((1L, 1L), (2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L))
+        .map { case (t, e) => ("sp", t, e, 0) }) ++
+      (Seq((6L, 1L), (7L, 1L), (8L, 0L), (9L, 1L), (10L, 1L))
+        .map { case (t, e) => ("sp", t, e, 1) })
+    val df = (same ++ sep).toDF("g", "t", "e", "arm")
+    val got = Survival.logRank(df, "g", "t", "e", col("arm"),
+        critical = 3.8415)
+      .as[(String, Long, Double, Double, Option[Double],
+        Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("eq")._3 == 0.0 && got("eq")._6 == Some(false),
+      s"identical arms must score 0: ${got("eq")}")
+    assert(got("sp")._6 == Some(true),
+      s"separated arms must reject: ${got("sp")}")
+    // driver replay over pooled event times (censoring only thins the
+    // at-risk sets)
+    val rows = sep.map { case (_, t, e, a) => (t, e, a) }
+    val times = rows.filter(_._2 == 1L).map(_._1).distinct.sorted
+      .filter(t => rows.count(_._1 >= t) >= 2) // nt < 2 is undefined
+    val terms = times.map { t =>
+      val atRisk = rows.filter(_._1 >= t)
+      val nt = atRisk.size.toDouble
+      val n1t = atRisk.count(_._3 == 1).toDouble
+      val dt = rows.count(r => r._1 == t && r._2 == 1L).toDouble
+      val d1 = rows.count(r => r._1 == t && r._2 == 1L && r._3 == 1)
+        .toDouble
+      ((d1 * nt - dt * n1t) / nt,
+        (dt * n1t * (nt - n1t) * (nt - dt)) / (nt * nt * (nt - 1)))
+    }
+    val (en, ev) = terms.foldLeft((0.0, 0.0)) { case ((a, b), (x, y)) =>
+      (a + x, b + y) }
+    assert(got("sp")._2 == times.size.toLong)
+    assert(got("sp")._3 == en && got("sp")._4 == ev,
+      s"replay mismatch: ${got("sp")} vs ($en, $ev)")
+    assert(got("sp")._5.get == en * en / ev)
+  }
 }
