@@ -857,4 +857,120 @@ object Streams {
             fp.toLong.toDouble / math.pow(2.0, maxBuckets)))
         })
   }
+
+  case class MsprtInRow(grp: String, arm: Int, v: Long, ord: Long,
+      id: Long)
+  case class MsprtDecisionRow(grp: String, look: Long, delta: Long,
+      rejected: Boolean, rejected_any: Boolean, av_p_permille: Long)
+  case class MsprtState(nSeen: Array[Long], cumSum: Array[Long],
+      lookSums: Array[Array[Long]], emitted: Int, rejectedAny: Boolean,
+      avP: Long)
+
+  /** Streaming mSPRT — the stateful streaming twin of
+    * [[graft.operators.Stats.msprtCuped]], and the reason the test
+    * exists at all: always-valid p-values are THE live-dashboard
+    * experiment readout (peek after every micro-batch, stop the
+    * moment the boundary is crossed, no alpha spent on peeking). Per
+    * group, per-arm unit counts and running sums of the CUPED
+    * composite v = θDen·y − θNum·x are maintained as units arrive;
+    * when BOTH arms cross a look boundary n, the look emits its
+    * (delta, rejected, rejected_any, av_p_permille) — computed from
+    * the same [[graft.operators.Stats.msprtThreshold]] boundaries, as
+    * exact BigInt comparisons, so the emitted rows equal the batch
+    * operator on the stream's prefix EXACTLY (spec-pinned across a
+    * chronological 3-micro-batch replay).
+    *
+    * Ordering contract: the batch twin takes each arm's first n units
+    * in (orderCol, idCol) order; this stream consumes units in
+    * arrival order, sorting within each micro-batch by (ord, id).
+    * Under in-order delivery (the [[cusumFlags]] chronological
+    * contract) stream == batch; under disorder the stream is still a
+    * valid mSPRT — a look is "what you had when you looked", and
+    * always-valid p-values stay valid under ANY stopping/peeking
+    * pattern (that is their point) — it just stops matching the
+    * batch replay's ordering.
+    *
+    * State per group: 2 counts + 2 running sums + one recorded sum
+    * per (arm, reached look) — ≤ 4 + 2·|looks| longs FOREVER
+    * (|looks| ≤ 32). */
+  def msprtDecisions(rows: DataFrame, grpCol: String,
+      variant01: String, yCol: String, xCol: String, orderCol: String,
+      idCol: String, looks: Seq[Long], thetaNum: Long, thetaDen: Long,
+      sigma2: Double, tau2: Double, alphaPermille: Int = 50)
+      : org.apache.spark.sql.Dataset[MsprtDecisionRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(looks.nonEmpty && looks.size <= 32 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 32 strictly increasing positives, got $looks")
+    require(thetaDen > 0, s"thetaDen must be > 0, got $thetaDen")
+    require(sigma2 > 0 && tau2 > 0, "sigma2/tau2 must be > 0")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val caller = graft.operators.Stats
+      .msprtThreshold(_: Long, sigma2, tau2, _: Int)
+    val critMain = looks.map(n => caller(n, alphaPermille))
+    val critLadder = graft.operators.Stats.MsprtLadder.map(a =>
+      a -> looks.map(n => caller(n, a))).toMap
+    val base = rows
+      .filter(col(grpCol).isNotNull && col(variant01).isin(0, 1) &&
+        col(yCol).isNotNull && col(xCol).isNotNull &&
+        col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(variant01).cast("int").as("arm"),
+        (col(yCol).cast("long") * thetaDen -
+          col(xCol).cast("long") * thetaNum).as("v"),
+        col(orderCol).cast("long").as("ord"),
+        col(idCol).cast("long").as("id"))
+      .as[MsprtInRow]
+    base.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[MsprtInRow],
+            state: GroupState[MsprtState]) => {
+          val st = state.getOption.getOrElse(MsprtState(
+            Array(0L, 0L), Array(0L, 0L),
+            Array(Array.fill(looks.size)(0L),
+              Array.fill(looks.size)(0L)),
+            0, rejectedAny = false, avP = 1000L))
+          val nSeen = st.nSeen.clone()
+          val cumSum = st.cumSum.clone()
+          val lookSums = st.lookSums.map(_.clone())
+          var emitted = st.emitted
+          var rejAny = st.rejectedAny
+          var avP = st.avP
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[MsprtDecisionRow]
+          batch.toArray.sortBy(r => (r.ord, r.id)).foreach { r =>
+            val a = r.arm
+            nSeen(a) += 1L
+            cumSum(a) = Math.addExact(cumSum(a), r.v) // loud overflow
+            // record the arm's sum the instant it reaches a boundary
+            val li = looks.indexOf(nSeen(a))
+            if (li >= 0) lookSums(a)(li) = cumSum(a)
+            // emit every look both arms have now completed, in order
+            while (emitted < looks.size &&
+                nSeen(0) >= looks(emitted) &&
+                nSeen(1) >= looks(emitted)) {
+              val i = emitted
+              val delta =
+                Math.subtractExact(lookSums(1)(i), lookSums(0)(i))
+              val d2 = BigInt(delta) * BigInt(delta)
+              val rej = d2 >= critMain(i)
+              rejAny ||= rej
+              val pNow = graft.operators.Stats.MsprtLadder
+                .find(a0 => d2 >= critLadder(a0)(i))
+                .map(_.toLong).getOrElse(1000L)
+              avP = math.min(avP, pNow)
+              out += MsprtDecisionRow(grp, looks(i), delta, rej,
+                rejAny, avP)
+              emitted += 1
+            }
+          }
+          state.update(MsprtState(nSeen, cumSum, lookSums, emitted,
+            rejAny, avP))
+          out.iterator
+        })
+  }
 }

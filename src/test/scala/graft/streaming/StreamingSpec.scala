@@ -1092,4 +1092,62 @@ class StreamingSpec extends SparkSuite {
       assert(fin("cold") == (("cold", 5L, 72L, 72.0 / 32.0)))
     } finally q.stop()
   }
+
+  test("streaming mSPRT decisions equal the batch operator on every " +
+      "chronological prefix: looks emit the moment both arms cross " +
+      "the boundary, exactly once, with identical deltas, decisions, " +
+      "and always-valid p") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val looks = Seq(4L, 8L, 16L)
+    val sigma2 = 25.0; val tau2 = 25.0; val alphaPm = 50
+    // the StatsSpec fixture: "eff" has a real effect from unit 10 on
+    val rows = (0 until 40).flatMap { i =>
+      val arm = i % 2
+      val yEff = 50L + (if (arm == 1 && i >= 10) 12L else 0L) +
+        (i % 5).toLong
+      val yNil = 50L + (i % 5).toLong
+      Seq(("eff", arm, yEff, i.toLong, (i % 7).toLong),
+        ("nil", arm, yNil, i.toLong, (i % 7).toLong))
+    } // (g, arm, y, id, x) — chronological by id
+    val third = rows.length / 3
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val input = MemoryStream[(String, Int, Long, Long, Long)]
+    val dec = Streams.msprtDecisions(
+      input.toDF().toDF("g", "arm", "y", "id", "x"),
+      "g", "arm", "y", "x", "id", "id", looks,
+      thetaNum = 1, thetaDen = 2, sigma2 = sigma2, tau2 = tau2,
+      alphaPermille = alphaPm)
+    val q = dec.writeStream.outputMode("append")
+      .format("memory").queryName("msprt_out").start()
+    try {
+      var prefix = Seq.empty[(String, Int, Long, Long, Long)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val streamed = spark.table("msprt_out")
+          .as[(String, Long, Long, Boolean, Boolean, Long)]
+          .collect().toSet
+        val batchRun = graft.operators.Stats.msprtCuped(
+            prefix.toDF("g", "arm", "y", "id", "x"),
+            "g", col("arm"), "y", "x", "id", "id", looks,
+            thetaNum = 1, thetaDen = 2, sigma2 = sigma2, tau2 = tau2,
+            alphaPermille = alphaPm)
+          .as[(String, Long, Long, Boolean, Boolean, Long)]
+          .collect().toSet
+        assert(streamed == batchRun,
+          s"prefix mismatch:\n stream ${streamed -- batchRun}\n " +
+            s"batch ${batchRun -- streamed}")
+      }
+      // each look emitted exactly once per group
+      val all = spark.table("msprt_out")
+        .as[(String, Long, Long, Boolean, Boolean, Long)].collect()
+      assert(all.groupBy(r => (r._1, r._2)).forall(_._2.size == 1),
+        "every (group, look) must emit exactly once")
+      assert(all.exists(r => r._1 == "eff" && r._4),
+        "the planted effect must reject in-stream")
+    } finally q.stop()
+  }
 }
