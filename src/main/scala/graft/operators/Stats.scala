@@ -90,6 +90,11 @@ object Stats {
       .filter(col("__sy") > 0)
     val w = bootstrapWeight(col("r"), col("id"))
     val perRep = base
+      // EXPLICIT count: AQE would coalesce this tiny narrow-row
+      // exchange to 1 partition (it cannot see the xB explode + md5
+      // work downstream); a user-specified N is never coalesced
+      .repartition(items.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("id"))
       .select(col("grp"), col("x"), col("y"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), w.as("__w"), col("x"), col("y"))
@@ -159,8 +164,14 @@ object Stats {
     * Scale shape: the B-way explode is the only expansion (B·rows,
     * map-side combined immediately into B·groups cells); no
     * resample-shuffle of data ever happens — the reason this bootstrap
-    * is the 100 TB one. Rank selection runs on the B-rows-per-group
-    * frame. */
+    * is the 100 TB one. The narrow base projection repartitions by
+    * unit id BEFORE the explode (the Multimodal.idScan precedent):
+    * the explode amplifies per-input-split map work ×B, so on a
+    * few-split extract the weight hashing would otherwise run on one
+    * core while 31 idle — a narrow-row shuffle buys split-independent
+    * parallelism and is noise next to the ×B map cost. Interval
+    * selection is ONE sort_array aggregation over the B replicate
+    * rows per group ([[intervalEndpoints]]). */
   def poissonBootstrapCi(items: DataFrame, grpCol: String,
       valCol: String, idCol: String, b: Int = 32,
       loPermille: Int = 25, hiPermille: Int = 975): DataFrame = {
@@ -177,6 +188,11 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("__sx"))
     val w = bootstrapWeight(col("r"), col("id"))
     val perRep = base
+      // EXPLICIT count: AQE would coalesce this tiny narrow-row
+      // exchange to 1 partition (it cannot see the xB explode + md5
+      // work downstream); a user-specified N is never coalesced
+      .repartition(items.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("id"))
       .select(col("grp"), col("v"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), w.as("__w"), col("v"))
@@ -257,6 +273,11 @@ object Stats {
       .orderBy(col("lb"))
     val wholeR = Window.partitionBy(col("grp"), col("r"))
     val repMed = base
+      // EXPLICIT count: AQE would coalesce this tiny narrow-row
+      // exchange to 1 partition (it cannot see the xB explode + md5
+      // work downstream); a user-specified N is never coalesced
+      .repartition(items.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("id"))
       .select(col("grp"), col("lb"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), col("lb"), w.as("__w"))
