@@ -5637,7 +5637,69 @@ object TextQueries {
            AS significant
        FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.c"""
 
+  /** q269: Breslow-weighted log-rank
+    * ([[graft.operators.Survival.logRankBreslow]]) — q268 with
+    * wₜ = nₜ (early-difference emphasis): the pooled numerator
+    * becomes an exact order-free integer sum; only the variance rides
+    * the q267 ordered fold. */
+  val q269_logrank_breslow: Q = (s, d) =>
+    graft.operators.Survival.logRankBreslow(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("n_chars DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), critical = 3.8415)
+      .select(col("grp").as("lang"), col("n_times"), col("num"),
+        col("var"), col("chi2"), col("significant"))
+
+  val q269_oracle: String =
+    """WITH RECURSIVE
+       b AS (SELECT lang AS grp, n_chars // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, t,
+           CAST(d1 AS HUGEINT) * nt - CAST(dt AS HUGEINT) * n1t AS tn,
+           CAST(CAST(dt AS HUGEINT) * n1t * (nt - n1t) * (nt - dt)
+             AS DOUBLE) / CAST(nt - 1 AS DOUBLE) AS tv,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       agg AS (SELECT grp, count(*) AS c,
+           CAST(sum(tn) AS DOUBLE) AS num FROM f GROUP BY 1),
+       r AS (SELECT grp, 0 AS i, CAST(0 AS DOUBLE) AS v FROM agg
+         UNION ALL
+         SELECT f.grp, f.i, r.v + f.tv
+         FROM r JOIN f ON f.grp = r.grp AND f.i = r.i + 1)
+       SELECT r.grp AS lang, CAST(agg.c AS BIGINT) AS n_times,
+         agg.num, r.v AS var,
+         CASE WHEN r.v > 0 THEN agg.num * agg.num / r.v END AS chi2,
+         CASE WHEN r.v > 0 THEN agg.num * agg.num / r.v > 3.8415 END
+           AS significant
+       FROM r JOIN agg ON agg.grp = r.grp AND r.i = agg.c"""
+
   val all: Map[String, Q] = Map(
+    "q269_logrank_breslow" -> q269_logrank_breslow,
     "q268_logrank" -> q268_logrank,
     "q267_cmh" -> q267_cmh,
     "q266_kaplan_meier" -> q266_kaplan_meier,
@@ -5774,6 +5836,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q269_logrank_breslow" -> q269_oracle,
     "q268_logrank" -> q268_oracle,
     "q267_cmh" -> q267_oracle,
     "q266_kaplan_meier" -> q266_oracle,

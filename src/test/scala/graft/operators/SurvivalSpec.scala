@@ -115,5 +115,30 @@ class SurvivalSpec extends SparkSuite {
     assert(got("sp")._3 == en && got("sp")._4 == ev,
       s"replay mismatch: ${got("sp")} vs ($en, $ev)")
     assert(got("sp")._5.get == en * en / ev)
+
+    // Breslow weights: identical arms still exactly 0; the separated
+    // fixture matches a driver replay with w_t = n_t (numerator is an
+    // exact integer; nt^2 cancels in the variance terms)
+    val gotB = Survival.logRankBreslow(df, "g", "t", "e", col("arm"),
+        critical = 3.8415)
+      .as[(String, Long, Double, Double, Option[Double],
+        Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gotB("eq")._3 == 0.0 && gotB("eq")._6 == Some(false))
+    val termsB = times.map { t =>
+      val atRisk = rows.filter(_._1 >= t)
+      val nt = atRisk.size.toDouble
+      val n1t = atRisk.count(_._3 == 1).toDouble
+      val dt = rows.count(r => r._1 == t && r._2 == 1L).toDouble
+      val d1 = rows.count(r => r._1 == t && r._2 == 1L && r._3 == 1)
+        .toDouble
+      (d1 * nt - dt * n1t,
+        (dt * n1t * (nt - n1t) * (nt - dt)) / (nt - 1))
+    }
+    val (enB, evB) = termsB.foldLeft((0.0, 0.0)) {
+      case ((a, b2), (x, y)) => (a + x, b2 + y) }
+    assert(gotB("sp")._3 == enB && gotB("sp")._4 == evB,
+      s"Breslow replay mismatch: ${gotB("sp")} vs ($enB, $evB)")
+    assert(gotB("sp")._5.get == enB * enB / evB)
   }
 }
