@@ -21,6 +21,20 @@ object Bench {
     else if (walls.size < 3) walls.min
     else walls.sorted.apply(walls.size / 2)
 
+  /** Host-contention verdict from the per-pass calibration sentinels
+    * (r16 verdict item 1: a window-wide co-tenant steal inflated every
+    * number ~8x while noise_ratio read 1.245 "clean", because all
+    * three passes sat inside the SAME sustained steal window — a
+    * relative health check cannot see a burst that covers the whole
+    * run). The sentinel is an ABSOLUTE-cost probe with pinned
+    * per-core work, timed immediately before each pass; the run is
+    * contended when NO pass had a quiet window (min sentinel above
+    * the band). One hot pass out of three stays un-flagged: per-query
+    * values are min-of-passes, so a single quiet window suffices. */
+  private[graft] def sentinelContended(sentinels: Seq[Double],
+      band: Double): Boolean =
+    sentinels.nonEmpty && sentinels.min > band
+
   /** Wall-run disagreement max/min — 1.0 for clean agreement. Emitted
     * on the metric line so the driver artifact carries its own health
     * indicator (r10 verdict What's-wrong #3: a queue-inflated driver
@@ -62,7 +76,8 @@ object Bench {
     * registry so the overflow cannot regress by growth again. */
   private[graft] def metricLine(wall: Double, results: Map[String, Double],
       errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
-      sfDir: String, nSlow: Int = 5, maxErrs: Int = 3): String = {
+      sfDir: String, nSlow: Int = 5, maxErrs: Int = 3,
+      sentinels: Seq[Double] = Nil, contended: Boolean = false): String = {
     val slowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
       .take(nSlow)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
@@ -80,7 +95,12 @@ object Bench {
       results.size},"slowest":$slowest,"noise_ratio":${
       s3(noiseRatio(wallRuns))},"wall_runs":[${
       wallRuns.take(3).map(s3).mkString(",")}]$errPart${
-      if (burst) ""","burst":true""" else ""},"sf":${jstr(sfDir)}}"""
+      if (burst) ""","burst":true""" else ""}${
+      // bounded: at most 5 sentinel samples (3 passes + tie-break +
+      // pre-tail) — the line's size stays suite-independent
+      if (sentinels.nonEmpty) s""","sentinel_s":[${
+        sentinels.take(5).map(s3).mkString(",")}]""" else ""}${
+      if (contended) ""","contended":true""" else ""},"sf":${jstr(sfDir)}}"""
   }
 
   /** The full-fidelity canonical artifact line (BENCH_LOCAL.json):
@@ -90,7 +110,8 @@ object Bench {
   private[graft] def localLine(wall: Double, results: Map[String, Double],
       errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
       isolated: Set[String], sfDir: String,
-      medians: Map[String, Double] = Map.empty): String = {
+      medians: Map[String, Double] = Map.empty,
+      sentinels: Seq[Double] = Nil, contended: Boolean = false): String = {
     def qdict(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
@@ -107,7 +128,10 @@ object Bench {
       s3(noiseRatio(wallRuns))},"wall_runs":[${
       wallRuns.map(s3).mkString(",")}]${
       if (isolated.nonEmpty) s""","isolated":$isoList""" else ""}${
-      if (burst) ""","burst":true""" else ""},"sf":${jstr(sfDir)}}"""
+      if (burst) ""","burst":true""" else ""}${
+      if (sentinels.nonEmpty) s""","sentinel_s":[${
+        sentinels.map(s3).mkString(",")}]""" else ""}${
+      if (contended) ""","contended":true""" else ""},"sf":${jstr(sfDir)}}"""
   }
 
   /** Per-query times from a bench artifact — STRUCTURAL, not a text
@@ -243,6 +267,35 @@ object Bench {
           spark, warmIdx, warmQ, k = 1, nProbes = 2).count()
       }
     }
+    // Absolute-cost contention sentinel (r16 verdict item 1): a pinned
+    // pure-compute probe — per-core-constant codegen'd work, so its
+    // quiet cost is one number regardless of fixture dir (scale_bench's
+    // synthetic sf1/skew dirs) or core count — timed in isolation
+    // immediately before each pass and before the isolated tail. CPU
+    // steal is exactly what it measures: a hypervisor co-tenant window
+    // stretches this fixed workload by the steal share, where the
+    // RELATIVE checks (noise_ratio, burst) read "clean" whenever the
+    // whole run sits inside one sustained window (BENCH_r16: every
+    // number ~8x inflated at noise_ratio 1.245).
+    val sentinelBand = sys.env.get("SPARK_GRAFT_SENTINEL_BAND")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    def sentinelProbe(): Double = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "sentinel")
+      val t0 = System.nanoTime()
+      // 160M rows/core of range+mod+sum: quiet cost measured
+      // 0.55-0.72s warm on this host class (r17), independent of
+      // fixture dir and ~flat in core count (per-core work is
+      // constant). The 2.0s default band is ~3x headroom above quiet;
+      // an r16-grade (~8x) steal window lands ~4.8s and trips it.
+      // SPARK_GRAFT_SENTINEL_BAND re-pins for a different host.
+      spark.range(160000000L * cpus.toInt)
+        .selectExpr("sum(id % 7) as s").collect()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one unrecorded warm run so the first recorded sentinel measures
+    // steady-state compute, not this expression's codegen compile
+    sentinelProbe()
     // Throughput run (TPC-style): queries are independent, so run them
     // concurrently — driver-side planning overlaps executor work instead
     // of serializing ~0.5s of fixed latency per query. Per-query numbers
@@ -359,9 +412,22 @@ object Bench {
     val nPasses = math.max(2,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
         .getOrElse(defaultPasses))
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timedPass(): (Map[String, Double], Double) = {
+      sentinels += sentinelProbe()
+      runSuite()
+    }
     var passes: Seq[(Map[String, Double], Double)] =
-      (1 to nPasses).map(_ => runSuite())
-    if (burstSuspect(passes.map(_._2))) passes :+= runSuite()
+      (1 to nPasses).map(_ => timedPass())
+    if (burstSuspect(passes.map(_._2))) passes :+= timedPass()
+    // contended = NO pass had a quiet window (min sentinel above band):
+    // the r16 signature, where every relative check read clean
+    val contended = sentinelContended(sentinels.toSeq, sentinelBand)
+    if (contended)
+      System.err.println(s"[bench] WARNING: host contended for the " +
+        s"whole run (sentinels ${sentinels.map(s3).mkString("/")}s, " +
+        s"band ${s3(sentinelBand)}s) — artifact flagged, timings " +
+        "inflated by co-tenant steal")
     val allR = passes.map(_._1)
     val concurrent = allR.flatMap(_.keySet).distinct.map { k =>
       k -> allR.flatMap(_.get(k)).min
@@ -371,9 +437,14 @@ object Bench {
     // optimistic cost), but cross-ROUND deltas compare medians — one
     // co-tenant burst window inflating a single pass stops reading as
     // a 2x mover (the r15 phantom q197 2.27x).
+    // true median: average the two middle elements on an even pass
+    // count (ADVICE r16: vs(size/2) is the UPPER element — with two
+    // passes the "median" was the max, biasing cross-round median
+    // deltas pessimistic relative to odd-pass runs)
     val concurrentMed = allR.flatMap(_.keySet).distinct.map { k =>
       val vs = allR.flatMap(_.get(k)).sorted
-      k -> vs(vs.size / 2)
+      k -> (if (vs.size % 2 == 1) vs(vs.size / 2)
+            else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
     }.toMap
     val wallRuns = passes.map(_._2)
     val wall = representativeWall(wallRuns)
@@ -407,7 +478,22 @@ object Bench {
           .map(_._1)
         (slow ++ moved).distinct
       }
-    val isolated = tail.flatMap { name =>
+    // Refuse the isolated re-measure on a contended host (r16 verdict
+    // item 1): an isolated number taken inside a steal window is NOT an
+    // isolated cost — keep the concurrent numbers, warn, and let the
+    // contended flag tell every consumer the basis never changed. A
+    // fresh pre-tail sentinel guards the opposite case too: quiet
+    // passes followed by a burst landing exactly on the tail re-run.
+    val tailSentinel = if (tail.nonEmpty) Some(sentinelProbe()) else None
+    val tailQuiet = !contended && tailSentinel.forall(_ <= sentinelBand)
+    if (tail.nonEmpty && !tailQuiet)
+      System.err.println(s"[bench] isolated-tail re-measure SKIPPED " +
+        s"(contended=$contended, pre-tail sentinel " +
+        s"${tailSentinel.map(s3).getOrElse("-")}s vs band " +
+        s"${s3(sentinelBand)}s) — concurrent numbers kept")
+    val allSentinels = sentinels.toSeq ++ tailSentinel
+    val isolated = (if (tailQuiet) tail else Seq.empty[String])
+      .flatMap { name =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
       val t0 = System.nanoTime()
       try {
@@ -449,7 +535,8 @@ object Bench {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (localLine(wall, results, errs.toMap, wallRuns, burst,
-          isolated.keySet.toSet, sfDir, resultsMed) + "\n")
+          isolated.keySet.toSet, sfDir, resultsMed,
+          allSentinels, contended) + "\n")
           .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     // Full-fidelity out-of-band channel for tooling (scale_bench reads
@@ -459,7 +546,8 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (localLine(wall, results, errs.toMap, wallRuns, burst,
-          isolated.keySet.toSet, sfDir, resultsMed) + "\n")
+          isolated.keySet.toSet, sfDir, resultsMed,
+          allSentinels, contended) + "\n")
           .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
@@ -468,7 +556,8 @@ object Bench {
     // teardown) may print after it. Paired with build.sbt's
     // StdoutOutput + showSuccess=false, this line ends the output.
     spark.stop()
-    println(metricLine(wall, results, errs.toMap, wallRuns, burst, sfDir))
+    println(metricLine(wall, results, errs.toMap, wallRuns, burst, sfDir,
+      sentinels = allSentinels, contended = contended))
     System.out.flush()
     if (errs.nonEmpty) sys.exit(1)
   }

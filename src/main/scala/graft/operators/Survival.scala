@@ -251,4 +251,114 @@ object Survival {
       .withColumn("significant",
         when(col("var") > 0, col("chi2") > critical))
   }
+
+  /** Peto-Prentice weighted log-rank (Peto & Peto 1972; Prentice
+    * 1978) — [[logRank]] with weight wₜ = S̃(t), the Prentice-modified
+    * survival estimate S̃(tᵢ) = Π_{j≤i} (nⱼ − dⱼ + 1)/(nⱼ + 1): late
+    * differences are discounted by how much of the population has
+    * already left, the censoring-robust counterpart to
+    * [[logRankBreslow]]'s raw-nₜ weight (Breslow's weight is known to
+    * be censoring-pattern-sensitive; Prentice's is not). Completes the
+    * early-vs-late test menu: w = 1 (log-rank), w = nₜ (Breslow),
+    * w = S̃ (Peto-Prentice).
+    *
+    * Exactness: the weight is an order-dependent product of rationals
+    * — the Kaplan-Meier wall — so it rides the SAME 2^-40
+    * multiply-then-floor integer fold as [[kaplanMeier]]:
+    * fp₀ = 2^40, fpᵢ = ⌊fpᵢ₋₁·(nᵢ − dᵢ + 1)/(nᵢ + 1)⌋ over retained
+    * pooled event times ascending (the product skips dropped times —
+    * self-consistent in both engines). wᵢ = fpᵢ/2^40 is one exact IEEE
+    * division (fp ≤ 2^40 < 2^53); each term is then the fixed tree
+    * tn = w·tnb, tv = (w·w)·tvb over [[logRank]]'s one-division-exact
+    * base terms, and the cross-time sums accumulate inside the same
+    * ordered fold — one aggregate() pass carrying (fp, n, v), which a
+    * DuckDB recursive CTE replays bit-for-bit.
+    *
+    * Envelope, ENFORCED: per-group at-risk < 2^23 (fp·(n+1) must fit
+    * a long — the kaplanMeier bound) and ≤ 4096 distinct event times.
+    * Output and drop rules exactly as [[logRank]]:
+    * (grp, n_times, num, var, chi2, significant). */
+  def logRankPetoPrentice(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String, arm01: Column, critical: Double): DataFrame = {
+    require(critical > 0, s"critical value must be > 0, got $critical")
+    val t = col(durCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val arm = arm01.cast("int")
+    val base = df
+      .filter(col(grpCol).isNotNull && t.isNotNull && e.isNotNull &&
+        arm.isin(0, 1))
+      .select(col(grpCol).as("grp"), t.as("t"),
+        when(e.isin(0L, 1L) && t >= 0L, e)
+          .otherwise(raise_error(lit("logRankPetoPrentice: event must " +
+            "be 0/1 and duration >= 0"))).as("e"),
+        arm.as("arm"))
+    val cells = base.groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("arm") === 1, col("e")).otherwise(lit(0L)))
+          .as("d1"),
+        sum(col("e")).as("dt"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("m1"),
+        count(lit(1)).as("m"))
+    val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val whole = Window.partitionBy(col("grp"))
+    val risky = cells
+      .withColumn("__tot", sum(col("m")).over(whole))
+      .withColumn("__tot",
+        when(col("__tot") < lit(1L << 23), col("__tot"))
+          .otherwise(raise_error(lit("logRankPetoPrentice: group " +
+            "exceeds 2^23 at-risk rows — the fixed-point weight fold " +
+            "would overflow"))))
+      .withColumn("n1t", sum(col("m1")).over(whole)
+        - coalesce(sum(col("m1")).over(byT), lit(0L)))
+      .withColumn("nt", col("__tot")
+        - coalesce(sum(col("m")).over(byT), lit(0L)))
+      .filter(col("dt") > 0 && col("nt") >= 2)
+    // ONE ordered fold carries the fixed-point weight AND both sums:
+    // the fp update repeats per field (named_struct fields evaluate
+    // against the PREVIOUS acc), all integer ops, deterministic.
+    terms2Fold(risky, critical)
+  }
+
+  /** The Peto-Prentice fold + readout, factored for plan clarity: one
+    * sorted collect_list per group, one aggregate() carrying
+    * (fp, n, v) over ≤ 4096 life-table rows. */
+  private def terms2Fold(risky: DataFrame, critical: Double)
+      : DataFrame = {
+    risky
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"),
+        col("dt"), col("n1t"), col("nt")))).as("__rows"))
+      .withColumn("__rows", when(size(col("__rows")) <= 4096,
+        col("__rows"))
+        .otherwise(raise_error(lit("logRankPetoPrentice: more than " +
+          "4096 distinct event times in a group"))))
+      .withColumn("__f", expr(
+        s"""aggregate(__rows,
+            named_struct('fp', ${KmFpOne}L, 'n', 0.0D, 'v', 0.0D),
+            (acc, x) -> named_struct(
+              'fp', (acc.fp * (x.nt - x.dt + 1)) DIV (x.nt + 1),
+              'n', acc.n +
+                (CAST((acc.fp * (x.nt - x.dt + 1)) DIV (x.nt + 1)
+                   AS DOUBLE) / ${KmFpOne}.0D) *
+                (CAST(CAST(x.d1 AS DECIMAL(38,0)) * x.nt
+                    - CAST(x.dt AS DECIMAL(38,0)) * x.n1t AS DOUBLE)
+                  / CAST(x.nt AS DOUBLE)),
+              'v', acc.v +
+                ((CAST((acc.fp * (x.nt - x.dt + 1)) DIV (x.nt + 1)
+                    AS DOUBLE) / ${KmFpOne}.0D) *
+                 (CAST((acc.fp * (x.nt - x.dt + 1)) DIV (x.nt + 1)
+                    AS DOUBLE) / ${KmFpOne}.0D)) *
+                (CAST(CAST(x.dt AS DECIMAL(38,0)) * x.n1t
+                    * (x.nt - x.n1t) * (x.nt - x.dt) AS DOUBLE)
+                  / CAST(CAST(x.nt AS DECIMAL(38,0)) * x.nt
+                      * (x.nt - 1) AS DOUBLE))))"""))
+      .select(col("grp"),
+        size(col("__rows")).cast("long").as("n_times"),
+        col("__f.n").as("num"), col("__f.v").as("var"))
+      .withColumn("chi2", when(col("var") > 0,
+        (col("num") * col("num")) / col("var")))
+      .withColumn("significant",
+        when(col("var") > 0, col("chi2") > critical))
+  }
 }

@@ -5698,7 +5698,84 @@ object TextQueries {
            AS significant
        FROM r JOIN agg ON agg.grp = r.grp AND r.i = agg.c"""
 
+  /** q270: Peto-Prentice weighted log-rank
+    * ([[graft.operators.Survival.logRankPetoPrentice]]) — q268 with
+    * wₜ = S̃(t), the Prentice-modified survival estimate riding the
+    * Kaplan-Meier 2^-40 floor fold: the censoring-robust
+    * early-emphasis test completing the w=1 / w=nₜ / w=S̃ menu. One
+    * recursive CTE replays fp, num and var bit-for-bit. */
+  val q270_logrank_peto: Q = (s, d) =>
+    graft.operators.Survival.logRankPetoPrentice(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("n_chars DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), critical = 3.8415)
+      .select(col("grp").as("lang"), col("n_times"), col("num"),
+        col("var"), col("chi2"), col("significant"))
+
+  val q270_oracle: String =
+    """WITH RECURSIVE
+       b AS (SELECT lang AS grp, n_chars // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, t, CAST(d1 AS BIGINT) AS d1,
+           CAST(dt AS BIGINT) AS dt, CAST(n1t AS BIGINT) AS n1t,
+           CAST(nt AS BIGINT) AS nt,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       cnt AS (SELECT grp, count(*) AS c FROM f GROUP BY 1),
+       r AS (SELECT grp, 0 AS i, CAST(1099511627776 AS BIGINT) AS fp,
+             CAST(0 AS DOUBLE) AS n, CAST(0 AS DOUBLE) AS v
+           FROM cnt
+         UNION ALL
+         SELECT f.grp, f.i,
+           (r.fp * (f.nt - f.dt + 1)) // (f.nt + 1),
+           r.n + (CAST((r.fp * (f.nt - f.dt + 1)) // (f.nt + 1)
+                    AS DOUBLE) / CAST(1099511627776 AS DOUBLE)) *
+               (CAST(CAST(f.d1 AS HUGEINT) * f.nt
+                   - CAST(f.dt AS HUGEINT) * f.n1t AS DOUBLE)
+                 / CAST(f.nt AS DOUBLE)),
+           r.v + ((CAST((r.fp * (f.nt - f.dt + 1)) // (f.nt + 1)
+                     AS DOUBLE) / CAST(1099511627776 AS DOUBLE))
+                  * (CAST((r.fp * (f.nt - f.dt + 1)) // (f.nt + 1)
+                       AS DOUBLE) / CAST(1099511627776 AS DOUBLE))) *
+               (CAST(CAST(f.dt AS HUGEINT) * f.n1t * (f.nt - f.n1t)
+                   * (f.nt - f.dt) AS DOUBLE)
+                 / CAST(CAST(f.nt AS HUGEINT) * f.nt * (f.nt - 1)
+                     AS DOUBLE))
+         FROM r JOIN f ON f.grp = r.grp AND f.i = r.i + 1)
+       SELECT r.grp AS lang, CAST(cnt.c AS BIGINT) AS n_times,
+         r.n AS num, r.v AS var,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v END AS chi2,
+         CASE WHEN r.v > 0 THEN r.n * r.n / r.v > 3.8415 END
+           AS significant
+       FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.c"""
+
   val all: Map[String, Q] = Map(
+    "q270_logrank_peto" -> q270_logrank_peto,
     "q269_logrank_breslow" -> q269_logrank_breslow,
     "q268_logrank" -> q268_logrank,
     "q267_cmh" -> q267_cmh,
@@ -5836,6 +5913,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q270_logrank_peto" -> q270_oracle,
     "q269_logrank_breslow" -> q269_oracle,
     "q268_logrank" -> q268_oracle,
     "q267_cmh" -> q267_oracle,

@@ -132,6 +132,52 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.parseBenchText(parsedFirst) == want)
   }
 
+  test("sentinelContended replays the r16 steal window: contended iff " +
+      "NO pass had a quiet window (min sentinel above the band)") {
+    // quiet host: every sentinel near the ~0.6s measured quiet cost
+    assert(!Bench.sentinelContended(Seq(0.55, 0.72, 0.61), 2.0))
+    // the BENCH_r16 shape: a sustained co-tenant window covering ALL
+    // passes — every sentinel ~8x quiet, while noise_ratio (1.245)
+    // and burst both read clean because the inflation was uniform
+    assert(Bench.sentinelContended(Seq(2.9, 2.7, 3.1), 2.0))
+    // one hot pass out of three: a quiet window existed, min-of-passes
+    // per-query values are trustworthy — NOT contended (burst/noise
+    // flags cover the disagreement)
+    assert(!Bench.sentinelContended(Seq(2.9, 0.4, 3.1), 2.0))
+    assert(!Bench.sentinelContended(Nil, 2.0))
+    // exactly at the band: quiet (strict >)
+    assert(!Bench.sentinelContended(Seq(2.0, 2.0), 2.0))
+  }
+
+  test("metric and local lines carry sentinel_s and the contended flag; " +
+      "a quiet run carries sentinels but no flag") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hot = Bench.metricLine(10.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(10.0, 11.0), burst = false, "/root/testdata/sf0.1",
+      sentinels = Seq(2.9, 2.7, 3.1), contended = true)
+    val hn = om.readTree(hot)
+    assert(hn.get("contended").asBoolean)
+    assert(hn.get("sentinel_s").size == 3)
+    assert(math.abs(hn.get("sentinel_s").get(0).asDouble - 2.9) < 1e-9)
+    val quiet = Bench.metricLine(10.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(10.0, 11.0), burst = false, "/root/testdata/sf0.1",
+      sentinels = Seq(0.35, 0.41, 0.38), contended = false)
+    val qn = om.readTree(quiet)
+    assert(!qn.has("contended"))
+    assert(qn.get("sentinel_s").size == 3)
+    val local = Bench.localLine(10.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(10.0, 11.0), burst = false, Set.empty, "/root/testdata/sf0.1",
+      sentinels = Seq(2.9, 2.7, 3.1, 2.8), contended = true)
+    val ln = om.readTree(local)
+    assert(ln.get("contended").asBoolean)
+    assert(ln.get("sentinel_s").size == 4) // 3 passes + pre-tail probe
+    // metric line stays bounded: at most 5 sentinel samples survive
+    val many = Bench.metricLine(1.0, Map.empty, Map.empty, Seq(1.0, 1.0),
+      burst = false, "/tmp/x", sentinels = (1 to 9).map(_.toDouble),
+      contended = false)
+    assert(om.readTree(many).get("sentinel_s").size == 5)
+  }
+
   test("noiseRatio is max/min of the wall runs") {
     assert(Bench.noiseRatio(Seq(57.3, 70.5)) > 1.2)
     assert(Bench.noiseRatio(Seq(10.0, 10.0)) == 1.0)

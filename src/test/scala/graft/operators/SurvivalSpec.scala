@@ -140,5 +140,40 @@ class SurvivalSpec extends SparkSuite {
     assert(gotB("sp")._3 == enB && gotB("sp")._4 == evB,
       s"Breslow replay mismatch: ${gotB("sp")} vs ($enB, $evB)")
     assert(gotB("sp")._5.get == enB * enB / evB)
+
+    // Peto-Prentice weights: identical arms still exactly 0 (every
+    // term's numerator is 0 regardless of weight); the separated
+    // fixture matches a driver replay carrying the SAME fixed-point
+    // floor fold fp_i = floor(fp_{i-1}*(n_i-d_i+1)/(n_i+1)) and the
+    // fixed IEEE tree w*tnb / (w*w)*tvb in fold order
+    val gotP = Survival.logRankPetoPrentice(df, "g", "t", "e",
+        col("arm"), critical = 3.8415)
+      .as[(String, Long, Double, Double, Option[Double],
+        Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gotP("eq")._3 == 0.0 && gotP("eq")._6 == Some(false))
+    var fp = Survival.KmFpOne
+    var (enP, evP) = (0.0, 0.0)
+    times.foreach { t =>
+      val atRisk = rows.filter(_._1 >= t)
+      val nt = atRisk.size.toLong
+      val n1t = atRisk.count(_._3 == 1).toLong
+      val dt = rows.count(r => r._1 == t && r._2 == 1L).toLong
+      val d1 = rows.count(r => r._1 == t && r._2 == 1L && r._3 == 1)
+        .toLong
+      fp = fp * (nt - dt + 1) / (nt + 1)
+      val w = fp.toDouble / Survival.KmFpOne.toDouble
+      val tnb = (d1 * nt - dt * n1t).toDouble / nt.toDouble
+      val tvb = (dt * n1t * (nt - n1t) * (nt - dt)).toDouble /
+        (nt * nt * (nt - 1)).toDouble
+      enP += w * tnb
+      evP += (w * w) * tvb
+    }
+    assert(gotP("sp")._3 == enP && gotP("sp")._4 == evP,
+      s"Peto-Prentice replay mismatch: ${gotP("sp")} vs ($enP, $evP)")
+    assert(gotP("sp")._5.get == enP * enP / evP)
+    // the weight DISCOUNTS late terms: |Peto num| < |log-rank num| on
+    // a fixture whose every weight is < 1 after the first event
+    assert(math.abs(gotP("sp")._3) < math.abs(got("sp")._3))
   }
 }

@@ -107,18 +107,81 @@ def check_quality_floors(quality):
 
 def has_medians(path):
     """True when the artifact carries per-query medians
-    ("queries_median", written by Bench since r16)."""
+    ("queries_median", written by Bench since r16) — including inside
+    a driver wrapper's escaped tail (ADVICE r16: returning False for
+    escaped artifacts while the regex scrape still picked medians up
+    produced exactly the mixed-basis comparison this guards against).
+    """
     try:
-        return bool(json.loads(open(path).read()).get("queries_median"))
-    except (OSError, json.JSONDecodeError):
+        text = open(path).read()
+    except OSError:
         return False
+    try:
+        if json.loads(text).get("queries_median"):
+            return True
+    except json.JSONDecodeError:
+        pass
+    # driver wrapper: the local line rides escaped inside "tail", and
+    # the wrapper itself is valid JSON without a top-level median map
+    return '\\"queries_median\\":' in text
+
+
+def _map_span(text, marker):
+    """The brace-balanced {...} span immediately following `marker`
+    (e.g. '\\"queries\\":'), or None. The per-query maps hold only
+    simple keys and numbers, so brace counting is exact there."""
+    i = text.find(marker)
+    if i < 0:
+        return None
+    start = text.find("{", i + len(marker))
+    if start < 0:
+        return None
+    depth = 0
+    for j in range(start, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start:j + 1]
+    return None
+
+
+def _scrape(text, use_median, esc):
+    """Regex-scrape per-query times from a (possibly escaped) artifact,
+    SCOPED to the right map (ADVICE r16: the old whole-text findall
+    matched both "queries" and "queries_median" entries and kept the
+    LAST, so medians silently overwrote min-of-passes regardless of
+    use_median). Precedence: the requested map's span; else the
+    min-of-passes "queries" span; else "slowest" spans (driver tails),
+    keeping the FIRST occurrence per key."""
+    q = '\\"' if esc else '"'
+    # q is a LITERAL for the find()-based span markers; re.escape it
+    # for the pattern (a bare \" in a regex is just ")
+    qe = re.escape(q)
+    pair = re.compile(qe + r'(q\d+[a-z_0-9]*)' + qe + r':\s*([0-9.]+)')
+    span = _map_span(text, q + "queries_median" + q + ":") \
+        if use_median else None
+    if span is None:
+        span = _map_span(text, q + "queries" + q + ":")
+    if span is not None:
+        return {k: float(v) for k, v in pair.findall(span)}
+    times = {}
+    rest = text
+    while True:
+        span = _map_span(rest, q + "slowest" + q + ":")
+        if span is None:
+            break
+        for k, v in pair.findall(span):
+            times.setdefault(k, float(v))
+        rest = rest[rest.find(span) + len(span):]
+    return times
 
 
 def parse_bench(path, use_median=False):
     text = open(path).read()
     # driver wrapper: escaped quotes inside a "tail" string
-    times = {k: float(v) for k, v in
-             re.findall(r'\\"(q\d+[a-z_0-9]*)\\":([0-9.]+)', text)}
+    times = _scrape(text, use_median, esc=True)
     if not times:  # clean JSON line (BENCH_LOCAL.json)
         try:
             doc = json.loads(text)
@@ -130,8 +193,7 @@ def parse_bench(path, use_median=False):
             times = (doc.get("queries_median") if use_median else None) \
                 or doc["queries"]
         except (json.JSONDecodeError, KeyError):
-            times = {k: float(v) for k, v in
-                     re.findall(r'"(q\d+[a-z_0-9]*)":([0-9.]+)', text)}
+            times = _scrape(text, use_median, esc=False)
     # normalize to the short q-number key so rounds with different
     # name forms still line up
     return {k.split("_")[0]: (v, k) for k, v in times.items()}
@@ -213,6 +275,22 @@ def main():
                   f"{noise:.2f}x > {NOISE_LIMIT}x) — per-query deltas "
                   "below are INCONCLUSIVE (queue/co-tenant inflation), "
                   "not regressions**", ""]
+    # r16 verdict item 1: a sustained co-tenant steal window covering
+    # ALL passes reads clean on every RELATIVE check (noise_ratio
+    # 1.245 in BENCH_r16 while everything was ~8x inflated) — the
+    # absolute calibration sentinel is the only signal, and a
+    # contended artifact's deltas are inconclusive exactly like burst.
+    contended = bool(re.search(r'\\?"contended\\?":\s*true',
+                               open(new_bench).read()))
+    if contended and not noisy:
+        noisy = True
+        lines += ["**NOTE: bench artifact is CONTENDED (calibration "
+                  "sentinel above its quiet band in every pass — "
+                  "sustained co-tenant steal) — per-query deltas below "
+                  "are INCONCLUSIVE, not regressions**", ""]
+    elif contended:
+        lines += ["**NOTE: bench artifact is also CONTENDED (sentinel "
+                  "above band in every pass)**", ""]
     # Publish every wall pass next to the median headline (r14 verdict
     # item 1: the acceptance gate needs a wall number whose run-to-run
     # spread is visible, not a min-of-2 sample).

@@ -78,6 +78,38 @@ def main():
     assert rr.parse_bench(po, use_median=True)["q1"][0] == 1.0, \
         "median-less artifact must fall back to queries"
     print("PASS median selection is like-for-like only")
+
+    # ADVICE r16: in the ESCAPED driver-tail path the old whole-text
+    # regex matched both "queries" and "queries_median" pairs and kept
+    # the LAST, so medians silently overwrote min-of-passes regardless
+    # of use_median, while has_medians read False for the escaped
+    # artifact — the exact mixed-basis comparison the median gate
+    # guards against. The scrape is now scoped to one map span and
+    # has_medians sees escaped artifacts.
+    local_line = _json.dumps(with_med)
+    escaped = _tmp({"n": 1, "rc": 0,
+                    "tail": "noise\n" + local_line + "\n"})
+    assert rr.has_medians(escaped), \
+        "escaped artifact with queries_median must report has_medians"
+    assert rr.parse_bench(escaped, use_median=False)["q1"][0] == 1.0, \
+        "min-of-passes request must read the queries map, not medians"
+    assert rr.parse_bench(escaped, use_median=True)["q1"][0] == 2.0
+    # driver metric-line tails carry only "slowest" — still scraped,
+    # first occurrence per key wins across multiple spans
+    slow_tail = _tmp({"tail": '{"slowest":{"q9_a":5.0}}\n'
+                              '{"slowest":{"q9_a":7.0}}'})
+    assert rr.parse_bench(slow_tail)["q9"][0] == 5.0
+    print("PASS escaped-tail scrape is span-scoped and median-honest")
+
+    # r16 verdict item 1: a contended artifact (absolute sentinel above
+    # band in every pass) must be detected by the same regex the report
+    # uses, escaped or clean.
+    pat = r'\\?"contended\\?":\s*true'
+    import re as _re
+    assert _re.search(pat, '{"contended":true,"x":1}')
+    assert _re.search(pat, '{"tail":"{\\"contended\\":true}"}')
+    assert not _re.search(pat, '{"queries":{"q1_x":1.0}}')
+    print("PASS contended flag detection (clean and escaped)")
     print("\nall round_report gate tests pass")
 
 
