@@ -47,6 +47,19 @@ object Stats {
   /** The deterministic Poisson(1) draw shared by the bootstrap
     * operators: u = md5("bs:replicate:id") uniform on [1, 2^48],
     * mapped through [[PoissonThresholds]]. */
+  /** Pre-explode repartition with an EXPLICIT partition count: AQE
+    * would coalesce the tiny narrow-row exchange to 1 partition (it
+    * cannot see the explode + md5 work downstream); a user-specified
+    * N is never coalesced. toIntOption with a defaultParallelism
+    * fallback (ADVICE r16: platforms where the conf is non-numeric,
+    * e.g. "auto", threw NumberFormatException at plan time). */
+  private def repartForExplode(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(n, key)
+  }
+
   private def bootstrapWeight(r: Column, id: Column): Column = {
     val u = conv(substring(md5(concat_ws(":", lit("bs"), r,
       id.cast("string"))), 1, 12), 16, 10).cast("long") + 1
@@ -89,12 +102,7 @@ object Stats {
         sum(col("y")).as("__sy"))
       .filter(col("__sy") > 0)
     val w = bootstrapWeight(col("r"), col("id"))
-    val perRep = base
-      // EXPLICIT count: AQE would coalesce this tiny narrow-row
-      // exchange to 1 partition (it cannot see the xB explode + md5
-      // work downstream); a user-specified N is never coalesced
-      .repartition(items.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("id"))
+    val perRep = repartForExplode(base, col("id"))
       .select(col("grp"), col("x"), col("y"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), w.as("__w"), col("x"), col("y"))
@@ -187,12 +195,7 @@ object Stats {
     val overall = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("__sx"))
     val w = bootstrapWeight(col("r"), col("id"))
-    val perRep = base
-      // EXPLICIT count: AQE would coalesce this tiny narrow-row
-      // exchange to 1 partition (it cannot see the xB explode + md5
-      // work downstream); a user-specified N is never coalesced
-      .repartition(items.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("id"))
+    val perRep = repartForExplode(base, col("id"))
       .select(col("grp"), col("v"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), w.as("__w"), col("v"))
@@ -272,12 +275,7 @@ object Stats {
     val byLbR = Window.partitionBy(col("grp"), col("r"))
       .orderBy(col("lb"))
     val wholeR = Window.partitionBy(col("grp"), col("r"))
-    val repMed = base
-      // EXPLICIT count: AQE would coalesce this tiny narrow-row
-      // exchange to 1 partition (it cannot see the xB explode + md5
-      // work downstream); a user-specified N is never coalesced
-      .repartition(items.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("id"))
+    val repMed = repartForExplode(base, col("id"))
       .select(col("grp"), col("lb"), col("id"),
         explode(array((0 until b).map(lit(_)): _*)).as("r"))
       .select(col("grp"), col("r"), col("lb"), w.as("__w"))
@@ -1367,5 +1365,137 @@ object Stats {
         (col("num") * col("num")) / col("var")))
       .withColumn("significant",
         when(col("var") > 0, col("chi2") > critical))
+  }
+
+  /** Two-sided group-sequential boundary constants c(K, α) for K
+    * equally-spaced looks — the LITERAL tables (O'Brien & Fleming,
+    * Biometrics 1979; Pocock, Biometrika 1977; the standard tabulation
+    * in Jennison & Turnbull, Group Sequential Methods, Tables
+    * 2.1/2.3), keyed by (K, alphaPermille). MC-validated in StatsSpec
+    * (400k Brownian paths reproduce the nominal α within simulation
+    * noise for every entry). O'Brien-Fleming rejects at look k when
+    * |Z_k| ≥ c/√(t_k) (conservative early, ~nominal at the end);
+    * Pocock uses the constant |Z_k| ≥ c at every look. */
+  val ObfC: Map[(Int, Int), Double] = Map(
+    (1, 50) -> 1.960, (2, 50) -> 1.977, (3, 50) -> 2.004,
+    (4, 50) -> 2.024, (5, 50) -> 2.040,
+    (1, 10) -> 2.576, (2, 10) -> 2.580, (3, 10) -> 2.595,
+    (4, 10) -> 2.609, (5, 10) -> 2.621)
+  val PocockC: Map[(Int, Int), Double] = Map(
+    (1, 50) -> 1.960, (2, 50) -> 2.178, (3, 50) -> 2.289,
+    (4, 50) -> 2.361, (5, 50) -> 2.413,
+    (1, 10) -> 2.576, (2, 10) -> 2.772, (3, 10) -> 2.873,
+    (4, 10) -> 2.939, (5, 10) -> 2.986)
+
+  /** Group-sequential rejection threshold on the SQUARED
+    * sum-difference surface (the [[msprtThreshold]] move): at a
+    * balanced look of n units per arm with literal per-unit variance
+    * σ², Z_k = Δ_k/√(2nσ²), and the O'Brien-Fleming test
+    * |Z_k| ≥ c/√(t_k) with t_k = n_k/n_K collapses to the FLAT
+    * partial-sum boundary Δ_k² ≥ ⌈c²·2σ²·n_K⌉ (the classic "OBF is
+    * constant on the B-value scale"); Pocock's |Z_k| ≥ c becomes the
+    * per-look Δ_k² ≥ ⌈c²·2σ²·n_k⌉. Computed HERE once — both engines
+    * compare the exact integer Δ² against the same literal. */
+  def gsThreshold(kTotal: Int, look: Long, lastLook: Long,
+      sigma2: Double, alphaPermille: Int, pocock: Boolean): BigInt = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    val table = if (pocock) PocockC else ObfC
+    val c = table.getOrElse((kTotal, alphaPermille),
+      throw new IllegalArgumentException(
+        s"gsThreshold: no boundary constant tabulated for K=$kTotal, " +
+          s"alpha=$alphaPermille permille (K in 1..5, alpha in " +
+          "{10, 50})"))
+    val n = if (pocock) look else lastLook
+    BigDecimal(c * c * 2.0 * sigma2 * n.toDouble)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+  }
+
+  /** Classic planned-interim-analysis A/B testing — the
+    * group-sequential test with O'Brien-Fleming (default) or Pocock
+    * boundaries, next to [[msprtCuped]]'s always-valid peeking: K
+    * PRE-PLANNED equally-spaced balanced looks, reject when the look's
+    * statistic crosses the literal boundary; overall type-I error is
+    * the caller's α by construction of c(K, α). O'Brien-Fleming spends
+    * almost nothing early (the look-1 boundary at K=5 is ~4.6σ) and
+    * ~α at the final look — the shape a data-pipeline owner wants when
+    * early stops should need overwhelming evidence.
+    *
+    * Exactness: Δ_k = Σ_treat y − Σ_ctrl y at balanced look k is exact
+    * integer arithmetic; both engines compare Δ_k² (decimal 128-bit)
+    * against [[gsThreshold]]'s literal — the whole readout gates
+    * hash-exact, like q264. Looks are balanced exactly as
+    * [[msprtCuped]]: look n emits only when BOTH arms reached n units
+    * in (orderCol, idCol) arrival order.
+    *
+    * Output per (group, complete look): (grp, look, delta, rejected,
+    * rejected_any) — rejected_any is the monotone stop decision (a
+    * planned design STOPS at the first crossing; later looks are
+    * reported for audit with the flag already latched).
+    *
+    * Scale shape: identical to [[msprtCuped]] — one rank window pruned
+    * map-side to looks.max, ONE hash-agg to group grain, a stack()
+    * unpivot of the K looks, the running-max window on ≤K rows per
+    * group. */
+  def groupSequential(units: DataFrame, grpCol: String,
+      variant01: Column, yCol: String, orderCol: String, idCol: String,
+      looks: Seq[Long], sigma2: Double, alphaPermille: Int = 50,
+      pocock: Boolean = false): DataFrame = {
+    require(looks.nonEmpty && looks.size <= 5 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 5 strictly increasing positives, got $looks")
+    require(looks.zipWithIndex.forall { case (n, i) =>
+        n == looks.head * (i + 1) },
+      s"looks must be equally spaced (the tabulated-constant " +
+        s"assumption), got $looks")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val y = col(yCol).cast("long")
+    val arm = variant01.cast("int")
+    val base = units
+      .filter(col(grpCol).isNotNull && y.isNotNull && arm.isin(0, 1) &&
+        col(orderCol).isNotNull && col(idCol).isNotNull)
+      // decimal(38,0) BEFORE summing: a long-typed sum would overflow
+      // silently at corpus scale (the msprtCuped discipline)
+      .select(col(grpCol).as("grp"), arm.as("arm"), d38(y).as("v"),
+        col(orderCol).as("ord"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("grp"), col("arm"))
+      .orderBy(col("ord"), col("id"))
+    val ranked = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= looks.max)
+    val aggs = looks.zipWithIndex.flatMap { case (nl, i) =>
+      def side(a: Int, nm: String) = Seq(
+        sum(when(col("arm") === a && col("rk") <= nl, col("v")))
+          .as(s"__s${nm}_$i"),
+        count(when(col("arm") === a && col("rk") <= nl, lit(1)))
+          .as(s"__c${nm}_$i"))
+      side(1, "t") ++ side(0, "c")
+    }
+    val wide = ranked.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = looks.indices.map(i =>
+      s"${looks(i)}L, $i, __st_$i, __ct_$i, __sc_$i, __cc_$i")
+      .mkString(", ")
+    val crit = array(looks.map(n =>
+      lit(new java.math.BigDecimal(
+        gsThreshold(looks.size, n, looks.max, sigma2, alphaPermille,
+          pocock).bigInteger))): _*)
+    val byLook = Window.partitionBy(col("grp")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wide
+      .select(col("grp"), expr(s"stack(${looks.size}, $stackArgs) AS " +
+        "(look, __li, __st, __ct, __sc, __cc)"))
+      .filter(col("__ct") === col("look") && col("__cc") === col("look"))
+      .withColumn("__dd", col("__st") - col("__sc"))
+      .withColumn("delta", when(col("__dd").between(
+          lit(Long.MinValue), lit(Long.MaxValue)),
+          col("__dd").cast("long"))
+        .otherwise(raise_error(lit(
+          "groupSequential: delta overflows long — rescale the metric"))))
+      .withColumn("rejected", d38(col("delta")) * d38(col("delta")) >=
+        element_at(crit, col("__li") + 1))
+      .withColumn("rejected_any",
+        max(col("rejected").cast("int")).over(byLook) === 1)
+      .select(col("grp"), col("look"), col("delta"), col("rejected"),
+        col("rejected_any"))
   }
 }

@@ -5774,7 +5774,68 @@ object TextQueries {
            AS significant
        FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.c"""
 
+  /** q271: group-sequential O'Brien-Fleming testing
+    * ([[graft.operators.Stats.groupSequential]]) — the classic
+    * planned-interim-analysis design next to q264's always-valid
+    * peeking: per lang, metric n_chars + 4·residue (the residue
+    * doubles as the treatment signal, scaled so the latched stop
+    * actually fires mid-sequence at sf0.01), arms split on
+    * residue < 50, five equally-spaced balanced looks at
+    * 20/40/60/80/100 units per arm. The OBF boundary is FLAT on the
+    * partial-sum scale — ⌈c(5,α)²·2σ²·n_K⌉, one literal both engines
+    * compare the exact integer Δ² against — so per-look rejections
+    * and the latched stop decision gate hash-exact. */
+  val q271_group_sequential: Q = (s, d) =>
+    graft.operators.Stats.groupSequential(
+      Tables.documents(s, d)
+        .withColumn("met", col("n_chars") + (col("doc_id") % 101) * 4),
+      "lang", (col("doc_id") % 101 < 50).cast("int"),
+      "met", "doc_id", "doc_id",
+      looks = gsLooks, sigma2 = GsSigma2, alphaPermille = 50)
+      .select(col("grp").as("lang"), col("look"), col("delta"),
+        col("rejected"), col("rejected_any"))
+
+  private val gsLooks = Seq(20L, 40L, 60L, 80L, 100L)
+  private val GsSigma2 = 90000.0
+
+  val q271_oracle: String = {
+    import graft.operators.Stats
+    val wCols = gsLooks.indices.map { i =>
+      val n = gsLooks(i)
+      s"""sum(CASE WHEN arm = 1 AND rk <= $n THEN v END) AS st_$i,
+         count(CASE WHEN arm = 1 AND rk <= $n THEN 1 END) AS ct_$i,
+         sum(CASE WHEN arm = 0 AND rk <= $n THEN v END) AS sc_$i,
+         count(CASE WHEN arm = 0 AND rk <= $n THEN 1 END) AS cc_$i"""
+    }.mkString(",\n         ")
+    val branches = gsLooks.indices.map { i =>
+      val n = gsLooks(i)
+      val c = Stats.gsThreshold(gsLooks.size, n, gsLooks.max, GsSigma2,
+        alphaPermille = 50, pocock = false).toString
+      s"""SELECT grp, CAST($n AS BIGINT) AS look,
+           CAST(st_$i - sc_$i AS BIGINT) AS delta,
+           ((st_$i - sc_$i) * (st_$i - sc_$i) >= $c) AS rejected
+         FROM w WHERE ct_$i = $n AND cc_$i = $n"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH b AS (SELECT lang AS grp,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm,
+           n_chars + (doc_id % 101) * 4 AS v, doc_id AS i
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       r AS (SELECT grp, arm, v, row_number() OVER (
+           PARTITION BY grp, arm ORDER BY i, i) AS rk FROM b),
+       w AS (SELECT grp,
+         $wCols
+         FROM r GROUP BY grp),
+       d AS ($branches)
+       SELECT grp AS lang, look, delta, rejected,
+         (max(CASE WHEN rejected THEN 1 ELSE 0 END) OVER (
+            PARTITION BY grp ORDER BY look) = 1) AS rejected_any
+       FROM d"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q271_group_sequential" -> q271_group_sequential,
     "q270_logrank_peto" -> q270_logrank_peto,
     "q269_logrank_breslow" -> q269_logrank_breslow,
     "q268_logrank" -> q268_logrank,
@@ -5913,6 +5974,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q271_group_sequential" -> q271_oracle,
     "q270_logrank_peto" -> q270_oracle,
     "q269_logrank_breslow" -> q269_oracle,
     "q268_logrank" -> q268_oracle,

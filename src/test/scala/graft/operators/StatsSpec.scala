@@ -604,4 +604,96 @@ class StatsSpec extends SparkSuite {
       .collect().head
     assert(half == (("t", 4L, 2L, 10L, 20L, Some(0.5))))
   }
+
+  test("group-sequential boundary constants reproduce the nominal " +
+      "type-I error under a brute-force sequential simulation " +
+      "(400k Brownian paths per design), and OBF spends less early " +
+      "than Pocock") {
+    // Under H0 the look statistics are a standard random walk
+    // W_k ~ N(0, k) at equally-spaced looks. OBF's flat partial-sum
+    // boundary rejects when |W_k| >= c*sqrt(K); Pocock when
+    // |W_k|/sqrt(k) >= c. Empirical crossing rates must reproduce the
+    // tabulated alpha within MC noise (SE ~ 0.0004 at alpha=0.05).
+    val rnd = new java.util.Random(7)
+    val paths = 400000
+    for (k <- Seq(2, 3, 5); aPm <- Seq(50, 10)) {
+      val alpha = aPm / 1000.0
+      val cObf = Stats.ObfC((k, aPm))
+      val cPoc = Stats.PocockC((k, aPm))
+      var hitObf = 0; var hitPoc = 0
+      var p = 0
+      while (p < paths) {
+        var w = 0.0; var i = 1
+        var anyO = false; var anyP = false
+        while (i <= k) {
+          w += rnd.nextGaussian()
+          if (math.abs(w) >= cObf * math.sqrt(k.toDouble)) anyO = true
+          if (math.abs(w) / math.sqrt(i.toDouble) >= cPoc) anyP = true
+          i += 1
+        }
+        if (anyO) hitObf += 1
+        if (anyP) hitPoc += 1
+        p += 1
+      }
+      val (eO, eP) = (hitObf.toDouble / paths, hitPoc.toDouble / paths)
+      val tol = if (aPm == 50) 0.004 else 0.0016
+      assert(math.abs(eO - alpha) < tol,
+        s"OBF K=$k alpha=$alpha: empirical $eO")
+      assert(math.abs(eP - alpha) < tol,
+        s"Pocock K=$k alpha=$alpha: empirical $eP")
+    }
+    // OBF's early boundary on the Z scale is c*sqrt(K/k) — strictly
+    // wider than Pocock's constant at k < K
+    assert(Stats.ObfC((5, 50)) * math.sqrt(5.0) >
+      Stats.PocockC((5, 50)))
+  }
+
+  test("groupSequential: balanced looks emit only when both arms " +
+      "arrive, the OBF flat boundary latches rejected_any, and the " +
+      "boundary literal matches a driver replay") {
+    // 100 units/arm in two groups: "hot" carries a deterministic +40
+    // per-unit treatment lift (crosses mid-sequence), "cold" is null.
+    val rows = (0 until 200).flatMap { i =>
+      Seq(("hot", i % 2, if (i % 2 == 1) 140L else 100L, i.toLong),
+        ("cold", i % 2, 100L, i.toLong))
+    } ++ // a group whose arm-1 stops at 15 units: NO look completes
+      (0 until 45).map(i => ("thin", if (i < 30) 0 else 1, 100L,
+        i.toLong))
+    val looks = Seq(20L, 40L, 60L, 80L, 100L)
+    val got = Stats.groupSequential(
+      rows.toDF("g", "arm", "y", "ts"), "g", col("arm"), "y", "ts",
+      "ts", looks, sigma2 = 400.0, alphaPermille = 50)
+      .as[(String, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(!got.exists(_._1 == "thin"),
+      "a look neither arm completes must not emit")
+    val hot = got.filter(_._1 == "hot").sortBy(_._2)
+    assert(hot.map(_._2) == looks, "hot completes every look")
+    // delta at look n = 40n exactly
+    assert(hot.map(_._3) == looks.map(_ * 40))
+    // driver replay of the flat boundary: c(5,.05)^2 * 2 * 400 * 100
+    val bound = Stats.gsThreshold(5, 100L, 100L, 400.0, 50,
+      pocock = false)
+    assert(bound == BigInt(math.ceil(2.040 * 2.040 * 800.0 * 100.0)
+      .toLong))
+    hot.foreach { r =>
+      assert(r._4 == (BigInt(r._3) * BigInt(r._3) >= bound),
+        s"look ${r._2}")
+    }
+    // 40n crosses sqrt(332928) ~ 577 at n >= 15: every look rejects
+    // here; the cold group never does and never latches
+    assert(hot.forall(_._5), "rejected_any latches once crossed")
+    val cold = got.filter(_._1 == "cold")
+    assert(cold.size == looks.size && cold.forall(r => !r._4 && !r._5))
+    // Pocock's per-look boundary grows with n: at look 20 it is
+    // TIGHTER than OBF's flat bound (early spending), and the
+    // threshold scales linearly in the look
+    val p20 = Stats.gsThreshold(5, 20L, 100L, 400.0, 50, pocock = true)
+    assert(p20 < bound)
+    val p100 = Stats.gsThreshold(5, 100L, 100L, 400.0, 50,
+      pocock = true)
+    assert(p100 == BigInt(math.ceil(2.413 * 2.413 * 800.0 * 100.0)
+      .toLong) && p20 == BigInt(math.ceil(2.413 * 2.413 * 800.0 * 20.0)
+      .toLong))
+  }
 }
