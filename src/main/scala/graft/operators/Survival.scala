@@ -320,6 +320,106 @@ object Survival {
     terms2Fold(risky, critical)
   }
 
+  /** Cox proportional hazards, two-arm (Cox, JRSS-B 1972; Breslow
+    * tie handling, Biometrics 1974) — the semi-parametric effect-size
+    * estimate completing the survival family: [[kaplanMeier]]
+    * estimates each curve, [[logRank]] tests the difference, Cox
+    * QUANTIFIES it as a log hazard ratio β (e^β = the multiplicative
+    * risk of arm 1 vs arm 0 at every instant). For a single binary
+    * covariate the Breslow partial likelihood lives entirely on the
+    * life-table grain:
+    *   U(β)  = Σ_t [d1ₜ − dₜ·pₜ],   pₜ = n1ₜ·e^β/(n0ₜ + n1ₜ·e^β)
+    *   I(β)  = Σ_t dₜ·pₜ·(1−pₜ)
+    * maximized by Newton with a FIXED iteration count (8 — quadratic
+    * convergence from β₀ = 0 reaches machine precision for any
+    * |β| ≲ 5) so both engines execute the identical instruction
+    * sequence: the whole solve is ONE ordered fold over
+    * iterations × event times (step s reads life-table row s mod k;
+    * at each k-boundary β ← β + U/I and the sums reset), which a
+    * DuckDB recursive CTE replays step-for-step.
+    *
+    * NOT hash-exact BY NATURE, and gated accordingly: e^β of a
+    * data-dependent β differs between libm and the JVM in the last
+    * ulp, so β agrees cross-engine only to ~1e-13 — the gate (q272)
+    * therefore reads RANKS and SIGNS off β (the q77/q94/q98 rank
+    * discipline; fixture gaps are checked ≫ 1e-6), never raw doubles.
+    * Degenerate steps guard loudly in math, not control flow: a step
+    * with I ≤ 0 (every retained time one-armed) keeps β; β clamps to
+    * ±30 (complete separation has no finite MLE — the sign is the
+    * answer there).
+    *
+    * Envelope: ≤ 4096 distinct event times per group (fold grain,
+    * ENFORCED); the flattened walk is ≤ 8·4096 steps per group.
+    * Output: (grp, n_times, events, beta). Scale shape: one
+    * (grp, t, arm) hash-agg, two at-risk windows on the time frame,
+    * the fold on ≤ 4096-row frames — nothing corpus-wide after the
+    * first agg. */
+  def coxTwoArm(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String, arm01: Column, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"iters must be in 1..32, got $iters")
+    val t = col(durCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val arm = arm01.cast("int")
+    val base = df
+      .filter(col(grpCol).isNotNull && t.isNotNull && e.isNotNull &&
+        arm.isin(0, 1))
+      .select(col(grpCol).as("grp"), t.as("t"),
+        when(e.isin(0L, 1L) && t >= 0L, e)
+          .otherwise(raise_error(lit("coxTwoArm: event must be 0/1 " +
+            "and duration >= 0"))).as("e"),
+        arm.as("arm"))
+    val cells = base.groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("arm") === 1, col("e")).otherwise(lit(0L)))
+          .as("d1"),
+        sum(col("e")).as("dt"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("m1"),
+        count(lit(1)).as("m"))
+    val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val whole = Window.partitionBy(col("grp"))
+    val risky = cells
+      .withColumn("n1t", sum(col("m1")).over(whole)
+        - coalesce(sum(col("m1")).over(byT), lit(0L)))
+      .withColumn("nt", sum(col("m")).over(whole)
+        - coalesce(sum(col("m")).over(byT), lit(0L)))
+      .filter(col("dt") > 0 && col("nt") >= 2)
+    // the flattened Newton walk: step s reads row (s mod k)+1; the
+    // subexpressions repeat because SQL lambdas have no let-binding —
+    // each is deterministic, so repetition is cost, not correctness
+    val xs = "element_at(__rows, CAST(s % size(__rows) AS INT) + 1)"
+    val a1 = s"(CAST($xs.n1t AS DOUBLE) * exp(acc.b))"
+    val p = s"($a1 / (CAST($xs.nt - $xs.n1t AS DOUBLE) + $a1))"
+    val du = s"(CAST($xs.d1 AS DOUBLE) - CAST($xs.dt AS DOUBLE) * $p)"
+    val dI = s"(CAST($xs.dt AS DOUBLE) * $p * (1.0D - $p))"
+    val atEnd = "(s % size(__rows)) = (size(__rows) - 1)"
+    val newB = s"""CASE WHEN acc.f + $dI > 0.0D
+        THEN greatest(-30.0D, least(30.0D,
+          acc.b + (acc.u + $du) / (acc.f + $dI)))
+        ELSE acc.b END"""
+    risky
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("t"), col("d1"),
+        col("dt"), col("n1t"), col("nt")))).as("__rows"),
+        sum(col("dt")).as("events"))
+      .withColumn("__rows", when(size(col("__rows")) <= 4096,
+        col("__rows"))
+        .otherwise(raise_error(lit(
+          "coxTwoArm: more than 4096 distinct event times in a group"))))
+      .withColumn("__w", expr(
+        s"""aggregate(
+            sequence(0L, CAST($iters * size(__rows) - 1 AS LONG)),
+            named_struct('b', 0.0D, 'u', 0.0D, 'f', 0.0D),
+            (acc, s) -> named_struct(
+              'b', CASE WHEN $atEnd THEN $newB ELSE acc.b END,
+              'u', CASE WHEN $atEnd THEN 0.0D ELSE acc.u + $du END,
+              'f', CASE WHEN $atEnd THEN 0.0D ELSE acc.f + $dI END))"""))
+      .select(col("grp"),
+        size(col("__rows")).cast("long").as("n_times"),
+        col("events"), col("__w.b").as("beta"))
+  }
+
   /** The Peto-Prentice fold + readout, factored for plan clarity: one
     * sorted collect_list per group, one aggregate() carrying
     * (fp, n, v) over ≤ 4096 life-table rows. */

@@ -5834,7 +5834,105 @@ object TextQueries {
        FROM d"""
   }
 
+  /** q272: Cox proportional hazards
+    * ([[graft.operators.Survival.coxTwoArm]]) — per lang, the log
+    * hazard ratio of the q268 arms on residue-shifted durations
+    * (duration = (n_chars + 3·residue) DIV 10, so arm 1's smaller
+    * residues mean genuinely earlier failures and β > 0 everywhere by
+    * construction). Both engines run the IDENTICAL fixed 8-iteration
+    * Newton walk over the life table (Spark: one ordered fold; DuckDB:
+    * a recursive CTE stepping iterations × event times) — but e^β of a
+    * data-dependent β is libm-vs-JVM ulp territory, so the gate reads
+    * the q77/q94/q98 RANK surface: exact life-table integers, the
+    * hazard direction, and the cross-lang β rank (fixture β gaps
+    * measured ≥ 2e-3, nine orders above the ~1e-13 cross-engine
+    * drift; SurvivalSpec cross-checks β itself against an independent
+    * golden-section maximizer). */
+  val q272_cox_hazard: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cox = graft.operators.Survival.coxTwoArm(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("(n_chars + (doc_id % 101) * 3) DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), iters = 8)
+    cox.select(col("grp").as("lang"), col("n_times"), col("events"),
+      (col("beta") > 0).as("direction"),
+      row_number().over(Window.orderBy(col("beta").desc, col("grp")))
+        .cast("long").as("beta_rank"))
+  }
+
+  val q272_oracle: String = {
+    // the identical Newton step, spelled once: SQL lambdas/CTEs have
+    // no let-binding, so the subexpressions interpolate repeatedly
+    val a1 = "(CAST(f.n1t AS DOUBLE) * exp(w.bta))"
+    val p = s"($a1 / (CAST(f.nt - f.n1t AS DOUBLE) + $a1))"
+    val du = s"(CAST(f.d1 AS DOUBLE) - CAST(f.dt AS DOUBLE) * $p)"
+    val dI = s"(CAST(f.dt AS DOUBLE) * $p * (1.0 - $p))"
+    val atEnd = "((w.s + 1) % cnt.k) = cnt.k - 1"
+    val newB = s"""CASE WHEN w.ff + $dI > CAST(0 AS DOUBLE)
+        THEN greatest(CAST(-30 AS DOUBLE), least(CAST(30 AS DOUBLE),
+          w.bta + (w.u + $du) / (w.ff + $dI)))
+        ELSE w.bta END"""
+    s"""WITH RECURSIVE
+       b AS (SELECT lang AS grp,
+           (n_chars + (doc_id % 101) * 3) // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, t, CAST(d1 AS BIGINT) AS d1,
+           CAST(dt AS BIGINT) AS dt, CAST(n1t AS BIGINT) AS n1t,
+           CAST(nt AS BIGINT) AS nt,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       cnt AS (SELECT grp, count(*) AS k,
+           CAST(sum(dt) AS BIGINT) AS events FROM f GROUP BY 1),
+       w AS (SELECT grp, -1 AS s, CAST(0 AS DOUBLE) AS bta,
+             CAST(0 AS DOUBLE) AS u, CAST(0 AS DOUBLE) AS ff
+           FROM cnt
+         UNION ALL
+         SELECT w.grp, w.s + 1,
+           CASE WHEN $atEnd THEN $newB ELSE w.bta END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.u + $du END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.ff + $dI END
+         FROM w
+         JOIN cnt ON cnt.grp = w.grp
+         JOIN f ON f.grp = w.grp AND f.i = ((w.s + 1) % cnt.k) + 1
+         WHERE w.s + 1 < 8 * cnt.k),
+       fin AS (SELECT w.grp, w.bta
+         FROM w JOIN cnt ON cnt.grp = w.grp AND w.s = 8 * cnt.k - 1)
+       SELECT fin.grp AS lang, CAST(cnt.k AS BIGINT) AS n_times,
+         cnt.events, (fin.bta > 0) AS direction,
+         CAST(row_number() OVER (ORDER BY fin.bta DESC, fin.grp)
+           AS BIGINT) AS beta_rank
+       FROM fin JOIN cnt ON cnt.grp = fin.grp"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q272_cox_hazard" -> q272_cox_hazard,
     "q271_group_sequential" -> q271_group_sequential,
     "q270_logrank_peto" -> q270_logrank_peto,
     "q269_logrank_breslow" -> q269_logrank_breslow,
@@ -5974,6 +6072,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q272_cox_hazard" -> q272_oracle,
     "q271_group_sequential" -> q271_oracle,
     "q270_logrank_peto" -> q270_oracle,
     "q269_logrank_breslow" -> q269_oracle,
