@@ -116,6 +116,22 @@ object Multimodal {
     }
   }
 
+  /** Kind-dispatched decode — the single feature-extraction entry a
+    * mixed media table (or micro-batch) goes through: REAL codecs
+    * where this environment has them (image → [[decodeImageFeatures]],
+    * audio → [[decodeAudioFeatures]]), the honest byte-level
+    * fingerprint ([[byteFeatures]]) for everything else (video — see
+    * the byteFeatures note). Shared by the batch gates and the
+    * streaming twin ([[graft.streaming.Streams.startMediaDecode]]) so
+    * stream == batch parity is a property of ONE dispatch, not two
+    * implementations kept in sync by hand. Stateless per row: three
+    * partition-batched codec scans, no shuffle. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    decodeImageFeatures(media.filter(_.meta.kind == "image"))
+      .unionAll(decodeAudioFeatures(media.filter(_.meta.kind == "audio")))
+      .unionAll(byteFeatures(media.filter(r =>
+        r.meta.kind != "image" && r.meta.kind != "audio")))
+
   /** Normalized byte histogram (see byteFeatures). */
   private[multimodal] def byteHistogram(payload: Array[Byte], dim: Int)
       : Array[Float] = {

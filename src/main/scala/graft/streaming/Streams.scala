@@ -973,4 +973,59 @@ object Streams {
           out.iterator
         })
   }
+
+  /** One micro-batch of the streaming media decode: the SHARED
+    * kind-dispatch ([[graft.multimodal.Multimodal.decodeFeatures]] —
+    * mapPartitions codecs, real PNG/WAV decoders) runs on the batch
+    * and lands in a parquet feature store partitioned by batch id
+    * with DYNAMIC partition overwrite — a retried batch (foreachBatch
+    * is at-least-once) rewrites exactly its own partition and can
+    * never duplicate features. Factored out of the foreachBatch
+    * closure so the spec can invoke the same id twice and pin the
+    * idempotence. */
+  def mediaDecodeBatch(batch: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaRow],
+      batchId: Long, outDir: String): Unit =
+    graft.multimodal.Multimodal.decodeFeatures(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Streaming multimodal decode — the streaming twin of the q41/q53
+    * decode-and-fingerprint stage (the thetaPaneDistinct /
+    * msprtDecisions twin discipline applied to the codec path): a
+    * stream of (media_id, payload, meta) rows is decoded INSIDE
+    * foreachBatch by the same partition-batched codecs the batch
+    * gates run, and appended to a batch-id-partitioned parquet
+    * feature store. Decode is stateless per row, so stream == batch
+    * holds as SET equality on every chronological prefix — including
+    * late data, which simply decodes when it arrives (spec-pinned
+    * across a 3-micro-batch replay with a late batch) — and the sink
+    * stays exactly-once under foreachBatch retries by construction
+    * (each batch id owns its partition).
+    *
+    * Scale shape: identical to the batch stage — the codec work is
+    * partition-local CPU inside each micro-batch, the only write is
+    * the feature append; 1000 executors decode 1000 partitions of the
+    * micro-batch with no shuffle. */
+  def startMediaDecode(media: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id").cast("long").as("media_id"),
+        col("payload"), col("meta"))
+      .as[graft.multimodal.Multimodal.MediaRow]
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[
+            graft.multimodal.Multimodal.MediaRow], id: Long) =>
+          mediaDecodeBatch(batch, id, outDir): Unit
+      }
+      .start()
+  }
 }

@@ -138,4 +138,58 @@ class ServerMainSpec extends SparkSuite {
     assert(drive("warn").isEmpty,
       "warn level must emit no request lines")
   }
+
+  test("deploy.toml (the reference's fly.toml analogue): the [env] " +
+      "block is the exact boot contract — every required var present, " +
+      "every key one ServerMain documents, defaults equal to code " +
+      "defaults — and a boot with the manifest env (issuer/dir/port " +
+      "swapped to fixture values) comes up inside the 1-vCPU envelope") {
+    val toml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("deploy.toml")), "UTF-8")
+    // parse the [env] block's KEY = "VALUE" lines (the manifest's env
+    // table is flat strings — no toml library needed or wanted)
+    val envBlock = toml.split("\n\\[").find(_.startsWith("env]"))
+      .getOrElse(fail("deploy.toml has no [env] block"))
+    val kv = "(?m)^\\s*([A-Z_]+)\\s*=\\s*\"([^\"]*)\"".r
+      .findAllMatchIn(envBlock)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val documented = Set("GRAFT_STREAMS_DIR", "GRAFT_OIDC_URL",
+      "GRAFT_JWT_AUD", "GRAFT_BIND_HOST", "GRAFT_PORT", "GRAFT_LOG",
+      "GRAFT_SPARK_MASTER")
+    assert(kv.keySet == documented,
+      s"manifest env keys ${kv.keySet} != documented contract")
+    // defaults in the manifest equal the code's defaults (a manifest
+    // that silently changes a default is a deploy-time surprise)
+    assert(kv("GRAFT_BIND_HOST") == "0.0.0.0")
+    assert(kv("GRAFT_PORT") == "8080")
+    assert(kv("GRAFT_LOG") == "info")
+    // the issuer carries the reference's trailing-slash warning in
+    // value form (fly.toml:12 — "The trailing slash is important!")
+    assert(kv("GRAFT_OIDC_URL").endsWith("/"))
+    // the vm envelope is the reference's production sizing
+    assert(toml.contains("cpus = 1") && toml.contains("memory_mb = 1024"))
+    assert(kv("GRAFT_SPARK_MASTER") == "local[1]",
+      "the 1-vCPU envelope pins the embedded master to one core")
+    // and the manifest env BOOTS: swap only the deploy-specific values
+    // (fixture issuer, scratch dir, ephemeral port, test-local bind)
+    val issuerBase = "https://idp.deploy"
+    val fetcher = new Oidc.MapFetcher(Map(
+      s"$issuerBase/.well-known/openid-configuration" ->
+        s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}""",
+      s"$issuerBase/jwks" ->
+        s"""{"keys":[{"kid":"boot-key","kty":"EC","crv":"P-384",
+            "x":"${jwk.x}","y":"${jwk.y}"}]}"""))
+    val env = kv +
+      ("GRAFT_STREAMS_DIR" -> (tempDir("deploy-toml-") + "/streams")) +
+      ("GRAFT_OIDC_URL" -> issuerBase) +
+      ("GRAFT_BIND_HOST" -> "127.0.0.1") + ("GRAFT_PORT" -> "0")
+    val handle = ServerMain.boot(env, spark, fetcher)
+    try {
+      val res = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(handle.baseUrl + "/health"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      // 401 without a token IS a healthy boot (auth wraps everything)
+      assert(res.statusCode() == 401, res.body())
+    } finally handle.stop()
+  }
 }

@@ -1150,4 +1150,66 @@ class StreamingSpec extends SparkSuite {
         "the planted effect must reject in-stream")
     } finally q.stop()
   }
+
+  test("streaming media decode (mapPartitions codecs inside " +
+      "foreachBatch) == the batch kind-dispatch at EVERY chronological " +
+      "prefix, including a LATE batch; a replayed batch id never " +
+      "duplicates (foreachBatch at-least-once)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.range(30)
+      .select($"id".as("doc_id"), concat(lit("payload text for doc "),
+        $"id", lit(" with some body to histogram")).as("text"))
+    // real codec payloads: PNGs and WAVs from the synthetic generators,
+    // plus undecodable "video" rows that take the byte-level path —
+    // all three dispatch branches ride every micro-batch
+    val imgs = Multimodal.syntheticImageTable(
+      docs.filter($"doc_id" % 3 === 0)).collect()
+    val auds = Multimodal.syntheticAudioTable(
+      docs.filter($"doc_id" % 3 === 1)).collect()
+    val vids = Multimodal.syntheticMediaTable(
+        docs.filter($"doc_id" % 3 === 2))
+      .as[Multimodal.MediaRow].collect()
+    val rows = (imgs ++ auds ++ vids).sortBy(_.media_id)
+    // batch 3 is LATE: ids 10..19 arrive after 20..29 were processed
+    val batches = Seq(rows.filter(_.media_id < 10),
+      rows.filter(_.media_id >= 20),
+      rows.filter(r => r.media_id >= 10 && r.media_id < 20))
+    val outDir = tempDir("media-decode-out-")
+    val input = MemoryStream[Multimodal.MediaRow]
+    val q = Streams.startMediaDecode(input.toDF(), outDir,
+      tempDir("media-decode-ckpt-"))
+    def sinkSet() = spark.read.parquet(outDir)
+      .select($"media_id", $"kind", $"n_bytes", $"features")
+      .as[(Long, String, Long, Array[Float])]
+      .collect().map(r => (r._1, r._2, r._3, r._4.toSeq)).toSet
+    def batchSet(prefix: Seq[Multimodal.MediaRow]) =
+      Multimodal.decodeFeatures(spark.createDataset(prefix))
+        .collect()
+        .map(f => (f.media_id, f.kind, f.n_bytes, f.features.toSeq))
+        .toSet
+    try {
+      var prefix = Seq.empty[Multimodal.MediaRow]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val (got, want) = (sinkSet(), batchSet(prefix))
+        assert(got == want, s"prefix mismatch after ${prefix.size} " +
+          s"rows:\n sink-only ${got -- want}\n batch-only ${want -- got}")
+      }
+      // all three dispatch branches actually ran
+      val kinds = sinkSet().map(_._2)
+      assert(kinds == Set("image", "audio", "video"), kinds.toString)
+      // foreachBatch is at-least-once: replaying a batch id rewrites
+      // its own partition — same sink set, same row count, no dupes
+      val before = spark.read.parquet(outDir).count()
+      Streams.mediaDecodeBatch(spark.createDataset(batches.head.toSeq),
+        batchId = 0L, outDir)
+      assert(sinkSet() == batchSet(prefix), "replay changed the sink")
+      assert(spark.read.parquet(outDir).count() == before,
+        "replay duplicated rows")
+    } finally q.stop()
+  }
 }
