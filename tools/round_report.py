@@ -291,6 +291,21 @@ def main():
     elif contended:
         lines += ["**NOTE: bench artifact is also CONTENDED (sentinel "
                   "above band in every pass)**", ""]
+    # Publish the absolute calibration sentinels next to the relative
+    # health checks (r16 verdict item 1): a contended flag means NO
+    # quiet window existed; sentinels ABOVE the ~0.55-0.72s quiet cost
+    # but below the 2.0s band mean mild uniform co-tenant inflation —
+    # cross-round ratios read high by that factor even when noise_ratio
+    # looks clean, and the reader needs the number to judge.
+    ms = re.search(r'\\?"sentinel_s\\?":\s*\[([0-9.,\s]+)\]',
+                   open(new_bench).read())
+    if ms:
+        sent = [float(x) for x in ms.group(1).split(",") if x.strip()]
+        if sent:
+            lines += ["calibration sentinels: "
+                      + ", ".join(f"{s:.2f}s" for s in sent)
+                      + " (quiet cost ~0.6s, contended band 2.0s"
+                      + (", CONTENDED)" if contended else ")"), ""]
     # Publish every wall pass next to the median headline (r14 verdict
     # item 1: the acceptance gate needs a wall number whose run-to-run
     # spread is visible, not a min-of-2 sample).
