@@ -1367,6 +1367,89 @@ object Stats {
         when(col("var") > 0, col("chi2") > critical))
   }
 
+  /** Per-group weighted least squares y ~ x over integer data — the
+    * EXACT regression readout the NEXT r16 seam asked for ("the
+    * ordered-fold could make a gateable EXACT variance/regression
+    * family"), and it needs NO fold at all: with integer x, y and
+    * integer weights w, every normal-equation sum (Σw, Σwx, Σwy,
+    * Σwx², Σwy², Σwxy) is an exact order-free 128-bit integer, so
+    *   slope     = Sxy/Sxx,  Sxy = Σw·Σwxy − Σwx·Σwy,
+    *                         Sxx = Σw·Σwx² − (Σwx)²
+    *   intercept = (Σwy·Σwx² − Σwx·Σwxy)/Sxx
+    *   r²        = Sxy²/(Sxx·Syy),  Syy = Σw·Σwy² − (Σwy)²
+    * are fixed IEEE trees over exactly-formed integers (Sxy² would
+    * overflow 38 digits, so r² multiplies the correctly-rounded
+    * DOUBLES — the same tree in both engines, hash-exact like q267).
+    * The per-group trend/calibration line a pipeline report carries
+    * (bytes ~ tokens, score drift ~ time bucket) with none of the
+    * float-summation nondeterminism of a naive Σxy over doubles.
+    *
+    * Degenerate groups answer honestly: Sxx = 0 (constant x) → NULL
+    * slope/intercept/r²; Syy = 0 with Sxx > 0 (constant y) → slope 0,
+    * r² NULL (R convention: correlation with a constant is
+    * undefined). Rows with null group/x/y drop; null/negative weights
+    * reject LOUDLY (a silent w=0 drop would hide data).
+    *
+    * Envelope, documented: |w·x·y|·n and w·x²·n must fit 38 digits —
+    * e.g. n ≤ 10^9 rows/group with |x|,|y| ≤ 10^6 and w ≤ 10^3 is
+    * within bounds everywhere.
+    *
+    * Output: (grp, n, w_total, slope, intercept, r2).
+    * Scale shape: ONE corpus hash-agg to group grain — six partial
+    * sums, map-side combined; nothing else. */
+  def linearFit(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String, weightCol: Option[String] = None): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val x = d38(col(xCol).cast("long"))
+    val y = d38(col(yCol).cast("long"))
+    val w = weightCol match {
+      case Some(wc) =>
+        val raw = col(wc).cast("long")
+        when(raw.isNull || raw < 0,
+          raise_error(lit("linearFit: weights must be non-null and " +
+            ">= 0"))).otherwise(d38(raw))
+      case None => d38(lit(1L))
+    }
+    val agg = df
+      .filter(col(grpCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(w).as("sw"),
+        sum(w * x).as("sx"), sum(w * y).as("sy"),
+        sum(w * x * x).as("sxx"), sum(w * y * y).as("syy"),
+        sum(w * x * y).as("sxy"))
+    // every raw sum is non-null by construction (groups are non-empty,
+    // inputs filtered non-null), so a null PRODUCT can only mean
+    // decimal(38) overflow — Spark nulls silently outside ANSI mode,
+    // and a silently-null slope would read as "degenerate x". Raise.
+    def guarded(c: Column, name: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"linearFit: $name exceeds 38 digits — rescale x/y/weights " +
+          "(see the documented envelope)")))
+    // "__bxx" not "Sxx": the default analyzer is case-insensitive, so
+    // a derived Sxx next to the raw sxx is AMBIGUOUS_REFERENCE
+    val cSxx = guarded(col("sw") * col("sxx") - col("sx") * col("sx"),
+      "Sxx").as("__bxx")
+    val cSyy = guarded(col("sw") * col("syy") - col("sy") * col("sy"),
+      "Syy").as("__byy")
+    val cSxy = guarded(col("sw") * col("sxy") - col("sx") * col("sy"),
+      "Sxy").as("__bxy")
+    agg.select(col("grp"), col("n"), col("sw").cast("long")
+          .as("w_total"),
+        col("sy"), col("sxx"), col("sx"), col("sxy"), cSxx, cSyy, cSxy)
+      .select(col("grp"), col("n"), col("w_total"),
+        when(col("__bxx") > 0, dbl(col("__bxy")) / dbl(col("__bxx")))
+          .as("slope"),
+        when(col("__bxx") > 0,
+          dbl(guarded(col("sy") * col("sxx") - col("sx") * col("sxy"),
+            "intercept numerator")) / dbl(col("__bxx"))).as("intercept"),
+        when(col("__bxx") > 0 && col("__byy") > 0,
+          (dbl(col("__bxy")) * dbl(col("__bxy"))) /
+            (dbl(col("__bxx")) * dbl(col("__byy")))).as("r2"))
+  }
+
   /** Two-sided group-sequential boundary constants c(K, α) for K
     * equally-spaced looks — the LITERAL tables (O'Brien & Fleming,
     * Biometrics 1979; Pocock, Biometrika 1977; the standard tabulation

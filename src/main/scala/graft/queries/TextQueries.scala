@@ -5931,7 +5931,61 @@ object TextQueries {
        FROM fin JOIN cnt ON cnt.grp = fin.grp"""
   }
 
+  /** q273: per-group weighted least squares
+    * ([[graft.operators.Stats.linearFit]]) — per lang, the trend line
+    * y = n_chars + 3·residue against x = residue with weights
+    * w = doc_id%7 + 1 (slope ≈ 3 by construction, jittered by the
+    * n_chars–residue mix). Every normal-equation sum is an exact
+    * order-free 128-bit integer, so slope/intercept/r² are fixed IEEE
+    * trees both engines evaluate identically — the EXACT regression
+    * readout the float-summation wall normally denies, with NO fold
+    * needed at all. */
+  val q273_linear_fit: Q = (s, d) =>
+    graft.operators.Stats.linearFit(
+      Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("lang"),
+          (col("doc_id") % 101).as("x"),
+          (col("n_chars") + (col("doc_id") % 101) * 3).as("y"),
+          (col("doc_id") % 7 + 1).as("w")),
+      "lang", "x", "y", weightCol = Some("w"))
+      .select(col("grp").as("lang"), col("n"), col("w_total"),
+        col("slope"), col("intercept"), col("r2"))
+
+  val q273_oracle: String =
+    """WITH b AS (SELECT lang AS grp,
+           doc_id % 101 AS x,
+           n_chars + (doc_id % 101) * 3 AS y,
+           doc_id % 7 + 1 AS w
+         FROM documents
+         WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+           AND n_chars IS NOT NULL),
+       a AS (SELECT grp, count(*) AS n,
+           sum(CAST(w AS HUGEINT)) AS sw,
+           sum(CAST(w AS HUGEINT) * x) AS sx,
+           sum(CAST(w AS HUGEINT) * y) AS sy,
+           sum(CAST(w AS HUGEINT) * x * x) AS sxx,
+           sum(CAST(w AS HUGEINT) * y * y) AS syy,
+           sum(CAST(w AS HUGEINT) * x * y) AS sxy
+         FROM b GROUP BY 1)
+       SELECT grp AS lang, CAST(n AS BIGINT) AS n,
+         CAST(sw AS BIGINT) AS w_total,
+         CASE WHEN sw * sxx - sx * sx > 0 THEN
+           CAST(sw * sxy - sx * sy AS DOUBLE)
+             / CAST(sw * sxx - sx * sx AS DOUBLE) END AS slope,
+         CASE WHEN sw * sxx - sx * sx > 0 THEN
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(sw * sxx - sx * sx AS DOUBLE) END AS intercept,
+         CASE WHEN sw * sxx - sx * sx > 0
+             AND sw * syy - sy * sy > 0 THEN
+           (CAST(sw * sxy - sx * sy AS DOUBLE)
+              * CAST(sw * sxy - sx * sy AS DOUBLE))
+             / (CAST(sw * sxx - sx * sx AS DOUBLE)
+                  * CAST(sw * syy - sy * sy AS DOUBLE)) END AS r2
+       FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q273_linear_fit" -> q273_linear_fit,
     "q272_cox_hazard" -> q272_cox_hazard,
     "q271_group_sequential" -> q271_group_sequential,
     "q270_logrank_peto" -> q270_logrank_peto,
@@ -6072,6 +6126,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q273_linear_fit" -> q273_oracle,
     "q272_cox_hazard" -> q272_oracle,
     "q271_group_sequential" -> q271_oracle,
     "q270_logrank_peto" -> q270_oracle,

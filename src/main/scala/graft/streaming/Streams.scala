@@ -974,6 +974,99 @@ object Streams {
         })
   }
 
+  case class GsInRow(grp: String, arm: Int, v: Long, ord: Long,
+      id: Long)
+  case class GsDecisionRow(grp: String, look: Long, delta: Long,
+      rejected: Boolean, rejected_any: Boolean)
+  case class GsState(nSeen: Array[Long], cumSum: Array[Long],
+      lookSums: Array[Array[Long]], emitted: Int, rejectedAny: Boolean)
+
+  /** Streaming group-sequential testing — the stateful streaming twin
+    * of [[graft.operators.Stats.groupSequential]], completing the
+    * live-experimentation pair next to [[msprtDecisions]]: the
+    * PLANNED-interim-analysis design (O'Brien-Fleming or Pocock
+    * boundaries) evaluated the moment each balanced look completes
+    * in-stream. Same state machine as the mSPRT twin — per-arm counts
+    * and running sums, each arm's sum recorded the instant it crosses
+    * a look boundary, looks emitted once both arms arrive — with the
+    * boundary comparison against [[graft.operators.Stats.gsThreshold]]
+    * literals as exact BigInt arithmetic, so emitted rows equal the
+    * batch operator on the stream's prefix EXACTLY under in-order
+    * delivery (spec-pinned across a chronological replay incl. late
+    * units). Unlike mSPRT, a group-sequential design is only valid at
+    * its K pre-planned looks — peeking between looks is exactly what
+    * the boundary constants price in, and the stream takes no extra
+    * looks: it emits precisely the planned ones.
+    *
+    * State per group: 2 counts + 2 running sums + one recorded sum
+    * per (arm, reached look) — ≤ 4 + 2·K longs FOREVER (K ≤ 5). */
+  def gsDecisions(rows: DataFrame, grpCol: String, variant01: String,
+      yCol: String, orderCol: String, idCol: String, looks: Seq[Long],
+      sigma2: Double, alphaPermille: Int = 50,
+      pocock: Boolean = false)
+      : org.apache.spark.sql.Dataset[GsDecisionRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(looks.nonEmpty && looks.size <= 5 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 5 strictly increasing positives, got $looks")
+    require(looks.zipWithIndex.forall { case (n, i) =>
+        n == looks.head * (i + 1) },
+      s"looks must be equally spaced, got $looks")
+    val crit = looks.map(n => graft.operators.Stats.gsThreshold(
+      looks.size, n, looks.max, sigma2, alphaPermille, pocock))
+    val base = rows
+      .filter(col(grpCol).isNotNull && col(variant01).isin(0, 1) &&
+        col(yCol).isNotNull && col(orderCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(variant01).cast("int").as("arm"),
+        col(yCol).cast("long").as("v"),
+        col(orderCol).cast("long").as("ord"),
+        col(idCol).cast("long").as("id"))
+      .as[GsInRow]
+    base.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[GsInRow],
+            state: GroupState[GsState]) => {
+          val st = state.getOption.getOrElse(GsState(
+            Array(0L, 0L), Array(0L, 0L),
+            Array(Array.fill(looks.size)(0L),
+              Array.fill(looks.size)(0L)),
+            0, rejectedAny = false))
+          val nSeen = st.nSeen.clone()
+          val cumSum = st.cumSum.clone()
+          val lookSums = st.lookSums.map(_.clone())
+          var emitted = st.emitted
+          var rejAny = st.rejectedAny
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[GsDecisionRow]
+          batch.toArray.sortBy(r => (r.ord, r.id)).foreach { r =>
+            val a = r.arm
+            nSeen(a) += 1L
+            cumSum(a) = Math.addExact(cumSum(a), r.v) // loud overflow
+            val li = looks.indexOf(nSeen(a))
+            if (li >= 0) lookSums(a)(li) = cumSum(a)
+            while (emitted < looks.size &&
+                nSeen(0) >= looks(emitted) &&
+                nSeen(1) >= looks(emitted)) {
+              val i = emitted
+              val delta =
+                Math.subtractExact(lookSums(1)(i), lookSums(0)(i))
+              val rej = BigInt(delta) * BigInt(delta) >= crit(i)
+              rejAny ||= rej
+              out += GsDecisionRow(grp, looks(i), delta, rej, rejAny)
+              emitted += 1
+            }
+          }
+          state.update(GsState(nSeen, cumSum, lookSums, emitted,
+            rejAny))
+          out.iterator
+        })
+  }
+
   /** One micro-batch of the streaming media decode: the SHARED
     * kind-dispatch ([[graft.multimodal.Multimodal.decodeFeatures]] —
     * mapPartitions codecs, real PNG/WAV decoders) runs on the batch

@@ -605,6 +605,67 @@ class StatsSpec extends SparkSuite {
     assert(half == (("t", 4L, 2L, 10L, 20L, Some(0.5))))
   }
 
+  test("linearFit: hand-computed slope/intercept/r2 on a textbook " +
+      "fixture; perfect line gives r2 exactly 1; weights replicate " +
+      "rows exactly; constant x -> all NULL, constant y -> slope 0 " +
+      "with NULL r2; negative weights and 38-digit overflow raise") {
+    // y = 2x + 1 exactly: slope 2, intercept 1, r2 == 1.0 bit-exact
+    val exact = (0L to 4L).map(x => ("line", x, 2 * x + 1, 1L))
+    // textbook scatter {(1,2),(2,2),(3,4)}: n=3, Sxx=3*14-36=6,
+    // Sxy=3*18-6*8=6 -> slope 1; intercept=(8*14-6*18)/6 = 4/6;
+    // Syy=3*24-64=8 -> r2=36/48
+    val scatter = Seq(("sc", 1L, 2L, 1L), ("sc", 2L, 2L, 1L),
+      ("sc", 3L, 4L, 1L))
+    val constX = Seq(("cx", 5L, 1L, 1L), ("cx", 5L, 9L, 1L))
+    val constY = Seq(("cy", 1L, 7L, 1L), ("cy", 2L, 7L, 1L))
+    val df = (exact ++ scatter ++ constX ++ constY)
+      .toDF("g", "x", "y", "w")
+    val got = Stats.linearFit(df, "g", "x", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("line")._4 == Some(2.0) && got("line")._5 == Some(1.0)
+      && got("line")._6 == Some(1.0), got("line").toString)
+    assert(got("sc") == (("sc", 3L, 3L, Some(1.0), Some(4.0 / 6.0),
+      Some(36.0 / 48.0))), got("sc").toString)
+    assert(got("cx")._4.isEmpty && got("cx")._5.isEmpty &&
+      got("cx")._6.isEmpty, got("cx").toString)
+    assert(got("cy")._4 == Some(0.0) && got("cy")._6.isEmpty,
+      got("cy").toString)
+    // integer weights ARE replication: w=3 on one row == 3 copies
+    val wDf = Seq(("g", 1L, 2L, 3L), ("g", 4L, 9L, 1L))
+      .toDF("g", "x", "y", "w")
+    val rDf = (Seq.fill(3)(("g", 1L, 2L, 1L)) :+ (("g", 4L, 9L, 1L)))
+      .toDF("g", "x", "y", "w")
+    val wFit = Stats.linearFit(wDf, "g", "x", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val rFit = Stats.linearFit(rDf, "g", "x", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(wFit._3 == rFit._3 && wFit._4 == rFit._4 &&
+      wFit._5 == rFit._5 && wFit._6 == rFit._6, s"$wFit vs $rFit")
+    def causes(th: Throwable): Seq[Throwable] =
+      if (th == null) Nil else th +: causes(th.getCause)
+    val neg = intercept[Exception] {
+      Stats.linearFit(Seq(("g", 1L, 1L, -1L)).toDF("g", "x", "y", "w"),
+        "g", "x", "y", Some("w")).collect()
+    }
+    assert(causes(neg).exists(c => Option(c.getMessage)
+      .exists(_.contains("weights must be"))), neg.toString)
+    // x = 9e18 twice: sum(w*x*x) alone exceeds 38 digits -> the
+    // silent-null decimal overflow must raise, not report NULL slope
+    val ovf = intercept[Exception] {
+      Stats.linearFit(Seq(("g", 9000000000000000000L, 1L, 1L),
+          ("g", 9000000000000000000L, 2L, 1L))
+          .toDF("g", "x", "y", "w"),
+        "g", "x", "y", Some("w")).collect()
+    }
+    assert(causes(ovf).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("38 digits") || m.contains("overflow") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))), ovf.toString)
+  }
+
   test("group-sequential boundary constants reproduce the nominal " +
       "type-I error under a brute-force sequential simulation " +
       "(400k Brownian paths per design), and OBF spends less early " +

@@ -1151,6 +1151,66 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming group-sequential decisions equal the batch operator " +
+      "on every chronological prefix: planned looks only, emitted " +
+      "exactly once when both arms arrive, OBF latch carried across " +
+      "micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val looks = Seq(4L, 8L, 12L) // equally spaced (the OBF contract)
+    val sigma2 = 25.0
+    // "eff" carries a +40/unit lift on arm 1 (crosses the flat OBF
+    // bound mid-sequence); "nil" is null
+    val rows = (0 until 30).flatMap { i =>
+      val arm = i % 2
+      Seq(("eff", arm, 50L + (if (arm == 1) 40L else 0L) +
+          (i % 5).toLong, i.toLong),
+        ("nil", arm, 50L + (i % 5).toLong, i.toLong))
+    }
+    val third = rows.length / 3
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val input = MemoryStream[(String, Int, Long, Long)]
+    val dec = Streams.gsDecisions(
+      input.toDF().toDF("g", "arm", "y", "id"),
+      "g", "arm", "y", "id", "id", looks, sigma2 = sigma2)
+    val q = dec.writeStream.outputMode("append")
+      .format("memory").queryName("gs_out").start()
+    try {
+      var prefix = Seq.empty[(String, Int, Long, Long)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val streamed = spark.table("gs_out")
+          .as[(String, Long, Long, Boolean, Boolean)]
+          .collect().toSet
+        val batchRun = graft.operators.Stats.groupSequential(
+            prefix.toDF("g", "arm", "y", "id"),
+            "g", col("arm"), "y", "id", "id", looks, sigma2 = sigma2)
+          .as[(String, Long, Long, Boolean, Boolean)]
+          .collect().toSet
+        assert(streamed == batchRun,
+          s"prefix mismatch:\n stream ${streamed -- batchRun}\n " +
+            s"batch ${batchRun -- streamed}")
+      }
+      val all = spark.table("gs_out")
+        .as[(String, Long, Long, Boolean, Boolean)].collect()
+      assert(all.groupBy(r => (r._1, r._2)).forall(_._2.size == 1),
+        "every (group, look) must emit exactly once")
+      assert(all.count(_._1 == "eff") == looks.size &&
+        all.count(_._1 == "nil") == looks.size,
+        "every planned look must emit for both groups")
+      assert(all.exists(r => r._1 == "eff" && r._4),
+        "the planted effect must cross the OBF boundary in-stream")
+      val eff = all.filter(_._1 == "eff").sortBy(_._2)
+      assert(eff.dropWhile(!_._4).forall(_._5),
+        "rejected_any must stay latched across micro-batches")
+      assert(all.filter(_._1 == "nil").forall(r => !r._4 && !r._5),
+        "the null group must never reject")
+    } finally q.stop()
+  }
+
   test("streaming media decode (mapPartitions codecs inside " +
       "foreachBatch) == the batch kind-dispatch at EVERY chronological " +
       "prefix, including a LATE batch; a replayed batch id never " +
