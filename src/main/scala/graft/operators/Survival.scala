@@ -385,9 +385,75 @@ object Survival {
       .withColumn("nt", sum(col("m")).over(whole)
         - coalesce(sum(col("m")).over(byT), lit(0L)))
       .filter(col("dt") > 0 && col("nt") >= 2)
-    // the flattened Newton walk: step s reads row (s mod k)+1; the
-    // subexpressions repeat because SQL lambdas have no let-binding —
-    // each is deterministic, so repetition is cost, not correctness
+    coxNewtonFold(risky,
+      Seq(col("t"), col("d1"), col("dt"), col("n1t"), col("nt")),
+      iters, "coxTwoArm")
+  }
+
+  /** Stratified Cox proportional hazards, two-arm — [[coxTwoArm]]
+    * with per-stratum baseline hazards and a SHARED log hazard ratio
+    * β: the standard confounder control (per country, per source, per
+    * signup cohort) when baseline risk differs by stratum but the
+    * treatment effect is common. The Breslow partial likelihood is
+    * the SUM over strata of per-stratum terms — at-risk sets and
+    * event times are computed WITHIN each stratum, and the same fixed
+    * 8-iteration Newton walk runs over the rows sorted (stratum,
+    * time). Gated like q272 (rank surface), with the same degenerate
+    * and clamp conventions; a stratum with no retained event times
+    * simply contributes nothing (it carries no information about β).
+    * Envelope: ≤ 4096 (stratum × event time) rows per group total.
+    * Output: (grp, n_times, events, beta); n_times counts retained
+    * (stratum, time) rows. */
+  def coxTwoArmStratified(df: DataFrame, grpCol: String,
+      stratumCol: String, durCol: String, eventCol: String,
+      arm01: Column, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"iters must be in 1..32, got $iters")
+    val t = col(durCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val arm = arm01.cast("int")
+    val base = df
+      .filter(col(grpCol).isNotNull && col(stratumCol).isNotNull &&
+        t.isNotNull && e.isNotNull && arm.isin(0, 1))
+      .select(col(grpCol).as("grp"), col(stratumCol).as("s"),
+        t.as("t"),
+        when(e.isin(0L, 1L) && t >= 0L, e)
+          .otherwise(raise_error(lit("coxTwoArmStratified: event " +
+            "must be 0/1 and duration >= 0"))).as("e"),
+        arm.as("arm"))
+    val cells = base.groupBy(col("grp"), col("s"), col("t"))
+      .agg(sum(when(col("arm") === 1, col("e")).otherwise(lit(0L)))
+          .as("d1"),
+        sum(col("e")).as("dt"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("m1"),
+        count(lit(1)).as("m"))
+    val byT = Window.partitionBy(col("grp"), col("s"))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val whole = Window.partitionBy(col("grp"), col("s"))
+    val risky = cells
+      .withColumn("n1t", sum(col("m1")).over(whole)
+        - coalesce(sum(col("m1")).over(byT), lit(0L)))
+      .withColumn("nt", sum(col("m")).over(whole)
+        - coalesce(sum(col("m")).over(byT), lit(0L)))
+      .filter(col("dt") > 0 && col("nt") >= 2)
+    coxNewtonFold(risky,
+      Seq(col("s"), col("t"), col("d1"), col("dt"), col("n1t"),
+        col("nt")),
+      iters, "coxTwoArmStratified")
+  }
+
+  /** The flattened Newton walk shared by [[coxTwoArm]] and
+    * [[coxTwoArmStratified]]: collect the life-table rows sorted by
+    * the leading struct fields, then ONE aggregate over
+    * iterations × rows — step s reads row (s mod k)+1, β updates at
+    * each k-boundary. The fold reads d1/dt/n1t/nt by NAME, so any
+    * leading sort-key fields (t, or stratum+t) ride along untouched.
+    * Subexpressions repeat because SQL lambdas have no let-binding —
+    * each is deterministic, so repetition is cost, not correctness. */
+  private def coxNewtonFold(risky: DataFrame, rowStruct: Seq[Column],
+      iters: Int, opName: String): DataFrame = {
     val xs = "element_at(__rows, CAST(s % size(__rows) AS INT) + 1)"
     val a1 = s"(CAST($xs.n1t AS DOUBLE) * exp(acc.b))"
     val p = s"($a1 / (CAST($xs.nt - $xs.n1t AS DOUBLE) + $a1))"
@@ -400,13 +466,13 @@ object Survival {
         ELSE acc.b END"""
     risky
       .groupBy(col("grp"))
-      .agg(sort_array(collect_list(struct(col("t"), col("d1"),
-        col("dt"), col("n1t"), col("nt")))).as("__rows"),
+      .agg(sort_array(collect_list(struct(rowStruct: _*)))
+          .as("__rows"),
         sum(col("dt")).as("events"))
       .withColumn("__rows", when(size(col("__rows")) <= 4096,
         col("__rows"))
         .otherwise(raise_error(lit(
-          "coxTwoArm: more than 4096 distinct event times in a group"))))
+          s"$opName: more than 4096 life-table rows in a group"))))
       .withColumn("__w", expr(
         s"""aggregate(
             sequence(0L, CAST($iters * size(__rows) - 1 AS LONG)),

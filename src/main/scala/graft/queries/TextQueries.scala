@@ -5984,7 +5984,97 @@ object TextQueries {
                   * CAST(sw * syy - sy * sy AS DOUBLE)) END AS r2
        FROM a"""
 
+  /** q274: stratified Cox proportional hazards
+    * ([[graft.operators.Survival.coxTwoArmStratified]]) — q272 with
+    * per-SOURCE baseline hazards and a shared β: the confounder
+    * control when baseline risk differs by stratum (sources have
+    * different length profiles) but the treatment effect is common.
+    * Same fixed Newton walk over rows sorted (stratum, time), same
+    * recursive-CTE replay, same rank-surface gate (gaps re-measured
+    * ≥ 2e-3 on this fixture). */
+  val q274_cox_stratified: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cox = graft.operators.Survival.coxTwoArmStratified(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull && col("doc_id").isNotNull)
+        .select(col("lang"), col("source"),
+          expr("(n_chars + (doc_id % 101) * 3) DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "source", "t", "e", col("arm"), iters = 8)
+    cox.select(col("grp").as("lang"), col("n_times"), col("events"),
+      (col("beta") > 0).as("direction"),
+      row_number().over(Window.orderBy(col("beta").desc, col("grp")))
+        .cast("long").as("beta_rank"))
+  }
+
+  val q274_oracle: String = {
+    val a1 = "(CAST(f.n1t AS DOUBLE) * exp(w.bta))"
+    val p = s"($a1 / (CAST(f.nt - f.n1t AS DOUBLE) + $a1))"
+    val du = s"(CAST(f.d1 AS DOUBLE) - CAST(f.dt AS DOUBLE) * $p)"
+    val dI = s"(CAST(f.dt AS DOUBLE) * $p * (1.0 - $p))"
+    val atEnd = "((w.s + 1) % cnt.k) = cnt.k - 1"
+    val newB = s"""CASE WHEN w.ff + $dI > CAST(0 AS DOUBLE)
+        THEN greatest(CAST(-30 AS DOUBLE), least(CAST(30 AS DOUBLE),
+          w.bta + (w.u + $du) / (w.ff + $dI)))
+        ELSE w.bta END"""
+    s"""WITH RECURSIVE
+       b AS (SELECT lang AS grp, source AS st,
+           (n_chars + (doc_id % 101) * 3) // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL
+           AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       c AS (SELECT grp, st, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2, 3),
+       rk AS (SELECT grp, st, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp, st)
+             - coalesce(sum(m1) OVER (PARTITION BY grp, st ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp, st)
+             - coalesce(sum(m) OVER (PARTITION BY grp, st ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, st, t, CAST(d1 AS BIGINT) AS d1,
+           CAST(dt AS BIGINT) AS dt, CAST(n1t AS BIGINT) AS n1t,
+           CAST(nt AS BIGINT) AS nt,
+           row_number() OVER (PARTITION BY grp ORDER BY st, t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       cnt AS (SELECT grp, count(*) AS k,
+           CAST(sum(dt) AS BIGINT) AS events FROM f GROUP BY 1),
+       w AS (SELECT grp, -1 AS s, CAST(0 AS DOUBLE) AS bta,
+             CAST(0 AS DOUBLE) AS u, CAST(0 AS DOUBLE) AS ff
+           FROM cnt
+         UNION ALL
+         SELECT w.grp, w.s + 1,
+           CASE WHEN $atEnd THEN $newB ELSE w.bta END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.u + $du END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.ff + $dI END
+         FROM w
+         JOIN cnt ON cnt.grp = w.grp
+         JOIN f ON f.grp = w.grp AND f.i = ((w.s + 1) % cnt.k) + 1
+         WHERE w.s + 1 < 8 * cnt.k),
+       fin AS (SELECT w.grp, w.bta
+         FROM w JOIN cnt ON cnt.grp = w.grp AND w.s = 8 * cnt.k - 1)
+       SELECT fin.grp AS lang, CAST(cnt.k AS BIGINT) AS n_times,
+         cnt.events, (fin.bta > 0) AS direction,
+         CAST(row_number() OVER (ORDER BY fin.bta DESC, fin.grp)
+           AS BIGINT) AS beta_rank
+       FROM fin JOIN cnt ON cnt.grp = fin.grp"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q274_cox_stratified" -> q274_cox_stratified,
     "q273_linear_fit" -> q273_linear_fit,
     "q272_cox_hazard" -> q272_cox_hazard,
     "q271_group_sequential" -> q271_group_sequential,
@@ -6126,6 +6216,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q274_cox_stratified" -> q274_oracle,
     "q273_linear_fit" -> q273_oracle,
     "q272_cox_hazard" -> q272_oracle,
     "q271_group_sequential" -> q271_oracle,

@@ -248,5 +248,38 @@ class SurvivalSpec extends SparkSuite {
       s"Newton ${got("mx")._4} vs golden-section $bStar")
     // the effect direction is the fixture's construction
     assert(got("mx")._4 > 0.1)
+
+    // STRATIFIED: a constant stratum is the unstratified model
+    // bit-exactly (identical fold rows, identical instruction stream)
+    val strat1 = Survival.coxTwoArmStratified(
+        df.filter($"g" === "mx").withColumn("s", lit("only")),
+        "g", "s", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(strat1 == got("mx"), s"$strat1 vs ${got("mx")}")
+    // duplicating the fixture as a second stratum with SHIFTED times
+    // (different baseline hazard scale, same within-stratum structure)
+    // doubles U and I at every beta, so the Newton trajectory is the
+    // same up to float-summation rounding — the stratified estimate
+    // ignores the cross-stratum baseline difference BY CONSTRUCTION
+    val twoStrata = (mix.map { case (g, t, e, a) =>
+        (g, "sa", t, e, a) } ++
+      mix.map { case (g, t, e, a) => (g, "sb", t + 100L, e, a) })
+      .toDF("g", "s", "t", "e", "arm")
+    val strat2 = Survival.coxTwoArmStratified(twoStrata,
+        "g", "s", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(strat2._2 == got("mx")._2 * 2 &&
+      strat2._3 == got("mx")._3 * 2)
+    assert(math.abs(strat2._4 - got("mx")._4) < 1e-12,
+      s"stratified ${strat2._4} vs unstratified ${got("mx")._4}")
+    // whereas the UNSTRATIFIED model on the pooled rows sees the
+    // shifted copy as "stratum b survives longer" and mixes that
+    // baseline difference into its at-risk sets — a genuinely
+    // different (and here attenuated) estimate
+    val pooled = Survival.coxTwoArm(twoStrata, "g", "t", "e",
+        col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(math.abs(pooled._4 - got("mx")._4) > 1e-3,
+      s"pooled ${pooled._4} should differ from stratified")
   }
 }
