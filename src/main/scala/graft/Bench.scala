@@ -77,7 +77,8 @@ object Bench {
   private[graft] def metricLine(wall: Double, results: Map[String, Double],
       errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
       sfDir: String, nSlow: Int = 5, maxErrs: Int = 3,
-      sentinels: Seq[Double] = Nil, contended: Boolean = false): String = {
+      sentinels: Seq[Double] = Nil, contended: Boolean = false,
+      serial: Boolean = false): String = {
     val slowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
       .take(nSlow)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
@@ -100,7 +101,8 @@ object Bench {
       // pre-tail) — the line's size stays suite-independent
       if (sentinels.nonEmpty) s""","sentinel_s":[${
         sentinels.take(5).map(s3).mkString(",")}]""" else ""}${
-      if (contended) ""","contended":true""" else ""},"sf":${jstr(sfDir)}}"""
+      if (contended) ""","contended":true""" else ""}${
+      if (serial) ""","serial":true""" else ""},"sf":${jstr(sfDir)}}"""
   }
 
   /** The full-fidelity canonical artifact line (BENCH_LOCAL.json):
@@ -111,7 +113,8 @@ object Bench {
       errs: Map[String, String], wallRuns: Seq[Double], burst: Boolean,
       isolated: Set[String], sfDir: String,
       medians: Map[String, Double] = Map.empty,
-      sentinels: Seq[Double] = Nil, contended: Boolean = false): String = {
+      sentinels: Seq[Double] = Nil, contended: Boolean = false,
+      serial: Boolean = false): String = {
     def qdict(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
@@ -131,7 +134,8 @@ object Bench {
       if (burst) ""","burst":true""" else ""}${
       if (sentinels.nonEmpty) s""","sentinel_s":[${
         sentinels.map(s3).mkString(",")}]""" else ""}${
-      if (contended) ""","contended":true""" else ""},"sf":${jstr(sfDir)}}"""
+      if (contended) ""","contended":true""" else ""}${
+      if (serial) ""","serial":true""" else ""},"sf":${jstr(sfDir)}}"""
   }
 
   /** Per-query times from a bench artifact — STRUCTURAL, not a text
@@ -301,14 +305,99 @@ object Bench {
     // of serializing ~0.5s of fixed latency per query. Per-query numbers
     // are wall times under that concurrency; "value" is the wall-clock
     // total for the whole suite.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
     // SPARK_GRAFT_BENCH_ONLY=q14,q37 → isolated (still concurrent) subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // Serial canonical mode (r17 verdict item 1): SPARK_GRAFT_BENCH_SERIAL=1
+    // times each query ALONE (concurrency 1) on the warm JVM. The 8-way
+    // concurrent wall stays the THROUGHPUT headline (BENCH_LOCAL.json),
+    // but a per-query time taken under 8-way concurrency attributes queue
+    // share to the query — 77 of 269 r17 cross-round flags were exactly
+    // such artifacts while per-query best-case totals were flat. Three
+    // sentinel-gated passes; per-query value = min across QUIET passes
+    // (pre- AND post-pass sentinel inside the band — a 5-minute serial
+    // pass needs BOTH ends probed, a single pre-probe can't see steal
+    // arriving mid-pass); contended = no quiet pass existed, in which
+    // case the min over all passes ships flagged. round_report reads
+    // ONLY this basis (BENCH_SERIAL.json) for the cross-round per-query
+    // table once both rounds carry it.
+    if (sys.env.get("SPARK_GRAFT_BENCH_SERIAL").contains("1")) {
+      val errs = scala.collection.concurrent.TrieMap.empty[String, String]
+      val nPasses = math.max(2,
+        sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3))
+      val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val names = selected.toSeq.sortBy(_._1)
+      case class SerialPass(times: Map[String, Double], wall: Double,
+          quiet: Boolean)
+      val passes = (1 to nPasses).map { _ =>
+        val pre = sentinelProbe(); sentinels += pre
+        val t0 = System.nanoTime()
+        val ts = names.map { case (name, fn) =>
+          spark.sparkContext
+            .setLocalProperty("spark.scheduler.pool", name)
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable => errs(name) = e.toString.take(160)
+          }
+          name -> (System.nanoTime() - q0) / 1e9
+        }.toMap
+        val wall = (System.nanoTime() - t0) / 1e9
+        val post = sentinelProbe(); sentinels += post
+        SerialPass(ts, wall,
+          pre <= sentinelBand && post <= sentinelBand)
+      }
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      val quietPasses = passes.filter(_.quiet)
+      val contended = quietPasses.isEmpty
+      if (contended)
+        System.err.println("[bench] WARNING: serial run had NO quiet " +
+          s"pass (sentinels ${sentinels.map(s3).mkString("/")}s, band " +
+          s"${s3(sentinelBand)}s) — artifact flagged contended, " +
+          "min-of-ALL-passes shipped")
+      val basis = if (contended) passes else quietPasses
+      val results = basis.flatMap(_.times.keySet).distinct.map { k =>
+        k -> basis.flatMap(_.times.get(k)).min
+      }.toMap
+      // medians across ALL passes ride along for spread inspection;
+      // the canonical serial basis is min-of-quiet-passes ("queries")
+      val medians = passes.flatMap(_.times.keySet).distinct.map { k =>
+        val vs = passes.flatMap(_.times.get(k)).sorted
+        k -> (if (vs.size % 2 == 1) vs(vs.size / 2)
+              else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
+      }.toMap
+      val wallRuns = passes.map(_.wall)
+      val wall = representativeWall(wallRuns)
+      val burst = burstSuspect(wallRuns)
+      // Always persist on a full-suite sf0.1 run: unlike BENCH_LOCAL
+      // this artifact seeds no scheduling, and round_report's baseline
+      // is the COMMITTED copy (git HEAD), so a flagged-noisy worktree
+      // write can be rejected at commit review instead of silently
+      // replacing the seed.
+      val line = localLine(wall, results, errs.toMap, wallRuns, burst,
+        Set.empty, sfDir, medians, sentinels.toSeq, contended,
+        serial = true)
+      if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_SERIAL.json"),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
+      spark.stop()
+      println(metricLine(wall, results, errs.toMap, wallRuns, burst,
+        sfDir, sentinels = sentinels.toSeq, contended = contended,
+        serial = true))
+      System.out.flush()
+      sys.exit(if (errs.nonEmpty) 1 else 0)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
     // Longest-job-first: submit the known-heavy queries before the
     // sub-second ones so the 8-slot pool isn't draining 50 cheap queries
     // while a 6s index build starts last and stretches the makespan.

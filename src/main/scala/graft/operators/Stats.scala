@@ -1286,6 +1286,150 @@ object Stats {
         col("rejected_any"), col("av_p_permille"))
   }
 
+  /** Sequential A/B testing for RATIO metrics — the mSPRT over the
+    * difference of per-arm ratios R = Σnum/Σden (clicks-per-view,
+    * tokens-per-char, revenue-per-session: the metric most dashboards
+    * actually chart, where [[msprtCuped]]'s frozen-θ composite needs a
+    * pre-period reference ratio this test does not have). The
+    * statistic is the delta-method linearization of the ratio
+    * difference evaluated at the pooled IN-LOOK denominator mean
+    * (Deng, Knoblich & Lu, "Applying the Delta Method in Metric
+    * Analytics", KDD 2018), lifted onto the sum scale so everything
+    * gates as exact integer arithmetic: with per-arm look sums
+    * (St, Xt, Sc, Xc),
+    *   Δ_eff = n·(St/Xt − Sc/Xc)·x̄_pool
+    *         = (St·Xc − Sc·Xt)·(Xt + Xc) / (2·Xt·Xc)
+    * and the mixture-boundary test Δ_eff² ≥ C(n, α)
+    * ([[msprtThreshold]], Johari-Koomen-Pekelis-Walsh KDD 2017, with
+    * σ² = per-unit variance of the linearized influence
+    * num − R·den) CROSS-MULTIPLIES to
+    *   ((St·Xc − Sc·Xt)·(Xt + Xc))² ≥ C(n, α)·(2·Xt·Xc)²
+    * — both sides exact integers, so per-look rejections, the
+    * monotone always-valid decision, and the [[MsprtLadder]]-quantized
+    * always-valid p gate hash-exact cross-engine. When every unit has
+    * den = 1 the test degenerates EXACTLY to the mean mSPRT
+    * (Δ_eff = St − Sc), which is the correctness anchor StatsSpec
+    * pins against [[msprtCuped]].
+    *
+    * Balanced looks as in [[msprtCuped]] (first n units per arm in
+    * (orderCol, idCol) order; a look emits only when both arms
+    * reached n). A look whose denominator sum is zero on either arm
+    * has no ratio and is SKIPPED (row-set load-bearing). Negative
+    * denominators raise loudly — a ratio metric's denominator is an
+    * exposure count.
+    *
+    * Envelope (all breaches raise, never silently null): num/den
+    * sums fit long; the cross products St·Xc − Sc·Xt, ·(Xt+Xc) and
+    * 2·Xt·Xc are checked into long BEFORE squaring (long² always
+    * fits decimal(38,0)); C(n,α)·(2XtXc)² is guarded against 38-digit
+    * overflow. Practical reading: |num|,den ≤ 1e6 at looks ≤ 1e3 sit
+    * comfortably inside.
+    *
+    * Scale shape: identical to [[msprtCuped]] — one (grp, arm)-keyed
+    * rank window pruned map-side to looks.max (WindowGroupLimit), ONE
+    * hash-agg to group grain (6·L conditional sums), a stack()
+    * unpivot, and the running-decision window over ≤L rows/group. */
+  def msprtRatio(units: DataFrame, grpCol: String, variant01: Column,
+      numCol: String, denCol: String, orderCol: String, idCol: String,
+      looks: Seq[Long], sigma2: Double, tau2: Double,
+      alphaPermille: Int = 50): DataFrame = {
+    require(looks.nonEmpty && looks.size <= 32 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 32 strictly increasing positives, got $looks")
+    require(sigma2 > 0 && tau2 > 0, "sigma2/tau2 must be > 0")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val num = col(numCol).cast("long")
+    val denRaw = col(denCol).cast("long")
+    val den = when(denRaw < 0, raise_error(lit(
+      "msprtRatio: denominator must be >= 0 (an exposure count)")))
+      .otherwise(denRaw)
+    val arm = variant01.cast("int")
+    val base = units
+      .filter(col(grpCol).isNotNull && num.isNotNull &&
+        denRaw.isNotNull && arm.isin(0, 1) &&
+        col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"), arm.as("arm"),
+        d38(num).as("nu"), d38(den).as("de"),
+        col(orderCol).as("ord"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("grp"), col("arm"))
+      .orderBy(col("ord"), col("id"))
+    val ranked = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= looks.max) // literal bound: map-side prune
+    val aggs = looks.zipWithIndex.flatMap { case (nl, i) =>
+      def side(a: Int, nm: String) = Seq(
+        sum(when(col("arm") === a && col("rk") <= nl, col("nu")))
+          .as(s"__s${nm}_$i"),
+        sum(when(col("arm") === a && col("rk") <= nl, col("de")))
+          .as(s"__x${nm}_$i"),
+        count(when(col("arm") === a && col("rk") <= nl, lit(1)))
+          .as(s"__c${nm}_$i"))
+      side(1, "t") ++ side(0, "c")
+    }
+    val wide = ranked.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = looks.indices.map(i =>
+      s"${looks(i)}L, $i, __st_$i, __xt_$i, __ct_$i, " +
+        s"__sc_$i, __xc_$i, __cc_$i").mkString(", ")
+    // a null cross product can only mean decimal(38) overflow (inputs
+    // are non-null by construction) — raise, never read as degenerate
+    def guarded(c: Column, name: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"msprtRatio: $name exceeds 38 digits — rescale num/den " +
+          "(see the documented envelope)")))
+    def intoLong(c: Column, name: String): Column =
+      when(c.between(lit(Long.MinValue), lit(Long.MaxValue)),
+        c.cast("long")).otherwise(raise_error(lit(
+        s"msprtRatio: $name overflows long — rescale num/den")))
+    val perLook = wide
+      .select(col("grp"), expr(s"stack(${looks.size}, $stackArgs) AS " +
+        "(look, __li, __st, __xt, __ct, __sc, __xc, __cc)"))
+      .filter(col("__ct") === col("look") && col("__cc") === col("look") &&
+        col("__xt") > 0 && col("__xc") > 0)
+      // A = St·Xc − Sc·Xt (the exact ratio-difference numerator)
+      .withColumn("__a", intoLong(guarded(
+        col("__st") * col("__xc") - col("__sc") * col("__xt"),
+        "St*Xc - Sc*Xt"), "ratio-delta numerator"))
+      .withColumn("__b", intoLong(col("__xt") + col("__xc"),
+        "Xt + Xc"))
+      // P = A·B — checked into long so P² always fits decimal(38,0)
+      .withColumn("__p", intoLong(guarded(
+        d38(col("__a")) * d38(col("__b")), "A*(Xt+Xc)"),
+        "scaled ratio delta"))
+      // Q = 2·Xt·Xc — same discipline
+      .withColumn("__q", intoLong(guarded(
+        lit(2).cast("decimal(38,0)") * col("__xt") * col("__xc"),
+        "2*Xt*Xc"), "denominator product"))
+      .withColumn("__p2", d38(col("__p")) * d38(col("__p")))
+      .withColumn("__q2", d38(col("__q")) * d38(col("__q")))
+      .withColumn("delta_num", col("__a"))
+    def critRhs(alpha: Int): Column = {
+      // C(n,α)·Q² per look — guarded: Spark nulls a 38-digit decimal
+      // overflow where DuckDB's HUGEINT errors, so raise to match
+      val cArr = array(looks.map(n =>
+        lit(new java.math.BigDecimal(
+          msprtThreshold(n, sigma2, tau2, alpha).bigInteger))): _*)
+      guarded(element_at(cArr, col("__li") + 1) * col("__q2"),
+        s"C(n,$alpha)*(2XtXc)^2")
+    }
+    val rejectNow = col("__p2") >= critRhs(alphaPermille)
+    val pNow = MsprtLadder.map(a =>
+      when(col("__p2") >= critRhs(a), lit(a.toLong)): Column)
+      .reduceRight(_ otherwise _)
+    val byLook = Window.partitionBy(col("grp")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLook
+      .withColumn("rejected", rejectNow)
+      .withColumn("__p_now", coalesce(pNow, lit(1000L)))
+      .withColumn("rejected_any",
+        max(rejectNow.cast("int")).over(byLook) === 1)
+      .withColumn("av_p_permille", min(col("__p_now")).over(byLook))
+      .select(col("grp"), col("look"), col("delta_num"),
+        col("rejected"), col("rejected_any"), col("av_p_permille"))
+  }
+
   /** Cochran–Mantel–Haenszel pooled χ² (Mantel & Haenszel, JNCI 1959;
     * Cochran 1954) — the STRATIFIED A/B test: pool the per-stratum
     * 2×2 tables (per country, per device, per day) into one
@@ -1436,8 +1580,16 @@ object Stats {
       "Syy").as("__byy")
     val cSxy = guarded(col("sw") * col("sxy") - col("sx") * col("sy"),
       "Sxy").as("__bxy")
-    agg.select(col("grp"), col("n"), col("sw").cast("long")
-          .as("w_total"),
+    // sw itself fits 38 digits by construction, but the LONG readout
+    // can't: past Long.MaxValue Spark's non-ANSI cast nulls silently
+    // while DuckDB's CAST(HUGEINT AS BIGINT) errors — guard loudly so
+    // both engines fail the same way at the envelope edge.
+    val wTotal = when(col("sw") <= lit(Long.MaxValue).cast(
+        "decimal(38,0)"),
+      col("sw").cast("long")).otherwise(raise_error(lit(
+      "linearFit: total weight exceeds long range — rescale weights " +
+        "(see the documented envelope)"))).as("w_total")
+    agg.select(col("grp"), col("n"), wTotal,
         col("sy"), col("sxx"), col("sx"), col("sxy"), cSxx, cSyy, cSxy)
       .select(col("grp"), col("n"), col("w_total"),
         when(col("__bxx") > 0, dbl(col("__bxy")) / dbl(col("__bxx")))

@@ -6073,7 +6073,84 @@ object TextQueries {
        FROM fin JOIN cnt ON cnt.grp = fin.grp"""
   }
 
+  /** q275: sequential A/B testing for a RATIO metric
+    * ([[graft.operators.Stats.msprtRatio]], delta-method
+    * linearization per Deng-Knoblich-Lu KDD 2018 over the
+    * Johari-Koomen-Pekelis-Walsh mSPRT) — per lang, the ratio
+    * chars-per-session with numerator n_chars and denominator
+    * (doc_id % 31) + 1, arms on residue < 50, balanced looks at
+    * 8/16/32/64/100 units per arm in doc_id order. The cross-
+    * multiplied boundary test ((StXc−ScXt)(Xt+Xc))² ≥ C(n,α)(2XtXc)²
+    * is exact integer arithmetic against the SAME literal mixture
+    * boundaries in both engines, so rejections, the monotone
+    * always-valid decision, and the ladder-quantized always-valid p
+    * gate hash-exact — completing the sequential family next to
+    * q264 (frozen-θ mean mSPRT) and q271 (group-sequential). */
+  val q275_msprt_ratio: Q = (s, d) =>
+    graft.operators.Stats.msprtRatio(
+      Tables.documents(s, d)
+        .withColumn("den", col("doc_id") % 31 + 1),
+      "lang", (col("doc_id") % 101 < 50).cast("int"),
+      "n_chars", "den", "doc_id", "doc_id",
+      looks = msprtLooks, sigma2 = RatioSigma2, tau2 = RatioTau2,
+      alphaPermille = 50)
+      .select(col("grp").as("lang"), col("look"), col("delta_num"),
+        col("rejected"), col("rejected_any"), col("av_p_permille"))
+
+  private val RatioSigma2 = 10000.0
+  private val RatioTau2 = 10000.0
+
+  val q275_oracle: String = {
+    import graft.operators.Stats
+    def c(n: Long, a: Int): String =
+      Stats.msprtThreshold(n, RatioSigma2, RatioTau2, a).toString
+    val wCols = msprtLooks.indices.map { i =>
+      val n = msprtLooks(i)
+      s"""sum(CASE WHEN arm = 1 AND rk <= $n THEN nu END) AS st_$i,
+         sum(CASE WHEN arm = 1 AND rk <= $n THEN de END) AS xt_$i,
+         count(CASE WHEN arm = 1 AND rk <= $n THEN 1 END) AS ct_$i,
+         sum(CASE WHEN arm = 0 AND rk <= $n THEN nu END) AS sc_$i,
+         sum(CASE WHEN arm = 0 AND rk <= $n THEN de END) AS xc_$i,
+         count(CASE WHEN arm = 0 AND rk <= $n THEN 1 END) AS cc_$i"""
+    }.mkString(",\n         ")
+    val branches = msprtLooks.indices.map { i =>
+      val n = msprtLooks(i)
+      val a = s"(st_$i * xc_$i - sc_$i * xt_$i)"
+      val p = s"($a * (xt_$i + xc_$i))"
+      val q = s"(2 * xt_$i * xc_$i)"
+      val ladder = Stats.MsprtLadder.map(al =>
+        s"WHEN $p * $p >= ${c(n, al)} * ($q * $q) THEN $al")
+        .mkString(" ")
+      s"""SELECT grp, CAST($n AS BIGINT) AS look,
+           CAST($a AS BIGINT) AS delta_num,
+           ($p * $p >= ${c(n, 50)} * ($q * $q)) AS rejected,
+           CASE $ladder ELSE 1000 END AS p_now
+         FROM w WHERE ct_$i = $n AND cc_$i = $n
+           AND xt_$i > 0 AND xc_$i > 0"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH b AS (SELECT lang AS grp,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm,
+           CAST(n_chars AS HUGEINT) AS nu,
+           CAST((doc_id % 31) + 1 AS HUGEINT) AS de, doc_id AS i
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       r AS (SELECT grp, arm, nu, de, row_number() OVER (
+           PARTITION BY grp, arm ORDER BY i, i) AS rk FROM b),
+       w AS (SELECT grp,
+         $wCols
+         FROM r GROUP BY grp),
+       d AS ($branches)
+       SELECT grp AS lang, look, delta_num, rejected,
+         (max(CASE WHEN rejected THEN 1 ELSE 0 END) OVER (
+            PARTITION BY grp ORDER BY look) = 1) AS rejected_any,
+         CAST(min(p_now) OVER (PARTITION BY grp ORDER BY look)
+           AS BIGINT) AS av_p_permille
+       FROM d"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q275_msprt_ratio" -> q275_msprt_ratio,
     "q274_cox_stratified" -> q274_cox_stratified,
     "q273_linear_fit" -> q273_linear_fit,
     "q272_cox_hazard" -> q272_cox_hazard,
@@ -6216,6 +6293,7 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q275_msprt_ratio" -> q275_oracle,
     "q274_cox_stratified" -> q274_oracle,
     "q273_linear_fit" -> q273_oracle,
     "q272_cox_hazard" -> q272_oracle,

@@ -914,7 +914,12 @@ object Streams {
     val critLadder = graft.operators.Stats.MsprtLadder.map(a =>
       a -> looks.map(n => caller(n, a))).toMap
     val base = rows
-      .filter(col(grpCol).isNotNull && col(variant01).isin(0, 1) &&
+      .filter(col(grpCol).isNotNull &&
+        // cast BEFORE isin, matching msprtCuped's arm coercion — a
+        // raw-column isin would retain different rows for non-integer
+        // variant columns (DOUBLE 0.5 truncates to 0), breaking the
+        // documented stream==batch prefix equality (ADVICE r17)
+        col(variant01).cast("int").isin(0, 1) &&
         col(yCol).isNotNull && col(xCol).isNotNull &&
         col(orderCol).isNotNull && col(idCol).isNotNull)
       .select(col(grpCol).cast("string").as("grp"),
@@ -974,6 +979,130 @@ object Streams {
         })
   }
 
+  case class MsprtRatioInRow(grp: String, arm: Int, nu: Long, de: Long,
+      ord: Long, id: Long)
+  case class MsprtRatioRow(grp: String, look: Long, delta_num: Long,
+      rejected: Boolean, rejected_any: Boolean, av_p_permille: Long)
+  case class MsprtRatioState(nSeen: Array[Long], cumNum: Array[Long],
+      cumDen: Array[Long], lookNums: Array[Array[Long]],
+      lookDens: Array[Array[Long]], emitted: Int, rejectedAny: Boolean,
+      avP: Long)
+
+  /** Streaming ratio-metric mSPRT — the stateful streaming twin of
+    * [[graft.operators.Stats.msprtRatio]]: always-valid sequential
+    * testing for the ratio metrics (clicks-per-view, tokens-per-char)
+    * a live experiment dashboard actually charts. Same state machine
+    * as [[msprtDecisions]] with TWO running sums per arm (numerator
+    * and denominator); when both arms complete a look, the
+    * cross-multiplied boundary test
+    * ((StXc−ScXt)(Xt+Xc))² ≥ C(n,α)·(2XtXc)² evaluates in exact
+    * BigInt arithmetic against the same
+    * [[graft.operators.Stats.msprtThreshold]] literals, so emitted
+    * rows equal the batch operator on the stream's prefix EXACTLY
+    * under in-order delivery (spec-pinned). A completed look whose
+    * denominator sum is zero on either arm is SKIPPED without
+    * emitting, matching the batch row set; negative denominators
+    * throw loudly (an exposure count cannot be negative).
+    *
+    * State per group: 2 counts + 4 running sums + two recorded sums
+    * per (arm, reached look) — ≤ 6 + 4·|looks| longs FOREVER. */
+  def msprtRatioDecisions(rows: DataFrame, grpCol: String,
+      variant01: String, numCol: String, denCol: String,
+      orderCol: String, idCol: String, looks: Seq[Long],
+      sigma2: Double, tau2: Double, alphaPermille: Int = 50)
+      : org.apache.spark.sql.Dataset[MsprtRatioRow] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(looks.nonEmpty && looks.size <= 32 &&
+      looks == looks.sorted && looks.distinct == looks &&
+      looks.head >= 1,
+      s"looks must be <= 32 strictly increasing positives, got $looks")
+    require(sigma2 > 0 && tau2 > 0, "sigma2/tau2 must be > 0")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"alpha permille $alphaPermille out of [1, 500]")
+    val caller = graft.operators.Stats
+      .msprtThreshold(_: Long, sigma2, tau2, _: Int)
+    val critMain = looks.map(n => caller(n, alphaPermille))
+    val critLadder = graft.operators.Stats.MsprtLadder.map(a =>
+      a -> looks.map(n => caller(n, a))).toMap
+    val base = rows
+      .filter(col(grpCol).isNotNull &&
+        // cast BEFORE isin — the batch twin's arm coercion (ADVICE r17)
+        col(variant01).cast("int").isin(0, 1) &&
+        col(numCol).isNotNull && col(denCol).isNotNull &&
+        col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(variant01).cast("int").as("arm"),
+        col(numCol).cast("long").as("nu"),
+        col(denCol).cast("long").as("de"),
+        col(orderCol).cast("long").as("ord"),
+        col(idCol).cast("long").as("id"))
+      .as[MsprtRatioInRow]
+    base.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[MsprtRatioInRow],
+            state: GroupState[MsprtRatioState]) => {
+          val st = state.getOption.getOrElse(MsprtRatioState(
+            Array(0L, 0L), Array(0L, 0L), Array(0L, 0L),
+            Array(Array.fill(looks.size)(0L),
+              Array.fill(looks.size)(0L)),
+            Array(Array.fill(looks.size)(0L),
+              Array.fill(looks.size)(0L)),
+            0, rejectedAny = false, avP = 1000L))
+          val nSeen = st.nSeen.clone()
+          val cumNum = st.cumNum.clone()
+          val cumDen = st.cumDen.clone()
+          val lookNums = st.lookNums.map(_.clone())
+          val lookDens = st.lookDens.map(_.clone())
+          var emitted = st.emitted
+          var rejAny = st.rejectedAny
+          var avP = st.avP
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[MsprtRatioRow]
+          batch.toArray.sortBy(r => (r.ord, r.id)).foreach { r =>
+            require(r.de >= 0, "msprtRatioDecisions: denominator " +
+              "must be >= 0 (an exposure count)")
+            val a = r.arm
+            nSeen(a) += 1L
+            cumNum(a) = Math.addExact(cumNum(a), r.nu) // loud overflow
+            cumDen(a) = Math.addExact(cumDen(a), r.de)
+            val li = looks.indexOf(nSeen(a))
+            if (li >= 0) {
+              lookNums(a)(li) = cumNum(a)
+              lookDens(a)(li) = cumDen(a)
+            }
+            while (emitted < looks.size &&
+                nSeen(0) >= looks(emitted) &&
+                nSeen(1) >= looks(emitted)) {
+              val i = emitted
+              val (sT, xT) = (lookNums(1)(i), lookDens(1)(i))
+              val (sC, xC) = (lookNums(0)(i), lookDens(0)(i))
+              if (xT > 0 && xC > 0) {
+                val av = BigInt(sT) * BigInt(xC) - BigInt(sC) * BigInt(xT)
+                require(av.isValidLong, "msprtRatioDecisions: " +
+                  "ratio-delta numerator overflows long — rescale")
+                val p = av * (BigInt(xT) + BigInt(xC))
+                val q = BigInt(2) * BigInt(xT) * BigInt(xC)
+                val p2 = p * p; val q2 = q * q
+                val rej = p2 >= critMain(i) * q2
+                rejAny ||= rej
+                val pNow = graft.operators.Stats.MsprtLadder
+                  .find(a0 => p2 >= critLadder(a0)(i) * q2)
+                  .map(_.toLong).getOrElse(1000L)
+                avP = math.min(avP, pNow)
+                out += MsprtRatioRow(grp, looks(i), av.toLong, rej,
+                  rejAny, avP)
+              } // zero-denominator look: no ratio — skip, matching batch
+              emitted += 1
+            }
+          }
+          state.update(MsprtRatioState(nSeen, cumNum, cumDen,
+            lookNums, lookDens, emitted, rejAny, avP))
+          out.iterator
+        })
+  }
+
   case class GsInRow(grp: String, arm: Int, v: Long, ord: Long,
       id: Long)
   case class GsDecisionRow(grp: String, look: Long, delta: Long,
@@ -1017,7 +1146,8 @@ object Streams {
     val crit = looks.map(n => graft.operators.Stats.gsThreshold(
       looks.size, n, looks.max, sigma2, alphaPermille, pocock))
     val base = rows
-      .filter(col(grpCol).isNotNull && col(variant01).isin(0, 1) &&
+      .filter(col(grpCol).isNotNull &&
+        col(variant01).cast("int").isin(0, 1) &&
         col(yCol).isNotNull && col(orderCol).isNotNull &&
         col(idCol).isNotNull)
       .select(col(grpCol).cast("string").as("grp"),

@@ -178,6 +178,24 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(om.readTree(many).get("sentinel_s").size == 5)
   }
 
+  test("serial-mode lines carry the serial flag so round_report can " +
+      "tell the concurrency-1 basis from the 8-way concurrent one " +
+      "(r17 verdict item 1)") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = Bench.metricLine(300.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(300.0, 310.0, 305.0), burst = false, "/root/testdata/sf0.1",
+      sentinels = Seq(0.6, 0.7), contended = false, serial = true)
+    assert(om.readTree(m).get("serial").asBoolean)
+    val l = Bench.localLine(300.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(300.0, 310.0), burst = false, Set.empty,
+      "/root/testdata/sf0.1", serial = true)
+    assert(om.readTree(l).get("serial").asBoolean)
+    // default stays flag-free: concurrent artifacts are unchanged
+    val c = Bench.metricLine(10.0, Map("q01_x" -> 1.0), Map.empty,
+      Seq(10.0), burst = false, "/tmp/x")
+    assert(!om.readTree(c).has("serial"))
+  }
+
   test("noiseRatio is max/min of the wall runs") {
     assert(Bench.noiseRatio(Seq(57.3, 70.5)) > 1.2)
     assert(Bench.noiseRatio(Seq(10.0, 10.0)) == 1.0)

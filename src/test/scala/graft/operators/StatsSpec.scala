@@ -386,6 +386,86 @@ class StatsSpec extends SparkSuite {
       s"only the balanced look must emit, got $looksLeft")
   }
 
+  test("msprtRatio == a brute-force sequential replay on the " +
+      "cross-multiplied surface; den=1 degenerates EXACTLY to the " +
+      "mean mSPRT; a zero-denominator look is skipped") {
+    val looks = Seq(4L, 8L, 16L)
+    val sigma2 = 25.0; val tau2 = 25.0; val alphaPm = 50
+    // grp "eff": treatment ratio runs high (numerator lifted, same
+    // denominators); grp "nil": identical arms. den = id % 3 + 1.
+    val rows = (0 until 40).flatMap { i =>
+      val arm = i % 2
+      val den = (i % 3).toLong + 1
+      val nuEff = den * 50L + (if (arm == 1 && i >= 6) den * 9L else 0L) +
+        (i % 5).toLong
+      val nuNil = den * 50L + (i % 5).toLong
+      Seq(("eff", arm, nuEff, den, i.toLong),
+        ("nil", arm, nuNil, den, i.toLong))
+    }
+    val df = rows.toDF("g", "arm", "nu", "de", "id")
+    val got = Stats.msprtRatio(df, "g", col("arm"), "nu", "de", "id",
+        "id", looks, sigma2, tau2, alphaPm)
+      .as[(String, Long, Long, Boolean, Boolean, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val byArm = rows.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.sortBy(_._5)).toMap
+    for (g <- Seq("eff", "nil")) {
+      var rejAny = false; var avP = 1000L
+      for (n <- looks) {
+        val t = byArm((g, 1)).take(n.toInt)
+        val c = byArm((g, 0)).take(n.toInt)
+        val (sT, xT) = (t.map(_._3).sum, t.map(_._4).sum)
+        val (sC, xC) = (c.map(_._3).sum, c.map(_._4).sum)
+        val a = BigInt(sT) * xC - BigInt(sC) * xT
+        val p = a * (BigInt(xT) + xC)
+        val q = BigInt(2) * xT * xC
+        val rej = p * p >=
+          Stats.msprtThreshold(n, sigma2, tau2, alphaPm) * q * q
+        rejAny ||= rej
+        val pNow = Stats.MsprtLadder.find(al =>
+          p * p >= Stats.msprtThreshold(n, sigma2, tau2, al) * q * q)
+          .map(_.toLong).getOrElse(1000L)
+        avP = math.min(avP, pNow)
+        assert(got((g, n)) == ((g, n, a.toLong, rej, rejAny, avP)),
+          s"mismatch at ($g, $n): got ${got((g, n))}")
+      }
+    }
+    assert(got(("eff", 16L))._5, "the real ratio effect must reject")
+    assert(!got(("nil", 16L))._5, "the null group must not reject")
+    // degenerate anchor: den = 1 for every unit ⇒ decisions equal the
+    // mean mSPRT (msprtCuped with theta = 0/1, v = y) at every look,
+    // and delta_num = n·delta (A = n(St−Sc) when Xt = Xc = n)
+    val ones = df.withColumn("de", lit(1L))
+    val ratio1 = Stats.msprtRatio(ones, "g", col("arm"), "nu", "de",
+        "id", "id", looks, sigma2, tau2, alphaPm)
+      .as[(String, Long, Long, Boolean, Boolean, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val mean1 = Stats.msprtCuped(ones.withColumn("x", lit(0L)), "g",
+        col("arm"), "nu", "x", "id", "id", looks, thetaNum = 0,
+        thetaDen = 1, sigma2 = sigma2, tau2 = tau2,
+        alphaPermille = alphaPm)
+      .as[(String, Long, Long, Boolean, Boolean, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(ratio1.keySet == mean1.keySet)
+    ratio1.foreach { case (k @ (_, n), r) =>
+      val m = mean1(k)
+      assert(r._3 == n * m._3, s"delta_num != n*delta at $k")
+      assert((r._4, r._5, r._6) == ((m._4, m._5, m._6)),
+        s"degenerate decisions differ at $k: $r vs $m")
+    }
+    // a look with a zero denominator sum on one arm emits nothing:
+    // zero out control denominators up to look 4 (group "nil")
+    val zeroed = df.withColumn("de",
+      when(col("g") === "nil" && col("arm") === 0 && col("id") < 8,
+        lit(0L)).otherwise(col("de")))
+    val zl = Stats.msprtRatio(zeroed, "g", col("arm"), "nu", "de",
+        "id", "id", looks, sigma2, tau2, alphaPm)
+      .filter(col("grp") === "nil").select(col("look"))
+      .as[Long].collect().toSet
+    assert(zl == Set(8L, 16L),
+      s"zero-denominator look must be skipped, got $zl")
+  }
+
   test("cmhTest: single stratum equals Pearson chi2 * (n-1)/n (the " +
       "textbook identity); pooled strata == an ordered driver replay; " +
       "Simpson-style strata pool correctly; degenerate strata drop") {

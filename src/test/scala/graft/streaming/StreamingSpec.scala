@@ -1151,6 +1151,65 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ratio-mSPRT decisions equal the batch operator on " +
+      "every chronological prefix: cross-multiplied boundary, looks " +
+      "emitted exactly once, zero-denominator looks skipped in both") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val looks = Seq(4L, 8L, 16L)
+    val sigma2 = 25.0; val tau2 = 25.0; val alphaPm = 50
+    // the StatsSpec ratio fixture: "eff" lifts the treatment ratio
+    // from unit 6 on; "zer" zeroes early control denominators so its
+    // first look must be SKIPPED by both engines
+    val rows = (0 until 40).flatMap { i =>
+      val arm = i % 2
+      val den = (i % 3).toLong + 1
+      val nuEff = den * 50L +
+        (if (arm == 1 && i >= 6) den * 9L else 0L) + (i % 5).toLong
+      val zDen = if (arm == 0 && i < 8) 0L else den
+      Seq(("eff", arm, nuEff, den, i.toLong),
+        ("zer", arm, den * 50L, zDen, i.toLong))
+    } // (g, arm, nu, de, id) — chronological by id
+    val third = rows.length / 3
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    val input = MemoryStream[(String, Int, Long, Long, Long)]
+    val dec = Streams.msprtRatioDecisions(
+      input.toDF().toDF("g", "arm", "nu", "de", "id"),
+      "g", "arm", "nu", "de", "id", "id", looks,
+      sigma2 = sigma2, tau2 = tau2, alphaPermille = alphaPm)
+    val q = dec.writeStream.outputMode("append")
+      .format("memory").queryName("msprt_ratio_out").start()
+    try {
+      var prefix = Seq.empty[(String, Int, Long, Long, Long)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix ++= b
+        val streamed = spark.table("msprt_ratio_out")
+          .as[(String, Long, Long, Boolean, Boolean, Long)]
+          .collect().toSet
+        val batchRun = graft.operators.Stats.msprtRatio(
+            prefix.toDF("g", "arm", "nu", "de", "id"),
+            "g", col("arm"), "nu", "de", "id", "id", looks,
+            sigma2 = sigma2, tau2 = tau2, alphaPermille = alphaPm)
+          .as[(String, Long, Long, Boolean, Boolean, Long)]
+          .collect().toSet
+        assert(streamed == batchRun,
+          s"prefix mismatch:\n stream ${streamed -- batchRun}\n " +
+            s"batch ${batchRun -- streamed}")
+      }
+      val all = spark.table("msprt_ratio_out")
+        .as[(String, Long, Long, Boolean, Boolean, Long)].collect()
+      assert(all.groupBy(r => (r._1, r._2)).forall(_._2.size == 1),
+        "every (group, look) must emit exactly once")
+      assert(all.exists(r => r._1 == "eff" && r._4),
+        "the planted ratio effect must reject in-stream")
+      assert(!all.exists(r => r._1 == "zer" && r._2 == 4L),
+        "the zero-denominator look must be skipped in-stream")
+    } finally q.stop()
+  }
+
   test("streaming group-sequential decisions equal the batch operator " +
       "on every chronological prefix: planned looks only, emitted " +
       "exactly once when both arms arrive, OBF latch carried across " +

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """One per-round artifact folding the bench delta and the plan diff
 (VERDICT r3 item 7): round_report.py <old_plans> <new_plans>
-<old_bench> <new_bench> [out_md].
+<old_bench> <new_bench> [out_md] [old_serial] [new_serial].
+
+When [new_serial] (BENCH_SERIAL.json — per-query times at concurrency
+1, sentinel-gated min-of-quiet-passes; r17 verdict item 1) is given
+and readable, the cross-round per-query table reads ONLY that basis;
+the concurrent artifacts keep the suite-throughput headline.
 
 Bench inputs accept either graft's own BENCH_LOCAL.json (one clean JSON
 line, full query names) or the driver's BENCH_r0N.json wrapper (tail
@@ -133,8 +138,14 @@ def _map_span(text, marker):
     i = text.find(marker)
     if i < 0:
         return None
-    start = text.find("{", i + len(marker))
-    if start < 0:
+    # the '{' must IMMEDIATELY follow the marker (whitespace only):
+    # on a metric line where "queries" holds a scalar count, a free
+    # find("{") would bind this span to the NEXT map ("slowest"),
+    # bypassing the dedicated slowest-span precedence (ADVICE r17)
+    start = i + len(marker)
+    while start < len(text) and text[start] in " \t\r\n":
+        start += 1
+    if start >= len(text) or text[start] != "{":
         return None
     depth = 0
     for j in range(start, len(text)):
@@ -255,20 +266,68 @@ def check_coverage(new_plans, nb):
 def main():
     old_plans, new_plans, old_bench, new_bench = sys.argv[1:5]
     out = sys.argv[5] if len(sys.argv) > 5 else "ROUND_REPORT.md"
+    # Optional serial-basis artifacts (r17 verdict item 1): argv[6/7] =
+    # old/new BENCH_SERIAL.json — per-query times measured at
+    # concurrency 1 in a sentinel-gated window (min-of-quiet-passes).
+    # When the NEW serial artifact exists, the cross-round per-query
+    # table reads ONLY that basis; the 8-way concurrent artifact keeps
+    # the throughput headline (suite wall) but its per-query entries —
+    # which attribute queue share to the query (77 of 269 r17 flags
+    # were such artifacts) — no longer drive the regression table.
+    old_serial = sys.argv[6] if len(sys.argv) > 6 else None
+    new_serial = sys.argv[7] if len(sys.argv) > 7 else None
     use_median = has_medians(old_bench) and has_medians(new_bench)
     ob = parse_bench(old_bench, use_median)
     nb = parse_bench(new_bench, use_median)
     check_coverage(new_plans, nb)
-    common = sorted(set(ob) & set(nb))
+    sb_new = {}
+    if new_serial and os.path.exists(new_serial):
+        try:
+            sb_new = parse_bench(new_serial, use_median=False)
+        except OSError:
+            sb_new = {}
+    sb_old = {}
+    if sb_new and old_serial and os.path.exists(old_serial):
+        try:
+            sb_old = parse_bench(old_serial, use_median=False)
+        except OSError:
+            sb_old = {}
+    if sb_new and sb_old:
+        tb_old, tb_new = sb_old, sb_new
+        basis_file = new_serial
+        basis_note = ("per-query SERIAL basis on BOTH sides "
+                      "(concurrency 1, sentinel-gated "
+                      "min-of-quiet-passes)")
+    elif sb_new:
+        # first serial round: no committed serial baseline yet — fall
+        # back to the old CONCURRENT min-of-passes (the closest thing
+        # to an isolated cost that artifact carries; medians would
+        # embed queue share and manufacture phantom recoveries)
+        tb_old = parse_bench(old_bench, use_median=False)
+        tb_new = sb_new
+        basis_file = new_serial
+        basis_note = ("NEW side SERIAL (concurrency 1) vs OLD "
+                      "concurrent min-of-passes — first serial round; "
+                      "ratios read optimistic by the old basis's "
+                      "residual queue share; next round compares "
+                      "serial vs serial")
+    else:
+        tb_old, tb_new = ob, nb
+        basis_file = new_bench
+        basis_note = ("per-query MEDIANS across wall passes"
+                      if use_median else
+                      "min-of-passes: an artifact predates medians")
+    common = sorted(set(tb_old) & set(tb_new))
     lines = ["# Round report", "",
              f"Bench: {old_bench} -> {new_bench}"
-             + (" (per-query MEDIANS across wall passes)" if use_median
-                else " (min-of-passes: an artifact predates medians)"),
+             + (f"; per-query table: {old_serial or old_bench} -> "
+                f"{new_serial}" if sb_new else ""),
+             f"Basis: {basis_note}",
              ""]
-    if re.search(r'\\?"burst\\?":\s*true', open(new_bench).read()):
-        lines += ["**WARNING: bench artifact is burst-suspect (pass "
-                  "walls disagree >2x) — timings unreliable**", ""]
-    noise = parse_noise(new_bench)
+    if re.search(r'\\?"burst\\?":\s*true', open(basis_file).read()):
+        lines += ["**WARNING: per-query basis artifact is burst-suspect "
+                  "(pass walls disagree >2x) — timings unreliable**", ""]
+    noise = parse_noise(basis_file)
     noisy = noise > NOISE_LIMIT
     if noisy:
         lines += [f"**NOTE: bench run is noisy (wall disagreement "
@@ -281,7 +340,7 @@ def main():
     # absolute calibration sentinel is the only signal, and a
     # contended artifact's deltas are inconclusive exactly like burst.
     contended = bool(re.search(r'\\?"contended\\?":\s*true',
-                               open(new_bench).read()))
+                               open(basis_file).read()))
     if contended and not noisy:
         noisy = True
         lines += ["**NOTE: bench artifact is CONTENDED (calibration "
@@ -298,53 +357,66 @@ def main():
     # cross-round ratios read high by that factor even when noise_ratio
     # looks clean, and the reader needs the number to judge.
     ms = re.search(r'\\?"sentinel_s\\?":\s*\[([0-9.,\s]+)\]',
-                   open(new_bench).read())
+                   open(basis_file).read())
     if ms:
         sent = [float(x) for x in ms.group(1).split(",") if x.strip()]
         if sent:
-            lines += ["calibration sentinels: "
+            lines += ["calibration sentinels (per-query basis): "
                       + ", ".join(f"{s:.2f}s" for s in sent)
                       + " (quiet cost ~0.6s, contended band 2.0s"
                       + (", CONTENDED)" if contended else ")"), ""]
     # Publish every wall pass next to the median headline (r14 verdict
     # item 1: the acceptance gate needs a wall number whose run-to-run
-    # spread is visible, not a min-of-2 sample).
+    # spread is visible, not a min-of-2 sample). The CONCURRENT
+    # artifact's wall stays the throughput headline even when the
+    # per-query table reads the serial basis — the two measure
+    # different things (suite throughput vs per-query cost).
     mw = re.search(r'\\?"wall_runs\\?":\s*\[([0-9.,\s]+)\]',
                    open(new_bench).read())
     if mw:
         walls = [float(x) for x in mw.group(1).split(",") if x.strip()]
         if walls:
             spread = max(walls) / max(min(walls), 1e-9)
-            lines += [f"wall runs: {', '.join(f'{w:.1f}s' for w in walls)}"
+            lines += [f"throughput wall runs (8-way concurrent): "
+                      f"{', '.join(f'{w:.1f}s' for w in walls)}"
                       f" — median headline, spread {spread:.2f}x"
                       + (" (< 1.5x: clean)" if spread < NOISE_LIMIT
                          else " (>= 1.5x: see noise note)"), ""]
+    if sb_new:
+        mw2 = re.search(r'"wall_runs":\s*\[([0-9.,\s]+)\]',
+                        open(new_serial).read())
+        if mw2:
+            walls = [float(x) for x in mw2.group(1).split(",")
+                     if x.strip()]
+            if walls:
+                lines += ["serial pass walls (concurrency 1): "
+                          + ", ".join(f"{w:.1f}s" for w in walls), ""]
     if common:
-        osum = sum(ob[q][0] for q in common)
-        nsum = sum(nb[q][0] for q in common)
+        osum = sum(tb_old[q][0] for q in common)
+        nsum = sum(tb_new[q][0] for q in common)
         # FULL per-query delta table (r14 verdict item 1: a hand-picked
         # 5-query comparison cannot prove "no regression" — every common
         # query is listed, sorted by ratio, and any >1.3x is flagged;
         # sub-0.3s absolute deltas are annotated as inside the
         # documented concurrent jitter rather than hidden).
         flagged = [q for q in common
-                   if ob[q][0] > 0 and nb[q][0] / ob[q][0] > 1.3
-                   and nb[q][0] - ob[q][0] >= 0.3]
+                   if tb_old[q][0] > 0 and tb_new[q][0] / tb_old[q][0] > 1.3
+                   and tb_new[q][0] - tb_old[q][0] >= 0.3]
         lines += [f"{len(common)} common queries, summed per-query "
                   f"{osum:.1f}s -> {nsum:.1f}s "
                   f"({(nsum - osum) / osum * 100:+.0f}%); "
                   f"{len(flagged)} queries over the 1.3x flag threshold"
-                  + (": " + ", ".join(nb[q][1] for q in flagged)
+                  + (": " + ", ".join(tb_new[q][1] for q in flagged)
                      if flagged else ""), "",
                   "| query | old s | new s | delta | ratio |",
                   "|---|---|---|---|---|"]
         by_ratio = sorted(
             common,
-            key=lambda q: (nb[q][0] / ob[q][0] if ob[q][0] > 0
+            key=lambda q: (tb_new[q][0] / tb_old[q][0] if tb_old[q][0] > 0
                            else float("inf")),
             reverse=True)
         for q in by_ratio:
-            o, n = ob[q][0], nb[q][0]
+            o, n = tb_old[q][0], tb_new[q][0]
             ratio = n / o if o > 0 else float("inf")
             tags = []
             if ratio > 1.3 and n - o >= 0.3:
@@ -353,13 +425,13 @@ def main():
                     tags.append("(inconclusive: noisy run)")
             elif ratio > 1.3:
                 tags.append("(sub-noise delta)")
-            lines.append(f"| {nb[q][1]} | {o:.2f} | {n:.2f} "
+            lines.append(f"| {tb_new[q][1]} | {o:.2f} | {n:.2f} "
                          f"| {n - o:+.2f} | {ratio:.2f}"
                          f"{' ' + ' '.join(tags) if tags else ''} |")
-    new_only = sorted(set(nb) - set(ob))
+    new_only = sorted(set(tb_new) - set(tb_old))
     if new_only:
         lines += ["", "New queries: " + ", ".join(
-            f"{nb[q][1]} ({nb[q][0]:.2f}s)" for q in new_only)]
+            f"{tb_new[q][1]} ({tb_new[q][0]:.2f}s)" for q in new_only)]
     lines += ["", f"Plan diff: {old_plans} -> {new_plans}", "", "```"]
     plan_diff = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "plan_diff.py")

@@ -68,6 +68,20 @@ try:
 except (OSError, json.JSONDecodeError, KeyError) as e:
     errs.append(f"BENCH_LOCAL.json missing/unparsable ({e})")
 
+# BENCH_SERIAL.json (r17 verdict item 1): the serial per-query basis
+# that drives the cross-round regression table must cover the registry
+# too, or new queries silently drop out of the only readable table.
+try:
+    bs = json.load(open("BENCH_SERIAL.json"))
+    sq = {k.split("_")[0] for k in bs["queries"]}
+    if sq != reg:
+        errs.append(f"BENCH_SERIAL.json covers {len(sq)} queries, "
+                    f"registry has {len(reg)} "
+                    f"(missing: {sorted(reg - sq) or '-'}, "
+                    f"extra: {sorted(sq - reg) or '-'})")
+except (OSError, json.JSONDecodeError, KeyError) as e:
+    errs.append(f"BENCH_SERIAL.json missing/unparsable ({e})")
+
 # COVERAGE.md (split out of SURVEY §8 in r15) must mention every
 # registry gate query — the map the judge reads line by line cannot
 # silently go stale (r14 verdict item 8).
@@ -123,6 +137,10 @@ echo "== ship_check full: round r0$cur (plans $prev_plans -> $new_plans) =="
 echo "== canonical bench @ sf0.1 (writes BENCH_LOCAL.json) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" | tail -2
+echo "== serial bench @ sf0.1 (writes BENCH_SERIAL.json; r17 item 1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_SERIAL=1 \
+    sbt -batch "runMain graft.Bench" | tail -2
 echo "== plan dump =="
 sbt -batch "runMain graft.Plans /root/testdata/sf0.1 $new_plans" | tail -1
 echo "== scale gate (sf0.1 -> synthetic sf1) =="
@@ -149,8 +167,18 @@ else
     old_bench="$prev_bench"
     echo "(old bench baseline: $prev_bench — no committed BENCH_LOCAL)"
 fi
+# Serial baseline = previous round's committed BENCH_SERIAL.json; the
+# per-query regression table reads ONLY the serial basis (r17 item 1) —
+# the concurrent artifacts keep the suite-throughput headline.
+prev_serial=$(mktemp /tmp/prev-bench-serial-XXXXXX.json)
+if ! git show HEAD:BENCH_SERIAL.json > "$prev_serial" 2>/dev/null \
+        || [ ! -s "$prev_serial" ]; then
+    echo "(no committed BENCH_SERIAL.json baseline — first serial round)"
+    prev_serial=/dev/null
+fi
 python3 tools/round_report.py "$prev_plans" "$new_plans" \
-    "$old_bench" BENCH_LOCAL.json "$round_md"
+    "$old_bench" BENCH_LOCAL.json "$round_md" \
+    "$prev_serial" BENCH_SERIAL.json
 registry_check
 echo "ship_check full: PASS — $round_md, $new_plans, SCALEBENCH.json, "\
      "BENCH_LOCAL.json, QUALITY.json, BENCH_STORE.json are consistent"

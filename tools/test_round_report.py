@@ -101,6 +101,19 @@ def main():
     assert rr.parse_bench(slow_tail)["q9"][0] == 5.0
     print("PASS escaped-tail scrape is span-scoped and median-honest")
 
+    # ADVICE r17: on a metric line where "queries" holds a SCALAR count
+    # (driver tails), _map_span must not bind the 'queries' span to the
+    # NEXT map ("slowest") — the '{' has to immediately follow the
+    # marker, so metric lines fall through to the slowest-span path.
+    metric = '{"n_queries":5,"queries":5,"slowest":{"q7_a":3.0}}'
+    assert rr._map_span(metric, '"queries":') is None, \
+        "scalar queries value must not bind to the following map"
+    assert rr.parse_bench(_tmp({"tail": metric}))["q7"][0] == 3.0, \
+        "metric line must fall through to the slowest-span path"
+    assert rr._map_span('{"queries": {"q1_a":1.0}}', '"queries":') \
+        == '{"q1_a":1.0}', "whitespace before the brace stays allowed"
+    print("PASS scalar-queries metric lines fall through to slowest")
+
     # r16 verdict item 1: a contended artifact (absolute sentinel above
     # band in every pass) must be detected by the same regex the report
     # uses, escaped or clean.
