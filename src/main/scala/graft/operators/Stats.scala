@@ -1602,6 +1602,121 @@ object Stats {
             (dbl(col("__bxx")) * dbl(col("__byy")))).as("r2"))
   }
 
+  /** Per-group MULTIPLE linear regression with two integer covariates
+    * — exact normal equations via 3×3 Cramer determinants over the
+    * [[linearFit]] sums (the NEXT r17 seam): y = b0 + b1·x1 + b2·x2
+    * fitted by weighted least squares, where every entry of the Gram
+    * matrix X'WX and right-hand side X'Wy is an exact order-free
+    * 128-bit integer sum, so each coefficient det_i/D is a ratio of
+    * exact integers and the published doubles are fixed IEEE trees
+    * both engines evaluate identically — multiple regression through
+    * the float-summation wall with NO fold at all.
+    *
+    * r² rides the same trick: weighted SSE·D = syy·D − Σ rhs_i·det_i
+    * and SST·sw = sw·syy − sy² are exact integers, so
+    * r² = 1 − (E·sw)/(D·S) is a fixed tree too.
+    *
+    * Degenerates stay honest: a singular Gram matrix (collinear or
+    * constant covariates) has D = 0 → NULL coefficients (never a
+    * made-up pseudo-inverse); D < 0 cannot happen (X'WX is PSD).
+    * Negative weights raise; and the ENVELOPE pressure is real —
+    * determinant terms are products of THREE sums (plus one more for
+    * E), so unlike [[linearFit]]'s two-sum products they overflow
+    * 38 digits at ~1e12-per-sum scale. Every overflow RAISES with
+    * the rescale message (Spark nulls silently outside ANSI where
+    * DuckDB's HUGEINT errors; a silent null would read as
+    * "collinear"). Practical reading: |x|,|y| ≤ 1e4, w ≤ 1e2 at
+    * n ≤ 1e9 rows/group sits inside; shift/scale covariates toward
+    * zero to buy headroom (centering is the statistical advice
+    * anyway).
+    *
+    * Scale shape: ONE corpus hash-agg (eleven map-side-combined
+    * sums straight to group grain), then per-group scalar math —
+    * no shuffle beyond the single aggregation exchange, no window,
+    * no iteration. At 100 TB this is the cheapest shape a
+    * regression can have. */
+  def multiFit(df: DataFrame, grpCol: String, x1Col: String,
+      x2Col: String, yCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("double")
+    val x1 = d38(col(x1Col).cast("long"))
+    val x2 = d38(col(x2Col).cast("long"))
+    val y = d38(col(yCol).cast("long"))
+    val w = weightCol match {
+      case Some(wc) =>
+        val raw = col(wc).cast("long")
+        when(raw.isNull || raw < 0,
+          raise_error(lit("multiFit: weights must be non-null and " +
+            ">= 0"))).otherwise(d38(raw))
+      case None => d38(lit(1L))
+    }
+    val agg = df
+      .filter(col(grpCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(w).as("sw"),
+        sum(w * x1).as("sx1"), sum(w * x2).as("sx2"),
+        sum(w * y).as("sy"),
+        sum(w * x1 * x1).as("s11"), sum(w * x1 * x2).as("s12"),
+        sum(w * x2 * x2).as("s22"),
+        sum(w * x1 * y).as("s1y"), sum(w * x2 * y).as("s2y"),
+        sum(w * y * y).as("syy"))
+    // raw sums are non-null by construction, so a null DETERMINANT can
+    // only mean decimal(38) overflow somewhere in its product tree —
+    // null propagates, so guarding the final column catches them all
+    def guarded(c: Column, name: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"multiFit: $name exceeds 38 digits — rescale/center x/y/" +
+          "weights (see the documented envelope)")))
+    val sw = col("sw"); val sx1 = col("sx1"); val sx2 = col("sx2")
+    val sy = col("sy"); val s11 = col("s11"); val s12 = col("s12")
+    val s22 = col("s22"); val s1y = col("s1y"); val s2y = col("s2y")
+    val syy = col("syy")
+    // Cramer over M = [[sw,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]],
+    // rhs = [sy,s1y,s2y]
+    val dD = guarded(
+      sw * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) +
+        sx2 * (sx1 * s12 - s11 * sx2), "det(X'WX)").as("__d")
+    val d0 = guarded(
+      sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) +
+        sx2 * (s1y * s12 - s11 * s2y), "det0").as("__d0")
+    val d1 = guarded(
+      sw * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) +
+        sx2 * (sx1 * s2y - s1y * sx2), "det1").as("__d1")
+    val d2 = guarded(
+      sw * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) +
+        sy * (sx1 * s12 - s11 * sx2), "det2").as("__d2")
+    // the same loud-readout discipline as linearFit's w_total
+    val wTotal = when(sw <= lit(Long.MaxValue).cast("decimal(38,0)"),
+      sw.cast("long")).otherwise(raise_error(lit(
+      "multiFit: total weight exceeds long range — rescale weights")))
+      .as("w_total")
+    val stage = agg.select(col("grp"), col("n"), wTotal,
+      sy, s1y, s2y, syy, sw, dD, d0, d1, d2)
+    // E = SSE·D (exact, ≥ 0 when D > 0); S = SST·sw (exact)
+    val e = guarded(
+      col("syy") * col("__d") - (col("sy") * col("__d0") +
+        col("s1y") * col("__d1") + col("s2y") * col("__d2")),
+      "SSE*det").as("__e")
+    val sst = guarded(col("sw") * col("syy") - col("sy") * col("sy"),
+      "SST*sw").as("__s")
+    stage.select(col("grp"), col("n"), col("w_total"),
+        col("__d"), col("__d0"), col("__d1"), col("__d2"), e, sst)
+      .select(col("grp"), col("n"), col("w_total"),
+        when(col("__d") > 0, dbl(col("__d0")) / dbl(col("__d")))
+          .as("b0"),
+        when(col("__d") > 0, dbl(col("__d1")) / dbl(col("__d")))
+          .as("b1"),
+        when(col("__d") > 0, dbl(col("__d2")) / dbl(col("__d")))
+          .as("b2"),
+        when(col("__d") > 0 && col("__s") > 0,
+          lit(1.0).cast("double") -
+            dbl(col("__e")) * dbl(col("w_total")) /
+              (dbl(col("__d")) * dbl(col("__s")))).as("r2"))
+  }
+
   /** Two-sided group-sequential boundary constants c(K, α) for K
     * equally-spaced looks — the LITERAL tables (O'Brien & Fleming,
     * Biometrics 1979; Pocock, Biometrika 1977; the standard tabulation

@@ -358,6 +358,22 @@ object Survival {
       eventCol: String, arm01: Column, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 32,
       s"iters must be in 1..32, got $iters")
+    val risky = twoArmLifeTable(df, grpCol, durCol, eventCol, arm01,
+      "coxTwoArm")
+    coxNewtonFold(risky,
+      Seq(col("t"), col("d1"), col("dt"), col("n1t"), col("nt")),
+      iters, "coxTwoArm")
+  }
+
+  /** The two-arm life table shared by [[coxTwoArm]],
+    * [[coxTwoArmEfron]] and [[breslowBaseline]]: per (grp, t) the
+    * arm-1/total death counts (d1, dt) and at-risk counts (n1t, nt)
+    * via the two standard at-risk windows, retaining only rows with
+    * dt > 0 and nt >= 2 (a time with no events or a singleton risk
+    * set carries no partial-likelihood information). */
+  private def twoArmLifeTable(df: DataFrame, grpCol: String,
+      durCol: String, eventCol: String, arm01: Column,
+      opName: String): DataFrame = {
     val t = col(durCol).cast("long")
     val e = col(eventCol).cast("long")
     val arm = arm01.cast("int")
@@ -366,7 +382,7 @@ object Survival {
         arm.isin(0, 1))
       .select(col(grpCol).as("grp"), t.as("t"),
         when(e.isin(0L, 1L) && t >= 0L, e)
-          .otherwise(raise_error(lit("coxTwoArm: event must be 0/1 " +
+          .otherwise(raise_error(lit(s"$opName: event must be 0/1 " +
             "and duration >= 0"))).as("e"),
         arm.as("arm"))
     val cells = base.groupBy(col("grp"), col("t"))
@@ -379,15 +395,12 @@ object Survival {
     val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1L)
     val whole = Window.partitionBy(col("grp"))
-    val risky = cells
+    cells
       .withColumn("n1t", sum(col("m1")).over(whole)
         - coalesce(sum(col("m1")).over(byT), lit(0L)))
       .withColumn("nt", sum(col("m")).over(whole)
         - coalesce(sum(col("m")).over(byT), lit(0L)))
       .filter(col("dt") > 0 && col("nt") >= 2)
-    coxNewtonFold(risky,
-      Seq(col("t"), col("d1"), col("dt"), col("n1t"), col("nt")),
-      iters, "coxTwoArm")
   }
 
   /** Stratified Cox proportional hazards, two-arm — [[coxTwoArm]]
@@ -444,21 +457,132 @@ object Survival {
       iters, "coxTwoArmStratified")
   }
 
-  /** The flattened Newton walk shared by [[coxTwoArm]] and
-    * [[coxTwoArmStratified]]: collect the life-table rows sorted by
-    * the leading struct fields, then ONE aggregate over
-    * iterations × rows — step s reads row (s mod k)+1, β updates at
-    * each k-boundary. The fold reads d1/dt/n1t/nt by NAME, so any
-    * leading sort-key fields (t, or stratum+t) ride along untouched.
-    * Subexpressions repeat because SQL lambdas have no let-binding —
-    * each is deterministic, so repetition is cost, not correctness. */
+  /** Cox proportional hazards with EFRON tie handling (Efron, JASA
+    * 1977) — [[coxTwoArm]]'s Breslow approximation treats the d tied
+    * deaths at a time as d draws from the SAME risk set, biasing β
+    * toward 0 when ties are heavy; day-granular durations make ties
+    * the common case, so Efron is what R's coxph does by default and
+    * the first thing a survival user will question. Efron removes the
+    * already-dead fraction progressively: the j-th of d tied deaths
+    * (j = 0..d−1) sees the risk set minus j/d of the tied deaths'
+    * own risk. Mechanically that is the SAME flattened fixed-Newton
+    * fold over a life table whose tied times are EXPANDED into d
+    * sub-rows (t, j) — each sub-row contributes
+    * U += d1/d − p_j, I += p_j(1−p_j) with the downweighted p_j —
+    * which a DuckDB recursive CTE replays step-for-step over the
+    * identical (t, j) walk. With no ties (every dt = 1) the expansion
+    * is the identity and β equals [[coxTwoArm]] bit-for-bit
+    * (spec-pinned).
+    *
+    * Gated like q272: rank/sign/life-table surface (e^β ulp drift),
+    * SurvivalSpec cross-checks β against an independent
+    * golden-section maximizer of the true Efron partial likelihood.
+    * Envelope: ≤ 4096 tie-expansion rows (= events) per group,
+    * ENFORCED in the fold. Scale shape: one (grp, t, arm) hash-agg,
+    * two at-risk windows, a sequence() explode on the ≤time-grain
+    * frame, the fold on ≤ 4096-row frames. */
+  def coxTwoArmEfron(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String, arm01: Column, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"iters must be in 1..32, got $iters")
+    val risky = twoArmLifeTable(df, grpCol, durCol, eventCol, arm01,
+      "coxTwoArmEfron")
+      // tie expansion: one sub-row per tied death, j = 0..dt−1 —
+      // the fold's per-group grain becomes Σdt (= events), enforced
+      // at 4096 like every Cox fold
+      .withColumn("j", explode(expr("sequence(0L, dt - 1)")))
+    coxNewtonFold(risky,
+      Seq(col("t"), col("j"), col("d1"), col("dt"), col("n1t"),
+        col("nt")),
+      iters, "coxTwoArmEfron", efron = true)
+  }
+
+  /** Breslow baseline cumulative hazard (Breslow, Biometrics 1974
+    * discussion of Cox 1972) — the readout that turns [[coxTwoArm]]'s
+    * relative β into ABSOLUTE survival predictions per arm:
+    *   Ĥ₀(t) = Σ_{s ≤ t} dₛ / (n0ₛ + n1ₛ·e^β̂)
+    * on the life-table grain, with Ŝ₀(t) = e^(−Ĥ₀(t)) and the
+    * proportional-hazards prediction Ŝ₁(t) = e^(−Ĥ₀(t)·e^β̂) for the
+    * treated arm. At β = 0 this is EXACTLY the pooled Nelson-Aalen
+    * estimator (increments dₛ/nₛ), which is the spec's consistency
+    * anchor against [[kaplanMeier]] (NA and KM agree to O(d/n²)
+    * per step and exp(−H) ≥ KM always).
+    *
+    * Output per retained (grp, t): exact life-table integers
+    * (d1, dt, n1t, nt — hash-exact cross-engine), beta, h0, s0, s1.
+    * The float columns carry e^β̂ of a data-dependent β̂ — libm-vs-JVM
+    * ulp territory like q272 — so gates read RANKS off h0, never raw
+    * doubles. The running sum is ordered by t within ≤4096-row
+    * groups; its sequential association matters only below the rank
+    * gate's audited gaps.
+    *
+    * Scale shape: [[coxTwoArm]]'s shapes plus ONE broadcast join of
+    * the per-group β (one row per group, broadcast by construction)
+    * back onto the life-table frame and one ordered window on it —
+    * nothing corpus-wide after the first agg. */
+  def breslowBaseline(df: DataFrame, grpCol: String, durCol: String,
+      eventCol: String, arm01: Column, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"iters must be in 1..32, got $iters")
+    val risky = twoArmLifeTable(df, grpCol, durCol, eventCol, arm01,
+      "breslowBaseline")
+    val beta = coxNewtonFold(risky,
+      Seq(col("t"), col("d1"), col("dt"), col("n1t"), col("nt")),
+      iters, "breslowBaseline")
+      .select(col("grp"), col("beta"))
+    val byT = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risky
+      .join(org.apache.spark.sql.functions.broadcast(beta), "grp")
+      .withColumn("__inc", col("dt").cast("double") /
+        ((col("nt") - col("n1t")).cast("double") +
+          col("n1t").cast("double") * exp(col("beta"))))
+      .withColumn("h0", sum(col("__inc")).over(byT))
+      .withColumn("s0", exp(-col("h0")))
+      .withColumn("s1", exp(-col("h0") * exp(col("beta"))))
+      .select(col("grp"), col("t"), col("d1"), col("dt"),
+        col("n1t"), col("nt"), col("beta"), col("h0"), col("s0"),
+        col("s1"))
+  }
+
+  /** The flattened Newton walk shared by [[coxTwoArm]],
+    * [[coxTwoArmStratified]] and [[coxTwoArmEfron]]: collect the
+    * life-table rows sorted by the leading struct fields, then ONE
+    * aggregate over iterations × rows — step s reads row (s mod k)+1,
+    * β updates at each k-boundary. The fold reads d1/dt/n1t/nt (and,
+    * for Efron, j) by NAME, so any leading sort-key fields (t, or
+    * stratum+t, or t+j) ride along untouched. Subexpressions repeat
+    * because SQL lambdas have no let-binding — each is deterministic,
+    * so repetition is cost, not correctness. The score/information
+    * increments are injected per tie-handling scheme: Breslow reads a
+    * whole life-table row per step; Efron reads one TIE SUB-ROW
+    * (time t, tie index j) per step with the j-th downweighted risk
+    * set. */
   private def coxNewtonFold(risky: DataFrame, rowStruct: Seq[Column],
-      iters: Int, opName: String): DataFrame = {
+      iters: Int, opName: String, efron: Boolean = false): DataFrame = {
     val xs = "element_at(__rows, CAST(s % size(__rows) AS INT) + 1)"
-    val a1 = s"(CAST($xs.n1t AS DOUBLE) * exp(acc.b))"
-    val p = s"($a1 / (CAST($xs.nt - $xs.n1t AS DOUBLE) + $a1))"
-    val du = s"(CAST($xs.d1 AS DOUBLE) - CAST($xs.dt AS DOUBLE) * $p)"
-    val dI = s"(CAST($xs.dt AS DOUBLE) * $p * (1.0D - $p))"
+    val (du, dI) = if (!efron) {
+      val a1 = s"(CAST($xs.n1t AS DOUBLE) * exp(acc.b))"
+      val p = s"($a1 / (CAST($xs.nt - $xs.n1t AS DOUBLE) + $a1))"
+      (s"(CAST($xs.d1 AS DOUBLE) - CAST($xs.dt AS DOUBLE) * $p)",
+        s"(CAST($xs.dt AS DOUBLE) * $p * (1.0D - $p))")
+    } else {
+      // Efron (Efron, JASA 1977): for tie index j of d = dt tied
+      // deaths, the risk set is downweighted by j/d of the tied
+      // deaths' own risk — p_j = R1_j / (R0_j + R1_j) with
+      // R1_j = (n1t − (j/d)·d1)·e^β, R0_j = (nt−n1t) − (j/d)(dt−d1);
+      // U += d1/d − p_j, I += p_j(1−p_j). Summed over j this is the
+      // textbook Efron score/information; with d = 1 it reduces to
+      // Breslow exactly.
+      val fr = s"(CAST($xs.j AS DOUBLE) / CAST($xs.dt AS DOUBLE))"
+      val a1 = s"((CAST($xs.n1t AS DOUBLE) - $fr * " +
+        s"CAST($xs.d1 AS DOUBLE)) * exp(acc.b))"
+      val a0 = s"(CAST($xs.nt - $xs.n1t AS DOUBLE) - $fr * " +
+        s"CAST($xs.dt - $xs.d1 AS DOUBLE))"
+      val p = s"($a1 / ($a0 + $a1))"
+      (s"(CAST($xs.d1 AS DOUBLE) / CAST($xs.dt AS DOUBLE) - $p)",
+        s"($p * (1.0D - $p))")
+    }
     val atEnd = "(s % size(__rows)) = (size(__rows) - 1)"
     val newB = s"""CASE WHEN acc.f + $dI > 0.0D
         THEN greatest(-30.0D, least(30.0D,
@@ -483,7 +607,12 @@ object Survival {
               'f', CASE WHEN $atEnd THEN 0.0D ELSE acc.f + $dI END))"""))
       .select(col("grp"),
         size(col("__rows")).cast("long").as("n_times"),
-        col("events"), col("__w.b").as("beta"))
+        // tie-expanded rows each CARRY the full dt, so summing dt
+        // over sub-rows would count Σdt² — for Efron the event count
+        // IS the sub-row count (one sub-row per tied death)
+        (if (efron) size(col("__rows")).cast("long")
+         else col("events")).as("events"),
+        col("__w.b").as("beta"))
   }
 
   /** The Peto-Prentice fold + readout, factored for plan clarity: one

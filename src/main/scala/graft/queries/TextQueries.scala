@@ -6100,6 +6100,75 @@ object TextQueries {
   private val RatioSigma2 = 10000.0
   private val RatioTau2 = 10000.0
 
+  /** q276: per-group multiple regression with two integer covariates
+    * ([[graft.operators.Stats.multiFit]]) — per lang, the plane
+    * y = n_chars + 3·x1 − 2·x2 against x1 = doc_id%101,
+    * x2 = doc_id%53 with weights doc_id%7 + 1 (b1 ≈ 3, b2 ≈ −2 by
+    * construction, jittered by the n_chars–residue mix). Every Gram
+    * entry is an exact 128-bit integer, every Cramer determinant a
+    * product of three such sums (guarded loudly against the 38-digit
+    * envelope), so b0/b1/b2/r² are fixed IEEE trees both engines
+    * evaluate identically — exact MULTIPLE regression, no fold. */
+  val q276_multi_fit: Q = (s, d) =>
+    graft.operators.Stats.multiFit(
+      Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("lang"),
+          (col("doc_id") % 101).as("x1"),
+          (col("doc_id") % 53).as("x2"),
+          (col("n_chars") + (col("doc_id") % 101) * 3 -
+            (col("doc_id") % 53) * 2).as("y"),
+          (col("doc_id") % 7 + 1).as("w")),
+      "lang", "x1", "x2", "y", weightCol = Some("w"))
+      .select(col("grp").as("lang"), col("n"), col("w_total"),
+        col("b0"), col("b1"), col("b2"), col("r2"))
+
+  val q276_oracle: String = {
+    val m11 = "(s11 * s22 - s12 * s12)"
+    val dD = s"(sw * $m11 - sx1 * (sx1 * s22 - s12 * sx2) " +
+      "+ sx2 * (sx1 * s12 - s11 * sx2))"
+    val d0 = s"(sy * $m11 - sx1 * (s1y * s22 - s12 * s2y) " +
+      "+ sx2 * (s1y * s12 - s11 * s2y))"
+    val d1 = "(sw * (s1y * s22 - s12 * s2y) " +
+      "- sy * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s2y - s1y * sx2))"
+    val d2 = "(sw * (s11 * s2y - s1y * s12) " +
+      "- sx1 * (sx1 * s2y - s1y * sx2) + sy * (sx1 * s12 - s11 * sx2))"
+    val e = s"(syy * $dD - (sy * $d0 + s1y * $d1 + s2y * $d2))"
+    val sst = "(sw * syy - sy * sy)"
+    s"""WITH b AS (SELECT lang AS grp,
+           doc_id % 101 AS x1, doc_id % 53 AS x2,
+           n_chars + (doc_id % 101) * 3 - (doc_id % 53) * 2 AS y,
+           doc_id % 7 + 1 AS w
+         FROM documents
+         WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+           AND n_chars IS NOT NULL),
+       a AS (SELECT grp, count(*) AS n,
+           sum(CAST(w AS HUGEINT)) AS sw,
+           sum(CAST(w AS HUGEINT) * x1) AS sx1,
+           sum(CAST(w AS HUGEINT) * x2) AS sx2,
+           sum(CAST(w AS HUGEINT) * y) AS sy,
+           sum(CAST(w AS HUGEINT) * x1 * x1) AS s11,
+           sum(CAST(w AS HUGEINT) * x1 * x2) AS s12,
+           sum(CAST(w AS HUGEINT) * x2 * x2) AS s22,
+           sum(CAST(w AS HUGEINT) * x1 * y) AS s1y,
+           sum(CAST(w AS HUGEINT) * x2 * y) AS s2y,
+           sum(CAST(w AS HUGEINT) * y * y) AS syy
+         FROM b GROUP BY 1)
+       SELECT grp AS lang, CAST(n AS BIGINT) AS n,
+         CAST(sw AS BIGINT) AS w_total,
+         CASE WHEN $dD > 0 THEN
+           CAST($d0 AS DOUBLE) / CAST($dD AS DOUBLE) END AS b0,
+         CASE WHEN $dD > 0 THEN
+           CAST($d1 AS DOUBLE) / CAST($dD AS DOUBLE) END AS b1,
+         CASE WHEN $dD > 0 THEN
+           CAST($d2 AS DOUBLE) / CAST($dD AS DOUBLE) END AS b2,
+         CASE WHEN $dD > 0 AND $sst > 0 THEN
+           CAST(1.0 AS DOUBLE) - CAST($e AS DOUBLE)
+             * CAST(CAST(sw AS BIGINT) AS DOUBLE)
+             / (CAST($dD AS DOUBLE) * CAST($sst AS DOUBLE)) END AS r2
+       FROM a"""
+  }
+
   val q275_oracle: String = {
     import graft.operators.Stats
     def c(n: Long, a: Int): String =
@@ -6149,7 +6218,225 @@ object TextQueries {
        FROM d"""
   }
 
+  /** q277: Cox proportional hazards with EFRON tie handling
+    * ([[graft.operators.Survival.coxTwoArmEfron]]) — the q272 design
+    * on a deliberately TIE-HEAVY surface: durations coarsened to
+    * DIV 100 (4-9 distinct times per lang at sf0.1, dozens of tied
+    * deaths each — exactly where Breslow's same-risk-set
+    * approximation biases β toward 0 and R's coxph defaults to
+    * Efron), corpus thinned deterministically (doc_id % 13 = 0) so
+    * the tie-expansion fold grain (= events) stays inside the 4096
+    * envelope at every SF including the 10× scale corpus. Both
+    * engines walk the IDENTICAL (time, tie-index) sub-row sequence —
+    * Spark: one ordered fold; DuckDB: a recursive CTE over the
+    * unnest(range(dt))-expanded life table — and the gate reads the
+    * q272 rank surface (fixture β gaps ≥ 5.6e-2 across SFs, ulp-proof
+    * by ten orders). A lang whose thinned life table retains nothing
+    * (de at sf0.01) is absent from BOTH engines — row-set
+    * load-bearing. */
+  val q277_cox_efron: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cox = graft.operators.Survival.coxTwoArmEfron(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull && col("doc_id") % 13 === 0)
+        .select(col("lang"),
+          expr("(n_chars + (doc_id % 101) * 3) DIV 100").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), iters = 8)
+    cox.select(col("grp").as("lang"), col("n_times"), col("events"),
+      (col("beta") > 0).as("direction"),
+      row_number().over(Window.orderBy(col("beta").desc, col("grp")))
+        .cast("long").as("beta_rank"))
+  }
+
+  val q277_oracle: String = {
+    val fr = "(CAST(f.j AS DOUBLE) / CAST(f.dt AS DOUBLE))"
+    val a1 = s"((CAST(f.n1t AS DOUBLE) - $fr * CAST(f.d1 AS DOUBLE))" +
+      " * exp(w.bta))"
+    val a0 = s"(CAST(f.nt - f.n1t AS DOUBLE) - $fr * " +
+      "CAST(f.dt - f.d1 AS DOUBLE))"
+    val p = s"($a1 / ($a0 + $a1))"
+    val du = s"(CAST(f.d1 AS DOUBLE) / CAST(f.dt AS DOUBLE) - $p)"
+    val dI = s"($p * (1.0 - $p))"
+    val atEnd = "((w.s + 1) % cnt.k) = cnt.k - 1"
+    val newB = s"""CASE WHEN w.ff + $dI > CAST(0 AS DOUBLE)
+        THEN greatest(CAST(-30 AS DOUBLE), least(CAST(30 AS DOUBLE),
+          w.bta + (w.u + $du) / (w.ff + $dI)))
+        ELSE w.bta END"""
+    s"""WITH RECURSIVE
+       b AS (SELECT lang AS grp,
+           (n_chars + (doc_id % 101) * 3) // 100 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL AND doc_id % 13 = 0),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       fl AS (SELECT grp, t, CAST(d1 AS BIGINT) AS d1,
+           CAST(dt AS BIGINT) AS dt, CAST(n1t AS BIGINT) AS n1t,
+           CAST(nt AS BIGINT) AS nt
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       fx AS (SELECT grp, t, unnest(range(0, dt)) AS j,
+           d1, dt, n1t, nt
+         FROM fl),
+       f AS (SELECT grp, t, j, d1, dt, n1t, nt,
+           row_number() OVER (PARTITION BY grp ORDER BY t, j) AS i
+         FROM fx),
+       cnt AS (SELECT grp, count(*) AS k,
+           CAST(count(*) AS BIGINT) AS events FROM f GROUP BY 1),
+       w AS (SELECT grp, -1 AS s, CAST(0 AS DOUBLE) AS bta,
+             CAST(0 AS DOUBLE) AS u, CAST(0 AS DOUBLE) AS ff
+           FROM cnt
+         UNION ALL
+         SELECT w.grp, w.s + 1,
+           CASE WHEN $atEnd THEN $newB ELSE w.bta END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.u + $du END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.ff + $dI END
+         FROM w
+         JOIN cnt ON cnt.grp = w.grp
+         JOIN f ON f.grp = w.grp AND f.i = ((w.s + 1) % cnt.k) + 1
+         WHERE w.s + 1 < 8 * cnt.k),
+       fin AS (SELECT w.grp, w.bta
+         FROM w JOIN cnt ON cnt.grp = w.grp AND w.s = 8 * cnt.k - 1)
+       SELECT fin.grp AS lang, CAST(cnt.k AS BIGINT) AS n_times,
+         cnt.events, (fin.bta > 0) AS direction,
+         CAST(row_number() OVER (ORDER BY fin.bta DESC, fin.grp)
+           AS BIGINT) AS beta_rank
+       FROM fin JOIN cnt ON cnt.grp = fin.grp"""
+  }
+
+  /** q278: Breslow baseline cumulative hazard
+    * ([[graft.operators.Survival.breslowBaseline]]) — the absolute
+    * survival readout over the q272 Cox fixture: Ĥ₀(t) accumulated on
+    * the life-table grain under the fitted β̂, with Ŝ₀ = e^(−Ĥ₀).
+    * Life-table integers (n_times, events) gate hash-exact; the
+    * float surface gates as the q272 rank discipline — the cross-lang
+    * rank of the final Ĥ₀ (fixture gaps ≥ 0.028) and the baseline
+    * MEDIAN-survival time t_half = first t with Ŝ₀ < 0.5 (the
+    * closest any Ŝ₀ sits to 0.5 on the fixture is 4.0e-4, eleven
+    * orders above the ~1e-13 cross-engine e^β drift). */
+  val q278_breslow_baseline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.operators.Survival.breslowBaseline(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(col("lang"),
+          expr("(n_chars + (doc_id % 101) * 3) DIV 10").as("t"),
+          (col("doc_id") % 4 > 0).cast("long").as("e"),
+          (col("doc_id") % 101 < 50).cast("int").as("arm")),
+      "lang", "t", "e", col("arm"), iters = 8)
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_times"), sum(col("dt")).as("events"),
+        max(col("h0")).as("__h0f"),
+        min(when(col("s0") < 0.5, col("t"))).as("t_half"),
+        max((col("beta") > 0).cast("int")).as("__dir"))
+      .select(col("grp").as("lang"), col("n_times"), col("events"),
+        col("t_half"), (col("__dir") === 1).as("direction"),
+        row_number().over(Window.orderBy(col("__h0f").desc,
+          col("grp"))).cast("long").as("h0_rank"))
+  }
+
+  val q278_oracle: String = {
+    val a1 = "(CAST(f.n1t AS DOUBLE) * exp(w.bta))"
+    val p = s"($a1 / (CAST(f.nt - f.n1t AS DOUBLE) + $a1))"
+    val du = s"(CAST(f.d1 AS DOUBLE) - CAST(f.dt AS DOUBLE) * $p)"
+    val dI = s"(CAST(f.dt AS DOUBLE) * $p * (1.0 - $p))"
+    val atEnd = "((w.s + 1) % cnt.k) = cnt.k - 1"
+    val newB = s"""CASE WHEN w.ff + $dI > CAST(0 AS DOUBLE)
+        THEN greatest(CAST(-30 AS DOUBLE), least(CAST(30 AS DOUBLE),
+          w.bta + (w.u + $du) / (w.ff + $dI)))
+        ELSE w.bta END"""
+    s"""WITH RECURSIVE
+       b AS (SELECT lang AS grp,
+           (n_chars + (doc_id % 101) * 3) // 10 AS t,
+           CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS e,
+           CASE WHEN doc_id % 101 < 50 THEN 1 ELSE 0 END AS arm
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           AND doc_id IS NOT NULL),
+       c AS (SELECT grp, t,
+           sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+           sum(e) AS dt,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS m1,
+           count(*) AS m
+         FROM b GROUP BY 1, 2),
+       rk AS (SELECT grp, t, d1, dt,
+           sum(m1) OVER (PARTITION BY grp)
+             - coalesce(sum(m1) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1t,
+           sum(m) OVER (PARTITION BY grp)
+             - coalesce(sum(m) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nt
+         FROM c),
+       f AS (SELECT grp, t, CAST(d1 AS BIGINT) AS d1,
+           CAST(dt AS BIGINT) AS dt, CAST(n1t AS BIGINT) AS n1t,
+           CAST(nt AS BIGINT) AS nt,
+           row_number() OVER (PARTITION BY grp ORDER BY t) AS i
+         FROM rk WHERE dt > 0 AND nt >= 2),
+       cnt AS (SELECT grp, count(*) AS k,
+           CAST(sum(dt) AS BIGINT) AS events FROM f GROUP BY 1),
+       w AS (SELECT grp, -1 AS s, CAST(0 AS DOUBLE) AS bta,
+             CAST(0 AS DOUBLE) AS u, CAST(0 AS DOUBLE) AS ff
+           FROM cnt
+         UNION ALL
+         SELECT w.grp, w.s + 1,
+           CASE WHEN $atEnd THEN $newB ELSE w.bta END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.u + $du END,
+           CASE WHEN $atEnd THEN CAST(0 AS DOUBLE)
+             ELSE w.ff + $dI END
+         FROM w
+         JOIN cnt ON cnt.grp = w.grp
+         JOIN f ON f.grp = w.grp AND f.i = ((w.s + 1) % cnt.k) + 1
+         WHERE w.s + 1 < 8 * cnt.k),
+       fin AS (SELECT w.grp, w.bta
+         FROM w JOIN cnt ON cnt.grp = w.grp AND w.s = 8 * cnt.k - 1),
+       h AS (SELECT f.grp, f.t, f.dt, fin.bta,
+           sum(CAST(f.dt AS DOUBLE)
+               / (CAST(f.nt - f.n1t AS DOUBLE)
+                  + CAST(f.n1t AS DOUBLE) * exp(fin.bta)))
+             OVER (PARTITION BY f.grp ORDER BY f.t) AS h0
+         FROM f JOIN fin ON fin.grp = f.grp),
+       g AS (SELECT grp, count(*) AS n_times,
+           CAST(sum(dt) AS BIGINT) AS events,
+           max(h0) AS h0f,
+           min(CASE WHEN exp(-h0) < 0.5 THEN t END) AS t_half,
+           max(CASE WHEN bta > 0 THEN 1 ELSE 0 END) AS dir
+         FROM h GROUP BY 1)
+       SELECT grp AS lang, CAST(n_times AS BIGINT) AS n_times,
+         events, CAST(t_half AS BIGINT) AS t_half,
+         (dir = 1) AS direction,
+         CAST(row_number() OVER (ORDER BY h0f DESC, grp)
+           AS BIGINT) AS h0_rank
+       FROM g"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q278_breslow_baseline" -> q278_breslow_baseline,
+    "q277_cox_efron" -> q277_cox_efron,
+    "q276_multi_fit" -> q276_multi_fit,
     "q275_msprt_ratio" -> q275_msprt_ratio,
     "q274_cox_stratified" -> q274_cox_stratified,
     "q273_linear_fit" -> q273_linear_fit,
@@ -6293,6 +6580,9 @@ object TextQueries {
     "q35_langid" -> q35_langid)
 
   val oracles: Map[String, String] = Map(
+    "q278_breslow_baseline" -> q278_oracle,
+    "q277_cox_efron" -> q277_oracle,
+    "q276_multi_fit" -> q276_oracle,
     "q275_msprt_ratio" -> q275_oracle,
     "q274_cox_stratified" -> q274_oracle,
     "q273_linear_fit" -> q273_oracle,

@@ -746,6 +746,117 @@ class StatsSpec extends SparkSuite {
         m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))), ovf.toString)
   }
 
+  test("multiFit: recovers an exact plane with r2 == 1 bit-exact; " +
+      "agrees with an independent double-precision normal-equation " +
+      "solve on a scatter; collinear covariates -> NULL; a dead " +
+      "covariate reduces to linearFit; weights replicate; overflow " +
+      "and negative weights raise") {
+    // exact plane y = 4 + 3*x1 - 2*x2 over a non-degenerate grid
+    val plane = for (a <- 0L to 3L; b <- 0L to 2L)
+      yield ("pl", a, b, 4 + 3 * a - 2 * b, 1L)
+    // scatter with noise: cross-check against a brute-force solve
+    val scatter = (0 until 12).map { i =>
+      ("sc", (i % 4).toLong, (i % 3).toLong,
+        5L + 2 * (i % 4) - (i % 3) + (i % 5) - 2, (i % 2).toLong + 1)
+    }
+    // collinear: x2 = 2*x1 exactly -> singular Gram, NULL coeffs
+    val col2 = (0L to 4L).map(i => ("co", i, 2 * i, 7 + i, 1L))
+    val df = (plane ++ scatter ++ col2).toDF("g", "x1", "x2", "y", "w")
+    val got = Stats.multiFit(df, "g", "x1", "x2", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("pl")._4 == Some(4.0) && got("pl")._5 == Some(3.0) &&
+      got("pl")._6 == Some(-2.0) && got("pl")._7 == Some(1.0),
+      got("pl").toString)
+    assert(got("co")._4.isEmpty && got("co")._5.isEmpty &&
+      got("co")._6.isEmpty && got("co")._7.isEmpty,
+      got("co").toString)
+    // brute-force weighted normal equations in doubles for "sc"
+    locally {
+      val rows = scatter.map { case (_, x1, x2, y, w) =>
+        (x1.toDouble, x2.toDouble, y.toDouble, w.toDouble) }
+      val sw = rows.map(_._4).sum
+      val sx1 = rows.map(r => r._4 * r._1).sum
+      val sx2 = rows.map(r => r._4 * r._2).sum
+      val sy = rows.map(r => r._4 * r._3).sum
+      val s11 = rows.map(r => r._4 * r._1 * r._1).sum
+      val s12 = rows.map(r => r._4 * r._1 * r._2).sum
+      val s22 = rows.map(r => r._4 * r._2 * r._2).sum
+      val s1y = rows.map(r => r._4 * r._1 * r._3).sum
+      val s2y = rows.map(r => r._4 * r._2 * r._3).sum
+      val dD = sw * (s11 * s22 - s12 * s12) -
+        sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)
+      val d0 = sy * (s11 * s22 - s12 * s12) -
+        sx1 * (s1y * s22 - s12 * s2y) + sx2 * (s1y * s12 - s11 * s2y)
+      val d1 = sw * (s1y * s22 - s12 * s2y) -
+        sy * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s2y - s1y * sx2)
+      val d2 = sw * (s11 * s2y - s1y * s12) -
+        sx1 * (sx1 * s2y - s1y * sx2) + sy * (sx1 * s12 - s11 * sx2)
+      assert(math.abs(got("sc")._4.get - d0 / dD) < 1e-9)
+      assert(math.abs(got("sc")._5.get - d1 / dD) < 1e-9)
+      assert(math.abs(got("sc")._6.get - d2 / dD) < 1e-9)
+      // r2 in [0, 1] and below 1 (the fixture has real residuals)
+      assert(got("sc")._7.exists(r => r >= 0.0 && r < 1.0))
+    }
+    // a CONSTANT second covariate is absorbed by the intercept: b1
+    // and r2 equal linearFit on (x1, y) alone (same sums, exactly)
+    val dead = (0L to 6L).map(i =>
+      ("g", i, 5L, 3 + 2 * i + (i % 3), 1L))
+    val mf = Stats.multiFit(dead.toDF("g", "x1", "x2", "y", "w"),
+        "g", "x1", "x2", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    val lf = Stats.linearFit(dead.map(t => (t._1, t._2, t._4, t._5))
+        .toDF("g", "x", "y", "w"), "g", "x", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // constant x2 makes the Gram singular in the (1, x2) block ONLY
+    // if treated as a third direction — here [1, x2] are collinear,
+    // so D = 0 and multiFit reports NULL (honest), while linearFit
+    // fits the line. Pin exactly that contract:
+    assert(mf._4.isEmpty && mf._5.isEmpty,
+      s"constant covariate must read as singular, got $mf")
+    assert(lf._4.nonEmpty)
+    // integer weights ARE replication
+    val wDf = Seq(("g", 1L, 2L, 2L, 3L), ("g", 4L, 0L, 9L, 1L),
+      ("g", 2L, 5L, 3L, 1L)).toDF("g", "x1", "x2", "y", "w")
+    val rDf = (Seq.fill(3)(("g", 1L, 2L, 2L, 1L)) ++
+      Seq(("g", 4L, 0L, 9L, 1L), ("g", 2L, 5L, 3L, 1L)))
+      .toDF("g", "x1", "x2", "y", "w")
+    val wF = Stats.multiFit(wDf, "g", "x1", "x2", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    val rF = Stats.multiFit(rDf, "g", "x1", "x2", "y", Some("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(wF._3 == rF._3 && wF._4 == rF._4 && wF._5 == rF._5 &&
+      wF._6 == rF._6 && wF._7 == rF._7, s"$wF vs $rF")
+    def causes(th: Throwable): Seq[Throwable] =
+      if (th == null) Nil else th +: causes(th.getCause)
+    val neg = intercept[Exception] {
+      Stats.multiFit(Seq(("g", 1L, 1L, 1L, -1L))
+          .toDF("g", "x1", "x2", "y", "w"),
+        "g", "x1", "x2", "y", Some("w")).collect()
+    }
+    assert(causes(neg).exists(c => Option(c.getMessage)
+      .exists(_.contains("weights must be"))), neg.toString)
+    // 38-digit overflow in the determinant product tree must raise
+    // loudly, never read as NULL/collinear: x1,x2 ~ 9e15 make
+    // s11,s22 ~ 2e32 each (per-row products still fit 38 digits),
+    // so the s11*s22 term inside D overflows
+    val ovf = intercept[Exception] {
+      Stats.multiFit((0L to 2L).map(i =>
+          ("g", 9000000000000000L + i, 8000000000000000L - i * i,
+            i + 1, 1L))
+          .toDF("g", "x1", "x2", "y", "w"),
+        "g", "x1", "x2", "y", Some("w")).collect()
+    }
+    assert(causes(ovf).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("38 digits") || m.contains("overflow") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))), ovf.toString)
+  }
+
   test("group-sequential boundary constants reproduce the nominal " +
       "type-I error under a brute-force sequential simulation " +
       "(400k Brownian paths per design), and OBF spends less early " +

@@ -282,4 +282,146 @@ class SurvivalSpec extends SparkSuite {
     assert(math.abs(pooled._4 - got("mx")._4) > 1e-3,
       s"pooled ${pooled._4} should differ from stratified")
   }
+
+  test("breslowBaseline: identical arms (beta = 0) reduce EXACTLY to " +
+      "pooled Nelson-Aalen increments dt/nt; exp(-H0) brackets and " +
+      "tracks the pooled KM curve; S1 = S0^(e^beta) pointwise; life " +
+      "table integers match coxTwoArm's") {
+    // identical arms: beta = 0 exactly, so H0 increments are dt/nt
+    val same = Seq((1L, 1L), (2L, 1L), (4L, 0L), (5L, 1L), (7L, 1L))
+      .flatMap { case (t, e) => Seq(("eq", t, e, 0), ("eq", t, e, 1)) }
+    val df = same.toDF("g", "t", "e", "arm")
+    val got = Survival.breslowBaseline(df, "g", "t", "e", col("arm"))
+      .orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Long, Double, Double,
+        Double, Double)]
+      .collect()
+    assert(got.forall(_._7 == 0.0), "identical arms must fit beta 0")
+    // hand-walk Nelson-Aalen on the pooled table (10 subjects)
+    var h = 0.0
+    val expected = got.map { r =>
+      h += r._4.toDouble / r._6.toDouble // dt/nt at beta=0
+      (r._2, h)
+    }
+    got.zip(expected).foreach { case (r, (t, hExp)) =>
+      assert(r._2 == t && math.abs(r._8 - hExp) < 1e-12,
+        s"NA mismatch at t=$t: ${r._8} vs $hExp")
+      assert(math.abs(r._9 - math.exp(-hExp)) < 1e-12)
+      // beta = 0: both arms share the baseline curve
+      assert(r._9 == r._10, "S1 must equal S0 at beta 0")
+    }
+    // exp(-H0) >= KM product-limit ALWAYS (1-x <= e^-x termwise),
+    // and the two agree to O(sum d/n^2) on this fixture
+    var km = 1.0
+    got.foreach { r =>
+      val frac = r._4.toDouble / r._6.toDouble
+      km *= 1.0 - frac
+      assert(r._9 >= km - 1e-12,
+        s"exp(-H0)=${r._9} must dominate KM=$km")
+      // the O(d/n²) agreement bound holds away from risk-set
+      // exhaustion — at the final time everyone dies (KM hits 0
+      // while e^-H stays positive), the textbook divergence
+      if (frac < 0.5)
+        assert(math.abs(r._9 - km) < 0.1,
+          s"NA vs KM drifted: ${r._9} $km")
+    }
+    // a real two-arm fixture: the proportional-hazards readout is
+    // S1 = S0^(e^beta) POINTWISE by construction, and the life-table
+    // integers equal coxTwoArm's (same builder, spec-pinned)
+    val mix = (Seq((1L, 1L), (2L, 1L), (2L, 1L), (4L, 1L), (6L, 0L),
+        (9L, 1L)).map { case (t, e) => ("mx", t, e, 1) }) ++
+      (Seq((2L, 1L), (5L, 1L), (7L, 1L), (8L, 0L), (10L, 1L),
+        (11L, 0L)).map { case (t, e) => ("mx", t, e, 0) })
+    val mxDf = mix.toDF("g", "t", "e", "arm")
+    val bb = Survival.breslowBaseline(mxDf, "g", "t", "e", col("arm"))
+      .orderBy(col("t"))
+      .as[(String, Long, Long, Long, Long, Long, Double, Double,
+        Double, Double)]
+      .collect()
+    val cox = Survival.coxTwoArm(mxDf, "g", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(bb.head._7 == cox._4, "beta must equal coxTwoArm's")
+    assert(bb.length.toLong == cox._2 && bb.map(_._4).sum == cox._3,
+      "life-table shape must match coxTwoArm")
+    bb.foreach { r =>
+      assert(math.abs(r._10 - math.pow(r._9, math.exp(r._7))) < 1e-12,
+        s"S1 != S0^(e^beta) at t=${r._2}")
+      assert(r._8 > 0 && r._9 > 0 && r._9 <= 1.0 + 1e-15)
+    }
+    // H0 is nondecreasing in t
+    assert(bb.sliding(2).forall(p => p(0)._8 <= p(1)._8))
+  }
+
+  test("coxTwoArmEfron: no ties ⇒ equals Breslow bit-exactly; " +
+      "identical arms give beta exactly 0; a tie-heavy fixture " +
+      "matches an INDEPENDENT golden-section maximizer of the TRUE " +
+      "Efron partial likelihood and sits farther from 0 than " +
+      "Breslow (whose same-risk-set approximation attenuates)") {
+    // all-distinct times: the tie expansion is the identity (one
+    // sub-row per time, j = 0, fr = 0) — the fold walks the SAME
+    // rows with the SAME arithmetic, so beta matches bit-for-bit
+    val noTies = (Seq((1L, 1L), (3L, 1L), (4L, 0L), (6L, 1L),
+        (9L, 1L)).map { case (t, e) => ("nt", t, e, 1) }) ++
+      (Seq((2L, 1L), (5L, 1L), (7L, 0L), (8L, 1L), (10L, 1L))
+        .map { case (t, e) => ("nt", t, e, 0) })
+    val ntDf = noTies.toDF("g", "t", "e", "arm")
+    val efNoTies = Survival.coxTwoArmEfron(ntDf, "g", "t", "e",
+        col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    val brNoTies = Survival.coxTwoArm(ntDf, "g", "t", "e",
+        col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(efNoTies._4 == brNoTies._4,
+      s"tie-free Efron ${efNoTies._4} != Breslow ${brNoTies._4}")
+    // identical arms: p_j = 1/2 at every sub-row, U(0) = 0 exactly
+    val same = Seq((1L, 1L), (2L, 1L), (2L, 1L), (5L, 0L))
+      .flatMap { case (t, e) => Seq(("eq", t, e, 0), ("eq", t, e, 1)) }
+    val eq = Survival.coxTwoArmEfron(same.toDF("g", "t", "e", "arm"),
+        "g", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(eq._4 == 0.0, s"identical arms: $eq")
+    // tie-heavy fixture: 3 times, many tied deaths each, real effect
+    val ties = (Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L),
+        (3L, 0L), (3L, 1L)).map { case (t, e) => ("tz", t, e, 1) }) ++
+      (Seq((1L, 1L), (2L, 1L), (2L, 1L), (3L, 1L), (3L, 1L),
+        (3L, 1L), (3L, 0L)).map { case (t, e) => ("tz", t, e, 0) })
+    val tzDf = ties.toDF("g", "t", "e", "arm")
+    val ef = Survival.coxTwoArmEfron(tzDf, "g", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    val br = Survival.coxTwoArm(tzDf, "g", "t", "e", col("arm"))
+      .as[(String, Long, Long, Double)].collect().head
+    // events == tie-expansion sub-rows
+    val rows = ties.map { case (_, t, e, a) => (t, e, a) }
+    val events = rows.count(_._2 == 1L).toLong
+    assert(ef._2 == events && ef._3 == events, ef.toString)
+    // INDEPENDENT maximizer of the true Efron partial log-likelihood
+    // L(b) = Σ_t [b·d1 − Σ_{j<d} ln(R_j(b))] — no Newton, no fold
+    val times = rows.filter(_._2 == 1L).map(_._1).distinct.sorted
+    def logLik(b: Double): Double = times.map { t =>
+      val atRisk = rows.filter(_._1 >= t)
+      val n1 = atRisk.count(_._3 == 1).toDouble
+      val n0 = atRisk.size - n1
+      val dt = rows.count(r => r._1 == t && r._2 == 1L).toDouble
+      val d1 = rows.count(r => r._1 == t && r._2 == 1L && r._3 == 1)
+        .toDouble
+      b * d1 - (0 until dt.toInt).map { j =>
+        val fr = j / dt
+        math.log((n0 - fr * (dt - d1)) + (n1 - fr * d1) * math.exp(b))
+      }.sum
+    }.sum
+    val phi = (math.sqrt(5.0) - 1) / 2
+    var (lo, hi) = (-30.0, 30.0)
+    while (hi - lo > 1e-11) {
+      val (a, b) = (hi - phi * (hi - lo), lo + phi * (hi - lo))
+      if (logLik(a) < logLik(b)) lo = a else hi = b
+    }
+    val bStar = (lo + hi) / 2
+    assert(math.abs(ef._4 - bStar) < 1e-6,
+      s"Newton ${ef._4} vs golden-section $bStar")
+    // the attenuation story: with heavy ties Breslow's estimate sits
+    // closer to 0 than Efron's on the same data (textbook direction)
+    assert(ef._4 > 0.0 && br._4 > 0.0, s"$ef / $br")
+    assert(math.abs(br._4) < math.abs(ef._4),
+      s"Breslow ${br._4} should attenuate vs Efron ${ef._4}")
+  }
 }
