@@ -21,8 +21,15 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLANS_ONLY=q124,q141 → subset (prefix match), the
+    // BENCH_ONLY pattern — per-query before/after dumps for the r18
+    // optimization evidence without re-planning the whole registry
+    val only = sys.env.get("SPARK_GRAFT_PLANS_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       sb.append(s"==== $name ====\n")
       val plan =
         try fn(spark, sfDir).queryExecution.explainString(
@@ -38,7 +45,7 @@ object Plans {
       sb.append(cleaned).append("\n\n")
     }
     Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
-    println(s"[plans] wrote ${SparkEntry.queries.size} plans to $out")
+    println(s"[plans] wrote ${selected.size} plans to $out")
     spark.stop()
   }
 }

@@ -49,25 +49,25 @@ object Cluster {
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Argmin struct (d2, cluster) of a quantized long-array column
-    * against inlined centroid literals — the exact (distance,
-    * lowest-id) tiebreak via lexicographic least(). Pure projection:
-    * no join, no shuffle, codegen'd. */
+    * against an embedded centroid matrix — the exact (distance,
+    * lowest-id) tiebreak. Pure projection: no join, no shuffle,
+    * whole-stage codegen via [[graft.expressions.NearestCentroidLong]]
+    * (r18: the previous least() over k struct(aggregate(zip_with))
+    * subtrees was the same arithmetic but interpreted — higher-order
+    * functions have no codegen — and its literal tree grew the plan by
+    * ~50 KB per argmin; the native loop kernel measured the PQ encode
+    * family ~2-3× faster at sf0.1 with bit-identical output). */
   def nearestExpr(qvec: Column, cents: Array[Array[Long]]): Column = {
-    // expression size grows with k·d; the coarse regime (k ≤ a few
-    // hundred) is the design point — beyond it, plan/codegen cost
-    // dominates and the IVF trainer's NearestCentroid matrix path
-    // (Similarity.scala) is the right tool. Guard loudly rather than
-    // degrade silently.
+    // k is still bounded: the centroid matrix rides the plan as one
+    // reference object (k·d longs) broadcast with the task binary —
+    // the coarse regime (k ≤ a few hundred) is the design point; far
+    // beyond it, train/probe through the IVF index layout instead.
     require(cents.length <= 1024,
-      s"nearestExpr inlines ${cents.length} centroid literals; beyond " +
+      s"nearestExpr embeds ${cents.length} centroids; beyond " +
         "1024 use the IVF NearestCentroid matrix path instead")
-    least(cents.zipWithIndex.map { case (c, j) =>
-      struct(
-        aggregate(
-          zip_with(qvec, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
-        lit(j).as("cluster"))
-    }.toIndexedSeq: _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.NearestCentroidLong(
+      GraftColumnBridge.expression(qvec), cents.map(_.toSeq).toSeq))
   }
 
   /** Train centroids only (`updates` Lloyd rounds from the

@@ -89,4 +89,49 @@ class ClusterSpec extends SparkSuite {
     assert(got == ref(vecs, k = 2, updates = 2))
     assert(got(3L)._1 == 0 && got(1L)._1 == 1) // the recapture happened
   }
+
+  // r18: nearestExpr moved from least(struct(aggregate(zip_with)))
+  // — interpreted higher-order functions, k·d-literal plan bloat — to
+  // the native NearestCentroidLong codegen kernel. Same contract:
+  // exact long d2, ties to the lowest cluster id, ragged input refused.
+  test("nearestExpr (native kernel) matches the interpreted " +
+      "least(struct(aggregate(zip_with))) formulation, including ties") {
+    def oldExpr(qvec: org.apache.spark.sql.Column,
+        cents: Array[Array[Long]]): org.apache.spark.sql.Column =
+      least(cents.zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(
+            zip_with(qvec, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(j).as("cluster"))
+      }.toIndexedSeq: _*)
+    val cents = Array(
+      Array(0L, 0L, 0L), Array(10L, -4L, 7L), Array(10L, -4L, 7L),
+      Array(-3L, 2L, 1L))
+    val rnd = new scala.util.Random(42)
+    val vecs = (1L to 64L).map(i =>
+      (i, Seq.fill(3)(rnd.nextLong(21) - 10))) :+
+      (65L, Seq(10L, -4L, 7L)) // exact tie between centroids 1 and 2
+    val df = vecs.toDF("id", "v")
+    val both = df.select($"id",
+        Cluster.nearestExpr($"v", cents).as("nw"),
+        oldExpr($"v", cents).as("od"))
+      .select($"id", $"nw.d2", $"nw.cluster", $"od.d2", $"od.cluster")
+      .as[(Long, Long, Int, Long, Int)].collect()
+    both.foreach { case (id, nd2, nc, od2, oc) =>
+      assert(nd2 == od2 && nc == oc, s"id=$id: ($nd2,$nc) != ($od2,$oc)")
+    }
+    val tie = both.find(_._1 == 65L).get
+    assert(tie._2 == 0L && tie._3 == 1) // lowest-id wins the tie
+  }
+
+  test("nearestExpr refuses ragged vectors loudly (stored-assignment " +
+      "corruption guard, the MatVecLong discipline)") {
+    val cents = Array(Array(0L, 0L, 0L))
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1L, 2L))).toDF("id", "v")
+        .select(Cluster.nearestExpr($"v", cents)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
