@@ -51,6 +51,28 @@ object TextFunctions {
       GraftColumnBridge.expression(text), n))
   }
 
+  /** |A ∩ B| over two ASC-sorted duplicate-free array<string> columns —
+    * size(array_intersect(a, b)) as one allocation-free merge walk
+    * ([[graft.expressions.SortedIntersectCount]]). The rerank step of
+    * every candidate-join operator evaluates this once PER CANDIDATE
+    * PAIR; sort the arrays once per document (array_sort) and the pair
+    * cost drops from hash-set-plus-result-array to two pointers. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Sparse integer dot over two array<struct<key,cnt>> posting lists
+    * sorted ASC by key ([[graft.expressions.SortedEntriesDot]]) — the
+    * per-pair replacement for the interpreted
+    * aggregate(map_values(map_zip_with(...))) fold. */
+  def sortedEntriesDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.SortedEntriesDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Content fingerprint for exact / normalized dedup (md5 of lowercased
     * text — stable across engines, unlike engine-native hash functions). */
   def fingerprint(text: Column): Column = md5(lower(text))

@@ -142,9 +142,11 @@ object Dedup {
   def ngramJaccardPairsCapped(docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3, minJaccard: Double = 0.1,
       maxDf: Int = 1000): DataFrame = {
+    // arrays sorted once per doc so the per-pair rerank runs the
+    // allocation-free merge-walk kernel (r18, the PrefixJoin note)
     val sh = docs.select(
       col(idCol).as("id"),
-      distinctShingles(col(textCol), n).as("shingles"))
+      array_sort(distinctShingles(col(textCol), n)).as("shingles"))
       .repartition(col("id"))
     val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
     val rare = ex.groupBy(col("s"))
@@ -159,7 +161,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
       .withColumn("jac",
@@ -262,9 +264,11 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     import org.apache.spark.sql.GraftColumnBridge
+    // sorted per doc for the merge-walk rerank (r18, PrefixJoin note);
+    // band hashing is a min over elements — order-independent
     val sh = docs.select(
       col(idCol).as("id"),
-      distinctShingles(col(textCol), n).as("shingles"))
+      array_sort(distinctShingles(col(textCol), n)).as("shingles"))
       .repartition(col("id")) // materialize once; rerank reuses it below
     // Per-row native MinHash→band hashes (one string hash per shingle +
     // k universal-hash mixes, bands folded inside the same expression —
@@ -299,7 +303,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
     withSets
       .withColumn("common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
       .withColumn("jac",
@@ -408,8 +412,10 @@ object Dedup {
     def bandArr(c: Column) = GraftColumnBridge.column(
       graft.expressions.LshBandHashes(
         GraftColumnBridge.expression(c), k, bands))
+    // sorted per doc for the merge-walk rerank (r18); band hashing is
+    // a min over elements — order-independent
     val bsh = batch.select(col(idCol).as("id_b"),
-        distinctShingles(col(textCol), n).as("sh_b"))
+        array_sort(distinctShingles(col(textCol), n)).as("sh_b"))
       .withColumn("bands", bandArr(col("sh_b")))
       .localCheckpoint() // small by contract; planned once, broadcast twice
     val bBuckets = bsh.select(col("id_b"),
@@ -431,13 +437,13 @@ object Dedup {
     // column-pruned, shuffles are what the corpus must never pay
     val candIds = cand.select(col("id_c")).distinct()
     val csh = corpus.select(col(idCol).as("id_c"),
-        distinctShingles(col(textCol), n).as("sh_c"))
+        array_sort(distinctShingles(col(textCol), n)).as("sh_c"))
       .join(broadcast(candIds), Seq("id_c"))
     cand
       .join(broadcast(bsh.select(col("id_b"), col("sh_b"))), Seq("id_b"))
       .join(csh, Seq("id_c"))
       .withColumn("common",
-        size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+        sortedIntersectCount(col("sh_b"), col("sh_c")))
       .withColumn("na", size(col("sh_b")).cast("long"))
       .withColumn("nb", size(col("sh_c")).cast("long"))
       .withColumn("jac",

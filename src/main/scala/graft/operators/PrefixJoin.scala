@@ -55,9 +55,16 @@ object PrefixJoin {
     // sides) and self-join aliasing defeats ReusedExchange
     // canonicalization — without it the whole subtree re-executes per
     // consumer (the r09 hammingHalvesPairs lesson).
+    // Arrays SORTED once per doc (r18): the rerank intersects one pair
+    // of arrays PER CANDIDATE, and the sorted merge-walk kernel
+    // (sortedIntersectCount) replaced array_intersect's per-pair hash
+    // set + result array — q145's rerank dropped 4.9s → sub-second at
+    // 190k candidates. Sorting is safe everywhere this frame flows:
+    // explode feeds order-insensitive aggregates/windows with total
+    // orderings, and set size/intersection are order-free.
     val sh = docs.select(
       col(idCol).as("id"),
-      distinctShingles(col(textCol), n).as("shingles"))
+      array_sort(distinctShingles(col(textCol), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()
     val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
@@ -118,7 +125,7 @@ object PrefixJoin {
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("id_b"))
       .withColumn("common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
       // jac >= tNum/tDen as exact integers: tDen*common >= tNum*union

@@ -59,17 +59,25 @@ object SparseSim {
     // df agg, both candidate sides, both rerank sides) and self-join
     // aliasing defeats ReusedExchange — without the barrier the
     // shingle explode re-executes per consumer (r09 lesson).
+    // positionalShingles, not the HOF shingles(): same multiset of
+    // grams (so identical counts), but the HOF build re-splits the
+    // text per gram — O(tokens²) chars per document, measured 3.9-5.0s
+    // of q146's 7.0s at sf0.1 — while the native expression tokenizes
+    // once (r18; the TextFunctions.shingles scaladoc caution applied)
     val p = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("gram"))
+        explode(positionalShingles(col(textCol), n)).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    // one gram-count MAP row per doc: the rerank joins two maps per
-    // candidate pair instead of cand × |doc| posting rows — the dot
-    // walks the maps inside the row, so the rerank shuffle is bounded
-    // by the candidate count, not candidates × document size
+    // one SORTED gram-count posting array per doc: the rerank joins two
+    // arrays per candidate pair instead of cand × |doc| posting rows —
+    // the dot is one allocation-free merge walk inside the row
+    // (sortedEntriesDot; previously a map_from_entries map per doc and
+    // an interpreted aggregate(map_zip_with) fold per pair), so the
+    // rerank shuffle stays bounded by the candidate count and the
+    // per-pair cost is two pointers
     val pmap = p.groupBy(col("id"))
-      .agg(map_from_entries(collect_list(
+      .agg(sort_array(collect_list(
         struct(col("gram"), col("cnt")))).as("m"),
         sum(col("cnt") * col("cnt")).as("n2"))
       .localCheckpoint()
@@ -101,10 +109,7 @@ object SparseSim {
         col("n2").as("na2")), Seq("id_a"))
       .join(pmap.select(col("id").as("id_b"), col("m").as("mb"),
         col("n2").as("nb2")), Seq("id_b"))
-      .withColumn("dot", aggregate(
-        map_values(map_zip_with(col("ma"), col("mb"),
-          (_, a, b) => coalesce(a, lit(0L)) * coalesce(b, lit(0L)))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", sortedEntriesDot(col("ma"), col("mb")))
       .filter(lit(tDen.toLong * tDen) * col("dot") * col("dot") >=
         lit(tNum.toLong * tNum) * col("na2") * col("nb2"))
       .withColumn("cos", col("dot").cast("double")

@@ -3834,7 +3834,7 @@ object TextQueries {
   val q224_theta_intersect: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val grams = docs.select(col("source"),
-      explode(shingles(col("text"), 3)).as("tok"))
+      explode(positionalShingles(col("text"), 3)).as("tok"))
     val sk = graft.operators.Sketch.thetaSketch(grams, "source", "tok",
       k = 512)
     graft.operators.Sketch.thetaIntersectPairs(sk, k = 512)
@@ -3892,7 +3892,7 @@ object TextQueries {
   val q225_exact_intersect: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val u = docs.select(col("source"),
-        explode(shingles(col("text"), 3)).as("tok")).distinct()
+        explode(positionalShingles(col("text"), 3)).as("tok")).distinct()
       .localCheckpoint()
     val sizes = u.groupBy(col("source")).agg(count(lit(1)).as("nv"))
     u.select(col("source").as("source_a"), col("tok"))
@@ -4071,7 +4071,7 @@ object TextQueries {
   val q228_theta_setops: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val grams = docs.select(col("source"),
-      explode(shingles(col("text"), 3)).as("tok"))
+      explode(positionalShingles(col("text"), 3)).as("tok"))
     val sk = graft.operators.Sketch.thetaSketch(grams, "source", "tok",
       k = 512)
     graft.operators.Sketch.thetaSetOpPairs(sk, k = 512)
@@ -4162,7 +4162,7 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val grams = docs.select(
       concat_ws("/", col("lang"), col("source")).as("shard"),
-      col("lang"), explode(shingles(col("text"), 3)).as("tok"))
+      col("lang"), explode(positionalShingles(col("text"), 3)).as("tok"))
     val shardSk = graft.operators.Sketch.thetaSketch(grams, "shard",
       "tok", k = 512)
     // re-key shard sketches to their language and merge
@@ -4380,7 +4380,7 @@ object TextQueries {
     val grams = Tables.documents(s, d)
       .select(col("lang"), col("source"),
         (col("n_chars") >= 500).as("is_long"),
-        explode(shingles(col("text"), 3)).as("tok"))
+        explode(positionalShingles(col("text"), 3)).as("tok"))
       .distinct()
       .localCheckpoint()
     def est(items: org.apache.spark.sql.DataFrame,
