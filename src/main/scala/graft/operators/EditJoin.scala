@@ -115,11 +115,17 @@ object EditJoin {
         Seq("lb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // BANDED levenshtein (r18): the threshold form computes the k-band
+    // of the DP matrix and abandons early — O(k·n) per pair instead of
+    // O(n²), and the candidate set is the operator's big multiplier
+    // (1.4M pairs on the q159 gate corpus). It returns the EXACT
+    // distance whenever it is ≤ k and -1 otherwise, so dist values and
+    // the kept row set are bit-identical to the unbanded filter.
     gramCand.union(shortCand).distinct()
       .join(base.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= k)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -32,18 +32,24 @@ object PhraseSearch {
   def phraseHits(docs: DataFrame, idCol: String, textCol: String,
       phrases: DataFrame, phraseIdCol: String, termsCol: String)
       : DataFrame = {
-    val ph = phrases.select(col(phraseIdCol).as("phrase_id"),
+    // the per-start agg keys NARROW ids only (r18, guide "shuffle fewer
+    // bytes": the phrase string and plen are functionally dependent on
+    // phrase_id — carrying them through the posting-sized shuffle paid
+    // string hashing + bytes per surviving posting for columns a
+    // phrase-table broadcast re-attaches at match-count grain)
+    val meta = phrases.select(col(phraseIdCol).as("phrase_id"),
       array_join(col(termsCol), " ").as("phrase"),
-      size(col(termsCol)).as("plen"),
+      size(col(termsCol)).as("plen"))
+    val ph = phrases.select(col(phraseIdCol).as("phrase_id"),
       posexplode(col(termsCol)).as(Seq("off", "term")))
     val postings = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
     postings.join(broadcast(ph), Seq("term"))
       .withColumn("start", col("pos") - col("off"))
       .filter(col("start") >= 0)
-      .groupBy(col("doc_id"), col("phrase_id"), col("phrase"),
-        col("plen"), col("start"))
+      .groupBy(col("doc_id"), col("phrase_id"), col("start"))
       .agg(count(lit(1)).as("n_off"))
+      .join(broadcast(meta), Seq("phrase_id"))
       .filter(col("n_off") === col("plen"))
       .groupBy(col("phrase_id"), col("phrase"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -61,33 +61,25 @@ object Pq {
     * Hadamard trick, arXiv:1408.3060).
     *
     * Plan shape: ONE per-row projection, no shuffle, no join, nothing
-    * driver-side. The butterfly runs over d SCALAR expressions, not
-    * chained array-transform stages: a chained-stage formulation dies
-    * at plan time — Catalyst inlines each stage's array into the
-    * element_at calls of the next, so evaluating one element re-walks
-    * the whole previous transform and the cost explodes as (2d)^log d
-    * (observed: minutes of spin at d=64). With scalars, even fully
-    * inlined, each output element is a ±-tree over at most d input
-    * elements — d² simple codegen-able ops per row, and codegen's
-    * common-subexpression elimination recovers most of the butterfly
-    * sharing. Component growth is ≤ d·max|x|: for unit-norm vectors
-    * at scale 10⁴ that is 6.4×10⁵ at d=64, leaving squared distances
-    * ~10¹³ — far inside long range. */
+    * driver-side — the d·log d butterfly loop as a native kernel
+    * inside whole-stage codegen ([[graft.expressions.FwhtLong]],
+    * bit-identical to [[fwhtLocal]]). History of this shape: a
+    * chained array-transform formulation dies at plan time (Catalyst
+    * inlines each stage into the next's element_at — (2d)^log d
+    * blowup, minutes of spin at d=64); the d² scalar ±-tree that
+    * replaced it was codegen-able but its kilobytes of generated
+    * straight-line adds made janino compile time the query's dominant
+    * cost at bench scale (r18 q128 measurement) and every Lloyd-round
+    * re-plan re-walked the tree. Component growth is ≤ d·max|x|: for
+    * unit-norm vectors at scale 10⁴ that is 6.4×10⁵ at d=64, leaving
+    * squared distances ~10¹³ — far inside long range. */
   def hadamardRotate(q: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"dim must be a power of two, got $dim")
-    var cols: Array[Column] =
-      Array.tabulate(dim)(j => element_at(col(vecCol), j + 1))
-    var h = 1
-    while (h < dim) {
-      val prev = cols
-      cols = Array.tabulate(dim) { i =>
-        if ((i & h) == 0) prev(i) + prev(i + h)
-        else prev(i - h) - prev(i)
-      }
-      h <<= 1
-    }
-    q.withColumn(vecCol, array(cols.toIndexedSeq: _*))
+    import org.apache.spark.sql.GraftColumnBridge
+    q.withColumn(vecCol, GraftColumnBridge.column(
+      graft.expressions.FwhtLong(
+        GraftColumnBridge.expression(col(vecCol)), dim)))
   }
 
   /** [[encode]] with the [[hadamardRotate]] pre-rotation: quantize →

@@ -214,29 +214,43 @@ object Similarity {
       s"$numTables tables x $planesPerTable planes needs " +
         s"${numTables * planesPerTable} coordinates but dim=$dim")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    def buckets(df: DataFrame, vec: String, id: String, outId: String,
-        outVec: String): DataFrame = {
+    // Buckets carry IDS ONLY (r18, guide §8 "decide with small rows,
+    // move big rows once"): the previous shape exploded each side's
+    // full vector numTables× and shipped two vectors per collided
+    // (pair, table) row through the bucket join and the pair-dedup
+    // shuffle. Pairs are now deduped on (src_id, dst_id) first and the
+    // vectors attach ONCE per distinct pair — each side's vectors
+    // cross an exchange at most once (no hint: AQE broadcasts the
+    // sides when they fit, shuffles once when they don't) — and cos
+    // per pair is computed exactly once, so the max() dedup is no
+    // longer needed (it was exact dedup, not an approximation, so the
+    // output is unchanged).
+    def buckets(df: DataFrame, vec: String, id: String,
+        outId: String): DataFrame = {
       val bs = (0 until numTables).map { t =>
         (0 until planesPerTable).map { j =>
           when(element_at(col(vec), t * planesPerTable + j + 1)
             .cast("double") >= lit(0.0), lit(1L << j)).otherwise(lit(0L))
         }.reduceLeft(_ + _)
       }
-      df.select(col(id).as(outId), col(vec).as(outVec),
+      df.select(col(id).as(outId),
           posexplode(array(bs: _*)).as(Seq("__t", "__bucket")))
         .withColumn("__r", row_number().over(Window
           .partitionBy(col("__t"), col("__bucket")).orderBy(col(outId))))
         .filter(col("__r") <= maxBucket)
         .drop("__r")
     }
-    buckets(left, lVec, lId, "src_id", "__lv")
-      .join(buckets(right, rVec, rId, "dst_id", "__rv"),
-        Seq("__t", "__bucket"))
-      .groupBy(col("src_id"), col("dst_id"))
-      // the pair may collide in several tables; cos is identical per
-      // pair, so max() is an exact dedup, not an approximation
-      .agg(max(dot(col("__lv"), col("__rv"))
-        / (norm(col("__lv")) * norm(col("__rv")))).as("cos"))
+    val pairs = buckets(left, lVec, lId, "src_id")
+      .join(buckets(right, rVec, rId, "dst_id"), Seq("__t", "__bucket"))
+      .select(col("src_id"), col("dst_id")).distinct()
+    pairs
+      .join(left.select(col(lId).as("src_id"), col(lVec).as("__lv")),
+        Seq("src_id"))
+      .join(right.select(col(rId).as("dst_id"), col(rVec).as("__rv")),
+        Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        (dot(col("__lv"), col("__rv"))
+          / (norm(col("__lv")) * norm(col("__rv")))).as("cos"))
   }
 
   /** The margin tail over an arbitrary candidate table
