@@ -38,13 +38,20 @@ object Bpe {
     val chars = transform(
       sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
+    // aggregate to the (word, count) table FIRST — the trainMerges
+    // vocabulary shape (r18): the char-pair explode is an interpreted
+    // higher-order chain, and running it once per DISTINCT word with
+    // count-weighted sums instead of once per word instance cuts its
+    // evaluations by the corpus's word-repetition factor. n is the
+    // same sum, ties unchanged.
     docs.select(w).filter(length(col("word")) >= 2)
-      .select(explode(zip_with(
+      .groupBy(col("word")).agg(count(lit(1)).as("__nw"))
+      .select(col("__nw"), explode(zip_with(
         slice(chars, lit(1), size(chars) - 1),
         slice(chars, lit(2), size(chars) - 1),
         (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__nw")).as("n"))
       .orderBy(col("n").desc, col("x"), col("y"))
       .limit(k)
   }

@@ -112,7 +112,11 @@ object Labeling {
           greatest(lit(1L), expr(
             s"(coalesce(wi, 0L) * $s2) div greatest(coalesce(den, 1L), 1L)"))
             .as("r"))
-      g = if (it == iters - 1) next else next.localCheckpoint()
+      // lineage cut every 8 rounds, not every round (r18, the
+      // Graph.cpCadence rationale): per-round checkpoints are eager
+      // jobs that dominated short fixed-iteration walks
+      g = if (it != iters - 1 && (it + 1) % 8 == 0) next.localCheckpoint()
+          else next
       it += 1
     }
     g.select(col("item"), col("r").as("strength"))
