@@ -779,7 +779,7 @@ object Dedup {
     var labels = ids
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the seed checksum materializes it
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp")).cast("decimal(38,0)")).head()
         .getDecimal(0)
@@ -789,9 +789,13 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
+      // LAZY checkpoint (r18): the eager form ran one job to
+      // materialize and a second for the checksum; the checksum action
+      // materializes the lazy checkpoint itself, so each round is ONE
+      // job and the next round still reads the cached partitions.
       val next = labels.union(nbr)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = checksum(next)
       converged = s == prev
       prev = s
@@ -852,7 +856,7 @@ object Dedup {
       edges = relinked
         .union(mins2.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the checksum materializes it
       val s = checksum(edges)
       converged = s == prev
       prev = s
