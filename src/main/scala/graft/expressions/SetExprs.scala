@@ -32,6 +32,23 @@ object SortedMerge {
     c
   }
 
+  /** |A ∩ B| of two ASC-sorted duplicate-free LONG arrays — the
+    * hashed-token variant of [[intersectCount]] (primitive compares,
+    * no UTF8String walks). Callers must prove the long mapping is
+    * injective on their corpus before counting on it (PrefixJoin
+    * checks count-distinct parity and falls back to strings). */
+  def intersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Σ_g cnt_a(g)·cnt_b(g) over two entry arrays sorted ASC by key —
     * rows are struct(key: string, cnt: long), keys unique per side
     * (a gram-count posting list). Only common keys contribute,
@@ -82,6 +99,38 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.expressions.SortedMerge.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** [[SortedIntersectCount]] over ASC-sorted duplicate-free
+  * array<bigint> columns — primitive-long merge walk. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure("sorted_long_intersect_count needs two " +
+            s"array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedMerge.intersectCountLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SortedMerge" +
+        s".intersectCountLong($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)

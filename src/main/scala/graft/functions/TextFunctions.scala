@@ -63,6 +63,16 @@ object TextFunctions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** [[sortedIntersectCount]] over ASC-sorted duplicate-free
+    * array<bigint> columns — the hashed-token fast path (primitive
+    * compares). Only exact when the hash is injective on the corpus;
+    * callers must verify (count-distinct parity) and fall back. */
+  def sortedLongIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.SortedLongIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Sparse integer dot over two array<struct<key,cnt>> posting lists
     * sorted ASC by key ([[graft.expressions.SortedEntriesDot]]) — the
     * per-pair replacement for the interpreted

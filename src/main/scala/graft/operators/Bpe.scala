@@ -137,6 +137,7 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var prev: Option[DataFrame] = None
     var r = 0
     var dry = false
     while (r < rounds && !dry) {
@@ -158,17 +159,25 @@ object Bpe {
         // apply ONLY the new merge to the previous round's persisted
         // state — the single-element transform binds the fold input
         // so the three split() references inside mergeFold re-split a
-        // bound string, not the upstream plan (the wordPieces lesson)
+        // bound string, not the upstream plan (the wordPieces lesson).
+        // The parent stays cached until the NEXT round's argmax collect
+        // has materialized this frame (r18: the eager next.count() was
+        // one extra job per round whose only purpose was ordering the
+        // unpersist; deferring the unpersist one round gets the same
+        // one-stage-deep lineage with half the actions — at most two
+        // vocabulary generations are cached at once, same as before,
+        // where parent+child coexisted during the count()).
         val next = vocab.select(col("nw"),
           element_at(transform(array(col("syms")),
             v => mergeFold(split(v, " "), x, y)), 1).as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
+        prev.foreach(_.unpersist()) // materialized by THIS round's collect
+        prev = Some(vocab)
         vocab = next
       }
       r += 1
     }
+    prev.foreach(_.unpersist())
     vocab.unpersist()
     out.toSeq
   }

@@ -62,11 +62,27 @@ object PrefixJoin {
     // 190k candidates. Sorting is safe everywhere this frame flows:
     // explode feeds order-insensitive aggregates/windows with total
     // orderings, and set size/intersection are order-free.
+    // hsh = the shingle set as sorted xxhash64 TOKENS: when the hash is
+    // injective on this corpus (verified below — one count-distinct
+    // parity aggregate), |A∩B| on hashes equals |A∩B| on strings and
+    // the per-pair walk compares primitive longs instead of UTF8
+    // strings (~10× per element). Injectivity is CHECKED, not assumed:
+    // 64-bit collisions are ~1e-9 at gate scale but real at 10¹⁰
+    // distinct shingles — on collision the rerank falls back to the
+    // exact string walk, so the output is identical in both regimes.
     val sh = docs.select(
       col(idCol).as("id"),
       array_sort(distinctShingles(col(textCol), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .withColumn("hsh",
+        array_sort(transform(col("shingles"), x => xxhash64(x))))
       .localCheckpoint()
+    val injective = {
+      val r = sh.select(explode(col("shingles")).as("s"))
+        .agg(countDistinct(col("s")).as("ns"),
+          countDistinct(xxhash64(col("s"))).as("nh")).head()
+      r.getLong(0) == r.getLong(1)
+    }
     val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
       explode(col("shingles")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -119,13 +135,18 @@ object PrefixJoin {
         lit(tNum + tDen) * ub >=
           lit(tNum) * (col("__na") + col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
+    // injective hashes ⇒ same length arrays (per-doc shingles are
+    // distinct strings ⇒ distinct hashes), so na/nb are unchanged too
+    val setCol = if (injective) "hsh" else "shingles"
+    def common(a: Column, b: Column): Column =
+      if (injective) sortedLongIntersectCount(a, b)
+      else sortedIntersectCount(a, b)
     cand
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+      .join(sh.select(col("id").as("id_a"), col(setCol).as("sh_a")),
         Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+      .join(sh.select(col("id").as("id_b"), col(setCol).as("sh_b")),
         Seq("id_b"))
-      .withColumn("common",
-        sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("common", common(col("sh_a"), col("sh_b")))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
       // jac >= tNum/tDen as exact integers: tDen*common >= tNum*union
