@@ -20,6 +20,17 @@ object Fwht {
       throw new IllegalArgumentException(
         s"fwht_long: input vector has ${v.numElements()} elements but " +
           s"dim=$dim — ragged input would corrupt stored codes, refusing")
+    // Null elements refuse loudly (ADVICE r18): toLongArray would read
+    // a null slot as 0 and silently rotate a corrupted vector into
+    // stored codes — the exact class the ragged guard exists for.
+    var nc = 0
+    while (nc < dim) {
+      if (v.isNullAt(nc))
+        throw new IllegalArgumentException(
+          s"fwht_long: null element at index $nc — a null component " +
+            "would corrupt stored codes, refusing")
+      nc += 1
+    }
     val y = v.toLongArray()
     var h = 1
     while (h < dim) {

@@ -27,15 +27,30 @@ object NearestLong {
         s"nearest_centroid_long: input vector has ${v.numElements()} " +
           s"elements but centroids are $dim-dim — a ragged vector " +
           "would corrupt stored assignments, refusing")
+    // One guarded copy to a primitive array: a null ELEMENT would be
+    // silently read as 0 by getLong (ADVICE r18 — the same
+    // silent-corruption class the ragged guard refuses, where the old
+    // least(aggregate(zip_with)) formulation propagated null), and the
+    // copy also keeps the k·dim inner loop off ArrayData dispatch.
+    val x = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nearest_centroid_long: null element at index $i — a null " +
+            "component would corrupt stored assignments, refusing")
+      x(i) = v.getLong(i)
+      i += 1
+    }
     var best = 0
     var bestD = Long.MaxValue
     var c = 0
     while (c < k) {
       val off = c * dim
       var d = 0L
-      var i = 0
+      i = 0
       while (i < dim) {
-        val diff = v.getLong(i) - flat(off + i)
+        val diff = x(i) - flat(off + i)
         d += diff * diff
         i += 1
       }

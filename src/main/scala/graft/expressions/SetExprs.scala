@@ -19,11 +19,23 @@ import org.apache.spark.sql.types._
   * 190k pairs). Over arrays pre-sorted ONCE PER DOCUMENT, both
   * reductions are a single allocation-free two-pointer walk. */
 object SortedMerge {
+  // Null ELEMENTS refuse loudly (ADVICE r18): getLong reads a null
+  // slot as 0 and getUTF8String as null — either silently corrupts a
+  // count whose consumers treat it as exact. Only VISITED slots need
+  // the guard: once one side is exhausted the other side's tail cannot
+  // contribute to the result whatever its values are.
+  private def nullAt(op: String, idx: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$op: null array element at index $idx — inputs must be " +
+        "sorted null-free arrays, refusing")
+
   /** |A ∩ B| of two ASC-sorted duplicate-free string arrays. */
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i)) nullAt("sorted_intersect_count", i)
+      if (b.isNullAt(j)) nullAt("sorted_intersect_count", j)
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -41,6 +53,8 @@ object SortedMerge {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i)) nullAt("sorted_long_intersect_count", i)
+      if (b.isNullAt(j)) nullAt("sorted_long_intersect_count", j)
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -57,6 +71,8 @@ object SortedMerge {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var dot = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i)) nullAt("sorted_entries_dot", i)
+      if (b.isNullAt(j)) nullAt("sorted_entries_dot", j)
       val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
       val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
       if (cmp == 0) {

@@ -15,4 +15,16 @@ object SketchFunctions {
     GraftColumnBridge.column(graft.expressions.BloomMightContain(
       GraftColumnBridge.expression(key), serialized))
   }
+
+  /** First `hexDigits` md5 hex digits of a string column as a LONG —
+    * the native form of `conv(substring(md5(x), 1, n), 16, 10)`
+    * (bit-identical; see [[graft.expressions.Md5Prefix]]). The hash
+    * primitive of every deterministic md5-keyed family: theta/KMV
+    * sketches (n=12), count-min buckets (n=4), Poisson-bootstrap
+    * draws (n=12), priority sampling (n=8), rolling hashes (n=13). */
+  def md5Prefix(key: Column, hexDigits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.Md5PrefixLong(
+      GraftColumnBridge.expression(key), hexDigits))
+  }
 }

@@ -206,7 +206,17 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L), (acc, t) =>
       ((acc * 32) % mask +
         call_function("shiftrightunsigned", acc, lit(47))).bitwiseXOR(
-        conv(substring(md5(t), 1, 13), 16, 10).cast("long")))
+        graft.functions.SketchFunctions.md5Prefix(t, 13)))
+  }
+
+  /** Positional q-gram multiset as array<struct<g, occ>> — one native
+    * pass per string ([[graft.expressions.QGramOccs]]); occ numbers
+    * repeated grams in position order, exactly the
+    * posexplode + row_number window it replaces in EditJoin. */
+  def qgramOccs(text: Column, q: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.QGramOccs(
+      GraftColumnBridge.expression(text), q))
   }
 
   /** Unicode fold for cross-lingual dedup keys: NFD + strip combining

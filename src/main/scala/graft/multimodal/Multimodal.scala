@@ -51,6 +51,61 @@ object Multimodal {
   }
   @inline private[multimodal] def ensureCodecInit(): Unit = CodecInit
 
+  /** Audio SPI providers resolved ONCE per executor JVM (r18 "not yet"
+    * item, guide §1.2 per-task work): AudioSystem.getAudioInputStream /
+    * AudioSystem.write go through a SYNCHRONIZED static provider lookup
+    * per call — at one write plus one read per clip, 32 decode threads
+    * serialize on that lock. The codecs used are the same JDK provider
+    * instances the AudioSystem path dispatches to, obtained through the
+    * standard public SPI (ServiceLoader); only the discovery is
+    * amortized. Provider ORDER cannot change results here: exactly one
+    * provider accepts a given container (the rest throw
+    * UnsupportedAudioFileException and reset the stream, per the SPI
+    * contract), and exactly one writes WAVE. */
+  private lazy val audioReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toArray
+  }
+  private lazy val wavWriters
+      : Array[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .filter(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .toArray
+  }
+
+  /** AudioSystem.getAudioInputStream through the cached provider list —
+    * same first-success/throw semantics (each failing reader resets the
+    * mark-supporting ByteArrayInputStream, the SPI contract). */
+  private def openAudio(payload: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached provider accepts this payload")
+  }
+
+  /** AudioSystem.write(…, WAVE, …) through the cached writer. */
+  private def writeWav(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    require(wavWriters.nonEmpty, "no WAVE AudioFileWriter provider")
+    wavWriters(0).write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+  }
+
   /** Decode fan-out for the synthetic media generators: the id scan is
     * 8 bytes/row and often ONE file split (an 80 MB parquet at sf1 is
     * a single 128 MB-bound partition), while the downstream codec work
@@ -369,8 +424,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        writeWav(ais, bos) // cached SPI writer — same JDK WAVE codec
         MediaRow(id, bos.toByteArray,
           MediaMeta("audio", 0, 0, n, rate, "audio/wav"))
       }
@@ -392,8 +446,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.filter(_.meta.kind == "audio").map { r =>
         val bytes =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload)).readAllBytes()
+          try openAudio(r.payload).readAllBytes()
           catch {
             case _: javax.sound.sampled.UnsupportedAudioFileException =>
               r.payload // raw PCM fallback
@@ -432,8 +485,7 @@ object Multimodal {
       rows.map { r =>
         val (bytes, rate) =
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
+            val ais = openAudio(r.payload)
             (ais.readAllBytes(), ais.getFormat.getSampleRate)
           } catch {
             case _: javax.sound.sampled.UnsupportedAudioFileException =>

@@ -116,7 +116,7 @@ object Allocate {
         col(availCol).cast("long").as("__n"),
         col(weightCol).cast("long").as("__w"))
       .limit(maxDomains + 1)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val got = base.count()
     require(got <= maxDomains,
       s"allocation frame has > maxDomains=$maxDomains rows — waterFill " +

@@ -77,7 +77,7 @@ object Assoc {
     val toks = docs.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("t"))
       .repartition(col("id"))
-      .localCheckpoint() // feeds the self-join twice + the df agg
+      .localCheckpoint(false) // feeds the self-join twice + the df agg
     val pairs = toks.select(col("id"), col("t").as("x"))
       .join(toks.select(col("id"), col("t").as("y")), Seq("id"))
       .filter(col("x") < col("y"))
@@ -116,7 +116,7 @@ object Assoc {
     val sg = docs.select(col(srcCol).as("src"),
         explode(distinctShingles(col(textCol), n)).as("s"))
       .distinct()
-      .localCheckpoint() // feeds sizes + both join sides
+      .localCheckpoint(false) // feeds sizes + both join sides
     val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("nsh"))
     sg.select(col("src").as("src_a"), col("s"))
       .join(sg.select(col("src").as("src_b"), col("s")), Seq("s"))

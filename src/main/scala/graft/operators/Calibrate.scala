@@ -76,7 +76,7 @@ object Calibrate {
       .groupBy(col("__g0"), col("score"))
       .agg(count(lit(1)).as("n"), sum(col("__l")).as("pos"))
       .limit(maxBins + 1)
-      .localCheckpoint()
+      .localCheckpoint(false)
     require(bins.count() <= maxBins,
       s"more than maxBins=$maxBins (group, score) bins — isotonicFit " +
         "runs over score BINS (a model-sized frame); bin continuous " +

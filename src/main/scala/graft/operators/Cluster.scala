@@ -106,7 +106,7 @@ object Cluster {
     require(updates >= 0, s"updates must be >= 0, got $updates")
     val q = df.select(col(idCol).as("__id"),
         quantize(col(vecCol), scale).as("__v"))
-      .localCheckpoint() // quantized once; reused every round + final
+      .localCheckpoint(false) // quantized once; reused every round + final
     val cents = fitCentroids(q, k, updates)
     val best = nearestExpr(col("__v"), cents)
     q.select(col("__id").as(idCol),

@@ -194,7 +194,7 @@ object Curation {
     val global = PrefixSum.withRunningTotal(
         base.withColumn("__one", lit(1L)), Seq("v", "tb"), "__one")
       .select(col("v").as("__gv"), col("__one_cum").as("__gr"))
-      .localCheckpoint() // the N count below must see the same frame
+      .localCheckpoint(false) // the N count below must see the same frame
     val n = global.count()
     val wg = Window.partitionBy(col("grp")).orderBy(col("v"), col("tb"))
     val ranked = base

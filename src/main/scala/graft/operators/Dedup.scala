@@ -417,7 +417,7 @@ object Dedup {
     val bsh = batch.select(col(idCol).as("id_b"),
         array_sort(distinctShingles(col(textCol), n)).as("sh_b"))
       .withColumn("bands", bandArr(col("sh_b")))
-      .localCheckpoint() // small by contract; planned once, broadcast twice
+      .localCheckpoint(false) // small by contract; planned once, broadcast twice
     val bBuckets = bsh.select(col("id_b"),
       posexplode(col("bands")).as(Seq("band", "bhash")))
     // one corpus scan: band hashes computed in the scan projection,
@@ -431,7 +431,7 @@ object Dedup {
       .join(broadcast(bBuckets), Seq("band", "bhash"))
       .filter(col("id_b") =!= col("id_c"))
       .select(col("id_b"), col("id_c")).distinct()
-      .localCheckpoint() // batch-bounded; reused for the pruned rescan
+      .localCheckpoint(false) // batch-bounded; reused for the pruned rescan
     // second corpus pass, broadcast-pruned to candidate ids only, joins
     // the shingle sets back for the exact rerank — scans are cheap and
     // column-pruned, shuffles are what the corpus must never pay
@@ -516,7 +516,7 @@ object Dedup {
     val h = hashes.select(col(idCol).as("id"),
       col(loCol).cast("long").bitwiseAND(mask32).as("lo"),
       col(hiCol).cast("long").bitwiseAND(mask32).as("hi"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // (1) identical-fingerprint pairs: full-hash equi-join, output-bounded
     val eq = h.as("x").join(h.as("y"), Seq("lo", "hi"))
       .filter(col("x.id") < col("y.id"))
@@ -599,7 +599,7 @@ object Dedup {
     val b = batch.select(col(idCol).as("id_b"),
         col(loCol).cast("long").bitwiseAND(mask32).as("lo_b"),
         col(hiCol).cast("long").bitwiseAND(mask32).as("hi_b"))
-      .localCheckpoint() // small by contract (one delivery)
+      .localCheckpoint(false) // small by contract (one delivery)
     val bBuckets = b.select(col("id_b"), col("lo_b"), col("hi_b"),
       posexplode(bandArr(col("lo_b"), col("hi_b")))
         .as(Seq("band", "bits")))
@@ -683,7 +683,7 @@ object Dedup {
       makePlanes(numPlanes, dim, seed = 42L + t))
     val ev = evalSet.select(col(idCol).as("eval_id"),
         col(vecCol).as("ve"), norm(col(vecCol)).as("ne"))
-      .localCheckpoint() // eval-bounded; reused for buckets and rerank
+      .localCheckpoint(false) // eval-bounded; reused for buckets and rerank
     val evBuckets = ev.select(col("eval_id"),
       posexplode(hyperplaneSignatures(col("ve"), planes))
         .as(Seq("table", "bucket")))
@@ -829,7 +829,7 @@ object Dedup {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       // decimal sum: a long sum of 64-bit hashes overflows under ANSI
       val r = e.agg(count(lit(1)),

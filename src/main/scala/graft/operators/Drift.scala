@@ -50,9 +50,9 @@ object Drift {
     // "saved" scans come straight back); coalesce keeps the
     // empty-corpus total at 0
     val ca = counts(a, textCol).select(col("tok"), col("c").as("ca"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cb = counts(b, textCol).select(col("tok"), col("c").as("cb"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ta = ca.agg(coalesce(sum(col("ca")), lit(0L)).as("__ta"))
     val tb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("__tb"))
     val joined = ca.join(cb, Seq("tok"), "full_outer")
@@ -185,7 +185,7 @@ object Drift {
     val tp = docs.select(col(partCol).as("__p"),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .groupBy(col("__p"), col("__tok")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // feeds token totals, part totals, the join
+      .localCheckpoint(false) // feeds token totals, part totals, the join
     val parts = tp.groupBy(col("__p")).agg(sum(col("__c")).as("__np"))
     val tot = tp.groupBy(col("__tok").as("__t2"))
       .agg(sum(col("__c")).as("__ct"))

@@ -36,8 +36,8 @@ object Dsir {
 
   /** Portable hashed feature bucket of a gram string: [0, buckets). */
   def bucketOf(gram: Column, buckets: Int): Column =
-    (conv(substring(md5(gram), 1, 4), 16, 10).cast("int") % buckets)
-      .cast("int")
+    (graft.functions.SketchFunctions.md5Prefix(gram, 4)
+      .cast("int") % buckets).cast("int")
 
   /** (doc_id, bucket) for every bigram INSTANCE of every document —
     * repeated features count repeatedly, as in the paper's bag-of-

@@ -73,16 +73,19 @@ object EditJoin {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-      .localCheckpoint()
-    // multiset elements (gram, occ): posexplode over the gram sequence,
-    // occ = rank of this occurrence among equal grams within the string
+      .localCheckpoint(false)
+    // multiset elements (gram, occ): ONE native pass per string (r19,
+    // guide §2.4) — occ is a per-row scan quantity, so the old
+    // posexplode + row_number() over (id, g) window (a shuffle + sort
+    // of EVERY gram instance keyed by (id, gram)) collapses into the
+    // scan stage; QGramOccSpec pins the identity against the window
+    // form including repeated-gram strings.
     val grams = base.filter(col("len") >= q)
       .select(col("id"), col("len"),
-        posexplode(expr(
-          s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))"))
-          .as(Seq("pos", "g")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))))
+        explode(graft.functions.TextFunctions.qgramOccs(col("s"), q))
+          .as("go"))
+      .select(col("id"), col("len"),
+        col("go.g").as("g"), col("go.occ").as("occ"))
     // global order: element df ASC, then (g, occ) — total, deterministic
     val dfreq = grams.groupBy(col("g"), col("occ"))
       .agg(count(lit(1)).as("df"))
@@ -92,7 +95,7 @@ object EditJoin {
           .orderBy(col("df"), col("g"), col("occ"))))
     val pre = ranked.filter(col("rn") <= p)
       .select(col("id"), col("len"), col("g"), col("occ"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val gramCand = pre.select(col("id").as("id_a"), col("len").as("la"),
         col("g"), col("occ"))
       .join(pre.select(col("id").as("id_b"), col("len").as("lb"),

@@ -74,7 +74,7 @@ object Funnel {
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .distinct()
-      .localCheckpoint() // feeds the cohort agg + the join back
+      .localCheckpoint(false) // feeds the cohort agg + the join back
     val cohort = days.groupBy(col("__u")).agg(min(col("__d")).as("__c0"))
     days.join(cohort, Seq("__u"))
       .groupBy(col("__c0").as("cohort_date"),

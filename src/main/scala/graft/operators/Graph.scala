@@ -30,10 +30,11 @@ object Graph {
     * left lazy so callers (and the plan gate) see a real superstep
     * plan. Results are identical either way - a checkpoint is only a
     * materialization barrier. */
-  private val CpEvery = 8
-  private def cpCadence(df: DataFrame, round: Int, iters: Int): DataFrame =
+  private[operators] val CpEvery = 8
+  private[operators] def cpCadence(df: DataFrame, round: Int,
+      iters: Int): DataFrame =
     if (round != iters - 1 && (round + 1) % CpEvery == 0)
-      df.localCheckpoint()
+      df.localCheckpoint(false)
     else df
 
 
@@ -77,7 +78,7 @@ object Graph {
       .distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // reused every round + for the final left join
+      .localCheckpoint(false) // reused every round + for the final left join
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
     val b0 = scale / n
@@ -85,7 +86,7 @@ object Graph {
     // out-degrees ride WITH the edges: one join per round, not two
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var r = nodes.select(col("node"), lit(b0).as("pr"))
     var i = 0
     while (i < iters) {
@@ -133,18 +134,18 @@ object Graph {
       .distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "pageRankFrom on an empty graph")
     val t = (scale / n) * (dampDen - dampNum) / dampDen
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var r = nodes
       .join(init.select(col(nodeCol).as("node"),
         col(prCol).cast("long").as("__pr0")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__pr0"), lit(0L)).as("pr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val inflow = eo.join(r, eo("src") === r("node"))
@@ -205,14 +206,14 @@ object Graph {
       .join(broadcast(sd), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("__s"), lit(false)).as("is_seed"))
-      .localCheckpoint() // reused every round: node set + seed flag
+      .localCheckpoint(false) // reused every round: node set + seed flag
     val ns = nodes.filter(col("is_seed")).count()
     require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
     val bs = scale / ns
     val tS = bs * (dampDen - dampNum) / dampDen
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var r = nodes.select(col("node"),
       when(col("is_seed"), lit(bs)).otherwise(lit(0L)).as("pr"))
     var i = 0
@@ -302,7 +303,7 @@ object Graph {
       .filter(col(leftCol).isNotNull && col(rightCol).isNotNull)
       .select(col(leftCol).as("l"), col(rightCol).as("r"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = e.groupBy(col("r").as("node"))
       .agg(count(lit(1)).as("n_left"))
     val pairs = e.as("x").join(e.as("y"),
@@ -351,7 +352,7 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var dist = seeds.distinct.toDF("node")
       .withColumn("dist", lit(0L))
     for (i <- 1 to maxDepth) {
@@ -401,7 +402,7 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -414,7 +415,7 @@ object Graph {
       .select(when(keepAb, col("a")).otherwise(col("b")).as("u"),
         when(keepAb, col("b")).otherwise(col("a")).as("w"),
         when(keepAb, col("db")).otherwise(col("da")).as("dw"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wedgeOrder = col("e1.dw") < col("e2.dw") ||
       (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))
     val tris = o.as("e1").join(o.as("e2"),
@@ -465,10 +466,10 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def l1Normalized(raw: DataFrame, valCol: String,
         outCol: String): DataFrame = {
       val total = raw.agg(sum(col(valCol)).as("__S"))
@@ -518,7 +519,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val ue = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var l = ue.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var i = 0

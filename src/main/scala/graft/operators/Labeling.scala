@@ -84,7 +84,7 @@ object Labeling {
         col("w") =!= col("l"))
     val items = p.select(col("w").as("item"))
       .union(p.select(col("l").as("item"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wins = p.groupBy(col("w").as("item")).agg(count(lit(1)).as("wi"))
     // ordered comparison counts: one row per (i, j) direction so each
     // round is a single join+agg; built once, lineage cut
@@ -93,7 +93,7 @@ object Labeling {
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
     val dirs = nij.select(col("x").as("i"), col("y").as("j"), col("n"))
       .union(nij.select(col("y").as("i"), col("x").as("j"), col("n")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val s2 = scale * scale
     var g = items.select(col("item"), lit(scale).as("r"))
     var it = 0
@@ -112,11 +112,11 @@ object Labeling {
           greatest(lit(1L), expr(
             s"(coalesce(wi, 0L) * $s2) div greatest(coalesce(den, 1L), 1L)"))
             .as("r"))
-      // lineage cut every 8 rounds, not every round (r18, the
-      // Graph.cpCadence rationale): per-round checkpoints are eager
-      // jobs that dominated short fixed-iteration walks
-      g = if (it != iters - 1 && (it + 1) % 8 == 0) next.localCheckpoint()
-          else next
+      // lineage cut on the shared Graph.cpCadence (ADVICE r18: the
+      // inline hardcoded 8 could drift from Graph.CpEvery if the
+      // cadence is retuned): per-round checkpoints are eager jobs that
+      // dominated short fixed-iteration walks
+      g = Graph.cpCadence(next, it, iters)
       it += 1
     }
     g.select(col("item"), col("r").as("strength"))
@@ -150,7 +150,7 @@ object Labeling {
     val base = df
       .filter(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).as("__a"), col(colB).as("__b"))
-      .localCheckpoint() // feeds the pair agg + both marginals
+      .localCheckpoint(false) // feeds the pair agg + both marginals
     val d = (c: Column) => c.cast("double")
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val nAgree = base.agg(count(lit(1)).as("__n"),
@@ -211,11 +211,11 @@ object Labeling {
         col(labelCol).isNotNull)
       .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
       .agg(count(lit(1)).as("__m"))
-      .localCheckpoint() // feeds per-item, per-category, and totals
+      .localCheckpoint(false) // feeds per-item, per-category, and totals
     val perItem = m.groupBy(col("__i"))
       .agg(sum(col("__m")).as("__r"),
         sum(col("__m") * col("__m")).as("__m2"))
-      .localCheckpoint() // feeds the ragged-panel check + the totals
+      .localCheckpoint(false) // feeds the ragged-panel check + the totals
     val rs = perItem.select(col("__r")).distinct()
       .limit(3).collect().map(_.getLong(0))
     require(rs.length == 1,
@@ -286,7 +286,7 @@ object Labeling {
       .withColumn("__m", sum(col("__o")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))))
       .filter(col("__m") >= 2) // unpairable items witness nothing
-      .localCheckpoint() // feeds the lcm probe + per-item + marginals
+      .localCheckpoint(false) // feeds the lcm probe + per-item + marginals
     val ms = o.select((col("__m") - 1).as("__d")).distinct()
       .limit(65).collect().map(_.getLong(0))
     require(ms.length <= 64,
@@ -382,7 +382,7 @@ object Labeling {
       .select(col("__v"), (lit(2L) * col("__cum") - col("__nc")).as("__w"))
     val oW = o.join(broadcast(margW), Seq("__v"))
       .select(col("__i"), col("__w").as("__v"), col("__o"), col("__m"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     alphaFromValues(oW, votes.sparkSession)
   }
 
@@ -400,7 +400,7 @@ object Labeling {
       .withColumn("__m", sum(col("__o")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))))
       .filter(col("__m") >= 2)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   /** The exact interval-metric core over (__i, __v, __o, __m) rows:
     * the [[krippendorffAlpha]] lcm-rational chain with the nominal

@@ -287,14 +287,14 @@ object NgramLm {
     // barrier each branch re-embeds the corpus explode+agg, and the
     // r13 plan dump showed SIX corpus scans / 13 shuffles for what is
     // two gram-keyed aggregations of one corpus pass
-    val tri = triCounts(train, textCol).localCheckpoint()
+    val tri = triCounts(train, textCol).localCheckpoint(false)
     val hist = tri.groupBy(
         concat(w1Of(col("gram")), lit(" "), w2Of(col("gram"))).as("__h"))
       .agg(sum(col("c123")).as("c12dot"), count(lit(1)).as("n1w12"))
     val bp = tri.groupBy(
         concat(w2Of(col("gram")), lit(" "), w3Of(col("gram"))).as("__m"))
       .agg(count(lit(1)).as("nc23"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val mid = bp.groupBy(w1Of(col("__m")).as("__mw2"))
       .agg(sum(col("nc23")).as("nmid2"), count(lit(1)).as("ntypes2"))
     val uni = bp.groupBy(substring_index(col("__m"), " ", -1).as("__uw3"))

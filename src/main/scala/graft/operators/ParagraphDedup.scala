@@ -86,7 +86,7 @@ object ParagraphDedup {
       idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
     val bParas = explodeParas(batch, idCol, textCol, sep)
     val bKeys = bParas.select(col("__para")).distinct()
-      .localCheckpoint() // bounded by the batch; reused for both probes
+      .localCheckpoint(false) // bounded by the batch; reused for both probes
     val inCorpus = corpus
       .select(explode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as("__para"))

@@ -42,7 +42,7 @@ object Pq {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol).as("__id"),
         Cluster.quantize(col(vecCol), scale).as("__v"))
-      .localCheckpoint() // shared by the training rounds + the encode
+      .localCheckpoint(false) // shared by the training rounds + the encode
     encodeQuantized(q, idCol, dim, m, k, updates)
   }
 
@@ -97,7 +97,7 @@ object Pq {
         df.select(col(idCol).as("__id"),
           Cluster.quantize(col(vecCol), scale).as("__v")),
         "__v", dim)
-      .localCheckpoint()
+      .localCheckpoint(false)
     encodeQuantized(q, idCol, dim, m, k, updates)
   }
 
@@ -153,7 +153,7 @@ object Pq {
         df.select(col(idCol).as("__id"),
           Cluster.quantize(col(vecCol), scale).as("__v")),
         "__v", rot)
-      .localCheckpoint()
+      .localCheckpoint(false)
     encodeQuantized(q, idCol, dim, m, k, updates)
   }
 
@@ -423,7 +423,7 @@ object Pq {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol).as("__id"),
         Cluster.quantize(col(vecCol), scale).as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coarse = Cluster.fitCentroids(q, kCoarse, updates)
     val cents2d = typedLit(coarse.map(_.toSeq).toSeq)
     // residuals in a SEPARATE projection from the argmin struct (the
@@ -437,7 +437,7 @@ object Pq {
         zip_with(col("__v"), element_at(cents2d, col("list") + 1),
           (a, b) => a - b).as("__v"),
         col("list"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val (enc, books) =
       encodeQuantized(resid, idCol, dim, m, k, updates, Seq("list"))
     (enc, coarse, books)

@@ -76,16 +76,20 @@ object PrefixJoin {
       .filter(size(col("shingles")) > 0)
       .withColumn("hsh",
         array_sort(transform(col("shingles"), x => xxhash64(x))))
-      .localCheckpoint()
-    val injective = {
-      val r = sh.select(explode(col("shingles")).as("s"))
-        .agg(countDistinct(col("s")).as("ns"),
-          countDistinct(xxhash64(col("s"))).as("nh")).head()
-      r.getLong(0) == r.getLong(1)
-    }
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("shingles")).as("nsh"),
       explode(col("shingles")).as("s"))
+    // df agg checkpointed (lazily): it already holds one row per
+    // DISTINCT shingle, so the injectivity check below is a tiny agg
+    // over it instead of a SECOND full explode + two corpus-wide
+    // distincts (r19 — the check used to cost a whole df-agg-sized
+    // pass), and the ranked join then reads the materialization.
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val injective = {
+      val r = dfreq.agg(count(lit(1)).as("ns"),
+        countDistinct(xxhash64(col("s"))).as("nh")).head()
+      r.getLong(0) == r.getLong(1)
+    }
     // prefix length p = nsh - ceil(t*nsh) + 1, ceil via integer div.
     // (A hash-agg + per-row array_sort variant was MEASURED SLOWER
     // than this window — 8.0s vs 6.9s on the q145 gate at sf0.1:
@@ -102,7 +106,7 @@ object PrefixJoin {
     // most expensive stage — run it once.
     val pre = ranked.filter(col("__rn") <= col("__plen"))
       .select(col("id"), col("nsh"), col("__rn"), col("s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // two filters ride the candidate join, before the pair shuffle:
     //  - LENGTH (AllPairs): jac >= t forces t·max(|A|,|B|) <=
     //    min(|A|,|B|) — kills the size-mismatched bulk of each

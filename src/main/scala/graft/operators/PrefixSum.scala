@@ -27,45 +27,72 @@ object PrefixSum {
   /** Adds `<valueCol>_cum` = inclusive running total of `valueCol` over
     * the global `orderCols` order. The order must be total (append a
     * unique id as the last key). */
-  /** Stage 1: range-partitioned, per-partition running totals, pinned.
-    * Pinning matters for correctness, not just cost: repartitionByRange
-    * SAMPLES its bounds with a seed tied to the physical plan instance,
-    * so re-evaluating the lineage could place rows in different
-    * partitions between the totals pass and the final join — __pid must
-    * be computed exactly once. */
-  private[operators] def localStage(df: DataFrame, orderCols: Seq[String],
-      valueCol: String, numPartitions: Int): DataFrame = {
+  def withRunningTotal(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, numPartitions: Int = 0): DataFrame =
+    withRunningTotals(df, orderCols, Seq(valueCol), numPartitions)
+
+  /** [[withRunningTotal]] for SEVERAL value columns in ONE two-pass
+    * scan (r19): nesting the single-column form pays the range
+    * shuffle, the bounds-sampling job, the partition-local window, and
+    * the P-element totals collect once PER COLUMN — ksTest's two CDFs
+    * ride the same (v)-ordered scan, so one pass carries both. Adds
+    * `<col>_cum` for every `valueCols` entry; identical output to the
+    * nested form (same order, same offsets, column-wise independent
+    * sums). */
+  def withRunningTotals(df: DataFrame, orderCols: Seq[String],
+      valueCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
     val ranged0 = if (numPartitions > 0)
       df.repartitionByRange(numPartitions, orderCols.map(col): _*)
     else df.repartitionByRange(orderCols.map(col): _*)
     val ranged = ranged0
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    // partition-local inclusive running total; the window's partitionBy
-    // matches the physical partitioning, so rows stay where they are
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.withColumn("__local", sum(col(valueCol)).over(w))
-      .localCheckpoint()
-  }
-
-  def withRunningTotal(df: DataFrame, orderCols: Seq[String],
-      valueCol: String, numPartitions: Int = 0): DataFrame = {
-    val local = localStage(df, orderCols, valueCol, numPartitions)
+    // checkpoint pins the stage-1 frame — for correctness, not just
+    // cost: repartitionByRange SAMPLES its bounds with a seed tied to
+    // the physical plan instance, so re-evaluating the lineage could
+    // place rows in different partitions between the totals pass and
+    // the final join — __pid must be computed exactly once
+    val local = valueCols.zipWithIndex.foldLeft(ranged) {
+      case (acc, (vc, i)) =>
+        acc.withColumn(s"__local_$i", sum(col(vc)).over(w))
+    }.localCheckpoint(false)
     // P partial sums -> exclusive prefix offsets (driver-side scan of a
     // P-element array; P is the parallelism, not the data size)
     val totals = local.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).cast("long").as("__total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+      .agg(valueCols.zipWithIndex.map { case (vc, i) =>
+          sum(col(vc)).cast("long").as(s"__total_$i") }.head,
+        valueCols.zipWithIndex.map { case (vc, i) =>
+          sum(col(vc)).cast("long").as(s"__total_$i") }.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0),
+        valueCols.indices.map(i => r.getLong(i + 1)).toArray))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft(
+      (0, Array.fill(valueCols.size)(0L))) { case ((_, acc), (pid, t)) =>
+        (pid, acc.zip(t).map { case (x, y) => x + y })
+      }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local.join(broadcast(offDf), "__pid")
-      .withColumn(s"${valueCol}_cum", col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+    val offRows = offsets.toSeq.map { case (pid, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: off.toSeq) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      valueCols.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"__off_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val joined = local.join(broadcast(offDf), "__pid")
+    val withCums = valueCols.zipWithIndex.foldLeft(joined) {
+      case (acc, (vc, i)) =>
+        acc.withColumn(s"${vc}_cum", col(s"__local_$i") + col(s"__off_$i"))
+    }
+    val drop = Seq("__pid") ++
+      valueCols.indices.flatMap(i => Seq(s"__local_$i", s"__off_$i"))
+    withCums.drop(drop: _*)
   }
 }

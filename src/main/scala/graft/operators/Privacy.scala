@@ -98,7 +98,7 @@ object Privacy {
     val cells = proj
       .groupBy((qi.map(col) :+ col("__s")): _*)
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // feeds class totals, category totals, n, join
+      .localCheckpoint(false) // feeds class totals, category totals, n, join
     val classes = cells.groupBy(qi.map(col): _*)
       .agg(sum(col("__c")).as("class_size"))
     val cats = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__cs"))

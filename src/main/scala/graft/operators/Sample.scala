@@ -111,8 +111,8 @@ object Sample {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 1, s"rate $r out of [0,1]"))
-    val bucket = conv(substring(saltedMd5("mix:", col(idCol)), 1, 8),
-      16, 10).cast("long")
+    val bucket = graft.functions.SketchFunctions.md5Prefix(
+      concat(lit("mix:"), col(idCol).cast("string")), 8)
     def threshold(r: Double) = lit((r * (1L << 32)).toLong)
     val limit = rates.foldLeft(threshold(defaultRate)) {
       case (other, (stratum, r)) =>
@@ -174,8 +174,8 @@ object Sample {
             dyadicPow(col("__nmin").cast("double") / col("__ns")) *
             lit(4294967296.0))
           .cast("long").as("__lim"))
-    val bucket = conv(substring(saltedMd5("temp:", col(idCol)), 1, 8),
-      16, 10).cast("long")
+    val bucket = graft.functions.SketchFunctions.md5Prefix(
+      concat(lit("temp:"), col(idCol).cast("string")), 8)
     // null guard restores the scan's IsNotNull pushdown (see
     // weightedMix); the stratum join is NULL-SAFE so a null stratum
     // matches its own count row instead of dropping (scaladoc contract)
@@ -192,8 +192,8 @@ object Sample {
   def deterministicFraction(df: DataFrame, idCol: String,
       rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate $rate out of [0,1]")
-    val bucket = conv(substring(saltedMd5("frac:", col(idCol)), 1, 8),
-      16, 10).cast("long")
+    val bucket = graft.functions.SketchFunctions.md5Prefix(
+      concat(lit("frac:"), col(idCol).cast("string")), 8)
     // null guard restores the scan's IsNotNull pushdown (see weightedMix)
     df.filter(col(idCol).isNotNull &&
       bucket < lit((rate * (1L << 32)).toLong))
@@ -239,8 +239,8 @@ object Sample {
   def weightedTopN(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val bucket = conv(substring(saltedMd5("wsamp:", col(idCol)), 1, 8),
-      16, 10).cast("long")
+    val bucket = graft.functions.SketchFunctions.md5Prefix(
+      concat(lit("wsamp:"), col(idCol).cast("string")), 8)
     val u = (bucket * 2 + 1).cast("double") / lit(8589934592.0)
     val key = log(u) / col(weightCol).cast("double")
     df.filter(col(idCol).isNotNull && col(weightCol) > 0)
@@ -349,8 +349,8 @@ object Sample {
       .filter(col(grpCol).isNotNull && col(idCol).isNotNull &&
         w.isNotNull && w > 0)
       .select(col(grpCol).as("grp"), col(idCol).as("id"), w.as("w"))
-      .withColumn("__u", conv(substring(md5(concat(lit("pri:"),
-        col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
+      .withColumn("__u", graft.functions.SketchFunctions.md5Prefix(
+        concat(lit("pri:"), col("id").cast("string")), 8) + 1)
       .withColumn("q_fp", when(col("w") < lit(2147483648L),
         expr("CAST(w AS DECIMAL(38,0)) * 4294967296 DIV __u"))
         .otherwise(raise_error(concat(lit("prioritySample: weight "),
@@ -361,7 +361,7 @@ object Sample {
     val ranked = base
       .withColumn("__rk", row_number().over(win))
       .filter(col("__rk") <= k + 1)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tau = ranked.filter(col("__rk") === k + 1)
       .select(col("grp"), col("q_fp").as("tau"))
     ranked.filter(col("__rk") <= k)

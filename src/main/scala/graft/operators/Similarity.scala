@@ -203,7 +203,14 @@ object Similarity {
   /** The candidate generator behind [[marginMiningLsh]]: sign-bit LSH
     * buckets per table, per-bucket cap, bucket equi-join, exact cosine
     * per distinct (src, dst) pair. Exposed for composition with other
-    * candidate-bounded tails (hard negatives, containment). */
+    * candidate-bounded tails (hard negatives, containment).
+    *
+    * PRECONDITION (ADVICE r18): ids must be UNIQUE per side. The pairs
+    * are deduped on (src_id, dst_id) and the vectors re-attach by id
+    * join — a duplicated id would fan that join out into duplicate
+    * (src_id, dst_id, cos) rows (the pre-r18 groupBy(max) shape
+    * collapsed them). Every caller feeds embedding tables keyed by
+    * their primary id (the [[Dedup.exactGroups]] id discipline). */
   private[graft] def signBitCandidates(left: DataFrame, right: DataFrame,
       lVec: String, lId: String, rVec: String, rId: String,
       numTables: Int, planesPerTable: Int, dim: Int,
@@ -270,7 +277,7 @@ object Similarity {
       .withColumn("__rd", row_number().over(Window
         .partitionBy(col("dst_id"))
         .orderBy(col("cos").desc, col("src_id"))))
-      .localCheckpoint() // feeds both stat aggs + the forward candidates
+      .localCheckpoint(false) // feeds both stat aggs + the forward candidates
     val srcStats = simsD.filter(col("__rs") <= k)
       .groupBy(col("src_id"))
       .agg(sum(col("__cf")).as("__sx"), count(lit(1)).as("__cx"))

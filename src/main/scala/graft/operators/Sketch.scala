@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
 object Sketch {
 
   /** Portable row-r bucket of a key: md5("r:key") first 4 hex chars
-    * mod w — independent-enough rows, identical in both engines. */
+    * mod w — independent-enough rows, identical in both engines.
+    * Computed by the native [[graft.expressions.Md5Prefix]] kernel
+    * (bit-identical to the conv(substring(md5)) composition; r19). */
   def cmBucket(key: Column, row: Int, w: Int): Column =
-    (conv(substring(md5(concat(lit(s"$row:"), key)), 1, 4), 16, 10)
+    (graft.functions.SketchFunctions
+      .md5Prefix(concat(lit(s"$row:"), key), 4)
       .cast("int") % w).cast("int")
 
   /** The d×w counter matrix of `keys` instances: (r, bucket, c). */
@@ -106,10 +109,12 @@ object Sketch {
     * portable to any engine with a 64-bit integer). */
   val ThetaM: Long = 1L << 48
 
-  /** Portable theta hash of a key — uniform on [1, 2^48]. */
+  /** Portable theta hash of a key — uniform on [1, 2^48]. Computed by
+    * the native [[graft.expressions.Md5Prefix]] kernel (bit-identical
+    * to the conv(substring(md5)) composition; r19). */
   def thetaHash(key: Column): Column =
-    conv(substring(md5(concat(lit("th:"), key.cast("string"))), 1, 12),
-      16, 10).cast("long") + 1
+    graft.functions.SketchFunctions
+      .md5Prefix(concat(lit("th:"), key.cast("string")), 12) + 1
 
   /** Per-group KMV sketch: the k smallest DISTINCT hashes per group,
     * as (grp, h) rows (≤ k per group). Key collisions collapse by
@@ -172,7 +177,7 @@ object Sketch {
     // broadcasts a subtree whose bound (the aggregate: one row per
     // group) is VISIBLE to the PlanShape audit, not erased behind a
     // checkpoint scan.
-    val sk = sketch.localCheckpoint()
+    val sk = sketch.localCheckpoint(false)
     val est = thetaEstimate(sk, k)
     val pairs = est.select(col("grp").as("grp_a"),
         col("n_retained").as("__na"), col("theta_h").as("__ta"))
@@ -389,7 +394,7 @@ object Sketch {
     * broadcasts + one hash equi-join over ≤ k rows per group — the
     * [[thetaIntersectPairs]] shape with two extra k-bounded counts. */
   def thetaSetOpPairs(sketch: DataFrame, k: Int): DataFrame = {
-    val sk = sketch.localCheckpoint()
+    val sk = sketch.localCheckpoint(false)
     val est = thetaEstimate(sk, k)
     val pairs = est.select(col("grp").as("grp_a"),
         col("n_retained").as("__na"), col("theta_h").as("__ta"))

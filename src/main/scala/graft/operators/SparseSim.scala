@@ -68,7 +68,7 @@ object SparseSim {
         explode(positionalShingles(col(textCol), n)).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // one SORTED gram-count posting array per doc: the rerank joins two
     // arrays per candidate pair instead of cand × |doc| posting rows —
     // the dot is one allocation-free merge walk inside the row
@@ -80,7 +80,7 @@ object SparseSim {
       .agg(sort_array(collect_list(
         struct(col("gram"), col("cnt")))).as("m"),
         sum(col("cnt") * col("cnt")).as("n2"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // candidate generation as BUCKETED pair expansion. The df filter
     // runs BEFORE any collection (constant-space count agg + semi-join,
     // ADVICE r13): collecting first and filtering after would build an

@@ -61,8 +61,10 @@ object Stats {
   }
 
   private def bootstrapWeight(r: Column, id: Column): Column = {
-    val u = conv(substring(md5(concat_ws(":", lit("bs"), r,
-      id.cast("string"))), 1, 12), 16, 10).cast("long") + 1
+    // native md5-prefix kernel (r19) — bit-identical to the
+    // conv(substring(md5)) composition, one digest per draw
+    val u = graft.functions.SketchFunctions.md5Prefix(
+      concat_ws(":", lit("bs"), r, id.cast("string")), 12) + 1
     PoissonThresholds.zipWithIndex
       .foldRight(lit(9L): Column) { case ((t, k), acc) =>
         when(u <= t, lit(k.toLong)).otherwise(acc) }
@@ -1030,10 +1032,11 @@ object Stats {
     val merged = cnt(a, "na").join(cnt(b, "nb"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
-      .localCheckpoint()
-    val cum = PrefixSum.withRunningTotal(
-      PrefixSum.withRunningTotal(merged, Seq("v"), "na"),
-      Seq("v"), "nb")
+      .localCheckpoint(false)
+    // BOTH CDFs ride ONE two-pass scan (r19): the nested form paid the
+    // range shuffle + bounds sampling + totals collect twice
+    val cum = PrefixSum.withRunningTotals(merged, Seq("v"),
+      Seq("na", "nb"))
     val tot = merged.agg(coalesce(sum(col("na")), lit(0L)).as("n"),
       coalesce(sum(col("nb")), lit(0L)).as("m"))
     val d38 = (x: Column) => x.cast("decimal(38,0)")

@@ -2791,8 +2791,8 @@ object TextQueries {
       .groupBy(col("source"))
       .agg(sum(col("n_chars")).cast("long").as("avail"))
       .withColumn("weight",
-        conv(substring(md5(concat(lit("wgt:"), col("source"))), 1, 2),
-          16, 10).cast("long") % 8 + 1)
+        graft.functions.SketchFunctions.md5Prefix(
+          concat(lit("wgt:"), col("source")), 2) % 8 + 1)
     val total = avail.agg(sum(col("avail"))).head().getLong(0)
     graft.operators.Allocate.waterFill(avail, "source", "avail",
       "weight", budget = total / 2)
@@ -3253,8 +3253,8 @@ object TextQueries {
   val q204_isotonic_calibration: Q = (s, d) => {
     val labeled = Tables.documents(s, d).select(
       expr("n_chars div 50").as("score"),
-      (conv(substring(md5(concat(lit("cal:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      (graft.functions.SketchFunctions.md5Prefix(
+          concat(lit("cal:"), col("doc_id").cast("string")), 8)
         < col("n_chars") * lit(7158278L)).cast("int").as("label"))
     graft.operators.Calibrate.isotonicFit(labeled, "score", "label")
   }
@@ -3301,8 +3301,8 @@ object TextQueries {
     val labeled = Tables.documents(s, d).select(
       col("lang"),
       expr("n_chars div 100").as("score"),
-      (conv(substring(md5(concat(lit("cal:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      (graft.functions.SketchFunctions.md5Prefix(
+          concat(lit("cal:"), col("doc_id").cast("string")), 8)
         < col("n_chars") * lit(7158278L)).cast("int").as("label"))
     graft.operators.Calibrate.isotonicFitGrouped(labeled, "lang",
       "score", "label")
@@ -3520,8 +3520,8 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val labeled = docs.select(
       expr("n_chars div 50").as("score"),
-      (conv(substring(md5(concat(lit("cal:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      (graft.functions.SketchFunctions.md5Prefix(
+          concat(lit("cal:"), col("doc_id").cast("string")), 8)
         < col("n_chars") * lit(7158278L)).cast("int").as("label"))
     val fit = graft.operators.Calibrate.isotonicFit(labeled, "score",
       "label")
@@ -3599,8 +3599,8 @@ object TextQueries {
   val q220_fleiss_kappa: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     def h(salt: String) =
-      conv(substring(md5(concat(lit(salt),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      graft.functions.SketchFunctions.md5Prefix(
+        concat(lit(salt), col("doc_id").cast("string")), 8)
     val votes = docs.select(col("doc_id"), lit("gold").as("rater"),
         col("lang").as("label"))
       .unionByName(docs.select(col("doc_id"), lit("h1").as("rater"),
@@ -3748,8 +3748,8 @@ object TextQueries {
   val q223_krippendorff_alpha: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     def h(salt: String) =
-      conv(substring(md5(concat(lit(salt),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      graft.functions.SketchFunctions.md5Prefix(
+        concat(lit(salt), col("doc_id").cast("string")), 8)
     def keep(salt: String) = h(salt) % 10 >= 2
     val votes = docs.filter(keep("dg:"))
       .select(col("doc_id"), lit("gold").as("rater"),
@@ -3893,7 +3893,7 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val u = docs.select(col("source"),
         explode(positionalShingles(col("text"), 3)).as("tok")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sizes = u.groupBy(col("source")).agg(count(lit(1)).as("nv"))
     u.select(col("source").as("source_a"), col("tok"))
       .join(u.select(col("source").as("source_b"), col("tok")),
@@ -3939,8 +3939,8 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     def h(salt: String) =
-      conv(substring(md5(concat(lit(salt),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      graft.functions.SketchFunctions.md5Prefix(
+        concat(lit(salt), col("doc_id").cast("string")), 8)
     def keep(salt: String) = h(salt) % 10 >= 2
     val base = h("ks:") % 5 // 0..4
     docs.filter(keep("kd0:"))
@@ -4382,7 +4382,7 @@ object TextQueries {
         (col("n_chars") >= 500).as("is_long"),
         explode(positionalShingles(col("text"), 3)).as("tok"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def est(items: org.apache.spark.sql.DataFrame,
         keyCol: org.apache.spark.sql.Column,
         as: String) =

@@ -55,4 +55,33 @@ class SetExprsSpec extends SparkSuite {
     // side's keys with null products coalesced to 0 — dot 0 both ways
     assert(withMaps.filter($"nw" =!= $"od").count() == 0L)
   }
+
+  test("null ARRAY ELEMENTS refuse loudly in every merge-walk kernel " +
+      "(ADVICE r18: getLong silently reads a null slot as 0)") {
+    // string walk: null element visited by the walk → throw
+    val s = Seq((1L, Seq[String]("a", null, "c"), Seq("a", "b", "c")))
+      .toDF("id", "a", "b")
+    val e1 = intercept[Exception] {
+      s.select(sortedIntersectCount($"a", $"b")).collect()
+    }
+    assert(e1.getMessage.contains("null array element") ||
+      e1.getCause != null &&
+        e1.getCause.getMessage.contains("null array element"))
+    // long walk: the silent-zero case the guard exists for
+    val l = Seq((1L, Seq[java.lang.Long](1L, null, 9L),
+        Seq[java.lang.Long](0L, 1L, 9L))).toDF("id", "a", "b")
+    val e2 = intercept[Exception] {
+      l.select(sortedLongIntersectCount($"a", $"b")).collect()
+    }
+    assert(e2.getMessage.contains("null array element") ||
+      e2.getCause != null &&
+        e2.getCause.getMessage.contains("null array element"))
+    // UNVISITED trailing elements stay out of contract: the walk ends
+    // when one side exhausts, so a trailing null cannot change the
+    // count and must not throw
+    val ok = Seq((1L, Seq[java.lang.Long](1L),
+        Seq[java.lang.Long](1L, null))).toDF("id", "a", "b")
+      .select(sortedLongIntersectCount($"a", $"b")).head().getLong(0)
+    assert(ok == 1L)
+  }
 }

@@ -134,4 +134,17 @@ class ClusterSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("nearestExpr refuses NULL ELEMENTS loudly (ADVICE r18: getLong " +
+      "silently reads a null slot as 0 — same corruption class)") {
+    val cents = Array(Array(0L, 0L, 0L))
+    val e = intercept[Exception] {
+      Seq((1L, Seq[java.lang.Long](1L, null, 3L))).toDF("id", "v")
+        .select(Cluster.nearestExpr($"v", cents)).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("null element"))
+        || mentions(t.getCause))
+    assert(mentions(e))
+  }
 }

@@ -91,4 +91,31 @@ class EditJoinSpec extends SparkSuite {
     assert(got == exp)
     assert(exp.nonEmpty, "no distance-1 name pairs — fixture changed")
   }
+
+  test("qgramOccs == posexplode + row_number window (r19 kernel), " +
+      "repeated-gram and unicode strings included") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qgramOccs
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 120).map { i =>
+      val len = rnd.nextInt(24)
+      new String((0 until len).map(_ => "abcdeé漢"(rnd.nextInt(7))).toArray)
+    } ++ Seq("aaaaaa", "ababab", "", "a", "漢漢漢漢")
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s").withColumn("len", length($"s"))
+    for (q <- Seq(1, 2, 3)) {
+      val nw = df.filter($"len" >= q)
+        .select($"id", explode(qgramOccs($"s", q)).as("go"))
+        .select($"id", $"go.g".as("g"), $"go.occ".as("occ"))
+      val od = df.filter($"len" >= q)
+        .select($"id", posexplode(expr(
+          s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))"))
+          .as(Seq("pos", "g")))
+        .withColumn("occ", row_number().over(
+          Window.partitionBy($"id", $"g").orderBy($"pos")).cast("int"))
+        .select($"id", $"g", $"occ")
+      assert(nw.exceptAll(od).count() == 0 && od.exceptAll(nw).count() == 0,
+        s"q=$q diverged from the window form")
+    }
+  }
 }

@@ -238,6 +238,19 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("hadamardRotate refuses NULL ELEMENTS loudly (ADVICE r18: " +
+      "toLongArray reads a null slot as 0 into stored codes)") {
+    val e = intercept[Exception] {
+      Pq.hadamardRotate(
+        Seq((1L, Seq[java.lang.Long](1L, null, 3L, 4L)))
+          .toDF("id", "v"), "v", 4).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("null element"))
+        || mentions(t.getCause))
+    assert(mentions(e))
+  }
+
   test("encodeRotated: codes equal encode() run on pre-rotated " +
       "input, and ADC top-k order is preserved under rotation for " +
       "a full-probe (m=1, k=n would be exact) sanity point") {

@@ -31,7 +31,8 @@ class PrefixSumSpec extends SparkSuite {
     // one task a global orderBy window would use (AQE may later
     // coalesce the tiny downstream join; that's fine, the scan is the
     // stage that matters)
-    val stage = PrefixSum.localStage(docs, Seq("doc_id"), "n_chars", 8)
+    val stage = docs.repartitionByRange(8, $"doc_id")
+      .withColumn("__pid", spark_partition_id())
     val spread = stage.groupBy($"__pid").count().count()
     assert(spread >= 2, s"only $spread populated range partitions")
     val cum = PrefixSum.withRunningTotal(docs, Seq("doc_id"), "n_chars",
@@ -44,5 +45,18 @@ class PrefixSumSpec extends SparkSuite {
     val total = cum.agg(max($"n_chars_cum")).head().getLong(0)
     val expect = docs.agg(sum($"n_chars")).head().getLong(0)
     assert(total == expect)
+  }
+
+  test("withRunningTotals (multi-column, r19) == nested single-column " +
+      "passes, one scan for both columns") {
+    val df = (0L until 800L)
+      .map(i => (i, (i % 5) - 2, (i % 11) + 1)).toDF("id", "x", "y")
+    val nested = PrefixSum.withRunningTotal(
+      PrefixSum.withRunningTotal(df, Seq("id"), "x", 8), Seq("id"), "y", 8)
+      .select($"id", $"x_cum".as("ex"), $"y_cum".as("ey"))
+    val once = PrefixSum.withRunningTotals(df, Seq("id"), Seq("x", "y"), 8)
+    val diff = once.join(nested, "id")
+      .filter($"x_cum" =!= $"ex" || $"y_cum" =!= $"ey").count()
+    assert(diff == 0)
   }
 }
