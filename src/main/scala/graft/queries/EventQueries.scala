@@ -662,28 +662,21 @@ object EventQueries {
     val S = 6L * 3600 * 1000000L
     val W = 24L * 3600 * 1000000L
     val k = 64
-    // Dedupe at PANE grain BEFORE the 4× window replication (r19,
-    // guide §2.3 "aggregate before you shuffle"): the window filter
-    // us < win_start + W is VACUOUS for j ∈ 0..3 — win_start + W =
-    // pane − j·S + 4S ≥ pane + S > us (because pane = ⌊us/S⌋·S) — so
-    // window membership depends only on the event's PANE, and the
-    // big distinct can run on (type, pane, user) over 1× the events
-    // (map-side combined) instead of on (type, win, user) over the 4×
-    // explode. The 4× replication then runs on the deduped pane frame,
-    // and the second distinct collapses the (rare) same-window
-    // multi-pane repeats. Output set is IDENTICAL.
+    // (A pane-grain pre-dedupe before the 4× replication was measured
+    // r19 and REVERTED: the fixture repeats a (type, user) within a
+    // pane only ~5% of the time, so the extra distinct cost more than
+    // the explode it saved — q243 is the paned shape for streams where
+    // within-pane repetition is real.)
     val u = Tables.events(s, d)
       .filter(col("event_type").isNotNull && col("ts").isNotNull &&
         col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"),
-        expr(s"(unix_micros(ts) DIV ${S}L) * ${S}L").as("pane"))
-      .distinct()
-      .select(col("event_type"), col("user_id"),
-        explode(sequence(lit(0L), lit(3L))).as("j"),
-        col("pane"))
-      .select(col("event_type"),
-        (col("pane") - col("j") * lit(S)).as("win_start"),
-        col("user_id"))
+        unix_micros(col("ts")).as("us"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      .withColumn("win_start",
+        expr(s"(us DIV ${S}L) * ${S}L - j * ${S}L"))
+      .filter(col("us") < col("win_start") + lit(W))
+      .select(col("event_type"), col("win_start"), col("user_id"))
       .distinct()
       .localCheckpoint(false)
     val sk = graft.operators.Sketch.thetaSketch(

@@ -303,9 +303,14 @@ object GraphQueries {
     * continuous k₀+k, so a pipeline can refresh ranks without a full
     * recompute and trust the numbers to be identical. */
   val q144_rank_refresh: Q = (s, d) => {
-    val snapshot = Graph.pageRank(hostEdges(s, d), "src", "dst",
-      iters = 4)
-    Graph.pageRankFrom(hostEdges(s, d), "src", "dst",
+    // ONE edge extraction for both walks (r19): snapshot and refresh
+    // ran the whole extractLinks → canonicalize → host-parse pipeline
+    // independently; the checkpoint materializes it once and both
+    // operators read the cached edge list (results identical — the
+    // extraction is deterministic).
+    val edges = hostEdges(s, d).localCheckpoint(false)
+    val snapshot = Graph.pageRank(edges, "src", "dst", iters = 4)
+    Graph.pageRankFrom(edges, "src", "dst",
       snapshot, "node", "pr", iters = 1)
   }
 
