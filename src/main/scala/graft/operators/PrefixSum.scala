@@ -84,8 +84,13 @@ object PrefixSum {
       valueCols.indices.map(i =>
         org.apache.spark.sql.types.StructField(s"__off_$i",
           org.apache.spark.sql.types.LongType, nullable = false)))
+    // LOCAL relation, not an RDD-backed frame: a parallelize()-backed
+    // scan carries defaultSizeInBytes (huge) and that estimate
+    // propagates up — q199's checkpoint-ladder joins flipped from
+    // broadcast to sort-merge when this frame lost its known tiny size
+    // (caught by the r19 plan gate).
     val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1), offSchema)
+      java.util.Arrays.asList(offRows: _*), offSchema)
     val joined = local.join(broadcast(offDf), "__pid")
     val withCums = valueCols.zipWithIndex.foldLeft(joined) {
       case (acc, (vc, i)) =>
